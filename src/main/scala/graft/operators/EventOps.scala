@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Wiki-pipeline-shaped operators over the `events` table, driver-verifiable
+  * against DuckDB. The faithful recentchange pipeline (graft.ingest) is
+  * exercised by unit tests on the JSONL fixture; these queries re-express the
+  * same operator semantics (SURVEY.md §2.3-§2.8) on the provided parquet:
+  *
+  *   q20  F2 type filter + P7 JSON parse + P1/P3 extract/default + P2 rename
+  *        + P4 derived arithmetic + P6 timestamp normalize + P9 projection
+  *   q21  D1 first-write-wins dedup (deterministic window form)
+  *   q22  R1 keep-newest-N retention + A5 scalar greatest
+  *   q23  S3 resume offset (MAX(event_timestamp)) + A4
+  *   q24  A1/A2/A3 dashboard snapshot (count, min/max id, id span)
+  *   q25  A6 velocity (per-minute counts + exact value sums)
+  *   q26  A7 running delta (lag over the minute series)
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** Timestamp normalize (P6): the reference folds ISO8601 to a naive
+    * second-resolution string (pipeline.py:120); both engines format
+    * identically, sidestepping parquet ns/µs annotation mismatches. */
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+  private val tsFmtSqlSec = "%Y-%m-%d %H:%M:%S"
+  private val minuteFmt = "yyyy-MM-dd HH:mm"
+  private val minuteFmtSql = "%Y-%m-%d %H:%M"
+
+  // ---------------------------------------------------------------- q20
+  private val q20: Q = (s, dir) => {
+    import s.implicits._
+    val k = coalesce(get_json_object($"props", "$.k").cast("long"), lit(0L))
+    ev(s, dir)
+      .filter($"event_type".isin("view", "click")) // F2
+      .select( // P9
+        $"event_id",
+        date_format($"ts", tsFmt).as("event_time"), // P6
+        $"user_id".as("actor_id"), // P2
+        $"event_type",
+        k.as("k"), // P7+P1+P3+P5
+        $"value",
+        ($"value" - k).as("value_minus_k")) // P4
+      .orderBy($"event_id")
+  }
+  private val q20Sql =
+    s"""SELECT event_id,
+       |  strftime(ts, '$tsFmtSqlSec') AS event_time,
+       |  user_id AS actor_id,
+       |  event_type,
+       |  COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS k,
+       |  value,
+       |  value - COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), 0)
+       |    AS value_minus_k
+       |FROM events
+       |WHERE event_type IN ('view', 'click')
+       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** First-write-wins dedup per (user_id, event_type): deterministic via
+    * (ts, event_id) order — the window form of the reference's UNIQUE
+    * constraint skip (pipeline.py:173-174). */
+  private val q21: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type",
+        $"event_id".as("first_event_id"),
+        date_format($"ts", tsFmt).as("first_time"),
+        $"value".as("first_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+  private val q21Sql =
+    s"""SELECT user_id, event_type, event_id AS first_event_id,
+       |  strftime(ts, '$tsFmtSqlSec') AS first_time,
+       |  value AS first_value
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                                   ORDER BY ts ASC, event_id ASC) AS rn
+       |      FROM events)
+       |WHERE rn = 1
+       |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Keep-newest-N retention (R1): survivors of
+    * `DELETE WHERE id < MAX(0, max_id - N)`. Scalar max via broadcast. */
+  private val q22: Q = (s, dir) => {
+    import s.implicits._
+    val e = ev(s, dir)
+    val mx = e.agg(max($"event_id").as("__max_id"))
+    e.crossJoin(broadcast(mx))
+      .filter($"event_id" > greatest(lit(0L), $"__max_id" - lit(1000L)))
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+  private val q22Sql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |WHERE event_id > GREATEST(0, (SELECT MAX(event_id) FROM events) - 1000)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Resume offset (S3/A4): MAX(event_timestamp) of the sink — the
+    * reference's `?since=` recovery point (pipeline.py:226-227). */
+  private val q23: Q = (s, dir) => {
+    import s.implicits._
+    ev(s, dir).agg(
+      date_format(max($"ts"), tsFmt).as("last_ts"),
+      count(lit(1)).as("n_events"))
+  }
+  private val q23Sql =
+    s"""SELECT strftime(MAX(ts), '$tsFmtSqlSec') AS last_ts,
+       |  COUNT(*) AS n_events
+       |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Dashboard snapshot (A1/A2/A3, dashboard.py:39-40): count, id bounds,
+    * and the reference's `MAX(id)-MIN(id)+1` row estimate. */
+  private val q24: Q = (s, dir) => {
+    import s.implicits._
+    ev(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      min($"event_id").as("min_id"),
+      max($"event_id").as("max_id"),
+      (max($"event_id") - min($"event_id") + lit(1L)).as("id_span"))
+  }
+  private val q24Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  MIN(event_id) AS min_id,
+      |  MAX(event_id) AS max_id,
+      |  MAX(event_id) - MIN(event_id) + 1 AS id_span
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Velocity (A6, dashboard.py:46-49): events/minute as a proper
+    * time-bucketed aggregate instead of ΔMAX(id) polling. */
+  private val q25: Q = (s, dir) => {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy(date_format($"ts", minuteFmt).as("minute"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"minute")
+  }
+  private val q25Sql =
+    s"""SELECT strftime(ts, '$minuteFmtSql') AS minute,
+       |  COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY minute""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Prev-vs-current delta (A7, dashboard.py:56-70): lag over the minute
+    * series. Unpartitioned window is fine here — the minute series is tiny
+    * relative to the input (one row per minute, not per event). */
+  private val q26: Q = (s, dir) => {
+    import s.implicits._
+    val perMinute = ev(s, dir)
+      .groupBy(date_format($"ts", minuteFmt).as("minute"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy($"minute")
+    perMinute
+      .withColumn("delta",
+        $"n_events" - coalesce(lag($"n_events", 1).over(w), lit(0L)))
+      .orderBy($"minute")
+  }
+  private val q26Sql =
+    s"""SELECT minute, n_events,
+       |  n_events - COALESCE(LAG(n_events) OVER (ORDER BY minute), 0) AS delta
+       |FROM (SELECT strftime(ts, '$minuteFmtSql') AS minute,
+       |             COUNT(*) AS n_events
+       |      FROM events GROUP BY 1)
+       |ORDER BY minute""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q20_events_transform" -> q20,
+    "q21_events_dedup_first_wins" -> q21,
+    "q22_retention_keep_newest" -> q22,
+    "q23_resume_offset" -> q23,
+    "q24_dashboard_snapshot" -> q24,
+    "q25_events_per_minute" -> q25,
+    "q26_minute_deltas" -> q26)
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_events_transform" -> q20Sql,
+    "q21_events_dedup_first_wins" -> q21Sql,
+    "q22_retention_keep_newest" -> q22Sql,
+    "q23_resume_offset" -> q23Sql,
+    "q24_dashboard_snapshot" -> q24Sql,
+    "q25_events_per_minute" -> q25Sql,
+    "q26_minute_deltas" -> q26Sql)
+}
