@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (driver-mandated extension,
+  * SURVEY.md §2.10): token stats, language stats, top words, stopword
+  * language-ID, quality scoring, fingerprinting, regex tokenization.
+  *
+  * All scalar work uses codegen'd builtins and higher-order array functions
+  * (`split`/`filter`/`array_distinct`/`array_intersect`) — no UDFs, so
+  * every stage stays inside whole-stage codegen and the only shuffles are
+  * the final aggregations/sorts. Each query has an exact DuckDB mirror
+  * (list_* higher-order functions).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** whitespace tokens of `text` */
+  private val toks: Column = split(col("text"), " ")
+
+  /** count of occurrences of word `w` in text (higher-order filter) */
+  private def hits(w: String): Column =
+    size(filter(toks, t => t === w)).cast("long")
+  private def hitsSql(w: String): String =
+    s"CAST(len(list_filter(str_split(text, ' '), t -> t = '$w')) AS BIGINT)"
+
+  // ---------------------------------------------------------------- q30
+  /** Per-document token statistics: counts, type-token ratio, mean token
+    * length — pure narrow projection, no shuffle until the output sort. */
+  private val q30: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select(
+        $"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        $"n_chars")
+      .withColumn("ttr",
+        $"n_distinct_tokens".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+  private val q30Sql =
+    """SELECT doc_id,
+      |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      |  n_chars,
+      |  CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+      |    / CAST(len(str_split(text, ' ')) AS DOUBLE) AS ttr
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Per-language corpus statistics. */
+  private val q31: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+  private val q31Sql =
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Corpus top-20 words: explode → count → top-k with unique tiebreak. */
+  private val q32: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(toks).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word".asc)
+      .limit(20)
+  }
+  private val q32Sql =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY n DESC, word ASC
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Stopword-marker language ID (n-gram-free heuristic): per-language
+    * marker-word hit counts, argmax with deterministic tiebreak order.
+    * Marker lists are public high-frequency function words. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "a"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "est"))
+  private val langOrder = Seq("en", "de", "es", "fr")
+
+  private def score(lang: String): Column =
+    markers(lang).map(hits).reduce(_ + _)
+  private def scoreSql(lang: String): String =
+    markers(lang).map(hitsSql).mkString("(", " + ", ")")
+
+  private val q33: Q = (s, dir) => {
+    import s.implicits._
+    val sc = langOrder.map(l => l -> score(l)).toMap
+    val best = langOrder.map(sc).reduce((a, b) => greatest(a, b))
+    // argmax with tiebreak = langOrder position; all-zero → 'und'
+    val pred = langOrder.foldRight(lit("und"): Column) { (l, els) =>
+      when(sc(l) === best && best > 0, lit(l)).otherwise(els)
+    }
+    docs(s, dir)
+      .select(
+        $"doc_id", $"lang",
+        sc("en").as("en_hits"), sc("de").as("de_hits"),
+        sc("es").as("es_hits"), sc("fr").as("fr_hits"),
+        pred.as("predicted"))
+      .orderBy($"doc_id")
+  }
+  private val q33Sql = {
+    val e = scoreSql("en"); val d = scoreSql("de")
+    val es = scoreSql("es"); val f = scoreSql("fr")
+    s"""SELECT doc_id, lang,
+       |  $e AS en_hits, $d AS de_hits, $es AS es_hits, $f AS fr_hits,
+       |  CASE
+       |    WHEN $e = GREATEST($e, $d, $es, $f) AND GREATEST($e, $d, $es, $f) > 0 THEN 'en'
+       |    WHEN $d = GREATEST($e, $d, $es, $f) AND GREATEST($e, $d, $es, $f) > 0 THEN 'de'
+       |    WHEN $es = GREATEST($e, $d, $es, $f) AND GREATEST($e, $d, $es, $f) > 0 THEN 'es'
+       |    WHEN $f = GREATEST($e, $d, $es, $f) AND GREATEST($e, $d, $es, $f) > 0 THEN 'fr'
+       |    ELSE 'und'
+       |  END AS predicted
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Quality scoring: type-token ratio, stopword ratio, length saturation →
+    * composite score + keep flag (training-data filter shape). */
+  private val q34: Q = (s, dir) => {
+    import s.implicits._
+    val enStop = markers("en")
+    val nTokens = size(toks).cast("double")
+    val stopHits = enStop.map(hits).reduce(_ + _).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val stopRatio = stopHits / nTokens
+    val lenSat = least(lit(1.0), nTokens / lit(50.0))
+    val quality = ttr * lit(0.4) + (lit(1.0) - stopRatio) * lit(0.4) +
+      lenSat * lit(0.2)
+    docs(s, dir)
+      .select($"doc_id",
+        nTokens.cast("long").as("n_tokens"),
+        ttr.as("ttr"),
+        stopRatio.as("stopword_ratio"),
+        quality.as("quality"),
+        (quality >= 0.5).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val q34Sql = {
+    val stopHits = markers("en").map(hitsSql).mkString("(", " + ", ")")
+    val nTok = "CAST(len(str_split(text, ' ')) AS DOUBLE)"
+    val ttr = s"CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / $nTok"
+    val stopRatio = s"CAST($stopHits AS DOUBLE) / $nTok"
+    val lenSat = s"LEAST(1.0, $nTok / 50.0)"
+    val quality = s"($ttr) * 0.4 + (1.0 - $stopRatio) * 0.4 + ($lenSat) * 0.2"
+    s"""SELECT doc_id,
+       |  CAST($nTok AS BIGINT) AS n_tokens,
+       |  $ttr AS ttr,
+       |  $stopRatio AS stopword_ratio,
+       |  $quality AS quality,
+       |  ($quality) >= 0.5 AS keep
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Exact-duplicate fingerprint dedup: md5 content hash → survivor =
+    * min doc_id per fingerprint (first-write-wins at corpus scale: one
+    * shuffle on the 128-bit key, no pairwise compare). */
+  private val q35: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", md5($"text").as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"fingerprint")
+  }
+  private val q35Sql =
+    """SELECT md5(text) AS fingerprint,
+      |  MIN(doc_id) AS keeper_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY fingerprint""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Exact n-gram(1) Jaccard near-dup pairs, blocked by `source`: the
+    * candidate space is each source group, not the full cross product —
+    * the blocking key is the scale lever (at 100 TB you block on a cheap
+    * partition key and only self-join within blocks). */
+  private val q38: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"doc_id", $"source", array_distinct(toks).as("tokens"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val inter = size(array_intersect($"a.tokens", $"b.tokens")).cast("long")
+    val uni = size($"a.tokens").cast("long") + size($"b.tokens").cast("long") - inter
+    a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select(
+        $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        inter.as("n_common"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter($"jaccard" >= 0.9)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q38Sql =
+    """WITH t AS (SELECT doc_id, source,
+      |                  list_distinct(str_split(text, ' ')) AS tokens
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.tokens, b.tokens)) AS BIGINT) AS n_common,
+      |  CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+      |    / CAST(len(a.tokens) + len(b.tokens)
+      |           - len(list_intersect(a.tokens, b.tokens)) AS DOUBLE) AS jaccard
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+      |    / CAST(len(a.tokens) + len(b.tokens)
+      |           - len(list_intersect(a.tokens, b.tokens)) AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Regex tokenization (BPE-ish word/number/symbol classes) vs whitespace
+    * count — same RE2-safe pattern on both engines. */
+  private val q39: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select(
+        $"doc_id",
+        size(toks).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_re_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val q39Sql =
+    """SELECT doc_id,
+      |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_text_stats" -> q30,
+    "q31_lang_stats" -> q31,
+    "q32_top_words" -> q32,
+    "q33_lang_id" -> q33,
+    "q34_quality_score" -> q34,
+    "q35_fingerprint_dedup" -> q35,
+    "q38_jaccard_near_dup" -> q38,
+    "q39_regex_tokens" -> q39)
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_text_stats" -> q30Sql,
+    "q31_lang_stats" -> q31Sql,
+    "q32_top_words" -> q32Sql,
+    "q33_lang_id" -> q33Sql,
+    "q34_quality_score" -> q34Sql,
+    "q35_fingerprint_dedup" -> q35Sql,
+    "q38_jaccard_near_dup" -> q38Sql,
+    "q39_regex_tokens" -> q39Sql)
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup pair (one word differs), one exact dup, two unrelated docs
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (4L, "completely different content about spark catalyst optimizer rules"),
+    (5L, "unrelated text describing parquet column pruning and pushdown")
+  ).toDF("doc_id", "text")
+
+  test("minhash-LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = DedupOps
+      .minhashNearDup(docs, "doc_id", "text", numHashes = 16, bands = 8,
+        threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 3L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash signature is identical for identical token sets") {
+    val sig = DedupOps.minhashSignatures(
+      docs.select($"doc_id", DedupOps.tokenSet($"text").as("t")),
+      "doc_id", "t", 16)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(1L) === rows(3L))
+    assert(rows(1L) !== rows(4L))
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) === 0) // identical content
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("hamming column function matches bitCount") {
+    val df = Seq((0x0FL, 0xF0L)).toDF("a", "b")
+    assert(df.select(DedupOps.hamming($"a", $"b")).head().getInt(0) === 8)
+  }
+
+  test("rolling hash is order-sensitive, md5-style content hash is not needed") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")
+    ).toDF("id", "text")
+    val h = df.select($"id",
+      DedupOps.rollingHash(split($"text", " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(3L))
+    assert(h(1L) !== h(2L))
+  }
+}
