@@ -182,7 +182,23 @@ object EventOps {
        |      FROM events GROUP BY 1)
        |ORDER BY minute""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** Approximate distinct (A-series extension): HLL++ sketch vs exact.
+    * approx_count_distinct is a constant-memory sketch — the 100 TB path
+    * for cardinality (exact countDistinct shuffles every distinct value).
+    * DuckDB's approx sketch differs → rows-only check; tolerance is
+    * unit-tested (EventOpsSpec). */
+  private val q27: Q = (s, dir) => {
+    import s.implicits._
+    ev(s, dir).agg(
+      approx_count_distinct($"user_id").as("approx_users"),
+      countDistinct($"user_id").as("exact_users"),
+      approx_count_distinct($"event_type").as("approx_types"),
+      countDistinct($"event_type").as("exact_types"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q27_approx_distinct" -> q27,
     "q20_events_transform" -> q20,
     "q21_events_dedup_first_wins" -> q21,
     "q22_retention_keep_newest" -> q22,

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (Array[Float], L2-normalized,
+  * dim=64): brute-force cosine top-k as the correctness baseline and a
+  * random-hyperplane LSH-bucketed variant as the scale path
+  * (driver-mandated extension, SURVEY.md §2.10).
+  *
+  * Numeric parity: the dot product is an explicitly sequential
+  * left-to-right double accumulation (`zip_with` + `aggregate`), mirrored
+  * bit-for-bit by DuckDB's `list_sum(list_transform(...))` — float→double
+  * casts are exact, and an identical IEEE op sequence gives identical
+  * doubles, so ranking ties cannot diverge between engines.
+  *
+  * Scale notes: queries are broadcast against the corpus (brute force is
+  * O(Q·N·d) map-side work, no shuffle except the per-query top-k); the LSH
+  * variant turns "nearby vector" into "equal bucket id", i.e. an equi-join —
+  * at 100 TB the corpus is hash-partitioned by bucket and each query probes
+  * one partition instead of scanning N vectors.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Sequential-exact dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB mirror of [[dot]]: identical op order and precision. */
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Cosine similarity (general form; inputs here are already normalized). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // ---------------------------------------------------------------- q40
+  /** Per-vector norm/dim audit — the sanity gate before any ANN work. */
+  private val q40: Q = (s, dir) => {
+    import s.implicits._
+    emb(s, dir)
+      .select($"vec_id", $"label",
+        size($"embedding").cast("long").as("dim"),
+        sqrt(dot($"embedding", $"embedding")).as("norm"))
+      .orderBy($"vec_id")
+  }
+  private val q40Sql =
+    s"""SELECT vec_id, label,
+       |  CAST(len(embedding) AS BIGINT) AS dim,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Brute-force cosine top-5 for query vectors vec_id < 10: the small
+    * query side is broadcast; scoring is map-side over the corpus; the only
+    * shuffle is the per-query ranking window. */
+  private val q41: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dot($"qv", $"embedding").as("dot"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q41Sql = {
+    val d = dotSql("e.embedding", "q.qv")
+    s"""SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, $d AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                       ORDER BY $d DESC, e.vec_id ASC) AS rank
+       |  FROM embeddings e
+       |  JOIN (SELECT vec_id AS query_id, embedding AS qv
+       |        FROM embeddings WHERE vec_id < 10) q
+       |    ON e.vec_id <> q.query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** Nearest neighbor within each label block (blocked all-pairs: the
+    * block key bounds the candidate space, same pattern as q38). */
+  private val q43: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val a = e.select($"vec_id", $"label", $"embedding")
+    val b = e.select($"vec_id".as("nn_id"), $"label".as("nn_label"),
+      $"embedding".as("nn_emb"))
+    val w = Window.partitionBy($"vec_id").orderBy($"nn_dot".desc, $"nn_id".asc)
+    a.join(b, $"label" === $"nn_label" && $"vec_id" =!= $"nn_id")
+      .select($"vec_id", $"label", $"nn_id",
+        dot($"embedding", $"nn_emb").as("nn_dot"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"label", $"nn_id", $"nn_dot")
+      .orderBy($"vec_id")
+  }
+  private val q43Sql = {
+    val d = dotSql("a.embedding", "b.embedding")
+    s"""SELECT vec_id, label, nn_id, nn_dot FROM (
+       |  SELECT a.vec_id, a.label, b.vec_id AS nn_id, $d AS nn_dot,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |                       ORDER BY $d DESC, b.vec_id ASC) AS rn
+       |  FROM embeddings a
+       |  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** LSH-bucketed approximate top-5 (scale path, rows-only check): 8
+    * deterministic pseudo-random hyperplanes → 8 sign bits → bucket id;
+    * search only within the query's bucket. Not SQL-expressible
+    * (xxhash64-seeded planes); recall semantics unit-tested on clustered
+    * synthetic data (VectorOpsSpec). */
+  private val nPlanes = 8
+
+  /** hyperplane p as a 64-dim deterministic pseudo-random array column */
+  private def plane(p: Int): Column =
+    transform(sequence(lit(1), lit(64)),
+      j => (pmod(xxhash64(lit("plane"), lit(p), j), lit(2001L)) - lit(1000L))
+        .cast("double") / lit(1000.0))
+
+  /** bucket id = concatenated sign bits of dot(embedding, plane_p) */
+  def lshBucket(embCol: Column): Column =
+    (0 until nPlanes).map { p =>
+      when(dot(embCol.cast("array<double>"), plane(p)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val q42: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("bucket", lshBucket($"embedding"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        $"bucket".as("qbucket"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id".asc)
+    e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dot($"qv", $"embedding").as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_embedding_norms" -> q40,
+    "q41_knn_brute_force" -> q41,
+    "q42_ann_lsh_bucketed" -> q42,
+    "q43_nn_within_label" -> q43)
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_embedding_norms" -> q40Sql,
+    "q41_knn_brute_force" -> q41Sql,
+    "q43_nn_within_label" -> q43Sql)
+}

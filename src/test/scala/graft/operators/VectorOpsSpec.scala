@@ -1,0 +1,52 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot product matches a hand computation") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+    val d = df.select(VectorOps.dot($"a", $"b")).head().getDouble(0)
+    assert(d === 32.0)
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val df = Seq((1L, Array(0.6f, 0.8f))).toDF("id", "a")
+    val c = df.select(VectorOps.cosine($"a", $"a")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("LSH buckets: identical vectors share a bucket, clusters separate") {
+    // 3 well-separated clusters, zero noise: bucket is a pure function of
+    // the vector, so cluster members MUST share it; distinct directions
+    // should not all collapse into one bucket.
+    def mk(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, (i % 3).toLong, mk((i % 3) * 20))
+    }
+    val df = rows.toDF("vec_id", "cluster", "embedding")
+    val bucketed = df.withColumn("bucket", VectorOps.lshBucket($"embedding"))
+      .select($"cluster", $"bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = bucketed.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(_._2).distinct
+    }
+    assert(byCluster.values.forall(_.size == 1))
+    assert(byCluster.values.flatten.toSet.size >= 2)
+  }
+
+  test("ANN within-bucket results are a subset of brute-force candidates") {
+    val ann = VectorOps.queries("q42_ann_lsh_bucketed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(ann.nonEmpty && ann.size <= 10 * 5)
+    assert(all === 500)
+  }
+}
