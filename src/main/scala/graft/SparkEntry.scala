@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.EventOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
-      operators.VectorOps.queries
+      operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
+      streaming.StreamAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.EventOps.oracleSql ++
       operators.TextOps.oracleSql ++ operators.DedupOps.oracleSql ++
-      operators.VectorOps.oracleSql
+      operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++
+      streaming.StreamAnalytics.oracleSql
 }

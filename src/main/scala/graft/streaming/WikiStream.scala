@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.GraftConfig
+import graft.ingest.WikiIngest
+
+/** Structured Streaming assembly of the reference pipeline (SURVEY.md §3.1):
+  *
+  * {{{
+  * readStream (raw JSON lines)            S1/S4 source
+  *   → parse/filter/transform             F1-F4, P1-P9  (graft.ingest)
+  *   → withWatermark + dropDuplicatesWithinWatermark    D1, bounded state
+  *   → writeStream.trigger(ProcessingTime(2s))          K3 commit cadence
+  *       .foreachBatch(append K1 + retention R1/F6)
+  *       .option(checkpointLocation)                    S2/S3 resume
+  * }}}
+  *
+  * Deliberate divergence from the reference (SURVEY.md §7.5.1): the SQLite
+  * UNIQUE index dedups against *all history* with unbounded state; the
+  * watermarked dedup holds only the replay-overlap window in the state
+  * store — the property that makes the pipeline run forever on a cluster.
+  * The reference's `?since=` re-delivery overlap is exactly what the
+  * watermark must cover.
+  */
+object WikiStream {
+
+  /** Streaming (or batch) raw lines → deduped typed wiki_events frame. */
+  def fromRawLines(raw: DataFrame, rawCol: String = "value",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val typed = WikiIngest.transform(
+      WikiIngest.filterEvents(WikiIngest.parseRaw(raw, rawCol)), rawCol)
+    if (typed.isStreaming)
+      typed.withWatermark("event_timestamp", watermarkDelay)
+        .dropDuplicatesWithinWatermark("event_timestamp", "username", "title")
+    else
+      WikiIngest.dedup(typed)
+  }
+
+  /** K1 append + R1 retention with F6 hysteresis, run per micro-batch.
+    * At scale the rewrite becomes a partition drop / Delta DELETE; on plain
+    * parquet it is a compact-and-swap of the sink directory. */
+  def appendWithRetention(batch: DataFrame, sinkDir: String,
+      cfg: GraftConfig): Unit = {
+    batch.persist()
+    try {
+      batch.write.mode("append").parquet(sinkDir)
+      val spark = batch.sparkSession
+      val sink = spark.read.parquet(sinkDir)
+      if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
+          cfg.cleanupHysteresis)) {
+        val retained = sink
+          .orderBy(col("event_timestamp").desc, col("username"), col("title"))
+          .limit(cfg.dbMaxEvents.toInt)
+        val tmp = sinkDir + "__compact"
+        retained.write.mode("overwrite").parquet(tmp)
+        val fs = new Path(sinkDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(sinkDir), true)
+        fs.rename(new Path(tmp), new Path(sinkDir))
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Start the full pipeline over a text-file source directory (the raw
+    * capture surface, S4 — a live SSE DataSourceV2 would slot in here; it
+    * is untestable in a zero-egress environment, SURVEY.md §7.4). */
+  def start(spark: SparkSession, sourceDir: String, sinkDir: String,
+      checkpointDir: String, cfg: GraftConfig = GraftConfig(),
+      trigger: Option[Trigger] = Some(Trigger.ProcessingTime("2 seconds")),
+      watermarkDelay: String = "10 seconds"): StreamingQuery = {
+    // O4 fresh-DB guard: SINCE_OVERRIDE only seeds an empty sink
+    // (pipeline.py:230-233)
+    if (cfg.sinceOverride.isDefined) {
+      val fs = new Path(sinkDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new Path(sinkDir)),
+        s"SINCE_OVERRIDE is set but sink $sinkDir is not empty")
+    }
+    val raw = spark.readStream.text(sourceDir)
+    val out = fromRawLines(raw, "value", watermarkDelay)
+    val writer = out.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendWithRetention(batch, sinkDir, cfg)
+      }
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+}

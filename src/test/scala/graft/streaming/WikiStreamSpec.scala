@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{GraftConfig, SparkSpec}
+
+class WikiStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureLines: Seq[String] =
+    scala.io.Source.fromFile(fixturePath("recentchange_fixture.jsonl"))
+      .getLines().toSeq
+
+  test("memory-stream pipeline yields the 3 fixture survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[String]
+    val out = WikiStream.fromRawLines(src.toDF())
+    val q = out.writeStream.format("memory").queryName("wiki_mem")
+      .outputMode("append").start()
+    try {
+      src.addData(fixtureLines: _*)
+      q.processAllAvailable()
+      val rows = spark.table("wiki_mem")
+      assert(rows.count() === 3)
+      assert(rows.select("username").as[String].collect().toSet ===
+        Set("Alice", "Bob", "Dave"))
+    } finally q.stop()
+  }
+
+  test("duplicate arriving in a later batch within the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[String]
+    val q = WikiStream.fromRawLines(src.toDF(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("wiki_dup")
+      .outputMode("append").start()
+    try {
+      src.addData(fixtureLines: _*)
+      q.processAllAvailable()
+      src.addData(fixtureLines.head) // replay of Alice's event, same key
+      q.processAllAvailable()
+      assert(spark.table("wiki_dup").count() === 3)
+    } finally q.stop()
+  }
+
+  test("file-source end-to-end with checkpoint + foreachBatch sink") {
+    val srcDir = Files.createTempDirectory("wiki_src").toString
+    val sinkDir = Files.createTempDirectory("wiki_sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("wiki_ckpt").toString
+    Files.write(java.nio.file.Paths.get(srcDir, "batch1.jsonl"),
+      fixtureLines.mkString("\n").getBytes)
+    val q = WikiStream.start(spark, srcDir, sinkDir, ckpt,
+      GraftConfig(dbMaxEvents = 100), trigger = None)
+    try q.processAllAvailable() finally q.stop()
+    val sink = spark.read.parquet(sinkDir)
+    assert(sink.count() === 3)
+    assert(sink.columns.toSet.contains("length_diff_bytes"))
+  }
+
+  test("retention compacts the sink once hysteresis is exceeded") {
+    val sinkDir = Files.createTempDirectory("wiki_ret").toString + "/out"
+    val cfg = GraftConfig(dbMaxEvents = 50)
+    // 120 distinct synthetic rows in wiki_events shape
+    val rows = spark.range(0, 120).select(
+      concat(lit("{\"n\":"), $"id", lit("}")).as("raw_json"),
+      timestamp_seconds(lit(1700000000L) + $"id").as("event_timestamp"),
+      concat(lit("T"), $"id").as("title"),
+      lit("u").as("title_url"),
+      lit(false).as("bot"),
+      lit("user").as("username"),
+      lit(0L).as("length_bytes_old"),
+      $"id".as("length_bytes_new"),
+      $"id".as("length_diff_bytes"))
+    WikiStream.appendWithRetention(rows, sinkDir, cfg)
+    val after = spark.read.parquet(sinkDir)
+    assert(after.count() === 50) // compacted down to dbMaxEvents
+    // survivors are the newest by event_timestamp
+    val minTs = after.agg(min("event_timestamp")).head().getTimestamp(0)
+    assert(minTs.getTime / 1000 === 1700000000L + 70)
+  }
+
+  test("SINCE_OVERRIDE guard refuses a non-empty sink (O4)") {
+    val sinkDir = Files.createTempDirectory("wiki_guard").toString
+    val cfg = GraftConfig(sinceOverride = Some("2026-01-01T00:00:00Z"))
+    intercept[IllegalArgumentException] {
+      WikiStream.start(spark, sinkDir, sinkDir, sinkDir + "_ckpt", cfg)
+    }
+  }
+
+  test("config precedence: env overrides defaults (O3)") {
+    val cfg = GraftConfig.load(Map(
+      "ETL_USER_AGENT" -> "TestAgent",
+      "ETL_DB_MAX_EVENTS" -> "250000"))
+    assert(cfg.userAgent === "TestAgent")
+    assert(cfg.dbMaxEvents === 250000L)
+    assert(cfg.streamUrl === GraftConfig().streamUrl) // default kept
+    assert(cfg.commitIntervalSeconds === 2)
+  }
+}
