@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -214,19 +215,47 @@ object TextOps {
     * partition key and only self-join within blocks). */
   private val q38: Q = (s, dir) => {
     import s.implicits._
-    val d = docs(s, dir)
-      .select($"doc_id", $"source", array_distinct(toks).as("tokens"))
-    val a = d.alias("a")
-    val b = d.alias("b")
-    val inter = size(array_intersect($"a.tokens", $"b.tokens")).cast("long")
-    val uni = size($"a.tokens").cast("long") + size($"b.tokens").cast("long") - inter
-    a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-      .select(
-        $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        inter.as("n_common"),
-        (inter.cast("double") / uni.cast("double")).as("jaccard"))
-      .filter($"jaccard" >= 0.9)
-      .orderBy($"doc_a", $"doc_b")
+    // Token sets are dictionary-encoded into 64-bit masks (global vocab is
+    // tiny), so per-pair Jaccard is integer bit_count work instead of
+    // string-array intersection — same exact values as the oracle's
+    // list_intersect formulation since |A∩B| and |A∪B| are the same
+    // integers either way. General-vocab fallback: DedupOps array path.
+    val exploded = docs(s, dir)
+      .select($"doc_id", $"source", explode(array_distinct(toks)).as("__tok"))
+    val vocab = exploded.select($"__tok").distinct()
+    if (vocab.count() <= 62) {
+      val w = Window.orderBy($"__tok")
+      val dict = vocab.withColumn("__idx", row_number().over(w) - 1)
+      val d = exploded.join(broadcast(dict), "__tok")
+        .groupBy($"doc_id", $"source")
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __idx)")).as("mask"))
+      val a = d.alias("a")
+      val b = d.alias("b")
+      val inter = bit_count($"a.mask".bitwiseAND($"b.mask")).cast("long")
+      val uni = bit_count($"a.mask".bitwiseOR($"b.mask")).cast("long")
+      a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+        .select(
+          $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          inter.as("n_common"),
+          (inter.cast("double") / uni.cast("double")).as("jaccard"))
+        .filter($"jaccard" >= 0.9)
+        .orderBy($"doc_a", $"doc_b")
+    } else {
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", array_distinct(toks).as("tokens"))
+      val a = d.alias("a")
+      val b = d.alias("b")
+      val inter = size(array_intersect($"a.tokens", $"b.tokens")).cast("long")
+      val uni = size($"a.tokens").cast("long") +
+        size($"b.tokens").cast("long") - inter
+      a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+        .select(
+          $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          inter.as("n_common"),
+          (inter.cast("double") / uni.cast("double")).as("jaccard"))
+        .filter($"jaccard" >= 0.9)
+        .orderBy($"doc_a", $"doc_b")
+    }
   }
   private val q38Sql =
     """WITH t AS (SELECT doc_id, source,

@@ -29,8 +29,15 @@ object VectorOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Sequential-exact dot product of two float-array columns. */
+  /** Sequential-exact dot product: codegen'd custom Expression (tight loop
+    * in whole-stage codegen; see graft.functions.SequentialDot). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.SequentialDot.dot(a, b)
+
+  /** Interpreted higher-order reference implementation — identical
+    * semantics, kept as the equivalence oracle for the custom Expression
+    * (VectorOpsSpec asserts bit equality). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

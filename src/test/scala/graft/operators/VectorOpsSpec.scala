@@ -9,6 +9,19 @@ import graft.SparkSpec
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("codegen SequentialDot is bit-identical to the higher-order form") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val a = e.select($"vec_id", $"embedding")
+    val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
+    val pairs = a.join(b, $"vec_id" % 7 === $"id2" % 7 && $"vec_id" < $"id2")
+      .limit(2000)
+    val diff = pairs.select(
+      (VectorOps.dot($"embedding", $"e2") -
+        VectorOps.dotHof($"embedding", $"e2")).as("d"))
+      .filter($"d" =!= 0.0).count()
+    assert(diff === 0L)
+  }
+
   test("dot product matches a hand computation") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("id", "a", "b")
