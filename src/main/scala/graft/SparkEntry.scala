@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.EventOps.queries ++
+    operators.Relational.queries ++ operators.Relational2.queries ++
+      operators.EventOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
       streaming.StreamAnalytics.queries
@@ -24,7 +25,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql ++ operators.EventOps.oracleSql ++
+    operators.Relational.oracleSql ++ operators.Relational2.oracleSql ++
+      operators.EventOps.oracleSql ++
       operators.TextOps.oracleSql ++ operators.DedupOps.oracleSql ++
       operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++
       streaming.StreamAnalytics.oracleSql
