@@ -65,6 +65,24 @@ object WikiStream {
     } finally batch.unpersist()
   }
 
+  /** v1 raw-capture mode (main.py:6-37, "bronze layer"): store each raw
+    * payload line unparsed into a 1-column table (K2), batched per
+    * micro-batch (the K4 count-based commit becomes the trigger boundary;
+    * `maxFilesPerTrigger` bounds batch size at the source). */
+  def startRawCapture(spark: SparkSession, sourceDir: String, sinkDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(sourceDir)
+      .filter(col("value").isNotNull && col("value") =!= "") // F1
+      .select(col("value").as("message"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", sinkDir)
+      .outputMode("append")
+      .start()
+
   /** Start the full pipeline over a text-file source directory (the raw
     * capture surface, S4 — a live SSE DataSourceV2 would slot in here; it
     * is untestable in a zero-egress environment, SURVEY.md §7.4). */

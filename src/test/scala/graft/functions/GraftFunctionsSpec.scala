@@ -1,0 +1,25 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("seq_dot is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    GraftFunctions.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT vec_id, seq_dot(embedding, embedding) AS d
+        |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin)
+      .collect()
+    assert(r.length === 3)
+    // embeddings are L2-normalized → self-dot ≈ 1
+    r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0) < 1e-5))
+  }
+
+  test("registered views cover every table") {
+    GraftFunctions.registerTables(spark, sf)
+    graft.sources.Tables.all.foreach { t =>
+      assert(spark.table(t).columns.nonEmpty, t)
+    }
+  }
+}

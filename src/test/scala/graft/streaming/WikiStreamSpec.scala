@@ -81,6 +81,22 @@ class WikiStreamSpec extends SparkSpec {
     assert(minTs.getTime / 1000 === 1700000000L + 70)
   }
 
+  test("v1 raw capture stores unparsed lines in a 1-column table (K2/K4)") {
+    val srcDir = Files.createTempDirectory("raw_src").toString
+    val sinkDir = Files.createTempDirectory("raw_sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("raw_ckpt").toString
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+      (fixtureLines :+ "").mkString("\n").getBytes)
+    val q = WikiStream.startRawCapture(spark, srcDir, sinkDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.numInputRows > 0) // A8 rows-added metric surface
+    } finally q.stop()
+    val sink = spark.read.parquet(sinkDir)
+    assert(sink.columns.toSeq === Seq("message"))
+    assert(sink.count() === 7) // all non-empty lines, even malformed JSON
+  }
+
   test("SINCE_OVERRIDE guard refuses a non-empty sink (O4)") {
     val sinkDir = Files.createTempDirectory("wiki_guard").toString
     val cfg = GraftConfig(sinceOverride = Some("2026-01-01T00:00:00Z"))
