@@ -91,13 +91,27 @@ object DedupOps {
         .as("__mask") +: sigAggs
       val sig = exploded.join(broadcast(dict), "__tok")
         .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      val cand = lshCandidates(sig, idCol, bands, numHashes / bands,
-        dedup = false)
-      val ma = sig.select(col(idCol).as("id_a"), col("__mask").as("__ma"))
-      val mb = sig.select(col(idCol).as("id_b"), col("__mask").as("__mb"))
+      // carry the mask through the band explode so the self-join emits
+      // verification-ready pairs — no extra joins to attach set data
+      val rowsPerBand = numHashes / bands
+      val bandCols = (0 until bands).map { b =>
+        val parts = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
+        xxhash64(lit(b) +: parts: _*).as(s"__band$b")
+      }
+      val banded = sig.select(col(idCol) +: col("__mask") +: bandCols: _*)
+        .select(col(idCol), col("__mask"),
+          posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
+            .as(Seq("__bidx", "__bhash")))
+      val a = banded.select(col(idCol).as("id_a"), col("__mask").as("__ma"),
+        col("__bidx"), col("__bhash"))
+      val b = banded.select(col(idCol).as("id_b"), col("__mask").as("__mb"),
+        col("__bidx").as("__bidx2"), col("__bhash").as("__bhash2"))
       val inter = bit_count(col("__ma").bitwiseAND(col("__mb"))).cast("double")
       val uni = bit_count(col("__ma").bitwiseOR(col("__mb"))).cast("double")
-      cand.join(ma, "id_a").join(mb, "id_b")
+      a.join(b,
+          col("__bidx") === col("__bidx2") &&
+          col("__bhash") === col("__bhash2") &&
+          col("id_a") < col("id_b"))
         .withColumn("jaccard", inter / uni)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -166,14 +166,44 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- q44
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the
+    * dedup-by-embedding modality: same blocked-pairs shape as the Jaccard
+    * near-dup, with the codegen'd dot kernel; at 100 TB the label block is
+    * replaced by LSH buckets — q42's path — so the pair space stays
+    * bounded). Threshold 0.4 reflects this corpus's similarity ceiling. */
+  private val q44: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val a = e.select($"vec_id", $"label", $"embedding")
+    val b = e.select($"vec_id".as("dup_id"), $"label".as("b_label"),
+      $"embedding".as("b_emb"))
+    a.join(b, $"label" === $"b_label" && $"vec_id" < $"dup_id")
+      .select($"vec_id", $"dup_id", $"label",
+        dot($"embedding", $"b_emb").as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .orderBy($"vec_id", $"dup_id")
+  }
+  private val q44Sql = {
+    val d = dotSql("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_id, b.vec_id AS dup_id, a.label AS label,
+       |       $d AS cosine
+       |FROM embeddings a
+       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $d >= 0.4
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
     "q42_ann_lsh_bucketed" -> q42,
-    "q43_nn_within_label" -> q43)
+    "q43_nn_within_label" -> q43,
+    "q44_embedding_near_dup" -> q44)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
     "q41_knn_brute_force" -> q41Sql,
-    "q43_nn_within_label" -> q43Sql)
+    "q43_nn_within_label" -> q43Sql,
+    "q44_embedding_near_dup" -> q44Sql)
 }

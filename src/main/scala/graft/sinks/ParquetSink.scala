@@ -1,0 +1,29 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink-side physical layout (K5/K6, SURVEY.md §2.2/§4).
+  *
+  * The reference's secondary index on event_timestamp (pipeline.py:220)
+  * has no direct parquet equivalent; the idiomatic analog is sorting
+  * within partitions on the probe column before writing — parquet
+  * row-group min/max statistics then prune reads the way the B-tree did,
+  * and date partitioning prunes whole files. At 100 TB this is the
+  * difference between scanning a day and scanning the lake.
+  */
+object ParquetSink {
+
+  /** Append with row-group-level ordering on `sortCols` (the K6 "index"). */
+  def appendSorted(df: DataFrame, path: String, sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(df.col): _*)
+      .write.mode("append").parquet(path)
+
+  /** Append partitioned by a derived date column + sorted within partitions
+    * — the full time-series layout (partition pruning + stats pruning). */
+  def appendTimePartitioned(df: DataFrame, path: String, tsCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__event_date", to_date(col(tsCol)))
+      .sortWithinPartitions(col(tsCol))
+      .write.mode("append").partitionBy("__event_date").parquet(path)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom per-key streaming state via mapGroupsWithState — the escape hatch
+  * for semantics the built-in stateful operators can't express
+  * (SURVEY.md §2.10 streaming row; the reference's nearest analog is its
+  * per-run `rows_added_to_db` counter, A8, generalized here to per-key).
+  *
+  * State is per-key and bounded by the timeout — the 100 TB property:
+  * state size tracks live keys, not history.
+  */
+object StatefulOps {
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  /** Running per-user stats carried across micro-batches. */
+  final case class UserStats(user_id: Long, n_events: Long,
+      first_seen: Timestamp, last_seen: Timestamp)
+
+  def updateUserStats(expireIdleAfter: Option[String])(
+      userId: Long, events: Iterator[UserEvent],
+      state: GroupState[UserStats]): UserStats = {
+    val batch = events.toSeq
+    val prev = state.getOption
+    val all = prev.map(p => (p.n_events, p.first_seen, p.last_seen))
+      .getOrElse((0L, batch.head.ts, batch.head.ts))
+    val nexts = batch.map(_.ts)
+    val updated = UserStats(
+      userId,
+      all._1 + batch.size,
+      nexts.foldLeft(all._2)((a, b) => if (b.before(a)) b else a),
+      nexts.foldLeft(all._3)((a, b) => if (b.after(a)) b else a))
+    state.update(updated)
+    // idle keys expire: state stays proportional to active users. (Timeout
+    // processing makes the query schedule batches even with no input, so
+    // it is opt-in — long-running deployments want it on.)
+    expireIdleAfter.foreach(state.setTimeoutDuration)
+    updated
+  }
+
+  /** Streaming: running per-user counters via custom state. Each
+    * micro-batch emits the refreshed stats row for every key it touched
+    * (update-mode output). */
+  def runningUserStats(events: Dataset[UserEvent],
+      expireIdleAfter: Option[String] = None): Dataset[UserStats] = {
+    implicit val enc = Encoders.product[UserStats]
+    val timeout =
+      if (expireIdleAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[UserStats, UserStats](timeout)(
+        updateUserStats(expireIdleAfter))
+  }
+
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,33 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ParquetSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("time-partitioned sorted layout prunes by date partition") {
+    val dir = Files.createTempDirectory("psink").toString + "/t"
+    val df = spark.range(0, 100).select(
+      timestamp_seconds(lit(1700000000L) + $"id" * 86400).as("ts"),
+      $"id".as("v"))
+    ParquetSink.appendTimePartitioned(df, dir, "ts")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    // partition column materialized → date filter prunes directories
+    val one = back.filter($"__event_date" === "2023-11-20")
+    assert(one.count() === 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || back.columns.contains("__event_date"))
+  }
+
+  test("appendSorted writes readable sorted parquet") {
+    val dir = Files.createTempDirectory("psort").toString + "/t"
+    val df = spark.range(0, 50).select(($"id" * 7 % 50).as("k"), $"id".as("v"))
+    ParquetSink.appendSorted(df, dir, Seq("k"))
+    assert(spark.read.parquet(dir).count() === 50)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.StatefulOps.UserEvent
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("mapGroupsWithState carries per-user counters across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[UserEvent]
+    val out = StatefulOps.runningUserStats(src.toDS())
+    val q = out.writeStream.format("memory").queryName("user_stats")
+      .outputMode(StatefulOps.outputMode).start()
+    try {
+      src.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        UserEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+        UserEvent(2L, ts("2024-01-01 10:01:00"), "view"))
+      q.processAllAvailable()
+      src.addData(UserEvent(1L, ts("2024-01-01 10:30:00"), "purchase"))
+      q.processAllAvailable()
+      // memory sink in update mode appends refreshed rows; latest per key wins
+      val latest = spark.table("user_stats")
+        .orderBy($"last_seen")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+        .toMap
+      assert(latest(1L)._1 === 3L) // state carried: 2 + 1
+      assert(latest(1L)._2 === ts("2024-01-01 10:00:00"))
+      assert(latest(1L)._3 === ts("2024-01-01 10:30:00"))
+      assert(latest(2L)._1 === 1L)
+    } finally q.stop()
+  }
+}
