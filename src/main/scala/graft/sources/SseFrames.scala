@@ -21,63 +21,71 @@ object SseFrames {
 
   final case class SseEvent(event: String, data: String, id: String)
 
+  /** Core frame assembly over a plain line iterator — shared by the
+    * Dataset transformation below and the DataSourceV2 micro-batch reader
+    * (graft.sources.sse). `emitOpenTail=true` flushes a frame left open at
+    * end-of-input (batch capture files); streaming readers pass false so a
+    * half-written frame waits for its terminator. */
+  def frameIterator(it: Iterator[String],
+      emitOpenTail: Boolean = true): Iterator[SseEvent] =
+    new Iterator[SseEvent] {
+      private var nextEvent: Option[SseEvent] = None
+      private var eventType = "message"
+      private var dataParts = List.empty[String]
+      private var lastId = ""
+
+      private def finishFrame(): Option[SseEvent] = {
+        // per the SSE spec, an empty data buffer aborts the dispatch
+        val joined = dataParts.reverse.mkString("\n")
+        val ev =
+          if (joined.isEmpty) None
+          else Some(SseEvent(eventType, joined, lastId))
+        eventType = "message"
+        dataParts = Nil
+        ev
+      }
+
+      private def advance(): Unit = {
+        while (nextEvent.isEmpty && it.hasNext) {
+          val line = it.next()
+          if (line.isEmpty) nextEvent = finishFrame()
+          else if (line.startsWith(":")) () // comment / heartbeat
+          else {
+            val (field, value) = line.indexOf(':') match {
+              case -1 => (line, "")
+              case i =>
+                val v = line.substring(i + 1)
+                (line.substring(0, i), if (v.startsWith(" ")) v.tail else v)
+            }
+            field match {
+              case "event" => eventType = value
+              case "data" => dataParts = value :: dataParts
+              case "id" => lastId = value
+              case _ => () // unknown fields ignored per spec
+            }
+          }
+        }
+        if (nextEvent.isEmpty && !it.hasNext && emitOpenTail)
+          nextEvent = finishFrame()
+      }
+
+      override def hasNext: Boolean = {
+        if (nextEvent.isEmpty) advance()
+        nextEvent.isDefined
+      }
+      override def next(): SseEvent = {
+        if (nextEvent.isEmpty) advance()
+        val e = nextEvent.get
+        nextEvent = None
+        e
+      }
+    }
+
   /** Assemble protocol lines into events. Empty-data frames are dropped,
     * mirroring the reference's `event.data` truthiness check (F1). */
   def parse(lines: Dataset[String]): Dataset[SseEvent] = {
     import lines.sparkSession.implicits._
-    lines.mapPartitions { it =>
-      new Iterator[SseEvent] {
-        private var nextEvent: Option[SseEvent] = None
-        private var eventType = "message"
-        private var dataParts = List.empty[String]
-        private var lastId = ""
-
-        private def finishFrame(): Option[SseEvent] = {
-          // per the SSE spec, an empty data buffer aborts the dispatch
-          val joined = dataParts.reverse.mkString("\n")
-          val ev =
-            if (joined.isEmpty) None
-            else Some(SseEvent(eventType, joined, lastId))
-          eventType = "message"
-          dataParts = Nil
-          ev
-        }
-
-        private def advance(): Unit = {
-          while (nextEvent.isEmpty && it.hasNext) {
-            val line = it.next()
-            if (line.isEmpty) nextEvent = finishFrame()
-            else if (line.startsWith(":")) () // comment / heartbeat
-            else {
-              val (field, value) = line.indexOf(':') match {
-                case -1 => (line, "")
-                case i =>
-                  val v = line.substring(i + 1)
-                  (line.substring(0, i), if (v.startsWith(" ")) v.tail else v)
-              }
-              field match {
-                case "event" => eventType = value
-                case "data" => dataParts = value :: dataParts
-                case "id" => lastId = value
-                case _ => () // unknown fields ignored per spec
-              }
-            }
-          }
-          if (nextEvent.isEmpty && !it.hasNext) nextEvent = finishFrame()
-        }
-
-        override def hasNext: Boolean = {
-          if (nextEvent.isEmpty) advance()
-          nextEvent.isDefined
-        }
-        override def next(): SseEvent = {
-          if (nextEvent.isEmpty) advance()
-          val e = nextEvent.get
-          nextEvent = None
-          e
-        }
-      }
-    }
+    lines.mapPartitions(it => frameIterator(it))
   }
 
   /** F1 frame filter + payload projection: `message` events with non-empty
