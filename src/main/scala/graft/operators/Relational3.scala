@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Third relational wave: full-row dedup, explicit GROUPING SETS, array
+  * scalar functions, and multiset (ALL) set operations. */
+object Relational3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------- q45
+  /** Full-row exact dedup (dropDuplicates over every column) — the
+    * hash-groupBy dedup shape: one shuffle on the full row hash. */
+  private val q45: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .dropDuplicates()
+      .orderBy($"event_id")
+  }
+  private val q45Sql =
+    """SELECT DISTINCT event_id, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Explicit GROUPING SETS — (type), (user bucket), and grand total in one
+    * pass (distinct from rollup/cube: an arbitrary set list). */
+  private val q46: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .withColumn("user_bucket", ($"user_id" % 10).cast("int"))
+    e.groupingSets(
+        Seq(Seq($"event_type"), Seq($"user_bucket"), Seq()),
+        $"event_type", $"user_bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce($"event_type", lit("ALL")).as("event_type"),
+        coalesce($"user_bucket", lit(-1)).as("user_bucket"),
+        $"n")
+      .orderBy($"event_type", $"user_bucket")
+  }
+  private val q46Sql =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |       COALESCE(CAST(user_id % 10 AS INTEGER), -1) AS user_bucket,
+      |       COUNT(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS INTEGER)), ())
+      |ORDER BY event_type, user_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Array scalar functions over the embedding column: size, element
+    * access, slice, max/min (widened to double for cross-engine type
+    * parity), membership. */
+  private val q47: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select(
+        $"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        element_at($"embedding", 1).cast("double").as("first_component"),
+        element_at($"embedding", -1).cast("double").as("last_component"),
+        array_max(slice($"embedding", 1, 8)).cast("double").as("head_max"),
+        array_min($"embedding").cast("double").as("vec_min"),
+        ($"vec_id" % 2 === 0).as("even_id"))
+      .orderBy($"vec_id")
+  }
+  private val q47Sql =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_component,
+      |  CAST(embedding[-1] AS DOUBLE) AS last_component,
+      |  CAST(list_max(embedding[1:8]) AS DOUBLE) AS head_max,
+      |  CAST(list_min(embedding) AS DOUBLE) AS vec_min,
+      |  vec_id % 2 = 0 AS even_id
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate counts (bag semantics), unlike their DISTINCT forms. */
+  private val q48: Q = (s, dir) => {
+    import s.implicits._
+    val ls = t(s, dir, "lineitem").select($"l_linestatus".as("status"))
+    val os = t(s, dir, "orders").select($"o_orderstatus".as("status"))
+    ls.intersectAll(os).groupBy($"status").agg(count(lit(1)).as("n_inter"))
+      .join(
+        os.exceptAll(ls).groupBy($"status").agg(count(lit(1)).as("n_except")),
+        Seq("status"), "full_outer")
+      .na.fill(0L, Seq("n_inter", "n_except"))
+      .orderBy($"status")
+  }
+  private val q48Sql =
+    """WITH i AS (
+      |  SELECT status, COUNT(*) AS n_inter FROM (
+      |    SELECT l_linestatus AS status FROM lineitem
+      |    INTERSECT ALL
+      |    SELECT o_orderstatus FROM orders) GROUP BY status),
+      |e AS (
+      |  SELECT status, COUNT(*) AS n_except FROM (
+      |    SELECT o_orderstatus AS status FROM orders
+      |    EXCEPT ALL
+      |    SELECT l_linestatus FROM lineitem) GROUP BY status)
+      |SELECT COALESCE(i.status, e.status) AS status,
+      |       COALESCE(n_inter, 0) AS n_inter,
+      |       COALESCE(n_except, 0) AS n_except
+      |FROM i FULL OUTER JOIN e ON i.status = e.status
+      |ORDER BY status""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q45_full_row_dedup" -> q45,
+    "q46_grouping_sets" -> q46,
+    "q47_array_functions" -> q47,
+    "q48_multiset_setops" -> q48)
+
+  val oracleSql: Map[String, String] = Map(
+    "q45_full_row_dedup" -> q45Sql,
+    "q46_grouping_sets" -> q46Sql,
+    "q47_array_functions" -> q47Sql,
+    "q48_multiset_setops" -> q48Sql)
+}
