@@ -194,7 +194,9 @@ object EventOps {
       approx_count_distinct($"user_id").as("approx_users"),
       countDistinct($"user_id").as("exact_users"),
       approx_count_distinct($"event_type").as("approx_types"),
-      countDistinct($"event_type").as("exact_types"))
+      countDistinct($"event_type").as("exact_types"),
+      percentile_approx($"value", lit(0.5), lit(1000)).as("approx_p50_value"),
+      percentile_approx($"value", lit(0.99), lit(1000)).as("approx_p99_value"))
   }
 
   val queries: Map[String, Q] = Map(

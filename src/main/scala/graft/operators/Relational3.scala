@@ -112,13 +112,38 @@ object Relational3 {
       |FROM i FULL OUTER JOIN e ON i.status = e.status
       |ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Left outer join with zero-preserving counts: every customer appears,
+    * including those with no orders (count = 0, sum = 0). */
+  private val q49: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("n_orders"), // count(col) skips nulls
+        coalesce(dsum($"o_totalprice"), lit(0.0)).as("sum_spent"))
+      .orderBy($"c_custkey")
+  }
+  private val q49Sql =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  COUNT(o_orderkey) AS n_orders,
+       |  COALESCE(${graft.functions.Exact.sqlSum("o_totalprice")}, 0.0) AS sum_spent
+       |FROM customer
+       |LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_mktsegment
+       |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q49_left_outer_counts" -> q49,
     "q45_full_row_dedup" -> q45,
     "q46_grouping_sets" -> q46,
     "q47_array_functions" -> q47,
     "q48_multiset_setops" -> q48)
 
   val oracleSql: Map[String, String] = Map(
+    "q49_left_outer_counts" -> q49Sql,
     "q45_full_row_dedup" -> q45Sql,
     "q46_grouping_sets" -> q46Sql,
     "q47_array_functions" -> q47Sql,

@@ -57,4 +57,45 @@ object StatefulOps {
   }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  // ------------------------------------------------- custom sessionizer
+  /** A closed session: emitted only once its gap has elapsed (event-time,
+    * driven by the keyed event stream itself). */
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** In-flight session state (public: Catalyst codegen instantiates it). */
+  final case class OpenSession(start: Timestamp, last: Timestamp, n: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState (Append):
+    * unlike the built-in session_window aggregate, this emits each session
+    * exactly once when a later event closes it — the shape used when the
+    * session payload is richer than an aggregate (e.g. carrying per-session
+    * sampled events). gapMillis compares event times within the key. */
+  def sessionize(events: Dataset[UserEvent],
+      gapMillis: Long): Dataset[Session] = {
+    implicit val enc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.ts.getTime - o.last.getTime < gapMillis =>
+                open = Some(OpenSession(o.start, e.ts, o.n + 1))
+              case Some(o) =>
+                closed += Session(userId, o.start, o.last, o.n)
+                open = Some(OpenSession(e.ts, e.ts, 1))
+              case None =>
+                open = Some(OpenSession(e.ts, e.ts, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

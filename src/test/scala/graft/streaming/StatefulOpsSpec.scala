@@ -12,6 +12,28 @@ class StatefulOpsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("flatMapGroupsWithState sessionizer emits sessions when closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[UserEvent]
+    val out = StatefulOps.sessionize(src.toDS(), gapMillis = 30 * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        UserEvent(1L, ts("2024-01-01 10:10:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // session still open
+      src.addData(UserEvent(1L, ts("2024-01-01 12:00:00"), "view")) // closes it
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+      assert(sessions.length === 1)
+      assert(sessions.head.getAs[Long]("n_events") === 2L)
+      assert(sessions.head.getAs[Timestamp]("session_start") === ts("2024-01-01 10:00:00"))
+      assert(sessions.head.getAs[Timestamp]("session_end") === ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user counters across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[UserEvent]
