@@ -135,7 +135,52 @@ object Relational3 {
        |GROUP BY c_custkey, c_mktsegment
        |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Unpivot (wide → long) via stack: per-year status counts as rows. */
+  private val q52: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy(year($"o_orderdate").as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"order_year", expr(
+        "stack(3, 'F', F, 'O', O, 'P', P) AS (status, n_orders)"))
+      .filter($"n_orders" > 0)
+      .orderBy($"order_year", $"status")
+  }
+  private val q52Sql =
+    """SELECT order_year, status, n_orders FROM (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |         o_orderstatus AS status,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2)
+      |WHERE n_orders > 0
+      |ORDER BY order_year, status""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** JSON parse → project → re-serialize round trip (P7 + P8 shape):
+    * extract from props, rebuild a normalized JSON string. */
+  private val q53: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        coalesce(get_json_object($"props", "$.k").cast("long"), lit(0L)).as("k"))
+      .select($"event_id",
+        to_json(struct($"k")).as("normalized_json"))
+      .orderBy($"event_id")
+  }
+  private val q53Sql =
+    """SELECT event_id,
+      |  to_json(struct_pack(
+      |    k := COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)))
+      |    AS normalized_json
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_unpivot_stack" -> q52,
+    "q53_json_roundtrip" -> q53,
     "q49_left_outer_counts" -> q49,
     "q45_full_row_dedup" -> q45,
     "q46_grouping_sets" -> q46,
@@ -143,6 +188,8 @@ object Relational3 {
     "q48_multiset_setops" -> q48)
 
   val oracleSql: Map[String, String] = Map(
+    "q52_unpivot_stack" -> q52Sql,
+    "q53_json_roundtrip" -> q53Sql,
     "q49_left_outer_counts" -> q49Sql,
     "q45_full_row_dedup" -> q45Sql,
     "q46_grouping_sets" -> q46Sql,
