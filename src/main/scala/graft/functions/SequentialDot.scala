@@ -23,6 +23,9 @@ case class SequentialDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even for non-null children: mismatched array lengths → null
+  // (also keeps codegen's isNull a real variable, never a folded literal)
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -40,10 +43,15 @@ case class SequentialDot(left: Expression, right: Expression)
         s"seq_dot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
   }
 
+  // Mismatched lengths yield null, exactly like the zip_with+aggregate
+  // reference form (zip_with pads the shorter side with nulls and
+  // null*x poisons the sum) — a silently-truncated dot product would hide
+  // corrupt embeddings.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0.0
@@ -67,12 +75,16 @@ case class SequentialDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -75,23 +75,27 @@ object WikiIngest {
       .drop("__rn")
   }
 
-  /** R1: keep the newest `maxEvents` rows by `idCol` — the reference's
-    * `DELETE WHERE id < MAX(0, max_id - N)` (pipeline.py:43-51) expressed
-    * as the retained-set filter. The scalar max travels via a 1-row
-    * broadcast join, not a driver collect. */
+  /** R1: keep the newest rows by `idCol` — the reference's
+    * `DELETE WHERE id < MAX(0, max_id - N)` (pipeline.py:45-48) expressed
+    * as the retained-set filter: survivors satisfy `id >= max(0, max-N)`,
+    * i.e. N+1 rows for contiguous ids (the reference's exact boundary).
+    * The scalar max travels via a 1-row broadcast join, not a driver
+    * collect. */
   def retention(df: DataFrame, idCol: String, maxEvents: Long): DataFrame = {
     val mx = df.agg(max(col(idCol)).as("__max_id"))
     df.crossJoin(broadcast(mx))
-      .filter(col(idCol) > greatest(lit(0L), col("__max_id") - lit(maxEvents)))
+      .filter(col(idCol) >= greatest(lit(0L), col("__max_id") - lit(maxEvents)))
       .drop("__max_id")
   }
 
   /** Cleanup-trigger predicate (F6): retention runs only once the row count
-    * exceeds `hysteresis × maxEvents` (pipeline.py:44) — driver-side
-    * condition around the retention rewrite, used by the streaming sink. */
+    * reaches `int(hysteresis × maxEvents)` — the reference truncates the
+    * product (pipeline.py:44 `int(1.1*db_max_events)`), so e.g.
+    * 110 rows DO trigger cleanup at maxEvents=100 despite
+    * 1.1*100 == 110.00000000000001 in IEEE double. */
   def needsCleanup(rowCount: Long, maxEvents: Long,
       hysteresis: Double = 1.1): Boolean =
-    rowCount >= hysteresis * maxEvents
+    rowCount >= (hysteresis * maxEvents).toLong
 
   /** Full batch pipeline: raw JSON lines → deduped `wiki_events` frame. */
   def pipeline(raw: DataFrame, rawCol: String = "value"): DataFrame =

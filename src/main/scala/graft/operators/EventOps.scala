@@ -92,21 +92,19 @@ object EventOps {
        |ORDER BY user_id, event_type""".stripMargin
 
   // ---------------------------------------------------------------- q22
-  /** Keep-newest-N retention (R1): survivors of
-    * `DELETE WHERE id < MAX(0, max_id - N)`. Scalar max via broadcast. */
+  /** Keep-newest retention (R1): survivors of
+    * `DELETE WHERE id < MAX(0, max_id - N)` — delegates to the library
+    * operator so the boundary semantics live in exactly one place. */
   private val q22: Q = (s, dir) => {
     import s.implicits._
-    val e = ev(s, dir)
-    val mx = e.agg(max($"event_id").as("__max_id"))
-    e.crossJoin(broadcast(mx))
-      .filter($"event_id" > greatest(lit(0L), $"__max_id" - lit(1000L)))
+    graft.ingest.WikiIngest.retention(ev(s, dir), "event_id", 1000L)
       .select($"event_id", $"user_id", $"event_type", $"value")
       .orderBy($"event_id")
   }
   private val q22Sql =
     """SELECT event_id, user_id, event_type, value
       |FROM events
-      |WHERE event_id > GREATEST(0, (SELECT MAX(event_id) FROM events) - 1000)
+      |WHERE event_id >= GREATEST(0, (SELECT MAX(event_id) FROM events) - 1000)
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- q23

@@ -220,19 +220,17 @@ object TextOps {
     // string-array intersection — same exact values as the oracle's
     // list_intersect formulation since |A∩B| and |A∪B| are the same
     // integers either way. General-vocab fallback: DedupOps array path.
+    import graft.functions.TokenBitmask
     val exploded = docs(s, dir)
       .select($"doc_id", $"source", explode(array_distinct(toks)).as("__tok"))
     val vocab = exploded.select($"__tok").distinct()
-    if (vocab.count() <= 62) {
-      val w = Window.orderBy($"__tok")
-      val dict = vocab.withColumn("__idx", row_number().over(w) - 1)
-      val d = exploded.join(broadcast(dict), "__tok")
-        .groupBy($"doc_id", $"source")
-        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __idx)")).as("mask"))
+    if (vocab.count() <= TokenBitmask.MaxVocab) {
+      val d = TokenBitmask.masks(exploded, TokenBitmask.dictionary(vocab),
+        Seq("doc_id", "source")).withColumnRenamed("__mask", "mask")
       val a = d.alias("a")
       val b = d.alias("b")
-      val inter = bit_count($"a.mask".bitwiseAND($"b.mask")).cast("long")
-      val uni = bit_count($"a.mask".bitwiseOR($"b.mask")).cast("long")
+      val inter = TokenBitmask.intersectCount($"a.mask", $"b.mask").cast("long")
+      val uni = TokenBitmask.unionCount($"a.mask", $"b.mask").cast("long")
       a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
         .select(
           $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),

@@ -50,9 +50,13 @@ object SseFileStreamProvider {
     StructField("data", StringType),
     StructField("id", StringType)))
 
-  /** All complete (terminated) frames currently in the file. */
-  private[sse] def completeFrames(path: String): Seq[SseFrames.SseEvent] = {
-    if (!Files.exists(Paths.get(path))) return Seq.empty
+  /** Iterator over the complete (terminated) frames currently in the file.
+    * Lazy: callers count or slice without materializing every frame.
+    * (A further optimization for very large captures — remembering the
+    * byte offset per committed frame and seeking — slots in here without
+    * touching the stream contract.) */
+  private[sse] def completeFrames(path: String): Iterator[SseFrames.SseEvent] = {
+    if (!Files.exists(Paths.get(path))) return Iterator.empty
     val content = new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8)
     val split = content.split("\n", -1)
@@ -60,9 +64,14 @@ object SseFileStreamProvider {
     // drop the phantom empty element a trailing newline produces (a real
     // frame terminator is "line\n\n", which still yields its blank line)
     val lines =
-      if (content.endsWith("\n")) split.dropRight(1).iterator
+      if (content.endsWith("\n")) split.iterator.take(split.length - 1)
       else split.iterator
-    SseFrames.frameIterator(lines, emitOpenTail = false).toSeq
+    SseFrames.frameIterator(lines, emitOpenTail = false)
+  }
+
+  private[sse] def requireIntRange(v: Long): Int = {
+    require(v <= Int.MaxValue, s"frame offset $v exceeds supported range")
+    v.toInt
   }
 }
 
@@ -105,7 +114,8 @@ class SseFileMicroBatchStream(path: String) extends MicroBatchStream {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[SseFilePartition]
         val frames = SseFileStreamProvider.completeFrames(p.path)
-          .slice(p.startFrame.toInt, p.endFrame.toInt).iterator
+          .slice(SseFileStreamProvider.requireIntRange(p.startFrame),
+            SseFileStreamProvider.requireIntRange(p.endFrame))
         new PartitionReader[InternalRow] {
           private var current: SseFrames.SseEvent = _
           override def next(): Boolean = {

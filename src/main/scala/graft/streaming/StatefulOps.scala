@@ -24,6 +24,13 @@ object StatefulOps {
   def updateUserStats(expireIdleAfter: Option[String])(
       userId: Long, events: Iterator[UserEvent],
       state: GroupState[UserStats]): UserStats = {
+    if (state.hasTimedOut) {
+      // idle key expired: emit the final stats once and drop the state —
+      // without this, the state would be resurrected and re-armed forever
+      val last = state.get
+      state.remove()
+      return last
+    }
     val batch = events.toSeq
     val prev = state.getOption
     val all = prev.map(p => (p.n_events, p.first_seen, p.last_seen))

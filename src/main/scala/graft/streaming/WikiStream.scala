@@ -45,6 +45,9 @@ object WikiStream {
     * parquet it is a compact-and-swap of the sink directory. */
   def appendWithRetention(batch: DataFrame, sinkDir: String,
       cfg: GraftConfig): Unit = {
+    require(cfg.dbMaxEvents <= Int.MaxValue,
+      s"dbMaxEvents ${cfg.dbMaxEvents} exceeds the limit-based compaction " +
+        "range; use time-partitioned retention (ParquetSink) instead")
     batch.persist()
     try {
       batch.write.mode("append").parquet(sinkDir)
@@ -55,12 +58,19 @@ object WikiStream {
         val retained = sink
           .orderBy(col("event_timestamp").desc, col("username"), col("title"))
           .limit(cfg.dbMaxEvents.toInt)
-        val tmp = sinkDir + "__compact"
-        retained.write.mode("overwrite").parquet(tmp)
-        val fs = new Path(sinkDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new Path(sinkDir), true)
-        fs.rename(new Path(tmp), new Path(sinkDir))
+        val tmp = new Path(sinkDir + "__compact")
+        retained.write.mode("overwrite").parquet(tmp.toString)
+        // swap via rename-aside so a failure at any step leaves a
+        // recoverable directory instead of silently losing the sink;
+        // rename results are checked (object stores can return false)
+        val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new Path(sinkDir)
+        val old = new Path(sinkDir + "__old")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(live, old), s"failed to move $live aside to $old")
+        require(fs.rename(tmp, live),
+          s"failed to promote $tmp to $live; previous data is at $old")
+        fs.delete(old, true)
       }
     } finally batch.unpersist()
   }

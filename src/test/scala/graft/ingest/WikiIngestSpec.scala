@@ -61,18 +61,22 @@ class WikiIngestSpec extends SparkSpec {
     assert(out.getAs[String]("raw_json").contains("\"dt\":\"2026-01-08T22:35:51Z\""))
   }
 
-  test("retention keeps the newest N by id (R1)") {
+  test("retention keeps ids >= max-N, the reference's DELETE boundary (R1)") {
+    // DELETE WHERE id < MAX(0, max_id - N): survivors are [max-N, max],
+    // i.e. N+1 rows for contiguous ids (pipeline.py:45-48)
     val df = spark.range(0, 100).select($"id".as("event_id"))
     val kept = WikiIngest.retention(df, "event_id", 10).collect().map(_.getLong(0))
-    assert(kept.sorted.toSeq === (90L until 100L))
+    assert(kept.sorted.toSeq === (89L until 100L))
+    // under capacity nothing is deleted (threshold clamps to 0)
+    val small = spark.range(0, 50).select($"id".as("event_id"))
+    assert(WikiIngest.retention(small, "event_id", 1000).count() === 50)
   }
 
-  test("cleanup hysteresis triggers at 1.1x (F6)") {
+  test("cleanup hysteresis triggers at int(1.1x) like the reference (F6)") {
+    // pipeline.py:44 compares against int(1.1*db_max_events) — the float
+    // artifact (1.1*100 == 110.0000...01) is truncated away by int()
     assert(!WikiIngest.needsCleanup(109, 100))
-    // 1.1*100 == 110.00000000000001 in IEEE double — the reference's Python
-    // comparison (pipeline.py:44) has the identical artifact, so 110 rows do
-    // NOT trigger cleanup; 111 do.
-    assert(!WikiIngest.needsCleanup(110, 100))
+    assert(WikiIngest.needsCleanup(110, 100))
     assert(WikiIngest.needsCleanup(111, 100))
     assert(WikiIngest.needsCleanup(250, 100))
   }

@@ -22,6 +22,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("mismatched array lengths yield null, matching the zip_with form") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+    val native = df.select(VectorOps.dot($"a", $"b")).head()
+    val hof = df.select(VectorOps.dotHof($"a", $"b")).head()
+    assert(native.isNullAt(0) && hof.isNullAt(0))
+  }
+
   test("dot product matches a hand computation") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("id", "a", "b")

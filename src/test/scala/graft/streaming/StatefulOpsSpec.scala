@@ -12,6 +12,22 @@ class StatefulOpsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("timed-out key emits final stats once and removes its state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val existing = StatefulOps.UserStats(7L, 5L,
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    val state = TestGroupState.create[StatefulOps.UserStats](
+      optionalState = org.apache.spark.api.java.Optional.of(existing),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StatefulOps.updateUserStats(Some("1 hour"))(
+      7L, Iterator.empty, state)
+    assert(out === existing) // final emission
+    assert(state.isRemoved) // state dropped, not resurrected
+  }
+
   test("flatMapGroupsWithState sessionizer emits sessions when closed") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[UserEvent]
