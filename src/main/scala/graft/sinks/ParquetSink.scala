@@ -26,4 +26,15 @@ object ParquetSink {
       .sortWithinPartitions(col(tsCol))
       .write.mode("append").partitionBy("__event_date").parquet(path)
   }
+
+  /** Write a bucketed+sorted catalog table: joins and aggregations on the
+    * bucket key between co-bucketed tables need NO shuffle — the
+    * pre-partitioning is the 100 TB lever for repeated fact-fact joins
+    * (pay the shuffle once at write time, never again at read). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

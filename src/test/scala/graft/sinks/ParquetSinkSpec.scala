@@ -24,6 +24,24 @@ class ParquetSinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || back.columns.contains("__event_date"))
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    val o = graft.sources.Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val l = graft.sources.Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    ParquetSink.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    ParquetSink.writeBucketed(l, "b_lineitem", "l_orderkey", 4)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket layout satisfies the join's distribution: no hash exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(joined.count() === l.count())
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
   test("appendSorted writes readable sorted parquet") {
     val dir = Files.createTempDirectory("psort").toString + "/t"
     val df = spark.range(0, 50).select(($"id" * 7 % 50).as("k"), $"id".as("v"))
