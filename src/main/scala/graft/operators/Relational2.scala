@@ -199,7 +199,27 @@ object Relational2 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- q17b
+  /** Same as-of semantics as q17, but through the custom operator stack
+    * (AsOfJoinPlan logical node → AsOfStrategy → AsOfJoinExec merge scan,
+    * graft.plans) — the driver verifies the custom physical operator
+    * against DuckDB's native ASOF JOIN. */
+  private val q17b: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val probes = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val refs = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts")
+    graft.plans.AsOf.join(probes, refs, "user_id", "ts")
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        date_format($"matched_time", "yyyy-MM-dd HH:mm:ss").as("last_signup_time"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q17b_asof_custom_operator" -> q17b,
     "q14_cube_flags" -> q14,
     "q15_window_family" -> q15,
     "q16_exact_stats" -> q16,
@@ -208,6 +228,7 @@ object Relational2 {
     "q19_windowed_median" -> q19)
 
   val oracleSql: Map[String, String] = Map(
+    "q17b_asof_custom_operator" -> q17Sql, // identical semantics to q17
     "q14_cube_flags" -> q14Sql,
     "q15_window_family" -> q15Sql,
     "q16_exact_stats" -> q16Sql,
