@@ -28,6 +28,10 @@ object GraftConfig {
         .getOrElse(d.dbMaxEvents),
       commitIntervalSeconds = env.get("ETL_COMMIT_INTERVAL_SECONDS")
         .map(_.toInt).getOrElse(d.commitIntervalSeconds),
+      cleanupHysteresis = env.get("ETL_CLEANUP_HYSTERESIS")
+        .map(_.toDouble).getOrElse(d.cleanupHysteresis),
+      reconnectBackoffSeconds = env.get("ETL_RECONNECT_BACKOFF_SECONDS")
+        .map(_.toInt).getOrElse(d.reconnectBackoffSeconds),
       sinceOverride = env.get("SINCE_OVERRIDE"))
   }
 }

@@ -27,7 +27,9 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * minimum for a key-matched time join at any scale.
   *
   * Constraints (checked at construction): key is LongType, time is
-  * TimestampType (internally µs longs), both non-null on the right.
+  * TimestampType (internally µs longs). Nulls follow SQL join semantics:
+  * null right key/time rows are filtered before the merge (they can match
+  * nothing), and a null left key/time yields a null `matched_time`.
   */
 final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
@@ -74,23 +76,35 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchKey = 0L
       var matchTime = 0L
       var hasMatch = false
-      lIt.map { lRowRaw =>
-        val lRow = lRowRaw
-        val k = lRow.getLong(lKeyIdx)
-        val t = lRow.getLong(lTimeIdx) // timestamp = µs long internally
-        // advance the right side through everything joinable at-or-before
-        while (rBuf.hasNext && {
-          val h = rBuf.head
-          val rk = h.getLong(rKeyIdx)
-          rk < k || (rk == k && h.getLong(rTimeIdx) <= t)
-        }) {
-          val h = rBuf.next()
-          val rk = h.getLong(rKeyIdx)
-          if (rk == k) { matchKey = k; matchTime = h.getLong(rTimeIdx); hasMatch = true }
-        }
+      lIt.map { lRow =>
         val out = new GenericInternalRow(1)
-        if (hasMatch && matchKey == k) out.setLong(0, matchTime)
-        else out.setNullAt(0)
+        // A null left key/time can never match (SQL null-comparison
+        // semantics, same as DuckDB ASOF): emit null without touching the
+        // right cursor. NullsFirst ordering puts these rows before any
+        // non-null key, so not advancing here preserves the merge invariant.
+        if (lRow.isNullAt(lKeyIdx) || lRow.isNullAt(lTimeIdx)) {
+          out.setNullAt(0)
+        } else {
+          val k = lRow.getLong(lKeyIdx)
+          val t = lRow.getLong(lTimeIdx) // timestamp = µs long internally
+          // advance the right side through everything joinable at-or-before;
+          // null right key/time rows (sorted first) are consumed and skipped
+          while (rBuf.hasNext && {
+            val h = rBuf.head
+            h.isNullAt(rKeyIdx) || h.isNullAt(rTimeIdx) || {
+              val rk = h.getLong(rKeyIdx)
+              rk < k || (rk == k && h.getLong(rTimeIdx) <= t)
+            }
+          }) {
+            val h = rBuf.next()
+            if (!h.isNullAt(rKeyIdx) && !h.isNullAt(rTimeIdx)) {
+              val rk = h.getLong(rKeyIdx)
+              if (rk == k) { matchKey = k; matchTime = h.getLong(rTimeIdx); hasMatch = true }
+            }
+          }
+          if (hasMatch && matchKey == k) out.setLong(0, matchTime)
+          else out.setNullAt(0)
+        }
         toUnsafe(new JoinedRow(lRow, out)).copy()
       }
     }
@@ -124,8 +138,12 @@ object AsOf {
     // built-in Join nodes but not for custom ones — when probes and refs
     // derive from the same scan they share exprIds, and column pruning
     // then empties one side. Fresh aliases give the right side its own ids.
+    // Null right key/time rows can never match any probe, so drop them
+    // here rather than relying on a documented non-null precondition.
     val rPlan = ColumnBridge.planOf(refs.select(
-      refs(keyCol).as("__asof_key"), refs(timeCol).as("__asof_time")))
+        refs(keyCol).as("__asof_key"), refs(timeCol).as("__asof_time"))
+      .filter(org.apache.spark.sql.functions.col("__asof_key").isNotNull &&
+        org.apache.spark.sql.functions.col("__asof_time").isNotNull))
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name"))

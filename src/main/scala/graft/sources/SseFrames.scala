@@ -21,18 +21,30 @@ object SseFrames {
 
   final case class SseEvent(event: String, data: String, id: String)
 
+  /** SSE field split: `"data: x"` → `("data", "x")`, one optional space
+    * after the colon stripped, no colon → whole line is the field name. */
+  def splitField(line: String): (String, String) = line.indexOf(':') match {
+    case -1 => (line, "")
+    case i =>
+      val v = line.substring(i + 1)
+      (line.substring(0, i), if (v.startsWith(" ")) v.tail else v)
+  }
+
   /** Core frame assembly over a plain line iterator — shared by the
     * Dataset transformation below and the DataSourceV2 micro-batch reader
     * (graft.sources.sse). `emitOpenTail=true` flushes a frame left open at
     * end-of-input (batch capture files); streaming readers pass false so a
-    * half-written frame waits for its terminator. */
+    * half-written frame waits for its terminator. `initialId` seeds the
+    * sticky last-event-id, letting a reader resume mid-stream at a frame
+    * boundary with identical semantics to a from-the-start parse. */
   def frameIterator(it: Iterator[String],
-      emitOpenTail: Boolean = true): Iterator[SseEvent] =
+      emitOpenTail: Boolean = true,
+      initialId: String = ""): Iterator[SseEvent] =
     new Iterator[SseEvent] {
       private var nextEvent: Option[SseEvent] = None
       private var eventType = "message"
       private var dataParts = List.empty[String]
-      private var lastId = ""
+      private var lastId = initialId
 
       private def finishFrame(): Option[SseEvent] = {
         // per the SSE spec, an empty data buffer aborts the dispatch
@@ -51,12 +63,7 @@ object SseFrames {
           if (line.isEmpty) nextEvent = finishFrame()
           else if (line.startsWith(":")) () // comment / heartbeat
           else {
-            val (field, value) = line.indexOf(':') match {
-              case -1 => (line, "")
-              case i =>
-                val v = line.substring(i + 1)
-                (line.substring(0, i), if (v.startsWith(" ")) v.tail else v)
-            }
+            val (field, value) = splitField(line)
             field match {
               case "event" => eventType = value
               case "data" => dataParts = value :: dataParts

@@ -27,8 +27,20 @@ object Tables {
     else df
   }
 
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Reads with nanosAsLong enabled for JUST this read: the previous
+    * session value is restored afterwards, so loading a table never
+    * changes ns-timestamp handling for unrelated reads in the session.
+    * (The conf is session-wide, not a per-read option, hence save/restore;
+    * the eagerly-resolved schema is pinned at `spark.read` time.) */
   private def read(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    val prev = spark.conf.getOption(NanosConf)
+    spark.conf.set(NanosConf, "true")
+    try spark.read.parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(NanosConf, v)
+      case None    => spark.conf.unset(NanosConf)
+    }
   }
 }

@@ -55,9 +55,14 @@ object WikiStream {
       val sink = spark.read.parquet(sinkDir)
       if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
           cfg.cleanupHysteresis)) {
+        // Same survivor boundary as WikiIngest.retention and the reference's
+        // `DELETE WHERE id < MAX(0, max_id - N)` (pipeline.py:45-48): the
+        // newest N+1 rows survive (survivors satisfy id >= max - N). The
+        // sink has no id column, so "newest" is the (event_timestamp,
+        // username, title) total order the dedup key already defines.
         val retained = sink
           .orderBy(col("event_timestamp").desc, col("username"), col("title"))
-          .limit(cfg.dbMaxEvents.toInt)
+          .limit(cfg.dbMaxEvents.toInt + 1)
         val tmp = new Path(sinkDir + "__compact")
         retained.write.mode("overwrite").parquet(tmp.toString)
         // swap via rename-aside so a failure at any step leaves a

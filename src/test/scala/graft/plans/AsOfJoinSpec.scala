@@ -33,6 +33,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L) === None)
   }
 
+  test("null keys/times follow SQL semantics (never match, never error)") {
+    val probes = Seq(
+      (Some(7L), Some(ts("2024-01-01 11:00:00")), 1L), // normal match
+      (None, Some(ts("2024-01-01 11:00:00")), 2L),     // null key → null
+      (Some(7L), None, 3L),                            // null time → null
+      (Some(9L), Some(ts("2024-01-01 11:00:00")), 4L)  // key with only-null refs
+    ).toDF("user_id", "ts", "event_id")
+    val refs = Seq(
+      (Some(7L), Some(ts("2024-01-01 10:00:00"))),
+      (None, Some(ts("2024-01-01 09:00:00"))), // null right key: no-op
+      (Some(9L), None)                         // null right time: no-op
+    ).toDF("user_id", "ts")
+    val out = AsOf.join(probes, refs, "user_id", "ts")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("matched_time")))
+      .toMap
+    assert(out(1L) === Some(ts("2024-01-01 10:00:00")))
+    assert(out(2L) === None)
+    assert(out(3L) === None)
+    assert(out(4L) === None)
+  }
+
   test("custom exec agrees with the compositional q17 on real data") {
     val custom = Relational2Compare.custom(spark, sf)
     val composed = Relational2Compare.composed(spark, sf)

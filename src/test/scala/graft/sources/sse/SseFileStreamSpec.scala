@@ -33,6 +33,49 @@ class SseFileStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental advance parses only the appended tail") {
+    import SseFileStreamProvider._
+    val file = Files.createTempDirectory("sseadv").toString + "/cap.sse"
+    append(file, "id: a1", "data: one", "")
+    val s1 = SseFileStreamProvider.advance(file, InitialState)
+    assert(s1.frames === 1L)
+    assert(s1.stickyId === "a1")
+    assert(s1.bytes === Files.size(Paths.get(file)))
+    // appended frames advance from the cached state, not from byte 0
+    append(file, "data: two", "", ": heartbeat", "data: three", "")
+    val s2 = SseFileStreamProvider.advance(file, s1)
+    assert(s2.frames === 3L)
+    assert(s2.stickyId === "a1") // sticky id carries across frames
+    // resuming mid-file yields the same events as a full parse
+    val resumed = SseFileStreamProvider.framesFrom(file, s1).toVector
+    assert(resumed.map(_.data) === Vector("two", "three"))
+    assert(resumed.map(_.id) === Vector("a1", "a1"))
+    val full = SseFileStreamProvider.completeFrames(file).toVector
+    assert(full.drop(1) === resumed)
+  }
+
+  test("maxBytesPerTrigger caps the bytes admitted per advance") {
+    import SseFileStreamProvider._
+    val file = Files.createTempDirectory("ssecapn").toString + "/cap.sse"
+    append(file, "data: one", "") // 11 bytes
+    append(file, "data: two", "")
+    val s1 = SseFileStreamProvider.advance(file, InitialState, maxBytes = 15L)
+    assert(s1.frames === 1L) // second frame does not fit in the window
+    val s2 = SseFileStreamProvider.advance(file, s1, maxBytes = 15L)
+    assert(s2.frames === 2L) // admitted on the next trigger
+  }
+
+  test("open frame at the byte cap stays unconsumed (no partial frames)") {
+    import SseFileStreamProvider._
+    val file = Files.createTempDirectory("ssepart").toString + "/cap.sse"
+    append(file, "data: one", "", "data: t")
+    // cap cuts inside the second frame's data line: only frame 1 completes
+    val s = SseFileStreamProvider.advance(file, InitialState,
+      maxBytes = Files.size(Paths.get(file)) - 2)
+    assert(s.frames === 1L)
+    assert(s.bytes === 11L) // exactly past frame 1's terminator
+  }
+
   test("sse-file source feeds the full wiki pipeline") {
     val file = Files.createTempDirectory("ssewiki").toString + "/capture.sse"
     val json = scala.io.Source

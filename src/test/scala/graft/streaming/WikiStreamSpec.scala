@@ -75,10 +75,12 @@ class WikiStreamSpec extends SparkSpec {
       $"id".as("length_diff_bytes"))
     WikiStream.appendWithRetention(rows, sinkDir, cfg)
     val after = spark.read.parquet(sinkDir)
-    assert(after.count() === 50) // compacted down to dbMaxEvents
+    // N+1 survivors — the same boundary as WikiIngest.retention and the
+    // reference's DELETE (survivors satisfy id >= max - N)
+    assert(after.count() === 51)
     // survivors are the newest by event_timestamp
     val minTs = after.agg(min("event_timestamp")).head().getTimestamp(0)
-    assert(minTs.getTime / 1000 === 1700000000L + 70)
+    assert(minTs.getTime / 1000 === 1700000000L + 69)
   }
 
   test("v1 raw capture stores unparsed lines in a 1-column table (K2/K4)") {
@@ -108,9 +110,13 @@ class WikiStreamSpec extends SparkSpec {
   test("config precedence: env overrides defaults (O3)") {
     val cfg = GraftConfig.load(Map(
       "ETL_USER_AGENT" -> "TestAgent",
-      "ETL_DB_MAX_EVENTS" -> "250000"))
+      "ETL_DB_MAX_EVENTS" -> "250000",
+      "ETL_CLEANUP_HYSTERESIS" -> "1.25",
+      "ETL_RECONNECT_BACKOFF_SECONDS" -> "9"))
     assert(cfg.userAgent === "TestAgent")
     assert(cfg.dbMaxEvents === 250000L)
+    assert(cfg.cleanupHysteresis === 1.25)
+    assert(cfg.reconnectBackoffSeconds === 9)
     assert(cfg.streamUrl === GraftConfig().streamUrl) // default kept
     assert(cfg.commitIntervalSeconds === 2)
   }
