@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHash
 import graft.sources.Tables
 
 /** Near-duplicate detection at scale: MinHash+LSH banding, SimHash, rolling
@@ -15,12 +16,14 @@ import graft.sources.Tables
   * shuffle-partition — candidate generation is a join on (band, hash), and
   * only candidates pay the exact-Jaccard verification.
   *
-  * Not oracle-able in SQL (xxhash64 is Spark-specific) → registered as
-  * rows-only queries; semantics covered by unit tests
-  * (graft.operators.DedupOpsSpec).
+  * All hashing goes through [[graft.functions.PortableHash]] (sha256-slice
+  * token hash + modular-arithmetic permutations), so every sketch here is
+  * reproducible in ANSI SQL — q36/q37 are hash-compared against DuckDB
+  * running the mirrored SQL, not just row-counted.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
+  import PortableHash.{P, foldSql, permSql, tokenHashPSql, tokenHashSql}
 
   /** distinct whitespace tokens of a text column */
   def tokenSet(textCol: Column): Column = array_distinct(split(textCol, " "))
@@ -28,20 +31,25 @@ object DedupOps {
   // ------------------------------------------------------------ MinHash
   /** k-permutation MinHash signatures: one row per id, columns __h0..__h{k-1}.
     * Single explode + single groupBy — the k mins are computed in one
-    * aggregation pass (map-side partial min, tiny shuffle). */
+    * aggregation pass (map-side partial min, tiny shuffle). One sha256 per
+    * token feeds all k permutations (cheap affine mixes). */
   def minhashSignatures(toks: DataFrame, idCol: String, tokCol: String,
       k: Int): DataFrame = {
     val exploded = toks.select(col(idCol), explode(col(tokCol)).as("__tok"))
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(col("__tok"), lit(i))).as(s"__h$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.drop(1): _*)
+    exploded.groupBy(col(idCol)).agg(sigAggs(k).head, sigAggs(k).drop(1): _*)
   }
 
-  /** band-hash columns over the __h signature components */
-  private def bandHashCols(bands: Int, rowsPerBand: Int): Seq[org.apache.spark.sql.Column] =
+  private def sigAggs(k: Int): Seq[Column] = {
+    val h = PortableHash.tokenHashP(col("__tok"))
+    (0 until k).map(i => min(PortableHash.perm(i, h)).as(s"__h$i"))
+  }
+
+  /** band-hash columns over the __h signature components: order-sensitive
+    * fold seeded with the band index */
+  private def bandHashCols(bands: Int, rowsPerBand: Int): Seq[Column] =
     (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
-      xxhash64(lit(b) +: parts: _*).as(s"__band$b")
+      PortableHash.fold(b.toLong, parts).as(s"__band$b")
     }
 
   /** LSH banding: signature → `bands` hashes of `rowsPerBand` components;
@@ -84,8 +92,6 @@ object DedupOps {
     val toks = df.select(col(idCol), tokenSet(col(textCol)).as("__toks"))
     val exploded = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
     val vocab = exploded.select("__tok").distinct()
-    val sigAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("__tok"), lit(i))).as(s"__h$i"))
 
     // NOTE: the vocab-size probe is one extra (cheap, column-pruned) job at
     // plan time — the price of picking the kernel adaptively.
@@ -93,7 +99,7 @@ object DedupOps {
       import graft.functions.TokenBitmask
       val dict = TokenBitmask.dictionary(vocab)
       val sig = TokenBitmask.masks(exploded, dict, Seq(idCol),
-        extraAggs = sigAggs)
+        extraAggs = sigAggs(numHashes))
       // carry the mask through the band explode so the self-join emits
       // verification-ready pairs — no extra joins to attach set data
       val rowsPerBand = numHashes / bands
@@ -116,7 +122,8 @@ object DedupOps {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .distinct()
     } else { // general array path
-      val sig = exploded.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.drop(1): _*)
+      val sig = exploded.groupBy(col(idCol))
+        .agg(sigAggs(numHashes).head, sigAggs(numHashes).drop(1): _*)
       val cand = lshCandidates(sig, idCol, bands, numHashes / bands)
       val ta = toks.select(col(idCol).as("id_a"), col("__toks").as("__toks_a"))
       val tb = toks.select(col(idCol).as("id_b"), col("__toks").as("__toks_b"))
@@ -130,23 +137,26 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------ SimHash
-  /** 64-bit SimHash: per token hash, each bit votes ±1; the signature bit is
-    * the vote sign. Two shuffles (per-bit votes, then per-doc assembly);
-    * at scale both group on doc id so they co-partition. */
+  /** 48-bit SimHash over the portable token hash: per token, each bit votes
+    * ±1; the signature bit is the vote sign. Two shuffles (per-bit votes,
+    * then per-doc assembly); at scale both group on doc id so they
+    * co-partition. Duplicate tokens vote multiply (frequency-weighted). */
+  val SimHashBits = 48
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .withColumn("__h", PortableHash.tokenHash(col("__tok")))
       .select(col(idCol), col("__h"),
-        explode(sequence(lit(0), lit(63))).as("__bit"))
+        explode(sequence(lit(0), lit(SimHashBits - 1))).as("__bit"))
       .groupBy(col(idCol), col("__bit"))
       .agg(sum(when(expr("shiftright(__h, __bit) & 1") === 1, 1)
         .otherwise(-1)).as("__vote"))
       .groupBy(col(idCol))
       .agg(sum(when(col("__vote") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), __bit)")).otherwise(0L))
-        .as("simhash"))
+        .cast("long").as("simhash"))
 
-  /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
+  /** Hamming distance between two signatures (codegen'd builtins). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ------------------------------------------------------- rolling hash
@@ -155,22 +165,61 @@ object DedupOps {
     * aggregate, no shuffle. Modular arithmetic keeps the accumulator
     * bounded — ANSI mode (Spark 4 default) would otherwise throw on
     * long overflow. */
-  private val RollMod = 1000000007L // 1e9+7, prime
   def rollingHash(tokensCol: Column): Column =
     aggregate(tokensCol, lit(0L),
-      (acc, t) =>
-        pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(RollMod)), lit(RollMod)))
+      (acc, t) => (acc * lit(1000003L) + PortableHash.tokenHashP(t)) % lit(P))
 
   // ------------------------------------------------------------ queries
-  /** q36: MinHash-LSH near-dup pairs on documents (rows-only check). */
+  /** q36: MinHash-LSH near-dup pairs on documents. */
   private val q36: Q = (s, dir) => {
     import s.implicits._
     minhashNearDup(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy($"id_a", $"id_b")
   }
 
-  /** q37: SimHash signature + order-sensitive rolling fingerprint per doc
-    * (rows-only check). */
+  /** DuckDB mirror of the full LSH pipeline: same token hash, same affine
+    * permutations, same band fold, same candidate join, same exact-Jaccard
+    * verification (list_intersect == bitmask kernel on distinct sets). */
+  private val q36Sql: String = {
+    val numHashes = 16; val bands = 4; val rpb = numHashes / bands
+    val sigCols = (0 until numHashes)
+      .map(i => s"    min(${permSql(i, "h")}) AS h${i}")
+      .mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (b * rpb until (b + 1) * rpb).map(i => s"h$i")
+      s"  SELECT doc_id, $b AS bidx, ${foldSql(b.toLong, parts)} AS bhash FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, ${tokenHashPSql("tok")} AS h FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |$sigCols
+       |  FROM th GROUP BY doc_id),
+       |bnd AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+       |  FROM documents)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    AS jaccard
+       |FROM cand
+       |JOIN sets sa ON cand.id_a = sa.doc_id
+       |JOIN sets sb ON cand.id_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q37: SimHash signature + order-sensitive rolling fingerprint per doc. */
   private val q37: Q = (s, dir) => {
     import s.implicits._
     val d = Tables(s, dir, "documents")
@@ -181,10 +230,37 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  private val q37Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${tokenHashSql("tok")} AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, $SimHashBits)) AS bit) b
+       |  GROUP BY doc_id, bit),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+       |             ELSE 0::BIGINT END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |roll AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        list_transform(string_split(text, ' '),
+       |          t -> ${tokenHashPSql("t")})),
+       |      (acc, x) -> (acc * 1000003 + x) % $P) AS rolling_hash
+       |  FROM documents)
+       |SELECT sh.doc_id AS doc_id, simhash, rolling_hash
+       |FROM sh JOIN roll ON sh.doc_id = roll.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37)
 
-  /** Not SQL-expressible (xxhash64) → no oracle entries. */
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q36_minhash_near_dup" -> q36Sql,
+    "q37_simhash_fingerprints" -> q37Sql)
 }

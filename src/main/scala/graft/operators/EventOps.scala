@@ -197,8 +197,54 @@ object EventOps {
       percentile_approx($"value", lit(0.99), lit(1000)).as("approx_p99_value"))
   }
 
+  // --------------------------------------------------------------- q27b
+  /** KMV (k-minimum-values) distinct sketch — the deterministic,
+    * cross-engine-exact counterpart to q27's HLL++: hash every key to
+    * [0, P), keep the k smallest distinct hashes; the k-th smallest h_k
+    * estimates n ≈ (k−1)·P / h_k. Constant memory like HLL, but built on
+    * [[graft.functions.PortableHash]] so DuckDB reproduces it bit-for-bit
+    * (the HLL sketch differs per engine → q27 stays rows-only). At scale
+    * the k-smallest pass is a map-side partial (top-k per partition) +
+    * one tiny merge, same shape as any global top-k. */
+  private val KmvK = 128
+  private val q27b: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.PortableHash
+    val hashed = ev(s, dir)
+      .select(PortableHash.tokenHashP($"user_id").as("h"))
+      .distinct()
+    val topK = hashed.orderBy($"h").limit(KmvK)
+    topK
+      .agg(max($"h").as("hk"), count(lit(1)).as("n_sketch"))
+      .crossJoin(ev(s, dir).agg(
+        countDistinct($"user_id").cast("long").as("exact_users")))
+      .select(
+        when($"n_sketch" >= KmvK,
+          lit((KmvK - 1).toDouble * PortableHash.P) / $"hk")
+          .otherwise($"n_sketch".cast("double")).as("kmv_users"),
+        $"n_sketch".cast("long").as("n_sketch"),
+        $"exact_users")
+  }
+  private val q27bSql = {
+    import graft.functions.PortableHash.{P, tokenHashPSql}
+    s"""WITH h AS (
+       |  SELECT DISTINCT ${tokenHashPSql("user_id")} AS h FROM events),
+       |topk AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+       |sk AS (SELECT MAX(h) AS hk, COUNT(*) AS n_sketch FROM topk),
+       |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+       |       FROM events)
+       |SELECT
+       |  CASE WHEN n_sketch >= $KmvK
+       |       THEN CAST(${(KmvK - 1).toLong * P} AS DOUBLE) / hk
+       |       ELSE CAST(n_sketch AS DOUBLE) END AS kmv_users,
+       |  CAST(n_sketch AS BIGINT) AS n_sketch,
+       |  exact_users
+       |FROM sk CROSS JOIN ex""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q27_approx_distinct" -> q27,
+    "q27b_kmv_distinct" -> q27b,
     "q20_events_transform" -> q20,
     "q21_events_dedup_first_wins" -> q21,
     "q22_retention_keep_newest" -> q22,
@@ -208,6 +254,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q27b_kmv_distinct" -> q27bSql,
     "q20_events_transform" -> q20Sql,
     "q21_events_dedup_first_wins" -> q21Sql,
     "q22_retention_keep_newest" -> q22Sql,

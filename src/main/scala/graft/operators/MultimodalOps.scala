@@ -30,19 +30,44 @@ object MultimodalOps {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   // ----------------------------------------------------- STUB DECODERS
+  /** sha256-hex slice → bounded long: the shared basis of every stub
+    * kernel. Cross-engine exact (sha256 and hex→int agree everywhere), so
+    * the stub pipeline is oracle-able end to end. */
+  private def shaSlice(sha: Column, start: Column, len: Int): Column =
+    conv(sha.substr(start, lit(len)), 16, 10).cast("long")
+
   /** STUB: deterministic fake image-header decode (a real implementation
     * would parse PNG/JPEG headers; the hash-derived shape keeps the
-    * pipeline testable and deterministic). */
-  def decodeStub(payload: Column): Column = struct(
-    (pmod(xxhash64(payload, lit(1)), lit(225L)) + 32L).cast("int").as("width"),
-    (pmod(xxhash64(payload, lit(2)), lit(225L)) + 32L).cast("int").as("height"),
-    lit(3).as("channels"))
+    * pipeline testable, deterministic, and DuckDB-replicable). Hex chars
+    * 49-54 → width, 55-60 → height, each in [32, 257). */
+  def decodeStub(payload: Column): Column = {
+    val sha = sha2(payload, 256)
+    struct(
+      (pmod(shaSlice(sha, lit(49), 6), lit(225L)) + 32L).cast("int").as("width"),
+      (pmod(shaSlice(sha, lit(55), 6), lit(225L)) + 32L).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
 
-  /** STUB: deterministic fake feature extraction — 8 pseudo-features from
-    * payload hashes (a real one would run a vision/audio model per batch). */
-  def featureStub(payload: Column, dim: Int = 8): Column =
-    transform(sequence(lit(1), lit(dim)),
-      i => pmod(xxhash64(payload, i), lit(1000L)).cast("double") / lit(1000.0))
+  /** STUB: deterministic fake feature extraction — `dim` (≤8) pseudo-
+    * features in [0,1) from 6-hex-char sha slices (a real one would run a
+    * vision/audio model per batch). Integer basis ÷ 1000 keeps every value
+    * bit-identical across engines. */
+  def featureStub(payload: Column, dim: Int = 8): Column = {
+    require(dim <= 8, "featureStub draws from hex chars 1-48 (8 slices)")
+    val sha = sha2(payload, 256)
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(shaSlice(sha, i * lit(6) + lit(1), 6), lit(1000L))
+        .cast("double") / lit(1000.0))
+  }
+
+  /** Integer feature basis (values in [0,1000)) — q51 reduces this to
+    * scalar stats so the comparison stays integer-exact until one final
+    * division. */
+  private def featureInts(payload: Column, dim: Int = 8): Column = {
+    val sha = sha2(payload, 256)
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(shaSlice(sha, i * lit(6) + lit(1), 6), lit(1000L)))
+  }
 
   /** Frame sampling: every `stride`-th fixed-size byte window of the payload
     * (the video-frame-sample shape; real frames would be decoded chunks). */
@@ -55,16 +80,21 @@ object MultimodalOps {
 
   /** Partition-batched decode via typed mapPartitions — the seam where a
     * real decoder library is initialized once per partition and fed record
-    * batches (the JVM analog of arrow-batched UDFs). */
+    * batches (the JVM analog of arrow-batched UDFs). Produces the same
+    * width/height as `decodeStub` (hex chars 49-54 / 55-60 of sha256). */
   def decodeBatch(media: Dataset[Media]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: val decoder = HeavyDecoder.init()  (once per partition)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
-        val h1 = scala.util.hashing.MurmurHash3.bytesHash(m.payload, 1)
-        val h2 = scala.util.hashing.MurmurHash3.bytesHash(m.payload, 2)
-        MediaMeta(m.doc_id, 32 + math.floorMod(h1, 225),
-          32 + math.floorMod(h2, 225), 3, m.payload.length.toLong)
+        val sha = md.digest(m.payload)
+        // hex chars 49..54 = bytes 24..26, 55..60 = bytes 27..29
+        def slice(b0: Int): Long =
+          ((sha(b0) & 0xffL) << 16) | ((sha(b0 + 1) & 0xffL) << 8) |
+            (sha(b0 + 2) & 0xffL)
+        MediaMeta(m.doc_id, (32 + slice(24) % 225).toInt,
+          (32 + slice(27) % 225).toInt, 3, m.payload.length.toLong)
       }
     }
   }
@@ -93,25 +123,53 @@ object MultimodalOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q51
-  /** Decode + feature-extract pipeline over binary payloads (stub kernels,
-    * rows-only check; kernel determinism unit-tested). */
+  /** Decode + feature-extract pipeline over binary payloads. The stub
+    * kernels are sha256-derived, so the whole pipeline is oracle-able; the
+    * feature vector is reduced to scalar stats (integer basis, one final
+    * ÷1000.0) to keep the output flat and the doubles bit-exact. */
   private val q51: Q = (s, dir) => {
     import s.implicits._
     asBinary(Tables(s, dir, "documents"))
       .select($"doc_id",
         decodeStub($"payload").as("meta"),
-        featureStub($"payload").as("features"))
-      .select($"doc_id", $"meta.width", $"meta.height", $"meta.channels",
+        featureInts($"payload").as("fi"))
+      .select($"doc_id",
+        $"meta.width".cast("long").as("width"),
+        $"meta.height".cast("long").as("height"),
+        $"meta.channels".cast("long").as("channels"),
         ($"meta.width" * $"meta.height" * $"meta.channels").cast("long")
           .as("n_values"),
-        $"features")
+        (aggregate($"fi", lit(0L), (a, x) => a + x).cast("double") /
+          lit(1000.0)).as("feat_sum"),
+        (array_min($"fi").cast("double") / lit(1000.0)).as("feat_min"),
+        (array_max($"fi").cast("double") / lit(1000.0)).as("feat_max"))
       .orderBy($"doc_id")
   }
+  private val q51Sql =
+    """WITH f AS (
+      |  SELECT doc_id, sha256(text) AS sha,
+      |    list_transform(range(0, 8),
+      |      i -> CAST(CAST('0x' || substr(sha256(text), i*6 + 1, 6) AS INTEGER)
+      |           AS BIGINT) % 1000) AS fi
+      |  FROM documents)
+      |SELECT doc_id,
+      |  32 + CAST('0x' || substr(sha, 49, 6) AS INTEGER)::BIGINT % 225 AS width,
+      |  32 + CAST('0x' || substr(sha, 55, 6) AS INTEGER)::BIGINT % 225 AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  (32 + CAST('0x' || substr(sha, 49, 6) AS INTEGER)::BIGINT % 225)
+      |    * (32 + CAST('0x' || substr(sha, 55, 6) AS INTEGER)::BIGINT % 225)
+      |    * 3 AS n_values,
+      |  CAST(list_sum(fi) AS DOUBLE) / 1000.0 AS feat_sum,
+      |  CAST(list_min(fi) AS DOUBLE) / 1000.0 AS feat_min,
+      |  CAST(list_max(fi) AS DOUBLE) / 1000.0 AS feat_max
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
     "q51_multimodal_decode_stub" -> q51)
 
   val oracleSql: Map[String, String] = Map(
-    "q50_multimodal_metadata" -> q50Sql)
+    "q50_multimodal_metadata" -> q50Sql,
+    "q51_multimodal_decode_stub" -> q51Sql)
 }

@@ -131,18 +131,29 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------- q42
-  /** LSH-bucketed approximate top-5 (scale path, rows-only check): 8
-    * deterministic pseudo-random hyperplanes → 8 sign bits → bucket id;
-    * search only within the query's bucket. Not SQL-expressible
-    * (xxhash64-seeded planes); recall semantics unit-tested on clustered
+  /** LSH-bucketed approximate top-5 (scale path): 8 deterministic
+    * pseudo-random hyperplanes → 8 sign bits → bucket id; search only
+    * within the query's bucket. Plane weights come from a pure integer
+    * formula (no engine-specific hash), and the plane dot is the same
+    * sequential kernel as q40/q41 — so the whole approximate pipeline,
+    * bucket assignment included, is replicated exactly by the DuckDB
+    * oracle. Recall semantics additionally unit-tested on clustered
     * synthetic data (VectorOpsSpec). */
   private val nPlanes = 8
 
-  /** hyperplane p as a 64-dim deterministic pseudo-random array column */
+  /** deterministic plane weight in (-1, 1]: integer formula, identical in
+    * any engine: w(p,j) = ((1000003·p + 12345 + 7919·j + 104729·p·j)
+    * mod 2001 − 1000) / 1000 */
+  private def planeWeight(p: Int, j: Column): Column =
+    ((lit(1000003L * p + 12345L) + lit(7919L) * j + lit(104729L * p) * j)
+      % lit(2001L) - lit(1000L)).cast("double") / lit(1000.0)
+  private def planeWeightSql(p: Int, j: String): String =
+    s"CAST((${1000003L * p + 12345L} + 7919*$j + ${104729L * p}*$j) % 2001" +
+      s" - 1000 AS DOUBLE) / 1000.0"
+
+  /** hyperplane p as a 64-dim array column (constant-folded by Catalyst) */
   private def plane(p: Int): Column =
-    transform(sequence(lit(1), lit(64)),
-      j => (pmod(xxhash64(lit("plane"), lit(p), j), lit(2001L)) - lit(1000L))
-        .cast("double") / lit(1000.0))
+    transform(sequence(lit(1), lit(64)), j => planeWeight(p, j))
 
   /** bucket id = concatenated sign bits of dot(embedding, plane_p) */
   def lshBucket(embCol: Column): Column =
@@ -150,6 +161,14 @@ object VectorOps {
       when(dot(embCol.cast("array<double>"), plane(p)) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** DuckDB mirror of [[lshBucket]]. */
+  private def lshBucketSql(e: String): String =
+    (0 until nPlanes).map { p =>
+      val d = s"list_sum(list_transform(range(1, 65), " +
+        s"j -> CAST($e[j] AS DOUBLE) * (${planeWeightSql(p, "j")})))"
+      s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private val q42: Q = (s, dir) => {
     import s.implicits._
@@ -164,6 +183,22 @@ object VectorOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
       .orderBy($"query_id", $"rank")
+  }
+  private val q42Sql = {
+    val d = dotSql("e.embedding", "q.qv")
+    s"""WITH bkt AS (
+       |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, $d AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                       ORDER BY $d DESC, e.vec_id ASC) AS rank
+       |  FROM bkt e
+       |  JOIN (SELECT vec_id AS query_id, embedding AS qv, bucket
+       |        FROM bkt WHERE vec_id < 10) q
+       |    ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q44
@@ -204,6 +239,7 @@ object VectorOps {
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
     "q41_knn_brute_force" -> q41Sql,
+    "q42_ann_lsh_bucketed" -> q42Sql,
     "q43_nn_within_label" -> q43Sql,
     "q44_embedding_near_dup" -> q44Sql)
 }

@@ -63,5 +63,11 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(metas.forall(m => m.channels === 3 && m.n_bytes > 0))
     // deterministic across runs
     assert(MultimodalOps.decodeBatch(media).collect().toSeq === metas.toSeq)
+    // and consistent with the expression-side decodeStub kernel
+    val stub = docs.transform(MultimodalOps.asBinary)
+      .select($"doc_id", MultimodalOps.decodeStub($"payload").as("m"))
+      .select($"doc_id", $"m.width", $"m.height").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    metas.foreach(m => assert(stub(m.doc_id) === (m.width, m.height)))
   }
 }
