@@ -21,6 +21,7 @@ object SparkEntry {
       operators.EventOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
+      operators.RangeJoin.queries ++ operators.TrainingOps.queries ++
       streaming.StreamAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.EventOps.oracleSql ++
       operators.TextOps.oracleSql ++ operators.DedupOps.oracleSql ++
       operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++
+      operators.RangeJoin.oracleSql ++ operators.TrainingOps.oracleSql ++
       streaming.StreamAnalytics.oracleSql
 }

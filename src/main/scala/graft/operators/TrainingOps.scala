@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Training-data-pipeline operators (driver-mandated extension, SURVEY.md
+  * §2.10): relevance scoring and reproducible sampling — the selection
+  * stages of an LLM data pipeline.
+  *
+  * Scale notes: TF-IDF is two hash aggregations (term-frequency, document-
+  * frequency) plus one equi-join on term — the df side is orders of
+  * magnitude smaller than the token stream, and the corpus size joins in as
+  * a 1-row broadcast, never a collect. Hash-based sampling is a stateless
+  * map-side filter: no RNG state, no seed coordination across executors,
+  * trivially reproducible and pushed to the scan. Both are built on
+  * [[graft.functions.PortableHash]] → fully DuckDB-oracled.
+  */
+object TrainingOps {
+  type Q = (SparkSession, String) => DataFrame
+  import PortableHash.tokenHashPSql
+
+  /** Deterministic Bernoulli sample: keep rows whose key hashes into the
+    * first `rateBp` of 10,000 basis points. Same rows on every run, every
+    * engine, any cluster size — the property seeded RNG sampling loses the
+    * moment partitioning changes. */
+  def hashSample(df: DataFrame, keyCol: String, rateBp: Long): DataFrame =
+    df.filter(PortableHash.tokenHashP(col(keyCol)) % lit(10000L) < lit(rateBp))
+
+  // ---------------------------------------------------------------- q55
+  /** TF-IDF: top-3 most characteristic terms per document. Natural-log
+    * damping; `ln` agrees across libms except occasional 1-ulp drift, so
+    * the score is rounded to 6 decimals and the ranking runs on the
+    * ROUNDED score — ulp drift collapses into ties, which the term
+    * tie-break resolves identically in both engines. */
+  private val q55: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tfidf = round($"tf".cast("double") *
+      log($"n_docs".cast("double") / $"df".cast("double")), 6)
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", tfidf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf", $"rank")
+      .orderBy($"doc_id", $"rank")
+  }
+  private val q55Sql = {
+    val score = "ROUND(CAST(tf AS DOUBLE) * " +
+      "ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+       |  SELECT doc_id, tfq.term AS term, tf, df, $score AS tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY $score DESC, tfq.term ASC) AS rank
+       |  FROM tfq JOIN dfq ON tfq.term = dfq.term CROSS JOIN n)
+       |WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q56
+  /** 5% deterministic Bernoulli sample of events by event_id hash. */
+  private val q56: Q = (s, dir) => {
+    import s.implicits._
+    hashSample(Tables(s, dir, "events"), "event_id", 500L)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+  private val q56Sql =
+    s"""SELECT event_id, user_id, event_type, value
+       |FROM events
+       |WHERE ${tokenHashPSql("event_id")} % 10000 < 500
+       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Stratified deterministic sample: per-stratum rates (downsample the
+    * dominant classes, keep the rare one) — the class-rebalancing stage of
+    * a training pipeline, as one stateless filter. */
+  private val q57: Q = (s, dir) => {
+    import s.implicits._
+    val rateBp = when($"event_type" === "view", 100L)
+      .when($"event_type" === "click", 200L)
+      .otherwise(2000L)
+    Tables(s, dir, "events")
+      .filter(PortableHash.tokenHashP($"event_id") % lit(10000L) < rateBp)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+      .orderBy($"event_type")
+  }
+  private val q57Sql =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+       |FROM events
+       |WHERE ${tokenHashPSql("event_id")} % 10000 <
+       |  CASE event_type WHEN 'view' THEN 100 WHEN 'click' THEN 200
+       |       ELSE 2000 END
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q55_tfidf_top_terms" -> q55,
+    "q56_hash_sample" -> q56,
+    "q57_stratified_sample" -> q57)
+
+  val oracleSql: Map[String, String] = Map(
+    "q55_tfidf_top_terms" -> q55Sql,
+    "q56_hash_sample" -> q56Sql,
+    "q57_stratified_sample" -> q57Sql)
+}

@@ -229,17 +229,91 @@ object VectorOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q58
+  /** IVF-style ANN (the second scale path, complementing q42's LSH):
+    * partition the corpus into inverted-file cells by nearest centroid,
+    * then search only the query's `nProbe` closest cells. Centroids here
+    * are a deterministic corpus sample (vec_id < nCells) — production
+    * would run Lloyd iterations to refine them, which changes recall, not
+    * the operator shape. At 100 TB: centroids broadcast (tiny), cell
+    * assignment is map-side, the corpus is hash-partitioned by cell id,
+    * and each query probes nProbe partitions instead of scanning N.
+    * Fully deterministic → DuckDB-oracled. */
+  private val nCells = 16
+  private val nProbe = 2
+
+  private val q58: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    // cell assignment: nearest centroid by dot (inputs are normalized)
+    val wCell = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cent_id".asc)
+    val cells = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cent_id",
+        dot($"embedding", $"cv").as("cdot"))
+      .withColumn("rn", row_number().over(wCell)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+    // each query probes its nProbe nearest cells
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cdot".desc, $"cent_id".asc)
+    val probes = e.filter($"vec_id" < 10).crossJoin(broadcast(cents))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cent_id",
+        dot($"embedding", $"cv").as("cdot"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
+      .select($"query_id", $"qv", $"cent_id".as("cell"))
+    // exact top-5 within the probed cells (each corpus vector lives in
+    // exactly one cell, so no candidate is scored twice)
+    val wTop = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id".asc)
+    cells.join(probes, "cell").filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dot($"qv", $"embedding").as("dot"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q58Sql = {
+    val dAsg = dotSql("e.embedding", "cents.cv")
+    val dTop = dotSql("c.embedding", "p.qv")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents)
+       |  WHERE rn = 1),
+       |prb AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qv, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents WHERE e.vec_id < 10)
+       |  WHERE rn <= $nProbe)
+       |SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, $dTop AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |                       ORDER BY $dTop DESC, c.vec_id ASC) AS rank
+       |  FROM cells c JOIN prb p ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
     "q42_ann_lsh_bucketed" -> q42,
     "q43_nn_within_label" -> q43,
-    "q44_embedding_near_dup" -> q44)
+    "q44_embedding_near_dup" -> q44,
+    "q58_ann_ivf_cells" -> q58)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
     "q41_knn_brute_force" -> q41Sql,
     "q42_ann_lsh_bucketed" -> q42Sql,
     "q43_nn_within_label" -> q43Sql,
-    "q44_embedding_near_dup" -> q44Sql)
+    "q44_embedding_near_dup" -> q44Sql,
+    "q58_ann_ivf_cells" -> q58Sql)
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sampling is deterministic and partitioning-independent") {
+    val df = spark.range(0, 10000).select($"id".as("k"))
+    val once = TrainingOps.hashSample(df, "k", 1000L)
+      .collect().map(_.getLong(0)).toSet
+    val again = TrainingOps.hashSample(df.repartition(13), "k", 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(once === again) // same rows regardless of physical layout
+    // ~10% within loose tolerance (hash uniformity)
+    assert(once.size > 700 && once.size < 1300, s"got ${once.size}")
+  }
+
+  test("hash sampling rate is monotone in rateBp and nested") {
+    val df = spark.range(0, 5000).select($"id".as("k"))
+    val small = TrainingOps.hashSample(df, "k", 100L)
+      .collect().map(_.getLong(0)).toSet
+    val large = TrainingOps.hashSample(df, "k", 2000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large)) // raising the rate only adds rows
+  }
+
+  test("tf-idf ranks a distinctive term above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common rare common"),
+      (2L, "common common common common"),
+      (3L, "common other common other")
+    ).toDF("doc_id", "text").createOrReplaceTempView("tdocs")
+    val toks = spark.table("tdocs")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = spark.table("tdocs").agg(count(lit(1)).as("n_docs"))
+    val top = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", $"tf".cast("double") *
+        log($"n_docs".cast("double") / $"df".cast("double")))
+      .filter($"doc_id" === 1L)
+      .orderBy($"tfidf".desc, $"term")
+      .select($"term").head().getString(0)
+    assert(top === "rare") // df=1 beats the df=3 'common' despite tf=3
+  }
+}

@@ -70,4 +70,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(ann.nonEmpty && ann.size <= 10 * 5)
     assert(all === 500)
   }
+
+  test("IVF cells partition the corpus; probed search ranks consistently") {
+    val ivf = VectorOps.queries("q58_ann_ivf_cells")(spark, sf).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10 * 5)
+    // per query: ranks are 1..k and dots are non-increasing in rank
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === (1L to byRank.length).toSeq)
+      val dots = byRank.map(_.getDouble(2)).toSeq
+      assert(dots === dots.sorted.reverse)
+    }
+    // IVF top-1 should usually agree with brute force (recall sanity):
+    // require agreement for at least half the queries on this corpus
+    val bf = VectorOps.queries("q41_knn_brute_force")(spark, sf).collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = ivf.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = top1.count { case (q, n) => bf.get(q).contains(n) }
+    assert(agree * 2 >= top1.size, s"IVF top-1 agreement $agree/${top1.size}")
+  }
 }
