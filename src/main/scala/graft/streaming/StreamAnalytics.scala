@@ -43,6 +43,22 @@ object StreamAnalytics {
       delay: String): DataFrame =
     stream.withWatermark(tsCol, delay)
 
+  /** Stream-stream interval join (attribution shape): each left row joins
+    * right rows with the same key whose time falls in
+    * [leftTs, leftTs + maxDelay]. In streaming, BOTH inputs must carry
+    * watermarks — the interval bound is what lets Spark expire join state
+    * (a left row can stop waiting once the right watermark passes
+    * leftTs + maxDelay); without it state grows forever. In batch the same
+    * expression is a plain equi-join with a range refine — the key keeps
+    * it hash-partitionable at any scale. Column names must be disjoint. */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      maxDelay: String): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+
   private val fmt = "yyyy-MM-dd HH:mm:ss"
   private val fmtSql = "%Y-%m-%d %H:%M:%S"
 
@@ -100,11 +116,41 @@ object StreamAnalytics {
        |GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** View→purchase attribution: the stream-stream interval join (batch
+    * registration; StreamAnalyticsSpec drives the same operator through
+    * two MemoryStreams with watermarks). */
+  private val q59: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val views = e.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"))
+    intervalJoin(views, "user_id", "view_ts",
+        purchases, "p_user", "purchase_ts", "1 HOUR")
+      .select($"user_id", $"view_id", $"purchase_id",
+        (unix_micros($"purchase_ts") - unix_micros($"view_ts")).as("delay_us"))
+      .orderBy($"user_id", $"view_id", $"purchase_id")
+  }
+  private val q59Sql =
+    """SELECT v.user_id AS user_id, v.event_id AS view_id,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_hourly_windows" -> q28,
-    "q29_session_windows" -> q29)
+    "q29_session_windows" -> q29,
+    "q59_interval_join_attribution" -> q59)
 
   val oracleSql: Map[String, String] = Map(
     "q28_hourly_windows" -> q28Sql,
-    "q29_session_windows" -> q29Sql)
+    "q29_session_windows" -> q29Sql,
+    "q59_interval_join_attribution" -> q59Sql)
 }

@@ -77,6 +77,37 @@ class StreamAnalyticsSpec extends SparkSpec {
     assert(out === List((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("stream-stream interval join matches pairs within the delay bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewsSrc = MemoryStream[(Long, Long, Timestamp)]
+    val purchSrc = MemoryStream[(Long, Long, Timestamp)]
+    val views = StreamAnalytics.withLateDataDropped(
+      viewsSrc.toDF().toDF("view_id", "user_id", "view_ts"), "view_ts",
+      "10 minutes")
+    val purchases = StreamAnalytics.withLateDataDropped(
+      purchSrc.toDF().toDF("purchase_id", "p_user", "purchase_ts"),
+      "purchase_ts", "10 minutes")
+    val joined = StreamAnalytics.intervalJoin(
+        views, "user_id", "view_ts",
+        purchases, "p_user", "purchase_ts", "1 HOUR")
+      .select($"view_id", $"purchase_id")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      viewsSrc.addData((1L, 7L, ts("2024-01-01 10:00:00")),
+        (2L, 7L, ts("2024-01-01 12:00:00")),
+        (3L, 8L, ts("2024-01-01 10:00:00")))
+      purchSrc.addData(
+        (101L, 7L, ts("2024-01-01 10:30:00")), // within 1h of view 1
+        (102L, 7L, ts("2024-01-01 11:30:00")), // >1h after view 1, <12:00
+        (103L, 9L, ts("2024-01-01 10:30:00"))) // no matching user
+      q.processAllAvailable()
+      val out = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out === Set((1L, 101L)))
+    } finally q.stop()
+  }
+
   test("sliding windows count each event in overlapping frames") {
     val df = Seq((ts("2024-01-01 10:15:00"), "a", 1.0))
       .toDF("ts", "event_type", "value")
