@@ -39,10 +39,12 @@ object DedupOps {
     exploded.groupBy(col(idCol)).agg(sigAggs(k).head, sigAggs(k).drop(1): _*)
   }
 
-  private def sigAggs(k: Int): Seq[Column] = {
-    val h = PortableHash.tokenHashP(col("__tok"))
+  /** k min-of-permutation aggregates over a mod-P hash column. */
+  private def sigAggsOver(k: Int, h: Column): Seq[Column] =
     (0 until k).map(i => min(PortableHash.perm(i, h)).as(s"__h$i"))
-  }
+
+  private def sigAggs(k: Int): Seq[Column] =
+    sigAggsOver(k, PortableHash.tokenHashP(col("__tok")))
 
   /** band-hash columns over the __h signature components: order-sensitive
     * fold seeded with the band index */
@@ -95,32 +97,70 @@ object DedupOps {
 
     // NOTE: the vocab-size probe is one extra (cheap, column-pruned) job at
     // plan time — the price of picking the kernel adaptively.
-    if (vocab.count() <= graft.functions.TokenBitmask.MaxVocab) {
+    val vocabSize = vocab.count()
+    if (vocabSize <= graft.functions.TokenBitmask.MaxVocab) {
+      // Exact-duplicate collapse first: a MinHash signature depends only on
+      // the token SET, so docs with identical masks are interchangeable.
+      // All LSH work (signatures, banding, candidate join, verification)
+      // runs over DISTINCT masks — on a near-dup-dense corpus that shrinks
+      // the pair join quadratically — and doc-level pairs are expanded only
+      // for verified mask pairs. Signatures come from the ≤62-entry
+      // dictionary (bit-explode + broadcast join), so the per-token sha256
+      // disappears from the document pass entirely: the only per-doc work
+      // is the mask build. This is the production shape at 100 TB: exact
+      // dedup → sketch distinct sets → near-dup join on sketches.
       import graft.functions.TokenBitmask
       val dict = TokenBitmask.dictionary(vocab)
-      val sig = TokenBitmask.masks(exploded, dict, Seq(idCol),
-        extraAggs = sigAggs(numHashes))
-      // carry the mask through the band explode so the self-join emits
-      // verification-ready pairs — no extra joins to attach set data
+      val masks = TokenBitmask.masks(exploded, dict, Seq(idCol))
+      val groups = masks.groupBy(col("__mask"))
+        .agg(collect_list(col(idCol)).as("__members"))
+      val dictH = dict
+        .select(col("__idx"), PortableHash.tokenHashP(col("__tok")).as("__h"))
+      val sigList = sigAggsOver(numHashes, col("__h"))
+      val sigs = groups
+        .select(col("__mask"),
+          explode(sequence(lit(0), lit(vocabSize.toInt - 1))).as("__idx"))
+        .filter(expr("(shiftright(__mask, __idx) & 1) = 1"))
+        .join(broadcast(dictH), "__idx")
+        .groupBy(col("__mask"))
+        .agg(sigList.head, sigList.drop(1): _*)
       val rowsPerBand = numHashes / bands
-      val banded = sig
-        .select(col(idCol) +: col("__mask") +: bandHashCols(bands, rowsPerBand): _*)
-        .select(col(idCol), col("__mask"),
+      val banded = sigs
+        .select(col("__mask") +: bandHashCols(bands, rowsPerBand): _*)
+        .select(col("__mask"),
           posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
             .as(Seq("__bidx", "__bhash")))
-      val a = banded.select(col(idCol).as("id_a"), col("__mask").as("__ma"),
+      val a = banded.select(col("__mask").as("__ma"),
         col("__bidx"), col("__bhash"))
-      val b = banded.select(col(idCol).as("id_b"), col("__mask").as("__mb"),
+      val b = banded.select(col("__mask").as("__mb"),
         col("__bidx").as("__bidx2"), col("__bhash").as("__bhash2"))
-      a.join(b,
+      val maskPairs = a.join(b,
           col("__bidx") === col("__bidx2") &&
           col("__bhash") === col("__bhash2") &&
-          col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          graft.functions.TokenBitmask.jaccard(col("__ma"), col("__mb")))
+          col("__ma") < col("__mb"))
+        .select(col("__ma"), col("__mb")).distinct()
+        .withColumn("jaccard", TokenBitmask.jaccard(col("__ma"), col("__mb")))
         .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .distinct()
+      // expand verified mask pairs to doc pairs (each doc has one mask →
+      // no duplicate pairs; least/greatest restores id_a < id_b)
+      val ga = groups.select(col("__mask").as("__ma"),
+        col("__members").as("__mem_a"))
+      val gb = groups.select(col("__mask").as("__mb"),
+        col("__members").as("__mem_b"))
+      val cross = maskPairs.join(ga, "__ma").join(gb, "__mb")
+        .select(explode(col("__mem_a")).as("__x"), col("__mem_b"), col("jaccard"))
+        .select(col("__x"), explode(col("__mem_b")).as("__y"), col("jaccard"))
+        .select(least(col("__x"), col("__y")).as("id_a"),
+          greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
+      // identical-set pairs: same mask ⇒ same signature ⇒ always LSH
+      // candidates ⇒ jaccard exactly 1.0
+      val intra = groups.filter(size(col("__members")) >= 2)
+        .select(explode(col("__members")).as("__x"), col("__members"))
+        .select(col("__x"), explode(col("__members")).as("__y"))
+        .filter(col("__x") < col("__y"))
+        .select(col("__x").as("id_a"), col("__y").as("id_b"),
+          lit(1.0).as("jaccard"))
+      cross.union(intra)
     } else { // general array path
       val sig = exploded.groupBy(col(idCol))
         .agg(sigAggs(numHashes).head, sigAggs(numHashes).drop(1): _*)

@@ -83,16 +83,27 @@ object Relational3 {
 
   // ---------------------------------------------------------------- q48
   /** Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
-    * duplicate counts (bag semantics), unlike their DISTINCT forms. */
+    * duplicate counts (bag semantics), unlike their DISTINCT forms.
+    *
+    * Implemented via the bag-count identity — |A ∩all B|(v) = min(a_v, b_v),
+    * |A ∖all B|(v) = max(a_v − b_v, 0) — over per-value counts. The
+    * row-level `intersectAll`/`exceptAll` operators hash-partition every
+    * ROW by value, which on a 3-value column sends the whole table to 3
+    * reducers; per-side counts are map-side partial aggregates with a
+    * 3-row shuffle instead. Relational3Spec asserts this form equals the
+    * built-in operators row-for-row. */
   private val q48: Q = (s, dir) => {
     import s.implicits._
-    val ls = t(s, dir, "lineitem").select($"l_linestatus".as("status"))
-    val os = t(s, dir, "orders").select($"o_orderstatus".as("status"))
-    ls.intersectAll(os).groupBy($"status").agg(count(lit(1)).as("n_inter"))
-      .join(
-        os.exceptAll(ls).groupBy($"status").agg(count(lit(1)).as("n_except")),
-        Seq("status"), "full_outer")
-      .na.fill(0L, Seq("n_inter", "n_except"))
+    val lc = t(s, dir, "lineitem").groupBy($"l_linestatus".as("status"))
+      .agg(count(lit(1)).as("__ln"))
+    val oc = t(s, dir, "orders").groupBy($"o_orderstatus".as("status"))
+      .agg(count(lit(1)).as("__on"))
+    lc.join(oc, Seq("status"), "full_outer")
+      .na.fill(0L, Seq("__ln", "__on"))
+      .select($"status",
+        least($"__ln", $"__on").as("n_inter"),
+        greatest($"__on" - $"__ln", lit(0L)).as("n_except"))
+      .filter($"n_inter" > 0 || $"n_except" > 0)
       .orderBy($"status")
   }
   private val q48Sql =

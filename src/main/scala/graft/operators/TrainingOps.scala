@@ -41,12 +41,16 @@ object TrainingOps {
     val docs = Tables(s, dir, "documents")
     val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // df as a window count over the tf frame: one shuffle on term, and the
+    // expensive token aggregation is computed once — a groupBy+self-join
+    // would re-run the whole token pass for the df side
+    val df = tf.withColumn("df", count(lit(1))
+      .over(Window.partitionBy($"term")))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val tfidf = round($"tf".cast("double") *
       log($"n_docs".cast("double") / $"df".cast("double")), 6)
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
-    tf.join(df, "term").crossJoin(broadcast(n))
+    df.crossJoin(broadcast(n))
       .withColumn("tfidf", tfidf)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
