@@ -66,16 +66,28 @@ object Relational {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------- q02
-  /** 5-way join: two fact tables shuffled on keys, dims broadcast. */
+  /** 5-way join: fact tables shuffled on keys, dims broadcast. The widest
+    * table (lineitem) is pre-aggregated per order key BEFORE any join —
+    * partial decimal sums are exact, so this is semantics-preserving — and
+    * its shuffle carries 3 narrow columns instead of full rows; the
+    * orderkey partitioning feeds the orders join without a re-shuffle.
+    * At 100 TB this turns the |lineitem|-row join into an |orders|-row
+    * join. */
   private val q02: Q = (s, dir) => {
     import s.implicits._
-    t(s, dir, "customer")
-      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
-      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+    val lpart = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum(revenue(s).cast("decimal(38,4)")).as("__rev"),
+        count(lit(1)).as("__n"))
+    t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(lpart, $"o_orderkey" === $"l_orderkey")
+      .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"c_custkey" === $"o_custkey")
       .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(dsum(revenue(s)).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum($"__rev").cast("double").as("revenue"),
+        sum($"__n").as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
   private val q02Sql =

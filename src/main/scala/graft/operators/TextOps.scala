@@ -225,19 +225,39 @@ object TextOps {
       .select($"doc_id", $"source", explode(array_distinct(toks)).as("__tok"))
     val vocab = exploded.select($"__tok").distinct()
     if (vocab.count() <= TokenBitmask.MaxVocab) {
+      // Identical-set collapse (same move as the MinHash path): pair
+      // enumeration runs over DISTINCT (source, mask) combinations, and
+      // doc pairs are expanded only for mask pairs that pass the
+      // threshold — on a dup-dense corpus the quadratic join shrinks by
+      // the square of the average duplicate-group size.
       val d = TokenBitmask.masks(exploded, TokenBitmask.dictionary(vocab),
         Seq("doc_id", "source")).withColumnRenamed("__mask", "mask")
-      val a = d.alias("a")
-      val b = d.alias("b")
-      val inter = TokenBitmask.intersectCount($"a.mask", $"b.mask").cast("long")
-      val uni = TokenBitmask.unionCount($"a.mask", $"b.mask").cast("long")
-      a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-        .select(
-          $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          inter.as("n_common"),
+      val groups = d.groupBy($"source", $"mask")
+        .agg(collect_list($"doc_id").as("__members"))
+      val a = groups.select($"source", $"mask".as("__ma"),
+        $"__members".as("__mem_a"))
+      val b = groups.select($"source".as("__src_b"), $"mask".as("__mb"),
+        $"__members".as("__mem_b"))
+      val inter = TokenBitmask.intersectCount($"__ma", $"__mb").cast("long")
+      val uni = TokenBitmask.unionCount($"__ma", $"__mb").cast("long")
+      val cross = a.join(b, $"source" === $"__src_b" && $"__ma" < $"__mb")
+        .select($"__mem_a", $"__mem_b", inter.as("n_common"),
           (inter.cast("double") / uni.cast("double")).as("jaccard"))
         .filter($"jaccard" >= 0.9)
-        .orderBy($"doc_a", $"doc_b")
+        .select(explode($"__mem_a").as("__x"), $"__mem_b",
+          $"n_common", $"jaccard")
+        .select($"__x", explode($"__mem_b").as("__y"),
+          $"n_common", $"jaccard")
+        .select(least($"__x", $"__y").as("doc_a"),
+          greatest($"__x", $"__y").as("doc_b"), $"n_common", $"jaccard")
+      val intra = groups.filter(size($"__members") >= 2)
+        .select($"mask", explode($"__members").as("__x"), $"__members")
+        .select($"mask", $"__x", explode($"__members").as("__y"))
+        .filter($"__x" < $"__y")
+        .select($"__x".as("doc_a"), $"__y".as("doc_b"),
+          bit_count($"mask").cast("long").as("n_common"),
+          lit(1.0).as("jaccard"))
+      cross.union(intra).orderBy($"doc_a", $"doc_b")
     } else {
       val d = docs(s, dir)
         .select($"doc_id", $"source", array_distinct(toks).as("tokens"))
