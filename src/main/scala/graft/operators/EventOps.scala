@@ -209,20 +209,21 @@ object EventOps {
   private val KmvK = 128
   private val q27b: Q = (s, dir) => {
     import s.implicits._
-    import graft.functions.PortableHash
-    val hashed = ev(s, dir)
+    import graft.functions.{KmvSketch, PortableHash}
+    // single-pass native sketch aggregate (graft.functions.KmvSketch):
+    // partial sketches map-side, k longs per partition cross the wire —
+    // the distinct-then-top-k formulation the oracle uses shuffles every
+    // distinct hash; results are identical by construction
+    ev(s, dir)
       .select(PortableHash.tokenHashP($"user_id").as("h"))
-      .distinct()
-    val topK = hashed.orderBy($"h").limit(KmvK)
-    topK
-      .agg(max($"h").as("hk"), count(lit(1)).as("n_sketch"))
+      .agg(KmvSketch.sketch($"h", KmvK).as("sk"))
       .crossJoin(ev(s, dir).agg(
         countDistinct($"user_id").cast("long").as("exact_users")))
       .select(
-        when($"n_sketch" >= KmvK,
-          lit((KmvK - 1).toDouble * PortableHash.P) / $"hk")
-          .otherwise($"n_sketch".cast("double")).as("kmv_users"),
-        $"n_sketch".cast("long").as("n_sketch"),
+        when($"sk.n_sketch" >= KmvK,
+          lit((KmvK - 1).toDouble * PortableHash.P) / $"sk.kth")
+          .otherwise($"sk.n_sketch".cast("double")).as("kmv_users"),
+        $"sk.n_sketch".as("n_sketch"),
         $"exact_users")
   }
   private val q27bSql = {
