@@ -10,10 +10,15 @@ import graft.sources.Tables
 object GraftFunctions {
 
   /** Register custom expressions for SQL use (e.g.
-    * `SELECT seq_dot(a.embedding, b.embedding) ...`). */
-  def register(spark: SparkSession): Unit =
+    * `SELECT seq_dot(a.embedding, b.embedding) ...`,
+    * `SELECT kmv_sketch(h, 128).kth ...`). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "seq_dot", exprs => SequentialDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", exprs => KmvSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
 
   /** Expose a scale-factor directory as temp views named like the tables. */
   def registerTables(spark: SparkSession, dir: String): Unit =

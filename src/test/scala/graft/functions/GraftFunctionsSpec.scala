@@ -16,6 +16,17 @@ class GraftFunctionsSpec extends SparkSpec {
     r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0) < 1e-5))
   }
 
+  test("kmv_sketch is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    GraftFunctions.registerTables(spark, sf)
+    val r = spark.sql(
+      """SELECT sk.n_sketch AS n, sk.kth AS kth FROM (
+        |  SELECT kmv_sketch(vec_id, 16) AS sk FROM embeddings)""".stripMargin)
+      .head()
+    assert(r.getLong(0) === 16L)
+    assert(r.getLong(1) === 15L) // vec_ids 0..499 → 16 smallest end at 15
+  }
+
   test("registered views cover every table") {
     GraftFunctions.registerTables(spark, sf)
     graft.sources.Tables.all.foreach { t =>
