@@ -28,6 +28,25 @@ object DedupOps {
   /** distinct whitespace tokens of a text column */
   def tokenSet(textCol: Column): Column = array_distinct(split(textCol, " "))
 
+  /** distinct w-shingles (n-gram windows over the token SEQUENCE — order
+    * sensitive, unlike tokenSet): the standard MinHash unit for documents
+    * where word order matters. Docs shorter than n tokens get an empty
+    * set. */
+  def shingleSet(textCol: Column, n: Int): Column = {
+    val toksCol = split(textCol, " ")
+    when(size(toksCol) >= n,
+      array_distinct(transform(sequence(lit(1), size(toksCol) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(o => element_at(toksCol, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+  /** DuckDB mirror of [[shingleSet]] (n=2). */
+  def shingleSetSql(textExpr: String): String =
+    s"CASE WHEN len(string_split($textExpr, ' ')) >= 2 THEN " +
+      s"list_distinct(list_transform(range(1, len(string_split($textExpr, ' '))), " +
+      s"i -> string_split($textExpr, ' ')[i] || ' ' || string_split($textExpr, ' ')[i+1])) " +
+      s"ELSE [] END"
+
   // ------------------------------------------------------------ MinHash
   /** k-permutation MinHash signatures: one row per id, columns __h0..__h{k-1}.
     * Single explode + single groupBy — the k mins are computed in one
@@ -89,9 +108,17 @@ object DedupOps {
     * scale and falls back to a shuffle join when it grows. */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9): DataFrame =
+    minhashNearDupTokens(df, idCol, tokenSet(col(textCol)),
+      numHashes, bands, threshold)
+
+  /** [[minhashNearDup]] over an arbitrary token-set expression — the same
+    * pipeline runs on unigram sets, w-shingles, or any precomputed
+    * array<string> feature column. */
+  def minhashNearDupTokens(df: DataFrame, idCol: String, toksCol: Column,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val toks = df.select(col(idCol), tokenSet(col(textCol)).as("__toks"))
+    val toks = df.select(col(idCol), toksCol.as("__toks"))
     val exploded = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
     val vocab = exploded.select("__tok").distinct()
 
@@ -217,11 +244,13 @@ object DedupOps {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** DuckDB mirror of the full LSH pipeline: same token hash, same affine
-    * permutations, same band fold, same candidate join, same exact-Jaccard
-    * verification (list_intersect == bitmask kernel on distinct sets). */
-  private val q36Sql: String = {
-    val numHashes = 16; val bands = 4; val rpb = numHashes / bands
+  /** DuckDB mirror of the full LSH pipeline over any token-set SQL
+    * expression: same token hash, same affine permutations, same band
+    * fold, same candidate join, same exact-Jaccard verification
+    * (list_intersect == bitmask kernel on distinct sets). */
+  private def lshPipelineSql(tokensExpr: String, numHashes: Int, bands: Int,
+      threshold: Double): String = {
+    val rpb = numHashes / bands
     val sigCols = (0 until numHashes)
       .map(i => s"    min(${permSql(i, "h")}) AS h${i}")
       .mkString(",\n")
@@ -230,7 +259,7 @@ object DedupOps {
       s"  SELECT doc_id, $b AS bidx, ${foldSql(b.toLong, parts)} AS bhash FROM sig"
     }.mkString("\n  UNION ALL\n")
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  SELECT doc_id, unnest($tokensExpr) AS tok
        |  FROM documents),
        |th AS (SELECT doc_id, ${tokenHashPSql("tok")} AS h FROM toks),
        |sig AS (
@@ -244,7 +273,7 @@ object DedupOps {
        |  FROM bnd a JOIN bnd b
        |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
        |sets AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+       |  SELECT doc_id, $tokensExpr AS s
        |  FROM documents)
        |SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
@@ -255,9 +284,12 @@ object DedupOps {
        |JOIN sets sb ON cand.id_b = sb.doc_id
        |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
        |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |    >= 0.9
+       |    >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  private val q36Sql: String =
+    lshPipelineSql("list_distinct(string_split(text, ' '))", 16, 4, 0.9)
 
   /** q37: SimHash signature + order-sensitive rolling fingerprint per doc. */
   private val q37: Q = (s, dir) => {
@@ -296,11 +328,27 @@ object DedupOps {
        |FROM sh JOIN roll ON sh.doc_id = roll.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Order-sensitive near-dup via 2-gram shingle MinHash-LSH: documents
+    * that share vocabulary but not word order (which unigram Jaccard, q36,
+    * calls identical) only match here when their token SEQUENCES overlap.
+    * Same pipeline, shingle token unit, large vocab → general array path. */
+  private val q60: Q = (s, dir) => {
+    import s.implicits._
+    minhashNearDupTokens(Tables(s, dir, "documents"), "doc_id",
+      shingleSet($"text", 2), numHashes = 16, bands = 4, threshold = 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q60Sql: String =
+    lshPipelineSql(shingleSetSql("text"), 16, 4, 0.8)
+
   val queries: Map[String, Q] = Map(
     "q36_minhash_near_dup" -> q36,
-    "q37_simhash_fingerprints" -> q37)
+    "q37_simhash_fingerprints" -> q37,
+    "q60_shingle_near_dup" -> q60)
 
   val oracleSql: Map[String, String] = Map(
     "q36_minhash_near_dup" -> q36Sql,
-    "q37_simhash_fingerprints" -> q37Sql)
+    "q37_simhash_fingerprints" -> q37Sql,
+    "q60_shingle_near_dup" -> q60Sql)
 }

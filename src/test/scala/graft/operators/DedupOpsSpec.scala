@@ -38,6 +38,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows(1L) !== rows(4L))
   }
 
+  test("shingles are order-sensitive; reordered docs stop matching") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"), // identical
+      (3L, "jumps fox brown quick the"), // same bag, reversed order
+      (4L, "x")                          // shorter than a 2-shingle
+    ).toDF("doc_id", "text")
+    val sh = docs.select($"doc_id",
+      DedupOps.shingleSet($"text", 2).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) === Set("the quick", "quick brown", "brown fox", "fox jumps"))
+    assert(sh(1L) === sh(2L))
+    assert((sh(1L) intersect sh(3L)).isEmpty) // order flip kills all shingles
+    assert(sh(4L).isEmpty)
+    // unigram near-dup says 1~3 are identical; shingle near-dup does not
+    val uni = DedupOps.minhashNearDup(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shg = DedupOps.minhashNearDupTokens(docs, "doc_id",
+      DedupOps.shingleSet($"text", 2), numHashes = 16, bands = 8,
+      threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uni.contains((1L, 3L)))
+    assert(shg === Set((1L, 2L)))
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val sh = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

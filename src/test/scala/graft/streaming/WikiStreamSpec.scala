@@ -120,4 +120,23 @@ class WikiStreamSpec extends SparkSpec {
     assert(cfg.streamUrl === GraftConfig().streamUrl) // default kept
     assert(cfg.commitIntervalSeconds === 2)
   }
+
+  test("yaml layer sits between env and defaults (O3 precedence)") {
+    val yml = java.nio.file.Files.createTempFile("graft", ".yaml")
+    java.nio.file.Files.write(yml,
+      """# reference-shaped flat config
+        |stream_url: "https://example.org/stream"
+        |db_max_events: 250000   # comment after value
+        |user_agent: YamlAgent
+        |""".stripMargin.getBytes)
+    val cfg = GraftConfig.loadWithYaml(yml.toString,
+      Map("ETL_USER_AGENT" -> "EnvAgent"))
+    assert(cfg.userAgent === "EnvAgent") // env beats yaml
+    assert(cfg.streamUrl === "https://example.org/stream") // yaml beats default
+    assert(cfg.dbMaxEvents === 250000L)
+    assert(cfg.commitIntervalSeconds === 2) // default kept
+    // missing file degrades to env > default
+    val cfg2 = GraftConfig.loadWithYaml("/nonexistent.yaml", Map.empty)
+    assert(cfg2 === GraftConfig())
+  }
 }
