@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
       operators.RangeJoin.queries ++ operators.TrainingOps.queries ++
+      operators.Skew.queries ++
       streaming.StreamAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.TextOps.oracleSql ++ operators.DedupOps.oracleSql ++
       operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++
       operators.RangeJoin.oracleSql ++ operators.TrainingOps.oracleSql ++
+      operators.Skew.oracleSql ++
       streaming.StreamAnalytics.oracleSql
 }

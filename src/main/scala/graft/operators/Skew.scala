@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
 
 /** Skew mitigation by key salting (SURVEY.md §2.10 / prompt: "salting for
   * skew"). AQE's skew-join handles sort-merge cases at runtime; explicit
@@ -36,4 +39,33 @@ object Skew {
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedBig.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  // ---------------------------------------------------------------- q61
+  /** Supplier-nation revenue through the salted join: the salt changes
+    * only the physical row distribution (every hot l_suppkey spreads over
+    * 16 sub-keys), never the result — which is exactly what the oracle's
+    * plain join verifies. */
+  type Q = (SparkSession, String) => DataFrame
+  private val q61: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("suppkey"), $"l_extendedprice", $"l_discount")
+    val sup = Tables(s, dir, "supplier")
+      .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+    saltJoin(li, sup, "suppkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+      .orderBy($"s_nationkey")
+  }
+  private val q61Sql =
+    s"""SELECT s_nationkey, COUNT(*) AS n_lines,
+       |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey
+       |ORDER BY s_nationkey""".stripMargin
+
+  val queries: Map[String, Q] = Map("q61_salted_join" -> q61)
+  val oracleSql: Map[String, String] = Map("q61_salted_join" -> q61Sql)
 }
