@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Sink-side physical layout (K5/K6, SURVEY.md §2.2/§4).
   *
@@ -37,4 +38,29 @@ object ParquetSink {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** R1 retention at scale: drop whole date partitions older than
+    * `cutoff` from an [[appendTimePartitioned]] sink. Deleting a
+    * partition directory is a metadata-sized operation — no data rewrite,
+    * unlike the compact-and-swap a flat sink needs
+    * (WikiStream.appendWithRetention); with a Delta-style table this is
+    * literally `DELETE WHERE date < cutoff`. Time-based retention rather
+    * than the reference's row-count cap: at 100 TB "keep newest N rows"
+    * is itself expressed as a date cutoff. Returns the dropped dates. */
+  def dropPartitionsBefore(spark: SparkSession, path: String,
+      cutoff: java.time.LocalDate): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val Part = "__event_date=(\\d{4}-\\d{2}-\\d{2})".r
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case Part(d) if java.time.LocalDate.parse(d).isBefore(cutoff) =>
+          require(fs.delete(st.getPath, true),
+            s"failed to drop partition ${st.getPath}")
+          Some(d)
+        case _ => None
+      }).sorted
+  }
 }

@@ -42,6 +42,25 @@ class ParquetSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("partition-drop retention removes only pre-cutoff dates") {
+    val dir = Files.createTempDirectory("pdrop").toString + "/t"
+    val df = spark.range(0, 10).select(
+      timestamp_seconds(lit(1700000000L) + $"id" * 86400).as("ts"),
+      $"id".as("v"))
+    ParquetSink.appendTimePartitioned(df, dir, "ts")
+    // day 0 = 2023-11-14; cutoff keeps the last 4 days (ids 6..9)
+    val dropped = ParquetSink.dropPartitionsBefore(spark, dir,
+      java.time.LocalDate.parse("2023-11-20"))
+    assert(dropped.size === 6)
+    assert(dropped.head === "2023-11-14")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4)
+    assert(back.agg(min($"v")).head().getLong(0) === 6L)
+    // idempotent: nothing left to drop
+    assert(ParquetSink.dropPartitionsBefore(spark, dir,
+      java.time.LocalDate.parse("2023-11-20")).isEmpty)
+  }
+
   test("appendSorted writes readable sorted parquet") {
     val dir = Files.createTempDirectory("psort").toString + "/t"
     val df = spark.range(0, 50).select(($"id" * 7 % 50).as("k"), $"id".as("v"))
