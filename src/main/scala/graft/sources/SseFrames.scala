@@ -59,7 +59,10 @@ object SseFrames {
 
       private def advance(): Unit = {
         while (nextEvent.isEmpty && it.hasNext) {
-          val line = it.next()
+          val raw = it.next()
+          // SSE line terminators may be \n or \r\n; callers split on \n,
+          // so tolerate a trailing \r here (a lone "\r" is a blank line)
+          val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
           if (line.isEmpty) nextEvent = finishFrame()
           else if (line.startsWith(":")) () // comment / heartbeat
           else {

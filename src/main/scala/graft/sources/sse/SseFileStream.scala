@@ -128,7 +128,10 @@ object SseFileStreamProvider {
           val b = buf.get()
           pos += 1
           if (b == '\n') {
-            val line = new String(lineBytes.toByteArray, StandardCharsets.UTF_8)
+            val raw = new String(lineBytes.toByteArray, StandardCharsets.UTF_8)
+            // tolerate \r\n terminators: boundary/sticky logic must see the
+            // same line content the frame parser does (byte math stays raw)
+            val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
             lineBytes.reset()
             if (line.isEmpty) {
               bytesThroughLastBlank = pos

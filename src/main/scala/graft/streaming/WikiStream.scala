@@ -40,9 +40,22 @@ object WikiStream {
       WikiIngest.dedup(typed)
   }
 
+  /** Dedup key of the sink table — the reference's UNIQUE constraint
+    * (pipeline.py:216). */
+  val DedupKey: Seq[String] = Seq("event_timestamp", "username", "title")
+
   /** K1 append + R1 retention with F6 hysteresis, run per micro-batch.
     * At scale the rewrite becomes a partition drop / Delta DELETE; on plain
-    * parquet it is a compact-and-swap of the sink directory. */
+    * parquet it is a compact-and-swap of the sink directory.
+    *
+    * D1 at the SINK: before appending, rows already present under the
+    * UNIQUE key are anti-joined away — the reference's IntegrityError-skip
+    * (pipeline.py:173-174). This is what makes a replayed micro-batch
+    * (foreachBatch retries are at-least-once) idempotent even though the
+    * in-stream watermarked dedup has already forgotten old keys. At scale
+    * the anti-join does not scan history: replays only re-deliver recent
+    * data (bounded by checkpoint + watermark), so a time-partitioned sink
+    * prunes the probe to the newest partitions. */
   def appendWithRetention(batch: DataFrame, sinkDir: String,
       cfg: GraftConfig): Unit = {
     require(cfg.dbMaxEvents <= Int.MaxValue,
@@ -50,8 +63,16 @@ object WikiStream {
         "range; use time-partitioned retention (ParquetSink) instead")
     batch.persist()
     try {
-      batch.write.mode("append").parquet(sinkDir)
       val spark = batch.sparkSession
+      val sinkExists = {
+        val p = new Path(sinkDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val fresh =
+        if (!sinkExists) batch
+        else batch.join(spark.read.parquet(sinkDir).select(
+          DedupKey.map(col): _*), DedupKey, "left_anti")
+      fresh.write.mode("append").parquet(sinkDir)
       val sink = spark.read.parquet(sinkDir)
       if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
           cfg.cleanupHysteresis)) {

@@ -30,6 +30,15 @@ class SseFramesSpec extends SparkSpec {
     assert(events(3).data === "{\"tail\":true}")
   }
 
+  test("CRLF-terminated frames parse identically to LF frames") {
+    val lf = Seq("event: message", "data: x", "", "data: y", "")
+    val crlf = lf.map(l => if (l.isEmpty) "\r" else l + "\r")
+    val a = SseFrames.frameIterator(lf.iterator).toVector
+    val b = SseFrames.frameIterator(crlf.iterator).toVector
+    assert(a === b)
+    assert(a.map(_.data) === Vector("x", "y"))
+  }
+
   test("messageData keeps only non-empty message frames (F1)") {
     val lines = Seq(
       "event: message", "data: keep1", "",

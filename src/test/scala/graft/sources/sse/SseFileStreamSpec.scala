@@ -76,6 +76,25 @@ class SseFileStreamSpec extends SparkSpec {
     assert(s.bytes === 11L) // exactly past frame 1's terminator
   }
 
+  test("CRLF capture files tail correctly (boundaries on raw bytes)") {
+    import SseFileStreamProvider._
+    val file = Files.createTempDirectory("ssecrlf").toString + "/cap.sse"
+    Files.write(java.nio.file.Paths.get(file),
+      "id: a\r\ndata: one\r\n\r\n".getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val s1 = SseFileStreamProvider.advance(file, InitialState)
+    assert(s1.frames === 1L)
+    assert(s1.stickyId === "a")
+    assert(s1.bytes === Files.size(Paths.get(file)))
+    Files.write(java.nio.file.Paths.get(file), "data: two\r\n\r\n".getBytes,
+      StandardOpenOption.APPEND)
+    val s2 = SseFileStreamProvider.advance(file, s1)
+    assert(s2.frames === 2L)
+    val evs = SseFileStreamProvider.framesFrom(file, s1).toVector
+    assert(evs.map(_.data) === Vector("two"))
+    assert(evs.head.id === "a")
+  }
+
   test("sse-file source feeds the full wiki pipeline") {
     val file = Files.createTempDirectory("ssewiki").toString + "/capture.sse"
     val json = scala.io.Source

@@ -83,6 +83,37 @@ class WikiStreamSpec extends SparkSpec {
     assert(minTs.getTime / 1000 === 1700000000L + 69)
   }
 
+  test("replayed batch is idempotent at the sink (D1 UNIQUE semantics)") {
+    val sinkDir = Files.createTempDirectory("wiki_idem").toString + "/out"
+    val cfg = GraftConfig(dbMaxEvents = 1000)
+    val rows = spark.range(0, 20).select(
+      concat(lit("{\"n\":"), $"id", lit("}")).as("raw_json"),
+      timestamp_seconds(lit(1700000000L) + $"id").as("event_timestamp"),
+      concat(lit("T"), $"id").as("title"),
+      lit("u").as("title_url"),
+      lit(false).as("bot"),
+      lit("user").as("username"),
+      lit(0L).as("length_bytes_old"),
+      $"id".as("length_bytes_new"),
+      $"id".as("length_diff_bytes"))
+    WikiStream.appendWithRetention(rows, sinkDir, cfg)
+    // foreachBatch retry: the same batch arrives again, plus 5 new rows
+    val replayPlusNew = spark.range(10, 25).select(
+      concat(lit("{\"n\":"), $"id", lit("}")).as("raw_json"),
+      timestamp_seconds(lit(1700000000L) + $"id").as("event_timestamp"),
+      concat(lit("T"), $"id").as("title"),
+      lit("u").as("title_url"),
+      lit(false).as("bot"),
+      lit("user").as("username"),
+      lit(0L).as("length_bytes_old"),
+      $"id".as("length_bytes_new"),
+      $"id".as("length_diff_bytes"))
+    WikiStream.appendWithRetention(replayPlusNew, sinkDir, cfg)
+    val after = spark.read.parquet(sinkDir)
+    assert(after.count() === 25) // overlap absorbed, new rows kept
+    assert(after.select("title").distinct().count() === 25)
+  }
+
   test("v1 raw capture stores unparsed lines in a 1-column table (K2/K4)") {
     val srcDir = Files.createTempDirectory("raw_src").toString
     val sinkDir = Files.createTempDirectory("raw_sink").toString + "/out"
