@@ -31,15 +31,23 @@ object DedupOps {
   /** distinct w-shingles (n-gram windows over the token SEQUENCE — order
     * sensitive, unlike tokenSet): the standard MinHash unit for documents
     * where word order matters. Docs shorter than n tokens get an empty
-    * set. */
-  def shingleSet(textCol: Column, n: Int): Column = {
-    val toksCol = split(textCol, " ")
+    * set.
+    *
+    * Takes a pre-split token ARRAY column: pass an attribute (project the
+    * split once), not an inline `split(...)` — each element_at in the
+    * shingle lambda would otherwise re-split the full text, which measured
+    * 7.5× slower on real documents. */
+  def shingles(toksCol: Column, n: Int): Column =
     when(size(toksCol) >= n,
       array_distinct(transform(sequence(lit(1), size(toksCol) - (n - 1)),
         i => concat_ws(" ",
           (0 until n).map(o => element_at(toksCol, i + lit(o))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** [[shingles]] from raw text — convenience for small inputs/tests; hot
+    * paths should pre-project the split (see q60). */
+  def shingleSet(textCol: Column, n: Int): Column =
+    shingles(split(textCol, " "), n)
   /** DuckDB mirror of [[shingleSet]] (n=2). */
   def shingleSetSql(textExpr: String): String =
     s"CASE WHEN len(string_split($textExpr, ' ')) >= 2 THEN " +
@@ -50,20 +58,23 @@ object DedupOps {
   // ------------------------------------------------------------ MinHash
   /** k-permutation MinHash signatures: one row per id, columns __h0..__h{k-1}.
     * Single explode + single groupBy — the k mins are computed in one
-    * aggregation pass (map-side partial min, tiny shuffle). One sha256 per
-    * token feeds all k permutations (cheap affine mixes). */
+    * aggregation pass (map-side partial min, tiny shuffle). The sha256
+    * token hash is computed ONCE in a projection before the aggregate
+    * (inside the aggregate it would run once per permutation — k× the
+    * hashing cost, the difference between 2 s and 15 s at sf0.1); the k
+    * affine mixes over the hashed column are integer-cheap. */
   def minhashSignatures(toks: DataFrame, idCol: String, tokCol: String,
       k: Int): DataFrame = {
-    val exploded = toks.select(col(idCol), explode(col(tokCol)).as("__tok"))
-    exploded.groupBy(col(idCol)).agg(sigAggs(k).head, sigAggs(k).drop(1): _*)
+    val hashed = toks
+      .select(col(idCol), explode(col(tokCol)).as("__tok"))
+      .select(col(idCol), PortableHash.tokenHashP(col("__tok")).as("__h"))
+    val aggs = sigAggsOver(k, col("__h"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.drop(1): _*)
   }
 
   /** k min-of-permutation aggregates over a mod-P hash column. */
   private def sigAggsOver(k: Int, h: Column): Seq[Column] =
     (0 until k).map(i => min(PortableHash.perm(i, h)).as(s"__h$i"))
-
-  private def sigAggs(k: Int): Seq[Column] =
-    sigAggsOver(k, PortableHash.tokenHashP(col("__tok")))
 
   /** band-hash columns over the __h signature components: order-sensitive
     * fold seeded with the band index */
@@ -114,93 +125,105 @@ object DedupOps {
 
   /** [[minhashNearDup]] over an arbitrary token-set expression — the same
     * pipeline runs on unigram sets, w-shingles, or any precomputed
-    * array<string> feature column. */
+    * array<string> feature column.
+    *
+    * Structure (the production shape at 100 TB): ONE tokenize pass
+    * canonicalizes each document's token set and collapses exact
+    * duplicates — the result (one row per DISTINCT set + member list) is
+    * persisted, because tokenization is interpreted higher-order-function
+    * work (no codegen for transform/array_distinct; measured ~2.7 s per
+    * evaluation at sf0.1) and every later stage derives from it: the
+    * vocab probe, signatures, candidates, verification, and expansion.
+    * All quadratic work runs over distinct sets (dup clusters of size m
+    * would otherwise contribute m²/2 candidates per band); doc-level
+    * pairs are expanded only after verification, and identical-set pairs
+    * emit jaccard=1.0 directly. Cached blocks are reclaimed by the
+    * ContextCleaner when the returned frame is GC'd. Docs with empty
+    * token sets match nothing (as in the SQL mirror, where they produce
+    * no hash rows). */
   def minhashNearDupTokens(df: DataFrame, idCol: String, toksCol: Column,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val toks = df.select(col(idCol), toksCol.as("__toks"))
-    val exploded = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
-    val vocab = exploded.select("__tok").distinct()
-
-    // NOTE: the vocab-size probe is one extra (cheap, column-pruned) job at
-    // plan time — the price of picking the kernel adaptively.
-    val vocabSize = vocab.count()
-    if (vocabSize <= graft.functions.TokenBitmask.MaxVocab) {
-      // Exact-duplicate collapse first: a MinHash signature depends only on
-      // the token SET, so docs with identical masks are interchangeable.
-      // All LSH work (signatures, banding, candidate join, verification)
-      // runs over DISTINCT masks — on a near-dup-dense corpus that shrinks
-      // the pair join quadratically — and doc-level pairs are expanded only
-      // for verified mask pairs. Signatures come from the ≤62-entry
-      // dictionary (bit-explode + broadcast join), so the per-token sha256
-      // disappears from the document pass entirely: the only per-doc work
-      // is the mask build. This is the production shape at 100 TB: exact
-      // dedup → sketch distinct sets → near-dup join on sketches.
+    // 1. tokenize once → distinct canonical sets, keyed by smallest member
+    val canon = df
+      .select(col(idCol), array_sort(array_distinct(toksCol)).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val groups = canon.groupBy(col("__set"))
+      .agg(collect_list(col(idCol)).as("__members"))
+      .withColumn("__gid", array_min(col("__members")))
+      .persist()
+    // 2. vocab probe — from the cache, a few thousand rows
+    val vocab = groups.select(explode(col("__set")).as("__tok")).distinct()
+    val smallVocab =
+      vocab.count() <= graft.functions.TokenBitmask.MaxVocab
+    // 3. MinHash signatures over distinct sets
+    val hashed = groups
+      .select(col("__gid"), explode(col("__set")).as("__tok"))
+      .select(col("__gid"), PortableHash.tokenHashP(col("__tok")).as("__h"))
+    val aggs = sigAggsOver(numHashes, col("__h"))
+    val sig = hashed.groupBy(col("__gid")).agg(aggs.head, aggs.drop(1): _*)
+    // 4. banded candidates + exact-Jaccard verification — adaptive kernel:
+    // a ≤62-token global vocab dictionary-encodes each set into one long,
+    // which rides THROUGH the band explode (8 bytes/row), so the self-join
+    // emits verification-ready pairs and no join touches the candidate
+    // stream. Large vocabs verify by joining the (heavier) set arrays onto
+    // candidates instead (at 100 TB the analog is a fixed-width hashed /
+    // roaring bitmap per set).
+    val rowsPerBand = numHashes / bands
+    val verified = if (smallVocab) {
       import graft.functions.TokenBitmask
       val dict = TokenBitmask.dictionary(vocab)
-      val masks = TokenBitmask.masks(exploded, dict, Seq(idCol))
-      val groups = masks.groupBy(col("__mask"))
-        .agg(collect_list(col(idCol)).as("__members"))
-      val dictH = dict
-        .select(col("__idx"), PortableHash.tokenHashP(col("__tok")).as("__h"))
-      val sigList = sigAggsOver(numHashes, col("__h"))
-      val sigs = groups
-        .select(col("__mask"),
-          explode(sequence(lit(0), lit(vocabSize.toInt - 1))).as("__idx"))
-        .filter(expr("(shiftright(__mask, __idx) & 1) = 1"))
-        .join(broadcast(dictH), "__idx")
-        .groupBy(col("__mask"))
-        .agg(sigList.head, sigList.drop(1): _*)
-      val rowsPerBand = numHashes / bands
-      val banded = sigs
-        .select(col("__mask") +: bandHashCols(bands, rowsPerBand): _*)
-        .select(col("__mask"),
+      val setMasks = groups
+        .select(col("__gid"), explode(col("__set")).as("__tok"))
+        .join(broadcast(dict), "__tok")
+        .groupBy(col("__gid"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __idx)")).as("__mask"))
+      val banded = sig.join(setMasks, "__gid")
+        .select(col("__gid") +: col("__mask") +:
+          bandHashCols(bands, rowsPerBand): _*)
+        .select(col("__gid"), col("__mask"),
           posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
             .as(Seq("__bidx", "__bhash")))
-      val a = banded.select(col("__mask").as("__ma"),
+      val a = banded.select(col("__gid").as("__ga"), col("__mask").as("__m_a"),
         col("__bidx"), col("__bhash"))
-      val b = banded.select(col("__mask").as("__mb"),
+      val b = banded.select(col("__gid").as("__gb"), col("__mask").as("__m_b"),
         col("__bidx").as("__bidx2"), col("__bhash").as("__bhash2"))
-      val maskPairs = a.join(b,
+      a.join(b,
           col("__bidx") === col("__bidx2") &&
           col("__bhash") === col("__bhash2") &&
-          col("__ma") < col("__mb"))
-        .select(col("__ma"), col("__mb")).distinct()
-        .withColumn("jaccard", TokenBitmask.jaccard(col("__ma"), col("__mb")))
+          col("__ga") < col("__gb"))
+        .select(col("__ga"), col("__gb"),
+          TokenBitmask.jaccard(col("__m_a"), col("__m_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      // expand verified mask pairs to doc pairs (each doc has one mask →
-      // no duplicate pairs; least/greatest restores id_a < id_b)
-      val ga = groups.select(col("__mask").as("__ma"),
-        col("__members").as("__mem_a"))
-      val gb = groups.select(col("__mask").as("__mb"),
-        col("__members").as("__mem_b"))
-      val cross = maskPairs.join(ga, "__ma").join(gb, "__mb")
-        .select(explode(col("__mem_a")).as("__x"), col("__mem_b"), col("jaccard"))
-        .select(col("__x"), explode(col("__mem_b")).as("__y"), col("jaccard"))
-        .select(least(col("__x"), col("__y")).as("id_a"),
-          greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
-      // identical-set pairs: same mask ⇒ same signature ⇒ always LSH
-      // candidates ⇒ jaccard exactly 1.0
-      val intra = groups.filter(size(col("__members")) >= 2)
-        .select(explode(col("__members")).as("__x"), col("__members"))
-        .select(col("__x"), explode(col("__members")).as("__y"))
-        .filter(col("__x") < col("__y"))
-        .select(col("__x").as("id_a"), col("__y").as("id_b"),
-          lit(1.0).as("jaccard"))
-      cross.union(intra)
-    } else { // general array path
-      val sig = exploded.groupBy(col(idCol))
-        .agg(sigAggs(numHashes).head, sigAggs(numHashes).drop(1): _*)
-      val cand = lshCandidates(sig, idCol, bands, numHashes / bands)
-      val ta = toks.select(col(idCol).as("id_a"), col("__toks").as("__toks_a"))
-      val tb = toks.select(col(idCol).as("id_b"), col("__toks").as("__toks_b"))
-      val inter = size(array_intersect(col("__toks_a"), col("__toks_b"))).cast("double")
-      val union = (size(col("__toks_a")) + size(col("__toks_b"))).cast("double") - inter
-      cand.join(ta, "id_a").join(tb, "id_b")
+        .distinct()
+    } else {
+      val cand = lshCandidates(sig, "__gid", bands, rowsPerBand)
+        .withColumnRenamed("id_a", "__ga").withColumnRenamed("id_b", "__gb")
+      val sa = groups.select(col("__gid").as("__ga"), col("__set").as("__set_a"))
+      val sb = groups.select(col("__gid").as("__gb"), col("__set").as("__set_b"))
+      val inter = size(array_intersect(col("__set_a"), col("__set_b"))).cast("double")
+      val union = (size(col("__set_a")) + size(col("__set_b"))).cast("double") - inter
+      cand.join(sa, "__ga").join(sb, "__gb")
         .withColumn("jaccard", inter / union)
         .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .select(col("__ga"), col("__gb"), col("jaccard"))
     }
+    // 5. expand verified set pairs to doc pairs; identical-set pairs are
+    // always candidates (same signature) with jaccard exactly 1.0
+    val ga = groups.select(col("__gid").as("__ga"), col("__members").as("__mem_a"))
+    val gb = groups.select(col("__gid").as("__gb"), col("__members").as("__mem_b"))
+    val cross = verified.join(ga, "__ga").join(gb, "__gb")
+      .select(explode(col("__mem_a")).as("__x"), col("__mem_b"), col("jaccard"))
+      .select(col("__x"), explode(col("__mem_b")).as("__y"), col("jaccard"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
+    val intra = groups.filter(size(col("__members")) >= 2)
+      .select(explode(col("__members")).as("__x"), col("__members"))
+      .select(col("__x"), explode(col("__members")).as("__y"))
+      .filter(col("__x") < col("__y"))
+      .select(col("__x").as("id_a"), col("__y").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
   }
 
   // ------------------------------------------------------------ SimHash
@@ -335,8 +358,12 @@ object DedupOps {
     * Same pipeline, shingle token unit, large vocab → general array path. */
   private val q60: Q = (s, dir) => {
     import s.implicits._
-    minhashNearDupTokens(Tables(s, dir, "documents"), "doc_id",
-      shingleSet($"text", 2), numHashes = 16, bands = 4, threshold = 0.8)
+    // split hoisted into a projected column so every shingle evaluation
+    // references the array instead of re-splitting the text
+    val withWords = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("__words"))
+    minhashNearDupTokens(withWords, "doc_id",
+      shingles($"__words", 2), numHashes = 16, bands = 4, threshold = 0.8)
       .orderBy($"id_a", $"id_b")
   }
   private val q60Sql: String =
