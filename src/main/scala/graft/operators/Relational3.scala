@@ -189,7 +189,50 @@ object Relational3 {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Remaining window-function family: percent_rank / cume_dist (exact
+    * int-ratio doubles → bit-identical), nth_value under the ANSI default
+    * frame, first/last_value with an explicit full ROWS frame, and a
+    * peers-inclusive RANGE frame count. One shuffle on the partition key
+    * serves every function (all windows share it). */
+  private val q62: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val fullFrame = byPrice.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rangeFrame = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        percent_rank().over(byPrice).as("pr"),
+        cume_dist().over(byPrice).as("cd"),
+        nth_value($"o_totalprice", 2).over(byPrice).as("second_price"),
+        first_value($"o_totalprice").over(fullFrame).as("max_price"),
+        last_value($"o_totalprice").over(fullFrame).as("min_price"),
+        count(lit(1)).over(rangeFrame).as("n_ge_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  private val q62Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+      |  FIRST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND UNBOUNDED FOLLOWING) AS max_price,
+      |  LAST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND UNBOUNDED FOLLOWING) AS min_price,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q62_window_frames" -> q62,
     "q52_unpivot_stack" -> q52,
     "q53_json_roundtrip" -> q53,
     "q49_left_outer_counts" -> q49,
@@ -205,5 +248,6 @@ object Relational3 {
     "q45_full_row_dedup" -> q45Sql,
     "q46_grouping_sets" -> q46Sql,
     "q47_array_functions" -> q47Sql,
-    "q48_multiset_setops" -> q48Sql)
+    "q48_multiset_setops" -> q48Sql,
+    "q62_window_frames" -> q62Sql)
 }
