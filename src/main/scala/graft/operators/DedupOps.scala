@@ -31,13 +31,20 @@ object DedupOps {
   /** distinct w-shingles (n-gram windows over the token SEQUENCE — order
     * sensitive, unlike tokenSet): the standard MinHash unit for documents
     * where word order matters. Docs shorter than n tokens get an empty
-    * set.
+    * set. Backed by the codegen'd [[graft.functions.ShingleArray]] kernel
+    * (the interpreted higher-order form below costs seconds per pass —
+    * DedupOpsSpec asserts the two are identical). */
+  def shingles(toksCol: Column, n: Int): Column =
+    graft.functions.ShingleArray.shingles(toksCol, n)
+
+  /** Interpreted higher-order reference implementation of [[shingles]] —
+    * kept as the equivalence oracle for the codegen kernel.
     *
     * Takes a pre-split token ARRAY column: pass an attribute (project the
     * split once), not an inline `split(...)` — each element_at in the
     * shingle lambda would otherwise re-split the full text, which measured
     * 7.5× slower on real documents. */
-  def shingles(toksCol: Column, n: Int): Column =
+  def shinglesHof(toksCol: Column, n: Int): Column =
     when(size(toksCol) >= n,
       array_distinct(transform(sequence(lit(1), size(toksCol) - (n - 1)),
         i => concat_ws(" ",

@@ -38,6 +38,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows(1L) !== rows(4L))
   }
 
+  test("codegen shingle kernel is identical to the higher-order form") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      "the quick brown fox jumps over the quick brown fox",
+      "a b", "one", "", "x y z x y z x y"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("w"))
+    for (n <- Seq(1, 2, 3)) {
+      val fast = docs.select($"doc_id", DedupOps.shingles($"w", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val ref = docs.select($"doc_id", DedupOps.shinglesHof($"w", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fast === ref, s"n=$n") // values AND first-occurrence order
+    }
+  }
+
   test("shingles are order-sensitive; reordered docs stop matching") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
