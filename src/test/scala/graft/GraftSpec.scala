@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("install wires strategies, rules, and SQL functions post-hoc") {
+    Graft.install(spark)
+    Graft.install(spark) // idempotent
+    assert(spark.experimental.extraStrategies
+      .count(_ == plans.AsOfStrategy) === 1)
+    assert(spark.experimental.extraOptimizations
+      .count(_ == plans.RangeJoinRule) === 1)
+    // range-join rule active on this plain session (broadcast disabled so
+    // the size guard doesn't stand down at toy scale)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Seq(1L, 7L).toDF("v")
+      val i = Seq((1L, 0L, 9L)).toDF("iv_id", "lo", "hi")
+      val df = p.join(i, $"v" >= $"lo" && $"v" <= $"hi")
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(df.count() === 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // SQL surface live
+    assert(spark.sql("SELECT seq_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) === 11.0)
+  }
+}
