@@ -77,6 +77,41 @@ object RangeJoin {
        |GROUP BY 1, 2, 3
        |ORDER BY range_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("q54_range_join" -> q54)
-  val oracleSql: Map[String, String] = Map("q54_range_join" -> q54Sql)
+  // ---------------------------------------------------------------- q63
+  /** Range join on the TIME domain: count all events inside each early
+    * user's first active hour. Timestamps join through their epoch-µs
+    * longs with 15-minute buckets — the same operator, same plan shape;
+    * time is just another totally-ordered domain. */
+  private val q63: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val windows = ev.filter($"user_id" < 10)
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("lo"))
+      .withColumn("hi", $"lo" + lit(3600L * 1000000L))
+    val points = ev.select(unix_micros($"ts").as("t"))
+    pointInInterval(points, "t", windows, "lo", "hi",
+        bucketWidth = 15L * 60L * 1000000L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events_in_window"))
+      .orderBy($"user_id")
+  }
+  private val q63Sql =
+    """WITH w AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS lo,
+      |         MIN(epoch_us(ts)) + 3600000000 AS hi
+      |  FROM events WHERE user_id < 10 GROUP BY user_id)
+      |SELECT w.user_id AS user_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events_in_window
+      |FROM events e JOIN w
+      |  ON epoch_us(e.ts) >= w.lo AND epoch_us(e.ts) <= w.hi
+      |GROUP BY w.user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q54_range_join" -> q54,
+    "q63_time_range_join" -> q63)
+  val oracleSql: Map[String, String] = Map(
+    "q54_range_join" -> q54Sql,
+    "q63_time_range_join" -> q63Sql)
 }

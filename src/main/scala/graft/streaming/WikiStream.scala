@@ -28,11 +28,19 @@ import graft.ingest.WikiIngest
   */
 object WikiStream {
 
-  /** Streaming (or batch) raw lines → deduped typed wiki_events frame. */
+  /** Streaming (or batch) raw lines → deduped typed wiki_events frame.
+    * The frame carries an `observe` metric node ("graft_ingest":
+    * rows_typed + bytes of length churn) — the A8 counter surface
+    * (pipeline.py:25,34) as Spark observable metrics: per-micro-batch
+    * values arrive in `StreamingQueryProgress.observedMetrics` with no
+    * extra action or accumulator plumbing. */
   def fromRawLines(raw: DataFrame, rawCol: String = "value",
       watermarkDelay: String = "10 seconds"): DataFrame = {
     val typed = WikiIngest.transform(
-      WikiIngest.filterEvents(WikiIngest.parseRaw(raw, rawCol)), rawCol)
+        WikiIngest.filterEvents(WikiIngest.parseRaw(raw, rawCol)), rawCol)
+      .observe("graft_ingest",
+        count(lit(1)).as("rows_typed"),
+        sum(abs(col("length_diff_bytes"))).as("bytes_changed"))
     if (typed.isStreaming)
       typed.withWatermark("event_timestamp", watermarkDelay)
         .dropDuplicatesWithinWatermark("event_timestamp", "username", "title")

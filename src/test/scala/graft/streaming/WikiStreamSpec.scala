@@ -83,6 +83,25 @@ class WikiStreamSpec extends SparkSpec {
     assert(minTs.getTime / 1000 === 1700000000L + 69)
   }
 
+  test("observed ingest metrics surface per micro-batch (A8)") {
+    val srcDir = Files.createTempDirectory("wiki_obs").toString
+    Files.write(java.nio.file.Paths.get(srcDir, "batch1.jsonl"),
+      fixtureLines.mkString("\n").getBytes)
+    val raw = spark.readStream.text(srcDir)
+    val q = WikiStream.fromRawLines(raw)
+      .writeStream.format("memory").queryName("wiki_obs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val observed = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_ingest")))
+      assert(observed.nonEmpty)
+      // fixture: 4 typed rows pass the filters (pre-dedup)
+      assert(observed.map(_.getAs[Long]("rows_typed")).sum === 4L)
+      assert(observed.map(_.getAs[Long]("bytes_changed")).sum === 800L)
+    } finally q.stop()
+  }
+
   test("replayed batch is idempotent at the sink (D1 UNIQUE semantics)") {
     val sinkDir = Files.createTempDirectory("wiki_idem").toString + "/out"
     val cfg = GraftConfig(dbMaxEvents = 1000)
