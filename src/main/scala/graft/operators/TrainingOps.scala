@@ -115,13 +115,85 @@ object TrainingOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Count-Min sketch: depth×width counter grid where row d counts keys
+    * by `perm_d(hash(key)) mod width`; a point estimate is the MIN over
+    * depths of the key's cell (always ≥ the true count — collisions only
+    * inflate). Constant memory, mergeable by cell-wise addition (it IS a
+    * groupBy on (depth, bucket) — the whole sketch build is one
+    * aggregation), deterministic on [[PortableHash]] → fully oracled.
+    * Completes the sketch family: MinHash (sets), SimHash (vectors), KMV
+    * (cardinality), CMS (frequencies). The query reports estimates vs
+    * exact counts for the ten heaviest users. */
+  private val CmsDepth = 4
+  private val CmsWidth = 256L
+  private def cmsCell(d: Int, keyHash: org.apache.spark.sql.Column) =
+    PortableHash.perm(d, keyHash) % lit(CmsWidth)
+
+  private val q64: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val keyed = ev.select(PortableHash.tokenHashP($"user_id").as("__h"),
+      $"user_id")
+    // sketch build: one explode to (depth, bucket) cells + one groupBy
+    val cells = keyed.select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsCell(d, $"__h").as("bucket"))): _*))
+        .as("cell"))
+      .groupBy($"cell.d".as("d"), $"cell.bucket".as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // point queries: ten heaviest users, estimate = min over depths
+    val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_count"))
+      .orderBy($"exact_count".desc, $"user_id".asc).limit(10)
+      .withColumn("__h", PortableHash.tokenHashP($"user_id"))
+    val probes = top.select($"user_id", $"exact_count",
+      explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsCell(d, $"__h").as("bucket"))): _*))
+        .as("cell"))
+      .select($"user_id", $"exact_count", $"cell.d".as("d"),
+        $"cell.bucket".as("bucket"))
+    probes.join(cells, Seq("d", "bucket"))
+      .groupBy($"user_id", $"exact_count")
+      .agg(min($"cnt").as("cms_estimate"))
+      .select($"user_id", $"cms_estimate", $"exact_count")
+      .orderBy($"exact_count".desc, $"user_id".asc)
+  }
+  private val q64Sql = {
+    import graft.functions.PortableHash.{permSql, tokenHashPSql}
+    val h = tokenHashPSql("user_id")
+    def cell(d: Int, he: String) = s"(${permSql(d, he)} % $CmsWidth)"
+    val cellRows = (0 until CmsDepth)
+      .map(d => s"  SELECT $d AS d, ${cell(d, s"($h)")} AS bucket, user_id FROM events")
+      .mkString("\n  UNION ALL\n")
+    val probeRows = (0 until CmsDepth)
+      .map(d => s"  SELECT user_id, exact_count, $d AS d, ${cell(d, "h")} AS bucket FROM top")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH cellrows AS (
+       |$cellRows),
+       |cells AS (
+       |  SELECT d, bucket, COUNT(*) AS cnt FROM cellrows GROUP BY d, bucket),
+       |top AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count, $h AS h
+       |  FROM events GROUP BY user_id
+       |  ORDER BY exact_count DESC, user_id ASC LIMIT 10),
+       |probes AS (
+       |$probeRows)
+       |SELECT p.user_id AS user_id,
+       |       CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+       |       p.exact_count AS exact_count
+       |FROM probes p JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+       |GROUP BY p.user_id, p.exact_count
+       |ORDER BY exact_count DESC, user_id ASC""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_tfidf_top_terms" -> q55,
     "q56_hash_sample" -> q56,
-    "q57_stratified_sample" -> q57)
+    "q57_stratified_sample" -> q57,
+    "q64_countmin_sketch" -> q64)
 
   val oracleSql: Map[String, String] = Map(
     "q55_tfidf_top_terms" -> q55Sql,
     "q56_hash_sample" -> q56Sql,
-    "q57_stratified_sample" -> q57Sql)
+    "q57_stratified_sample" -> q57Sql,
+    "q64_countmin_sketch" -> q64Sql)
 }

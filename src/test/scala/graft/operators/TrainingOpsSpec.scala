@@ -27,6 +27,16 @@ class TrainingOpsSpec extends SparkSpec {
     assert(small.subsetOf(large)) // raising the rate only adds rows
   }
 
+  test("count-min estimates never undercount (CMS upper-bound property)") {
+    val out = TrainingOps.queries("q64_countmin_sketch")(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      val est = r.getAs[Long]("cms_estimate")
+      val exact = r.getAs[Long]("exact_count")
+      assert(est >= exact, s"CMS undercounted: $est < $exact")
+    }
+  }
+
   test("tf-idf ranks a distinctive term above ubiquitous ones") {
     val docs = Seq(
       (1L, "common common rare common"),
