@@ -1,0 +1,76 @@
+package graft
+
+import graft.SparkSpec
+
+/** Enforced version of PLANS.md: the physical-plan invariants the engine
+  * claims are asserted against the real executed plans at sf0.001. Sizes
+  * differ at scale (broadcast↔SMJ flips are fine and expected — those are
+  * size-adaptive strategies over the same declaration); the invariants
+  * below are the ones that must hold at ANY size. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no accidental cartesian/nested-loop joins anywhere") {
+    // a CartesianProduct or BroadcastNestedLoopJoin usually means a join
+    // lost its keys — the classic silent scale killer. The allowlist below
+    // is every INTENTIONAL one: a broadcast of a scalar or a bounded probe
+    // set against the fact side, which stays O(|fact| · tiny) at any scale.
+    val intentional = Set(
+      "q22_retention_keep_newest", // crossJoin(broadcast(1-row max id))
+      "q27b_kmv_distinct",         // crossJoin(broadcast(1-row exact count))
+      "q55_tfidf_top_terms",       // crossJoin(broadcast(1-row corpus size))
+      "q41_knn_brute_force",       // broadcast(10 query vectors) ⋈ ≠
+      "q58_ann_ivf_cells")         // crossJoin(broadcast(16 centroids))
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = plan(q)
+      if (p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")) Some(q) else None
+    }
+    assert(offenders.toSet === intentional,
+      s"unintentional nested-loop/cartesian joins in: " +
+        s"${offenders.filterNot(intentional)}")
+  }
+
+  test("scans prune columns: q03 reads only what it needs") {
+    val p = plan("q03_brand_volume")
+    // lineitem scan must not read all 11 columns for a 3-column aggregate
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("l_shipdate")),
+      s"q03 reads unneeded columns: $readSchemas")
+  }
+
+  test("filters are pushed to the scan (q17 error-type probe)") {
+    val p = plan("q17_asof_join")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]")
+      || p.contains("EqualTo(event_type,error)"), p.take(1200))
+  }
+
+  test("rank filters prune before the window shuffle (WindowGroupLimit)") {
+    val p = plan("q06_top_orders_per_customer")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("global top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q10_topk_lineitems")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("custom kernels execute inside codegen stages") {
+    assert(plan("q41_knn_brute_force").contains("sequentialdot"))
+    assert(plan("q60_shingle_near_dup").contains("shingle_array"))
+  }
+
+  test("aggregates are two-phase (partial map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("kmv sketch aggregates via ObjectHashAggregate, no sort") {
+    val p = plan("q27b_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+  }
+}
