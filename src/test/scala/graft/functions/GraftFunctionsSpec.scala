@@ -27,6 +27,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(1) === 15L) // vec_ids 0..499 → 16 smallest end at 15
   }
 
+  test("typed LengthChurn aggregator over Dataset[WikiEvent.Row]") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def row(user: String, diff: Long) = graft.model.WikiEvent.Row(
+      "{}", Timestamp.valueOf("2026-01-08 22:35:51"), "T", "u",
+      bot = false, user, 0L, diff, diff)
+    val ds = Seq(row("a", 100), row("a", -50), row("b", 0)).toDS()
+    val out = ds.groupByKey(_.username)
+      .agg(TypedAggs.LengthChurn.toColumn.name("churn"))
+      .collect().toMap
+    assert(out("a") === 75.0) // (|100| + |-50|) / 2
+    assert(out("b") === 0.0)
+  }
+
   test("registered views cover every table") {
     GraftFunctions.registerTables(spark, sf)
     graft.sources.Tables.all.foreach { t =>
