@@ -1,0 +1,128 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed parquet sink: snapshot isolation without renaming
+  * data files.
+  *
+  * Layout:
+  * {{{
+  *   dir/data/<batch-uuid>/part-*.parquet   — immutable once written
+  *   dir/_manifests/<version>.manifest      — newline list of data dirs
+  *   dir/_latest                            — current version number
+  * }}}
+  *
+  * A commit writes new data files, writes the next manifest (previous
+  * entries ± changes), then flips `_latest` via write-temp + rename of
+  * that ONE small file — the only operation that must be atomic. Readers
+  * resolve `_latest` → manifest → file list, so they always see a
+  * complete snapshot: never a half-written batch, never a half-compacted
+  * swap (the failure mode directory-rename sinks have on object stores
+  * where rename is copy+delete). Unreferenced data from `replace`
+  * commits stays on disk until [[vacuum]] — the same
+  * write-new/flip-pointer/collect-garbage protocol as log-structured
+  * table formats, reduced to the minimum the engine needs (single
+  * writer; the reference is single-writer too, pipeline.py WAL mode).
+  */
+object ManifestSink {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmall(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeAtomic(f: FileSystem, p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"failed to commit $p")
+  }
+
+  /** Current committed version, or -1 for an empty sink. */
+  def version(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val latest = new Path(dir, "_latest")
+    if (!f.exists(latest)) -1L else readSmall(f, latest).trim.toLong
+  }
+
+  private def manifestEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = {
+    if (v < 0) return Nil
+    val f = fs(spark, dir)
+    readSmall(f, new Path(dir, s"_manifests/$v.manifest"))
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def commit(spark: SparkSession, dir: String, df: DataFrame,
+      keepPrevious: Boolean): Long = {
+    val batch = java.util.UUID.randomUUID().toString
+    val dataDir = s"$dir/data/$batch"
+    df.write.parquet(dataDir)
+    val prev = version(spark, dir)
+    val entries =
+      (if (keepPrevious) manifestEntries(spark, dir, prev) else Nil) :+
+        s"data/$batch"
+    val next = prev + 1
+    val f = fs(spark, dir)
+    writeAtomic(f, new Path(dir, s"_manifests/$next.manifest"),
+      entries.mkString("\n"))
+    writeAtomic(f, new Path(dir, "_latest"), next.toString)
+    next
+  }
+
+  /** Append a batch as a new commit. Returns the committed version. */
+  def append(df: DataFrame, dir: String): Long =
+    commit(df.sparkSession, dir, df, keepPrevious = true)
+
+  /** Replace the whole table content (compaction/retention commit):
+    * previous data files become unreferenced, reclaim via [[vacuum]]. */
+  def replace(df: DataFrame, dir: String): Long =
+    commit(df.sparkSession, dir, df, keepPrevious = false)
+
+  /** Read the current snapshot (empty sink → empty frame is an error —
+    * check [[version]] first, mirroring spark.read on a missing path). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val paths = manifestEntries(spark, dir, v).map(e => s"$dir/$e")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Garbage-collect: keep the newest `keepVersions` manifests (the
+    * time-travel window); delete older manifest files and any data
+    * directory no retained manifest references (replaced compactions,
+    * aborted writes). Returns deleted data dirs. */
+  def vacuum(spark: SparkSession, dir: String,
+      keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val f = fs(spark, dir)
+    val dataRoot = new Path(dir, "data")
+    if (!f.exists(dataRoot)) return Nil
+    val current = version(spark, dir)
+    val keepFrom = math.max(0L, current - keepVersions + 1)
+    val referenced = (keepFrom to current)
+      .flatMap(v => manifestEntries(spark, dir, v)).toSet
+    (0L until keepFrom).foreach { v =>
+      f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
+    }
+    f.listStatus(dataRoot).toSeq
+      .filter(st => !referenced.contains(s"data/${st.getPath.getName}"))
+      .map { st =>
+        require(f.delete(st.getPath, true), s"failed to vacuum ${st.getPath}")
+        st.getPath.getName
+      }
+  }
+}
