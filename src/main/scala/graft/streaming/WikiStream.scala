@@ -109,6 +109,38 @@ object WikiStream {
     } finally batch.unpersist()
   }
 
+  /** [[appendWithRetention]] on a [[graft.sinks.ManifestSink]] table:
+    * same K1/D1/R1/F6 semantics, but every step is a manifest commit —
+    * the append is snapshot-isolated, the retention rewrite is an atomic
+    * `replace` (readers never observe the mid-compaction state the
+    * rename-swap sink exposes on stores with non-atomic directory
+    * rename), and replaced data is reclaimed by `vacuum`. */
+  def appendWithRetentionManifest(batch: DataFrame, sinkDir: String,
+      cfg: GraftConfig): Unit = {
+    import graft.sinks.ManifestSink
+    require(cfg.dbMaxEvents <= Int.MaxValue,
+      s"dbMaxEvents ${cfg.dbMaxEvents} exceeds the limit-based compaction " +
+        "range; use time-partitioned retention (ParquetSink) instead")
+    batch.persist()
+    try {
+      val spark = batch.sparkSession
+      val fresh =
+        if (ManifestSink.version(spark, sinkDir) < 0) batch
+        else batch.join(ManifestSink.read(spark, sinkDir)
+          .select(DedupKey.map(col): _*), DedupKey, "left_anti")
+      ManifestSink.append(fresh, sinkDir)
+      val sink = ManifestSink.read(spark, sinkDir)
+      if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
+          cfg.cleanupHysteresis)) {
+        val retained = sink
+          .orderBy(col("event_timestamp").desc, col("username"), col("title"))
+          .limit(cfg.dbMaxEvents.toInt + 1)
+        ManifestSink.replace(retained, sinkDir)
+        ManifestSink.vacuum(spark, sinkDir)
+      }
+    } finally batch.unpersist()
+  }
+
   /** v1 raw-capture mode (main.py:6-37, "bronze layer"): store each raw
     * payload line unparsed into a 1-column table (K2), batched per
     * micro-batch (the K4 count-based commit becomes the trigger boundary;

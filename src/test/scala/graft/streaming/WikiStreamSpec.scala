@@ -133,6 +133,30 @@ class WikiStreamSpec extends SparkSpec {
     assert(after.select("title").distinct().count() === 25)
   }
 
+  test("manifest-sink variant: same retention + idempotence semantics") {
+    import graft.sinks.ManifestSink
+    val sinkDir = Files.createTempDirectory("wiki_msink").toString + "/t"
+    val cfg = GraftConfig(dbMaxEvents = 50)
+    def rows(from: Long, to: Long) = spark.range(from, to).select(
+      concat(lit("{\"n\":"), $"id", lit("}")).as("raw_json"),
+      timestamp_seconds(lit(1700000000L) + $"id").as("event_timestamp"),
+      concat(lit("T"), $"id").as("title"),
+      lit("u").as("title_url"),
+      lit(false).as("bot"),
+      lit("user").as("username"),
+      lit(0L).as("length_bytes_old"),
+      $"id".as("length_bytes_new"),
+      $"id".as("length_diff_bytes"))
+    WikiStream.appendWithRetentionManifest(rows(0, 40), sinkDir, cfg)
+    // replay overlap (30..40) + new rows → idempotent, then compaction
+    WikiStream.appendWithRetentionManifest(rows(30, 120), sinkDir, cfg)
+    val after = ManifestSink.read(spark, sinkDir)
+    assert(after.count() === 51) // N+1 boundary, same as the flat sink
+    assert(after.select("title").distinct().count() === 51)
+    val minTs = after.agg(min("event_timestamp")).head().getTimestamp(0)
+    assert(minTs.getTime / 1000 === 1700000000L + 69)
+  }
+
   test("v1 raw capture stores unparsed lines in a 1-column table (K2/K4)") {
     val srcDir = Files.createTempDirectory("raw_src").toString
     val sinkDir = Files.createTempDirectory("raw_sink").toString + "/out"
