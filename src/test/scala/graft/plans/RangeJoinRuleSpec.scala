@@ -75,6 +75,15 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 1)
   }
 
+  test("non-integral point type → rule stands down (no wrong buckets)") {
+    val p = Seq(1.5, 7.2).toDF("v")
+    val i = Seq((1L, 0.0, 9.0)).toDF("iv_id", "lo", "hi")
+    val df = p.join(i, $"v" >= $"lo" && $"v" <= $"hi")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("__graft_pb"), optimized)
+    assert(df.count() === 2) // still correct through the built-in join
+  }
+
   test("extensions also provide the as-of strategy") {
     import java.sql.Timestamp
     val probes = Seq((7L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L))

@@ -95,6 +95,39 @@ class SseFileStreamSpec extends SparkSpec {
     assert(evs.head.id === "a")
   }
 
+  test("full system: SSE capture → pipeline → manifest sink → dashboard") {
+    import graft.{GraftConfig => GC}
+    import graft.sinks.ManifestSink
+    val file = Files.createTempDirectory("ssee2e").toString + "/capture.sse"
+    val sinkDir = Files.createTempDirectory("ssee2e_sink").toString + "/t"
+    val json = scala.io.Source
+      .fromFile(fixturePath("recentchange_fixture.jsonl")).getLines().toSeq
+    json.foreach(j => append(file, "event: message", s"data: $j", ""))
+    val raw = spark.readStream.format("sse-file").load(file)
+      .filter($"event" === "message").select($"data".as("value"))
+    val cfg = GC(dbMaxEvents = 100)
+    val q = graft.streaming.WikiStream.fromRawLines(raw)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.WikiStream
+          .appendWithRetentionManifest(batch, sinkDir, cfg)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // replayed frames (appended again to the capture) are absorbed by
+      // the sink-level UNIQUE anti-join
+      json.take(2).foreach(j => append(file, "event: message", s"data: $j", ""))
+      q.processAllAvailable()
+      val sink = ManifestSink.read(spark, sinkDir)
+      assert(sink.count() === 3) // the 3 fixture survivors, once
+      val metrics = graft.metrics.Dashboard.metricsFrame(sink).head()
+      assert(metrics.getAs[Long]("total_rows") === 3L)
+      assert(metrics.getAs[java.sql.Timestamp]("latest_event_time") ===
+        java.sql.Timestamp.valueOf("2026-01-08 22:35:54"))
+    } finally q.stop()
+  }
+
   test("sse-file source feeds the full wiki pipeline") {
     val file = Files.createTempDirectory("ssewiki").toString + "/capture.sse"
     val json = scala.io.Source
