@@ -91,6 +91,61 @@ object EventOps {
        |WHERE rn = 1
        |ORDER BY user_id, event_type""".stripMargin
 
+  // --------------------------------------------------------------- q21b
+  /** Last-write-wins dedup — the UPSERT-shaped counterpart of q21 (CDC /
+    * mutable-state compaction keeps the NEWEST record per key; the
+    * reference's insert-or-skip keeps the oldest). Same window form,
+    * reversed order. */
+  private val q21b: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type",
+        $"event_id".as("last_event_id"),
+        date_format($"ts", tsFmt).as("last_time"),
+        $"value".as("last_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+  private val q21bSql =
+    s"""SELECT user_id, event_type, event_id AS last_event_id,
+       |  strftime(ts, '$tsFmtSqlSec') AS last_time,
+       |  value AS last_value
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                                   ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM events)
+       |WHERE rn = 1
+       |ORDER BY user_id, event_type""".stripMargin
+
+  // --------------------------------------------------------------- q21c
+  /** Incremental (anti-join) dedup: given an already-ingested "sink" half
+    * and an arriving batch with replay overlap, emit only the genuinely
+    * new keys — the standalone form of the sink-level UNIQUE absorption
+    * (appendWithRetention's left_anti). One hash-partitionable anti-join
+    * on the key. */
+  private val q21c: Q = (s, dir) => {
+    import s.implicits._
+    val all = ev(s, dir)
+    val sink = all.filter($"event_id" % 2 === 0)
+      .select($"user_id", $"event_type")
+    val batch = all.filter($"event_id" % 4 =!= 1) // overlaps sink + new keys
+    batch.join(sink, Seq("user_id", "event_type"), "left_anti")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_new"))
+      .orderBy($"user_id")
+  }
+  private val q21cSql =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_new
+      |FROM (SELECT * FROM events WHERE event_id % 4 <> 1) b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (SELECT user_id, event_type FROM events
+      |                 WHERE event_id % 2 = 0) s
+      |  WHERE s.user_id = b.user_id AND s.event_type = b.event_type)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q22
   /** Keep-newest retention (R1): survivors of
     * `DELETE WHERE id < MAX(0, max_id - N)` — delegates to the library
@@ -246,6 +301,8 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "q27_approx_distinct" -> q27,
     "q27b_kmv_distinct" -> q27b,
+    "q21b_dedup_last_wins" -> q21b,
+    "q21c_incremental_dedup" -> q21c,
     "q20_events_transform" -> q20,
     "q21_events_dedup_first_wins" -> q21,
     "q22_retention_keep_newest" -> q22,
@@ -256,6 +313,8 @@ object EventOps {
 
   val oracleSql: Map[String, String] = Map(
     "q27b_kmv_distinct" -> q27bSql,
+    "q21b_dedup_last_wins" -> q21bSql,
+    "q21c_incremental_dedup" -> q21cSql,
     "q20_events_transform" -> q20Sql,
     "q21_events_dedup_first_wins" -> q21Sql,
     "q22_retention_keep_newest" -> q22Sql,
