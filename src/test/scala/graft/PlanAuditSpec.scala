@@ -73,4 +73,31 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q27b_kmv_distinct")
     assert(p.contains("ObjectHashAggregate"), p.take(800))
   }
+
+  test("plans compose with runtime bloom-filter pruning (fact side)") {
+    // a selective dim filter should inject a bloom probe into the fact
+    // scan when the join shuffles — the runtime row-pruning lever on top
+    // of static pushdown; thresholds lowered to fire at test scale
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val li = graft.sources.Tables(spark, sf, "lineitem")
+      val o = graft.sources.Tables(spark, sf, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      assert(j.queryExecution.optimizedPlan.toString.contains("bloom"),
+        "runtime bloom filter not injected")
+      assert(j.count() === 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
