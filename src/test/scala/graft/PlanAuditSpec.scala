@@ -74,6 +74,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(800))
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true)") {
+    // 90% of left rows share one key; with thresholds lowered to fire at
+    // test scale, AQE must split the hot partition (SMJ skew=true +
+    // AQEShuffleRead skewed) instead of pinning one task. Note: the rule
+    // stands down if the join's partitioning feeds the next operator, so
+    // the downstream aggregate keys on something else.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select(when($"id" % 10 === 0, $"id" % 100).otherwise(7L).as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = left.join(right, "k").groupBy(($"v" % 3).as("g")).count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("plans compose with runtime bloom-filter pruning (fact side)") {
     // a selective dim filter should inject a bloom probe into the fact
     // scan when the join shuffles — the runtime row-pruning lever on top
