@@ -301,13 +301,41 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q65
+  /** The registered SQL surface inside the correctness gate: temp views +
+    * the `seq_dot` custom expression, driven entirely through
+    * `spark.sql` — proving a SQL-only user of the engine gets
+    * oracle-exact results from the same kernels as the DataFrame API. */
+  private val q65: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    s.sql(
+      """SELECT label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  MAX(seq_dot(embedding, embedding)) AS max_self_dot,
+        |  MIN(seq_dot(embedding, embedding)) AS min_self_dot
+        |FROM embeddings_v
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+  }
+  private val q65Sql = {
+    val d = dotSql("embedding", "embedding")
+    s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  MAX($d) AS max_self_dot,
+       |  MIN($d) AS min_self_dot
+       |FROM embeddings
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
     "q42_ann_lsh_bucketed" -> q42,
     "q43_nn_within_label" -> q43,
     "q44_embedding_near_dup" -> q44,
-    "q58_ann_ivf_cells" -> q58)
+    "q58_ann_ivf_cells" -> q58,
+    "q65_sql_surface" -> q65)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -315,5 +343,6 @@ object VectorOps {
     "q42_ann_lsh_bucketed" -> q42Sql,
     "q43_nn_within_label" -> q43Sql,
     "q44_embedding_near_dup" -> q44Sql,
-    "q58_ann_ivf_cells" -> q58Sql)
+    "q58_ann_ivf_cells" -> q58Sql,
+    "q65_sql_surface" -> q65Sql)
 }
