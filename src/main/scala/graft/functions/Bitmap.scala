@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Fixed-width bitmap set kernels — the mid-size tier between
+  * [[TokenBitmask]]'s single long (vocab ≤ 62) and general string-array
+  * intersection: a dictionary-encoded token set becomes `ceil(vocab/64)`
+  * longs, and set similarity becomes word-wise popcount — codegen'd,
+  * branch-free, ~100× cheaper per pair than string-array intersection
+  * and far narrower on the wire. At larger vocabularies still, the same
+  * shape degrades gracefully to a HASHED (lossy) bitmap — not used here
+  * because the oracle needs exact sets. */
+object Bitmap {
+
+  /** positions (array<int>, 0-based, possibly duplicated) → fixed
+    * `words`-long bitmap (array<long>). */
+  case class BitmapFromPositions(child: Expression, words: Int)
+      extends UnaryExpression {
+    require(words >= 1, "bitmap needs at least one word")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bitmap_from_positions"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bitmap_from_positions expects array<int>, got $other")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      Bitmap.fromPositions(input.asInstanceOf[ArrayData], words)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Bitmap.fromPositions($c, $words)")
+    override protected def withNewChildInternal(c: Expression): BitmapFromPositions =
+      copy(child = c)
+  }
+
+  /** Exact Jaccard over two equal-width bitmaps: popcount(and)/popcount(or);
+    * null on width mismatch, null on two empty sets (0/0). */
+  case class BitmapJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def prettyName: String = "bitmap_jaccard"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bitmap_jaccard expects two array<long>, got $other")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Bitmap.jaccardKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val j = ctx.freshName("jac")
+        s"""
+           |Object $j = graft.functions.Bitmap.jaccardKernel($a, $b);
+           |if ($j == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) $j).doubleValue(); }
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): BitmapJaccard = copy(left = l, right = r)
+  }
+
+  def fromPositions(positions: ArrayData, words: Int): ArrayData = {
+    val out = new Array[Long](words)
+    val n = positions.numElements()
+    var i = 0
+    while (i < n) {
+      val p = positions.getInt(i)
+      require(p >= 0 && p < words * 64,
+        s"bit position $p outside bitmap of $words words")
+      out(p >>> 6) |= (1L << (p & 63))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def jaccardKernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var inter = 0
+    var union = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      union += java.lang.Long.bitCount(x | y)
+      i += 1
+    }
+    if (union == 0) null
+    else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+
+  def fromPositions(positions: Column, words: Int): Column =
+    ColumnBridge.column(
+      BitmapFromPositions(ColumnBridge.expression(positions), words))
+  def jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

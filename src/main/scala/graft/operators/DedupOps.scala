@@ -148,8 +148,13 @@ object DedupOps {
     * ContextCleaner when the returned frame is GC'd. Docs with empty
     * token sets match nothing (as in the SQL mirror, where they produce
     * no hash rows). */
+  /** Largest dictionary the fixed-width bitmap verification tier accepts
+    * (64 K tokens = 1 KiB per set); overridable for tests. */
+  val DefaultBitmapMaxVocab: Long = 1L << 16
+
   def minhashNearDupTokens(df: DataFrame, idCol: String, toksCol: Column,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      bitmapMaxVocab: Long = DefaultBitmapMaxVocab): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // 1. tokenize once → distinct canonical sets, keyed by smallest member
     val canon = df
@@ -161,21 +166,23 @@ object DedupOps {
       .persist()
     // 2. vocab probe — from the cache, a few thousand rows
     val vocab = groups.select(explode(col("__set")).as("__tok")).distinct()
-    val smallVocab =
-      vocab.count() <= graft.functions.TokenBitmask.MaxVocab
+    val vocabSize = vocab.count()
+    val smallVocab = vocabSize <= graft.functions.TokenBitmask.MaxVocab
     // 3. MinHash signatures over distinct sets
     val hashed = groups
       .select(col("__gid"), explode(col("__set")).as("__tok"))
       .select(col("__gid"), PortableHash.tokenHashP(col("__tok")).as("__h"))
     val aggs = sigAggsOver(numHashes, col("__h"))
     val sig = hashed.groupBy(col("__gid")).agg(aggs.head, aggs.drop(1): _*)
-    // 4. banded candidates + exact-Jaccard verification — adaptive kernel:
-    // a ≤62-token global vocab dictionary-encodes each set into one long,
-    // which rides THROUGH the band explode (8 bytes/row), so the self-join
-    // emits verification-ready pairs and no join touches the candidate
-    // stream. Large vocabs verify by joining the (heavier) set arrays onto
-    // candidates instead (at 100 TB the analog is a fixed-width hashed /
-    // roaring bitmap per set).
+    // 4. banded candidates + exact-Jaccard verification — three-tier
+    // adaptive kernel by global vocab size:
+    //   ≤62        one long per set, carried THROUGH the band explode so
+    //              the self-join emits verification-ready pairs;
+    //   ≤64K       fixed-width long-array bitmap per set (codegen popcount
+    //              kernels, graft.functions.Bitmap), joined onto candidates;
+    //   otherwise  general string-array intersection.
+    // (A lossy HASHED bitmap extends the middle tier to unbounded vocabs
+    // at 100 TB; not used here because the oracle requires exact sets.)
     val rowsPerBand = numHashes / bands
     val verified = if (smallVocab) {
       import graft.functions.TokenBitmask
@@ -203,6 +210,28 @@ object DedupOps {
           TokenBitmask.jaccard(col("__m_a"), col("__m_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
         .distinct()
+    } else if (vocabSize <= bitmapMaxVocab) {
+      // mid-size tier: dictionary-encode each set into ceil(vocab/64)
+      // longs (graft.functions.Bitmap codegen kernels) — identical
+      // jaccard values, popcount-cheap compares, and the verify join
+      // carries a compact long array instead of the string sets
+      import graft.functions.{Bitmap, TokenBitmask}
+      val dict = TokenBitmask.dictionary(vocab)
+      val words = ((vocabSize + 63) / 64).toInt
+      val setBitmaps = groups
+        .select(col("__gid"), explode(col("__set")).as("__tok"))
+        .join(broadcast(dict), "__tok")
+        .groupBy(col("__gid"))
+        .agg(collect_list(col("__idx")).as("__pos"))
+        .select(col("__gid"), Bitmap.fromPositions(col("__pos"), words).as("__bm"))
+      val cand = lshCandidates(sig, "__gid", bands, rowsPerBand)
+        .withColumnRenamed("id_a", "__ga").withColumnRenamed("id_b", "__gb")
+      val ba = setBitmaps.select(col("__gid").as("__ga"), col("__bm").as("__bm_a"))
+      val bb = setBitmaps.select(col("__gid").as("__gb"), col("__bm").as("__bm_b"))
+      cand.join(ba, "__ga").join(bb, "__gb")
+        .withColumn("jaccard", Bitmap.jaccard(col("__bm_a"), col("__bm_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("__ga"), col("__gb"), col("jaccard"))
     } else {
       val cand = lshCandidates(sig, "__gid", bands, rowsPerBand)
         .withColumnRenamed("id_a", "__ga").withColumnRenamed("id_b", "__gb")
