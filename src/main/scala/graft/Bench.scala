@@ -14,12 +14,23 @@ object Bench {
     // benchmarking: generated code and JIT compilation are per-plan-shape,
     // so a tiny-data pass compiles everything the timed pass runs).
     // Disable with SPARK_GRAFT_WARMUP=0.
+    // Several pipelines persist() intermediates; each invocation builds a
+    // fresh frame, so the previous run's cached blocks are garbage the
+    // ContextCleaner reclaims only on GC. Dropping them eagerly between
+    // queries keeps ~200 query runs (warmup + reps × |queries|) from
+    // accumulating dead storage memory that evicts/thrashes later
+    // queries — each timed rep still pays for building its own cache.
+    def clearLeakedCache(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1" &&
         new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+      clearLeakedCache()
     }
     // Steady-state timing: best of SPARK_GRAFT_BENCH_REPS runs per query
     // (default 2). Single-shot numbers on a shared machine mix scheduler
@@ -30,7 +41,9 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearLeakedCache()
+        dt
       }
       name -> times.min
     }

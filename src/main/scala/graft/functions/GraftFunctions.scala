@@ -16,8 +16,30 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "seq_dot", exprs => SequentialDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_sketch", exprs => KmvSketch(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+      "kmv_sketch", exprs => KmvSketch(exprs(0), kmvK(exprs(1))), "built-in")
+  }
+
+  /** `k` for `kmv_sketch(col, k)`: must be an integer LITERAL (it sizes the
+    * aggregation buffer, so a per-row value is meaningless). Accepts any
+    * integral width — `128`, a BIGINT `128L`, a TINYINT cast — and rejects
+    * everything else with an analysis-time error instead of a
+    * ClassCastException out of eval(). */
+  private def kmvK(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegralType
+    val folded = e match {
+      case Literal(v: Number, _: IntegralType) => Some(v.longValue())
+      // a cast literal (`CAST(128 AS BIGINT)`) is not a Literal node yet at
+      // analysis time — fold it here rather than bounce the user
+      case _ if e.foldable && e.dataType.isInstanceOf[IntegralType] =>
+        Option(e.eval()).map(_.asInstanceOf[Number].longValue())
+      case _ => None
+    }
+    folded match {
+      case Some(k) if k >= 1 && k <= Int.MaxValue => k.toInt
+      case _ => throw new IllegalArgumentException(
+        s"kmv_sketch(col, k): k must be a positive integer literal, got ${e.sql}")
+    }
   }
 
   /** Expose a scale-factor directory as temp views named like the tables. */

@@ -15,17 +15,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   dir/_latest                            — current version number
   * }}}
   *
-  * A commit writes new data files, writes the next manifest (previous
-  * entries ± changes), then flips `_latest` via write-temp + rename of
-  * that ONE small file — the only operation that must be atomic. Readers
-  * resolve `_latest` → manifest → file list, so they always see a
-  * complete snapshot: never a half-written batch, never a half-compacted
-  * swap (the failure mode directory-rename sinks have on object stores
-  * where rename is copy+delete). Unreferenced data from `replace`
-  * commits stays on disk until [[vacuum]] — the same
+  * A commit writes new data files, then publishes the next manifest via
+  * write-temp + rename to a NEVER-REUSED name (`<version>.manifest`) —
+  * that single rename of a small file is the commit point, and because
+  * the target name never pre-exists, no delete precedes it: there is no
+  * instant at which the sink has fewer committed versions than before.
+  * The current version is the LARGEST numbered manifest present;
+  * `_latest` is only a one-read fast-path hint, refreshed after commit
+  * and cross-checked against the listing (a stale or missing hint —
+  * e.g. a crash between the manifest rename and the hint write — is
+  * repaired by the listing, never trusted over it). Readers resolve
+  * version → manifest → file list, so they always see a complete
+  * snapshot: never a half-written batch, never a half-compacted swap
+  * (the failure mode directory-rename sinks have on object stores where
+  * rename is copy+delete). Unreferenced data from `replace` commits
+  * stays on disk until [[vacuum]] — the same
   * write-new/flip-pointer/collect-garbage protocol as log-structured
   * table formats, reduced to the minimum the engine needs (single
   * writer; the reference is single-writer too, pipeline.py WAL mode).
+  * On a true object store the rename becomes copy+delete of one tiny
+  * object — still safe here because the name is never contended; with
+  * multiple writers you'd want a conditional-put on the manifest name
+  * instead.
   */
 object ManifestSink {
 
@@ -43,19 +54,59 @@ object ManifestSink {
     } finally in.close()
   }
 
-  private def writeAtomic(f: FileSystem, p: Path, content: String): Unit = {
+  /** Publish `content` at `p` via temp + rename. The caller guarantees `p`
+    * does not already exist (manifest names are never reused), so the
+    * rename needs no preceding delete — the commit never passes through a
+    * state with the target missing. */
+  private def publishNew(f: FileSystem, p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    require(f.rename(tmp, p), s"failed to commit $p")
+  }
+
+  /** Best-effort overwrite of the `_latest` hint — NOT load-bearing: a
+    * crash at any point here leaves at worst a stale/missing hint, which
+    * [[version]] repairs from the manifest listing. */
+  private def writeHint(f: FileSystem, p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (f.exists(p)) f.delete(p, false)
-    require(f.rename(tmp, p), s"failed to commit $p")
+    f.rename(tmp, p)
   }
 
-  /** Current committed version, or -1 for an empty sink. */
+  private val ManifestName = """(\d+)\.manifest""".r
+
+  /** Largest committed manifest number, or -1 for an empty sink — the
+    * source of truth (crash-safe: a manifest exists iff its commit's
+    * rename completed). */
+  private def listedVersion(f: FileSystem, dir: String): Long = {
+    val mdir = new Path(dir, "_manifests")
+    if (!f.exists(mdir)) return -1L
+    f.listStatus(mdir).foldLeft(-1L) { (acc, st) =>
+      st.getPath.getName match {
+        case ManifestName(v) => math.max(acc, v.toLong)
+        case _               => acc // .tmp of an in-flight/aborted commit
+      }
+    }
+  }
+
+  /** Current committed version, or -1 for an empty sink. Trusts the
+    * `_latest` hint only when it agrees with the manifest listing; a
+    * missing, stale, or corrupt hint falls back to the listing, so a
+    * crash between manifest publish and hint refresh never rolls the
+    * table back (or, worse, orphans every previously committed batch on
+    * the next commit). */
   def version(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
+    val listed = listedVersion(f, dir)
     val latest = new Path(dir, "_latest")
-    if (!f.exists(latest)) -1L else readSmall(f, latest).trim.toLong
+    if (f.exists(latest)) {
+      val hinted = readSmall(f, latest).trim.toLongOption.getOrElse(-1L)
+      if (hinted == listed) return hinted
+    }
+    listed
   }
 
   private def manifestEntries(spark: SparkSession, dir: String,
@@ -77,9 +128,10 @@ object ManifestSink {
         s"data/$batch"
     val next = prev + 1
     val f = fs(spark, dir)
-    writeAtomic(f, new Path(dir, s"_manifests/$next.manifest"),
+    // commit point: this rename (new name — nothing is deleted first)
+    publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
       entries.mkString("\n"))
-    writeAtomic(f, new Path(dir, "_latest"), next.toString)
+    writeHint(f, new Path(dir, "_latest"), next.toString)
     next
   }
 

@@ -32,8 +32,17 @@ object Tables {
   /** Reads with nanosAsLong enabled for JUST this read: the previous
     * session value is restored afterwards, so loading a table never
     * changes ns-timestamp handling for unrelated reads in the session.
-    * (The conf is session-wide, not a per-read option, hence save/restore;
-    * the eagerly-resolved schema is pinned at `spark.read` time.) */
+    *
+    * Where the conf is actually consulted (verified against Spark 4.1 —
+    * TablesSpec pins this with a full materialization after the restore):
+    * only SCHEMA INFERENCE needs it. `spark.read.parquet` resolves the
+    * footer schema eagerly inside this method, mapping TIMESTAMP(NANOS) →
+    * LongType; at execution time the vectorized reader reconciles the
+    * file's INT64(NANOS) against the already-pinned LongType catalyst
+    * schema and accepts it regardless of the session conf, so restoring
+    * the conf before the action is safe for the tables this engine reads.
+    * If a Spark upgrade ever re-consults the conf at execution,
+    * TablesSpec's events-materialization test fails loudly. */
   private def read(spark: SparkSession, path: String): DataFrame = {
     val prev = spark.conf.getOption(NanosConf)
     spark.conf.set(NanosConf, "true")

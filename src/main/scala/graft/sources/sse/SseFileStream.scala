@@ -155,6 +155,14 @@ object SseFileStreamProvider {
       if (nextLine == null) advance()
       val l = nextLine; nextLine = null; l
     }
+
+    /** Release the file channel. Idempotent. Exhausting the iterator closes
+      * it implicitly, but consumers that stop early (a partition reader
+      * that has emitted its frame quota) MUST call this — otherwise the
+      * channel lives until GC, one leaked descriptor per micro-batch. */
+    def close(): Unit = {
+      if (!closed) { closed = true; ch.close() }
+    }
   }
 
   /** Advance a parse state over newly-appended complete frames, admitting
@@ -164,11 +172,13 @@ object SseFileStreamProvider {
     val cap = if (Long.MaxValue - state.bytes < maxBytes) Long.MaxValue
       else state.bytes + maxBytes
     val lines = new BoundedLineIterator(path, state.bytes, cap, state.stickyId)
-    val events = SseFrames.frameIterator(lines, emitOpenTail = false,
-      initialId = state.stickyId).size.toLong
-    if (lines.bytesThroughLastBlank == state.bytes) state
-    else ParseState(state.frames + events, lines.bytesThroughLastBlank,
-      lines.stickyAtLastBlank)
+    try {
+      val events = SseFrames.frameIterator(lines, emitOpenTail = false,
+        initialId = state.stickyId).size.toLong
+      if (lines.bytesThroughLastBlank == state.bytes) state
+      else ParseState(state.frames + events, lines.bytesThroughLastBlank,
+        lines.stickyAtLastBlank)
+    } finally lines.close()
   }
 
   /** Complete frames starting at parse state `base`, bounded by `toByte`. */
@@ -257,8 +267,15 @@ class SseFileMicroBatchStream(path: String, maxBytesPerTrigger: Long)
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[SseFilePartition]
+        // keep a handle on the line iterator (not just the frame iterator
+        // wrapping it) so close() can release the file channel even when
+        // the frame quota is exhausted before the byte limit — otherwise
+        // the descriptor leaks for every batch that doesn't end at EOF
+        val lines = new SseFileStreamProvider.BoundedLineIterator(
+          p.path, p.fromByte, p.toByte, p.stickyId)
         val frames = longDrop(
-          framesFrom(p.path, ParseState(0L, p.fromByte, p.stickyId), p.toByte),
+          SseFrames.frameIterator(lines, emitOpenTail = false,
+            initialId = p.stickyId),
           p.skipFrames)
         new PartitionReader[InternalRow] {
           private var current: SseFrames.SseEvent = _
@@ -266,13 +283,13 @@ class SseFileMicroBatchStream(path: String, maxBytesPerTrigger: Long)
           override def next(): Boolean = {
             if (remaining > 0 && frames.hasNext) {
               current = frames.next(); remaining -= 1; true
-            } else false
+            } else { lines.close(); false }
           }
           override def get(): InternalRow = InternalRow(
             UTF8String.fromString(current.event),
             UTF8String.fromString(current.data),
             UTF8String.fromString(current.id))
-          override def close(): Unit = ()
+          override def close(): Unit = lines.close()
         }
       }
     }

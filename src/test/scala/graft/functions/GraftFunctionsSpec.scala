@@ -27,6 +27,25 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(1) === 15L) // vec_ids 0..499 → 16 smallest end at 15
   }
 
+  test("kmv_sketch k: accepts BIGINT/cast literals, rejects columns clearly") {
+    GraftFunctions.register(spark)
+    GraftFunctions.registerTables(spark, sf)
+    // a cast integral literal folds to the same sketch
+    val r = spark.sql(
+      """SELECT sk.n_sketch AS n FROM (
+        |  SELECT kmv_sketch(vec_id, CAST(16 AS BIGINT)) AS sk
+        |  FROM embeddings)""".stripMargin).head()
+    assert(r.getLong(0) === 16L)
+    // a non-literal k is an analysis-time error with a readable message,
+    // not a ClassCastException out of eval()
+    val err = intercept[Exception] {
+      spark.sql("SELECT kmv_sketch(vec_id, vec_id) FROM embeddings").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("k must be a positive integer literal")))
+  }
+
   test("typed LengthChurn aggregator over Dataset[WikiEvent.Row]") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -37,6 +37,35 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dir).isEmpty)
   }
 
+  test("crash between manifest publish and hint write loses nothing") {
+    // the manifest rename is the commit point; `_latest` is only a hint.
+    // Simulate a crash right after the rename by deleting the hint.
+    val dir = Files.createTempDirectory("msinkc").toString + "/t"
+    ManifestSink.append(Seq(1L, 2L).toDF("v"), dir)
+    ManifestSink.append(Seq(3L).toDF("v"), dir)
+    Files.delete(java.nio.file.Paths.get(dir, "_latest"))
+    // recovery: version comes from the manifest listing
+    assert(ManifestSink.version(spark, dir) === 1L)
+    assert(ManifestSink.read(spark, dir).count() === 3)
+    // and the NEXT commit chains onto v1 — previously committed batches
+    // stay referenced (the pre-fix failure mode orphaned all of them)
+    ManifestSink.append(Seq(4L).toDF("v"), dir)
+    assert(ManifestSink.version(spark, dir) === 2L)
+    assert(ManifestSink.read(spark, dir).count() === 4)
+    assert(ManifestSink.vacuum(spark, dir).isEmpty) // nothing orphaned
+  }
+
+  test("stale _latest hint is repaired from the listing") {
+    val dir = Files.createTempDirectory("msinks").toString + "/t"
+    ManifestSink.append(Seq(1L).toDF("v"), dir)
+    ManifestSink.append(Seq(2L).toDF("v"), dir)
+    // hint rolled back (torn write / crashed overwrite): listing wins
+    Files.write(java.nio.file.Paths.get(dir, "_latest"),
+      "0".getBytes("UTF-8"))
+    assert(ManifestSink.version(spark, dir) === 1L)
+    assert(ManifestSink.read(spark, dir).count() === 2)
+  }
+
   test("time travel window: keepVersions retains readable history") {
     val dir = Files.createTempDirectory("msinkt").toString + "/t"
     ManifestSink.append(Seq(1L).toDF("v"), dir)

@@ -54,6 +54,32 @@ class SseFileStreamSpec extends SparkSpec {
     assert(full.drop(1) === resumed)
   }
 
+  test("partition reader releases its file descriptor when quota-bounded") {
+    import SseFileStreamProvider._
+    val file = Files.createTempDirectory("ssefd").toString + "/cap.sse"
+    // many frames so a quota-bounded reader stops WELL before the byte
+    // limit — the pre-fix leak path (channel closed only at EOF/limit)
+    (1 to 50).foreach(i => append(file, s"data: f$i", ""))
+    def openFds(): Set[String] = {
+      val d = new java.io.File("/proc/self/fd")
+      Option(d.list()).map(_.toSet).getOrElse(Set.empty)
+    }
+    val stream = new SseFileMicroBatchStream(file, Long.MaxValue)
+    val parts = stream.planInputPartitions(SseFrameOffset(0), SseFrameOffset(2))
+    val before = openFds()
+    (1 to 20).foreach { _ =>
+      val r = stream.createReaderFactory().createReader(parts(0))
+      assert(r.next()) // consume 1 of 2 frames, then abandon mid-quota
+      r.close()
+    }
+    val leaked = (openFds() -- before).size
+    assert(leaked === 0, s"$leaked descriptors leaked by closed readers")
+    // close() after exhaustion is also safe (idempotent)
+    val r2 = stream.createReaderFactory().createReader(parts(0))
+    while (r2.next()) ()
+    r2.close(); r2.close()
+  }
+
   test("maxBytesPerTrigger caps the bytes admitted per advance") {
     import SseFileStreamProvider._
     val file = Files.createTempDirectory("ssecapn").toString + "/cap.sse"
