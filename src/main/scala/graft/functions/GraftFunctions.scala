@@ -26,12 +26,18 @@ object GraftFunctions {
     * ClassCastException out of eval(). */
   private def kmvK(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.IntegralType
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    // IntegralType is protected[sql] in the Scala signature; enumerate the
+    // concrete integral types instead.
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val folded = e match {
-      case Literal(v: Number, _: IntegralType) => Some(v.longValue())
+      case Literal(v: Number, dt) if isIntegral(dt) => Some(v.longValue())
       // a cast literal (`CAST(128 AS BIGINT)`) is not a Literal node yet at
       // analysis time — fold it here rather than bounce the user
-      case _ if e.foldable && e.dataType.isInstanceOf[IntegralType] =>
+      case _ if e.foldable && isIntegral(e.dataType) =>
         Option(e.eval()).map(_.asInstanceOf[Number].longValue())
       case _ => None
     }

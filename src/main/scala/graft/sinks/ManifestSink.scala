@@ -103,7 +103,10 @@ object ManifestSink {
     val listed = listedVersion(f, dir)
     val latest = new Path(dir, "_latest")
     if (f.exists(latest)) {
-      val hinted = readSmall(f, latest).trim.toLongOption.getOrElse(-1L)
+      // a torn hint write can leave unparseable bytes or a checksum
+      // mismatch (local FS keeps a CRC sidecar) — treat either as stale
+      val hinted = scala.util.Try(readSmall(f, latest).trim.toLong)
+        .getOrElse(-1L)
       if (hinted == listed) return hinted
     }
     listed

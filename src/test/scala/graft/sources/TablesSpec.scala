@@ -11,9 +11,11 @@ class TablesSpec extends SparkSpec {
     // EXECUTION time the reader accepts INT64(NANOS) against the pinned
     // LongType schema with the conf unset. If a Spark upgrade re-consults
     // the conf at execution, this test fails before production does.
-    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    // getOption returns the registered default ("false") even when unset —
+    // assert the EFFECTIVE value is off, i.e. the scoped "true" never leaks
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") !== "true")
     val events = Tables(spark, sf, "events")
-    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") !== "true")
     val n = events.count() // full scan — exercises the execution-time path
     assert(n > 0)
     // the ns column arrives as a proper µs TimestampType after the loader
