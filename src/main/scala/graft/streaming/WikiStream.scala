@@ -159,9 +159,48 @@ object WikiStream {
       .outputMode("append")
       .start()
 
+  /** Start the full pipeline over a LIVE SSE endpoint — the reference's
+    * `main()` assembly (pipeline.py:237-252): recover `since` from the
+    * sink's newest event (pipeline.py:225-236, `MAX(event_timestamp)`),
+    * O4-guard SINCE_OVERRIDE to an empty sink only (pipeline.py:230-233),
+    * then stream `sse-http` (keep-alive, 5 s reconnect) → F1 message
+    * filter → parse/transform/dedup → manifest-sink append with
+    * retention. The capture file doubles as the raw bronze layer (K2). */
+  def startLive(spark: SparkSession, url: String, capturePath: String,
+      sinkDir: String, checkpointDir: String, cfg: GraftConfig = GraftConfig(),
+      userAgent: String = "graft-spark/0.1", backoffMs: Long = 5000L,
+      trigger: Option[Trigger] = Some(Trigger.ProcessingTime("2 seconds")),
+      watermarkDelay: String = "10 seconds"): StreamingQuery = {
+    import graft.sinks.ManifestSink
+    val lastTs: Option[String] =
+      if (ManifestSink.version(spark, sinkDir) < 0) None
+      else Option(ManifestSink.read(spark, sinkDir)
+        .agg(date_format(max(col("event_timestamp")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts"))
+        .head().getString(0))
+    require(lastTs.isEmpty || cfg.sinceOverride.isEmpty,
+      s"SINCE_OVERRIDE is set but sink $sinkDir is not empty")
+    val since = lastTs.orElse(cfg.sinceOverride)
+    val raw = spark.readStream.format("sse-http")
+      .option("url", url)
+      .option("capturePath", capturePath)
+      .option("userAgent", userAgent)
+      .option("backoffMs", backoffMs.toString)
+      .options(since.map("since" -> _).toMap)
+      .load()
+      .filter(col("event") === "message").select(col("data").as("value"))
+    val out = fromRawLines(raw, "value", watermarkDelay)
+    val writer = out.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendWithRetentionManifest(batch, sinkDir, cfg)
+      }
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+
   /** Start the full pipeline over a text-file source directory (the raw
-    * capture surface, S4 — a live SSE DataSourceV2 would slot in here; it
-    * is untestable in a zero-egress environment, SURVEY.md §7.4). */
+    * capture surface, S4; [[startLive]] is the network-source variant). */
   def start(spark: SparkSession, sourceDir: String, sinkDir: String,
       checkpointDir: String, cfg: GraftConfig = GraftConfig(),
       trigger: Option[Trigger] = Some(Trigger.ProcessingTime("2 seconds")),
