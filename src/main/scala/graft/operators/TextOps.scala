@@ -310,7 +310,76 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Gopher/C4-style repetition signals — the training-data quality
+    * filters that complement q34's lexical score: a document dominated by
+    * one token or by repeated n-grams is boilerplate/spam even when its
+    * token-level stats look fine (Rae et al. 2021 §A1.1 use the same
+    * family: top-n-gram fraction, duplicate-n-gram fraction).
+    *
+    * Signals (all exact integer counts → deterministic double ratios):
+    *   - `top_token_frac`: multiplicity of the most frequent token over
+    *     n_tokens (mode via explode + two-level groupBy, both map-side
+    *     partial; total token count falls out of the same aggregate for
+    *     free);
+    *   - `dup_bigram_frac`: 1 − distinct bigrams / total bigrams, with
+    *     the distinct count from the codegen'd [[graft.functions
+    *     .ShingleArray]] kernel — a narrow projection, no shuffle.
+    *
+    * The two sides join on doc_id (doc-count rows each). At 100 TB both
+    * aggregations partial map-side and the join is a co-partitioned
+    * shuffle on the primary key — no pairwise anything. Thresholds keep
+    * ≈75% of this corpus (Gopher's 0.2/0.2 tuned to the synthetic
+    * vocabulary). */
+  private val q66: Q = (s, dir) => {
+    import s.implicits._
+    val t = docs(s, dir).select($"doc_id", split($"text", " ").as("tk"))
+    val base = t.select($"doc_id",
+      size($"tk").cast("long").as("n_tokens"),
+      greatest(size($"tk") - 1, lit(0)).cast("long").as("n_bigrams"),
+      size(DedupOps.shingles($"tk", 2)).cast("long").as("n_distinct_bigrams"))
+    val top = t.select($"doc_id", explode($"tk").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_c"))
+    val topFrac = $"top_c".cast("double") / $"n_tokens".cast("double")
+    val dupFrac = when($"n_bigrams" > 0,
+      lit(1.0) - $"n_distinct_bigrams".cast("double") /
+        $"n_bigrams".cast("double")).otherwise(lit(0.0))
+    base.join(top, "doc_id")
+      .select($"doc_id", $"n_tokens",
+        topFrac.as("top_token_frac"),
+        dupFrac.as("dup_bigram_frac"),
+        (topFrac <= 0.125 && dupFrac <= 0.06).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val q66Sql = {
+    val bigrams = "list_distinct(list_transform(range(1, len(tk)), " +
+      "i -> tk[i] || ' ' || tk[i+1]))"
+    val topFrac = "CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+    val dupFrac = "CASE WHEN n_bigrams > 0 THEN 1.0 - " +
+      "CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) " +
+      "ELSE 0.0 END"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(GREATEST(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(len($bigrams) AS BIGINT) AS n_distinct_bigrams
+       |  FROM t),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS top_c FROM (
+       |    SELECT doc_id, tok, COUNT(*) AS c
+       |    FROM t, UNNEST(tk) AS u(tok) GROUP BY doc_id, tok)
+       |  GROUP BY doc_id)
+       |SELECT base.doc_id AS doc_id, n_tokens,
+       |  $topFrac AS top_token_frac,
+       |  $dupFrac AS dup_bigram_frac,
+       |  (($topFrac) <= 0.125 AND ($dupFrac) <= 0.06) AS keep
+       |FROM base JOIN top USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_repetition_signals" -> q66,
     "q30_text_stats" -> q30,
     "q31_lang_stats" -> q31,
     "q32_top_words" -> q32,
@@ -321,6 +390,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q66_repetition_signals" -> q66Sql,
     "q30_text_stats" -> q30Sql,
     "q31_lang_stats" -> q31Sql,
     "q32_top_words" -> q32Sql,
