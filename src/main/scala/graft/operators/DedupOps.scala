@@ -405,13 +405,64 @@ object DedupOps {
   private val q60Sql: String =
     lshPipelineSql(shingleSetSql("text"), 16, 4, 0.8)
 
+  // ---------------------------------------------------------------- q67
+  /** Batch semantics pin for the STREAMING near-dup admission operator
+    * ([[graft.streaming.StreamingDedup]]): the same row-local band-bucket
+    * computation, with first-writer-wins resolved as `min(doc_id)` per
+    * bucket — exactly what the streaming operator produces when the corpus
+    * arrives in one micro-batch (its within-batch contention rule is
+    * smallest-doc-first precisely so this equivalence holds; across
+    * batches, arrival order takes precedence — StreamingDedupSpec). A
+    * document is admitted iff it claims every one of its 4 band buckets;
+    * a rejected document reports one colliding prior. */
+  private val q67: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val verdicts = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(graft.streaming.StreamingDedup.bandBuckets($"text", 16, 4))
+          .as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    val w = Window.partitionBy($"band", $"bucket")
+    verdicts.withColumn("first_doc", min($"doc_id").over(w))
+      .groupBy($"doc_id")
+      .agg(min($"doc_id" === $"first_doc").as("admit"),
+        max(when($"doc_id" =!= $"first_doc", $"first_doc")).as("dup_of"))
+      .orderBy($"doc_id")
+  }
+  private val q67Sql = {
+    def sig(i: Int) =
+      s"list_min(list_transform(hs, h -> ${permSql(i, "h")}))"
+    def bucket(b: Int) = foldSql(b.toLong, (b * 4 until b * 4 + 4).map(sig))
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      x -> ${tokenHashPSql("x")}) AS hs
+       |  FROM documents),
+       |bb AS (
+       |  $bandSelects),
+       |f AS (
+       |  SELECT doc_id, band, bucket,
+       |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc
+       |  FROM bb)
+       |SELECT doc_id, BOOL_AND(doc_id = first_doc) AS admit,
+       |  MAX(CASE WHEN doc_id <> first_doc THEN first_doc END) AS dup_of
+       |FROM f GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
-    "q60_shingle_near_dup" -> q60)
+    "q60_shingle_near_dup" -> q60,
+    "q67_streaming_dedup_pin" -> q67)
 
   val oracleSql: Map[String, String] = Map(
     "q36_minhash_near_dup" -> q36Sql,
     "q37_simhash_fingerprints" -> q37Sql,
-    "q60_shingle_near_dup" -> q60Sql)
+    "q60_shingle_near_dup" -> q60Sql,
+    "q67_streaming_dedup_pin" -> q67Sql)
 }

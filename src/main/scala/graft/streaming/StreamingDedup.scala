@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.PortableHash
+
+/** Streaming near-duplicate admission — the MinHash-LSH dedup family
+  * (DedupOps, batch q36/q60) at INGEST time: each arriving document is
+  * admitted only if none of its LSH band buckets has been claimed by an
+  * earlier document. This is the training-data shape where the corpus is
+  * an unbounded stream and re-crawls/mirrors must be dropped before they
+  * reach storage, not compacted away afterwards.
+  *
+  * Pipeline:
+  * {{{
+  * docs.select(doc_id, explode(bandBuckets(text)))   // row-local, no agg
+  *   .groupByKey((band, bucket))
+  *   .flatMapGroupsWithState(...)                    // 1 long per bucket
+  *   → per-(doc, band) verdicts (append stream)
+  *   → admissions(batch) in foreachBatch             // stateless reduce
+  * }}}
+  *
+  * Scale shape: the only shuffle is the groupByKey on (band, bucket) —
+  * the same key the batch pipeline equi-joins on — and state is ONE long
+  * per live bucket, expiring after `stateTtl` idle. Bounded state is the
+  * contract: like `dropDuplicatesWithinWatermark`, the operator dedups
+  * within its retention window and leaves anything older to the sink-level
+  * UNIQUE anti-join (WikiStream.appendWithRetention). A rejected document
+  * still holds the buckets it was first to claim, so later documents
+  * near-BOTH a survivor and a reject are caught through either — the same
+  * candidate-graph transitivity the batch LSH join has.
+  */
+object StreamingDedup {
+
+  /** Per-(band, bucket) verdict for one document (public: Catalyst codegen
+    * instantiates it). `prior_doc_id` is the bucket's first claimant —
+    * equal to `doc_id` when this document claimed it. */
+  final case class BandVerdict(doc_id: Long, band: Int, bucket: Long,
+      first_in_bucket: Boolean, prior_doc_id: Long)
+
+  /** First-writer registration for one LSH bucket (public for codegen). */
+  final case class BucketReg(first_doc_id: Long)
+
+  /** Row-local MinHash band buckets: distinct tokens are hashed ONCE
+    * (PortableHash 48-bit sha256 slice), each of `numHashes` affine perms
+    * takes an `array_min` over the hashed array, and each band folds its
+    * signature rows seeded by the band index — producing the same band
+    * hashes as the batch pipeline's explode+groupBy signatures (a min over
+    * the same set under the same perms), but with NO aggregation, which is
+    * what makes the signature step legal in an append-mode stream.
+    *
+    * Returns `array<struct<band:int, bucket:long>>`. The per-row lambda
+    * cost is numHashes·|tokens| interpreted ops; at sustained ingest rates
+    * the optimization path is a ShingleArray-style codegen kernel emitting
+    * all band hashes in one pass (the signature math is already hoisted:
+    * one sha256 per distinct token, reused by every perm). */
+  def bandBuckets(text: Column, numHashes: Int = 16,
+      bands: Int = 4): Column = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val toksH = transform(array_distinct(split(text, " ")),
+      t => PortableHash.tokenHashP(t))
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(toksH, h => PortableHash.perm(i, h))))
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        PortableHash.fold(b.toLong, sigs.slice(b * rows, (b + 1) * rows))
+          .as("bucket"))
+    }: _*)
+  }
+
+  /** Streaming verdicts: one row per (document, band), first-writer-wins
+    * per bucket across micro-batches. Within a batch the smallest doc_id
+    * claims contested buckets (replays reprocess whole batches, so the
+    * winner is replay-stable). `stateTtl` (e.g. "30 minutes") expires idle
+    * buckets via processing-time timeout; None keeps state forever (tests,
+    * bounded corpora). */
+  def bandVerdicts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 16, bands: Int = 4,
+      stateTtl: Option[String] = None): Dataset[BandVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val regEnc = Encoders.product[BucketReg]
+    implicit val outEnc = Encoders.product[BandVerdict]
+    val exploded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(bandBuckets(col(textCol), numHashes, bands)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+      .as[(Long, Int, Long)]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    exploded.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketReg, BandVerdict](
+        OutputMode.Append, timeout) {
+        case ((band, bucket), rows, state: GroupState[BucketReg]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.map(_._1).toArray.sorted
+            var reg = state.getOption
+            val out = sorted.map { docId =>
+              reg match {
+                case Some(r) => BandVerdict(docId, band, bucket,
+                  first_in_bucket = r.first_doc_id == docId, r.first_doc_id)
+                case None =>
+                  reg = Some(BucketReg(docId))
+                  BandVerdict(docId, band, bucket,
+                    first_in_bucket = true, docId)
+              }
+            }
+            reg.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  /** Per-document admission from a batch of verdicts: admit iff the
+    * document was first in EVERY one of its bands; otherwise report one of
+    * the prior documents it collided with. Stateless — run inside
+    * `foreachBatch` after [[bandVerdicts]] (a streaming aggregation after
+    * flatMapGroupsWithState is not supported by Spark, and doesn't need to
+    * be: all of a document's bands are emitted in the same micro-batch its
+    * text arrived in). */
+  def admissions(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(min(col("first_in_bucket")).as("admit"),
+        max(when(!col("first_in_bucket"), col("prior_doc_id")))
+          .as("dup_of"))
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val distinctA = "the quick brown fox jumps over the lazy dog today"
+  private val distinctB = "spark shuffles partitions across executors with hash keys"
+  private val distinctC = "completely different words about databases and storage engines"
+
+  test("band buckets: identical texts collide on all bands, disjoint on none") {
+    val df = Seq((1L, distinctA), (2L, distinctA), (3L, distinctB))
+      .toDF("doc_id", "text")
+      .select($"doc_id", StreamingDedup.bandBuckets($"text").as("bb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1).map(
+        s => (s.getInt(0), s.getLong(1))).toSet).toMap
+    assert(df(1L) === df(2L))            // same text → same 4 buckets
+    assert(df(1L).intersect(df(3L)).isEmpty) // disjoint tokens → none shared
+    assert(df(1L).map(_._1) === Set(0, 1, 2, 3))
+  }
+
+  test("band buckets are token-SET semantics, order/multiplicity invariant") {
+    val df = Seq((1L, "alpha beta gamma delta"),
+        (2L, "delta gamma beta alpha alpha"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", StreamingDedup.bandBuckets($"text").as("bb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1).toSet).toMap
+    assert(df(1L) === df(2L))
+  }
+
+  test("streaming admission: duplicates rejected across micro-batches, state persists") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val verdicts = StreamingDedup.bandVerdicts(
+      src.toDF().toDF("doc_id", "text"))
+    val admitted = mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = verdicts.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingDedup.admissions(batch).collect().foreach { r =>
+          admitted(r.getLong(0)) =
+            (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        }
+      }
+      .start()
+    try {
+      // batch 1: two distinct docs — both admitted
+      src.addData((1L, distinctA), (2L, distinctB))
+      q.processAllAvailable()
+      assert(admitted(1L) === ((true, None)))
+      assert(admitted(2L) === ((true, None)))
+      // batch 2: doc 3 re-delivers doc 1's text → all four bands collide
+      // with state from the PREVIOUS batch; doc 4 is new — admitted
+      src.addData((3L, distinctA), (4L, distinctC))
+      q.processAllAvailable()
+      assert(admitted(3L) === ((false, Some(1L))))
+      assert(admitted(4L) === ((true, None)))
+      // batch 3: near-dup of doc 1 (one token changed out of ten) must
+      // collide on at least one band (most signature rows are unchanged);
+      // and a re-delivery of doc 4's exact text is rejected against it
+      src.addData((5L, distinctA.replace("today", "tonight")),
+        (6L, distinctC))
+      q.processAllAvailable()
+      assert(admitted(5L)._1 === false)
+      assert(admitted(5L)._2 === Some(1L))
+      assert(admitted(6L) === ((false, Some(4L))))
+    } finally q.stop()
+  }
+
+  test("within-batch contention: smallest doc_id claims the bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val verdicts = StreamingDedup.bandVerdicts(
+      src.toDF().toDF("doc_id", "text"))
+    val out = mutable.ArrayBuffer[Row]()
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= StreamingDedup.admissions(batch).collect(): Unit
+      }.start()
+    try {
+      src.addData((9L, distinctA), (7L, distinctA))
+      q.processAllAvailable()
+      val byId = out.map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(byId(7L) === ((true, None)))
+      assert(byId(9L) === ((false, Some(7L))))
+    } finally q.stop()
+  }
+}
