@@ -420,9 +420,8 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val verdicts = Tables(s, dir, "documents")
       .select($"doc_id",
-        explode(graft.streaming.StreamingDedup.bandBuckets($"text", 16, 4))
-          .as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+        graft.streaming.StreamingDedup.bandHashes($"text", 16, 4).as("bb"))
+      .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
     val w = Window.partitionBy($"band", $"bucket")
     verdicts.withColumn("first_doc", min($"doc_id").over(w))
       .groupBy($"doc_id")

@@ -43,20 +43,27 @@ object StreamingDedup {
   /** First-writer registration for one LSH bucket (public for codegen). */
   final case class BucketReg(first_doc_id: Long)
 
-  /** Row-local MinHash band buckets: distinct tokens are hashed ONCE
-    * (PortableHash 48-bit sha256 slice), each of `numHashes` affine perms
-    * takes an `array_min` over the hashed array, and each band folds its
-    * signature rows seeded by the band index — producing the same band
-    * hashes as the batch pipeline's explode+groupBy signatures (a min over
-    * the same set under the same perms), but with NO aggregation, which is
-    * what makes the signature step legal in an append-mode stream.
+  /** Row-local MinHash band hashes as `array<long>` (band index =
+    * position): distinct tokens are hashed ONCE (PortableHash 48-bit
+    * sha256 slice), each of `numHashes` affine perms keeps a running min,
+    * and each band folds its signature rows seeded by the band index —
+    * producing the same band hashes as the batch pipeline's
+    * explode+groupBy signatures (a min over the same set under the same
+    * perms), but with NO aggregation, which is what makes the signature
+    * step legal in an append-mode stream.
     *
-    * Returns `array<struct<band:int, bucket:long>>`. The per-row lambda
-    * cost is numHashes·|tokens| interpreted ops; at sustained ingest rates
-    * the optimization path is a ShingleArray-style codegen kernel emitting
-    * all band hashes in one pass (the signature math is already hoisted:
-    * one sha256 per distinct token, reused by every perm). */
-  def bandBuckets(text: Column, numHashes: Int = 16,
+    * Backed by the codegen'd [[graft.functions.MinhashBands]] kernel —
+    * ONE tight loop per row; consume with `posexplode` (pos = band) so
+    * the kernel is evaluated once. [[bandBucketsHof]] is the interpreted
+    * reference the spec holds it equal to. */
+  def bandHashes(text: Column, numHashes: Int = 16, bands: Int = 4): Column =
+    graft.functions.MinhashBands.bands(split(text, " "), numHashes, bands)
+
+  /** Interpreted higher-order reference implementation of [[bandHashes]]
+    * (as `array<struct<band,bucket>>`) — kept as the equivalence oracle
+    * for the codegen kernel (StreamingDedupSpec asserts equality over
+    * real documents). */
+  def bandBucketsHof(text: Column, numHashes: Int = 16,
       bands: Int = 4): Column = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
@@ -86,8 +93,8 @@ object StreamingDedup {
     implicit val outEnc = Encoders.product[BandVerdict]
     val exploded = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(bandBuckets(col(textCol), numHashes, bands)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+        bandHashes(col(textCol), numHashes, bands).as("bb"))
+      .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
       .as[(Long, Int, Long)]
     val timeout =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout

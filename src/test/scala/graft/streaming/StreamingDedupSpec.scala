@@ -14,24 +14,36 @@ class StreamingDedupSpec extends SparkSpec {
   private val distinctB = "spark shuffles partitions across executors with hash keys"
   private val distinctC = "completely different words about databases and storage engines"
 
-  test("band buckets: identical texts collide on all bands, disjoint on none") {
+  test("band hashes: identical texts collide on all bands, disjoint on none") {
     val df = Seq((1L, distinctA), (2L, distinctA), (3L, distinctB))
       .toDF("doc_id", "text")
-      .select($"doc_id", StreamingDedup.bandBuckets($"text").as("bb"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1).map(
-        s => (s.getInt(0), s.getLong(1))).toSet).toMap
+      .select($"doc_id", StreamingDedup.bandHashes($"text").as("bb"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).zipWithIndex.map(_.swap).toSet).toMap
     assert(df(1L) === df(2L))            // same text → same 4 buckets
     assert(df(1L).intersect(df(3L)).isEmpty) // disjoint tokens → none shared
     assert(df(1L).map(_._1) === Set(0, 1, 2, 3))
   }
 
-  test("band buckets are token-SET semantics, order/multiplicity invariant") {
+  test("band hashes are token-SET semantics, order/multiplicity invariant") {
     val df = Seq((1L, "alpha beta gamma delta"),
         (2L, "delta gamma beta alpha alpha"))
       .toDF("doc_id", "text")
-      .select($"doc_id", StreamingDedup.bandBuckets($"text").as("bb"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1).toSet).toMap
+      .select($"doc_id", StreamingDedup.bandHashes($"text").as("bb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(df(1L) === df(2L))
+  }
+
+  test("codegen kernel is identical to the interpreted higher-order form") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val diff = docs.select(
+      StreamingDedup.bandHashes($"text").as("k"),
+      org.apache.spark.sql.functions.transform(
+        StreamingDedup.bandBucketsHof($"text"),
+        bb => bb.getField("bucket")).as("h"))
+      .filter(org.apache.spark.sql.functions.not($"k" <=> $"h")).count()
+    assert(diff === 0L)
   }
 
   test("streaming admission: duplicates rejected across micro-batches, state persists") {
