@@ -27,6 +27,37 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(1) === 15L) // vec_ids 0..499 → 16 smallest end at 15
   }
 
+  test("shingle_array and minhash_bands are callable from SQL") {
+    GraftFunctions.register(spark)
+    GraftFunctions.registerTables(spark, sf)
+    // SQL kernel output equals the DataFrame-API kernel output
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  shingle_array(split(text, ' '), 2) AS sh,
+        |  minhash_bands(split(text, ' '), 16, 4) AS mb
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      assert(row.getSeq[String](1).nonEmpty)
+      assert(row.getSeq[Long](2).length === 4)
+    }
+    val viaApi = graft.sources.Tables(spark, sf, "documents")
+      .orderBy("doc_id").limit(5)
+      .select(graft.streaming.StreamingDedup.bandHashes(
+        org.apache.spark.sql.functions.col("text")).as("mb"))
+      .collect().map(_.getSeq[Long](0))
+    assert(r.map(_.getSeq[Long](2)).toSeq === viaApi.toSeq)
+    // structural params must be literals, same contract as kmv_sketch
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_bands(split(text, ' '), doc_id, 4) " +
+        "FROM documents").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(
+      _.contains("numHashes must be a positive integer literal")))
+  }
+
   test("kmv_sketch k: accepts BIGINT/cast literals, rejects columns clearly") {
     GraftFunctions.register(spark)
     GraftFunctions.registerTables(spark, sf)
