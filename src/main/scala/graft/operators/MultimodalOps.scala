@@ -165,11 +165,55 @@ object MultimodalOps {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Frame-sample pipeline (the video shape): every stride-th fixed-size
+    * byte window of the payload becomes a frame row (posexplode — one
+    * generate, no shuffle until the output sort), each frame carrying its
+    * length and a per-frame STUB feature reduction (sha-derived, like
+    * q51's — a real pipeline would decode and resize the frame here; the
+    * frame slicing, row explosion, and per-frame kernel seam are the real
+    * plumbing). Payloads shorter than the frame grid yield fewer frames;
+    * a trailing partial window survives as a short frame. All counts are
+    * integers and the feature basis divides once at the end, so the whole
+    * query hash-matches the DuckDB oracle. */
+  private val q68: Q = (s, dir) => {
+    import s.implicits._
+    asBinary(Tables(s, dir, "documents"))
+      .select($"doc_id",
+        posexplode(frameSample($"payload", frameBytes = 32, stride = 64,
+          maxFrames = 8)).as(Seq("frame_idx", "frame")))
+      .select($"doc_id",
+        $"frame_idx".cast("long").as("frame_idx"),
+        octet_length($"frame").cast("long").as("frame_len"),
+        (aggregate(featureInts($"frame", 4), lit(0L), (a, x) => a + x)
+          .cast("double") / lit(1000.0)).as("feat_sum"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+  private val q68Sql =
+    """WITH fr AS (
+      |  SELECT doc_id, i AS raw_idx, substr(text, i*64 + 1, 32) AS frame
+      |  FROM documents, UNNEST(range(0, 8)) AS t(i)),
+      |kept AS (
+      |  SELECT doc_id, frame,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1
+      |      AS frame_idx
+      |  FROM fr WHERE length(frame) > 0)
+      |SELECT doc_id,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(length(frame) AS BIGINT) AS frame_len,
+      |  CAST(list_sum(list_transform(range(0, 4),
+      |    i -> CAST('0x' || substr(sha256(frame), i*6 + 1, 6) AS INTEGER)
+      |         ::BIGINT % 1000)) AS DOUBLE) / 1000.0 AS feat_sum
+      |FROM kept
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
-    "q51_multimodal_decode_stub" -> q51)
+    "q51_multimodal_decode_stub" -> q51,
+    "q68_frame_sample" -> q68)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
-    "q51_multimodal_decode_stub" -> q51Sql)
+    "q51_multimodal_decode_stub" -> q51Sql,
+    "q68_frame_sample" -> q68Sql)
 }
