@@ -124,6 +124,69 @@ object StreamingDedup {
       }
   }
 
+  /** [[bandVerdicts]]'s bucket registry as a Spark 4 `StatefulProcessor` —
+    * the `transformWithState` successor API to flatMapGroupsWithState:
+    * named state variables with per-state native TTL (no timeout-handling
+    * branch in user code), timers available when needed. Public class:
+    * serialized into tasks. Requires the RocksDB state store provider. */
+  class BucketRegistryProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), (Long, Int, Long), BandVerdict] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues}
+    @transient private var reg:
+      org.apache.spark.sql.streaming.ValueState[BucketReg] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      reg = getHandle.getValueState[BucketReg]("bucketReg",
+        Encoders.product[BucketReg],
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: (Int, Long),
+        rows: Iterator[(Long, Int, Long)],
+        timers: TimerValues): Iterator[BandVerdict] = {
+      val (band, bucket) = key
+      val sorted = rows.map(_._1).toArray.sorted
+      var cur = if (reg.exists()) Some(reg.get()) else None
+      sorted.iterator.map { docId =>
+        cur match {
+          case Some(r) => BandVerdict(docId, band, bucket,
+            first_in_bucket = r.first_doc_id == docId, r.first_doc_id)
+          case None =>
+            cur = Some(BucketReg(docId))
+            reg.update(BucketReg(docId))
+            BandVerdict(docId, band, bucket,
+              first_in_bucket = true, docId)
+        }
+      }
+    }
+  }
+
+  /** [[bandVerdicts]] on the `transformWithState` API — identical
+    * semantics (StreamingDedupSpec runs the same scenario through both);
+    * state expiry is declarative TTL on the value state instead of manual
+    * timeout handling. The session must use the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`), which is
+    * the provider a 100 TB deployment wants anyway: state spills to disk
+    * with changelog checkpointing instead of living on the executor heap. */
+  def bandVerdictsTws(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 16, bands: Int = 4,
+      stateTtl: Option[java.time.Duration] = None): Dataset[BandVerdict] = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[BandVerdict]
+    val exploded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        bandHashes(col(textCol), numHashes, bands).as("bb"))
+      .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
+      .as[(Long, Int, Long)]
+    val timeMode =
+      if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    exploded.groupByKey(r => (r._2, r._3))
+      .transformWithState(new BucketRegistryProcessor(stateTtl),
+        timeMode, OM.Append())
+  }
+
   /** Per-document admission from a batch of verdicts: admit iff the
     * document was first in EVERY one of its bands; otherwise report one of
     * the prior documents it collided with. Stateless — run inside

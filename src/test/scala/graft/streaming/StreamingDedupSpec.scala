@@ -85,6 +85,46 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState registry matches flatMapGroupsWithState semantics") {
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val src = MemoryStream[(Long, String)]
+      val verdicts = StreamingDedup.bandVerdictsTws(
+        src.toDF().toDF("doc_id", "text"))
+      val admitted = mutable.Map[Long, (Boolean, Option[Long])]()
+      val q = verdicts.toDF().writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingDedup.admissions(batch).collect().foreach { r =>
+            admitted(r.getLong(0)) =
+              (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+          }
+        }
+        .start()
+      try {
+        src.addData((1L, distinctA), (2L, distinctB))
+        q.processAllAvailable()
+        assert(admitted(1L) === ((true, None)))
+        assert(admitted(2L) === ((true, None)))
+        // cross-batch state + exact re-delivery, same as the fMGWS test
+        src.addData((3L, distinctA), (4L, distinctC))
+        q.processAllAvailable()
+        assert(admitted(3L) === ((false, Some(1L))))
+        assert(admitted(4L) === ((true, None)))
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("within-batch contention: smallest doc_id claims the bucket") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, String)]
