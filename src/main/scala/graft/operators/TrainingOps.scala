@@ -185,15 +185,105 @@ object TrainingOps {
        |ORDER BY exact_count DESC, user_id ASC""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q69
+  /** Training-corpus assembly — the capstone composition a data engineer
+    * runs to materialize a training set, built entirely from this
+    * engine's own operators in one declarative plan:
+    *
+    *   1. language filter (`lang = 'en'`, map-side at the scan);
+    *   2. exact-dup removal: md5 fingerprint, survivor = min doc_id per
+    *      fingerprint (one window on the hash — q35's semantics inline);
+    *   3. quality gates: token-count band, type-token ratio, duplicate-
+    *      bigram fraction via the codegen ShingleArray kernel (all
+    *      row-local except the fingerprint window);
+    *   4. modality join: embeddings on the primary key, carrying label
+    *      and the vector norm (sequentialdot kernel);
+    *   5. reproducible split assignment: PortableHash of doc_id → 90/5/5
+    *      train/val/test — stable under any partitioning, any engine, any
+    *      rerun (the property seeded RNG splits lose on reshuffle).
+    *
+    * At 100 TB: steps 1/3/5 are map-side; the fingerprint window and the
+    * embedding join both hash-partition on high-cardinality keys; nothing
+    * materializes on the driver. Every stage is cross-engine exact, so
+    * the assembled corpus itself is hash-oracled. */
+  private val q69: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"text", split($"text", " ").as("tk"))
+    val wFp = Window.partitionBy($"fp")
+    val stats = tk.select($"doc_id", $"lang", $"text",
+        size($"tk").cast("long").as("n_tokens"),
+        (size(array_distinct($"tk")).cast("double") /
+          size($"tk").cast("double")).as("ttr"),
+        greatest(size($"tk") - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(DedupOps.shingles($"tk", 2)).cast("long").as("nd"))
+      .withColumn("fp", md5($"text"))
+      .withColumn("keeper", min($"doc_id").over(wFp))
+      .withColumn("dup_bigram_frac", when($"n_bigrams" > 0,
+        lit(1.0) - $"nd".cast("double") / $"n_bigrams".cast("double"))
+        .otherwise(lit(0.0)))
+    val kept = stats.filter($"lang" === "en" && $"doc_id" === $"keeper" &&
+      $"n_tokens".between(20, 1000) && $"ttr" >= 0.45 &&
+      $"dup_bigram_frac" <= 0.06)
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), $"label",
+        sqrt(VectorOps.dot($"embedding", $"embedding")).as("emb_norm"))
+    val bucket = PortableHash.tokenHashP($"doc_id") % lit(100L)
+    kept.join(emb, "doc_id")
+      .select($"doc_id", $"lang", $"n_tokens", $"ttr", $"dup_bigram_frac",
+        $"label", $"emb_norm",
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+  private val q69Sql = {
+    val bigrams = "list_distinct(list_transform(range(1, len(tk)), " +
+      "i -> tk[i] || ' ' || tk[i+1]))"
+    val bucket = s"(${tokenHashPSql("doc_id")} % 100)"
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS DOUBLE)
+       |      / CAST(len(tk) AS DOUBLE) AS ttr,
+       |    CAST(GREATEST(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(len($bigrams) AS BIGINT) AS nd,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM tk),
+       |kept AS (
+       |  SELECT doc_id, lang, n_tokens, ttr,
+       |    CASE WHEN n_bigrams > 0
+       |      THEN 1.0 - CAST(nd AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |      ELSE 0.0 END AS dup_bigram_frac
+       |  FROM stats
+       |  WHERE lang = 'en' AND doc_id = keeper
+       |    AND n_tokens BETWEEN 20 AND 1000 AND ttr >= 0.45
+       |    AND (CASE WHEN n_bigrams > 0
+       |      THEN 1.0 - CAST(nd AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |      ELSE 0.0 END) <= 0.06)
+       |SELECT k.doc_id AS doc_id, lang, n_tokens, ttr, dup_bigram_frac,
+       |  e.label AS label,
+       |  sqrt(${VectorOps.dotSql("e.embedding", "e.embedding")}) AS emb_norm,
+       |  CASE WHEN $bucket < 90 THEN 'train'
+       |       WHEN $bucket < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_tfidf_top_terms" -> q55,
     "q56_hash_sample" -> q56,
     "q57_stratified_sample" -> q57,
-    "q64_countmin_sketch" -> q64)
+    "q64_countmin_sketch" -> q64,
+    "q69_training_corpus" -> q69)
 
   val oracleSql: Map[String, String] = Map(
     "q55_tfidf_top_terms" -> q55Sql,
     "q56_hash_sample" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,
-    "q64_countmin_sketch" -> q64Sql)
+    "q64_countmin_sketch" -> q64Sql,
+    "q69_training_corpus" -> q69Sql)
 }
