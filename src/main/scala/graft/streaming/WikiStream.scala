@@ -168,9 +168,16 @@ object WikiStream {
     * retention. The capture file doubles as the raw bronze layer (K2). */
   def startLive(spark: SparkSession, url: String, capturePath: String,
       sinkDir: String, checkpointDir: String, cfg: GraftConfig = GraftConfig(),
-      userAgent: String = "graft-spark/0.1", backoffMs: Long = 5000L,
-      trigger: Option[Trigger] = Some(Trigger.ProcessingTime("2 seconds")),
+      userAgent: String = null, backoffMs: Long = -1L,
+      trigger: Option[Trigger] = null,
       watermarkDelay: String = "10 seconds"): StreamingQuery = {
+    // unset per-call knobs fall back to the config layer, like the
+    // reference's main() forwarding config.user_agent etc. (main.py:241-248)
+    val ua = Option(userAgent).getOrElse(cfg.userAgent)
+    val backoff =
+      if (backoffMs >= 0) backoffMs else cfg.reconnectBackoffSeconds * 1000L
+    val trig = Option(trigger).getOrElse(Some(
+      Trigger.ProcessingTime(s"${cfg.commitIntervalSeconds} seconds")))
     import graft.sinks.ManifestSink
     val lastTs: Option[String] =
       if (ManifestSink.version(spark, sinkDir) < 0) None
@@ -184,8 +191,8 @@ object WikiStream {
     val raw = spark.readStream.format("sse-http")
       .option("url", url)
       .option("capturePath", capturePath)
-      .option("userAgent", userAgent)
-      .option("backoffMs", backoffMs.toString)
+      .option("userAgent", ua)
+      .option("backoffMs", backoff.toString)
       .options(since.map("since" -> _).toMap)
       .load()
       .filter(col("event") === "message").select(col("data").as("value"))
@@ -195,7 +202,7 @@ object WikiStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         appendWithRetentionManifest(batch, sinkDir, cfg)
       }
-    trigger.foreach(writer.trigger)
+    trig.foreach(writer.trigger)
     writer.start()
   }
 

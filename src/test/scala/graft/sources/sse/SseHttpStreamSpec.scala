@@ -192,6 +192,45 @@ class SseHttpStreamSpec extends SparkSpec {
     } finally { q.stop(); server.stop() }
   }
 
+  test("non-200 responses are retried like connection drops") {
+    // the reference retries Timeout/ConnectionError/ChunkedEncodingError
+    // (pipeline.py:53-58); a 503 from the endpoint must take the same
+    // backoff-and-reconnect path, not loop hot or die
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = Executors.newCachedThreadPool()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(pool)
+    server.createContext("/stream", (ex: HttpExchange) => {
+      val n = attempts.incrementAndGet()
+      if (n <= 2) { // two failures, then a healthy stream
+        ex.sendResponseHeaders(503, -1)
+        ex.close()
+      } else {
+        ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        os.write(frame(0).getBytes(StandardCharsets.UTF_8)); os.flush()
+        // hold briefly so the capture reads the frame before close
+        Thread.sleep(200)
+        ex.close()
+      }
+    })
+    server.start()
+    val capFile = Files.createTempDirectory("ssehttp").toString + "/cap.sse"
+    val capture = new SseHttpCapture(
+      s"http://127.0.0.1:${server.getAddress.getPort}/stream", capFile,
+      userAgent = "graft-test/0.1", backoffMs = 30L)
+    try {
+      capture.start()
+      assert(awaitTrue() {
+        SseFileStreamProvider.completeFrames(capFile).size == 1
+      }, s"frame never arrived after 503s (connects=${capture.connects})")
+      assert(attempts.get() >= 3)
+    } finally {
+      capture.close(); server.stop(0); pool.shutdownNow()
+    }
+  }
+
   test("startLive: endpoint → pipeline → manifest sink, reference main() shape") {
     import graft.sinks.ManifestSink
     val json = scala.io.Source
