@@ -231,7 +231,39 @@ object Relational3 {
       |             ORDER BY o_totalprice DESC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Grouped EXACT quantiles (p50/p90/p99 with linear interpolation) —
+    * `percentile()` in Spark and `quantile_cont()` in DuckDB share the
+    * textbook definition (index p·(n−1) into the sorted values, linear
+    * interpolation between neighbors), so exact quantiles are
+    * cross-engine hash-comparable where approximate sketches
+    * (percentile_approx / approx_quantile) are not. Exact per-group
+    * quantiles need per-group order statistics — the 100 TB note is the
+    * same as q19's: group cardinality bounds the per-reducer sort, and
+    * the documented scale path for wide groups is percentile_approx
+    * (mergeable GK sketch) at the cost of oracle-ability. */
+  private val q70: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.9)).as("p90"),
+        percentile($"value", lit(0.99)).as("p99"))
+      .orderBy($"event_type")
+  }
+  private val q70Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q70_grouped_quantiles" -> q70,
     "q62_window_frames" -> q62,
     "q52_unpivot_stack" -> q52,
     "q53_json_roundtrip" -> q53,
@@ -242,6 +274,7 @@ object Relational3 {
     "q48_multiset_setops" -> q48)
 
   val oracleSql: Map[String, String] = Map(
+    "q70_grouped_quantiles" -> q70Sql,
     "q52_unpivot_stack" -> q52Sql,
     "q53_json_roundtrip" -> q53Sql,
     "q49_left_outer_counts" -> q49Sql,
