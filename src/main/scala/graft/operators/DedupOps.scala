@@ -415,15 +415,23 @@ object DedupOps {
     * batches, arrival order takes precedence — StreamingDedupSpec). A
     * document is admitted iff it claims every one of its 4 band buckets;
     * a rejected document reports one colliding prior. */
-  private val q67: Q = (s, dir) => {
+  /** (doc_id, band, bucket, first_doc) — every document's band buckets
+    * with each bucket's first (smallest-id) claimant; shared by q67 and
+    * the component query q71. */
+  private def bucketFirst(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val verdicts = Tables(s, dir, "documents")
+    val w = Window.partitionBy($"band", $"bucket")
+    Tables(s, dir, "documents")
       .select($"doc_id",
         graft.streaming.StreamingDedup.bandHashes($"text", 16, 4).as("bb"))
       .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
-    val w = Window.partitionBy($"band", $"bucket")
-    verdicts.withColumn("first_doc", min($"doc_id").over(w))
+      .withColumn("first_doc", min($"doc_id").over(w))
+  }
+
+  private val q67: Q = (s, dir) => {
+    import s.implicits._
+    bucketFirst(s, dir)
       .groupBy($"doc_id")
       .agg(min($"doc_id" === $"first_doc").as("admit"),
         max(when($"doc_id" =!= $"first_doc", $"first_doc")).as("dup_of"))
@@ -453,15 +461,112 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Transitive dedup clusters — connected components over the near-dup
+    * candidate graph (documents joined by "rejected against" edges from
+    * the bucket stars of [[bucketFirst]]). Pairwise near-dup verdicts are
+    * not enough to deduplicate a corpus: if A~B and B~C, all three are
+    * one cluster even when A and C never collide — the canonical step
+    * after any LSH pass (and what a union-find would do on one machine).
+    *
+    * Distributed min-label propagation: every doc starts labeled with its
+    * own id; each round takes the min over neighbors' labels; fixpoint =
+    * min doc_id of the component. The driver loop only ORCHESTRATES
+    * rounds (each round is a fully distributed join + aggregate; the
+    * per-round `count` both detects convergence and truncates lineage
+    * through the persisted frame — the GraphFrames CC shape). Rounds are
+    * bounded by graph diameter (7 on this corpus); at 100 TB the
+    * documented upgrade is large-star/small-star (alternating contraction
+    * gives O(log n) rounds on adversarial chains), same per-round plan.
+    *
+    * DuckDB oracle: recursive-CTE transitive closure + MIN per node —
+    * identical fixpoint by definition. */
+  private val q71: Q = (s, dir) => {
+    import s.implicits._
+    val bf = bucketFirst(s, dir)
+    val half = bf.filter($"doc_id" =!= $"first_doc")
+      .select($"doc_id".as("a"), $"first_doc".as("b")).distinct()
+    // eager localCheckpoint: iterative self-referencing plans grow
+    // multiplicatively per round (labels appears three times in each
+    // round's lineage) — checkpointing truncates the plan each round,
+    // which is what keeps analysis/codegen cost CONSTANT per round at any
+    // iteration count. On a cluster with lost-executor concerns the
+    // reliable-storage `checkpoint()` is the durable variant.
+    val edges = half.union(half.select($"b".as("a"), $"a".as("b")))
+      .distinct().localCheckpoint(true)
+    // seed with the bucket-star minimum (≤ doc_id by first-claimant
+    // construction, and always inside the component) — equivalent to
+    // running the identity-seeded first round for free
+    var labels = bf.groupBy($"doc_id")
+      .agg(min($"first_doc").as("label")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      iter += 1
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("b"), $"label".as("nl")), "b")
+        .groupBy($"a").agg(min($"nl").as("min_nbr"))
+      val next = labels
+        .join(nbrMin.select($"a".as("doc_id"), $"min_nbr"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"min_nbr", $"label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select($"doc_id", $"label".as("old")), "doc_id")
+        .filter($"label" =!= $"old").count()
+      labels = next
+      converged = changed == 0L
+    }
+    require(converged, s"component propagation did not converge in $iter rounds")
+    labels.groupBy($"label".as("component_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+      .orderBy($"component_id")
+  }
+  private val q71Sql = {
+    def sig(i: Int) =
+      s"list_min(list_transform(hs, h -> ${permSql(i, "h")}))"
+    def bucket(b: Int) = foldSql(b.toLong, (b * 4 until b * 4 + 4).map(sig))
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE h AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      x -> ${tokenHashPSql("x")}) AS hs
+       |  FROM documents),
+       |bb AS (
+       |  $bandSelects),
+       |f AS (
+       |  SELECT doc_id, band, bucket,
+       |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc
+       |  FROM bb),
+       |edges AS (
+       |  SELECT doc_id AS a, first_doc AS b FROM f WHERE doc_id <> first_doc
+       |  UNION
+       |  SELECT first_doc, doc_id FROM f WHERE doc_id <> first_doc),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT label AS component_id, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+       |FROM (SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a)
+       |GROUP BY label
+       |ORDER BY component_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
     "q60_shingle_near_dup" -> q60,
-    "q67_streaming_dedup_pin" -> q67)
+    "q67_streaming_dedup_pin" -> q67,
+    "q71_dedup_components" -> q71)
 
   val oracleSql: Map[String, String] = Map(
     "q36_minhash_near_dup" -> q36Sql,
     "q37_simhash_fingerprints" -> q37Sql,
     "q60_shingle_near_dup" -> q60Sql,
-    "q67_streaming_dedup_pin" -> q67Sql)
+    "q67_streaming_dedup_pin" -> q67Sql,
+    "q71_dedup_components" -> q71Sql)
 }
