@@ -273,17 +273,94 @@ object TrainingOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q72
+  /** Document chunking — overlapping token windows (64 tokens, stride 48,
+    * 16-token overlap), the stage that turns variable-length documents
+    * into model-sized training sequences. Pure per-row work: one split,
+    * one posexplode over the window starts, slices from the projected
+    * token array (no re-split per window) — no shuffle before the output
+    * sort, embarrassingly parallel at any scale. A trailing short window
+    * keeps its actual token count. */
+  private val q72: Q = (s, dir) => {
+    import s.implicits._
+    val W = 64
+    val S = 48
+    Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", $"tk",
+        posexplode(sequence(lit(0), floor((size($"tk") - 1) / S).cast("int")))
+          .as(Seq("chunk_idx", "w")))
+      .select($"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        size(slice($"tk", $"w" * S + 1, lit(W))).cast("long").as("chunk_tokens"),
+        array_join(slice($"tk", $"w" * S + 1, lit(W)), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  private val q72Sql =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS chunk_idx,
+      |  CAST(len(tk[w*48 + 1 : w*48 + 64]) AS BIGINT) AS chunk_tokens,
+      |  array_to_string(tk[w*48 + 1 : w*48 + 64], ' ') AS chunk_text
+      |FROM tk, UNNEST(range(0, 1 + CAST(FLOOR((len(tk) - 1) / 48) AS INT)))
+      |  AS t(w)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Sequence packing — assign documents to fixed-budget training bins
+    * (4096 tokens) by running token count, sharded so the prefix sum
+    * never needs a global order: shard = doc_id mod 8, cumulative sum
+    * windows partition BY SHARD (the q26 single-partition caveat does not
+    * apply — each shard's window is independent, and at 100 TB shards
+    * are sized to executors). bin = floor(tokens-before-this-doc / 4096)
+    * — contiguous greedy packing, deterministic under any partitioning
+    * because the (shard, doc_id) order is total. Output is per-bin:
+    * document count and token fill. */
+  private val q73: Q = (s, dir) => {
+    import s.implicits._
+    val cap = 4096L
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select($"doc_id", ($"doc_id" % 8).as("shard"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("bin_id", floor(($"cum" - $"n_tokens") / cap))
+      .groupBy($"shard", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+      .orderBy($"shard", $"bin_id")
+  }
+  private val q73Sql =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT shard, CAST(FLOOR((cum - n_tokens) / 4096) AS BIGINT) AS bin_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY shard, bin_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q55_tfidf_top_terms" -> q55,
     "q56_hash_sample" -> q56,
     "q57_stratified_sample" -> q57,
     "q64_countmin_sketch" -> q64,
-    "q69_training_corpus" -> q69)
+    "q69_training_corpus" -> q69,
+    "q72_document_chunks" -> q72,
+    "q73_sequence_packing" -> q73)
 
   val oracleSql: Map[String, String] = Map(
     "q55_tfidf_top_terms" -> q55Sql,
     "q56_hash_sample" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,
     "q64_countmin_sketch" -> q64Sql,
-    "q69_training_corpus" -> q69Sql)
+    "q69_training_corpus" -> q69Sql,
+    "q72_document_chunks" -> q72Sql,
+    "q73_sequence_packing" -> q73Sql)
 }
