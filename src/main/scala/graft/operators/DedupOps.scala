@@ -556,17 +556,66 @@ object DedupOps {
        |ORDER BY component_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q74
+  /** Test-set decontamination — remove training documents that share long
+    * n-grams with the held-out set (the GPT-3/Pile 13-gram rule, here
+    * 8-grams against this corpus's vocabulary: long enough that chance
+    * collisions vanish and every hit is a genuinely shared passage).
+    * eval = `src0`, train = the rest.
+    *
+    * Shape at 100 TB: the eval n-gram set is small (distinct 8-grams of
+    * the held-out corpus) and BROADCASTS; the train side explodes to
+    * (doc, n-gram) and the contamination test is one broadcast equi-join
+    * + per-doc count — never a doc×doc comparison. Shingling is the
+    * codegen ShingleArray kernel. Output: each contaminated train doc
+    * with its shared-passage count. */
+  private val q74: Q = (s, dir) => {
+    import s.implicits._
+    val withSh = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        shingles(split($"text", " "), 8).as("sh"))
+    val evalNg = withSh.filter($"source" === "src0")
+      .select(explode($"sh").as("ng")).distinct()
+    val trainNg = withSh.filter($"source" =!= "src0")
+      .select($"doc_id", $"source", explode($"sh").as("ng"))
+    trainNg.join(broadcast(evalNg), "ng")
+      .groupBy($"doc_id", $"source")
+      .agg(count_distinct($"ng").as("n_shared_ngrams"))
+      .orderBy($"doc_id")
+  }
+  private val q74Sql = {
+    val ngram = (1 to 7).foldLeft("tk[i]")((acc, o) =>
+      s"$acc || ' ' || tk[i+$o]")
+    val sh = s"list_distinct(list_transform(range(1, len(tk) - 6), i -> $ngram))"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $sh AS sh
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+       |        FROM documents)),
+       |ev AS (
+       |  SELECT DISTINCT ng FROM d, UNNEST(sh) AS u(ng) WHERE source = 'src0'),
+       |tr AS (
+       |  SELECT doc_id, source, ng FROM d, UNNEST(sh) AS u(ng)
+       |  WHERE source <> 'src0')
+       |SELECT doc_id, source,
+       |  CAST(COUNT(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
+       |FROM tr JOIN ev ON tr.ng = ev.ng
+       |GROUP BY doc_id, source
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
     "q60_shingle_near_dup" -> q60,
     "q67_streaming_dedup_pin" -> q67,
-    "q71_dedup_components" -> q71)
+    "q71_dedup_components" -> q71,
+    "q74_decontamination" -> q74)
 
   val oracleSql: Map[String, String] = Map(
     "q36_minhash_near_dup" -> q36Sql,
     "q37_simhash_fingerprints" -> q37Sql,
     "q60_shingle_near_dup" -> q60Sql,
     "q67_streaming_dedup_pin" -> q67Sql,
-    "q71_dedup_components" -> q71Sql)
+    "q71_dedup_components" -> q71Sql,
+    "q74_decontamination" -> q74Sql)
 }
