@@ -378,7 +378,50 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Unigram language-model quality score — the engine-side analog of
+    * perplexity filtering (KenLM-style): score each document by the mean
+    * log corpus-probability of its tokens; gibberish and vocabulary
+    * outliers score low. Two aggregations (corpus unigram counts + total)
+    * joined back to the token stream — the frequency table is tiny
+    * relative to the corpus and broadcasts.
+    *
+    * Determinism: per-token log-probabilities are ROUNDED to 6 dp (the
+    * q55 ln-ulp-drift treatment) and then summed in DECIMAL(18,6) — an
+    * exact, order-free sum, so the mean is bit-stable under any
+    * partitioning and hash-matches DuckDB (a double sum would be
+    * order-dependent even with identical summands). */
+  private val q75: Q = (s, dir) => {
+    import s.implicits._
+    val tokStream = docs(s, dir).select($"doc_id", explode(toks).as("tok"))
+    val freq = tokStream.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = tokStream.agg(count(lit(1)).as("n"))
+    val logp = round(log($"c".cast("double") / $"n".cast("double")), 6)
+      .cast("decimal(18,6)")
+    tokStream.join(broadcast(freq), "tok").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(logp).cast("double") / count(lit(1))).as("avg_logp"))
+      .select($"doc_id", $"n_tokens", $"avg_logp",
+        ($"avg_logp" >= -3.41).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val q75Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) / COUNT(*) AS avg_logp,
+      |  (CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) / COUNT(*)) >= -3.41 AS keep
+      |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q75_lm_quality" -> q75,
     "q66_repetition_signals" -> q66,
     "q30_text_stats" -> q30,
     "q31_lang_stats" -> q31,
@@ -390,6 +433,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q75_lm_quality" -> q75Sql,
     "q66_repetition_signals" -> q66Sql,
     "q30_text_stats" -> q30Sql,
     "q31_lang_stats" -> q31Sql,
