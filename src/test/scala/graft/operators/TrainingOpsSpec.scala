@@ -37,6 +37,41 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: bins are contiguous per shard and token-complete") {
+    val bins = TrainingOps.queries("q73_sequence_packing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bin ids are dense from 0 within each shard
+    bins.groupBy(_._1).foreach { case (_, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq)
+    }
+    // token totals across bins equal the corpus token count
+    import org.apache.spark.sql.functions._
+    val totalTokens = graft.sources.Tables(spark, sf, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(bins.map(_._4).sum === totalTokens)
+  }
+
+  test("document chunks reassemble to the original text") {
+    import org.apache.spark.sql.functions._
+    // stride 48 < window 64: overlapping windows; the stride-aligned
+    // prefixes (first 48 tokens of each chunk, all of the last chunk)
+    // concatenate back to the document
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TrainingOps.queries("q72_document_chunks")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    chunks.foreach { case (docId, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      val rebuilt = ordered.zipWithIndex.map { case (r, i) =>
+        val toks = r.getString(3).split(" ", -1)
+        if (i == ordered.length - 1) toks else toks.take(48)
+      }.flatten.mkString(" ")
+      assert(rebuilt === docs(docId), s"doc $docId did not reassemble")
+    }
+  }
+
   test("tf-idf ranks a distinctive term above ubiquitous ones") {
     val docs = Seq(
       (1L, "common common rare common"),
