@@ -231,6 +231,58 @@ class SseHttpStreamSpec extends SparkSpec {
     }
   }
 
+  test("startLive restart recovers since= from the sink's newest event (S3)") {
+    import graft.sinks.ManifestSink
+    val json = scala.io.Source
+      .fromFile(fixturePath("recentchange_fixture.jsonl")).getLines().toList
+    val frames = json.zipWithIndex.map { case (j, i) =>
+      s"id: e$i\nevent: message\ndata: $j\n\n"
+    }
+    val server = new SseServer((conn: Int, _: String) =>
+      if (conn == 0) (frames, true) // phase 1: everything, hold open
+      else (Nil, true)              // phase 2: nothing new, hold open
+    )
+    val dir = Files.createTempDirectory("sseresume")
+    val sinkDir = s"$dir/sink"
+    val q1 = graft.streaming.WikiStream.startLive(spark, server.url,
+      capturePath = s"$dir/cap.sse", sinkDir = sinkDir,
+      checkpointDir = s"$dir/ckpt1",
+      cfg = graft.GraftConfig(dbMaxEvents = 100),
+      userAgent = "graft-test/0.1", backoffMs = 30L, trigger = None)
+    try {
+      assert(awaitTrue() {
+        ManifestSink.version(spark, sinkDir) >= 0 &&
+          ManifestSink.read(spark, sinkDir).count() == 3
+      }, "phase 1 never filled the sink")
+    } finally q1.stop()
+    // capture rotated away + fresh checkpoint; the SINK carries the resume
+    // point — the reference's database_init MAX(event_timestamp) handoff
+    // (pipeline.py:225-236)
+    Files.deleteIfExists(Paths.get(s"$dir/cap.sse"))
+    val before = server.requests.size
+    val q2 = graft.streaming.WikiStream.startLive(spark, server.url,
+      capturePath = s"$dir/cap.sse", sinkDir = sinkDir,
+      checkpointDir = s"$dir/ckpt2",
+      cfg = graft.GraftConfig(dbMaxEvents = 100),
+      userAgent = "graft-test/0.1", backoffMs = 30L, trigger = None)
+    try {
+      assert(awaitTrue() { server.requests.size > before },
+        "phase 2 never reconnected")
+      val resumed = server.requests.asScala.toList.drop(before).head
+      assert(resumed.query === "since=2026-01-08T22:35:54Z")
+      assert(resumed.lastEventId === "") // fresh capture: no event id yet
+      // O4: SINCE_OVERRIDE + non-empty sink must refuse
+      val err = intercept[IllegalArgumentException] {
+        graft.streaming.WikiStream.startLive(spark, server.url,
+          capturePath = s"$dir/cap3.sse", sinkDir = sinkDir,
+          checkpointDir = s"$dir/ckpt3",
+          cfg = graft.GraftConfig(dbMaxEvents = 100,
+            sinceOverride = Some("2026-01-01T00:00:00Z")))
+      }
+      assert(err.getMessage.contains("SINCE_OVERRIDE"))
+    } finally { q2.stop(); server.stop() }
+  }
+
   test("startLive: endpoint → pipeline → manifest sink, reference main() shape") {
     import graft.sinks.ManifestSink
     val json = scala.io.Source
