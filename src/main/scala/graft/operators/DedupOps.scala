@@ -168,12 +168,25 @@ object DedupOps {
     val vocab = groups.select(explode(col("__set")).as("__tok")).distinct()
     val vocabSize = vocab.count()
     val smallVocab = vocabSize <= graft.functions.TokenBitmask.MaxVocab
-    // 3. MinHash signatures over distinct sets
-    val hashed = groups
-      .select(col("__gid"), explode(col("__set")).as("__tok"))
-      .select(col("__gid"), PortableHash.tokenHashP(col("__tok")).as("__h"))
-    val aggs = sigAggsOver(numHashes, col("__h"))
-    val sig = hashed.groupBy(col("__gid")).agg(aggs.head, aggs.drop(1): _*)
+    // 3. row-local band hashes over distinct sets — the codegen
+    // MinhashBands kernel (bit-identical to the explode+groupBy signature
+    // aggregation it replaces: same hash, perms, and band folds, proven by
+    // q67's oracle and the StreamingDedup equivalence spec). No token
+    // explode, no 16-aggregate shuffle: one tight loop per distinct set.
+    val banded0 = groups.select(col("__gid"),
+      posexplode(graft.functions.MinhashBands.bands(
+        col("__set"), numHashes, bands)).as(Seq("__bidx", "__bhash")))
+    def candidatePairs: DataFrame = {
+      val a = banded0.select(col("__gid").as("__ga"),
+        col("__bidx"), col("__bhash"))
+      val b = banded0.select(col("__gid").as("__gb"),
+        col("__bidx").as("__bidx2"), col("__bhash").as("__bhash2"))
+      a.join(b,
+          col("__bidx") === col("__bidx2") &&
+          col("__bhash") === col("__bhash2") &&
+          col("__ga") < col("__gb"))
+        .select(col("__ga"), col("__gb")).distinct()
+    }
     // 4. banded candidates + exact-Jaccard verification — three-tier
     // adaptive kernel by global vocab size:
     //   ≤62        one long per set, carried THROUGH the band explode so
@@ -192,12 +205,8 @@ object DedupOps {
         .join(broadcast(dict), "__tok")
         .groupBy(col("__gid"))
         .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __idx)")).as("__mask"))
-      val banded = sig.join(setMasks, "__gid")
-        .select(col("__gid") +: col("__mask") +:
-          bandHashCols(bands, rowsPerBand): _*)
-        .select(col("__gid"), col("__mask"),
-          posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
-            .as(Seq("__bidx", "__bhash")))
+      val banded = banded0.join(setMasks, "__gid")
+        .select(col("__gid"), col("__mask"), col("__bidx"), col("__bhash"))
       val a = banded.select(col("__gid").as("__ga"), col("__mask").as("__m_a"),
         col("__bidx"), col("__bhash"))
       val b = banded.select(col("__gid").as("__gb"), col("__mask").as("__m_b"),
@@ -224,8 +233,7 @@ object DedupOps {
         .groupBy(col("__gid"))
         .agg(collect_list(col("__idx")).as("__pos"))
         .select(col("__gid"), Bitmap.fromPositions(col("__pos"), words).as("__bm"))
-      val cand = lshCandidates(sig, "__gid", bands, rowsPerBand)
-        .withColumnRenamed("id_a", "__ga").withColumnRenamed("id_b", "__gb")
+      val cand = candidatePairs
       val ba = setBitmaps.select(col("__gid").as("__ga"), col("__bm").as("__bm_a"))
       val bb = setBitmaps.select(col("__gid").as("__gb"), col("__bm").as("__bm_b"))
       cand.join(ba, "__ga").join(bb, "__gb")
@@ -233,8 +241,7 @@ object DedupOps {
         .filter(col("jaccard") >= threshold)
         .select(col("__ga"), col("__gb"), col("jaccard"))
     } else {
-      val cand = lshCandidates(sig, "__gid", bands, rowsPerBand)
-        .withColumnRenamed("id_a", "__ga").withColumnRenamed("id_b", "__gb")
+      val cand = candidatePairs
       val sa = groups.select(col("__gid").as("__ga"), col("__set").as("__set_a"))
       val sb = groups.select(col("__gid").as("__gb"), col("__set").as("__set_b"))
       val inter = size(array_intersect(col("__set_a"), col("__set_b"))).cast("double")
