@@ -88,10 +88,14 @@ object Relational2 {
         dsum(x * y).as("sxy"))
       .select($"l_returnflag", $"n",
         ($"sx" / $"n").as("mean_qty"),
-        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("stddev_qty"),
-        (($"n" * $"sxy" - $"sx" * $"sy") /
+        round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 9)
+          .as("stddev_qty"),
+        // 9 dp: the decimal→double boundary arithmetic differs by an ulp
+        // between engines at some scale factors (observed at sf0.001) —
+        // same collapse-the-drift treatment as q55's ln
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
           (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+            sqrt($"n" * $"syy" - $"sy" * $"sy")), 9).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
   private val q16Sql = {
@@ -101,9 +105,9 @@ object Relational2 {
     val sxy = sqlSum("l_quantity * l_extendedprice")
     s"""SELECT l_returnflag, n,
        |  sx / n AS mean_qty,
-       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-       |  (n * sxy - sx * sy)
-       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS stddev_qty,
+       |  ROUND((n * sxy - sx * sy)
+       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
        |    AS corr_qty_price
        |FROM (SELECT l_returnflag, COUNT(*) AS n,
        |             $sx AS sx, $sy AS sy, $sxx AS sxx, $syy AS syy, $sxy AS sxy
