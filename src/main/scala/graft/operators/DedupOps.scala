@@ -485,6 +485,10 @@ object DedupOps {
     * bounded by graph diameter (7 on this corpus); at 100 TB the
     * documented upgrade is large-star/small-star (alternating contraction
     * gives O(log n) rounds on adversarial chains), same per-round plan.
+    * (A per-round path-halving pointer jump was measured NET-NEGATIVE
+    * here — +0.3 s at sf0.1: the bucket-star seeding already keeps
+    * diameters small, so the extra self-join outweighs the saved rounds;
+    * contraction only pays on adversarially long chains.)
     *
     * DuckDB oracle: recursive-CTE transitive closure + MIN per node —
     * identical fixpoint by definition. */
