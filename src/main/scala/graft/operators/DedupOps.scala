@@ -422,6 +422,80 @@ object DedupOps {
     * batches, arrival order takes precedence — StreamingDedupSpec). A
     * document is admitted iff it claims every one of its 4 band buckets;
     * a rejected document reports one colliding prior. */
+  // --------------------------------------------- hashed-bitmap tier
+  /** Fixed-width HASHED bitmap of a token set: each token sets bit
+    * `PortableHash(token) mod 64·words` — no dictionary, no vocabulary
+    * probe, constant `8·words` bytes per document at ANY vocabulary size.
+    * This is the unbounded-vocab verification tier the exact-dictionary
+    * bitmaps (TokenBitmask / Bitmap.fromPositions over a dict) cannot
+    * reach; the cost is that Jaccard over hashed bitmaps is an ESTIMATE:
+    * collisions merge tokens, biasing the estimate UP (never down), by
+    * roughly `s / (64·words)` for sets of size s — pick the width so the
+    * working set size stays well under the bit space. */
+  def hashedBitmap(toksCol: Column, words: Int): Column =
+    graft.functions.Bitmap.fromPositions(
+      transform(toksCol,
+        t => (PortableHash.tokenHash(t) % lit(64L * words)).cast("int")),
+      words)
+
+  /** MinHash-LSH near-dup with hashed-bitmap verification — the 100 TB
+    * configuration: candidate generation identical to
+    * [[minhashNearDupTokens]] (row-local MinhashBands kernel → equi-join
+    * on (band, hash)), verification on constant-size hashed bitmaps with
+    * NO global dictionary build and NO vocab-dependent branching. Returns
+    * doc pairs with the (upward-biased) Jaccard estimate; exact pairs of
+    * identical sets report exactly 1.0. Not DuckDB-oracled by design —
+    * the estimate is the point — but spec'd against the exact pipeline
+    * (every exact pair survives; estimates bound exact values from
+    * above). */
+  def minhashNearDupHashed(df: DataFrame, idCol: String, toksCol: Column,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.9,
+      words: Int = 128): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val canon = df
+      .select(col(idCol), array_sort(array_distinct(toksCol)).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val groups = canon.groupBy(col("__set"))
+      .agg(collect_list(col(idCol)).as("__members"))
+      .withColumn("__gid", array_min(col("__members")))
+      .persist()
+    val banded = groups.select(col("__gid"),
+      posexplode(graft.functions.MinhashBands.bands(
+        col("__set"), numHashes, bands)).as(Seq("__bidx", "__bhash")))
+    val a = banded.select(col("__gid").as("__ga"),
+      col("__bidx"), col("__bhash"))
+    val b = banded.select(col("__gid").as("__gb"),
+      col("__bidx").as("__bidx2"), col("__bhash").as("__bhash2"))
+    val cand = a.join(b,
+        col("__bidx") === col("__bidx2") &&
+        col("__bhash") === col("__bhash2") &&
+        col("__ga") < col("__gb"))
+      .select(col("__ga"), col("__gb")).distinct()
+    val bm = groups.select(col("__gid"),
+      hashedBitmap(col("__set"), words).as("__bm"))
+    val verified = cand
+      .join(bm.select(col("__gid").as("__ga"), col("__bm").as("__bm_a")), "__ga")
+      .join(bm.select(col("__gid").as("__gb"), col("__bm").as("__bm_b")), "__gb")
+      .withColumn("jaccard",
+        graft.functions.Bitmap.jaccard(col("__bm_a"), col("__bm_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__ga"), col("__gb"), col("jaccard"))
+    val ga = groups.select(col("__gid").as("__ga"), col("__members").as("__mem_a"))
+    val gb = groups.select(col("__gid").as("__gb"), col("__members").as("__mem_b"))
+    val cross = verified.join(ga, "__ga").join(gb, "__gb")
+      .select(explode(col("__mem_a")).as("__x"), col("__mem_b"), col("jaccard"))
+      .select(col("__x"), explode(col("__mem_b")).as("__y"), col("jaccard"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
+    val intra = groups.filter(size(col("__members")) >= 2)
+      .select(explode(col("__members")).as("__x"), col("__members"))
+      .select(col("__x"), explode(col("__members")).as("__y"))
+      .filter(col("__x") < col("__y"))
+      .select(col("__x").as("id_a"), col("__y").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
+  }
+
   /** (doc_id, band, bucket, first_doc) — every document's band buckets
     * with each bucket's first (smallest-id) claimant; shared by q67 and
     * the component query q71. */

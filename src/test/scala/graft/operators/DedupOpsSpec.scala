@@ -94,6 +94,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(df.select(DedupOps.hamming($"a", $"b")).head().getInt(0) === 8)
   }
 
+  test("hashed-bitmap tier: estimates bound exact jaccard from above") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val exact = DedupOps.minhashNearDup(docs, "doc_id", "text",
+        threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hashed = DedupOps.minhashNearDupHashed(docs, "doc_id",
+        DedupOps.tokenSet(col("text")), threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // collisions only merge tokens: every exact pair survives hashing and
+    // every estimate is >= the exact value (within float wiggle)
+    exact.foreach { case (pair, j) =>
+      assert(hashed.contains(pair), s"exact pair $pair lost by hashing")
+      assert(hashed(pair) >= j - 1e-9, s"estimate below exact for $pair")
+    }
+    // identical-set pairs stay exactly 1.0
+    exact.filter(_._2 == 1.0).keys.foreach(p => assert(hashed(p) === 1.0))
+    // width 128 words = 8192 bits vs ~31-token sets: estimates stay close
+    hashed.foreach { case (pair, je) =>
+      exact.get(pair).foreach(j => assert(je - j <= 0.05,
+        s"hashed estimate drifted ${je - j} for $pair"))
+    }
+  }
+
   test("component labels are a fixpoint: no edge crosses two components") {
     // run q71 and re-derive the candidate edges; every edge's endpoints
     // must share a component, and each component id must be its min member
