@@ -49,10 +49,17 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Per-query timings as one SMALL json line each, then a short
+    // total-only line LAST: the driver keeps only a bounded tail of
+    // stdout, and the previous single giant line (total + 80-entry map)
+    // overflowed it — the artifact parsed as null and lost 25 of 80
+    // timings. Small trailing lines survive the tail buffer; the final
+    // line stays parseable on its own.
+    results.foreach { case (k, v) =>
+      println(f"""{"query":"$k","sec":$v%.4f}""")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

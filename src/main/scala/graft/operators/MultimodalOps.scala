@@ -9,12 +9,17 @@ import graft.sources.Tables
   * media payloads as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / frame-sample stages.
   *
-  * No media libraries exist in this environment, so the *decode kernels are
-  * deterministic fakes* (clearly marked below); everything around them —
-  * schema (binary + metadata struct), partition-level batching via
-  * mapPartitions (where a real decoder would amortize library init per
-  * partition), batch shape, and the query surface — is real and tested.
-  * The fixture payload is the documents text encoded as UTF-8 bytes.
+  * The image decode path is REAL: `decodeBatch` runs `javax.imageio`
+  * (JDK-only, no new dependencies) over binary PNG payloads inside the
+  * partition-batched seam, skipping undecodable payloads the way the
+  * reference skips corrupt events (pipeline.py:96-102). It is exercised
+  * end-to-end by q76 on PNGs *encoded* (also via ImageIO) from a
+  * deterministic per-doc pixel pattern, which is what makes a DuckDB
+  * hash-oracle possible: the decoded stats equal a closed-form function of
+  * (doc_id, pixel index) that SQL can compute without any image library.
+  * The `*Stub` feature kernels below remain as clearly-named deterministic
+  * fakes for the q51/q68 feature-extraction surface (a vision model does
+  * not fit this environment); their surrounding plumbing is the same.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -23,6 +28,11 @@ object MultimodalOps {
   final case class Media(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, width: Int, height: Int,
       channels: Int, n_bytes: Long)
+
+  /** Decoded-image summary: dimensions + per-channel pixel stats. */
+  final case class ImageStats(doc_id: Long, width: Int, height: Int,
+      channels: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+      min_r: Int, min_g: Int, min_b: Int, max_r: Int, max_g: Int, max_b: Int)
 
   /** documents.text → binary payload column (the ingest boundary where real
     * media bytes would enter). */
@@ -78,23 +88,92 @@ object MultimodalOps {
         i => payload.substr(i * lit(stride) + lit(1), lit(frameBytes))),
       f => octet_length(f) > 0)
 
-  /** Partition-batched decode via typed mapPartitions — the seam where a
-    * real decoder library is initialized once per partition and fed record
-    * batches (the JVM analog of arrow-batched UDFs). Produces the same
-    * width/height as `decodeStub` (hex chars 49-54 / 55-60 of sha256). */
-  def decodeBatch(media: Dataset[Media]): Dataset[MediaMeta] = {
+  // ------------------------------------------------ REAL IMAGE KERNELS
+  /** Synthetic-image dimensions for doc `d`: width 8..16, height 8..14.
+    * Small enough that the oracle's per-pixel UNNEST stays cheap, varied
+    * enough that per-doc stats differ (w·h < 256, so min/max are not the
+    * degenerate 0/255 for every doc). */
+  def imageDims(docId: Long): (Int, Int) =
+    ((8 + docId % 9).toInt, (8 + (docId / 9) % 7).toInt)
+
+  /** Per-channel pixel value at flat index `i` (row-major y·w+x), channel
+    * offset 0/101/202 for R/G/B — the closed form the DuckDB oracle
+    * replicates with integer arithmetic. */
+  @inline def pixelValue(docId: Long, i: Int, channelOffset: Int): Int =
+    ((docId * 31 + i.toLong * 7 + channelOffset) % 256).toInt
+
+  /** REAL PNG encode (javax.imageio, JDK-only): renders the deterministic
+    * pattern into a TYPE_INT_RGB buffer and writes actual PNG bytes. The
+    * *byte stream* is encoder-version-dependent (never oracled); the
+    * *decoded pixels* are exact because PNG is lossless. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = (pixelValue(docId, i, 0) << 16) |
+          (pixelValue(docId, i, 101) << 8) | pixelValue(docId, i, 202)
+        img.setRGB(x, y, rgb)
+        x += 1; i += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL partition-batched decode via typed mapPartitions — the seam
+    * where a decoder is initialized once per partition and fed record
+    * batches (the JVM analog of arrow-batched UDFs). Runs
+    * `javax.imageio.ImageIO.read` per payload; payloads that are not a
+    * decodable image (null reader match or IO error) are SKIPPED, row by
+    * row, mirroring the reference's per-event corrupt-JSON skip
+    * (pipeline.py:96-102). Emits dimensions, channel count from the color
+    * model, and exact per-channel integer pixel stats. */
+  def decodeBatch(media: Dataset[Media]): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: val decoder = HeavyDecoder.init()  (once per partition)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { m =>
-        val sha = md.digest(m.payload)
-        // hex chars 49..54 = bytes 24..26, 55..60 = bytes 27..29
-        def slice(b0: Int): Long =
-          ((sha(b0) & 0xffL) << 16) | ((sha(b0 + 1) & 0xffL) << 8) |
-            (sha(b0 + 2) & 0xffL)
-        MediaMeta(m.doc_id, (32 + slice(24) % 225).toInt,
-          (32 + slice(27) % 225).toInt, 3, m.payload.length.toLong)
+      // ImageIO's plugin-registry scan is JVM-global; a heavier codec
+      // would be initialized here, once per partition, and amortized
+      // across the partition's rows.
+      it.flatMap { m =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+          catch {
+            case _: java.io.IOException => None
+            case _: RuntimeException => None // malformed container metadata
+          }
+        img.map { bi =>
+          val w = bi.getWidth
+          val h = bi.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var mnr = 255; var mng = 255; var mnb = 255
+          var mxr = 0; var mxg = 0; var mxb = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = bi.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              if (r < mnr) mnr = r; if (r > mxr) mxr = r
+              if (g < mng) mng = g; if (g > mxg) mxg = g
+              if (b < mnb) mnb = b; if (b > mxb) mxb = b
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(m.doc_id, w, h, bi.getColorModel.getNumComponents,
+            sr, sg, sb, mnr, mng, mnb, mxr, mxg, mxb)
+        }
       }
     }
   }
@@ -207,13 +286,70 @@ object MultimodalOps {
       |FROM kept
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** REAL image decode end-to-end: per doc, ImageIO-encode a deterministic
+    * pattern PNG, then decode it back through the `decodeBatch` ImageIO
+    * seam and emit dimensions + per-channel pixel stats. Every decoded
+    * value equals a closed-form function of (doc_id, pixel index) — PNG is
+    * lossless — so DuckDB reproduces the stats with integer arithmetic
+    * over an UNNEST(range(w·h)) pixel grid, no image library needed.
+    * The PNG byte size is deliberately NOT emitted (encoder-dependent). */
+  private val q76: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map(d => Media(d, syntheticPng(d))))
+    decodeBatch(media).toDF()
+      .select($"doc_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"channels".cast("long").as("channels"),
+        $"sum_r", $"sum_g", $"sum_b",
+        $"min_r".cast("long").as("min_r"),
+        $"min_g".cast("long").as("min_g"),
+        $"min_b".cast("long").as("min_b"),
+        $"max_r".cast("long").as("max_r"),
+        $"max_g".cast("long").as("max_g"),
+        $"max_b".cast("long").as("max_b"))
+      .orderBy($"doc_id")
+  }
+  private val q76Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         8 + doc_id % 9 AS w,
+      |         8 + (doc_id // 9) % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id * 31 + i * 7) % 256 AS r,
+      |         (doc_id * 31 + i * 7 + 101) % 256 AS g,
+      |         (doc_id * 31 + i * 7 + 202) % 256 AS b
+      |  FROM d, UNNEST(range(0, w * h)) AS t(i))
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(r) AS BIGINT) AS min_r,
+      |  CAST(MIN(g) AS BIGINT) AS min_g,
+      |  CAST(MIN(b) AS BIGINT) AS min_b,
+      |  CAST(MAX(r) AS BIGINT) AS max_r,
+      |  CAST(MAX(g) AS BIGINT) AS max_g,
+      |  CAST(MAX(b) AS BIGINT) AS max_b
+      |FROM px
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
     "q51_multimodal_decode_stub" -> q51,
-    "q68_frame_sample" -> q68)
+    "q68_frame_sample" -> q68,
+    "q76_image_decode" -> q76)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
     "q51_multimodal_decode_stub" -> q51Sql,
-    "q68_frame_sample" -> q68Sql)
+    "q68_frame_sample" -> q68Sql,
+    "q76_image_decode" -> q76Sql)
 }

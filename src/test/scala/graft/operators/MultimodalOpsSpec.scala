@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.MultimodalOps.{Media, MediaMeta}
+import graft.operators.MultimodalOps.Media
 
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -54,20 +54,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(new String(frames.head) === "hell")
   }
 
-  test("mapPartitions decode batch produces one meta row per media row") {
-    val media = docs.transform(MultimodalOps.asBinary)
-      .as[(Long, Array[Byte])]
-      .map { case (id, p) => Media(id, p) }
-    val metas = MultimodalOps.decodeBatch(media).collect()
-    assert(metas.length === 2)
-    assert(metas.forall(m => m.channels === 3 && m.n_bytes > 0))
+  test("real ImageIO decode roundtrips the encoded pattern exactly") {
+    val ids = Seq(0L, 7L, 62L, 123L, 499L)
+    val media = ids.map(d => Media(d, MultimodalOps.syntheticPng(d))).toDS()
+    val stats = MultimodalOps.decodeBatch(media).collect()
+      .map(st => st.doc_id -> st).toMap
+    assert(stats.size === ids.size)
+    ids.foreach { d =>
+      val (w, h) = MultimodalOps.imageDims(d)
+      val st = stats(d)
+      assert(st.width === w && st.height === h && st.channels === 3)
+      // PNG is lossless: every decoded stat equals the closed form.
+      def s(off: Int): Seq[Long] =
+        (0 until w * h).map(i => MultimodalOps.pixelValue(d, i, off).toLong)
+      assert(st.sum_r === s(0).sum && st.sum_g === s(101).sum &&
+        st.sum_b === s(202).sum)
+      assert(st.min_r === s(0).min && st.max_r === s(0).max)
+      assert(st.min_g === s(101).min && st.max_g === s(101).max)
+      assert(st.min_b === s(202).min && st.max_b === s(202).max)
+    }
     // deterministic across runs
-    assert(MultimodalOps.decodeBatch(media).collect().toSeq === metas.toSeq)
-    // and consistent with the expression-side decodeStub kernel
-    val stub = docs.transform(MultimodalOps.asBinary)
-      .select($"doc_id", MultimodalOps.decodeStub($"payload").as("m"))
-      .select($"doc_id", $"m.width", $"m.height").collect()
-      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
-    metas.foreach(m => assert(stub(m.doc_id) === (m.width, m.height)))
+    assert(MultimodalOps.decodeBatch(media).collect().sortBy(_.doc_id).toSeq
+      === stats.values.toSeq.sortBy(_.doc_id))
+  }
+
+  test("undecodable payloads are skipped row-by-row, not fatal") {
+    // mirrors the reference's per-event corrupt-JSON skip (pipeline.py:96-102)
+    val valid = Media(1L, MultimodalOps.syntheticPng(1L))
+    val garbage = Media(2L, Array[Byte](1, 2, 3, 4, 5))
+    val textBytes = Media(3L, "not an image at all".getBytes("UTF-8"))
+    val truncated = Media(4L, MultimodalOps.syntheticPng(4L).take(20))
+    val empty = Media(5L, Array.emptyByteArray)
+    val out = MultimodalOps
+      .decodeBatch(Seq(valid, garbage, textBytes, truncated, empty).toDS())
+      .collect()
+    assert(out.map(_.doc_id).toSeq === Seq(1L))
   }
 }
