@@ -641,6 +641,83 @@ object DedupOps {
        |ORDER BY component_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q71b
+  /** Alternating large-star/small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the adversarial-
+    * chain-safe variant of q71's label propagation. Label propagation
+    * needs diameter-many rounds (a 1000-node path = ~1000 rounds); the
+    * two-star alternation contracts the graph toward min-rooted stars in
+    * O(log² n) rounds worst case (O(log n) observed — the chain spec
+    * measures it), with every round the same fully distributed
+    * groupBy-min + equi-join plan.
+    *
+    *  - large-star(u): every neighbor v > u is re-pointed at
+    *    m = min(Γ(u) ∪ {u})  — long chains fold toward local minima;
+    *  - small-star(u): every smaller neighbor (and u itself) is pointed
+    *    at m = min(Γ≤(u))    — stars flatten onto their minimum.
+    *
+    * Edges stay directed larger→smaller throughout (both emits satisfy
+    * it by construction); the fixpoint is a disjoint union of stars
+    * rooted at component minima, read off as the label map directly —
+    * no closure join. localCheckpoint per round truncates the iterative
+    * lineage exactly as in q71.
+    *
+    * Returns (labels(doc_id, label), rounds). `nodes` must contain every
+    * vertex id (singletons included — they label themselves). */
+  def twoStarLabels(nodes: DataFrame, edges0: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    var e = edges0
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      // LARGE-STAR over symmetric neighborhoods
+      val sym = e.select($"u".as("c"), $"v".as("n"))
+        .union(e.select($"v".as("c"), $"u".as("n")))
+      val mins = sym.groupBy($"c").agg(min($"n").as("mn"))
+        .select($"c", least($"mn", $"c").as("m"))
+      val eL = sym.join(mins, "c").filter($"n" > $"c")
+        .select($"n".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+      // SMALL-STAR over the (already larger→smaller) directed edges
+      val minsS = eL.groupBy($"u").agg(min($"v").as("m"))
+      val eS = eL.join(minsS, "u").filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(minsS.select($"u", $"m".as("v")))
+        .distinct().localCheckpoint(true)
+      // converged iff BOTH operations were no-ops this round
+      done = eL.exceptAll(e).isEmpty && e.exceptAll(eL).isEmpty &&
+        eS.exceptAll(eL).isEmpty && eL.exceptAll(eS).isEmpty
+      e = eS
+    }
+    require(done || rounds < maxRounds,
+      s"two-star contraction did not converge in $rounds rounds")
+    // fixpoint stars: every non-root points directly at its component min
+    val labels = nodes
+      .join(e.select($"u".as("doc_id"), $"v".as("lbl")), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("label"))
+    (labels, rounds)
+  }
+
+  /** q71's component summary computed by [[twoStarLabels]] — identical
+    * output (and oracle) to q71, different round complexity. */
+  private val q71b: Q = (s, dir) => {
+    import s.implicits._
+    val bf = bucketFirst(s, dir)
+    val nodes = bf.select($"doc_id").distinct()
+    val edges = bf.filter($"doc_id" =!= $"first_doc")
+      .select($"doc_id".as("a"), $"first_doc".as("b"))
+    val (labels, _) = twoStarLabels(nodes, edges)
+    labels.groupBy($"label".as("component_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+      .orderBy($"component_id")
+  }
+
   // ---------------------------------------------------------------- q74
   /** Test-set decontamination — remove training documents that share long
     * n-grams with the held-out set (the GPT-3/Pile 13-gram rule, here
@@ -694,6 +771,7 @@ object DedupOps {
     "q60_shingle_near_dup" -> q60,
     "q67_streaming_dedup_pin" -> q67,
     "q71_dedup_components" -> q71,
+    "q71b_components_twostar" -> q71b,
     "q74_decontamination" -> q74)
 
   val oracleSql: Map[String, String] = Map(
@@ -702,5 +780,6 @@ object DedupOps {
     "q60_shingle_near_dup" -> q60Sql,
     "q67_streaming_dedup_pin" -> q67Sql,
     "q71_dedup_components" -> q71Sql,
+    "q71b_components_twostar" -> q71Sql,
     "q74_decontamination" -> q74Sql)
 }

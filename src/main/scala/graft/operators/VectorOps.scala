@@ -410,6 +410,63 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q77
+  /** Recall@5 gate for the approximate indexes: every ANN variant (q42
+    * LSH, q58 IVF, q58b IVF+Lloyd) is joined against q41's brute-force
+    * ground truth and scored per query. Both sides are deterministic
+    * pipelines, so the recall numbers themselves are hash-oracled — this
+    * is the correctness gate a user tuning nPlanes/nCells/nProbe stands
+    * on (the reference's verify-everything posture, pipeline.py:96-102,
+    * applied to approximate operators).
+    *
+    * Scale: the ANN/GT join is an equi-join on (query_id, neighbor_id);
+    * the 3-row method frame and the query-id spine are broadcast-tiny.
+    * Recall is per-query (hits out of 5), emitted for every
+    * (method, query) pair including zero-candidate buckets. */
+  private val annMethods = Seq(
+    "ivf" -> q58, "ivf_lloyd" -> q58b, "lsh" -> q42)
+
+  private val q77: Q = (s, dir) => {
+    import s.implicits._
+    val gt = q41(s, dir).select($"query_id", $"neighbor_id")
+    val ann = annMethods.map { case (m, q) =>
+      q(s, dir).select(lit(m).as("method"), $"query_id", $"neighbor_id")
+    }.reduce(_ unionByName _)
+    val hits = ann.join(gt, Seq("query_id", "neighbor_id"))
+      .groupBy($"method", $"query_id")
+      .agg(count(lit(1)).as("h"))
+    val methods = annMethods.map(_._1).toDF("method")
+    gt.select($"query_id").distinct()
+      .crossJoin(broadcast(methods))
+      .join(hits, Seq("method", "query_id"), "left")
+      .select($"method", $"query_id",
+        coalesce($"h", lit(0L)).cast("long").as("hits"),
+        (coalesce($"h", lit(0L)) / lit(5.0)).as("recall_at_5"))
+      .orderBy($"method", $"query_id")
+  }
+  private val q77Sql =
+    s"""WITH gt AS (
+       |  SELECT query_id, neighbor_id FROM ($q41Sql)),
+       |ann AS (
+       |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($q58Sql)
+       |  UNION ALL
+       |  SELECT 'ivf_lloyd' AS method, query_id, neighbor_id FROM ($q58bSql)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($q42Sql)),
+       |hits AS (
+       |  SELECT a.method, a.query_id, COUNT(*) AS h
+       |  FROM ann a
+       |  JOIN gt g ON a.query_id = g.query_id
+       |           AND a.neighbor_id = g.neighbor_id
+       |  GROUP BY a.method, a.query_id)
+       |SELECT m.method, q.query_id,
+       |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM (SELECT DISTINCT query_id FROM gt) q
+       |CROSS JOIN (VALUES ('ivf'), ('ivf_lloyd'), ('lsh')) AS m(method)
+       |LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
+       |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q65
   /** The registered SQL surface inside the correctness gate: temp views +
     * the `seq_dot` custom expression, driven entirely through
@@ -445,7 +502,8 @@ object VectorOps {
     "q44_embedding_near_dup" -> q44,
     "q58_ann_ivf_cells" -> q58,
     "q58b_ann_ivf_lloyd" -> q58b,
-    "q65_sql_surface" -> q65)
+    "q65_sql_surface" -> q65,
+    "q77_ann_recall" -> q77)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -455,5 +513,6 @@ object VectorOps {
     "q44_embedding_near_dup" -> q44Sql,
     "q58_ann_ivf_cells" -> q58Sql,
     "q58b_ann_ivf_lloyd" -> q58bSql,
-    "q65_sql_surface" -> q65Sql)
+    "q65_sql_surface" -> q65Sql,
+    "q77_ann_recall" -> q77Sql)
 }

@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
       "q41_knn_brute_force",       // broadcast(10 query vectors) ⋈ ≠
       "q58_ann_ivf_cells",         // crossJoin(broadcast(16 centroids))
       "q58b_ann_ivf_lloyd",        // crossJoin(broadcast(16 refined centroids))
-      "q75_lm_quality")            // crossJoin(broadcast(1-row token total))
+      "q75_lm_quality",            // crossJoin(broadcast(1-row token total))
+      "q77_ann_recall")            // q41/q58/q58b subtrees + 3-row method frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||

@@ -133,6 +133,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(total === nDocs)
   }
 
+  test("two-star contraction matches label propagation on the corpus") {
+    val a = DedupOps.queries("q71_dedup_components")(spark, sf).collect()
+    val b = DedupOps.queries("q71b_components_twostar")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
+  test("two-star contraction needs O(log n) rounds on a 1000-node chain") {
+    // the adversarial case for label propagation: a path graph of
+    // diameter 999 would take ~999 propagation rounds; the alternating
+    // large-star/small-star contraction must fold it in O(log n)
+    val n = 1000
+    val nodes = spark.range(0, n).select($"id".as("doc_id"))
+    val edges = spark.range(0, n - 1)
+      .select($"id".as("a"), ($"id" + 1).as("b"))
+    val (labels, rounds) = DedupOps.twoStarLabels(nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L),
+      s"all chain nodes must label 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 20,
+      s"expected O(log n) ≈ ≤20 rounds on a $n-node chain, took $rounds")
+  }
+
+  test("two-star contraction handles singletons and empty edge sets") {
+    val nodes = spark.range(0, 5).select($"id".as("doc_id"))
+    val edges = nodes.limit(0).select($"doc_id".as("a"), $"doc_id".as("b"))
+    val (labels, rounds) = DedupOps.twoStarLabels(nodes, edges)
+    assert(rounds === 0)
+    assert(labels.collect().forall(r => r.getLong(0) === r.getLong(1)))
+  }
+
   test("rolling hash is order-sensitive, md5-style content hash is not needed") {
     val df = Seq(
       (1L, "alpha beta gamma"),

@@ -114,4 +114,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(agree * 2 >= top1.size,
       s"Lloyd IVF top-1 agreement $agree/${top1.size}")
   }
+
+  test("q77 recall@5 equals independent set-math over the underlying queries") {
+    def pairs(q: String): Set[(Long, Long)] =
+      VectorOps.queries(q)(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val gt = pairs("q41_knn_brute_force")
+    val expected = Map(
+      "lsh" -> pairs("q42_ann_lsh_bucketed"),
+      "ivf" -> pairs("q58_ann_ivf_cells"),
+      "ivf_lloyd" -> pairs("q58b_ann_ivf_lloyd"))
+    val queryIds = gt.map(_._1)
+    val out = VectorOps.queries("q77_ann_recall")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size === 3 * queryIds.size)
+    for (m <- expected.keys; q <- queryIds) {
+      val hits = (expected(m) & gt).count(_._1 == q).toLong
+      val (gotHits, gotRecall) = out((m, q))
+      assert(gotHits === hits, s"method=$m query=$q")
+      assert(gotRecall === hits / 5.0, s"method=$m query=$q")
+      assert(gotRecall >= 0.0 && gotRecall <= 1.0)
+    }
+    // the refined IVF index must not LOSE recall vs its unrefined seed
+    // in aggregate — the tuning property this gate exists to protect
+    def total(m: String) = out.collect { case ((`m`, _), (h, _)) => h }.sum
+    assert(total("ivf_lloyd") >= total("ivf") - 2,
+      s"Lloyd refinement collapsed recall: ${total("ivf_lloyd")} vs ${total("ivf")}")
+  }
 }
