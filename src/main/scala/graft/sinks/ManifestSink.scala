@@ -121,14 +121,12 @@ object ManifestSink {
   }
 
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
-      keepPrevious: Boolean): Long = {
+      baseEntries: Seq[String]): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     df.write.parquet(dataDir)
     val prev = version(spark, dir)
-    val entries =
-      (if (keepPrevious) manifestEntries(spark, dir, prev) else Nil) :+
-        s"data/$batch"
+    val entries = baseEntries :+ s"data/$batch"
     val next = prev + 1
     val f = fs(spark, dir)
     // commit point: this rename (new name — nothing is deleted first)
@@ -139,13 +137,64 @@ object ManifestSink {
   }
 
   /** Append a batch as a new commit. Returns the committed version. */
-  def append(df: DataFrame, dir: String): Long =
-    commit(df.sparkSession, dir, df, keepPrevious = true)
+  def append(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    commit(spark, dir, df,
+      manifestEntries(spark, dir, version(spark, dir)))
+  }
 
   /** Replace the whole table content (compaction/retention commit):
     * previous data files become unreferenced, reclaim via [[vacuum]]. */
   def replace(df: DataFrame, dir: String): Long =
-    commit(df.sparkSession, dir, df, keepPrevious = false)
+    commit(df.sparkSession, dir, df, Nil)
+
+  /** Keyed MERGE (upsert): every row of `updates` replaces the committed
+    * row sharing its key; unmatched keys insert. Copy-on-write with
+    * file-level pruning — only the batch directories that actually
+    * CONTAIN a matched key are rewritten (located by one semi-join over
+    * the snapshot); untouched directories are carried into the next
+    * manifest by reference, so a merge touching one batch of a
+    * 10 000-batch table rewrites one batch plus the updates, not the
+    * table. This is the log-structured MERGE shape (Delta/Iceberg
+    * copy-on-write without deletion vectors): the previous version stays
+    * readable (time travel), and replaced directories become
+    * unreferenced for [[vacuum]]. Same single-writer contract as
+    * append/replace.
+    *
+    * `updates` must be unique per key (enforced): with several update
+    * rows per key there is no deterministic winner — last-wins ordering
+    * is the CALLER's semantics to resolve before the merge (e.g.
+    * max-timestamp per key, the reference's UNIQUE-upsert analog,
+    * pipeline.py:216). Returns the committed version. */
+  def merge(updates: DataFrame, dir: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.functions.{col, count, input_file_name,
+      lit, regexp_extract}
+    val keyCols = keys.map(col)
+    require(updates.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).isEmpty,
+      s"merge updates must be unique per key ${keys.mkString("(", ",", ")")}")
+    val prev = version(spark, dir)
+    if (prev < 0) return commit(spark, dir, updates, Nil)
+    if (updates.isEmpty) return prev // no-op merge: no new version
+    val entries = manifestEntries(spark, dir, prev)
+    // one pass over the snapshot finds the directories holding matched
+    // keys; the result is manifest-entry-scale metadata (≤ #entries), so
+    // collecting it on the driver mirrors the manifest read itself
+    val touched = read(spark, dir)
+      .withColumn("__e", regexp_extract(input_file_name(), "(data/[^/]+)/", 1))
+      .join(updates.select(keyCols: _*), keys, "left_semi")
+      .select("__e").distinct().collect().map(_.getString(0)).toSet
+    val kept = entries.filterNot(touched)
+    val rewritten =
+      if (touched.isEmpty) updates
+      else spark.read
+        .parquet(entries.filter(touched).map(e => s"$dir/$e"): _*)
+        .join(updates.select(keyCols: _*), keys, "left_anti")
+        .unionByName(updates)
+    commit(spark, dir, rewritten, kept)
+  }
 
   /** Read the current snapshot (empty sink → empty frame is an error —
     * check [[version]] first, mirroring spark.read on a missing path). */

@@ -141,6 +141,38 @@ object WikiStream {
     } finally batch.unpersist()
   }
 
+  /** LAST-write-wins variant of [[appendWithRetentionManifest]]: instead
+    * of skipping rows whose key is already committed (the reference's
+    * IntegrityError-skip), each micro-batch UPSERTS — its newest row per
+    * key replaces the committed row via [[graft.sinks.ManifestSink.merge]]
+    * (the UNIQUE-constraint `ON CONFLICT UPDATE` analog of
+    * pipeline.py:216; q21b pins the same last-wins semantics as a batch
+    * query). Batch-internal duplicates resolve to the min raw_json per
+    * key first (duplicate wiki events carry identical payloads, so any
+    * deterministic tiebreak is content-preserving) — merge requires
+    * key-unique updates. Replays stay idempotent: re-merging the same
+    * rows rewrites them to the same content. */
+  def upsertWithRetentionManifest(batch: DataFrame, sinkDir: String,
+      cfg: GraftConfig): Unit = {
+    import graft.sinks.ManifestSink
+    require(cfg.dbMaxEvents <= Int.MaxValue,
+      s"dbMaxEvents ${cfg.dbMaxEvents} exceeds the limit-based compaction " +
+        "range; use time-partitioned retention (ParquetSink) instead")
+    val spark = batch.sparkSession
+    val unique = graft.ingest.WikiIngest.dedupFirstWins(
+      batch, DedupKey, Seq("raw_json")) // key-unique survivor, see scaladoc
+    ManifestSink.merge(unique, sinkDir, DedupKey)
+    val sink = ManifestSink.read(spark, sinkDir)
+    if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
+        cfg.cleanupHysteresis)) {
+      val retained = sink
+        .orderBy(col("event_timestamp").desc, col("username"), col("title"))
+        .limit(cfg.dbMaxEvents.toInt + 1)
+      ManifestSink.replace(retained, sinkDir)
+      ManifestSink.vacuum(spark, sinkDir)
+    }
+  }
+
   /** v1 raw-capture mode (main.py:6-37, "bronze layer"): store each raw
     * payload line unparsed into a 1-column table (K2), batched per
     * micro-batch (the K4 count-based commit becomes the trigger boundary;
@@ -226,6 +258,25 @@ object WikiStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         appendWithRetention(batch, sinkDir, cfg)
+      }
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+
+  /** [[start]] with upsert semantics on a manifest table: each
+    * micro-batch MERGEs into the sink under the UNIQUE key (last write
+    * wins) instead of skipping already-present keys — the streaming
+    * entrypoint for [[upsertWithRetentionManifest]]. */
+  def startUpsert(spark: SparkSession, sourceDir: String, sinkDir: String,
+      checkpointDir: String, cfg: GraftConfig = GraftConfig(),
+      trigger: Option[Trigger] = Some(Trigger.ProcessingTime("2 seconds")),
+      watermarkDelay: String = "10 seconds"): StreamingQuery = {
+    val raw = spark.readStream.text(sourceDir)
+    val out = fromRawLines(raw, "value", watermarkDelay)
+    val writer = out.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertWithRetentionManifest(batch, sinkDir, cfg)
       }
     trigger.foreach(writer.trigger)
     writer.start()

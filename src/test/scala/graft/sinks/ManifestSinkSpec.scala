@@ -66,6 +66,72 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.read(spark, dir).count() === 2)
   }
 
+  test("merge upserts by key: updates replace, inserts append") {
+    val dir = Files.createTempDirectory("msinkm").toString + "/t"
+    // empty-sink merge = insert
+    val v0 = ManifestSink.merge(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"))
+    assert(v0 === 0L)
+    val v1 = ManifestSink.merge(
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), dir, Seq("k"))
+    assert(v1 === 1L)
+    val got = ManifestSink.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // previous version remains readable until vacuumed (time travel)
+    val prevEntries = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_manifests/0.manifest"))
+    assert(prevEntries.trim.nonEmpty)
+  }
+
+  test("merge rewrites only the batch dirs containing matched keys") {
+    val dir = Files.createTempDirectory("msinkp").toString + "/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("k", "v"), dir)       // dir A
+    ManifestSink.append(Seq((2L, "b")).toDF("k", "v"), dir)       // dir B
+    ManifestSink.append(Seq((3L, "c")).toDF("k", "v"), dir)       // dir C
+    ManifestSink.merge(Seq((2L, "B2")).toDF("k", "v"), dir, Seq("k"))
+    // copy-on-write pruning: dirs A and C must be carried by REFERENCE —
+    // the merged manifest keeps 2 of the 3 original entries verbatim
+    val m2 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_manifests/2.manifest"))
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    val m3 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_manifests/3.manifest"))
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    assert(m3.size === 3)
+    assert((m2 & m3).size === 2, s"expected 2 carried entries: $m2 vs $m3")
+    val got = ManifestSink.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // vacuum reclaims exactly the one rewritten batch dir
+    assert(ManifestSink.vacuum(spark, dir).size === 1)
+    assert(ManifestSink.read(spark, dir).count() === 3)
+  }
+
+  test("merge rejects updates with duplicate keys; empty merge is a no-op") {
+    val dir = Files.createTempDirectory("msinkd").toString + "/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    intercept[IllegalArgumentException] {
+      ManifestSink.merge(
+        Seq((2L, "x"), (2L, "y")).toDF("k", "v"), dir, Seq("k"))
+    }
+    val v = ManifestSink.merge(
+      Seq.empty[(Long, String)].toDF("k", "v"), dir, Seq("k"))
+    assert(v === 0L) // no new version published
+    assert(ManifestSink.read(spark, dir).count() === 1)
+  }
+
+  test("merge commit is crash-safe: hint loss after merge loses nothing") {
+    val dir = Files.createTempDirectory("msinkmc").toString + "/t"
+    ManifestSink.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    ManifestSink.merge(Seq((2L, "B")).toDF("k", "v"), dir, Seq("k"))
+    Files.delete(java.nio.file.Paths.get(dir, "_latest"))
+    assert(ManifestSink.version(spark, dir) === 1L)
+    val got = ManifestSink.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B"))
+  }
+
   test("time travel window: keepVersions retains readable history") {
     val dir = Files.createTempDirectory("msinkt").toString + "/t"
     ManifestSink.append(Seq(1L).toDF("v"), dir)

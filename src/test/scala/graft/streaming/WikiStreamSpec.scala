@@ -157,6 +157,56 @@ class WikiStreamSpec extends SparkSpec {
     assert(minTs.getTime / 1000 === 1700000000L + 69)
   }
 
+  test("upsert manifest variant: last write wins under the UNIQUE key") {
+    import graft.sinks.ManifestSink
+    val sinkDir = Files.createTempDirectory("wiki_upsert").toString + "/t"
+    val cfg = GraftConfig(dbMaxEvents = 1000)
+    def rows(from: Long, to: Long, gen: Long) = spark.range(from, to).select(
+      concat(lit("{\"n\":"), $"id", lit(",\"gen\":"), lit(gen), lit("}"))
+        .as("raw_json"),
+      timestamp_seconds(lit(1700000000L) + $"id").as("event_timestamp"),
+      concat(lit("T"), $"id").as("title"),
+      lit("u").as("title_url"),
+      lit(false).as("bot"),
+      lit("user").as("username"),
+      lit(0L).as("length_bytes_old"),
+      ($"id" + lit(gen * 1000)).as("length_bytes_new"),
+      $"id".as("length_diff_bytes"))
+    WikiStream.upsertWithRetentionManifest(rows(0, 20, gen = 1), sinkDir, cfg)
+    // overlapping keys 10..20 arrive again with CHANGED content: unlike
+    // the append variant (first-wins skip), the upsert must replace them
+    WikiStream.upsertWithRetentionManifest(rows(10, 25, gen = 2), sinkDir, cfg)
+    val after = ManifestSink.read(spark, sinkDir)
+    assert(after.count() === 25)
+    val byTitle = after.select($"title", $"length_bytes_new").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTitle("T5") === 1005L)  // untouched first-gen row
+    assert(byTitle("T15") === 2015L) // overlapped key: second write won
+    assert(byTitle("T24") === 2024L) // pure insert
+  }
+
+  test("streaming upsert e2e: replayed stream file merges, not duplicates") {
+    import graft.sinks.ManifestSink
+    val srcDir = Files.createTempDirectory("wiki_upsrc").toString
+    val sinkDir = Files.createTempDirectory("wiki_upsink").toString + "/t"
+    val ckpt = Files.createTempDirectory("wiki_upckpt").toString
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+      fixtureLines.mkString("\n").getBytes)
+    val q = WikiStream.startUpsert(spark, srcDir, sinkDir, ckpt,
+      GraftConfig(dbMaxEvents = 100), trigger = None)
+    try q.processAllAvailable() finally q.stop()
+    assert(ManifestSink.read(spark, sinkDir).count() === 3)
+    // a second query over the same data with a FRESH checkpoint re-delivers
+    // every row (at-least-once replay): the merge path must absorb it
+    val ckpt2 = Files.createTempDirectory("wiki_upckpt2").toString
+    val q2 = WikiStream.startUpsert(spark, srcDir, sinkDir, ckpt2,
+      GraftConfig(dbMaxEvents = 100), trigger = None)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = ManifestSink.read(spark, sinkDir)
+    assert(after.count() === 3)
+    assert(after.select("title").distinct().count() === 3)
+  }
+
   test("v1 raw capture stores unparsed lines in a 1-column table (K2/K4)") {
     val srcDir = Files.createTempDirectory("raw_src").toString
     val sinkDir = Files.createTempDirectory("raw_sink").toString + "/out"
