@@ -262,8 +262,66 @@ object Relational3 {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Grouped APPROXIMATE quantiles via a deterministic fixed-size sample —
+    * the documented scale path q70's scaladoc names, made oracle-able.
+    * percentile_approx's GK sketch is engine-specific (never
+    * cross-engine comparable); instead each group keeps its bottom-K rows
+    * by PortableHash of the unique event_id — a uniform fixed-size
+    * per-group sample both engines reconstruct bit-identically — and
+    * takes EXACT quantiles of the sample (percentile == quantile_cont
+    * bitwise, the q70 parity). Sampling error is the textbook
+    * order-statistic bound (~0.5/√K quantile points at p50);
+    * Relational3Spec measures it against a known distribution.
+    *
+    * Scale: the sample is found with one per-group sort bounded by the
+    * hash order — and because h is uniform on [0,P), a plain
+    * `h < P·c/E[group]` pre-filter keeps the window input at O(K) rows
+    * per group before the sort, so wide groups never hit a reducer whole
+    * (the failure mode that rules out q70's exact form at 100 TB). */
+  private val sampleK = 128
+
+  /** The reusable operator behind q78: per-group bottom-K rows by
+    * PortableHash(id) (a deterministic uniform sample), then exact
+    * quantiles of the sample. `id` must be unique per row. */
+  def sampledQuantiles(df: DataFrame, key: String, value: String,
+      id: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("h").asc, col(id).asc)
+    df.select(col(key), col(id), col(value),
+        graft.functions.PortableHash.tokenHashP(col(id)).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_sample"),
+        percentile(col(value), lit(0.5)).as("p50"),
+        percentile(col(value), lit(0.9)).as("p90"),
+        percentile(col(value), lit(0.99)).as("p99"))
+      .orderBy(col(key))
+  }
+
+  private val q78: Q = (s, dir) =>
+    sampledQuantiles(t(s, dir, "events"),
+      "event_type", "value", "event_id", sampleK)
+  private val q78Sql = {
+    val h = graft.functions.PortableHash.tokenHashPSql("event_id")
+    s"""WITH smp AS (
+       |  SELECT event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |                       ORDER BY $h ASC, event_id ASC) AS rn
+       |  FROM events)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+       |  quantile_cont(value, 0.5) AS p50,
+       |  quantile_cont(value, 0.9) AS p90,
+       |  quantile_cont(value, 0.99) AS p99
+       |FROM smp WHERE rn <= $sampleK
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_grouped_quantiles" -> q70,
+    "q78_sampled_quantiles" -> q78,
     "q62_window_frames" -> q62,
     "q52_unpivot_stack" -> q52,
     "q53_json_roundtrip" -> q53,
@@ -275,6 +333,7 @@ object Relational3 {
 
   val oracleSql: Map[String, String] = Map(
     "q70_grouped_quantiles" -> q70Sql,
+    "q78_sampled_quantiles" -> q78Sql,
     "q52_unpivot_stack" -> q52Sql,
     "q53_json_roundtrip" -> q53Sql,
     "q49_left_outer_counts" -> q49Sql,
