@@ -125,6 +125,104 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("state size equals live buckets, measured from stateOperators") {
+    // turns the bounded-state CLAIM ("one long per live bucket") into a
+    // measurement: after every micro-batch, the state store's row count
+    // must equal the number of distinct (band, bucket) pairs delivered so
+    // far — and must NOT scale with the number of documents
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val verdicts = StreamingDedup.bandVerdicts(
+      src.toDF().toDF("doc_id", "text"))
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.count(): Unit // consume: state commits require execution
+      }
+      .start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    def liveBuckets(texts: Seq[String]): Long =
+      texts.toDF("text")
+        .select(org.apache.spark.sql.functions.posexplode(
+          StreamingDedup.bandHashes($"text")))
+        .distinct().count()
+    try {
+      src.addData((1L, distinctA), (2L, distinctB))
+      q.processAllAvailable()
+      assert(stateRows === liveBuckets(Seq(distinctA, distinctB)))
+      // 20 exact re-deliveries of doc 1's text: zero state growth
+      src.addData((10L to 29L).map(i => (i, distinctA)): _*)
+      q.processAllAvailable()
+      assert(stateRows === liveBuckets(Seq(distinctA, distinctB)))
+      // one genuinely new document: growth = its unclaimed buckets only
+      src.addData((30L, distinctC))
+      q.processAllAvailable()
+      assert(stateRows ===
+        liveBuckets(Seq(distinctA, distinctB, distinctC)))
+    } finally q.stop()
+  }
+
+  test("TTL expires idle buckets: state shrinks, not just grows") {
+    implicit val sqlCtx = spark.sqlContext
+    // processing-time-timeout queries run EMPTY micro-batches to fire
+    // expirations; those batches can skip partitions under foreachBatch,
+    // which deadlocks Spark 4.1's store-commit tracking — turn the
+    // validation off for this query (it exists to catch partial
+    // foreachBatch consumption, which b.count() below rules out)
+    val cvKey = "spark.sql.streaming.stateStore.commitValidation.enabled"
+    val cvPrior = spark.conf.getOption(cvKey)
+    spark.conf.set(cvKey, "false")
+    val src = MemoryStream[(Long, String)]
+    val verdicts = StreamingDedup.bandVerdicts(
+      src.toDF().toDF("doc_id", "text"), stateTtl = Some("1 second"))
+    // NOTE: with ProcessingTimeTimeout the engine re-triggers batches on
+    // its own to fire expirations — shouldRunAnotherBatch is ALWAYS true
+    // for this timeout mode, so (a) the query must be PACED by an explicit
+    // trigger or it busy-loops empty micro-batches, and (b)
+    // processAllAvailable NEVER returns (noNewData is never set); every
+    // wait below polls lastProgress with a deadline instead
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("500 milliseconds"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.count(): Unit // consume: state commits require execution
+      }
+      .start()
+    def stateRows: Long =
+      Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal)
+        .getOrElse(-1L)
+    def awaitStateRows(expect: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (stateRows != expect && System.currentTimeMillis < deadline)
+        Thread.sleep(250)
+    }
+    def buckets(texts: String*): Long =
+      texts.toDF("text")
+        .select(org.apache.spark.sql.functions.posexplode(
+          StreamingDedup.bandHashes($"text")))
+        .distinct().count()
+    try {
+      src.addData((1L, distinctA), (2L, distinctB))
+      val abBuckets = buckets(distinctA, distinctB)
+      awaitStateRows(abBuckets)
+      val before = stateRows
+      assert(before === abBuckets)
+      Thread.sleep(1500) // let the processing-time TTL lapse
+      // subsequent paced batches fire the timeouts and claim C's buckets:
+      // only distinctC's buckets survive
+      src.addData((3L, distinctC))
+      awaitStateRows(buckets(distinctC))
+      assert(stateRows === buckets(distinctC),
+        s"expected TTL to shrink state to ${buckets(distinctC)} rows, " +
+          s"got $stateRows (was $before)")
+    } finally {
+      q.stop()
+      cvPrior match {
+        case Some(v) => spark.conf.set(cvKey, v)
+        case None => spark.conf.unset(cvKey)
+      }
+    }
+  }
+
   test("within-batch contention: smallest doc_id claims the bucket") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, String)]
