@@ -55,11 +55,15 @@ object Bench {
     // overflowed it — the artifact parsed as null and lost 25 of 80
     // timings. Small trailing lines survive the tail buffer; the final
     // line stays parseable on its own.
+    // Locale.ROOT: the default-locale f-interpolator would print a comma
+    // decimal separator under e.g. de_DE and break the JSON parse.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     results.foreach { case (k, v) =>
-      println(f"""{"query":"$k","sec":$v%.4f}""")
+      println(s"""{"query":"$k","sec":${num(v)}}""")
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -17,22 +17,41 @@ import graft.sources.Tables
   * deterministic per-doc pixel pattern, which is what makes a DuckDB
   * hash-oracle possible: the decoded stats equal a closed-form function of
   * (doc_id, pixel index) that SQL can compute without any image library.
-  * The `*Stub` feature kernels below remain as clearly-named deterministic
-  * fakes for the q51/q68 feature-extraction surface (a vision model does
-  * not fit this environment); their surrounding plumbing is the same.
+  * The feature surface is REAL too: `featureBatch` (q79) computes
+  * histogram / luminance / edge-energy features from decoded pixels, and
+  * `decodeFrames` (q80) really decodes stride-sampled video frames — both
+  * JDK-only and both hash-oracled via the same closed-form-pattern trick
+  * as q76. The `*Stub` sha-derived kernels are retained only as
+  * deterministic fixtures pinning the q51/q68 plumbing (arbitrary-binary
+  * payloads, where no real decode is possible by construction).
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Media row: opaque payload + typed metadata (the "image table" shape). */
   final case class Media(doc_id: Long, payload: Array[Byte])
-  final case class MediaMeta(doc_id: Long, width: Int, height: Int,
-      channels: Int, n_bytes: Long)
 
   /** Decoded-image summary: dimensions + per-channel pixel stats. */
   final case class ImageStats(doc_id: Long, width: Int, height: Int,
       channels: Int, sum_r: Long, sum_g: Long, sum_b: Long,
       min_r: Int, min_g: Int, min_b: Int, max_r: Int, max_g: Int, max_b: Int)
+
+  /** REAL pixel features computed from a decoded image: 8-bin red-channel
+    * histogram (bin = r/32), total luminance (sum of r+g+b), and 4-neighbor
+    * edge energy (sum of |Δred| over horizontal + vertical neighbors) —
+    * all integers, so the DuckDB oracle reproduces them bit-exactly from
+    * the closed-form pattern. */
+  final case class ImageFeatures(doc_id: Long,
+      hist_0: Long, hist_1: Long, hist_2: Long, hist_3: Long,
+      hist_4: Long, hist_5: Long, hist_6: Long, hist_7: Long,
+      lum_sum: Long, edge_energy: Long)
+
+  /** One sampled frame of a multi-frame (video-shaped) payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Decoded-frame summary for the video path. */
+  final case class FrameStats(doc_id: Long, frame_idx: Long, width: Long,
+      height: Long, lum_sum: Long, min_r: Long, max_r: Long)
 
   /** documents.text → binary payload column (the ingest boundary where real
     * media bytes would enter). */
@@ -92,21 +111,35 @@ object MultimodalOps {
   /** Synthetic-image dimensions for doc `d`: width 8..16, height 8..14.
     * Small enough that the oracle's per-pixel UNNEST stays cheap, varied
     * enough that per-doc stats differ (w·h < 256, so min/max are not the
-    * degenerate 0/255 for every doc). */
-  def imageDims(docId: Long): (Int, Int) =
+    * degenerate 0/255 for every doc).
+    *
+    * PRECONDITION: docId >= 0. Scala's truncating `/` and `%` diverge from
+    * DuckDB's floor `//` / `%` on negative operands (and a non-positive
+    * width would make BufferedImage throw); fixture doc_ids are 0..N. */
+  def imageDims(docId: Long): (Int, Int) = {
+    require(docId >= 0, s"imageDims requires nonnegative doc_id, got $docId")
     ((8 + docId % 9).toInt, (8 + (docId / 9) % 7).toInt)
+  }
 
-  /** Per-channel pixel value at flat index `i` (row-major y·w+x), channel
-    * offset 0/101/202 for R/G/B — the closed form the DuckDB oracle
-    * replicates with integer arithmetic. */
+  /** Per-channel pixel value at flat index `i` (row-major y·w+x) of frame
+    * `frame`, channel offset 0/101/202 for R/G/B — the closed form the
+    * DuckDB oracle replicates with integer arithmetic. Same docId >= 0
+    * precondition as [[imageDims]] (enforced there — every caller sizes
+    * via imageDims). */
+  @inline def framePixelValue(docId: Long, frame: Int, i: Int,
+      channelOffset: Int): Int =
+    ((docId * 31 + frame.toLong * 13 + i.toLong * 7 + channelOffset) % 256)
+      .toInt
+
+  /** Frame-0 pixel value (the single-image pattern q76 oracles). */
   @inline def pixelValue(docId: Long, i: Int, channelOffset: Int): Int =
-    ((docId * 31 + i.toLong * 7 + channelOffset) % 256).toInt
+    framePixelValue(docId, 0, i, channelOffset)
 
   /** REAL PNG encode (javax.imageio, JDK-only): renders the deterministic
-    * pattern into a TYPE_INT_RGB buffer and writes actual PNG bytes. The
-    * *byte stream* is encoder-version-dependent (never oracled); the
-    * *decoded pixels* are exact because PNG is lossless. */
-  def syntheticPng(docId: Long): Array[Byte] = {
+    * per-frame pattern into a TYPE_INT_RGB buffer and writes actual PNG
+    * bytes. The *byte stream* is encoder-version-dependent (never
+    * oracled); the *decoded pixels* are exact because PNG is lossless. */
+  def syntheticFramePng(docId: Long, frame: Int): Array[Byte] = {
     val (w, h) = imageDims(docId)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -115,8 +148,9 @@ object MultimodalOps {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = (pixelValue(docId, i, 0) << 16) |
-          (pixelValue(docId, i, 101) << 8) | pixelValue(docId, i, 202)
+        val rgb = (framePixelValue(docId, frame, i, 0) << 16) |
+          (framePixelValue(docId, frame, i, 101) << 8) |
+          framePixelValue(docId, frame, i, 202)
         img.setRGB(x, y, rgb)
         x += 1; i += 1
       }
@@ -126,6 +160,20 @@ object MultimodalOps {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** Single-image (frame-0) encode — the q76 fixture. */
+  def syntheticPng(docId: Long): Array[Byte] = syntheticFramePng(docId, 0)
+
+  /** Shared ImageIO read with the reference's per-row corrupt-payload skip
+    * (pipeline.py:96-102): undecodable bytes → None, never a task crash. */
+  private def readImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None // malformed container metadata
+    }
 
   /** REAL partition-batched decode via typed mapPartitions — the seam
     * where a decoder is initialized once per partition and fed record
@@ -142,14 +190,7 @@ object MultimodalOps {
       // would be initialized here, once per partition, and amortized
       // across the partition's rows.
       it.flatMap { m =>
-        val img =
-          try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.payload)))
-          catch {
-            case _: java.io.IOException => None
-            case _: RuntimeException => None // malformed container metadata
-          }
-        img.map { bi =>
+        readImage(m.payload).map { bi =>
           val w = bi.getWidth
           val h = bi.getHeight
           var sr = 0L; var sg = 0L; var sb = 0L
@@ -173,6 +214,81 @@ object MultimodalOps {
           }
           ImageStats(m.doc_id, w, h, bi.getColorModel.getNumComponents,
             sr, sg, sb, mnr, mng, mnb, mxr, mxg, mxb)
+        }
+      }
+    }
+  }
+
+  /** REAL feature extraction over decoded pixels (the q51 stub's
+    * replacement): 8-bin red histogram, luminance sum, and 4-neighbor edge
+    * energy on the red channel — classic cheap vision features a JDK can
+    * compute, through the same per-partition batched seam as
+    * [[decodeBatch]]. Undecodable payloads are skipped row by row. */
+  def featureBatch(media: Dataset[Media]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        readImage(m.payload).map { bi =>
+          val w = bi.getWidth
+          val h = bi.getHeight
+          val red = new Array[Int](w * h)
+          val hist = new Array[Long](8)
+          var lum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = bi.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              red(y * w + x) = r
+              hist(r >> 5) += 1
+              lum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          var edge = 0L
+          var i = 0
+          while (i < w * h) {
+            if (i % w != w - 1) edge += math.abs(red(i + 1) - red(i))
+            if (i < w * (h - 1)) edge += math.abs(red(i + w) - red(i))
+            i += 1
+          }
+          ImageFeatures(m.doc_id, hist(0), hist(1), hist(2), hist(3),
+            hist(4), hist(5), hist(6), hist(7), lum, edge)
+        }
+      }
+    }
+  }
+
+  /** REAL per-frame decode for the video path (the q68 stub's
+    * replacement): each sampled frame's PNG bytes go through the same
+    * ImageIO seam; emits per-frame luminance and red-channel extrema. */
+  def decodeFrames(frames: Dataset[Frame]): Dataset[FrameStats] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      it.flatMap { f =>
+        readImage(f.payload).map { bi =>
+          val w = bi.getWidth
+          val h = bi.getHeight
+          var lum = 0L
+          var mnr = 255
+          var mxr = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = bi.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              lum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              if (r < mnr) mnr = r
+              if (r > mxr) mxr = r
+              x += 1
+            }
+            y += 1
+          }
+          FrameStats(f.doc_id, f.frame_idx.toLong, w.toLong, h.toLong,
+            lum, mnr.toLong, mxr.toLong)
         }
       }
     }
@@ -341,15 +457,116 @@ object MultimodalOps {
       |GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** REAL image features end-to-end (q51's stub kernel made real): encode
+    * the deterministic pattern, decode through ImageIO, and compute
+    * histogram / luminance / edge energy from the actual pixels. Every
+    * output is an integer function of (doc_id, pixel index), so DuckDB
+    * reproduces it over an UNNEST(range(w·h)) grid: bin = r//32, edge
+    * terms re-derive each neighbor's red value from the closed form. */
+  private val q79: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map(d => Media(d, syntheticPng(d))))
+    featureBatch(media).toDF().orderBy($"doc_id")
+  }
+  private val q79Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         8 + doc_id % 9 AS w,
+      |         8 + (doc_id // 9) % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, i,
+      |         (doc_id * 31 + i * 7) % 256 AS r,
+      |         (doc_id * 31 + i * 7 + 101) % 256 AS g,
+      |         (doc_id * 31 + i * 7 + 202) % 256 AS b
+      |  FROM d, UNNEST(range(0, w * h)) AS t(i))
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN r // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
+      |  CAST(SUM(CASE WHEN r // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
+      |  CAST(SUM(CASE WHEN r // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
+      |  CAST(SUM(CASE WHEN r // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3,
+      |  CAST(SUM(CASE WHEN r // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS hist_4,
+      |  CAST(SUM(CASE WHEN r // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS hist_5,
+      |  CAST(SUM(CASE WHEN r // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS hist_6,
+      |  CAST(SUM(CASE WHEN r // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS hist_7,
+      |  CAST(SUM(r + g + b) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(
+      |    CASE WHEN i % w <> w - 1
+      |         THEN abs((doc_id * 31 + (i + 1) * 7) % 256 - r) ELSE 0 END
+      |    + CASE WHEN i < w * (h - 1)
+      |           THEN abs((doc_id * 31 + (i + w) * 7) % 256 - r) ELSE 0 END)
+      |    AS BIGINT) AS edge_energy
+      |FROM px
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** REAL video-frame pipeline (q68's stub kernel made real): each doc is
+    * a variable-length frame list (4 + doc_id%5 PNG-encoded frames); a
+    * relational stride filter SAMPLES every 2nd frame BEFORE the expensive
+    * decode (cheap-predicate-before-decode is the ordering that matters at
+    * 100 TB — never decode what sampling will drop), then each kept frame
+    * is really decoded through the ImageIO seam. Per-frame stats follow
+    * the closed form with a per-frame offset of 13·frame_idx. */
+  private val q80: Q = (s, dir) => {
+    import s.implicits._
+    // Relational (doc, frame) grid + stride filter FIRST: only sampled
+    // frames ever reach the encode/decode seam, so frames the sampler
+    // drops are never materialized at all (at scale, decode dominates —
+    // a sampler that runs after decode wastes most of the pipeline).
+    val grid = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(sequence(lit(0), ((lit(4) + $"doc_id" % 5) - 1).cast("int")))
+          .as("frame_idx"))
+      .filter($"frame_idx" % 2 === 0)
+    val frames = grid.as[(Long, Int)].mapPartitions { it =>
+      it.map { case (d, k) => Frame(d, k, syntheticFramePng(d, k)) }
+    }
+    decodeFrames(frames).toDF().orderBy($"doc_id", $"frame_idx")
+  }
+  private val q80Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         8 + doc_id % 9 AS w,
+      |         8 + (doc_id // 9) % 7 AS h,
+      |         4 + doc_id % 5 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, w, h, k
+      |  FROM d, UNNEST(range(0, nf)) AS t(k)
+      |  WHERE k % 2 = 0),
+      |px AS (
+      |  SELECT doc_id, k, w, h,
+      |         (doc_id * 31 + k * 13 + i * 7) % 256 AS r,
+      |         (doc_id * 31 + k * 13 + i * 7 + 101) % 256 AS g,
+      |         (doc_id * 31 + k * 13 + i * 7 + 202) % 256 AS b
+      |  FROM fr, UNNEST(range(0, w * h)) AS t(i))
+      |SELECT doc_id,
+      |  CAST(k AS BIGINT) AS frame_idx,
+      |  CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(SUM(r + g + b) AS BIGINT) AS lum_sum,
+      |  CAST(MIN(r) AS BIGINT) AS min_r,
+      |  CAST(MAX(r) AS BIGINT) AS max_r
+      |FROM px
+      |GROUP BY doc_id, k, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
     "q51_multimodal_decode_stub" -> q51,
     "q68_frame_sample" -> q68,
-    "q76_image_decode" -> q76)
+    "q76_image_decode" -> q76,
+    "q79_image_features" -> q79,
+    "q80_video_frames" -> q80)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
     "q51_multimodal_decode_stub" -> q51Sql,
     "q68_frame_sample" -> q68Sql,
-    "q76_image_decode" -> q76Sql)
+    "q76_image_decode" -> q76Sql,
+    "q79_image_features" -> q79Sql,
+    "q80_video_frames" -> q80Sql)
 }

@@ -346,6 +346,148 @@ object TrainingOps {
       |GROUP BY 1, 2
       |ORDER BY shard, bin_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** FLAGSHIP curation pipeline — every stage of a production pretraining
+    * corpus build chained in ONE declarative plan, each stage shrinking
+    * the data BEFORE the next (more expensive) one touches it:
+    *
+    *   1. quality gates (q69's): lang=en, exact md5 dedup (min-doc
+    *      keeper), 20-1000 tokens, TTR ≥ 0.45, dup-bigram frac ≤ 0.06 —
+    *      and src0 (the held-out source) excluded from training outright;
+    *   2. MinHash-LSH near-dup admission (q67's band-bucket-first rule)
+    *      computed only over the gate SURVIVORS;
+    *   3. decontamination (q74's 8-gram rule) against the full held-out
+    *      source, applied only to near-dup survivors — the eval n-gram
+    *      set broadcasts;
+    *   4. reproducible 90/5/5 split by PortableHash.
+    *
+    * Scale shape: gates are map-side at the scan; the only shuffles are
+    * the md5-fingerprint window, the (band,bucket) window, and the
+    * broadcast-probe contamination join — all on survivors, never the
+    * raw corpus. The gated frame feeds two plan branches (bucket pass +
+    * survivor join), so it is persisted like the near-dup family's
+    * canonical-set frame (PLANS.md trade-off (a)). */
+  private val q81: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val wFp = Window.partitionBy($"fp")
+    val stats = docs
+      .select($"doc_id", $"lang", $"source", $"text",
+        split($"text", " ").as("tk"))
+      .select($"doc_id", $"lang", $"source", $"text",
+        size($"tk").cast("long").as("n_tokens"),
+        (size(array_distinct($"tk")).cast("double") /
+          size($"tk").cast("double")).as("ttr"),
+        greatest(size($"tk") - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(DedupOps.shingles($"tk", 2)).cast("long").as("nd"))
+      .withColumn("fp", md5($"text"))
+      .withColumn("keeper", min($"doc_id").over(wFp))
+      .withColumn("dup_bigram_frac", when($"n_bigrams" > 0,
+        lit(1.0) - $"nd".cast("double") / $"n_bigrams".cast("double"))
+        .otherwise(lit(0.0)))
+    val gated = stats.filter($"lang" === "en" && $"source" =!= "src0" &&
+        $"doc_id" === $"keeper" && $"n_tokens".between(20, 1000) &&
+        $"ttr" >= 0.45 && $"dup_bigram_frac" <= 0.06)
+      .select($"doc_id", $"source", $"text", $"n_tokens", $"ttr")
+      .persist()
+    val wB = Window.partitionBy($"band", $"bucket")
+    val admitted = gated
+      .select($"doc_id",
+        graft.streaming.StreamingDedup.bandHashes($"text", 16, 4).as("bb"))
+      .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
+      .withColumn("first_doc", min($"doc_id").over(wB))
+      .groupBy($"doc_id")
+      .agg(min($"doc_id" === $"first_doc").as("admit"))
+      .filter($"admit").select($"doc_id")
+    val surv = gated.join(admitted, "doc_id")
+    val evalNg = docs.filter($"source" === "src0")
+      .select(explode(DedupOps.shingles(split($"text", " "), 8)).as("ng"))
+      .distinct()
+    val contaminated = surv
+      .select($"doc_id",
+        explode(DedupOps.shingles(split($"text", " "), 8)).as("ng"))
+      .join(broadcast(evalNg), "ng")
+      .select($"doc_id").distinct()
+    val bucket = PortableHash.tokenHashP($"doc_id") % lit(100L)
+    surv.join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", $"n_tokens", $"ttr",
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+  private val q81Sql = {
+    import PortableHash.{foldSql, permSql}
+    val bigrams = "list_distinct(list_transform(range(1, len(tk)), " +
+      "i -> tk[i] || ' ' || tk[i+1]))"
+    val ngram8 = (1 to 7).foldLeft("tk[i]")((acc, o) =>
+      s"$acc || ' ' || tk[i+$o]")
+    val sh8 =
+      s"list_distinct(list_transform(range(1, len(tk) - 6), i -> $ngram8))"
+    def sig(i: Int) =
+      s"list_min(list_transform(hs, h -> ${permSql(i, "h")}))"
+    def bucket(b: Int) = foldSql(b.toLong, (b * 4 until b * 4 + 4).map(sig))
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM h")
+      .mkString("\n  UNION ALL ")
+    val split = s"(${tokenHashPSql("doc_id")} % 100)"
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id, lang, source, text,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS DOUBLE)
+       |      / CAST(len(tk) AS DOUBLE) AS ttr,
+       |    CAST(GREATEST(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(len($bigrams) AS BIGINT) AS nd,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM tk),
+       |gated AS (
+       |  SELECT doc_id, source, text, n_tokens, ttr
+       |  FROM stats
+       |  WHERE lang = 'en' AND source <> 'src0' AND doc_id = keeper
+       |    AND n_tokens BETWEEN 20 AND 1000 AND ttr >= 0.45
+       |    AND (CASE WHEN n_bigrams > 0
+       |      THEN 1.0 - CAST(nd AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |      ELSE 0.0 END) <= 0.06),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      x -> ${tokenHashPSql("x")}) AS hs
+       |  FROM gated),
+       |bb AS (
+       |  $bandSelects),
+       |f AS (
+       |  SELECT doc_id, band, bucket,
+       |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_doc
+       |  FROM bb),
+       |adm AS (
+       |  SELECT doc_id FROM f GROUP BY doc_id
+       |  HAVING BOOL_AND(doc_id = first_doc)),
+       |surv AS (
+       |  SELECT g.* FROM gated g JOIN adm USING (doc_id)),
+       |ev AS (
+       |  SELECT DISTINCT ng
+       |  FROM (SELECT $sh8 AS sh
+       |        FROM (SELECT string_split(text, ' ') AS tk
+       |              FROM documents WHERE source = 'src0')),
+       |       UNNEST(sh) AS u(ng)),
+       |cont AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, $sh8 AS sh
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS tk
+       |              FROM surv)),
+       |       UNNEST(sh) AS u(ng)
+       |  WHERE ng IN (SELECT ng FROM ev))
+       |SELECT doc_id, source, n_tokens, ttr,
+       |  CASE WHEN $split < 90 THEN 'train'
+       |       WHEN $split < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM surv
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_tfidf_top_terms" -> q55,
     "q56_hash_sample" -> q56,
@@ -353,7 +495,8 @@ object TrainingOps {
     "q64_countmin_sketch" -> q64,
     "q69_training_corpus" -> q69,
     "q72_document_chunks" -> q72,
-    "q73_sequence_packing" -> q73)
+    "q73_sequence_packing" -> q73,
+    "q81_curation_pipeline" -> q81)
 
   val oracleSql: Map[String, String] = Map(
     "q55_tfidf_top_terms" -> q55Sql,
@@ -362,5 +505,6 @@ object TrainingOps {
     "q64_countmin_sketch" -> q64Sql,
     "q69_training_corpus" -> q69Sql,
     "q72_document_chunks" -> q72Sql,
-    "q73_sequence_packing" -> q73Sql)
+    "q73_sequence_packing" -> q73Sql,
+    "q81_curation_pipeline" -> q81Sql)
 }

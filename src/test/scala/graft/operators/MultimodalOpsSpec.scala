@@ -78,6 +78,80 @@ class MultimodalOpsSpec extends SparkSpec {
       === stats.values.toSeq.sortBy(_.doc_id))
   }
 
+  test("real pixel features match the closed form (hist, lum, edge)") {
+    val ids = Seq(0L, 7L, 62L, 123L, 499L)
+    val media = ids.map(d => Media(d, MultimodalOps.syntheticPng(d))).toDS()
+    val feats = MultimodalOps.featureBatch(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats.size === ids.size)
+    ids.foreach { d =>
+      val (w, h) = MultimodalOps.imageDims(d)
+      val red = (0 until w * h).map(i => MultimodalOps.pixelValue(d, i, 0))
+      val f = feats(d)
+      val hist = Seq(f.hist_0, f.hist_1, f.hist_2, f.hist_3,
+        f.hist_4, f.hist_5, f.hist_6, f.hist_7)
+      (0 until 8).foreach { b =>
+        assert(hist(b) === red.count(_ >> 5 == b).toLong, s"doc $d bin $b")
+      }
+      assert(hist.sum === (w * h).toLong)
+      val expLum = (0 until w * h).map { i =>
+        (MultimodalOps.pixelValue(d, i, 0) +
+          MultimodalOps.pixelValue(d, i, 101) +
+          MultimodalOps.pixelValue(d, i, 202)).toLong
+      }.sum
+      assert(f.lum_sum === expLum)
+      val expEdge = (0 until w * h).map { i =>
+        val hEdge = if (i % w != w - 1) math.abs(red(i + 1) - red(i)) else 0
+        val vEdge = if (i < w * (h - 1)) math.abs(red(i + w) - red(i)) else 0
+        (hEdge + vEdge).toLong
+      }.sum
+      assert(f.edge_energy === expEdge)
+    }
+  }
+
+  test("video frames: stride sampling before decode, per-frame closed form") {
+    val ids = Seq(0L, 3L, 11L, 42L)
+    val frames = ids.flatMap { d =>
+      val nf = (4 + d % 5).toInt
+      (0 until nf by 2).map(k =>
+        MultimodalOps.Frame(d, k, MultimodalOps.syntheticFramePng(d, k)))
+    }.toDS()
+    val stats = MultimodalOps.decodeFrames(frames).collect()
+      .map(s => (s.doc_id, s.frame_idx) -> s).toMap
+    ids.foreach { d =>
+      val nf = (4 + d % 5).toInt
+      val sampledK = (0 until nf by 2)
+      assert(stats.keys.count(_._1 == d) === sampledK.size)
+      val (w, h) = MultimodalOps.imageDims(d)
+      sampledK.foreach { k =>
+        val s = stats((d, k.toLong))
+        assert(s.width === w.toLong && s.height === h.toLong)
+        val red = (0 until w * h)
+          .map(i => MultimodalOps.framePixelValue(d, k, i, 0))
+        val expLum = (0 until w * h).map { i =>
+          (MultimodalOps.framePixelValue(d, k, i, 0) +
+            MultimodalOps.framePixelValue(d, k, i, 101) +
+            MultimodalOps.framePixelValue(d, k, i, 202)).toLong
+        }.sum
+        assert(s.lum_sum === expLum)
+        assert(s.min_r === red.min.toLong && s.max_r === red.max.toLong)
+      }
+    }
+    // distinct frames of one doc differ (offset 13·k actually applied)
+    assert(stats((11L, 0L)).lum_sum !== stats((11L, 2L)).lum_sum)
+  }
+
+  test("featureBatch skips undecodable payloads like decodeBatch") {
+    val out = MultimodalOps.featureBatch(Seq(
+      Media(1L, MultimodalOps.syntheticPng(1L)),
+      Media(2L, Array[Byte](9, 9, 9))).toDS()).collect()
+    assert(out.map(_.doc_id).toSeq === Seq(1L))
+  }
+
+  test("imageDims rejects negative doc_id (oracle floor-div divergence)") {
+    intercept[IllegalArgumentException](MultimodalOps.imageDims(-1L))
+  }
+
   test("undecodable payloads are skipped row-by-row, not fatal") {
     // mirrors the reference's per-event corrupt-JSON skip (pipeline.py:96-102)
     val valid = Media(1L, MultimodalOps.syntheticPng(1L))

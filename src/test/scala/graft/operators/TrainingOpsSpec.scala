@@ -91,4 +91,26 @@ class TrainingOpsSpec extends SparkSpec {
       .select($"term").head().getString(0)
     assert(top === "rare") // df=1 beats the df=3 'common' despite tf=3
   }
+  test("curation pipeline: stages compose monotonically and cleanly") {
+    val out = TrainingOps.queries("q81_curation_pipeline")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // held-out source never survives into the training corpus
+    assert(rows.forall(_.getAs[String]("source") != "src0"))
+    // split labels are exactly the 90/5/5 partition values
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    // quality gates actually hold on every emitted row
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(n >= 20 && n <= 1000, s"n_tokens gate violated: $n")
+      assert(r.getAs[Double]("ttr") >= 0.45)
+    }
+    val q81Ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    // no contaminated doc survives: every q81 doc is absent from q74's
+    // contaminated list
+    val contaminated = DedupOps.queries("q74_decontamination")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q81Ids.intersect(contaminated).isEmpty)
+  }
 }
