@@ -494,6 +494,70 @@ object VectorOps {
        |ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * semantic deduplication by embedding clustering. Pairwise cosine is
+    * computed ONLY within a cluster (the same deterministic IVF cells as
+    * q58), so the pair space is bounded by cell size — never corpus².
+    * Within each ≥ τ pair the smaller vec_id is kept (the paper keeps
+    * one representative per semantic group; min-id is its deterministic
+    * instance). Emits every vector with its cell, keep verdict, and the
+    * representative it duplicates.
+    *
+    * At 100 TB: centroids broadcast; assignment is map-side; the corpus
+    * hash-partitions on cell id and the pair join is an equi-join on
+    * cell — cells cap the quadratic term exactly as the paper's k-means
+    * clusters do (nCells grows with the corpus to hold cell size
+    * constant). τ = 0.4 matches q44's corpus similarity ceiling. */
+  private val q82: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    val wCell = Window.partitionBy($"vec_id")
+      .orderBy($"cdot".desc, $"cent_id".asc)
+    val cells = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cent_id",
+        dot($"embedding", $"cv").as("cdot"))
+      .withColumn("rn", row_number().over(wCell)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+    val b = cells.select($"vec_id".as("dup_id"), $"embedding".as("b_emb"),
+      $"cell")
+    val dropped = cells.join(b, "cell").filter($"vec_id" < $"dup_id")
+      .select($"dup_id", $"vec_id", dot($"embedding", $"b_emb").as("cos"))
+      .filter($"cos" >= 0.4)
+      .groupBy($"dup_id").agg(min($"vec_id").as("dup_of"))
+      .withColumnRenamed("dup_id", "vec_id")
+    cells.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"dup_of".isNull.as("keep"), $"dup_of")
+      .orderBy($"vec_id")
+  }
+  private val q82Sql = {
+    val dAsg = dotSql("e.embedding", "cents.cv")
+    val dPair = dotSql("a.embedding", "b.embedding")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents)
+       |  WHERE rn = 1),
+       |drp AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $dPair >= 0.4
+       |  GROUP BY b.vec_id)
+       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       |  (d.vec_id IS NULL) AS keep, d.dup_of
+       |FROM cells c LEFT JOIN drp d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
@@ -503,7 +567,8 @@ object VectorOps {
     "q58_ann_ivf_cells" -> q58,
     "q58b_ann_ivf_lloyd" -> q58b,
     "q65_sql_surface" -> q65,
-    "q77_ann_recall" -> q77)
+    "q77_ann_recall" -> q77,
+    "q82_semdedup" -> q82)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -514,5 +579,6 @@ object VectorOps {
     "q58_ann_ivf_cells" -> q58Sql,
     "q58b_ann_ivf_lloyd" -> q58bSql,
     "q65_sql_surface" -> q65Sql,
-    "q77_ann_recall" -> q77Sql)
+    "q77_ann_recall" -> q77Sql,
+    "q82_semdedup" -> q82Sql)
 }

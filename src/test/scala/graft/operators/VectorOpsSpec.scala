@@ -142,4 +142,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(total("ivf_lloyd") >= total("ivf") - 2,
       s"Lloyd refinement collapsed recall: ${total("ivf_lloyd")} vs ${total("ivf")}")
   }
+
+  test("q82 semdedup: verdicts are consistent and representatives are kept") {
+    val rows = VectorOps.queries("q82_semdedup")(spark, sf).collect()
+    // every corpus vector appears exactly once
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length.toLong === n)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val keep = r.getBoolean(2)
+      val dupOf = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      // keep XOR has-representative
+      assert(keep === dupOf.isEmpty)
+      dupOf.foreach { d =>
+        assert(d < r.getLong(0), "representative must be the smaller id")
+        // the representative lives in the same cell
+        assert(byId(d).getLong(1) === r.getLong(1))
+        // and was itself kept OR was dropped for a yet-smaller doc:
+        // min-id-per-pair does not chain, but the representative must
+        // exist in the corpus
+        assert(byId.contains(d))
+      }
+    }
+    // at least one doc kept per cell (the cell minimum can never drop)
+    val cells = rows.map(_.getLong(1)).toSet
+    val keptCells = rows.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+    assert(cells === keptCells)
+  }
 }

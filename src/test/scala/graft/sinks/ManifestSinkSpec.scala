@@ -141,4 +141,53 @@ class ManifestSinkSpec extends SparkSpec {
     assert(deleted.isEmpty) // all three appends still referenced
     assert(ManifestSink.read(spark, dir).count() === 3)
   }
+
+  test("readAt reads any retained version byte-identically") {
+    val dir = Files.createTempDirectory("msinkra").toString + "/t"
+    val v0 = ManifestSink.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    val v1 = ManifestSink.append(Seq((2L, "b")).toDF("k", "v"), dir)
+    val v2 = ManifestSink.merge(Seq((1L, "A")).toDF("k", "v"), dir, Seq("k"))
+    def at(v: Long) = ManifestSink.readAt(spark, dir, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(v0) === Map(1L -> "a"))
+    assert(at(v1) === Map(1L -> "a", 2L -> "b"))
+    assert(at(v2) === Map(1L -> "A", 2L -> "b"))
+    intercept[IllegalArgumentException](ManifestSink.readAt(spark, dir, -1L))
+  }
+
+  test("changes reads exactly the appended batches, never carried files") {
+    val dir = Files.createTempDirectory("msinkch").toString + "/t"
+    val v0 = ManifestSink.append(spark.range(0, 5).toDF("v"), dir)
+    val v1 = ManifestSink.append(spark.range(5, 8).toDF("v"), dir)
+    val v2 = ManifestSink.append(spark.range(8, 10).toDF("v"), dir)
+    val inc = ManifestSink.changes(spark, dir, v0, v2)
+      .collect().map(_.getLong(0)).sorted
+    assert(inc.toSeq === (5L until 10L)) // only batches after v0
+    // manifest-diff bookkeeping agrees
+    val (added, removed) = ManifestSink.changedEntries(spark, dir, v0, v2)
+    assert(added.size === 2 && removed.isEmpty)
+    // same-version diff is empty but keeps the schema
+    val none = ManifestSink.changes(spark, dir, v1, v1)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("v"))
+  }
+
+  test("changesByKey emits exact insert/update/delete rows") {
+    val dir = Files.createTempDirectory("msinkcdc").toString + "/t"
+    val v0 = ManifestSink.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    // update 2, insert 4 (via merge), then delete 3 (via replace)
+    ManifestSink.merge(Seq((2L, "B"), (4L, "d")).toDF("k", "v"), dir,
+      Seq("k"))
+    val v2 = ManifestSink.replace(
+      ManifestSink.read(spark, dir).filter($"k" =!= 3L), dir)
+    val got = ManifestSink.changesByKey(spark, dir, v0, v2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_change_type"))).toSet
+    assert(got === Set((4L, "d", "insert"), (2L, "B", "update"),
+      (3L, "c", "delete")))
+    // from-empty baseline: everything is an insert
+    val fromEmpty = ManifestSink.changesByKey(spark, dir, -1L, v2, Seq("k"))
+      .collect().map(_.getAs[String]("_change_type")).toSet
+    assert(fromEmpty === Set("insert"))
+  }
 }
