@@ -765,6 +765,64 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  /** C4-style span-level dedup (Raffel et al. 2020 — public method —
+    * applies its repeated-occurrence rule below document granularity):
+    * the corpus-wide dedup unit is a fixed-length token span; any span
+    * whose exact text occurred EARLIER in the corpus (order: doc_id,
+    * span position) is dropped and documents are reassembled from the
+    * surviving spans. Catches boilerplate repeated across documents
+    * that whole-document fingerprints (q35/q45) cannot see, without the
+    * near-dup machinery's candidate generation.
+    *
+    * Scale shape: span construction is one per-row projection (no
+    * shuffle, no re-split per span), then ONE hash-partition window on
+    * span text — the only shuffle whose width matters, and it carries
+    * the distinct-span space, not the corpus — then a per-doc
+    * reassembly aggregate on the primary key. */
+  private val q83: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val S = 8
+    val spans = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), ((size($"tk") + lit(S - 1)) / lit(S)).cast("int") - 1),
+          w => array_join(slice($"tk", w * S + 1, lit(S)), " ")))
+          .as(Seq("span_idx", "span")))
+    val wSpan = Window.partitionBy($"span").orderBy($"doc_id", $"span_idx")
+    spans.withColumn("keep", row_number().over(wSpan) === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep",
+              struct($"span_idx", $"span")))),
+            x => x.getField("span")), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+  private val q83Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sp AS (
+      |  SELECT doc_id, w AS span_idx,
+      |         array_to_string(tk[w*8+1 : w*8+8], ' ') AS span
+      |  FROM tk, UNNEST(range(0, (len(tk) + 7) // 8)) AS t(w)),
+      |k AS (
+      |  SELECT doc_id, span_idx, span,
+      |    ROW_NUMBER() OVER (PARTITION BY span
+      |                       ORDER BY doc_id, span_idx) AS rn
+      |  FROM sp)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+      |                      ORDER BY span_idx), '') AS clean_text
+      |FROM k GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
@@ -772,7 +830,8 @@ object DedupOps {
     "q67_streaming_dedup_pin" -> q67,
     "q71_dedup_components" -> q71,
     "q71b_components_twostar" -> q71b,
-    "q74_decontamination" -> q74)
+    "q74_decontamination" -> q74,
+    "q83_span_dedup" -> q83)
 
   val oracleSql: Map[String, String] = Map(
     "q36_minhash_near_dup" -> q36Sql,
@@ -781,5 +840,6 @@ object DedupOps {
     "q67_streaming_dedup_pin" -> q67Sql,
     "q71_dedup_components" -> q71Sql,
     "q71b_components_twostar" -> q71Sql,
-    "q74_decontamination" -> q74Sql)
+    "q74_decontamination" -> q74Sql,
+    "q83_span_dedup" -> q83Sql)
 }

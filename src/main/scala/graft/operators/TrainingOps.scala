@@ -488,6 +488,60 @@ object TrainingOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q84
+  /** Domain-mixture sampling — static per-source rates (the data-mixing
+    * stage of corpus assembly: up-weight scarce domains, down-weight
+    * dominant ones; the held-out source rate is 0). The per-row decision
+    * is the same deterministic hash filter as [[hashSample]], so the mix
+    * is reproducible under any partitioning and NESTED across rate
+    * changes (raising one domain's rate only adds its documents — a
+    * property RNG mixing loses). Unlisted sources fall back to a default
+    * rate. Rates broadcast; the filter is map-side at the scan.
+    *
+    * Output is the per-source audit: docs seen, docs kept, and the
+    * realized rate alongside the configured one. */
+  private val mixRates = Seq(
+    "src0" -> 0L,     // held-out source: never mixed into training
+    "src1" -> 10000L, // keep all
+    "src2" -> 5000L,
+    "src3" -> 2500L,
+    "src4" -> 1250L)
+  private val mixDefaultBp = 1000L
+
+  private val q84: Q = (s, dir) => {
+    import s.implicits._
+    val rates = mixRates.toDF("source", "rate_bp")
+    Tables(s, dir, "documents")
+      .join(broadcast(rates), Seq("source"), "left")
+      .select($"source", $"doc_id",
+        coalesce($"rate_bp", lit(mixDefaultBp)).as("rate_bp"),
+        (PortableHash.tokenHashP($"doc_id") % lit(10000L) < coalesce(
+          $"rate_bp", lit(mixDefaultBp))).as("kept"))
+      .groupBy($"source")
+      .agg(max($"rate_bp").as("rate_bp"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+  private val q84Sql = {
+    val rateRows = mixRates
+      .map { case (src, bp) => s"('$src', CAST($bp AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH rates(source, rate_bp) AS (VALUES $rateRows),
+       |d AS (
+       |  SELECT doc.source, doc.doc_id,
+       |    COALESCE(r.rate_bp, $mixDefaultBp) AS rate_bp,
+       |    (${tokenHashPSql("doc.doc_id")} % 10000)
+       |      < COALESCE(r.rate_bp, $mixDefaultBp) AS kept
+       |  FROM documents doc LEFT JOIN rates r ON doc.source = r.source)
+       |SELECT source,
+       |  MAX(rate_bp) AS rate_bp,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM d GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_tfidf_top_terms" -> q55,
     "q56_hash_sample" -> q56,
@@ -496,7 +550,8 @@ object TrainingOps {
     "q69_training_corpus" -> q69,
     "q72_document_chunks" -> q72,
     "q73_sequence_packing" -> q73,
-    "q81_curation_pipeline" -> q81)
+    "q81_curation_pipeline" -> q81,
+    "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
     "q55_tfidf_top_terms" -> q55Sql,
@@ -506,5 +561,6 @@ object TrainingOps {
     "q69_training_corpus" -> q69Sql,
     "q72_document_chunks" -> q72Sql,
     "q73_sequence_packing" -> q73Sql,
-    "q81_curation_pipeline" -> q81Sql)
+    "q81_curation_pipeline" -> q81Sql,
+    "q84_mixture_sample" -> q84Sql)
 }

@@ -176,4 +176,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(h(1L) === h(3L))
     assert(h(1L) !== h(2L))
   }
+
+  test("span dedup keeps each distinct span exactly once corpus-wide") {
+    val out = DedupOps.queries("q83_span_dedup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_spans"))
+    }
+    // the defining invariant: total kept spans == distinct spans in the
+    // corpus (each survives exactly once), recomputed independently
+    val distinctSpans = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select(explode(transform(
+        sequence(lit(0), ((size($"tk") + lit(7)) / lit(8)).cast("int") - 1),
+        w => array_join(slice($"tk", w * 8 + 1, lit(8)), " "))).as("span"))
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("n_kept")).sum === distinctSpans)
+    // the corpus-first document's opening span can never be a duplicate
+    val first = out.minBy(_.getLong(0))
+    assert(first.getAs[Long]("n_kept") >= 1)
+    assert(first.getAs[String]("clean_text").nonEmpty)
+  }
 }

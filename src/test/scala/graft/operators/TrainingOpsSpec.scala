@@ -113,4 +113,20 @@ class TrainingOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(q81Ids.intersect(contaminated).isEmpty)
   }
+
+  test("mixture sampling: rate-0 excludes, rate-10000 keeps all, audit adds up") {
+    val out = TrainingOps.queries("q84_mixture_sample")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (r0, n0, k0) = out("src0")
+    assert(r0 === 0L && k0 === 0L && n0 > 0L) // held-out: never sampled
+    val (r1, n1, k1) = out("src1")
+    assert(r1 === 10000L && k1 === n1) // keep-all domain keeps everything
+    out.values.foreach { case (_, n, k) => assert(k >= 0L && k <= n) }
+    // deterministic: a second run returns the identical audit
+    val again = TrainingOps.queries("q84_mixture_sample")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === out)
+  }
 }
