@@ -689,9 +689,15 @@ object DedupOps {
         .select($"v".as("u"), $"m".as("v"))
         .union(minsS.select($"u", $"m".as("v")))
         .distinct().localCheckpoint(true)
-      // converged iff BOTH operations were no-ops this round
-      done = eL.exceptAll(e).isEmpty && e.exceptAll(eL).isEmpty &&
-        eS.exceptAll(eL).isEmpty && eL.exceptAll(eS).isEmpty
+      // converged iff BOTH operations were no-ops this round. The frames
+      // are distinct sets, so equal count + empty set-difference ⇔ set
+      // equality; counts are ~free on the eagerly-checkpointed frames and
+      // differ in every contracting round, so the equality joins only
+      // actually run at (or next to) the fixpoint — not once per round
+      // the way the previous four-exceptAll check did.
+      def sameSet(a: DataFrame, b: DataFrame): Boolean =
+        a.count() == b.count() && a.except(b).isEmpty
+      done = sameSet(eL, e) && sameSet(eS, eL)
       e = eS
     }
     require(done || rounds < maxRounds,

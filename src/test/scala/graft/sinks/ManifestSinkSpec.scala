@@ -190,4 +190,26 @@ class ManifestSinkSpec extends SparkSpec {
       .collect().map(_.getAs[String]("_change_type")).toSet
     assert(fromEmpty === Set("insert"))
   }
+
+  test("applying changesByKey to the old snapshot reproduces the new one") {
+    val dir = Files.createTempDirectory("msinkrt").toString + "/t"
+    val v0 = ManifestSink.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), dir)
+    ManifestSink.merge(Seq((2L, "B"), (5L, "e")).toDF("k", "v"), dir,
+      Seq("k"))
+    val v2 = ManifestSink.replace(
+      ManifestSink.read(spark, dir).filter($"k" =!= 4L), dir)
+    val cdc = ManifestSink.changesByKey(spark, dir, v0, v2, Seq("k"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val old = toMap(ManifestSink.readAt(spark, dir, v0))
+    val applied = cdc.collect().foldLeft(old) { (acc, r) =>
+      val (k, v, t) = (r.getLong(0), r.getString(1), r.getString(2))
+      t match {
+        case "delete" => acc - k
+        case _        => acc + (k -> v) // insert | update
+      }
+    }
+    assert(applied === toMap(ManifestSink.readAt(spark, dir, v2)))
+  }
 }
