@@ -829,6 +829,61 @@ object DedupOps {
       |FROM k GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Incremental near-dup admission — the corpus-GROWTH pattern: an
+    * existing corpus (doc_id < 250, standing in for the last snapshot)
+    * has already claimed its LSH band buckets; a new batch is admitted
+    * against those claims PLUS first-writer contention within the batch
+    * (the same rule q67 pins and StreamingDedup enforces micro-batch by
+    * micro-batch — here as one batch query, so the oracle can check it).
+    * At 100 TB the claimed-bucket state is exactly StreamingDedup's "one
+    * long per live bucket"; the new batch shuffles once on (band,
+    * bucket) and joins state that is corpus-bucket-sized, never
+    * corpus-sized. */
+  private val q85: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bf = bucketFirst(s, dir)
+    val existing = bf.filter($"doc_id" < 250)
+      .select($"band", $"bucket").distinct()
+    val batch = bf.filter($"doc_id" >= 250)
+    val wB = Window.partitionBy($"band", $"bucket")
+    batch.join(existing.withColumn("claimed", lit(true)),
+        Seq("band", "bucket"), "left")
+      .withColumn("first_new", min($"doc_id").over(wB))
+      .groupBy($"doc_id")
+      .agg(min(coalesce($"claimed", lit(false)) === false &&
+        $"doc_id" === $"first_new").as("admit"))
+      .orderBy($"doc_id")
+  }
+  private val q85Sql = {
+    def sig(i: Int) =
+      s"list_min(list_transform(hs, h -> ${permSql(i, "h")}))"
+    def bucket(b: Int) = foldSql(b.toLong, (b * 4 until b * 4 + 4).map(sig))
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      x -> ${tokenHashPSql("x")}) AS hs
+       |  FROM documents),
+       |bb AS (
+       |  $bandSelects),
+       |ex AS (
+       |  SELECT DISTINCT band, bucket FROM bb WHERE doc_id < 250),
+       |nw AS (
+       |  SELECT doc_id, band, bucket,
+       |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS first_new
+       |  FROM bb WHERE doc_id >= 250)
+       |SELECT nw.doc_id,
+       |  BOOL_AND(ex.band IS NULL AND nw.doc_id = nw.first_new) AS admit
+       |FROM nw LEFT JOIN ex
+       |  ON nw.band = ex.band AND nw.bucket = ex.bucket
+       |GROUP BY nw.doc_id
+       |ORDER BY nw.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
@@ -837,7 +892,8 @@ object DedupOps {
     "q71_dedup_components" -> q71,
     "q71b_components_twostar" -> q71b,
     "q74_decontamination" -> q74,
-    "q83_span_dedup" -> q83)
+    "q83_span_dedup" -> q83,
+    "q85_incremental_admission" -> q85)
 
   val oracleSql: Map[String, String] = Map(
     "q36_minhash_near_dup" -> q36Sql,
@@ -847,5 +903,6 @@ object DedupOps {
     "q71_dedup_components" -> q71Sql,
     "q71b_components_twostar" -> q71Sql,
     "q74_decontamination" -> q74Sql,
-    "q83_span_dedup" -> q83Sql)
+    "q83_span_dedup" -> q83Sql,
+    "q85_incremental_admission" -> q85Sql)
 }

@@ -143,19 +143,17 @@ object MultimodalOps {
     val (w, h) = imageDims(docId)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk setRGB: the per-pixel form re-runs color-model conversion
+    // per call and dominates encode time at corpus scale
+    val px = new Array[Int](w * h)
     var i = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = (framePixelValue(docId, frame, i, 0) << 16) |
-          (framePixelValue(docId, frame, i, 101) << 8) |
-          framePixelValue(docId, frame, i, 202)
-        img.setRGB(x, y, rgb)
-        x += 1; i += 1
-      }
-      y += 1
+    while (i < px.length) {
+      px(i) = (framePixelValue(docId, frame, i, 0) << 16) |
+        (framePixelValue(docId, frame, i, 101) << 8) |
+        framePixelValue(docId, frame, i, 202)
+      i += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -193,24 +191,21 @@ object MultimodalOps {
         readImage(m.payload).map { bi =>
           val w = bi.getWidth
           val h = bi.getHeight
+          val px = bi.getRGB(0, 0, w, h, null, 0, w) // one bulk read
           var sr = 0L; var sg = 0L; var sb = 0L
           var mnr = 255; var mng = 255; var mnb = 255
           var mxr = 0; var mxg = 0; var mxb = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = bi.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              sr += r; sg += g; sb += b
-              if (r < mnr) mnr = r; if (r > mxr) mxr = r
-              if (g < mng) mng = g; if (g > mxg) mxg = g
-              if (b < mnb) mnb = b; if (b > mxb) mxb = b
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            if (r < mnr) mnr = r; if (r > mxr) mxr = r
+            if (g < mng) mng = g; if (g > mxg) mxg = g
+            if (b < mnb) mnb = b; if (b > mxb) mxb = b
+            i += 1
           }
           ImageStats(m.doc_id, w, h, bi.getColorModel.getNumComponents,
             sr, sg, sb, mnr, mng, mnb, mxr, mxg, mxb)
@@ -231,24 +226,21 @@ object MultimodalOps {
         readImage(m.payload).map { bi =>
           val w = bi.getWidth
           val h = bi.getHeight
+          val px = bi.getRGB(0, 0, w, h, null, 0, w) // one bulk read
           val red = new Array[Int](w * h)
           val hist = new Array[Long](8)
           var lum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = bi.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              red(y * w + x) = r
-              hist(r >> 5) += 1
-              lum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            val r = (rgb >> 16) & 0xff
+            red(i) = r
+            hist(r >> 5) += 1
+            lum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            i += 1
           }
           var edge = 0L
-          var i = 0
+          i = 0
           while (i < w * h) {
             if (i % w != w - 1) edge += math.abs(red(i + 1) - red(i))
             if (i < w * (h - 1)) edge += math.abs(red(i + w) - red(i))
@@ -271,21 +263,18 @@ object MultimodalOps {
         readImage(f.payload).map { bi =>
           val w = bi.getWidth
           val h = bi.getHeight
+          val px = bi.getRGB(0, 0, w, h, null, 0, w) // one bulk read
           var lum = 0L
           var mnr = 255
           var mxr = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = bi.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              lum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              if (r < mnr) mnr = r
-              if (r > mxr) mxr = r
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            val r = (rgb >> 16) & 0xff
+            lum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            if (r < mnr) mnr = r
+            if (r > mxr) mxr = r
+            i += 1
           }
           FrameStats(f.doc_id, f.frame_idx.toLong, w.toLong, h.toLong,
             lum, mnr.toLong, mxr.toLong)

@@ -197,4 +197,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(first.getAs[Long]("n_kept") >= 1)
     assert(first.getAs[String]("clean_text").nonEmpty)
   }
+
+  test("incremental admission covers the new batch and is consistent") {
+    val out = DedupOps.queries("q85_incremental_admission")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.size.toLong === total - 250) // one verdict per new doc
+    assert(out.keys.forall(_ >= 250L))
+    assert(out.values.exists(identity) && out.values.exists(!_))
+    // batch-mode admission can only be STRICTER than full-corpus q67
+    // admission restricted to the batch: a doc whose bucket set is
+    // clean against corpus+batch (q67 admit, doc >= 250) must also be
+    // clean against existing claims... the converse does not hold, but
+    // q67-admitted new docs are exactly those first in EVERY bucket,
+    // which implies no existing (smaller-id) claimant either
+    val q67Admit = DedupOps.queries("q67_streaming_dedup_pin")(spark, sf)
+      .collect().filter(_.getLong(0) >= 250L)
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q67Admit.foreach { case (d, a) =>
+      if (a) assert(out(d), s"doc $d admitted by q67 but rejected by q85")
+    }
+  }
 }
