@@ -30,4 +30,17 @@ class GraftSpec extends SparkSpec {
     assert(spark.sql("SELECT seq_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0) === 11.0)
   }
+
+  test("every registered query has an oracle unless explicitly exempt") {
+    // the correctness gate only checks queries present in BOTH maps; a
+    // missing oracleSql entry silently downgrades a query to a rows-only
+    // check (caught live in round 6 when q85 shipped without one)
+    val exempt = Set("q27_approx_distinct") // HLL++ is engine-specific
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert((queries -- oracles) === exempt,
+      s"queries missing an oracle: ${queries -- oracles -- exempt}")
+    assert((oracles -- queries).isEmpty,
+      s"orphan oracles without a query: ${oracles -- queries}")
+  }
 }
