@@ -1,0 +1,39 @@
+package graft
+
+/** The determinism engineering's core claim, tested head-on: results are
+  * BIT-identical under different physical partitioning. Decimal-accumulated
+  * aggregates (Exact), hash-based sampling (PortableHash), window
+  * tie-breaks, and LSH bucketing are all designed to be order-free; if any
+  * of them silently depended on partition count, a cluster resize — or the
+  * jump from local[32] to 1000 executors — would change answers. The
+  * oracle gate can't see this (DuckDB runs single-engine); this spec can.
+  */
+class PartitioningInvarianceSpec extends SparkSpec {
+
+  // one representative per determinism mechanism:
+  //   q01  decimal-sum aggregates      q16  sqrt-derived rounded stats
+  //   q55  rounded-score window ranks  q78  hash-sampled quantiles
+  //   q81  gate→LSH→decontaminate pipeline (windows + broadcast joins)
+  private val representatives = Seq(
+    "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
+    "q78_sampled_quantiles", "q81_curation_pipeline")
+
+  test("results are bit-identical across shuffle-partition counts") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def runAll(): Map[String, Seq[String]] =
+      representatives.map { q =>
+        q -> SparkEntry.queries(q)(spark, sf).collect().map(_.toString).toSeq
+      }.toMap
+    try {
+      spark.conf.set(key, "3")
+      val narrow = runAll()
+      spark.conf.set(key, "29")
+      val wide = runAll()
+      representatives.foreach { q =>
+        assert(narrow(q) === wide(q), s"$q differs across partitionings")
+        assert(narrow(q).nonEmpty)
+      }
+    } finally spark.conf.set(key, saved)
+  }
+}
