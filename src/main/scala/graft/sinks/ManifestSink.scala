@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   dir/data/<batch-uuid>/part-*.parquet   — immutable once written
-  *   dir/_manifests/<version>.manifest      — newline list of data dirs
+  *   dir/_manifests/<version>.manifest      — newline list of data dirs,
+  *     each optionally `\t`-suffixed with per-column min/max stats
+  *     (the [[readWhere]] file-skipping metadata; see [[Entry]])
   *   dir/_latest                            — current version number
   * }}}
   *
@@ -78,6 +80,56 @@ object ManifestSink {
 
   private val ManifestName = """(\d+)\.manifest""".r
 
+  // ------------------------------------------------- per-entry file stats
+  /** Min/max of one column over one data directory — the pruning unit.
+    * `tag` is L (integral, stored as long), D (float/double), or S
+    * (string; ordered by Java/UTF-16 comparison — agrees with Spark's
+    * UTF8 binary ordering on ASCII, which is what the fixtures use). */
+  final case class ColStats(tag: Char, min: String, max: String) {
+    /** true iff [min,max] might intersect [lo,hi] (None = unbounded). */
+    def overlaps(lo: Option[String], hi: Option[String]): Boolean = {
+      def le(a: String, b: String): Boolean = tag match {
+        case 'L' => a.toLong <= b.toLong
+        case 'D' => a.toDouble <= b.toDouble
+        case _   => a <= b
+      }
+      lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
+    }
+  }
+
+  /** Manifest entry: the immutable data directory plus optional per-column
+    * stats. A line is `data/<uuid>` or `data/<uuid>\t<stats>`; lines
+    * without stats (pre-stats commits, merge-rewritten batches) are never
+    * pruned — absence of stats degrades scan breadth, never correctness. */
+  final case class Entry(path: String, stats: Map[String, ColStats]) {
+    def line: String =
+      if (stats.isEmpty) path
+      else path + "\t" + stats.toSeq.sortBy(_._1).map { case (c, st) =>
+        Seq(b64(c), st.tag.toString, b64(st.min), b64(st.max)).mkString(":")
+      }.mkString(";")
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  private def parseEntry(line: String): Entry = line.indexOf('\t') match {
+    case -1 => Entry(line, Map.empty)
+    case i =>
+      val stats = line.substring(i + 1).split(";").iterator
+        .map(_.split(":"))
+        .collect { case Array(c, t, mn, mx) if t.length == 1 =>
+          unb64(c) -> ColStats(t.head, unb64(mn), unb64(mx))
+        }.toMap
+      Entry(line.substring(0, i), stats)
+  }
+
+  /** Directory part of a manifest line (drops any stats suffix). */
+  private def entryPath(line: String): String =
+    line.indexOf('\t') match { case -1 => line; case i => line.substring(0, i) }
+
   /** Largest committed manifest number, or -1 for an empty sink — the
     * source of truth (crash-safe: a manifest exists iff its commit's
     * rename completed). */
@@ -121,12 +173,18 @@ object ManifestSink {
   }
 
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
-      baseEntries: Seq[String]): Long = {
+      baseEntries: Seq[String], statsCols: Seq[String] = Nil): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     df.write.parquet(dataDir)
+    // stats read back from the WRITTEN files (a cheap columnar min/max
+    // scan), not from `df` — re-evaluating an expensive upstream plan
+    // just to learn its bounds would double the batch cost
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, ColStats]
+      else batchStats(spark.read.parquet(dataDir), statsCols)
     val prev = version(spark, dir)
-    val entries = baseEntries :+ s"data/$batch"
+    val entries = baseEntries :+ Entry(s"data/$batch", stats).line
     val next = prev + 1
     val f = fs(spark, dir)
     // commit point: this rename (new name — nothing is deleted first)
@@ -136,6 +194,34 @@ object ManifestSink {
     next
   }
 
+  /** Per-column min/max of one written batch, for columns whose type the
+    * stats codec supports (integral → L, float/double → D, string → S).
+    * Unsupported types and all-null columns get no stats — the entry then
+    * simply never prunes on that column. */
+  private def batchStats(batch: DataFrame,
+      statsCols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.types._
+    val typed = statsCols.flatMap { c =>
+      batch.schema.find(_.name == c).flatMap(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(c -> 'L')
+        case FloatType | DoubleType                        => Some(c -> 'D')
+        case StringType                                    => Some(c -> 'S')
+        case _                                             => None
+      })
+    }
+    if (typed.isEmpty) return Map.empty
+    val aggs = typed.flatMap { case (c, _) =>
+      Seq(min(batch(c)).as(s"__mn_$c"), max(batch(c)).as(s"__mx_$c")) }
+    val row = batch.agg(aggs.head, aggs.tail: _*).head()
+    typed.flatMap { case (c, tag) =>
+      val mn = row.getAs[Any](s"__mn_$c")
+      val mx = row.getAs[Any](s"__mx_$c")
+      if (mn == null || mx == null) None // all-null batch: no stats
+      else Some(c -> ColStats(tag, mn.toString, mx.toString))
+    }.toMap
+  }
+
   /** Append a batch as a new commit. Returns the committed version. */
   def append(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
@@ -143,10 +229,78 @@ object ManifestSink {
       manifestEntries(spark, dir, version(spark, dir)))
   }
 
+  /** Append with per-entry min/max stats on `statsCols` recorded in the
+    * manifest — the file-skipping path: [[readWhere]] then prunes whole
+    * batch directories from a range scan using manifest metadata alone
+    * (zero data reads to plan). The lakehouse pattern: at 100 TB a table
+    * appended in time order prunes a time-range query to the handful of
+    * batches that overlap it, and the stats ride in the same tiny
+    * manifest the reader already fetches. */
+  def appendWithStats(df: DataFrame, dir: String,
+      statsCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    commit(spark, dir, df,
+      manifestEntries(spark, dir, version(spark, dir)), statsCols)
+  }
+
   /** Replace the whole table content (compaction/retention commit):
     * previous data files become unreferenced, reclaim via [[vacuum]]. */
   def replace(df: DataFrame, dir: String): Long =
     commit(df.sparkSession, dir, df, Nil)
+
+  /** Compact the current snapshot into a single batch directory (the
+    * OPTIMIZE analog): content-identical rows, one entry in the new
+    * manifest, previous versions still time-travel readable until
+    * [[vacuum]]. Optionally sorts by `sortCols` first — clustering the
+    * rewrite so the recomputed `statsCols` ranges become tight and
+    * disjoint across future range scans (the poor-man's Z-order for one
+    * key) — and records fresh stats for the compacted entry. Returns the
+    * committed version. */
+  def compact(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = read(spark, dir)
+    val clustered =
+      if (sortCols.isEmpty) snap else snap.sort(sortCols.map(col): _*)
+    commit(spark, dir, clustered, Nil, statsCols)
+  }
+
+  /** Parsed entries (path + stats) of version `v` — the observable the
+    * pruning spec and any external planner read. */
+  def entries(spark: SparkSession, dir: String, v: Long): Seq[Entry] =
+    manifestEntries(spark, dir, v).map(parseEntry)
+
+  /** Split the current snapshot's entries into (kept, skipped) for a
+    * range predicate `lo <= colName <= hi` (None = unbounded), using
+    * manifest stats only. An entry with no stats for `colName` is always
+    * kept — pruning is an optimization, never a filter. */
+  def prunedEntries(spark: SparkSession, dir: String, colName: String,
+      lo: Option[Any], hi: Option[Any]): (Seq[Entry], Seq[Entry]) =
+    entries(spark, dir, version(spark, dir)).partition { e =>
+      e.stats.get(colName) match {
+        case Some(st) => st.overlaps(lo.map(_.toString), hi.map(_.toString))
+        case None     => true
+      }
+    }
+
+  /** Range scan with manifest-level file skipping: reads only the batch
+    * directories whose recorded [min,max] on `colName` can intersect
+    * [lo, hi], then applies the exact predicate — the result is identical
+    * to `read(...).filter(...)` whatever the pruning decided (parquet
+    * row-group pruning still applies inside each kept directory). An
+    * all-pruned scan returns the empty frame with the table schema. */
+  def readWhere(spark: SparkSession, dir: String, colName: String,
+      lo: Option[Any], hi: Option[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunedEntries(spark, dir, colName, lo, hi)
+    val base =
+      if (kept.isEmpty) read(spark, dir).limit(0)
+      else spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*)
+    val c = col(colName)
+    val p = (lo.map(v => c >= lit(v)).toSeq ++ hi.map(v => c <= lit(v)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    base.filter(p)
+  }
 
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
     * row sharing its key; unmatched keys insert. Copy-on-write with
@@ -186,11 +340,15 @@ object ManifestSink {
       .withColumn("__e", regexp_extract(input_file_name(), "(data/[^/]+)/", 1))
       .join(updates.select(keyCols: _*), keys, "left_semi")
       .select("__e").distinct().collect().map(_.getString(0)).toSet
-    val kept = entries.filterNot(touched)
+    // kept entries carry their manifest lines verbatim (stats included:
+    // untouched dirs keep pruning); the rewritten batch gets no stats —
+    // conservative, so it is always scanned
+    val kept = entries.filterNot(e => touched(entryPath(e)))
     val rewritten =
       if (touched.isEmpty) updates
       else spark.read
-        .parquet(entries.filter(touched).map(e => s"$dir/$e"): _*)
+        .parquet(entries.collect {
+          case e if touched(entryPath(e)) => s"$dir/${entryPath(e)}" }: _*)
         .join(updates.select(keyCols: _*), keys, "left_anti")
         .unionByName(updates)
     commit(spark, dir, rewritten, kept)
@@ -201,7 +359,8 @@ object ManifestSink {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = version(spark, dir)
     require(v >= 0, s"ManifestSink at $dir has no committed version")
-    val paths = manifestEntries(spark, dir, v).map(e => s"$dir/$e")
+    val paths = manifestEntries(spark, dir, v)
+      .map(e => s"$dir/${entryPath(e)}")
     spark.read.parquet(paths: _*)
   }
 
@@ -211,9 +370,9 @@ object ManifestSink {
     * in place, so an unvacuumed old version reads byte-identically). */
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
     require(v >= 0, s"version must be >= 0, got $v")
-    val entries = manifestEntries(spark, dir, v)
-    require(entries.nonEmpty, s"version $v has no manifest at $dir")
-    spark.read.parquet(entries.map(e => s"$dir/$e"): _*)
+    val lines = manifestEntries(spark, dir, v)
+    require(lines.nonEmpty, s"version $v has no manifest at $dir")
+    spark.read.parquet(lines.map(e => s"$dir/${entryPath(e)}"): _*)
   }
 
   /** Data directories added and removed between two committed versions —
@@ -222,8 +381,10 @@ object ManifestSink {
   def changedEntries(spark: SparkSession, dir: String, fromV: Long,
       toV: Long): (Seq[String], Seq[String]) = {
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
-    val from = manifestEntries(spark, dir, fromV).toSet
-    val to = manifestEntries(spark, dir, toV)
+    // diff on directory paths: stats suffixes are commit metadata, not
+    // content (a dir's line is written once and carried verbatim anyway)
+    val from = manifestEntries(spark, dir, fromV).map(entryPath).toSet
+    val to = manifestEntries(spark, dir, toV).map(entryPath)
     (to.filterNot(from), (from -- to).toSeq.sorted)
   }
 
@@ -282,7 +443,7 @@ object ManifestSink {
     val current = version(spark, dir)
     val keepFrom = math.max(0L, current - keepVersions + 1)
     val referenced = (keepFrom to current)
-      .flatMap(v => manifestEntries(spark, dir, v)).toSet
+      .flatMap(v => manifestEntries(spark, dir, v).map(entryPath)).toSet
     (0L until keepFrom).foreach { v =>
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
     }

@@ -212,4 +212,105 @@ class ManifestSinkSpec extends SparkSpec {
     }
     assert(applied === toMap(ManifestSink.readAt(spark, dir, v2)))
   }
+
+  test("manifest stats prune whole batch dirs from a range scan") {
+    val dir = Files.createTempDirectory("msinkfs").toString + "/t"
+    // three appends with disjoint key ranges — the time-ordered-append
+    // layout a 100 TB fact table has
+    ManifestSink.appendWithStats(
+      spark.range(0, 100).toDF("id"), dir, Seq("id"))
+    ManifestSink.appendWithStats(
+      spark.range(100, 200).toDF("id"), dir, Seq("id"))
+    ManifestSink.appendWithStats(
+      spark.range(200, 300).toDF("id"), dir, Seq("id"))
+    // point-ish lookup: manifest metadata alone prunes 2 of 3 dirs
+    val (kept, skipped) = ManifestSink.prunedEntries(
+      spark, dir, "id", Some(150L), Some(160L))
+    assert(kept.size === 1 && skipped.size === 2)
+    // the pruned scan equals the unpruned filter exactly
+    val pruned = ManifestSink.readWhere(
+      spark, dir, "id", Some(150L), Some(160L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pruned === (150L to 160L))
+    // unbounded side: >= 250 keeps only the last dir
+    val (k2, s2) = ManifestSink.prunedEntries(
+      spark, dir, "id", Some(250L), None)
+    assert(k2.size === 1 && s2.size === 2)
+    // a range matching nothing prunes everything but stays correct
+    val none = ManifestSink.readWhere(
+      spark, dir, "id", Some(1000L), Some(2000L))
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id"))
+  }
+
+  test("entries without stats are never pruned; merge keeps carried stats") {
+    val dir = Files.createTempDirectory("msinkns").toString + "/t"
+    ManifestSink.appendWithStats(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"))
+    // plain append: no stats → always scanned, whatever the predicate
+    ManifestSink.append(Seq((500L, "z")).toDF("k", "v"), dir)
+    val (kept, _) = ManifestSink.prunedEntries(
+      spark, dir, "k", Some(100L), Some(200L))
+    assert(kept.size === 1) // the stats-less entry survives any range
+    val got = ManifestSink.readWhere(spark, dir, "k", Some(100L), None)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(500L))
+    // merge touching only the stats-less dir carries the stats entry
+    // verbatim — it still prunes afterwards
+    ManifestSink.merge(Seq((500L, "Z")).toDF("k", "v"), dir, Seq("k"))
+    val (k2, s2) = ManifestSink.prunedEntries(
+      spark, dir, "k", Some(1000L), None)
+    // the carried stats entry [1,2] is skipped; the rewritten batch (no
+    // stats, conservative) is kept
+    assert(s2.size === 1 && s2.head.stats.contains("k"))
+    assert(k2.size === 1 && k2.head.stats.isEmpty)
+    val after = ManifestSink.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(1L -> "a", 2L -> "b", 500L -> "Z"))
+  }
+
+  test("string and double stats prune with their own orderings") {
+    val dir = Files.createTempDirectory("msinksd").toString + "/t"
+    ManifestSink.appendWithStats(
+      Seq(("apple", 0.1), ("cherry", 0.2)).toDF("s", "d"), dir,
+      Seq("s", "d"))
+    ManifestSink.appendWithStats(
+      Seq(("melon", 5.5), ("peach", 9.9)).toDF("s", "d"), dir,
+      Seq("s", "d"))
+    val (ks, ss) = ManifestSink.prunedEntries(
+      spark, dir, "s", Some("banana"), Some("grape"))
+    assert(ks.size === 1 && ss.size === 1)
+    val (kd, sd) = ManifestSink.prunedEntries(
+      spark, dir, "d", Some(1.0), None)
+    assert(kd.size === 1 && sd.size === 1)
+    assert(ManifestSink.readWhere(spark, dir, "s", Some("banana"),
+      Some("grape")).collect().map(_.getString(0)).toSeq === Seq("cherry"))
+  }
+
+  test("compact rewrites to one clustered entry with fresh stats") {
+    val dir = Files.createTempDirectory("msinkcp").toString + "/t"
+    // interleaved appends: every dir spans the whole key range, so
+    // nothing prunes before compaction
+    ManifestSink.appendWithStats(
+      Seq(1L, 100L, 50L).toDF("id"), dir, Seq("id"))
+    ManifestSink.appendWithStats(
+      Seq(2L, 99L, 51L).toDF("id"), dir, Seq("id"))
+    val (k0, s0) = ManifestSink.prunedEntries(
+      spark, dir, "id", Some(50L), Some(51L))
+    assert(k0.size === 2 && s0.isEmpty)
+    val before = ManifestSink.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val v = ManifestSink.compact(spark, dir,
+      statsCols = Seq("id"), sortCols = Seq("id"))
+    // content identical, one entry, stats recomputed over the rewrite
+    val after = ManifestSink.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+    val es = ManifestSink.entries(spark, dir, v)
+    assert(es.size === 1)
+    assert(es.head.stats("id") ===
+      ManifestSink.ColStats('L', "1", "100"))
+    // pre-compaction versions still time travel until vacuumed
+    assert(ManifestSink.readAt(spark, dir, v - 1).count() === 6)
+    assert(ManifestSink.vacuum(spark, dir).size === 2)
+  }
 }
