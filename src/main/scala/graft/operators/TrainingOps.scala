@@ -542,8 +542,93 @@ object TrainingOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q86
+  /** BM25 relevance ranking (Robertson et al.; the Lucene-default scoring
+    * function, public method): top-10 documents for a fixed query,
+    * k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism follows q55's ln treatment: the per-term contribution is
+    * the only libm-dependent value (one `ln`), so it is rounded to 6
+    * decimals and summed in DECIMAL(18,6) — order-free and exact — and the
+    * ranking runs on the decimal sum with a doc_id tie-break.
+    *
+    * Scale: the query-term filter lands BEFORE the tf aggregation, so the
+    * expensive per-(doc,term) state is |docs|·|query| not |docs|·|vocab|;
+    * df and the (N, Σdl) corpus stats are broadcast-tiny; doc length joins
+    * on the primary key; top-10 is sort+limit (TakeOrdered), never a
+    * global single-partition window — the final rank window sees 10 rows. */
+  private val bmTerms = Seq("hash", "join", "filter")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+
+  private val q86: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val tfq = toks.filter($"term".isin(bmTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"tot_dl".cast("double") / $"n_docs".cast("double")
+    val idf = log(lit(1.0) +
+      (($"n_docs" - $"df").cast("double") + lit(0.5)) /
+        ($"df".cast("double") + lit(0.5)))
+    val contrib = round(
+      idf * ($"tf".cast("double") * lit(bmK1 + 1)) /
+        ($"tf".cast("double") + lit(bmK1) *
+          (lit(1 - bmB) + lit(bmB) * ($"dl".cast("double") / avgdl))), 6)
+    val agg = tfq.join(broadcast(dfq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl", contrib.as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).as("s"),
+        count(lit(1)).as("n_terms"), max($"dl").as("dl"))
+    val top = agg.orderBy($"s".desc, $"doc_id".asc).limit(10)
+    // rank window runs on the already-limited 10-row frame
+    val w = Window.orderBy($"s".desc, $"doc_id".asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"doc_id", $"rank", $"n_terms", $"dl",
+        $"s".cast("double").as("bm25"))
+      .orderBy($"rank")
+  }
+  private val q86Sql = {
+    val terms = bmTerms.map(t => s"'$t'").mkString(", ")
+    val avgdl = "(CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val idf = "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)" +
+      " / (CAST(df AS DOUBLE) + 0.5))"
+    val contrib = s"ROUND($idf * (CAST(tf AS DOUBLE) * ${bmK1 + 1})" +
+      s" / (CAST(tf AS DOUBLE) + $bmK1 * (${1 - bmB} + $bmB" +
+      s" * (CAST(dl AS DOUBLE) / $avgdl))), 6)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |dlq AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dlq),
+       |tfq AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, SUM(CAST($contrib AS DECIMAL(18,6))) AS s,
+       |    COUNT(*) AS n_terms, MAX(dl) AS dl
+       |  FROM tfq JOIN dfq USING (term) JOIN dlq USING (doc_id)
+       |  CROSS JOIN st
+       |  GROUP BY doc_id)
+       |SELECT doc_id, rank, n_terms, dl, bm25 FROM (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rank,
+       |    CAST(n_terms AS BIGINT) AS n_terms,
+       |    CAST(dl AS BIGINT) AS dl,
+       |    CAST(s AS DOUBLE) AS bm25
+       |  FROM agg)
+       |WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_tfidf_top_terms" -> q55,
+    "q86_bm25_ranking" -> q86,
     "q56_hash_sample" -> q56,
     "q57_stratified_sample" -> q57,
     "q64_countmin_sketch" -> q64,
@@ -555,6 +640,7 @@ object TrainingOps {
 
   val oracleSql: Map[String, String] = Map(
     "q55_tfidf_top_terms" -> q55Sql,
+    "q86_bm25_ranking" -> q86Sql,
     "q56_hash_sample" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,
     "q64_countmin_sketch" -> q64Sql,

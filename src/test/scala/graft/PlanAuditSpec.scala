@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
       "q58b_ann_ivf_lloyd",        // crossJoin(broadcast(16 refined centroids))
       "q75_lm_quality",            // crossJoin(broadcast(1-row token total))
       "q77_ann_recall",            // q41/q58/q58b subtrees + 3-row method frame
-      "q82_semdedup")              // crossJoin(broadcast(16 centroids))
+      "q82_semdedup",              // crossJoin(broadcast(16 centroids))
+      "q86_bm25_ranking")          // crossJoin(broadcast(1-row corpus stats))
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||

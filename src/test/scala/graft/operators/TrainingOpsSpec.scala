@@ -91,6 +91,56 @@ class TrainingOpsSpec extends SparkSpec {
       .select($"term").head().getString(0)
     assert(top === "rare") // df=1 beats the df=3 'common' despite tf=3
   }
+  test("bm25 top-10: ranks are total, scores ordered, docs match query") {
+    val out = TrainingOps.queries("q86_bm25_ranking")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to 10L))
+    val scores = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("bm25"))
+    // ordered by score desc (ties broken by doc_id, so non-strict here)
+    scores.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    assert(scores.forall(_ > 0.0))
+    out.foreach { r =>
+      val nt = r.getAs[Long]("n_terms")
+      assert(nt >= 1 && nt <= 3) // only the 3 query terms can contribute
+    }
+    // every ranked doc really contains at least one query term
+    val ranked = out.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin("hash", "join", "filter"))
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ranked.subsetOf(withTerm))
+  }
+
+  test("bm25 saturates in tf and rewards rarity") {
+    // two-term corpus built so 'rare' appears in one doc only: that doc
+    // must outrank a doc with MORE total query-term occurrences of the
+    // ubiquitous term — idf dominates saturated tf (the BM25 point)
+    val docs = Seq(
+      (1L, "common rare pad pad"),
+      (2L, "common common common common"),
+      (3L, "common pad common pad")
+    ).toDF("doc_id", "text")
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val tfq = toks.filter($"term".isin("common", "rare"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"tot_dl".cast("double") / $"n_docs".cast("double")
+    val idf = log(lit(1.0) +
+      (($"n_docs" - $"df").cast("double") + lit(0.5)) /
+        ($"df".cast("double") + lit(0.5)))
+    val contrib = idf * ($"tf".cast("double") * lit(2.2)) /
+      ($"tf".cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl)))
+    val byDoc = tfq.join(dfq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id").agg(sum(contrib).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byDoc(1L) > byDoc(2L), s"rarity must beat saturated tf: $byDoc")
+    assert(byDoc(2L) > byDoc(3L), s"higher tf must beat lower tf: $byDoc")
+  }
+
   test("curation pipeline: stages compose monotonically and cleanly") {
     val out = TrainingOps.queries("q81_curation_pipeline")(spark, sf)
     val rows = out.collect()
