@@ -139,7 +139,16 @@ object MultimodalOps {
     * per-frame pattern into a TYPE_INT_RGB buffer and writes actual PNG
     * bytes. The *byte stream* is encoder-version-dependent (never
     * oracled); the *decoded pixels* are exact because PNG is lossless. */
+  /** ImageIO defaults to a DISK-backed stream cache: every read/write
+    * spills through a temp file — at corpus scale that is one file
+    * create+delete per image. Memory-cached streams are strictly better
+    * for byte-array payloads. JVM-global, set once lazily (executors
+    * included: every kernel references this before touching ImageIO). */
+  @transient private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def syntheticFramePng(docId: Long, frame: Int): Array[Byte] = {
+    imageIoNoDiskCache
     val (w, h) = imageDims(docId)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -165,13 +174,15 @@ object MultimodalOps {
   /** Shared ImageIO read with the reference's per-row corrupt-payload skip
     * (pipeline.py:96-102): undecodable bytes → None, never a task crash. */
   private def readImage(
-      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoNoDiskCache
     try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload)))
     catch {
       case _: java.io.IOException => None
       case _: RuntimeException => None // malformed container metadata
     }
+  }
 
   /** REAL partition-batched decode via typed mapPartitions — the seam
     * where a decoder is initialized once per partition and fed record
