@@ -420,7 +420,86 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** PII redaction (the scrub stage every published-corpus pipeline runs
+    * before training): regex-replace emails, phone numbers, and IPv4
+    * addresses with typed placeholders, and report per-category match
+    * counts. The kernel is a map-side chained `regexp_replace` +
+    * `regexp_extract_all` projection — codegen'd, no shuffle until the
+    * output sort; at 100 TB the scrub cost is embarrassingly parallel.
+    *
+    * The fixtures are PII-free by construction, so the input is a
+    * deterministic "dirty" contact string synthesized per event from
+    * fixture columns (emails only on signup events, phones only on
+    * purchases — counts vary by row). Patterns stick to the regex subset
+    * Java and RE2 interpret identically (character classes, bounded
+    * repetition, \b ASCII word boundaries; no lookaround/backrefs), so the
+    * redacted text and counts are hash-exact against DuckDB. */
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """\+1-[0-9]{3}-[0-9]{4}"""
+  private val ipRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  private val q87: Q = (s, dir) => {
+    import s.implicits._
+    val dirty = concat(
+      lit("user "), $"user_id".cast("string"),
+      when($"event_type" === "signup",
+        concat(lit(" mail u"), $"user_id".cast("string"), lit("@ex.org")))
+        .otherwise(lit("")),
+      when($"event_type" === "purchase",
+        concat(lit(" tel +1-"),
+          lpad(($"user_id" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(($"event_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" ip 10."), ($"user_id" % 256).cast("string"),
+      lit(".0."), ($"event_id" % 256).cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace($"dirty", emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
+    Tables(s, dir, "events")
+      .withColumn("dirty", dirty)
+      .select($"event_id",
+        size(regexp_extract_all($"dirty", lit(emailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all($"dirty", lit(phoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all($"dirty", lit(ipRe), lit(0)))
+          .cast("long").as("n_ip"),
+        redacted.as("redacted"))
+      .orderBy($"event_id")
+  }
+  private val q87Sql = {
+    // single-quoted SQL literals: escape nothing (patterns have no quotes)
+    val dirty =
+      "'user ' || CAST(user_id AS VARCHAR)" +
+        " || CASE WHEN event_type = 'signup' THEN" +
+        " ' mail u' || CAST(user_id AS VARCHAR) || '@ex.org'" +
+        " ELSE '' END" +
+        " || CASE WHEN event_type = 'purchase' THEN" +
+        " ' tel +1-' || lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0')" +
+        " || '-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')" +
+        " ELSE '' END" +
+        " || ' ip 10.' || CAST(user_id % 256 AS VARCHAR)" +
+        " || '.0.' || CAST(event_id % 256 AS VARCHAR)"
+    s"""WITH d AS (SELECT event_id, $dirty AS dirty FROM events)
+       |SELECT event_id,
+       |  CAST(len(regexp_extract_all(dirty, '$emailRe')) AS BIGINT)
+       |    AS n_email,
+       |  CAST(len(regexp_extract_all(dirty, '$phoneRe')) AS BIGINT)
+       |    AS n_phone,
+       |  CAST(len(regexp_extract_all(dirty, '$ipRe')) AS BIGINT) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(dirty,
+       |    '$emailRe', '[EMAIL]', 'g'),
+       |    '$phoneRe', '[PHONE]', 'g'),
+       |    '$ipRe', '[IP]', 'g') AS redacted
+       |FROM d
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_pii_redaction" -> q87,
     "q75_lm_quality" -> q75,
     "q66_repetition_signals" -> q66,
     "q30_text_stats" -> q30,
@@ -433,6 +512,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q87_pii_redaction" -> q87Sql,
     "q75_lm_quality" -> q75Sql,
     "q66_repetition_signals" -> q66Sql,
     "q30_text_stats" -> q30Sql,
