@@ -22,7 +22,7 @@ object SparkEntry {
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
       operators.RangeJoin.queries ++ operators.TrainingOps.queries ++
-      operators.Skew.queries ++
+      operators.Skew.queries ++ operators.SinkOps.queries ++
       streaming.StreamAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +34,6 @@ object SparkEntry {
       operators.TextOps.oracleSql ++ operators.DedupOps.oracleSql ++
       operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++
       operators.RangeJoin.oracleSql ++ operators.TrainingOps.oracleSql ++
-      operators.Skew.oracleSql ++
+      operators.Skew.oracleSql ++ operators.SinkOps.oracleSql ++
       streaming.StreamAnalytics.oracleSql
 }

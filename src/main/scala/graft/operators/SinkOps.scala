@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sinks.ManifestSink
+import graft.sources.Tables
+
+/** The manifest sink inside the correctness gate: these queries push data
+  * THROUGH the sink (commit → manifest stats → pruned read) and emit a
+  * result an independent engine reproduces from the original tables — so
+  * the storage layer's roundtrip fidelity and its file-skipping logic are
+  * oracle-checked, not just unit-asserted.
+  */
+object SinkOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q88
+  /** Manifest roundtrip + file skipping: land `events` in a manifest sink
+    * as three range-disjoint appends with event_id stats (the time-ordered
+    * append layout a fact table has), then answer a mid-range aggregation
+    * through [[ManifestSink.readWhere]] — the pruned scan. The oracle
+    * computes the same aggregate straight from the source table, so a
+    * pruning bug that drops or double-reads ANY row hash-mismatches.
+    * SinkOpsSpec separately asserts the scan really pruned to 1 of 3
+    * directories (the gate proves correctness; the spec proves skipping).
+    *
+    * Scale: appends are plain partitioned parquet writes; the range read
+    * prunes at manifest level before parquet row-group pruning; the final
+    * aggregate is two-phase on a 5-value key. The only driver scalar is
+    * the 1-row max(event_id) defining the deterministic range cuts. */
+  private val q88: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_q88_").toString + "/events_sink"
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" <= cut1), sink, Seq("event_id"))
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink,
+      Seq("event_id"))
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > cut2), sink, Seq("event_id"))
+    ManifestSink.readWhere(s, sink, "event_id",
+      Some(cut1 + 1), Some(cut2))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("sum_value"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+  private val q88Sql =
+    s"""WITH cuts AS (
+       |  SELECT MAX(event_id) // 3 AS cut1,
+       |         2 * MAX(event_id) // 3 AS cut2
+       |  FROM events)
+       |SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  MIN(event_id) AS min_id,
+       |  MAX(event_id) AS max_id
+       |FROM events CROSS JOIN cuts
+       |WHERE event_id > cut1 AND event_id <= cut2
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q88_manifest_roundtrip" -> q88)
+
+  val oracleSql: Map[String, String] = Map(
+    "q88_manifest_roundtrip" -> q88Sql)
+}
