@@ -298,7 +298,64 @@ object EventOps {
        |FROM sk CROSS JOIN ex""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q89
+  /** Ordered funnel (view → click → purchase): per user, the first view,
+    * the first click strictly AFTER that view, and the first purchase
+    * strictly after that click — the product-analytics sequence query
+    * (each step must follow the previous one in time, not merely occur).
+    * Emits per-user step timestamps and the reached depth; left joins keep
+    * every user who entered the funnel.
+    *
+    * Scale: three conditional MIN aggregations and two left joins, all
+    * keyed on user_id — one hash partitioning reused end to end; no
+    * windows, no self-join explosion (each stage aggregates BEFORE
+    * joining the next, so the join inputs are one row per user). */
+  private val q89: Q = (s, dir) => {
+    import s.implicits._
+    val e = ev(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        date_format($"t1", tsFmt).as("view_ts"),
+        date_format($"t2", tsFmt).as("click_ts"),
+        date_format($"t3", tsFmt).as("purchase_ts"),
+        when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+          .otherwise(1L).as("depth"))
+      .orderBy($"user_id")
+  }
+  private val q89Sql =
+    s"""WITH v AS (
+       |  SELECT user_id, MIN(ts) AS t1 FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t2
+       |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+       |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+       |p AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t3
+       |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+       |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       |SELECT v.user_id,
+       |  strftime(v.t1, '$tsFmtSqlSec') AS view_ts,
+       |  strftime(c.t2, '$tsFmtSqlSec') AS click_ts,
+       |  strftime(p.t3, '$tsFmtSqlSec') AS purchase_ts,
+       |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+       |            WHEN c.t2 IS NOT NULL THEN 2
+       |            ELSE 1 END AS BIGINT) AS depth
+       |FROM v
+       |LEFT JOIN c ON v.user_id = c.user_id
+       |LEFT JOIN p ON v.user_id = p.user_id
+       |ORDER BY v.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q89_funnel_steps" -> q89,
     "q27_approx_distinct" -> q27,
     "q27b_kmv_distinct" -> q27b,
     "q21b_dedup_last_wins" -> q21b,
@@ -312,6 +369,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q89_funnel_steps" -> q89Sql,
     "q27b_kmv_distinct" -> q27bSql,
     "q21b_dedup_last_wins" -> q21bSql,
     "q21c_incremental_dedup" -> q21cSql,

@@ -259,7 +259,9 @@ object ManifestSink {
   def compact(spark: SparkSession, dir: String,
       statsCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
-    val snap = read(spark, dir)
+    // mergeSchema: compacting a schema-evolved table must carry EVERY
+    // column — the single-schema read would silently drop late-added ones
+    val snap = read(spark, dir, mergeSchema = true)
     val clustered =
       if (sortCols.isEmpty) snap else snap.sort(sortCols.map(col): _*)
     commit(spark, dir, clustered, Nil, statsCols)
@@ -355,13 +357,21 @@ object ManifestSink {
   }
 
   /** Read the current snapshot (empty sink → empty frame is an error —
-    * check [[version]] first, mirroring spark.read on a missing path). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+    * check [[version]] first, mirroring spark.read on a missing path).
+    *
+    * `mergeSchema = true` enables schema evolution across commits: a later
+    * append may add columns, and the merged read unions all batch schemas
+    * (rows from pre-evolution batches read the new columns as null — the
+    * additive-evolution semantics of log-structured table formats).
+    * Default false: the single-schema fast path skips the footer sweep. */
+  def read(spark: SparkSession, dir: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version(spark, dir)
     require(v >= 0, s"ManifestSink at $dir has no committed version")
     val paths = manifestEntries(spark, dir, v)
       .map(e => s"$dir/${entryPath(e)}")
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(paths: _*)
   }
 
   /** Time-travel read: the snapshot exactly as committed at version `v`.

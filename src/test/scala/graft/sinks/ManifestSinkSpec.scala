@@ -286,6 +286,24 @@ class ManifestSinkSpec extends SparkSpec {
       Some("grape")).collect().map(_.getString(0)).toSeq === Seq("cherry"))
   }
 
+  test("schema evolution: a later append adds a column, merged read unions") {
+    val dir = Files.createTempDirectory("msinkse").toString + "/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    ManifestSink.append(Seq((2L, "b", 7L)).toDF("k", "v", "w"), dir)
+    val merged = ManifestSink.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("k", "v", "w"))
+    val byK = merged.collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[Any]("w"))).toMap
+    assert(byK(1L) === None)      // pre-evolution rows: new column null
+    assert(byK(2L) === Some(7L))
+    // compact over the evolved table carries the UNION schema — a
+    // single-schema compaction would silently drop the late column
+    val v = ManifestSink.compact(spark, dir)
+    val compacted = ManifestSink.readAt(spark, dir, v)
+    assert(compacted.columns.sorted.toSeq === Seq("k", "v", "w"))
+    assert(compacted.count() === 2)
+  }
+
   test("compact rewrites to one clustered entry with fresh stats") {
     val dir = Files.createTempDirectory("msinkcp").toString + "/t"
     // interleaved appends: every dir spans the whole key range, so
