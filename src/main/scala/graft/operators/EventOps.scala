@@ -354,7 +354,50 @@ object EventOps {
        |LEFT JOIN p ON v.user_id = p.user_id
        |ORDER BY v.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Weekly cohort retention: users grouped by their first active week
+    * (the cohort), counted once per subsequent week of activity — the
+    * classic retention matrix (cohort week × week offset → active users).
+    * Both engines truncate weeks to Monday 00:00, and the offset is whole
+    * days / 7 (exact for midnight-truncated weeks).
+    *
+    * Scale: one hash partitioning on user_id for the first-week aggregate
+    * and the cohort join, then a distinct + count on the (cohort, offset)
+    * matrix — whose cardinality is weeks², tiny at any data size. */
+  private val q90: Q = (s, dir) => {
+    import s.implicits._
+    val e = ev(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val cohorts = e.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    e.join(cohorts, "user_id")
+      .select($"cohort",
+        (datediff($"wk", $"cohort") / 7).cast("long").as("week_offset"),
+        $"user_id")
+      .distinct()
+      .groupBy($"cohort", $"week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_week"),
+        $"week_offset", $"n_active")
+      .orderBy($"cohort_week", $"week_offset")
+  }
+  private val q90Sql =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT f.cohort,
+      |    date_diff('day', f.cohort, e.wk) // 7 AS week_offset,
+      |    e.user_id
+      |  FROM e JOIN f ON e.user_id = f.user_id)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |  CAST(week_offset AS BIGINT) AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM a
+      |GROUP BY cohort, week_offset
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q90_cohort_retention" -> q90,
     "q89_funnel_steps" -> q89,
     "q27_approx_distinct" -> q27,
     "q27b_kmv_distinct" -> q27b,
@@ -369,6 +412,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q90_cohort_retention" -> q90Sql,
     "q89_funnel_steps" -> q89Sql,
     "q27b_kmv_distinct" -> q27bSql,
     "q21b_dedup_last_wins" -> q21bSql,
