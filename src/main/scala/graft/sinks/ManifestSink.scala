@@ -272,37 +272,57 @@ object ManifestSink {
   def entries(spark: SparkSession, dir: String, v: Long): Seq[Entry] =
     manifestEntries(spark, dir, v).map(parseEntry)
 
+  /** Closed range predicate on one stats column (None = unbounded side).
+    * Bound values must be of the column's own type family (integral for
+    * L-tagged columns — a fractional bound on a long column won't parse). */
+  final case class Range(colName: String, lo: Option[Any], hi: Option[Any])
+
   /** Split the current snapshot's entries into (kept, skipped) for a
-    * range predicate `lo <= colName <= hi` (None = unbounded), using
-    * manifest stats only. An entry with no stats for `colName` is always
-    * kept — pruning is an optimization, never a filter. */
-  def prunedEntries(spark: SparkSession, dir: String, colName: String,
-      lo: Option[Any], hi: Option[Any]): (Seq[Entry], Seq[Entry]) =
+    * conjunction of range predicates, using manifest stats only. An entry
+    * is skipped iff SOME range provably excludes it; an entry with no
+    * stats for a range's column passes that range — pruning is an
+    * optimization, never a filter. */
+  def prunedEntries(spark: SparkSession, dir: String,
+      ranges: Seq[Range]): (Seq[Entry], Seq[Entry]) =
     entries(spark, dir, version(spark, dir)).partition { e =>
-      e.stats.get(colName) match {
-        case Some(st) => st.overlaps(lo.map(_.toString), hi.map(_.toString))
-        case None     => true
+      ranges.forall { r =>
+        e.stats.get(r.colName) match {
+          case Some(st) =>
+            st.overlaps(r.lo.map(_.toString), r.hi.map(_.toString))
+          case None => true
+        }
       }
     }
 
+  /** Single-column convenience form of the conjunctive overload. */
+  def prunedEntries(spark: SparkSession, dir: String, colName: String,
+      lo: Option[Any], hi: Option[Any]): (Seq[Entry], Seq[Entry]) =
+    prunedEntries(spark, dir, Seq(Range(colName, lo, hi)))
+
   /** Range scan with manifest-level file skipping: reads only the batch
-    * directories whose recorded [min,max] on `colName` can intersect
-    * [lo, hi], then applies the exact predicate — the result is identical
+    * directories whose recorded [min,max] stats can intersect EVERY given
+    * range, then applies the exact predicates — the result is identical
     * to `read(...).filter(...)` whatever the pruning decided (parquet
     * row-group pruning still applies inside each kept directory). An
     * all-pruned scan returns the empty frame with the table schema. */
-  def readWhere(spark: SparkSession, dir: String, colName: String,
-      lo: Option[Any], hi: Option[Any]): DataFrame = {
+  def readWhere(spark: SparkSession, dir: String,
+      ranges: Seq[Range]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (kept, _) = prunedEntries(spark, dir, colName, lo, hi)
+    val (kept, _) = prunedEntries(spark, dir, ranges)
     val base =
       if (kept.isEmpty) read(spark, dir).limit(0)
       else spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*)
-    val c = col(colName)
-    val p = (lo.map(v => c >= lit(v)).toSeq ++ hi.map(v => c <= lit(v)))
-      .reduceOption(_ && _).getOrElse(lit(true))
+    val p = ranges.flatMap { r =>
+      val c = col(r.colName)
+      r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
     base.filter(p)
   }
+
+  /** Single-column convenience form of the conjunctive overload. */
+  def readWhere(spark: SparkSession, dir: String, colName: String,
+      lo: Option[Any], hi: Option[Any]): DataFrame =
+    readWhere(spark, dir, Seq(Range(colName, lo, hi)))
 
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
     * row sharing its key; unmatched keys insert. Copy-on-write with

@@ -286,6 +286,30 @@ class ManifestSinkSpec extends SparkSpec {
       Some("grape")).collect().map(_.getString(0)).toSeq === Seq("cherry"))
   }
 
+  test("conjunctive ranges prune when ANY column provably excludes") {
+    val dir = Files.createTempDirectory("msinkmr").toString + "/t"
+    // two batches overlapping on id but disjoint on score
+    ManifestSink.appendWithStats(
+      Seq((1L, 10.0), (50L, 20.0)).toDF("id", "score"), dir,
+      Seq("id", "score"))
+    ManifestSink.appendWithStats(
+      Seq((40L, 90.0), (99L, 95.0)).toDF("id", "score"), dir,
+      Seq("id", "score"))
+    // id range alone keeps both; adding the score range prunes one
+    val idOnly = ManifestSink.prunedEntries(
+      spark, dir, Seq(ManifestSink.Range("id", Some(40L), Some(60L))))
+    assert(idOnly._1.size === 2)
+    val both = ManifestSink.prunedEntries(spark, dir, Seq(
+      ManifestSink.Range("id", Some(40L), Some(60L)),
+      ManifestSink.Range("score", Some(80.0), None)))
+    assert(both._1.size === 1 && both._2.size === 1)
+    val got = ManifestSink.readWhere(spark, dir, Seq(
+      ManifestSink.Range("id", Some(40L), Some(60L)),
+      ManifestSink.Range("score", Some(80.0), None)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(40L)) // exact residual filter still applies
+  }
+
   test("schema evolution: a later append adds a column, merged read unions") {
     val dir = Files.createTempDirectory("msinkse").toString + "/t"
     ManifestSink.append(Seq((1L, "a")).toDF("k", "v"), dir)
