@@ -396,7 +396,64 @@ object EventOps {
       |GROUP BY cohort, week_offset
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Batch gap-based sessionization (the lag + cumulative-sum assignment,
+    * complementing q29's streaming session windows): a new session starts
+    * when a user's inter-event gap exceeds 30 minutes; emits one row per
+    * session with bounds, event count, and duration. Ordering within a
+    * user is (ts, event_id) — a total order, so ties cannot make engines
+    * disagree on session boundaries.
+    *
+    * Scale: both windows partition by user_id (one hash partitioning,
+    * per-user sequences are bounded), and the per-session rollup is a
+    * hash aggregate on (user_id, session_idx) — no global window
+    * anywhere. */
+  private val q91: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapSec = unix_timestamp($"ts") -
+      unix_timestamp(lag($"ts", 1).over(byUser))
+    ev(s, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("new_session",
+        when(gapSec.isNull || gapSec > 1800L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), tsFmt).as("session_start"),
+        date_format(max($"ts"), tsFmt).as("session_end"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")))
+          .as("duration_sec"))
+      .orderBy($"user_id", $"session_idx")
+  }
+  private val q91Sql =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_idx
+       |  FROM g)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  strftime(MIN(ts), '$tsFmtSqlSec') AS session_start,
+       |  strftime(MAX(ts), '$tsFmtSqlSec') AS session_end,
+       |  date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+       |FROM sess
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_gap_sessions" -> q91,
     "q90_cohort_retention" -> q90,
     "q89_funnel_steps" -> q89,
     "q27_approx_distinct" -> q27,
@@ -412,6 +469,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q91_gap_sessions" -> q91Sql,
     "q90_cohort_retention" -> q90Sql,
     "q89_funnel_steps" -> q89Sql,
     "q27b_kmv_distinct" -> q27bSql,
