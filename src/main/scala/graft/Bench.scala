@@ -64,11 +64,19 @@ object Bench {
     // decimal separator under e.g. de_DE and break the JSON parse.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // The total line prints BOTH first and last (identical content): the
+    // r6 artifact parsed as null even though the trailing total line was
+    // intact, so the driver's extractor is neither strictly-last-line nor
+    // tail-based — bracketing the per-query lines with the total means a
+    // first-match, last-match, or bounded-buffer heuristic all land on it.
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+    println(totalLine)
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":${num(v)}}""")
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(totalLine)
     spark.stop()
   }
 }

@@ -37,8 +37,19 @@ object SinkOps {
     val maxId = ev.agg(max($"event_id")).head().getLong(0)
     val cut1 = maxId / 3
     val cut2 = 2 * maxId / 3
-    val sink = java.nio.file.Files
-      .createTempDirectory("graft_q88_").toString + "/events_sink"
+    // one deterministic scratch root per source dir, cleared and rebuilt
+    // on every invocation — repeated bench reps / gate runs reuse the same
+    // path instead of accumulating fresh temp copies of the events table
+    val scratch = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_q88_${java.lang.Integer.toHexString(dir.hashCode)}")
+    if (java.nio.file.Files.exists(scratch)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.delete)
+    }
+    val sink = scratch.toString + "/events_sink"
     ManifestSink.appendWithStats(
       ev.filter($"event_id" <= cut1), sink, Seq("event_id"))
     ManifestSink.appendWithStats(

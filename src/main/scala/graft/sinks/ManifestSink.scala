@@ -82,19 +82,42 @@ object ManifestSink {
 
   // ------------------------------------------------- per-entry file stats
   /** Min/max of one column over one data directory — the pruning unit.
-    * `tag` is L (integral, stored as long), D (float/double), or S
-    * (string; ordered by Java/UTF-16 comparison — agrees with Spark's
-    * UTF8 binary ordering on ASCII, which is what the fixtures use). */
+    * `tag` is L (integral, stored as long), D (float/double; Float values
+    * are widened to their exact double before serializing, so the
+    * Double.toString roundtrip is lossless), or S (string; ordered by
+    * unsigned UTF-8 byte comparison — the same ordering Spark's
+    * UTF8String min/max use, so non-ASCII data prunes correctly). */
   final case class ColStats(tag: Char, min: String, max: String) {
-    /** true iff [min,max] might intersect [lo,hi] (None = unbounded). */
+    /** true iff [min,max] might intersect [lo,hi] (None = unbounded).
+      * Any NaN endpoint (a batch containing NaN records max="NaN", since
+      * Spark orders NaN greatest) makes the comparison undecidable — the
+      * entry is kept, never pruned: pruning is an optimization and must
+      * stay a superset of the exact filter. */
     def overlaps(lo: Option[String], hi: Option[String]): Boolean = {
       def le(a: String, b: String): Boolean = tag match {
         case 'L' => a.toLong <= b.toLong
-        case 'D' => a.toDouble <= b.toDouble
-        case _   => a <= b
+        case 'D' =>
+          val (x, y) = (a.toDouble, b.toDouble)
+          x.isNaN || y.isNaN || x <= y
+        case _ =>
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(StandardCharsets.UTF_8),
+            b.getBytes(StandardCharsets.UTF_8)) <= 0
       }
       lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
     }
+  }
+
+  /** Serialize a stats/bound value: a Float widens to its EXACT double
+    * first (Float→Double conversion is exact) so parsing the string back
+    * with `.toDouble` reproduces the value bit-for-bit — Float.toString
+    * emits the shortest FLOAT-roundtrip decimal, which parsed as a double
+    * can understate max / overstate min by up to half a float-ulp and
+    * wrongly prune boundary rows. */
+  private def boundStr(v: Any): String = v match {
+    case f: Float          => f.toDouble.toString
+    case f: java.lang.Float => f.floatValue.toDouble.toString
+    case x                 => x.toString
   }
 
   /** Manifest entry: the immutable data directory plus optional per-column
@@ -218,7 +241,7 @@ object ManifestSink {
       val mn = row.getAs[Any](s"__mn_$c")
       val mx = row.getAs[Any](s"__mx_$c")
       if (mn == null || mx == null) None // all-null batch: no stats
-      else Some(c -> ColStats(tag, mn.toString, mx.toString))
+      else Some(c -> ColStats(tag, boundStr(mn), boundStr(mx)))
     }.toMap
   }
 
@@ -288,7 +311,7 @@ object ManifestSink {
       ranges.forall { r =>
         e.stats.get(r.colName) match {
           case Some(st) =>
-            st.overlaps(r.lo.map(_.toString), r.hi.map(_.toString))
+            st.overlaps(r.lo.map(boundStr), r.hi.map(boundStr))
           case None => true
         }
       }
@@ -366,13 +389,17 @@ object ManifestSink {
     // untouched dirs keep pruning); the rewritten batch gets no stats —
     // conservative, so it is always scanned
     val kept = entries.filterNot(e => touched(entryPath(e)))
+    // mergeSchema + allowMissingColumns: updates may carry late-added
+    // columns (additive schema evolution through MERGE, as in
+    // log-structured table formats) — survivor rows from pre-evolution
+    // batches read the new columns as null
     val rewritten =
       if (touched.isEmpty) updates
-      else spark.read
+      else spark.read.option("mergeSchema", "true")
         .parquet(entries.collect {
           case e if touched(entryPath(e)) => s"$dir/${entryPath(e)}" }: _*)
         .join(updates.select(keyCols: _*), keys, "left_anti")
-        .unionByName(updates)
+        .unionByName(updates, allowMissingColumns = true)
     commit(spark, dir, rewritten, kept)
   }
 
@@ -397,12 +424,16 @@ object ManifestSink {
   /** Time-travel read: the snapshot exactly as committed at version `v`.
     * Valid while `v`'s manifest is inside the [[vacuum]] retention
     * window (manifests are immutable and data files are never rewritten
-    * in place, so an unvacuumed old version reads byte-identically). */
-  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    * in place, so an unvacuumed old version reads byte-identically).
+    * `mergeSchema` as in [[read]] — a schema-evolved history needs it so
+    * the snapshot carries every batch's columns. */
+  def readAt(spark: SparkSession, dir: String, v: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     require(v >= 0, s"version must be >= 0, got $v")
     val lines = manifestEntries(spark, dir, v)
     require(lines.nonEmpty, s"version $v has no manifest at $dir")
-    spark.read.parquet(lines.map(e => s"$dir/${entryPath(e)}"): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(lines.map(e => s"$dir/${entryPath(e)}"): _*)
   }
 
   /** Data directories added and removed between two committed versions —
@@ -426,10 +457,11 @@ object ManifestSink {
     * [[replace]], added directories also carry rewritten rows —
     * key-exact semantics for that case are [[changesByKey]]. */
   def changes(spark: SparkSession, dir: String, fromV: Long,
-      toV: Long): DataFrame = {
+      toV: Long, mergeSchema: Boolean = false): DataFrame = {
     val (added, _) = changedEntries(spark, dir, fromV, toV)
-    if (added.isEmpty) readAt(spark, dir, toV).limit(0)
-    else spark.read.parquet(added.map(e => s"$dir/$e"): _*)
+    if (added.isEmpty) readAt(spark, dir, toV, mergeSchema).limit(0)
+    else spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(added.map(e => s"$dir/$e"): _*)
   }
 
   /** Key-exact row-level CDC between two snapshots: one row per changed
@@ -441,9 +473,21 @@ object ManifestSink {
       toV: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, struct}
     require(keys.nonEmpty, "changesByKey requires at least one key column")
-    val a = if (fromV < 0) readAt(spark, dir, toV).limit(0)
-            else readAt(spark, dir, fromV)
-    val b = readAt(spark, dir, toV)
+    // merged reads + null backfill: across a schema-evolved history the
+    // two snapshots can disagree on columns (a late-added column is absent
+    // from the older one). Align both to the union schema — missing
+    // columns read as null, exactly how the evolved merged read itself
+    // presents pre-evolution batches — so the null-safe compare below
+    // resolves every column on both sides.
+    val a0 = if (fromV < 0) readAt(spark, dir, toV, mergeSchema = true).limit(0)
+             else readAt(spark, dir, fromV, mergeSchema = true)
+    val b0 = readAt(spark, dir, toV, mergeSchema = true)
+    def backfill(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val a = backfill(a0, b0)
+    val b = backfill(b0, a0).select(a.columns.map(col).toIndexedSeq: _*)
     val dataCols = b.columns.toSeq.filterNot(keys.contains)
     val inserts = b.join(a.select(keys.map(col): _*), keys, "left_anti")
       .select(b.columns.map(col).toSeq :+

@@ -328,6 +328,84 @@ class ManifestSinkSpec extends SparkSpec {
     assert(compacted.count() === 2)
   }
 
+  test("NaN endpoints never prune: readWhere equals read+filter") {
+    val dir = Files.createTempDirectory("msinknan").toString + "/t"
+    // NaN sorts greatest in Spark, so this batch records max = "NaN";
+    // a naive numeric compare with NaN is always false and would prune
+    // the whole dir — dropping the matching 1.0 row
+    ManifestSink.appendWithStats(
+      Seq(1.0, Double.NaN).toDF("d"), dir, Seq("d"))
+    val (kept, _) = ManifestSink.prunedEntries(
+      spark, dir, "d", Some(0.5), None)
+    assert(kept.size === 1) // NaN endpoint = unbounded, never prunes
+    val got = ManifestSink.readWhere(spark, dir, "d", Some(0.5), None)
+    assert(got.count() ===
+      ManifestSink.read(spark, dir).filter($"d" >= 0.5).count())
+    // all-NaN batch: min and max are both NaN — still never pruned
+    val dir2 = Files.createTempDirectory("msinknan2").toString + "/t"
+    ManifestSink.appendWithStats(
+      Seq(Double.NaN, Double.NaN).toDF("d"), dir2, Seq("d"))
+    assert(ManifestSink.prunedEntries(
+      spark, dir2, "d", None, Some(0.5))._1.size === 1)
+  }
+
+  test("float stats roundtrip exactly: boundary rows are not pruned") {
+    val dir = Files.createTempDirectory("msinkflt").toString + "/t"
+    // 2.2f's nearest double is 2.200000047683716; serializing the float
+    // via Float.toString ("2.2") and reparsing as double understates the
+    // max by half a float-ulp, so a lo bound of exactly 2.2f would
+    // wrongly prune the dir containing its own boundary row
+    ManifestSink.appendWithStats(
+      Seq(1.1f, 2.2f).toDF("f"), dir, Seq("f"))
+    val (kept, _) = ManifestSink.prunedEntries(
+      spark, dir, "f", Some(2.2f), None)
+    assert(kept.size === 1)
+    val got = ManifestSink.readWhere(spark, dir, "f", Some(2.2f), None)
+      .collect().map(_.getFloat(0)).toSeq
+    assert(got === Seq(2.2f))
+  }
+
+  test("string stats use UTF-8 byte order, matching Spark's min/max") {
+    val dir = Files.createTempDirectory("msinkutf").toString + "/t"
+    // U+10000 (a supplementary code point) vs U+E000: UTF-16 code units
+    // order them D800 < E000, but UTF-8 bytes order them F0.. > EE.. —
+    // Spark compares UTF-8 bytes, so a Java-String compare would prune
+    // the dir whose only row actually matches the range
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "\uE000"
+    ManifestSink.appendWithStats(Seq(supp).toDF("s"), dir, Seq("s"))
+    val (kept, _) = ManifestSink.prunedEntries(
+      spark, dir, "s", Some(bmp), None)
+    assert(kept.size === 1)
+    val got = ManifestSink.readWhere(spark, dir, "s", Some(bmp), None)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(supp))
+  }
+
+  test("CDC across a schema-evolved history backfills late columns") {
+    val dir = Files.createTempDirectory("msinkcdc").toString + "/t"
+    ManifestSink.append(Seq((1L, "a")).toDF("k", "v"), dir)         // v0
+    ManifestSink.append(Seq((2L, "b", 7L)).toDF("k", "v", "w"), dir) // v1
+    // incremental read over the evolved history carries the union schema
+    val inc = ManifestSink.changes(spark, dir, 0L, 1L, mergeSchema = true)
+    assert(inc.columns.sorted.toSeq === Seq("k", "v", "w"))
+    // key CDC: the old snapshot lacks w entirely — it must read as null
+    // there, not fail to resolve; k=1 is unchanged, k=2 is an insert
+    val ch = ManifestSink.changesByKey(spark, dir, 0L, 1L, Seq("k"))
+      .collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+          Option(r.getAs[Any]("w")))).toSet
+    assert(ch === Set((2L, "insert", Some(7L))))
+    // an update that only changes the late column is still detected
+    ManifestSink.merge(Seq((1L, "a", 9L)).toDF("k", "v", "w"), dir,
+      Seq("k")) // v2
+    val ch2 = ManifestSink.changesByKey(spark, dir, 1L, 2L, Seq("k"))
+      .collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+          Option(r.getAs[Any]("w")))).toSet
+    assert(ch2 === Set((1L, "update", Some(9L))))
+  }
+
   test("compact rewrites to one clustered entry with fresh stats") {
     val dir = Files.createTempDirectory("msinkcp").toString + "/t"
     // interleaved appends: every dir spans the whole key range, so
