@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
-      operators.Relational3.queries ++
+      operators.Relational3.queries ++ operators.Relational4.queries ++
       operators.EventOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.Relational2.oracleSql ++
-      operators.Relational3.oracleSql ++
+      operators.Relational3.oracleSql ++ operators.Relational4.oracleSql ++
       operators.EventOps.oracleSql ++
       operators.TextOps.oracleSql ++ operators.DedupOps.oracleSql ++
       operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Fourth relational wave: the Spark 4 SQL-surface features a user of the
+  * reference's SQL layer would reach for next — recursive CTEs (date-spine
+  * gap filling) and LATERAL correlated subqueries (per-group top-k without
+  * a window over the whole table). Both run through `spark.sql` so the
+  * engine's own parser/analyzer handles them end-to-end, and both have
+  * word-for-word-equivalent DuckDB oracles.
+  */
+object Relational4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q92
+  /** Gap-filled monthly order series via a RECURSIVE month spine
+    * (`WITH RECURSIVE` — Spark 4's UnionLoop execution): the spine
+    * enumerates EVERY month between the table's min and max order month,
+    * then left-joins the per-month aggregate, zero-filling months with no
+    * orders — the dashboard series shape (the reference zero-fills its
+    * per-minute tiles the same way; dashboard.py renders gaps as zeros).
+    *
+    * Scale: the recursion is driver-cheap — each step is a 1-row frame
+    * (~80 iterations for this table's 80-month span, under the default
+    * 100-level recursion limit), and the spine never exceeds
+    * months-of-history rows. The fact-side aggregate is one two-phase
+    * hash aggregate over orders; the spine join is a broadcast of the
+    * tiny spine. No global windows, no driver loops. */
+  private val q92: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_v92")
+    s.sql(
+      s"""WITH RECURSIVE spine(mon) AS (
+         |  SELECT CAST(date_trunc('MONTH',
+         |    (SELECT MIN(o_orderdate) FROM orders_v92)) AS DATE)
+         |  UNION ALL
+         |  SELECT CAST(add_months(mon, 1) AS DATE) FROM spine
+         |  WHERE mon < CAST(date_trunc('MONTH',
+         |    (SELECT MAX(o_orderdate) FROM orders_v92)) AS DATE)
+         |),
+         |m AS (
+         |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    ${Exact.sqlSum("o_totalprice")} AS revenue
+         |  FROM orders_v92 GROUP BY 1)
+         |SELECT date_format(s.mon, 'yyyy-MM') AS mon,
+         |  COALESCE(m.n_orders, 0L) AS n_orders,
+         |  COALESCE(m.revenue, 0.0D) AS revenue
+         |FROM spine s LEFT JOIN m ON s.mon = m.mon
+         |ORDER BY 1""".stripMargin)
+  }
+  private val q92Sql =
+    s"""WITH RECURSIVE spine(mon) AS (
+       |  SELECT CAST(date_trunc('month',
+       |    (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+       |  UNION ALL
+       |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+       |  WHERE mon < CAST(date_trunc('month',
+       |    (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+       |),
+       |m AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    ${Exact.sqlSum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1)
+       |SELECT strftime(s.mon, '%Y-%m') AS mon,
+       |  COALESCE(m.n_orders, 0) AS n_orders,
+       |  COALESCE(m.revenue, 0.0) AS revenue
+       |FROM spine s LEFT JOIN m ON s.mon = m.mon
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  /** Per-nation top-3 customers by balance via a LATERAL correlated
+    * subquery — the "top-k per group" idiom expressed the SQL-standard
+    * way instead of a window-rank filter. The correlation is an equality
+    * on the nation key, so Catalyst decorrelates it into one equi-join +
+    * per-key limit: no per-outer-row re-execution, no nested loop over
+    * the big side. (ORDER BY is total — balance ties break on the unique
+    * customer key — so both engines pick identical rows.)
+    *
+    * Scale: customer shuffles once on its nation key with the per-key
+    * top-3 reduced map-side (rank-limit pushdown); nation broadcasts.
+    * Equivalent plans at 1000x: the k rows per key bound the state. */
+  private val q93: Q = (s, dir) => {
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_v93")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v93")
+    s.sql(
+      """SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey
+        |FROM nation_v93 n
+        |JOIN LATERAL (
+        |  SELECT c_name, c_acctbal, c_custkey FROM customer_v93
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
+  }
+  private val q93Sql =
+    """SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey
+      |FROM nation n
+      |JOIN LATERAL (
+      |  SELECT c_name, c_acctbal, c_custkey FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c ON TRUE
+      |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q92_recursive_spine" -> q92,
+    "q93_lateral_topk" -> q93)
+
+  val oracleSql: Map[String, String] = Map(
+    "q92_recursive_spine" -> q92Sql,
+    "q93_lateral_topk" -> q93Sql)
+}
