@@ -290,6 +290,111 @@ object ManifestSink {
     commit(spark, dir, clustered, Nil, statsCols)
   }
 
+  /** Z-order compaction: rewrite the current snapshot clustered on the
+    * INTERLEAVED bits of `zCols` (Morton order), split into `buckets`
+    * manifest entries each carrying its own column stats — so conjunctive
+    * range scans over SEVERAL columns prune, not just the single leading
+    * sort key a linear `compact(sortCols)` clustering serves. Each
+    * dimension is scaled to an 8-bit cell over its [min,max] (linear
+    * scale — engine-pure and exact; per-dimension quantile boundaries are
+    * the documented upgrade for heavily skewed columns), cells interleave
+    * bit-by-bit into the z-value, and an entry is one contiguous range of
+    * the top log2(buckets) z-bits: a hyper-rectangle query overlaps only
+    * the entries whose z-prefix region intersects it — O(buckets^(1-1/d))
+    * of them instead of all (the multi-dimensional-clustering argument of
+    * Delta's OPTIMIZE ZORDER BY). Content-identical to the snapshot;
+    * previous versions still time-travel until [[vacuum]]. Everything is
+    * one distributed write job: the only driver data are the 2·|zCols|
+    * min/max scalars and the ≤`buckets`-row stats aggregate. */
+  def compactZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
+      statsCols: Seq[String] = Nil, buckets: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, floor, greatest,
+      least, lit, max, min, shiftleft, shiftright}
+    require(zCols.size >= 2,
+      "z-ordering needs >= 2 columns (use compact(sortCols) for one)")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val bitsPerDim = 8
+    val nd = zCols.size
+    val totalBits = bitsPerDim * nd
+    val kBits = 31 - Integer.numberOfLeadingZeros(buckets)
+    require(kBits <= totalBits, s"buckets 2^$kBits exceeds z space")
+    val snap = read(spark, dir, mergeSchema = true)
+    val boundAggs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val bounds = snap.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val cells = zCols.zipWithIndex.map { case (c, _) =>
+      val mn = Option(bounds.getAs[Any](s"__mn_$c"))
+        .fold(0.0)(_.asInstanceOf[Double])
+      val mx = Option(bounds.getAs[Any](s"__mx_$c"))
+        .fold(0.0)(_.asInstanceOf[Double])
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit((1 << bitsPerDim) - 1), greatest(lit(0),
+        floor((coalesce(col(c).cast("double"), lit(mn)) - mn)
+          / span * (1 << bitsPerDim)).cast("int")))
+    }
+    // Morton interleave: z bit (i·nd + pos) = dimension cell's bit i,
+    // first zCol in the most significant position of each group
+    val z = (0 until bitsPerDim).flatMap { i =>
+      cells.zipWithIndex.map { case (cell, d) =>
+        shiftleft(shiftright(cell, i).bitwiseAND(lit(1)),
+          i * nd + (nd - 1 - d)) }
+    }.reduce(_ + _)
+    val zb = shiftright(z, totalBits - kBits)
+    val batch = java.util.UUID.randomUUID().toString
+    val staging = s"$dir/data/$batch"
+    snap.withColumn("__zb", zb).write.partitionBy("__zb").parquet(staging)
+    // per-bucket stats from the written files (one columnar min/max pass);
+    // __zb rides along as the inferred partition column
+    val written = spark.read.parquet(staging)
+    val perBucket: Map[Long, Map[String, ColStats]] =
+      if (statsCols.isEmpty) Map.empty
+      else groupedStats(written, "__zb", statsCols)
+    val f = fs(spark, dir)
+    val subdirs = f.listStatus(new Path(staging))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__zb=")).sortBy(_.stripPrefix("__zb=").toLong)
+    val entries = subdirs.map { sd =>
+      val b = sd.stripPrefix("__zb=").toLong
+      Entry(s"data/$batch/$sd", perBucket.getOrElse(b, Map.empty)).line
+    }
+    val next = version(spark, dir) + 1
+    publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
+      entries.mkString("\n"))
+    writeHint(f, new Path(dir, "_latest"), next.toString)
+    next
+  }
+
+  /** [[batchStats]] per group: min/max of each supported stats column
+    * keyed by `groupCol` — one aggregate, ≤ #groups driver rows. */
+  private def groupedStats(df: DataFrame, groupCol: String,
+      statsCols: Seq[String]): Map[Long, Map[String, ColStats]] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types._
+    val typed = statsCols.flatMap { c =>
+      df.schema.find(_.name == c).flatMap(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(c -> 'L')
+        case FloatType | DoubleType                        => Some(c -> 'D')
+        case StringType                                    => Some(c -> 'S')
+        case _                                             => None
+      })
+    }
+    if (typed.isEmpty) return Map.empty
+    val aggs = typed.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")) }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .collect().map { row =>
+        val g = row.getAs[Number](groupCol).longValue
+        g -> typed.flatMap { case (c, tag) =>
+          val mn = row.getAs[Any](s"__mn_$c")
+          val mx = row.getAs[Any](s"__mx_$c")
+          if (mn == null || mx == null) None
+          else Some(c -> ColStats(tag, boundStr(mn), boundStr(mx)))
+        }.toMap
+      }.toMap
+  }
+
   /** Parsed entries (path + stats) of version `v` — the observable the
     * pruning spec and any external planner read. */
   def entries(spark: SparkSession, dir: String, v: Long): Seq[Entry] =
@@ -522,7 +627,13 @@ object ManifestSink {
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
     }
     f.listStatus(dataRoot).toSeq
-      .filter(st => !referenced.contains(s"data/${st.getPath.getName}"))
+      .filter { st =>
+        // a z-compacted commit references SUBdirectories of its batch dir
+        // (data/<uuid>/__zb=k) — the batch dir is live if any retained
+        // entry sits at or under it
+        val name = s"data/${st.getPath.getName}"
+        !referenced.exists(r => r == name || r.startsWith(name + "/"))
+      }
       .map { st =>
         require(f.delete(st.getPath, true), s"failed to vacuum ${st.getPath}")
         st.getPath.getName

@@ -328,6 +328,47 @@ class ManifestSinkSpec extends SparkSpec {
     assert(compacted.count() === 2)
   }
 
+  test("z-order compaction prunes conjunctive ranges on both dimensions") {
+    val dir = Files.createTempDirectory("msinkzo").toString + "/t"
+    // two independent uniform dims: y is a bijective odd-multiplier
+    // permutation of x, so no linear sort order serves both columns
+    val rows = spark.range(0, 4096)
+      .selectExpr("id AS x", "(id * 2654435761) % 4096 AS y")
+    ManifestSink.appendWithStats(rows, dir, Seq("x", "y"))
+    val before = ManifestSink.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val v = ManifestSink.compactZOrder(
+      spark, dir, Seq("x", "y"), Seq("x", "y"), buckets = 16)
+    // content identical, split into 16 z-range entries with stats
+    val after = ManifestSink.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(after === before)
+    assert(ManifestSink.entries(spark, dir, v).size === 16)
+    // square query on the lowest quarter of BOTH dims: x-top2 = y-top2 = 0
+    // → exactly the zb=0 entry survives
+    val sq = Seq(ManifestSink.Range("x", Some(0L), Some(1023L)),
+      ManifestSink.Range("y", Some(0L), Some(1023L)))
+    val (kept, skipped) = ManifestSink.prunedEntries(spark, dir, sq)
+    assert(kept.size <= 2 && skipped.size >= 14,
+      s"square query kept ${kept.size} of 16")
+    val got = ManifestSink.readWhere(spark, dir, sq).count()
+    val want = ManifestSink.read(spark, dir)
+      .filter($"x" <= 1023L && $"y" <= 1023L).count()
+    assert(got === want && want > 0)
+    // a single-dimension quarter range still prunes: only the z prefixes
+    // whose x-bits are low survive (4 of 16 cells + boundary slack)
+    val (k1, s1) = ManifestSink.prunedEntries(
+      spark, dir, "x", Some(0L), Some(1023L))
+    assert(k1.size <= 6 && s1.size >= 10,
+      s"x-only query kept ${k1.size} of 16")
+    // vacuum keeps the z-compacted subdirectory entries alive and
+    // reclaims exactly the replaced pre-compaction batch dir
+    val deleted = ManifestSink.vacuum(spark, dir)
+    assert(deleted.size === 1)
+    assert(ManifestSink.read(spark, dir).count() === 4096)
+    assert(ManifestSink.readWhere(spark, dir, sq).count() === want)
+  }
+
   test("NaN endpoints never prune: readWhere equals read+filter") {
     val dir = Files.createTempDirectory("msinknan").toString + "/t"
     // NaN sorts greatest in Spark, so this batch records max = "NaN";
