@@ -410,21 +410,142 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q94
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search" — public method): the
+    * memory-compression scale path, complementing q42's LSH and q58's IVF
+    * routing. The 64-dim space splits into 8 subspaces of 8 dims; each
+    * subspace gets a 16-entry codebook (deterministic corpus sample,
+    * vec_id < 16 — Lloyd refinement changes recall, not the operator
+    * shape), and every corpus vector is encoded as 8 4-bit codes: 4 bytes
+    * per vector instead of 256 — the representation that lets a
+    * billion-vector index live in RAM. Scoring is ASYMMETRIC (ADC): the
+    * query stays full-precision and is scored against each vector's
+    * reconstruction (the concatenation of its chosen sub-centroids) —
+    * mathematically the sum a scan-time LUT computes, expressed through
+    * the same sequential-dot kernel both engines already agree on
+    * bit-for-bit.
+    *
+    * Encoding argmin uses ||a−c||² = a·a − 2a·c + c·c with the constant
+    * a·a dropped: two deterministic sequential dots per (vector,
+    * subspace, centroid), ties to the smaller code. Fully deterministic →
+    * DuckDB-oracled, and q77 gates its recall beside the other indexes.
+    *
+    * At 100 TB: codebooks are broadcast-tiny (8·16 subvectors), encoding
+    * is one map-side pass (the per-(vector,subspace) argmin over 16
+    * alternatives), codes + reconstructions never shuffle except the
+    * per-query top-k window — same skeleton as q41 with a 64× smaller
+    * scanned payload. */
+  private val pqM = 8    // subspaces
+  private val pqSub = 8  // dims per subspace
+  private val pqK = 16   // centroids per subspace (4-bit codes)
+
+  private val q94: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    def subSlices(v: Column): Column = explode(array((0 until pqM).map(j =>
+      struct(lit(j).as("j"), slice(v, j * pqSub + 1, pqSub).as("sv"))): _*))
+    // per-subspace codebooks from the deterministic sample
+    val cents = e.filter($"vec_id" < pqK)
+      .select($"vec_id".as("k"), subSlices($"embedding").as("c"))
+      .select($"k", $"c.j".as("j"), $"c.sv".as("cv"))
+    // encode: nearest sub-centroid per (vector, subspace) by L2 distance
+    val wCode = Window.partitionBy($"vec_id", $"j")
+      .orderBy($"d2".asc, $"k".asc)
+    val codes = e.select($"vec_id", subSlices($"embedding").as("p"))
+      .select($"vec_id", $"p.j".as("j"), $"p.sv".as("sv"))
+      .join(broadcast(cents), "j")
+      .select($"vec_id", $"j", $"k", $"cv",
+        (dot($"cv", $"cv") - lit(2.0) * dot($"sv", $"cv")).as("d2"))
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+    // decode: reconstruction = concatenated chosen sub-centroids
+    val recon = codes.groupBy($"vec_id")
+      .agg(flatten(transform(array_sort(collect_list(struct($"j", $"cv"))),
+        p => p.getField("cv"))).as("rv"))
+    // ADC shortlist: top-50 by approximate (compressed-domain) score —
+    // the 10x-oversampled candidate set of the standard PQ pipeline
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"adot".desc, $"neighbor_id".asc)
+    val shortlist = recon.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"qv", $"vec_id".as("neighbor_id"),
+        dot($"qv", $"rv").as("adot"))
+      .withColumn("arn", row_number().over(wAdc)).filter($"arn" <= 50)
+    // exact re-rank: fetch the 50 full vectors per query and score
+    // full-precision — the classic ADC + re-rank design (at scale this
+    // fetch is 50 point reads per query, not a corpus scan)
+    val wTop = Window.partitionBy($"query_id")
+      .orderBy($"dot".desc, $"neighbor_id".asc)
+    shortlist
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding"),
+        "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        dot($"qv", $"embedding").as("dot"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q94Sql = {
+    val dCC = dotSql("c.cv", "c.cv")
+    val dSC = dotSql("s.sv", "c.cv")
+    val dAdc = dotSql("q.qv", "r.rv")
+    val dTop = dotSql("sl.qv", "e.embedding")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS k, j,
+       |    embedding[j * $pqSub + 1 : j * $pqSub + $pqSub] AS cv
+       |  FROM embeddings, UNNEST(range(0, $pqM)) AS tj(j)
+       |  WHERE vec_id < $pqK),
+       |sliced AS (
+       |  SELECT vec_id, j,
+       |    embedding[j * $pqSub + 1 : j * $pqSub + $pqSub] AS sv
+       |  FROM embeddings, UNNEST(range(0, $pqM)) AS tj(j)),
+       |codes AS (
+       |  SELECT vec_id, j, k, cv FROM (
+       |    SELECT s.vec_id, s.j, c.k, c.cv,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY ($dCC - 2.0 * $dSC) ASC, c.k ASC) AS rn
+       |    FROM sliced s JOIN cents c ON s.j = c.j)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY j)) AS rv
+       |  FROM codes GROUP BY vec_id),
+       |shortlist AS (
+       |  SELECT query_id, qv, neighbor_id FROM (
+       |    SELECT q.query_id, q.qv, r.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                         ORDER BY $dAdc DESC, r.vec_id ASC) AS arn
+       |    FROM recon r
+       |    JOIN (SELECT vec_id AS query_id, embedding AS qv
+       |          FROM embeddings WHERE vec_id < 10) q
+       |      ON r.vec_id <> q.query_id)
+       |  WHERE arn <= 50)
+       |SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT sl.query_id, sl.neighbor_id, $dTop AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+       |                       ORDER BY $dTop DESC, sl.neighbor_id ASC) AS rank
+       |  FROM shortlist sl
+       |  JOIN embeddings e ON e.vec_id = sl.neighbor_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q77
   /** Recall@5 gate for the approximate indexes: every ANN variant (q42
-    * LSH, q58 IVF, q58b IVF+Lloyd) is joined against q41's brute-force
-    * ground truth and scored per query. Both sides are deterministic
-    * pipelines, so the recall numbers themselves are hash-oracled — this
-    * is the correctness gate a user tuning nPlanes/nCells/nProbe stands
-    * on (the reference's verify-everything posture, pipeline.py:96-102,
-    * applied to approximate operators).
+    * LSH, q58 IVF, q58b IVF+Lloyd, q94 PQ) is joined against q41's
+    * brute-force ground truth and scored per query. Both sides are
+    * deterministic pipelines, so the recall numbers themselves are
+    * hash-oracled — this is the correctness gate a user tuning
+    * nPlanes/nCells/nProbe/codebooks stands on (the reference's
+    * verify-everything posture, pipeline.py:96-102, applied to
+    * approximate operators).
     *
     * Scale: the ANN/GT join is an equi-join on (query_id, neighbor_id);
-    * the 3-row method frame and the query-id spine are broadcast-tiny.
+    * the 4-row method frame and the query-id spine are broadcast-tiny.
     * Recall is per-query (hits out of 5), emitted for every
     * (method, query) pair including zero-candidate buckets. */
   private val annMethods = Seq(
-    "ivf" -> q58, "ivf_lloyd" -> q58b, "lsh" -> q42)
+    "ivf" -> q58, "ivf_lloyd" -> q58b, "lsh" -> q42, "pq" -> q94)
 
   private val q77: Q = (s, dir) => {
     import s.implicits._
@@ -452,7 +573,9 @@ object VectorOps {
        |  UNION ALL
        |  SELECT 'ivf_lloyd' AS method, query_id, neighbor_id FROM ($q58bSql)
        |  UNION ALL
-       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($q42Sql)),
+       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($q42Sql)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($q94Sql)),
        |hits AS (
        |  SELECT a.method, a.query_id, COUNT(*) AS h
        |  FROM ann a
@@ -463,7 +586,8 @@ object VectorOps {
        |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
        |  CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall_at_5
        |FROM (SELECT DISTINCT query_id FROM gt) q
-       |CROSS JOIN (VALUES ('ivf'), ('ivf_lloyd'), ('lsh')) AS m(method)
+       |CROSS JOIN (VALUES ('ivf'), ('ivf_lloyd'), ('lsh'), ('pq'))
+       |  AS m(method)
        |LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
        |ORDER BY 1, 2""".stripMargin
 
@@ -568,7 +692,8 @@ object VectorOps {
     "q58b_ann_ivf_lloyd" -> q58b,
     "q65_sql_surface" -> q65,
     "q77_ann_recall" -> q77,
-    "q82_semdedup" -> q82)
+    "q82_semdedup" -> q82,
+    "q94_ann_pq" -> q94)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -580,5 +705,6 @@ object VectorOps {
     "q58b_ann_ivf_lloyd" -> q58bSql,
     "q65_sql_surface" -> q65Sql,
     "q77_ann_recall" -> q77Sql,
-    "q82_semdedup" -> q82Sql)
+    "q82_semdedup" -> q82Sql,
+    "q94_ann_pq" -> q94Sql)
 }

@@ -25,9 +25,10 @@ class PlanAuditSpec extends SparkSpec {
       "q58_ann_ivf_cells",         // crossJoin(broadcast(16 centroids))
       "q58b_ann_ivf_lloyd",        // crossJoin(broadcast(16 refined centroids))
       "q75_lm_quality",            // crossJoin(broadcast(1-row token total))
-      "q77_ann_recall",            // q41/q58/q58b subtrees + 3-row method frame
+      "q77_ann_recall",            // q41/q58/q58b/q94 subtrees + 4-row method frame
       "q82_semdedup",              // crossJoin(broadcast(16 centroids))
-      "q86_bm25_ranking")          // crossJoin(broadcast(1-row corpus stats))
+      "q86_bm25_ranking",          // crossJoin(broadcast(1-row corpus stats))
+      "q94_ann_pq")                // broadcast(10 query vectors) ⋈ ≠ (ADC scan)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
