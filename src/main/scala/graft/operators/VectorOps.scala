@@ -201,6 +201,96 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q42b
+  /** Multi-table LSH ANN: L=8 independent hash tables of 5 planes each
+    * (the standard recall lever for random-hyperplane LSH — q42's single
+    * 8-plane table is 256 buckets over this corpus and misses nearly all
+    * true neighbors; q77 measures it at recall 0). A vector lands in one
+    * bucket PER TABLE; candidates are the union of same-bucket pairs
+    * across tables (distinct), then exact re-ranked. Planes reuse the
+    * same pure-integer weight formula with plane index p = 5t+i, so the
+    * whole pipeline stays engine-pure and DuckDB-oracled.
+    *
+    * (L, planes) tunes recall against candidate fraction: this corpus's
+    * true neighbors sit near cosine 0.4, so each plane splits a true pair
+    * with p≈0.37 and per-table collision is only ~0.1 — hyperplane LSH is
+    * intrinsically candidate-hungry on low-similarity corpora (8×5 ≈
+    * recall 0.5 at ~25% candidate fraction here, measured by q77), which
+    * is exactly why the IVF/PQ paths exist beside it.
+    *
+    * At 100 TB: per-table buckets are map-side (L longs per vector), the
+    * candidate join is an equi-join on (table, bucket) — each query
+    * probes L partitions instead of scanning N — and the re-rank touches
+    * only the union of L buckets per query. */
+  private val lshTables = 8
+  private val lshPlanesPerTable = 5
+
+  private def lshBucketT(embCol: Column, t: Int): Column =
+    (0 until lshPlanesPerTable).map { i =>
+      when(dot(embCol.cast("array<double>"),
+        plane(t * lshPlanesPerTable + i)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val q42b: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    def buckets(vCol: Column): Column = explode(array(
+      (0 until lshTables).map(t =>
+        struct(lit(t).as("t"), lshBucketT(vCol, t).as("bkt"))): _*))
+    val corpus = e.select($"vec_id", buckets($"embedding").as("tb"))
+      .select($"vec_id", $"tb.t".as("t"), $"tb.bkt".as("bkt"))
+    val qs = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), buckets($"embedding").as("tb"))
+      .select($"query_id", $"tb.t".as("t"), $"tb.bkt".as("bkt"))
+    val cand = corpus.join(broadcast(qs), Seq("t", "bkt"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+    val qv = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"dot".desc, $"neighbor_id".asc)
+    cand.join(broadcast(qv), "query_id")
+      .join(e.select($"vec_id".as("neighbor_id"), $"embedding"),
+        "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        dot($"qv", $"embedding").as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+  private val q42bSql = {
+    // plane p = 6t+i with t a column: the same integer weight formula,
+    // inlined so DuckDB computes identical doubles
+    def wSql(i: Int, j: String): String =
+      s"CAST((1000003*(t*$lshPlanesPerTable+$i) + 12345 + 7919*$j" +
+        s" + 104729*(t*$lshPlanesPerTable+$i)*$j) % 2001" +
+        s" - 1000 AS DOUBLE) / 1000.0"
+    def bktSql(e: String): String =
+      (0 until lshPlanesPerTable).map { i =>
+        val d = s"list_sum(list_transform(range(1, 65), " +
+          s"j -> CAST($e[j] AS DOUBLE) * (${wSql(i, "j")})))"
+        s"(CASE WHEN $d > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val dTop = dotSql("qe.embedding", "e.embedding")
+    s"""WITH bkt AS (
+       |  SELECT vec_id, t, ${bktSql("embedding")} AS bkt
+       |  FROM embeddings, UNNEST(range(0, $lshTables)) AS tt(t)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bkt c JOIN bkt q ON c.t = q.t AND c.bkt = q.bkt
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT cd.query_id, cd.neighbor_id, $dTop AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.query_id
+       |                       ORDER BY $dTop DESC, cd.neighbor_id ASC) AS rank
+       |  FROM cand cd
+       |  JOIN embeddings e ON e.vec_id = cd.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = cd.query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q44
   /** Embedding-cosine near-duplicate pairs, blocked by label (the
     * dedup-by-embedding modality: same blocked-pairs shape as the Jaccard
@@ -545,7 +635,8 @@ object VectorOps {
     * Recall is per-query (hits out of 5), emitted for every
     * (method, query) pair including zero-candidate buckets. */
   private val annMethods = Seq(
-    "ivf" -> q58, "ivf_lloyd" -> q58b, "lsh" -> q42, "pq" -> q94)
+    "ivf" -> q58, "ivf_lloyd" -> q58b, "lsh" -> q42,
+    "lsh_multi" -> q42b, "pq" -> q94)
 
   private val q77: Q = (s, dir) => {
     import s.implicits._
@@ -575,6 +666,8 @@ object VectorOps {
        |  UNION ALL
        |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($q42Sql)
        |  UNION ALL
+       |  SELECT 'lsh_multi' AS method, query_id, neighbor_id FROM ($q42bSql)
+       |  UNION ALL
        |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($q94Sql)),
        |hits AS (
        |  SELECT a.method, a.query_id, COUNT(*) AS h
@@ -586,8 +679,8 @@ object VectorOps {
        |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
        |  CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall_at_5
        |FROM (SELECT DISTINCT query_id FROM gt) q
-       |CROSS JOIN (VALUES ('ivf'), ('ivf_lloyd'), ('lsh'), ('pq'))
-       |  AS m(method)
+       |CROSS JOIN (VALUES ('ivf'), ('ivf_lloyd'), ('lsh'), ('lsh_multi'),
+       |  ('pq')) AS m(method)
        |LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
        |ORDER BY 1, 2""".stripMargin
 
@@ -686,6 +779,7 @@ object VectorOps {
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
     "q42_ann_lsh_bucketed" -> q42,
+    "q42b_ann_lsh_multitable" -> q42b,
     "q43_nn_within_label" -> q43,
     "q44_embedding_near_dup" -> q44,
     "q58_ann_ivf_cells" -> q58,
@@ -699,6 +793,7 @@ object VectorOps {
     "q40_embedding_norms" -> q40Sql,
     "q41_knn_brute_force" -> q41Sql,
     "q42_ann_lsh_bucketed" -> q42Sql,
+    "q42b_ann_lsh_multitable" -> q42bSql,
     "q43_nn_within_label" -> q43Sql,
     "q44_embedding_near_dup" -> q44Sql,
     "q58_ann_ivf_cells" -> q58Sql,
