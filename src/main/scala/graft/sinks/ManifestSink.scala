@@ -94,6 +94,7 @@ object ManifestSink {
       * entry is kept, never pruned: pruning is an optimization and must
       * stay a superset of the exact filter. */
     def overlaps(lo: Option[String], hi: Option[String]): Boolean = {
+      if (tag == 'B') return true // bloom payload: range-undecidable
       def le(a: String, b: String): Boolean = tag match {
         case 'L' => a.toLong <= b.toLong
         case 'D' =>
@@ -107,6 +108,11 @@ object ManifestSink {
       lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
     }
   }
+
+  /** Stats-map key holding a column's bloom filter (tag 'B', the
+    * serialized filter base64 in `min`) — distinct from the column's own
+    * key so range stats and a bloom coexist on one column. */
+  private def bloomKey(c: String): String = c + "\u0000bf"
 
   /** Serialize a stats/bound value: a Float widens to its EXACT double
     * first (Float→Double conversion is exact) so parsing the string back
@@ -141,8 +147,10 @@ object ManifestSink {
   private def parseEntry(line: String): Entry = line.indexOf('\t') match {
     case -1 => Entry(line, Map.empty)
     case i =>
+      // split with -1: an empty trailing field (e.g. a bloom entry's
+      // unused max) must not collapse the 4-field group
       val stats = line.substring(i + 1).split(";").iterator
-        .map(_.split(":"))
+        .map(_.split(":", -1))
         .collect { case Array(c, t, mn, mx) if t.length == 1 =>
           unb64(c) -> ColStats(t.head, unb64(mn), unb64(mx))
         }.toMap
@@ -196,16 +204,19 @@ object ManifestSink {
   }
 
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
-      baseEntries: Seq[String], statsCols: Seq[String] = Nil): Long = {
+      baseEntries: Seq[String], statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     df.write.parquet(dataDir)
     // stats read back from the WRITTEN files (a cheap columnar min/max
     // scan), not from `df` — re-evaluating an expensive upstream plan
     // just to learn its bounds would double the batch cost
+    val written = spark.read.parquet(dataDir)
     val stats =
-      if (statsCols.isEmpty) Map.empty[String, ColStats]
-      else batchStats(spark.read.parquet(dataDir), statsCols)
+      (if (statsCols.isEmpty) Map.empty[String, ColStats]
+       else batchStats(written, statsCols)) ++
+        batchBlooms(written, bloomCols, bloomFpp)
     val prev = version(spark, dir)
     val entries = baseEntries :+ Entry(s"data/$batch", stats).line
     val next = prev + 1
@@ -245,6 +256,51 @@ object ManifestSink {
     }.toMap
   }
 
+  /** Per-column bloom filters of one written batch (tag 'B' pseudo-stats
+    * under [[bloomKey]]): the EQUALITY-pruning complement to min/max
+    * ranges — a point lookup on a high-cardinality key (uuid, user id)
+    * rarely prunes on ranges, but a per-entry bloom excludes every batch
+    * dir that provably never saw the value. Built with Spark's
+    * distributed `stat.bloomFilter` aggregate; integral and string
+    * columns only (the types its hasher and ours agree on). */
+  private def batchBlooms(written: DataFrame, bloomCols: Seq[String],
+      fpp: Double): Map[String, ColStats] = {
+    import org.apache.spark.sql.types._
+    if (bloomCols.isEmpty) return Map.empty
+    val n = math.max(1L, written.count())
+    bloomCols.flatMap { c =>
+      written.schema.find(_.name == c).flatMap(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType =>
+          val bf = written.stat.bloomFilter(c, n, fpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Some(bloomKey(c) -> ColStats('B',
+            java.util.Base64.getEncoder.encodeToString(bos.toByteArray), ""))
+        case _ => None
+      })
+    }.toMap
+  }
+
+  /** true iff `value` might be present per the entry's bloom for `c`
+    * (no bloom recorded → unknown → true). Integral values widen to Long
+    * to match how the writer's aggregate hashed them. */
+  private def bloomMightContain(e: Entry, c: String, value: Any): Boolean =
+    e.stats.get(bloomKey(c)) match {
+      case Some(st) if st.tag == 'B' =>
+        val bytes = java.util.Base64.getDecoder.decode(st.min)
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        value match {
+          case b: Byte   => bf.mightContainLong(b.toLong)
+          case sh: Short => bf.mightContainLong(sh.toLong)
+          case i: Int    => bf.mightContainLong(i.toLong)
+          case l: Long   => bf.mightContainLong(l)
+          case s: String => bf.mightContainString(s)
+          case other     => bf.mightContain(other)
+        }
+      case _ => true
+    }
+
   /** Append a batch as a new commit. Returns the committed version. */
   def append(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
@@ -260,10 +316,12 @@ object ManifestSink {
     * batches that overlap it, and the stats ride in the same tiny
     * manifest the reader already fetches. */
   def appendWithStats(df: DataFrame, dir: String,
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): Long = {
     val spark = df.sparkSession
     commit(spark, dir, df,
-      manifestEntries(spark, dir, version(spark, dir)), statsCols)
+      manifestEntries(spark, dir, version(spark, dir)), statsCols,
+      bloomCols, bloomFpp)
   }
 
   /** Replace the whole table content (compaction/retention commit):
@@ -451,6 +509,39 @@ object ManifestSink {
   def readWhere(spark: SparkSession, dir: String, colName: String,
       lo: Option[Any], hi: Option[Any]): DataFrame =
     readWhere(spark, dir, Seq(Range(colName, lo, hi)))
+
+  /** Split the current snapshot's entries into (kept, skipped) for a
+    * point lookup `colName = value`, using BOTH pruning signals: the
+    * column's [min,max] range (as the degenerate range [v,v]) and its
+    * bloom filter when the entry carries one. Entries without either
+    * always survive — same never-a-filter contract as range pruning. */
+  def prunedEntriesEq(spark: SparkSession, dir: String, colName: String,
+      value: Any): (Seq[Entry], Seq[Entry]) =
+    entries(spark, dir, version(spark, dir)).partition { e =>
+      val rangeOk = e.stats.get(colName) match {
+        case Some(st) =>
+          st.overlaps(Some(boundStr(value)), Some(boundStr(value)))
+        case None => true
+      }
+      rangeOk && bloomMightContain(e, colName, value)
+    }
+
+  /** Point-lookup scan with manifest-level skipping (range stats + bloom
+    * filters): reads only the batch directories that might contain
+    * `colName = value`, then applies the exact predicate — identical to
+    * `read(...).filter(col === value)` whatever the pruning decided. The
+    * path a keyed lookup takes on a 100 TB table: the manifest's blooms
+    * reduce a full-table point query to the handful of batches whose
+    * filters fire (false positives only cost scan breadth). */
+  def readWhereEq(spark: SparkSession, dir: String, colName: String,
+      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunedEntriesEq(spark, dir, colName, value)
+    val base =
+      if (kept.isEmpty) read(spark, dir).limit(0)
+      else spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*)
+    base.filter(col(colName) === lit(value))
+  }
 
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
     * row sharing its key; unmatched keys insert. Copy-on-write with

@@ -369,6 +369,47 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readWhere(spark, dir, sq).count() === want)
   }
 
+  test("bloom filters prune point lookups that ranges cannot") {
+    val dir = Files.createTempDirectory("msinkbl").toString + "/t"
+    // three batches with fully overlapping id ranges (ids interleaved
+    // mod 3): a point lookup never prunes on min/max — only the bloom
+    // knows which batch actually holds a key
+    (0 until 3).foreach { k =>
+      val b = spark.range(0, 3000).filter($"id" % 3 === k)
+        .selectExpr("id", "concat('user-', id) AS key")
+      ManifestSink.appendWithStats(b, dir, Seq("id", "key"),
+        bloomCols = Seq("id", "key"))
+    }
+    // string key present in exactly one batch
+    val (kept, skipped) = ManifestSink.prunedEntriesEq(
+      spark, dir, "key", "user-1502")
+    assert(skipped.size >= 1, "bloom should exclude at least one batch")
+    val got = ManifestSink.readWhereEq(spark, dir, "key", "user-1502")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got === Seq(1502L))
+    // long key lookup through its own bloom
+    val gotL = ManifestSink.readWhereEq(spark, dir, "id", 2077L)
+      .collect().map(_.getAs[String]("key")).toSeq
+    assert(gotL === Seq("user-2077"))
+    assert(ManifestSink.prunedEntriesEq(spark, dir, "id", 2077L)
+      ._2.size >= 1)
+    // absent key: result is empty whatever the (fp-prone) pruning said
+    assert(ManifestSink.readWhereEq(spark, dir, "key", "user-99999")
+      .count() === 0)
+    // a batch without blooms is never bloom-pruned
+    ManifestSink.append(
+      Seq((90000L, "user-90000")).toDF("id", "key"), dir)
+    val (k2, _) = ManifestSink.prunedEntriesEq(
+      spark, dir, "key", "user-90000")
+    assert(k2.exists(_.stats.isEmpty))
+    assert(ManifestSink.readWhereEq(spark, dir, "key", "user-90000")
+      .count() === 1)
+    // range pruning on the same entries still works beside the blooms
+    val (k3, s3) = ManifestSink.prunedEntries(
+      spark, dir, "id", Some(100000L), None)
+    assert(k3.size === 1 && k3.head.stats.isEmpty && s3.size === 3)
+  }
+
   test("NaN endpoints never prune: readWhere equals read+filter") {
     val dir = Files.createTempDirectory("msinknan").toString + "/t"
     // NaN sorts greatest in Spark, so this batch records max = "NaN";
