@@ -30,15 +30,29 @@ object Relational4 {
     * hash aggregate over orders; the spine join is a broadcast of the
     * tiny spine. No global windows, no driver loops. */
   private val q92: Q = (s, dir) => {
-    Tables(s, dir, "orders").createOrReplaceTempView("orders_v92")
+    import org.apache.spark.sql.functions.{max, min}
+    val o = Tables(s, dir, "orders")
+    o.createOrReplaceTempView("orders_v92")
+    // the spine bounds inline as LITERALS (one 1-row columnar min/max
+    // job): a scalar subquery inside the recursive step re-evaluates
+    // against the fact table on EVERY iteration — measured 18.8 s vs
+    // 0.4 s for the literal form at sf0.1 (~80 iterations)
+    val b = o.agg(min(o("o_orderdate")), max(o("o_orderdate"))).head()
+    // the scalar arrives as java.sql.Timestamp or (under the java8 time
+    // API conf) java.time.LocalDateTime — render either as a literal
+    def ts(v: Any): String = v match {
+      case d: java.time.LocalDateTime => d.format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      case x => x.toString
+    }
+    val (lo, hi) = (ts(b.get(0)), ts(b.get(1)))
     s.sql(
       s"""WITH RECURSIVE spine(mon) AS (
-         |  SELECT CAST(date_trunc('MONTH',
-         |    (SELECT MIN(o_orderdate) FROM orders_v92)) AS DATE)
+         |  SELECT CAST(date_trunc('MONTH', TIMESTAMP '$lo') AS DATE)
          |  UNION ALL
          |  SELECT CAST(add_months(mon, 1) AS DATE) FROM spine
-         |  WHERE mon < CAST(date_trunc('MONTH',
-         |    (SELECT MAX(o_orderdate) FROM orders_v92)) AS DATE)
+         |  WHERE mon < CAST(date_trunc('MONTH', TIMESTAMP '$hi') AS DATE)
          |),
          |m AS (
          |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
