@@ -118,11 +118,103 @@ object Relational4 {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c ON TRUE
       |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Time-interval sliding aggregates: per user, the count and exact sum
+    * of event values in the trailing 30 minutes AT EVERY EVENT — a RANGE
+    * window frame keyed on epoch-microseconds (not ROWS: the frame is
+    * defined by time distance, and timestamp ties are peers in both
+    * engines, so tie order cannot change any frame). The decimal
+    * accumulator keeps the windowed double sum order-free. This is the
+    * rolling-window feature shape (rate limiting, trailing activity,
+    * fraud velocity) that tumbling windows (q28) can't express.
+    *
+    * Scale: one hash partitioning on user_id; every frame is bounded by
+    * the user's 30-minute event density. No global window. */
+  private val q95: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-1800L * 1000000L, 0L)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("n_30m", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_30m",
+        sum($"value".cast("decimal(38,4)")).over(w).cast("double"))
+      .select($"user_id", $"event_id", $"n_30m", $"sum_30m")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q95Sql =
+    """SELECT user_id, event_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_30m,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+      |    AS sum_30m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Vocabulary build + token-id encoding — the tokenize-for-training
+    * step between raw text and the chunking/packing ops (q72/q73): the
+    * corpus's top-V tokens by frequency (ties broken on the token, so the
+    * vocabulary is a deterministic function of the corpus) get ids 1..V;
+    * every document becomes its positional array of ids with OOV → 0.
+    *
+    * Scale: token counts are a two-phase hash aggregate; the V-row
+    * vocabulary broadcasts to a map-side left join (the id-assignment
+    * window runs over V rows, bounded by design like q19's pin); document
+    * reassembly aggregates on the primary key. The corpus shuffles once,
+    * as (doc, pos, id) triples. */
+  private val vocabSize = 256
+  private val q96: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    val byFreq = Window.orderBy($"n".desc, $"tok".asc)
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok".asc).limit(vocabSize)
+      .withColumn("token_id", row_number().over(byFreq).cast("long"))
+      .select($"tok", $"token_id")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos",
+        coalesce($"token_id", lit(0L)).as("tid"))
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"tid"))),
+        p => p.getField("tid")).as("token_ids"))
+      .select($"doc_id", $"token_ids",
+        size($"token_ids").cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val q96Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_extract(string_split(text, ' '), i) AS tok
+       |  FROM documents,
+       |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)),
+       |vocab AS (
+       |  SELECT tok,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS token_id
+       |  FROM toks GROUP BY tok
+       |  ORDER BY COUNT(*) DESC, tok ASC LIMIT $vocabSize),
+       |ids AS (
+       |  SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+       |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+       |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q92_recursive_spine" -> q92,
-    "q93_lateral_topk" -> q93)
+    "q93_lateral_topk" -> q93,
+    "q95_sliding_time_window" -> q95,
+    "q96_token_ids" -> q96)
 
   val oracleSql: Map[String, String] = Map(
     "q92_recursive_spine" -> q92Sql,
-    "q93_lateral_topk" -> q93Sql)
+    "q93_lateral_topk" -> q93Sql,
+    "q95_sliding_time_window" -> q95Sql,
+    "q96_token_ids" -> q96Sql)
 }
