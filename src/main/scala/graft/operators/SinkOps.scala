@@ -16,6 +16,22 @@ import graft.sources.Tables
 object SinkOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** One deterministic scratch root per (prefix, source dir), cleared and
+    * rebuilt on every invocation — repeated bench reps / gate runs reuse
+    * the same path instead of accumulating temp table copies. */
+  private def freshScratch(prefix: String, dir: String): String = {
+    val scratch = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode)}")
+    if (java.nio.file.Files.exists(scratch)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.delete)
+    }
+    scratch.toString
+  }
+
   // ---------------------------------------------------------------- q88
   /** Manifest roundtrip + file skipping: land `events` in a manifest sink
     * as three range-disjoint appends with event_id stats (the time-ordered
@@ -37,19 +53,7 @@ object SinkOps {
     val maxId = ev.agg(max($"event_id")).head().getLong(0)
     val cut1 = maxId / 3
     val cut2 = 2 * maxId / 3
-    // one deterministic scratch root per source dir, cleared and rebuilt
-    // on every invocation — repeated bench reps / gate runs reuse the same
-    // path instead of accumulating fresh temp copies of the events table
-    val scratch = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft_q88_${java.lang.Integer.toHexString(dir.hashCode)}")
-    if (java.nio.file.Files.exists(scratch)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.delete)
-    }
-    val sink = scratch.toString + "/events_sink"
+    val sink = freshScratch("graft_q88", dir) + "/events_sink"
     ManifestSink.appendWithStats(
       ev.filter($"event_id" <= cut1), sink, Seq("event_id"))
     ManifestSink.appendWithStats(
@@ -81,9 +85,57 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Incremental materialized view through the sink: events land as
+    * three commits, and the per-type aggregate is maintained by folding
+    * ONLY each commit's new batches into the previous state
+    * ([[graft.sinks.IncrementalAgg]]) — never recomputing from the
+    * table. The oracle computes the same aggregate directly from the
+    * source, so an incremental-maintenance bug that drops, double-counts,
+    * or mis-merges ANY batch hash-mismatches. (The decimal-accumulated
+    * state makes merge order irrelevant — the same Exact discipline as
+    * every other sum in the tree.)
+    *
+    * Scale: each refresh reads one commit's batches (manifest diff
+    * locates them with zero data reads); the state stays
+    * aggregate-sized; the merge is a hash aggregate on the group key. */
+  private val q98: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sinks.IncrementalAgg
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q98", dir) + "/events_sink"
+    val keys = Seq("event_type")
+    val v0 = ManifestSink.append(ev.filter($"event_id" <= cut1), sink)
+    val v1 = ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink)
+    val v2 = ManifestSink.append(ev.filter($"event_id" > cut2), sink)
+    val s0 = IncrementalAgg.aggregate(
+      ManifestSink.changes(s, sink, -1L, v0), keys, "value")
+    val s1 = IncrementalAgg.refresh(s, s0, sink, v0, v1, keys, "value")
+    val s2 = IncrementalAgg.refresh(s, s1, sink, v1, v2, keys, "value")
+    IncrementalAgg.present(s2, keys)
+      .withColumnRenamed("n", "n_events")
+      .orderBy($"event_type")
+  }
+  private val q98Sql =
+    s"""SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  MIN(value) AS mn,
+       |  MAX(value) AS mx
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q88_manifest_roundtrip" -> q88)
+    "q88_manifest_roundtrip" -> q88,
+    "q98_incremental_view" -> q98)
 
   val oracleSql: Map[String, String] = Map(
-    "q88_manifest_roundtrip" -> q88Sql)
+    "q88_manifest_roundtrip" -> q88Sql,
+    "q98_incremental_view" -> q98Sql)
 }

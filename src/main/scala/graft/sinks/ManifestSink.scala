@@ -543,6 +543,42 @@ object ManifestSink {
     base.filter(col(colName) === lit(value))
   }
 
+  /** DELETE WHERE with file-granular copy-on-write: removes every row
+    * inside the conjunction of `ranges`, rewriting ONLY the batch
+    * directories whose manifest stats might contain a match — located
+    * with zero data reads — while every provably-unaffected entry is
+    * carried into the next manifest by reference, stats and all. The
+    * retention shape at 100 TB: expiring a time range from a
+    * time-ordered table rewrites the handful of overlapping batches,
+    * not the table (GDPR-delete by id works the same through the bloom
+    * path once ranges are degenerate). Previous versions stay readable
+    * until [[vacuum]]; rewritten batches get fresh stats on `statsCols`.
+    * Returns the committed version (unchanged if nothing could match). */
+  def deleteWhere(spark: SparkSession, dir: String, ranges: Seq[Range],
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(ranges.nonEmpty, "deleteWhere requires at least one range")
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    val (candidates, untouched) = prunedEntries(spark, dir, ranges)
+    if (candidates.isEmpty) return prev // provably nothing to delete
+    val matches = ranges.flatMap { r =>
+      val c = col(r.colName)
+      r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v))
+    }.reduce(_ && _)
+    val survivors = spark.read
+      .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+      // null range values never match a range predicate, so null rows
+      // survive a delete — same semantics as SQL DELETE WHERE
+      .filter(!coalesceFalse(matches))
+    commit(spark, dir, survivors, untouched.map(_.line), statsCols)
+  }
+
+  private def coalesceFalse(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    coalesce(c, lit(false))
+  }
+
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
     * row sharing its key; unmatched keys insert. Copy-on-write with
     * file-level pruning — only the batch directories that actually

@@ -369,6 +369,70 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readWhere(spark, dir, sq).count() === want)
   }
 
+  test("deleteWhere rewrites only the batches that might match") {
+    val dir = Files.createTempDirectory("msinkdw").toString + "/t"
+    // three range-disjoint appends — the time-ordered retention layout
+    ManifestSink.appendWithStats(
+      spark.range(0, 100).toDF("id"), dir, Seq("id"))
+    ManifestSink.appendWithStats(
+      spark.range(100, 200).toDF("id"), dir, Seq("id"))
+    ManifestSink.appendWithStats(
+      spark.range(200, 300).toDF("id"), dir, Seq("id"))
+    val before = ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir)).map(_.line).toSet
+    // delete the middle sub-range: only the middle dir can match
+    val v = ManifestSink.deleteWhere(spark, dir,
+      Seq(ManifestSink.Range("id", Some(120L), Some(180L))),
+      statsCols = Seq("id"))
+    val after = ManifestSink.entries(spark, dir, v)
+    // the two unaffected entries are carried VERBATIM (same lines,
+    // stats included); exactly one new rewritten entry appears
+    assert((before & after.map(_.line).toSet).size === 2)
+    assert(after.size === 3)
+    val got = ManifestSink.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === ((0L to 119L) ++ (181L to 299L)))
+    // rewritten batch got fresh stats → still prunes
+    val (k, s) = ManifestSink.prunedEntries(
+      spark, dir, "id", Some(119L), Some(119L))
+    assert(k.size === 1)
+    // a delete that provably matches nothing is a no-op (no new version)
+    assert(ManifestSink.deleteWhere(spark, dir,
+      Seq(ManifestSink.Range("id", Some(5000L), None))) === v)
+    // time travel to the pre-delete version still sees all 300 rows
+    assert(ManifestSink.readAt(spark, dir, v - 1).count() === 300)
+    // vacuum reclaims exactly the replaced middle dir
+    assert(ManifestSink.vacuum(spark, dir).size === 1)
+  }
+
+  test("incremental aggregate equals full recompute across appends") {
+    import graft.sinks.IncrementalAgg
+    val dir = Files.createTempDirectory("msinkia").toString + "/t"
+    val keys = Seq("k")
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .selectExpr("id % 3 AS k", "CAST(id AS DOUBLE) / 7 AS v")
+    val v0 = ManifestSink.append(batch(0, 400), dir)
+    val s0 = IncrementalAgg.aggregate(
+      ManifestSink.changes(spark, dir, -1L, v0), keys, "v")
+    val v1 = ManifestSink.append(batch(400, 650), dir)
+    val s1 = IncrementalAgg.refresh(spark, s0, dir, v0, v1, keys, "v")
+    val v2 = ManifestSink.append(batch(650, 1000), dir)
+    val s2 = IncrementalAgg.refresh(spark, s1, dir, v1, v2, keys, "v")
+    val inc = IncrementalAgg.present(s2, keys)
+      .collect().map(_.toString).sorted.toSeq
+    val full = IncrementalAgg.present(IncrementalAgg.aggregate(
+      ManifestSink.read(spark, dir), keys, "v"), keys)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc === full && inc.size === 3)
+    // non-append history (a merge rewrote a batch): refresh refuses
+    // rather than risking a wrong min/max
+    val v3 = ManifestSink.merge(
+      Seq((0L, 99.5)).toDF("k", "v"), dir, Seq("k"))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.refresh(spark, s2, dir, v2, v3, keys, "v")
+    }
+  }
+
   test("bloom filters prune point lookups that ranges cannot") {
     val dir = Files.createTempDirectory("msinkbl").toString + "/t"
     // three batches with fully overlapping id ranges (ids interleaved
