@@ -206,15 +206,78 @@ object Relational4 {
        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
        |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Null-semantics parity pin: SQL's three-valued logic is a classic
+    * cross-engine divergence point, so this query exercises every
+    * null-sensitive behavior on one synthesized nullable column
+    * (`event_id % 7 = 0 → NULL`) and hash-pins the lot: null-skipping
+    * COUNT/SUM/MIN, explicit `NULLS FIRST` window ordering (the engines'
+    * DEFAULTS disagree — Spark ASC is nulls-first, DuckDB ASC is
+    * nulls-last — which is exactly why the contract must be spelled),
+    * and null-safe equality (`<=>` / IS NOT DISTINCT FROM) against the
+    * per-group minimum.
+    *
+    * Scale: one hash partitioning on event_type for both the aggregate
+    * and the window; the rank filter prunes map-side (WindowGroupLimit). */
+  private val q99: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"event_id", $"event_type",
+        when($"event_id" % 7 === 0, lit(null).cast("double"))
+          .otherwise($"value").as("v"))
+    val agg = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"v").as("n_nonnull"),
+        Exact.dsum($"v").as("sum_v"),
+        min($"v").as("min_v"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"v".asc_nulls_first, $"event_id".asc)
+    e.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .join(agg, "event_type")
+      .select($"event_type", $"rn", $"event_id", $"v",
+        ($"v" <=> $"min_v").as("is_min_nullsafe"),
+        $"n_rows".cast("long").as("n_rows"),
+        $"n_nonnull".cast("long").as("n_nonnull"), $"sum_v")
+      .orderBy($"event_type", $"rn")
+  }
+  private val q99Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+       |  FROM events),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+       |    ${Exact.sqlSum("v")} AS sum_v,
+       |    MIN(v) AS min_v
+       |  FROM e GROUP BY event_type),
+       |r AS (
+       |  SELECT event_type, event_id, v,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY v ASC NULLS FIRST, event_id ASC) AS rn
+       |  FROM e)
+       |SELECT r.event_type, r.rn, r.event_id, r.v,
+       |  (r.v IS NOT DISTINCT FROM a.min_v) AS is_min_nullsafe,
+       |  a.n_rows, a.n_nonnull, a.sum_v
+       |FROM r JOIN agg a ON r.event_type = a.event_type
+       |WHERE r.rn <= 3
+       |ORDER BY r.event_type, r.rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q92_recursive_spine" -> q92,
     "q93_lateral_topk" -> q93,
     "q95_sliding_time_window" -> q95,
-    "q96_token_ids" -> q96)
+    "q96_token_ids" -> q96,
+    "q99_null_semantics" -> q99)
 
   val oracleSql: Map[String, String] = Map(
     "q92_recursive_spine" -> q92Sql,
     "q93_lateral_topk" -> q93Sql,
     "q95_sliding_time_window" -> q95Sql,
-    "q96_token_ids" -> q96Sql)
+    "q96_token_ids" -> q96Sql,
+    "q99_null_semantics" -> q99Sql)
 }

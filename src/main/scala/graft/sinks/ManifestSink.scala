@@ -579,6 +579,28 @@ object ManifestSink {
     coalesce(c, lit(false))
   }
 
+  /** Point DELETE (`colName = value`) with file-granular copy-on-write:
+    * the bloom + range pruning of [[prunedEntriesEq]] locates the batch
+    * dirs that might hold the key — on a table appended with
+    * `bloomCols`, a single-key erasure request (the GDPR shape) rewrites
+    * only the batches whose filters fire, located without reading any
+    * data. Unaffected entries carry by reference; null rows survive
+    * (SQL DELETE semantics). Returns the committed version. */
+  def deleteWhereEq(spark: SparkSession, dir: String, colName: String,
+      value: Any, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    val (candidates, untouched) = prunedEntriesEq(spark, dir, colName, value)
+    if (candidates.isEmpty) return prev
+    val survivors = spark.read
+      .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+      .filter(!coalesceFalse(col(colName) === lit(value)))
+    commit(spark, dir, survivors, untouched.map(_.line), statsCols,
+      bloomCols)
+  }
+
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
     * row sharing its key; unmatched keys insert. Copy-on-write with
     * file-level pruning — only the batch directories that actually

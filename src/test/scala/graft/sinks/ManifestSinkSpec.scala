@@ -405,6 +405,30 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dir).size === 1)
   }
 
+  test("deleteWhereEq erases one key, rewriting only bloom-hit batches") {
+    val dir = Files.createTempDirectory("msinkge").toString + "/t"
+    // overlapping id ranges: only blooms can localize a key
+    (0 until 3).foreach { k =>
+      val b = spark.range(0, 3000).filter($"id" % 3 === k)
+        .selectExpr("id", "concat('user-', id) AS key")
+      ManifestSink.appendWithStats(b, dir, Seq("id"),
+        bloomCols = Seq("key"))
+    }
+    val before = ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir)).map(_.line).toSet
+    val v = ManifestSink.deleteWhereEq(spark, dir, "key", "user-1502",
+      statsCols = Seq("id"), bloomCols = Seq("key"))
+    val after = ManifestSink.entries(spark, dir, v).map(_.line).toSet
+    // at least one batch carried verbatim (bloom localized the key)
+    assert((before & after).size >= 1)
+    assert(ManifestSink.readWhereEq(spark, dir, "key", "user-1502")
+      .count() === 0)
+    assert(ManifestSink.read(spark, dir).count() === 2999)
+    // the rewritten batch's fresh bloom still serves future lookups
+    assert(ManifestSink.readWhereEq(spark, dir, "key", "user-1505")
+      .count() === 1)
+  }
+
   test("incremental aggregate equals full recompute across appends") {
     import graft.sinks.IncrementalAgg
     val dir = Files.createTempDirectory("msinkia").toString + "/t"
