@@ -131,11 +131,87 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** FLAGSHIP lakehouse lifecycle: every mutation the sink supports,
+    * chained on one table, then answered through the pruned scan —
+    * (1) three range-disjoint appends with stats, (2) keyed MERGE
+    * replacing every 10th event's value (copy-on-write, only matched
+    * batches rewritten), (3) DELETE WHERE of a mid range (stats locate
+    * the candidates), (4) z-order compaction over (event_id, value)
+    * splitting the snapshot into 8 stat-carrying entries, (5) a range
+    * aggregate through readWhere — manifest pruning over the z-entries.
+    * The oracle replays the same lifecycle relationally (merge = left
+    * join COALESCE, delete = range exclusion), so a bug in ANY mutation
+    * step — dropped survivor, double-applied update, wrong delete
+    * boundary, z-bucket losing rows — hash-mismatches.
+    *
+    * Scale: each step is the operator's own documented shape; nothing
+    * here collects data (cuts come from one 1-row max, z-cells from one
+    * 4-scalar min/max row). */
+  private val q100: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val (d1, d2) = (maxId / 4, maxId / 2) // deleted band
+    val sink = freshScratch("graft_q100", dir) + "/events_sink"
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" <= cut1), sink, Seq("event_id"))
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink,
+      Seq("event_id"))
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > cut2), sink, Seq("event_id"))
+    ManifestSink.merge(
+      ev.filter($"event_id" % 10 === 0)
+        .withColumn("value", $"value" + 1000.0),
+      sink, Seq("event_id"))
+    ManifestSink.deleteWhere(s, sink,
+      Seq(ManifestSink.Range("event_id", Some(d1), Some(d2))),
+      statsCols = Seq("event_id"))
+    ManifestSink.compactZOrder(s, sink, Seq("event_id", "value"),
+      statsCols = Seq("event_id"), buckets = 8)
+    ManifestSink.readWhere(s, sink, "event_id", Some(cut1 + 1), None)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("sum_value"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+  private val q100Sql =
+    s"""WITH cuts AS (
+       |  SELECT MAX(event_id) // 3 AS cut1,
+       |         MAX(event_id) // 4 AS d1,
+       |         MAX(event_id) // 2 AS d2
+       |  FROM events),
+       |merged AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+       |         ELSE value END AS value
+       |  FROM events),
+       |alive AS (
+       |  SELECT m.* FROM merged m CROSS JOIN cuts
+       |  WHERE NOT (m.event_id BETWEEN d1 AND d2))
+       |SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  MIN(event_id) AS min_id,
+       |  MAX(event_id) AS max_id
+       |FROM alive CROSS JOIN cuts
+       |WHERE event_id > cut1
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q88_manifest_roundtrip" -> q88,
-    "q98_incremental_view" -> q98)
+    "q98_incremental_view" -> q98,
+    "q100_lakehouse_lifecycle" -> q100)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
-    "q98_incremental_view" -> q98Sql)
+    "q98_incremental_view" -> q98Sql,
+    "q100_lakehouse_lifecycle" -> q100Sql)
 }
