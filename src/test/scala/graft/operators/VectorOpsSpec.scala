@@ -122,13 +122,15 @@ class VectorOpsSpec extends SparkSpec {
     val gt = pairs("q41_knn_brute_force")
     val expected = Map(
       "lsh" -> pairs("q42_ann_lsh_bucketed"),
+      "lsh_multi" -> pairs("q42b_ann_lsh_multitable"),
       "ivf" -> pairs("q58_ann_ivf_cells"),
-      "ivf_lloyd" -> pairs("q58b_ann_ivf_lloyd"))
+      "ivf_lloyd" -> pairs("q58b_ann_ivf_lloyd"),
+      "pq" -> pairs("q94_ann_pq"))
     val queryIds = gt.map(_._1)
     val out = VectorOps.queries("q77_ann_recall")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
-    assert(out.size === 3 * queryIds.size)
+    assert(out.size === 5 * queryIds.size)
     for (m <- expected.keys; q <- queryIds) {
       val hits = (expected(m) & gt).count(_._1 == q).toLong
       val (gotHits, gotRecall) = out((m, q))
