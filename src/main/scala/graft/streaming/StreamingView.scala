@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{IncrementalAgg, ManifestSink}
+
+/** Streaming materialized view: a grouped count/sum/min/max aggregate
+  * maintained across micro-batches with O(batch) work — each batch folds
+  * into the previous state ([[graft.sinks.IncrementalAgg]]) and the view
+  * table is REPLACED as one manifest commit, so readers always see a
+  * complete, consistent snapshot (never a half-updated aggregate).
+  *
+  * foreachBatch delivery is at-least-once: a failed epoch replays with
+  * the SAME batchId and the same data, and a blind fold would
+  * double-count it. The view therefore records the last folded batchId
+  * inside its own committed state (`__batch_id`, constant across rows —
+  * state and progress marker commit ATOMICALLY in the one replace), and
+  * [[maintainView]] skips any batch at or below it — the classic
+  * batchId-transactional foreachBatch pattern, the same idempotence
+  * discipline as the sink's anti-join replay absorption.
+  *
+  * At 100 TB of history the difference from recompute is the whole
+  * point: per trigger this reads the batch plus the aggregate-sized
+  * state, never the accumulated table. */
+object StreamingView {
+
+  /** Fold one micro-batch into the view at `viewDir`. Safe under
+    * foreachBatch replays (see class doc). */
+  def maintainView(batch: DataFrame, batchId: Long, viewDir: String,
+      keys: Seq[String], value: String): Unit = {
+    val spark = batch.sparkSession
+    val hasView = ManifestSink.version(spark, viewDir) >= 0
+    val last =
+      if (!hasView) -1L
+      else {
+        val r = ManifestSink.read(spark, viewDir)
+          .agg(max(col("__batch_id"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0) // empty state: no marker
+      }
+    if (batchId <= last) return // replayed epoch: already folded
+    val delta = IncrementalAgg.aggregate(batch, keys, value)
+    val next =
+      if (!hasView) delta
+      else IncrementalAgg.merge(
+        ManifestSink.read(spark, viewDir).drop("__batch_id"), delta, keys)
+    ManifestSink.replace(
+      next.withColumn("__batch_id", lit(batchId)), viewDir)
+    // keep one previous version readable (snapshot isolation for a
+    // reader holding the pre-replace view), reclaim older ones
+    ManifestSink.vacuum(spark, viewDir, keepVersions = 2)
+  }
+
+  /** Presentation read of the view: grouped rows, exact decimal sum
+    * collapsed to double, progress marker dropped. */
+  def readView(spark: org.apache.spark.sql.SparkSession, viewDir: String,
+      keys: Seq[String]): DataFrame =
+    IncrementalAgg.present(
+      ManifestSink.read(spark, viewDir).drop("__batch_id"), keys)
+}

@@ -405,6 +405,31 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dir).size === 1)
   }
 
+  test("deleteWhere keeps null rows; z-order handles null dims") {
+    val dir = Files.createTempDirectory("msinknul").toString + "/t"
+    // ids 0..99 plus rows whose x is null (SQL DELETE never matches null)
+    val withNulls = spark.range(0, 100)
+      .selectExpr("CAST(id AS LONG) AS x", "(id * 7) % 100 AS y")
+      .unionByName(spark.sql(
+        "SELECT CAST(NULL AS LONG) AS x, CAST(500 AS LONG) AS y " +
+        "UNION ALL SELECT CAST(NULL AS LONG), CAST(501 AS LONG)"))
+    ManifestSink.appendWithStats(withNulls, dir, Seq("x"))
+    ManifestSink.deleteWhere(spark, dir,
+      Seq(ManifestSink.Range("x", Some(10L), Some(89L))))
+    val kept = ManifestSink.read(spark, dir).collect()
+      .map(r => Option(r.getAs[Any]("x"))).toSeq
+    assert(kept.count(_.isEmpty) === 2)       // null rows survive
+    assert(kept.count(_.nonEmpty) === 20)     // 0..9 and 90..99
+    // z-order over a null-bearing dimension: content identical, nulls
+    // land in the min cell, pruning still correct vs read+filter
+    val v = ManifestSink.compactZOrder(
+      spark, dir, Seq("x", "y"), Seq("x", "y"), buckets = 4)
+    assert(ManifestSink.read(spark, dir).count() === 22)
+    val q = Seq(ManifestSink.Range("x", Some(90L), None))
+    assert(ManifestSink.readWhere(spark, dir, q).count() ===
+      ManifestSink.read(spark, dir).filter($"x" >= 90L).count())
+  }
+
   test("deleteWhereEq erases one key, rewriting only bloom-hit batches") {
     val dir = Files.createTempDirectory("msinkge").toString + "/t"
     // overlapping id ranges: only blooms can localize a key

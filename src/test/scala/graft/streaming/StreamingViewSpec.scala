@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.sinks.{IncrementalAgg, ManifestSink}
+
+class StreamingViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming view equals the batch aggregate; replays don't double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("sview").toString
+    val viewDir = s"$root/view"
+    val src = MemoryStream[(Long, String, Double)]
+    val df = src.toDF().toDF("event_id", "event_type", "value")
+    val q = df.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        StreamingView.maintainView(b, id, viewDir, Seq("event_type"), "value")
+      }
+      .start()
+    val all = Seq(
+      (1L, "view", 1.5), (2L, "click", 2.0), (3L, "view", 0.25),
+      (4L, "purchase", 9.0), (5L, "view", 4.0), (6L, "click", 1.0))
+    try {
+      src.addData(all.take(3): _*)
+      q.processAllAvailable()
+      src.addData(all.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(d: DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val viaStream = rows(
+      StreamingView.readView(spark, viewDir, Seq("event_type")))
+    val direct = rows(IncrementalAgg.present(IncrementalAgg.aggregate(
+      all.toDF("event_id", "event_type", "value"),
+      Seq("event_type"), "value"), Seq("event_type")))
+    assert(viaStream === direct && viaStream.size === 3)
+    // at-least-once replay: refolding an already-committed epoch (same
+    // batchId, same data — how foreachBatch retries present themselves)
+    // must be a no-op, not a double count
+    val vBefore = ManifestSink.version(spark, viewDir)
+    val lastId = ManifestSink.read(spark, viewDir)
+      .agg(org.apache.spark.sql.functions.max($"__batch_id"))
+      .head().getLong(0)
+    StreamingView.maintainView(
+      all.drop(3).toDF("event_id", "event_type", "value"),
+      lastId, viewDir, Seq("event_type"), "value")
+    assert(ManifestSink.version(spark, viewDir) === vBefore) // no commit
+    assert(rows(StreamingView.readView(
+      spark, viewDir, Seq("event_type"))) === direct)
+    // a genuinely new epoch still folds
+    StreamingView.maintainView(
+      Seq((7L, "view", 10.0)).toDF("event_id", "event_type", "value"),
+      lastId + 1, viewDir, Seq("event_type"), "value")
+    val after = StreamingView.readView(spark, viewDir, Seq("event_type"))
+      .filter($"event_type" === "view").head()
+    assert(after.getAs[Long]("n") === 4L)
+    assert(after.getAs[Double]("sum_value") === 15.75)
+  }
+}
