@@ -16,19 +16,33 @@ import graft.sources.Tables
 object SinkOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One deterministic scratch root per (prefix, source dir), cleared and
-    * rebuilt on every invocation — repeated bench reps / gate runs reuse
-    * the same path instead of accumulating temp table copies. */
-  private def freshScratch(prefix: String, dir: String): String = {
-    val scratch = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode)}")
-    if (java.nio.file.Files.exists(scratch)) {
+  /** Scratch roots created by [[freshScratch]], recursively deleted by one
+    * JVM-exit hook — bench reps and repeated gate runs don't accumulate
+    * temp table copies past the process, yet every invocation gets a
+    * UNIQUE directory (a fixed per-prefix path would let two concurrent
+    * runs clear and rewrite each other's live sink, and would invalidate
+    * the lazy DataFrame a previous invocation returned). */
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.delete)
-    }
+      scratchRoots.asScala.foreach { root =>
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+    }))
+
+  /** A unique per-invocation scratch root, cleaned up at JVM exit. */
+  private def freshScratch(prefix: String, dir: String): String = {
+    scratchCleanup
+    val scratch = java.nio.file.Files.createTempDirectory(
+      s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode)}_")
+    scratchRoots.add(scratch)
     scratch.toString
   }
 

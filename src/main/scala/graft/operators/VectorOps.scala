@@ -260,7 +260,8 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
   private val q42bSql = {
-    // plane p = 6t+i with t a column: the same integer weight formula,
+    // plane p = t*lshPlanesPerTable+i with t a column: the same integer
+    // weight formula,
     // inlined so DuckDB computes identical doubles
     def wSql(i: Int, j: String): String =
       s"CAST((1000003*(t*$lshPlanesPerTable+$i) + 12345 + 7919*$j" +

@@ -211,12 +211,17 @@ object ManifestSink {
     df.write.parquet(dataDir)
     // stats read back from the WRITTEN files (a cheap columnar min/max
     // scan), not from `df` — re-evaluating an expensive upstream plan
-    // just to learn its bounds would double the batch cost
-    val written = spark.read.parquet(dataDir)
+    // just to learn its bounds would double the batch cost. The read-back
+    // (file listing + footer inference) only happens when some stats were
+    // requested: the plain-append hot path pays nothing
     val stats =
-      (if (statsCols.isEmpty) Map.empty[String, ColStats]
-       else batchStats(written, statsCols)) ++
-        batchBlooms(written, bloomCols, bloomFpp)
+      if (statsCols.isEmpty && bloomCols.isEmpty) Map.empty[String, ColStats]
+      else {
+        val written = spark.read.parquet(dataDir)
+        (if (statsCols.isEmpty) Map.empty[String, ColStats]
+         else batchStats(written, statsCols)) ++
+          batchBlooms(written, bloomCols, bloomFpp)
+      }
     val prev = version(spark, dir)
     val entries = baseEntries :+ Entry(s"data/$batch", stats).line
     val next = prev + 1
@@ -370,6 +375,8 @@ object ManifestSink {
       least, lit, max, min, shiftleft, shiftright}
     require(zCols.size >= 2,
       "z-ordering needs >= 2 columns (use compact(sortCols) for one)")
+    require(zCols.size <= 7,
+      "z-ordering supports at most 7 columns (8 bits each in a long)")
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
     val bitsPerDim = 8
@@ -388,9 +395,12 @@ object ManifestSink {
       val mx = Option(bounds.getAs[Any](s"__mx_$c"))
         .fold(0.0)(_.asInstanceOf[Double])
       val span = if (mx > mn) mx - mn else 1.0
-      least(lit((1 << bitsPerDim) - 1), greatest(lit(0),
+      // long cells: with >= 4 dims the interleaved bit positions pass 31,
+      // and int shifts would overflow into the sign bit (buckets go
+      // negative, z order inverts) or wrap the shift amount mod 32
+      least(lit(((1 << bitsPerDim) - 1).toLong), greatest(lit(0L),
         floor((coalesce(col(c).cast("double"), lit(mn)) - mn)
-          / span * (1 << bitsPerDim)).cast("int")))
+          / span * (1 << bitsPerDim)).cast("long")))
     }
     // Morton interleave: z bit (i·nd + pos) = dimension cell's bit i,
     // first zCol in the most significant position of each group
@@ -562,11 +572,16 @@ object ManifestSink {
     require(prev >= 0, s"ManifestSink at $dir has no committed version")
     val (candidates, untouched) = prunedEntries(spark, dir, ranges)
     if (candidates.isEmpty) return prev // provably nothing to delete
+    // all-unbounded ranges are a legal "delete everything on this column"
+    // request: no bound terms → the predicate is `true`
     val matches = ranges.flatMap { r =>
       val c = col(r.colName)
       r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v))
-    }.reduce(_ && _)
-    val survivors = spark.read
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    // mergeSchema: rewriting candidates from a schema-evolved table must
+    // carry every column — single-schema inference could silently drop
+    // late-added ones from the rewritten batch (permanent data loss)
+    val survivors = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
       // null range values never match a range predicate, so null rows
       // survive a delete — same semantics as SQL DELETE WHERE
@@ -594,7 +609,7 @@ object ManifestSink {
     require(prev >= 0, s"ManifestSink at $dir has no committed version")
     val (candidates, untouched) = prunedEntriesEq(spark, dir, colName, value)
     if (candidates.isEmpty) return prev
-    val survivors = spark.read
+    val survivors = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
       .filter(!coalesceFalse(col(colName) === lit(value)))
     commit(spark, dir, survivors, untouched.map(_.line), statsCols,
@@ -634,9 +649,13 @@ object ManifestSink {
     val entries = manifestEntries(spark, dir, prev)
     // one pass over the snapshot finds the directories holding matched
     // keys; the result is manifest-entry-scale metadata (≤ #entries), so
-    // collecting it on the driver mirrors the manifest read itself
+    // collecting it on the driver mirrors the manifest read itself.
+    // The entry dir is everything between data/ and the file name — NOT
+    // just the first path segment: a z-compacted commit's entries are
+    // nested subdirectories (data/<uuid>/__zb=k)
     val touched = read(spark, dir)
-      .withColumn("__e", regexp_extract(input_file_name(), "(data/[^/]+)/", 1))
+      .withColumn("__e",
+        regexp_extract(input_file_name(), "(data/.+)/[^/]+$", 1))
       .join(updates.select(keyCols: _*), keys, "left_semi")
       .select("__e").distinct().collect().map(_.getString(0)).toSet
     // kept entries carry their manifest lines verbatim (stats included:
@@ -649,11 +668,21 @@ object ManifestSink {
     // batches read the new columns as null
     val rewritten =
       if (touched.isEmpty) updates
-      else spark.read.option("mergeSchema", "true")
-        .parquet(entries.collect {
-          case e if touched(entryPath(e)) => s"$dir/${entryPath(e)}" }: _*)
-        .join(updates.select(keyCols: _*), keys, "left_anti")
-        .unionByName(updates, allowMissingColumns = true)
+      else {
+        val survivors = spark.read.option("mergeSchema", "true")
+          .parquet(entries.collect {
+            case e if touched(entryPath(e)) => s"$dir/${entryPath(e)}" }: _*)
+          .join(updates.select(keyCols: _*), keys, "left_anti")
+        // evolution is one-directional: updates may ADD columns, but an
+        // update frame MISSING an existing data column would silently
+        // null it on every replaced row — fail fast instead
+        val missing =
+          survivors.columns.toSet -- updates.columns.toSet
+        require(missing.isEmpty,
+          s"merge updates are missing existing columns $missing — " +
+            "replaced rows would silently lose them")
+        survivors.unionByName(updates, allowMissingColumns = true)
+      }
     commit(spark, dir, rewritten, kept)
   }
 

@@ -30,20 +30,19 @@ object StreamingView {
   def maintainView(batch: DataFrame, batchId: Long, viewDir: String,
       keys: Seq[String], value: String): Unit = {
     val spark = batch.sparkSession
-    val hasView = ManifestSink.version(spark, viewDir) >= 0
-    val last =
-      if (!hasView) -1L
-      else {
-        val r = ManifestSink.read(spark, viewDir)
-          .agg(max(col("__batch_id"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0) // empty state: no marker
-      }
+    // resolve version → manifest → paths ONCE; both the marker probe and
+    // the merge reuse this frame instead of paying a second resolution
+    val state =
+      if (ManifestSink.version(spark, viewDir) < 0) None
+      else Some(ManifestSink.read(spark, viewDir))
+    val last = state.fold(-1L) { st =>
+      val r = st.agg(max(col("__batch_id"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0) // empty state: no marker
+    }
     if (batchId <= last) return // replayed epoch: already folded
     val delta = IncrementalAgg.aggregate(batch, keys, value)
-    val next =
-      if (!hasView) delta
-      else IncrementalAgg.merge(
-        ManifestSink.read(spark, viewDir).drop("__batch_id"), delta, keys)
+    val next = state.fold(delta)(st =>
+      IncrementalAgg.merge(st.drop("__batch_id"), delta, keys))
     ManifestSink.replace(
       next.withColumn("__batch_id", lit(batchId)), viewDir)
     // keep one previous version readable (snapshot isolation for a

@@ -628,4 +628,74 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readAt(spark, dir, v - 1).count() === 6)
     assert(ManifestSink.vacuum(spark, dir).size === 2)
   }
+
+  test("merge on a z-compacted table upserts without duplicating keys") {
+    val dir = Files.createTempDirectory("msinkmz").toString + "/t"
+    val rows = spark.range(0, 256)
+      .selectExpr("id AS k", "(id * 37) % 256 AS y", "CAST(id AS STRING) AS v")
+    ManifestSink.append(rows, dir)
+    // z-compaction nests entries as data/<uuid>/__zb=k — the touched-dir
+    // detection must recognize the FULL entry path, not just data/<uuid>
+    val vz = ManifestSink.compactZOrder(
+      spark, dir, Seq("k", "y"), Seq("k", "y"), buckets = 8)
+    assert(ManifestSink.entries(spark, dir, vz).size === 8)
+    val vm = ManifestSink.merge(
+      Seq((3L, 111L, "UPDATED"), (999L, 0L, "inserted"))
+        .toDF("k", "y", "v"), dir, Seq("k"))
+    val got = ManifestSink.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // one row per key: the matched key's old z-bucket row is gone
+    assert(ManifestSink.read(spark, dir).count() === 257)
+    assert(got(3L) === "UPDATED" && got(999L) === "inserted")
+    assert(got(4L) === "4") // untouched neighbor intact
+    // untouched z-entries carried by reference: the merged manifest keeps
+    // most of the 8 z entries verbatim
+    val mz = ManifestSink.entries(spark, dir, vz).map(_.line).toSet
+    val mm = ManifestSink.entries(spark, dir, vm).map(_.line).toSet
+    assert((mz & mm).size >= 6, s"carried ${(mz & mm).size} of 8 z entries")
+  }
+
+  test("merge fails fast when updates are missing existing columns") {
+    val dir = Files.createTempDirectory("msinkmm").toString + "/t"
+    ManifestSink.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w"), dir)
+    // an update frame that FORGOT column w would silently null it on
+    // every replaced row — must throw instead
+    intercept[IllegalArgumentException] {
+      ManifestSink.merge(Seq((1L, "A")).toDF("k", "v"), dir, Seq("k"))
+    }
+    // the additive direction still works: updates may carry NEW columns
+    val v = ManifestSink.merge(
+      Seq((1L, "A", 11L, "extra")).toDF("k", "v", "w", "z"), dir, Seq("k"))
+    val snap = ManifestSink.read(spark, dir, mergeSchema = true)
+    assert(snap.count() === 2)
+    assert(snap.filter($"k" === 1L).head().getAs[String]("z") === "extra")
+    assert(snap.filter($"k" === 2L).head().getAs[String]("z") === null)
+  }
+
+  test("deleteWhere with fully-unbounded ranges deletes every row") {
+    val dir = Files.createTempDirectory("msinkdu").toString + "/t"
+    ManifestSink.append(spark.range(0, 50).toDF("id"), dir)
+    // Range(col, None, None) is a legal "delete all" — no bound terms
+    val v = ManifestSink.deleteWhere(spark, dir,
+      Seq(ManifestSink.Range("id", None, None)))
+    assert(ManifestSink.read(spark, dir).count() === 0)
+    assert(ManifestSink.readAt(spark, dir, v - 1).count() === 50)
+  }
+
+  test("deleteWhere preserves late-added columns across schema evolution") {
+    val dir = Files.createTempDirectory("msinkde").toString + "/t"
+    ManifestSink.appendWithStats(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"))
+    ManifestSink.appendWithStats(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "v", "w"),
+      dir, Seq("k"))
+    // the delete band spans BOTH batches: the survivor rewrite must read
+    // with merged schema or batch2's w column is permanently lost
+    ManifestSink.deleteWhere(spark, dir,
+      Seq(ManifestSink.Range("k", Some(2L), Some(3L))))
+    val snap = ManifestSink.read(spark, dir, mergeSchema = true)
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("w")))).toMap
+    assert(snap === Map(1L -> None, 4L -> Some(40L)))
+  }
 }
