@@ -33,12 +33,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rename is copy+delete). Unreferenced data from `replace` commits
   * stays on disk until [[vacuum]] — the same
   * write-new/flip-pointer/collect-garbage protocol as log-structured
-  * table formats, reduced to the minimum the engine needs (single
-  * writer; the reference is single-writer too, pipeline.py WAL mode).
-  * On a true object store the rename becomes copy+delete of one tiny
-  * object — still safe here because the name is never contended; with
-  * multiple writers you'd want a conditional-put on the manifest name
-  * instead.
+  * table formats, reduced to the minimum the engine needs.
+  *
+  * Concurrency: the rename IS a conditional put (`FileSystem.rename`
+  * onto an existing destination fails and leaves it intact), so of any
+  * writers racing to one manifest name exactly one wins. [[append]] /
+  * [[appendWithStats]] exploit this for full multi-writer safety:
+  * appends commute, so a loser rebases its entry onto the winner's
+  * snapshot and retries — optimistic concurrency's blind-append fast
+  * path. Table-rewriting commits (replace / merge / delete / compact)
+  * compute their entry sets against one snapshot and thus can't rebase:
+  * they keep the single-writer contract and fail loudly on a lost race
+  * (the reference is single-writer throughout, pipeline.py WAL mode).
+  * On a true object store the rename becomes a conditional copy of one
+  * tiny object (If-None-Match put), with identical semantics.
   */
 object ManifestSink {
 
@@ -56,26 +64,48 @@ object ManifestSink {
     } finally in.close()
   }
 
-  /** Publish `content` at `p` via temp + rename. The caller guarantees `p`
-    * does not already exist (manifest names are never reused), so the
-    * rename needs no preceding delete — the commit never passes through a
-    * state with the target missing. */
-  private def publishNew(f: FileSystem, p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
+  /** Attempt to publish `content` at `p` via unique-temp + rename, and
+    * report whether THIS writer won the name. `FileSystem.rename` onto an
+    * existing destination fails and leaves the destination intact (HDFS
+    * contract; probed true for LocalFileSystem too), so the rename is a
+    * CONDITIONAL PUT: of any number of concurrent publishers of one
+    * manifest name, exactly one succeeds. The temp name embeds a UUID —
+    * two writers racing to the same version must never share a temp file,
+    * or the winner could publish the loser's content. A losing temp is
+    * deleted before returning. */
+  private[sinks] def tryPublishNew(f: FileSystem, p: Path,
+      content: String): Boolean = {
+    val tmp = new Path(p.getParent,
+      p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    require(f.rename(tmp, p), s"failed to commit $p")
+    val won = f.rename(tmp, p)
+    if (!won) f.delete(tmp, false)
+    won
   }
 
+  /** Publish `content` at `p`, requiring the conditional put to succeed —
+    * the single-writer commit path (replace/merge/delete), where losing
+    * the name means another writer violated the contract: fail loudly,
+    * never retry a commit whose entry set was computed against a
+    * snapshot that is no longer current. */
+  private def publishNew(f: FileSystem, p: Path, content: String): Unit =
+    require(tryPublishNew(f, p, content),
+      s"failed to commit $p: a concurrent writer published this version")
+
   /** Best-effort overwrite of the `_latest` hint — NOT load-bearing: a
-    * crash at any point here leaves at worst a stale/missing hint, which
-    * [[version]] repairs from the manifest listing. */
+    * crash or lost race at any point here leaves at worst a stale/missing
+    * hint, which [[version]] repairs from the manifest listing. The temp
+    * name is writer-unique so concurrent hint refreshes never interleave
+    * through a shared temp file; a hint that loses its rename is simply
+    * dropped (the winner's hint is at least as fresh). */
   private def writeHint(f: FileSystem, p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val tmp = new Path(p.getParent,
+      p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (f.exists(p)) f.delete(p, false)
-    f.rename(tmp, p)
+    if (!f.rename(tmp, p)) f.delete(tmp, false)
   }
 
   private val ManifestName = """(\d+)\.manifest""".r
@@ -195,7 +225,7 @@ object ManifestSink {
     listed
   }
 
-  private def manifestEntries(spark: SparkSession, dir: String,
+  private def manifestLines(spark: SparkSession, dir: String,
       v: Long): Seq[String] = {
     if (v < 0) return Nil
     val f = fs(spark, dir)
@@ -203,35 +233,80 @@ object ManifestSink {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  private def manifestEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[String] =
+    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+
+  /** Manifest header: `#key=value` lines alongside the entry list —
+    * commit metadata that travels ATOMICALLY with the snapshot (e.g. the
+    * exactly-once batch marker of [[appendOnce]]). Every commit carries
+    * the previous header forward (see [[mergeHeader]]); manifests
+    * predating headers simply have none. */
+  def manifestHeader(spark: SparkSession, dir: String,
+      v: Long): Map[String, String] =
+    manifestLines(spark, dir, v).filter(_.startsWith("#")).flatMap { l =>
+      l.drop(1).split("=", 2) match {
+        case Array(k, value) => Some(k -> value)
+        case _               => None
+      }
+    }.toMap
+
+  private def headerLines(h: Map[String, String]): Seq[String] =
+    h.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+
+  /** Merge the previous commit's header with this commit's additions.
+    * Values that are both numeric advance MONOTONICALLY (max) — every
+    * current header key is a progress marker, and a rebased append must
+    * never roll a marker back past a winner's; otherwise the new value
+    * wins. */
+  private def mergeHeader(prev: Map[String, String],
+      next: Map[String, String]): Map[String, String] =
+    (prev.keySet ++ next.keySet).iterator.map { k =>
+      val v = (prev.get(k), next.get(k)) match {
+        case (Some(a), Some(b)) =>
+          (a.toLongOption, b.toLongOption) match {
+            case (Some(x), Some(y)) => math.max(x, y).toString
+            case _                  => b
+          }
+        case (a, b) => b.orElse(a).get
+      }
+      k -> v
+    }.toMap
+
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
       baseEntries: Seq[String], statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     df.write.parquet(dataDir)
-    // stats read back from the WRITTEN files (a cheap columnar min/max
-    // scan), not from `df` — re-evaluating an expensive upstream plan
-    // just to learn its bounds would double the batch cost. The read-back
-    // (file listing + footer inference) only happens when some stats were
-    // requested: the plain-append hot path pays nothing
-    val stats =
-      if (statsCols.isEmpty && bloomCols.isEmpty) Map.empty[String, ColStats]
-      else {
-        val written = spark.read.parquet(dataDir)
-        (if (statsCols.isEmpty) Map.empty[String, ColStats]
-         else batchStats(written, statsCols)) ++
-          batchBlooms(written, bloomCols, bloomFpp)
-      }
+    val stats = writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp)
     val prev = version(spark, dir)
-    val entries = baseEntries :+ Entry(s"data/$batch", stats).line
+    val lines = headerLines(manifestHeader(spark, dir, prev)) ++
+      baseEntries :+ Entry(s"data/$batch", stats).line
     val next = prev + 1
     val f = fs(spark, dir)
     // commit point: this rename (new name — nothing is deleted first)
     publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
-      entries.mkString("\n"))
+      lines.mkString("\n"))
     writeHint(f, new Path(dir, "_latest"), next.toString)
     next
   }
+
+  /** Stats read back from the WRITTEN files (a cheap columnar min/max
+    * scan), not from the source frame — re-evaluating an expensive
+    * upstream plan just to learn its bounds would double the batch cost.
+    * The read-back (file listing + footer inference) only happens when
+    * some stats were requested: the plain-append hot path pays nothing. */
+  private def writtenStats(spark: SparkSession, dataDir: String,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      bloomFpp: Double): Map[String, ColStats] =
+    if (statsCols.isEmpty && bloomCols.isEmpty) Map.empty
+    else {
+      val written = spark.read.parquet(dataDir)
+      (if (statsCols.isEmpty) Map.empty[String, ColStats]
+       else batchStats(written, statsCols)) ++
+        batchBlooms(written, bloomCols, bloomFpp)
+    }
 
   /** Per-column min/max of one written batch, for columns whose type the
     * stats codec supports (integral → L, float/double → D, string → S).
@@ -306,12 +381,53 @@ object ManifestSink {
       case _ => true
     }
 
-  /** Append a batch as a new commit. Returns the committed version. */
-  def append(df: DataFrame, dir: String): Long = {
-    val spark = df.sparkSession
-    commit(spark, dir, df,
-      manifestEntries(spark, dir, version(spark, dir)))
+  /** Multi-writer append commit: write the batch's data files once, then
+    * loop a CONDITIONAL PUT on the next manifest name, rebasing onto the
+    * current snapshot each attempt. Appends commute — the rebased
+    * manifest is just this batch's entry appended to whatever the
+    * interleaving winners published — so the retry is always correct:
+    * this is the blind-append fast path of optimistic concurrency in
+    * log-structured table formats. Non-append commits (replace / merge /
+    * delete / compact) can NOT rebase: their entry sets are computed
+    * against one snapshot, so they go through [[publishNew]] and fail
+    * loudly if they lose the name. */
+  private def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01,
+      header: Map[String, String] = Map.empty): Long = {
+    val batch = java.util.UUID.randomUUID().toString
+    val dataDir = s"$dir/data/$batch"
+    df.write.parquet(dataDir)
+    val line = Entry(s"data/$batch",
+      writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp)).line
+    val f = fs(spark, dir)
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      val prev = version(spark, dir)
+      val next = prev + 1
+      // header re-merged per attempt: a rebase must carry the WINNER's
+      // markers forward, not the snapshot this writer first saw
+      val lines =
+        headerLines(mergeHeader(manifestHeader(spark, dir, prev), header)) ++
+          manifestEntries(spark, dir, prev) :+ line
+      if (tryPublishNew(f, new Path(dir, s"_manifests/$next.manifest"),
+          lines.mkString("\n"))) committed = next
+      else {
+        attempts += 1
+        require(attempts < 1000,
+          s"append to $dir starved: lost $attempts consecutive commit races")
+      }
+    }
+    writeHint(f, new Path(dir, "_latest"), committed.toString)
+    committed
   }
+
+  /** Append a batch as a new commit — safe under CONCURRENT appenders
+    * (each rebases and retries on a lost commit race; every batch lands
+    * exactly once). Returns the committed version. */
+  def append(df: DataFrame, dir: String): Long =
+    commitAppend(df.sparkSession, dir, df)
 
   /** Append with per-entry min/max stats on `statsCols` recorded in the
     * manifest — the file-skipping path: [[readWhere]] then prunes whole
@@ -322,11 +438,40 @@ object ManifestSink {
     * manifest the reader already fetches. */
   def appendWithStats(df: DataFrame, dir: String,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Long = {
+      bloomFpp: Double = 0.01): Long =
+    commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp)
+
+  /** Header key holding the last exactly-once-folded batch id. */
+  private val BatchKey = "batch"
+
+  /** Last batchId folded by [[appendOnce]], or -1 if none (empty table,
+    * or a history written without exactly-once appends). */
+  def lastBatchId(spark: SparkSession, dir: String): Long =
+    manifestHeader(spark, dir, version(spark, dir))
+      .get(BatchKey).flatMap(_.toLongOption).getOrElse(-1L)
+
+  /** Exactly-once streaming append: fold a foreachBatch micro-batch into
+    * the table, SKIPPING batches already committed. The folded batchId
+    * rides in the manifest header of the same conditional-put commit as
+    * the data — marker and batch are atomic, so a replayed epoch
+    * (foreachBatch delivery is at-least-once) is detected from manifest
+    * metadata alone: O(1) instead of the O(table) anti-join replay
+    * absorption the keyed sink uses, which is the difference at 100 TB.
+    * The marker survives every other commit (headers are carried forward
+    * by compact / merge / delete / replace), and a rebased concurrent
+    * append advances it monotonically. Replays are assumed sequential —
+    * Structured Streaming re-runs a failed epoch before advancing —
+    * matching one stream per table (concurrent DIFFERENT-source appends
+    * remain safe; concurrent replays of the SAME epoch are not a shape
+    * foreachBatch produces). Returns the committed (or current, when
+    * skipped) version. */
+  def appendOnce(df: DataFrame, dir: String, batchId: Long,
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    commit(spark, dir, df,
-      manifestEntries(spark, dir, version(spark, dir)), statsCols,
-      bloomCols, bloomFpp)
+    val cur = version(spark, dir)
+    if (cur >= 0 && lastBatchId(spark, dir) >= batchId) return cur
+    commitAppend(spark, dir, df, statsCols,
+      header = Map(BatchKey -> batchId.toString))
   }
 
   /** Replace the whole table content (compaction/retention commit):
@@ -427,9 +572,11 @@ object ManifestSink {
       val b = sd.stripPrefix("__zb=").toLong
       Entry(s"data/$batch/$sd", perBucket.getOrElse(b, Map.empty)).line
     }
-    val next = version(spark, dir) + 1
+    val prev = version(spark, dir)
+    val next = prev + 1
     publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
-      entries.mkString("\n"))
+      (headerLines(manifestHeader(spark, dir, prev)) ++ entries)
+        .mkString("\n"))
     writeHint(f, new Path(dir, "_latest"), next.toString)
     next
   }

@@ -141,6 +141,36 @@ object WikiStream {
     } finally batch.unpersist()
   }
 
+  /** [[appendWithRetentionManifest]] with O(1) replay protection: the
+    * micro-batch folds via [[graft.sinks.ManifestSink.appendOnce]], whose
+    * epoch marker commits ATOMICALLY with the data in the manifest
+    * header — a replayed epoch (foreachBatch is at-least-once) is
+    * skipped from manifest metadata alone, and the marker survives the
+    * retention `replace` (headers carry forward). The anti-join variant
+    * additionally dedups ACROSS epochs (the reference's UNIQUE-index
+    * semantics); this variant assumes the upstream already key-dedups
+    * (e.g. `dropDuplicatesWithinWatermark`) and pays ZERO table reads
+    * per replay check — the at-scale trade when the table is 100 TB and
+    * the batch is megabytes. */
+  def appendOnceWithRetentionManifest(batch: DataFrame, batchId: Long,
+      sinkDir: String, cfg: GraftConfig): Unit = {
+    import graft.sinks.ManifestSink
+    require(cfg.dbMaxEvents <= Int.MaxValue,
+      s"dbMaxEvents ${cfg.dbMaxEvents} exceeds the limit-based compaction " +
+        "range; use time-partitioned retention (ParquetSink) instead")
+    val spark = batch.sparkSession
+    ManifestSink.appendOnce(batch, sinkDir, batchId)
+    val sink = ManifestSink.read(spark, sinkDir)
+    if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
+        cfg.cleanupHysteresis)) {
+      val retained = sink
+        .orderBy(col("event_timestamp").desc, col("username"), col("title"))
+        .limit(cfg.dbMaxEvents.toInt + 1)
+      ManifestSink.replace(retained, sinkDir)
+      ManifestSink.vacuum(spark, sinkDir)
+    }
+  }
+
   /** LAST-write-wins variant of [[appendWithRetentionManifest]]: instead
     * of skipping rows whose key is already committed (the reference's
     * IntegrityError-skip), each micro-batch UPSERTS — its newest row per

@@ -683,6 +683,99 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readAt(spark, dir, v - 1).count() === 50)
   }
 
+  test("concurrent appends all land exactly once via commit-race rebase") {
+    val dir = Files.createTempDirectory("msinkcc").toString + "/t"
+    // 8 threads × 4 appends, every batch a distinct value range — the
+    // conditional-put rename arbitrates; losers rebase and retry
+    val threads = 8
+    val perThread = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until threads).flatMap { t =>
+      (0 until perThread).map { i =>
+        scala.concurrent.Future {
+          val base = (t * perThread + i) * 100L
+          ManifestSink.append(
+            spark.range(base, base + 100).toDF("v"), dir)
+        }
+      }
+    }
+    val versions = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val n = threads * perThread
+    // every commit got a distinct contiguous version
+    assert(versions.sorted === (0L until n.toLong))
+    assert(ManifestSink.version(spark, dir) === n - 1L)
+    // no batch lost, none duplicated
+    val vals = ManifestSink.read(spark, dir).collect().map(_.getLong(0))
+    assert(vals.length === n * 100)
+    assert(vals.toSet === (0L until n * 100L).toSet)
+    // the final manifest references every batch exactly once
+    val entries = ManifestSink.entries(spark, dir, n - 1L)
+    assert(entries.size === n)
+    assert(entries.map(_.path).distinct.size === n)
+  }
+
+  test("manifest publish is a conditional put: losers never clobber") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = Files.createTempDirectory("msinklr").toString
+    val f = FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir, "5.manifest")
+    assert(ManifestSink.tryPublishNew(f, p, "winner"))
+    // a second publisher of the SAME name loses, the winner's content
+    // survives, and the loser's temp file is cleaned up
+    assert(!ManifestSink.tryPublishNew(f, p, "loser"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "5.manifest")) === "winner")
+    import scala.jdk.CollectionConverters._
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(!stray.iterator().asScala.exists(_.toString.endsWith(".tmp")))
+    finally stray.close()
+    // a manually pre-created future manifest (another writer landing
+    // between two commits) is simply rebased past by the next append
+    val t = Files.createTempDirectory("msinklr2").toString + "/t"
+    ManifestSink.append(Seq(1L).toDF("v"), t)
+    val line = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_manifests/0.manifest"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_manifests/1.manifest"), line)
+    val v = ManifestSink.append(Seq(2L).toDF("v"), t)
+    assert(v === 2L)
+    // manifest 1 (the simulated winner) re-referenced batch 0's dir, so
+    // the rebased snapshot is that batch plus the new append
+    assert(ManifestSink.read(spark, t).count() === 2)
+  }
+
+  test("appendOnce folds each epoch exactly once; marker survives rewrites") {
+    val dir = Files.createTempDirectory("msinkao").toString + "/t"
+    assert(ManifestSink.lastBatchId(spark, dir) === -1L)
+    ManifestSink.appendOnce(Seq(1L, 2L).toDF("v"), dir, batchId = 0)
+    val v1 = ManifestSink.appendOnce(Seq(3L).toDF("v"), dir, batchId = 1)
+    assert(ManifestSink.lastBatchId(spark, dir) === 1L)
+    // a replayed epoch (same batchId, at-least-once delivery) is skipped
+    // with no new version and no table read
+    assert(ManifestSink.appendOnce(Seq(3L).toDF("v"), dir, batchId = 1) === v1)
+    assert(ManifestSink.read(spark, dir).count() === 3)
+    // the marker rides the manifest header through a full-table rewrite
+    ManifestSink.compact(spark, dir, statsCols = Seq("v"))
+    assert(ManifestSink.lastBatchId(spark, dir) === 1L)
+    assert(ManifestSink.appendOnce(Seq(99L).toDF("v"), dir, batchId = 1) ===
+      ManifestSink.version(spark, dir))
+    assert(ManifestSink.read(spark, dir).count() === 3)
+    // a genuinely new epoch folds normally
+    ManifestSink.appendOnce(Seq(4L).toDF("v"), dir, batchId = 2)
+    assert(ManifestSink.read(spark, dir).count() === 4)
+    assert(ManifestSink.lastBatchId(spark, dir) === 2L)
+    // plain appends interleave without disturbing the marker
+    ManifestSink.append(Seq(5L).toDF("v"), dir)
+    assert(ManifestSink.lastBatchId(spark, dir) === 2L)
+    assert(ManifestSink.read(spark, dir).count() === 5)
+  }
+
   test("deleteWhere preserves late-added columns across schema evolution") {
     val dir = Files.createTempDirectory("msinkde").toString + "/t"
     ManifestSink.appendWithStats(

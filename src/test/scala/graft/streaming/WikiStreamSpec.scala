@@ -157,6 +157,35 @@ class WikiStreamSpec extends SparkSpec {
     assert(minTs.getTime / 1000 === 1700000000L + 69)
   }
 
+  test("exactly-once manifest variant: replayed epoch skipped in O(1)") {
+    import graft.sinks.ManifestSink
+    val sinkDir = Files.createTempDirectory("wiki_eo").toString + "/t"
+    val cfg = GraftConfig(dbMaxEvents = 50)
+    def rows(from: Long, to: Long) = spark.range(from, to).select(
+      concat(lit("{\"n\":"), $"id", lit("}")).as("raw_json"),
+      timestamp_seconds(lit(1700000000L) + $"id").as("event_timestamp"),
+      concat(lit("T"), $"id").as("title"),
+      lit("u").as("title_url"),
+      lit(false).as("bot"),
+      lit("user").as("username"),
+      lit(0L).as("length_bytes_old"),
+      $"id".as("length_bytes_new"),
+      $"id".as("length_diff_bytes"))
+    WikiStream.appendOnceWithRetentionManifest(rows(0, 40), 0L, sinkDir, cfg)
+    // foreachBatch retry: the SAME epoch replays — skipped by the header
+    // marker, not by reading the table
+    WikiStream.appendOnceWithRetentionManifest(rows(0, 40), 0L, sinkDir, cfg)
+    assert(ManifestSink.read(spark, sinkDir).count() === 40)
+    // the next epoch trips retention; the marker survives the replace
+    WikiStream.appendOnceWithRetentionManifest(rows(40, 120), 1L, sinkDir, cfg)
+    val after = ManifestSink.read(spark, sinkDir)
+    assert(after.count() === 51)
+    assert(ManifestSink.lastBatchId(spark, sinkDir) === 1L)
+    // replaying epoch 1 AFTER the retention rewrite is still absorbed
+    WikiStream.appendOnceWithRetentionManifest(rows(40, 120), 1L, sinkDir, cfg)
+    assert(ManifestSink.read(spark, sinkDir).count() === 51)
+  }
+
   test("upsert manifest variant: last write wins under the UNIQUE key") {
     import graft.sinks.ManifestSink
     val sinkDir = Files.createTempDirectory("wiki_upsert").toString + "/t"
