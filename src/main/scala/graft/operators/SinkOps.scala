@@ -145,6 +145,54 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  /** Exactly-once epoch folding through the gate: events land as three
+    * [[ManifestSink.appendOnce]] epochs with epoch 1 REPLAYED mid-stream
+    * (foreachBatch's at-least-once delivery) and replayed AGAIN after a
+    * compaction rewrote the whole table. The final aggregate reads the
+    * sink — so if either replay double-lands (marker lost, marker not
+    * carried through the rewrite) or a real epoch is wrongly skipped,
+    * every count and sum hash-mismatches the oracle, which aggregates
+    * the source directly.
+    *
+    * Scale: the replay checks are O(1) manifest-header reads (never a
+    * table read); compaction is the one whole-table rewrite, and the
+    * closing aggregate is two-phase on a 5-value key. */
+  private val q101: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q101", dir) + "/events_sink"
+    val e0 = ev.filter($"event_id" <= cut1)
+    val e1 = ev.filter($"event_id" > cut1 && $"event_id" <= cut2)
+    val e2 = ev.filter($"event_id" > cut2)
+    ManifestSink.appendOnce(e0, sink, batchId = 0)
+    ManifestSink.appendOnce(e1, sink, batchId = 1)
+    ManifestSink.appendOnce(e1, sink, batchId = 1) // replayed epoch
+    ManifestSink.compact(s, sink, statsCols = Seq("event_id"))
+    ManifestSink.appendOnce(e1, sink, batchId = 1) // replay after rewrite
+    ManifestSink.appendOnce(e2, sink, batchId = 2)
+    ManifestSink.read(s, sink)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("sum_value"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+  private val q101Sql =
+    s"""SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  MIN(event_id) AS min_id,
+       |  MAX(event_id) AS max_id
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- q100
   /** FLAGSHIP lakehouse lifecycle: every mutation the sink supports,
     * chained on one table, then answered through the pruned scan —
@@ -222,10 +270,12 @@ object SinkOps {
   val queries: Map[String, Q] = Map(
     "q88_manifest_roundtrip" -> q88,
     "q98_incremental_view" -> q98,
-    "q100_lakehouse_lifecycle" -> q100)
+    "q100_lakehouse_lifecycle" -> q100,
+    "q101_exactly_once_fold" -> q101)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
     "q98_incremental_view" -> q98Sql,
-    "q100_lakehouse_lifecycle" -> q100Sql)
+    "q100_lakehouse_lifecycle" -> q100Sql,
+    "q101_exactly_once_fold" -> q101Sql)
 }

@@ -464,7 +464,14 @@ object ManifestSink {
     * matching one stream per table (concurrent DIFFERENT-source appends
     * remain safe; concurrent replays of the SAME epoch are not a shape
     * foreachBatch produces). Returns the committed (or current, when
-    * skipped) version. */
+    * skipped) version.
+    *
+    * Inside foreachBatch over a STATEFUL stream, materialize the batch
+    * (persist + count) before calling this: a skipped replay reads
+    * nothing from `df`, and Spark's state-store commit validation
+    * requires every partition of a stateful batch to be processed —
+    * [[graft.streaming.WikiStream.appendOnceWithRetentionManifest]]'s
+    * empty-batch count guard does exactly this. */
   def appendOnce(df: DataFrame, dir: String, batchId: Long,
       statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession

@@ -158,8 +158,17 @@ object WikiStream {
     require(cfg.dbMaxEvents <= Int.MaxValue,
       s"dbMaxEvents ${cfg.dbMaxEvents} exceeds the limit-based compaction " +
         "range; use time-partitioned retention (ParquetSink) instead")
+    // watermark-advance epochs deliver empty batches: folding one would
+    // commit an empty manifest version per trigger. Skipping is safe
+    // WITHOUT advancing the marker — replaying an empty epoch is a no-op
+    // whatever the marker says. The guard is count(), not isEmpty():
+    // Spark's state-store commit validation requires foreachBatch to
+    // process EVERY partition (isEmpty touches one), and the full count
+    // also covers appendOnce's own read-nothing skip path on replays.
+    if (batch.persist().count() == 0L) { batch.unpersist(); return }
     val spark = batch.sparkSession
-    ManifestSink.appendOnce(batch, sinkDir, batchId)
+    try ManifestSink.appendOnce(batch, sinkDir, batchId)
+    finally batch.unpersist()
     val sink = ManifestSink.read(spark, sinkDir)
     if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
         cfg.cleanupHysteresis)) {
@@ -307,6 +316,27 @@ object WikiStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertWithRetentionManifest(batch, sinkDir, cfg)
+      }
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+
+  /** [[start]] with the EXACTLY-ONCE manifest sink: each micro-batch
+    * folds via [[appendOnceWithRetentionManifest]], keyed by the
+    * epoch's batchId — a restarted query resuming from the checkpoint
+    * replays its last uncommitted epoch and the sink skips the half of
+    * it that already landed, from manifest metadata alone. */
+  def startExactlyOnce(spark: SparkSession, sourceDir: String,
+      sinkDir: String, checkpointDir: String,
+      cfg: GraftConfig = GraftConfig(),
+      trigger: Option[Trigger] = Some(Trigger.ProcessingTime("2 seconds")),
+      watermarkDelay: String = "10 seconds"): StreamingQuery = {
+    val raw = spark.readStream.text(sourceDir)
+    val out = fromRawLines(raw, "value", watermarkDelay)
+    val writer = out.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendOnceWithRetentionManifest(batch, batchId, sinkDir, cfg)
       }
     trigger.foreach(writer.trigger)
     writer.start()

@@ -236,6 +236,41 @@ class WikiStreamSpec extends SparkSpec {
     assert(after.select("title").distinct().count() === 3)
   }
 
+  test("exactly-once streaming e2e: checkpoint replay lands no duplicates") {
+    import graft.sinks.ManifestSink
+    val srcDir = Files.createTempDirectory("wiki_eosrc").toString
+    val sinkDir = Files.createTempDirectory("wiki_eosink").toString + "/t"
+    val ckpt = Files.createTempDirectory("wiki_eockpt").toString
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+      fixtureLines.mkString("\n").getBytes)
+    val q = WikiStream.startExactlyOnce(spark, srcDir, sinkDir, ckpt,
+      GraftConfig(dbMaxEvents = 100), trigger = None)
+    try q.processAllAvailable() finally q.stop()
+    assert(ManifestSink.read(spark, sinkDir).count() === 3)
+    assert(ManifestSink.lastBatchId(spark, sinkDir) === 0L)
+    // crash-replay: a FRESH checkpoint re-delivers epoch 0 in full — the
+    // header marker absorbs it without reading the table
+    val ckpt2 = Files.createTempDirectory("wiki_eockpt2").toString
+    val q2 = WikiStream.startExactlyOnce(spark, srcDir, sinkDir, ckpt2,
+      GraftConfig(dbMaxEvents = 100), trigger = None)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ManifestSink.read(spark, sinkDir).count() === 3)
+    // a resumed query with NEW data advances the epoch and folds it
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.jsonl"),
+      ("""{"meta":{"dt":"2026-01-08T22:40:00Z"},"type":"edit",""" +
+        """"title":"Second Epoch","title_url":"u","user":"Eve",""" +
+        """"bot":false,"length":{"old":1,"new":2},"wiki":"enwiki"}""")
+        .getBytes)
+    val q3 = WikiStream.startExactlyOnce(spark, srcDir, sinkDir, ckpt,
+      GraftConfig(dbMaxEvents = 100), trigger = None)
+    try q3.processAllAvailable() finally q3.stop()
+    val after = ManifestSink.read(spark, sinkDir)
+    assert(after.count() === 4)
+    assert(after.select("title").distinct().count() === 4)
+    // the resumed checkpoint assigned the new epoch a HIGHER batch id
+    assert(ManifestSink.lastBatchId(spark, sinkDir) >= 1L)
+  }
+
   test("v1 raw capture stores unparsed lines in a 1-column table (K2/K4)") {
     val srcDir = Files.createTempDirectory("raw_src").toString
     val sinkDir = Files.createTempDirectory("raw_sink").toString + "/out"
