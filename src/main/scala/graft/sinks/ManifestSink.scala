@@ -144,6 +144,31 @@ object ManifestSink {
     * key so range stats and a bloom coexist on one column. */
   private def bloomKey(c: String): String = c + "\u0000bf"
 
+  /** Reserved stats key carrying an entry's EXACT row count (tag 'L',
+    * min = max = count). The leading NUL can't collide with a column
+    * name. Written by every commit, observed on the write job itself --
+    * zero extra jobs -- so [[rowCount]] answers `count(*)` and the
+    * retention threshold check from manifest metadata alone. */
+  private val RowsKey = "\u0000rows"
+
+  /** Header key recording a commit's wall-clock time (epoch millis) --
+    * the `VERSION AS OF <timestamp>` index. [[mergeHeader]]'s numeric
+    * max keeps it monotonic under clock skew and rebased races. */
+  private val TsKey = "ts"
+
+  /** Write `df` to `dataDir` and return the exact row count, observed
+    * as an accumulator on the write job itself -- no second pass, no
+    * extra job. */
+  private def writeCounted(df: DataFrame, dataDir: String): Long = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n")).write.parquet(dataDir)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  private def rowsStat(n: Long): (String, ColStats) =
+    RowsKey -> ColStats('L', n.toString, n.toString)
+
   /** Serialize a stats/bound value: a Float widens to its EXACT double
     * first (Float→Double conversion is exact) so parsing the string back
     * with `.toDouble` reproduces the value bit-for-bit — Float.toString
@@ -278,10 +303,12 @@ object ManifestSink {
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
-    df.write.parquet(dataDir)
-    val stats = writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp)
+    val rows = writeCounted(df, dataDir)
+    val stats = writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
+      rowsStat(rows)
     val prev = version(spark, dir)
-    val lines = headerLines(manifestHeader(spark, dir, prev)) ++
+    val lines = headerLines(mergeHeader(manifestHeader(spark, dir, prev),
+      Map(TsKey -> System.currentTimeMillis.toString))) ++
       baseEntries :+ Entry(s"data/$batch", stats).line
     val next = prev + 1
     val f = fs(spark, dir)
@@ -397,9 +424,10 @@ object ManifestSink {
       header: Map[String, String] = Map.empty): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
-    df.write.parquet(dataDir)
+    val rows = writeCounted(df, dataDir)
     val line = Entry(s"data/$batch",
-      writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp)).line
+      writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
+        rowsStat(rows)).line
     val f = fs(spark, dir)
     var committed = -1L
     var attempts = 0
@@ -409,7 +437,8 @@ object ManifestSink {
       // header re-merged per attempt: a rebase must carry the WINNER's
       // markers forward, not the snapshot this writer first saw
       val lines =
-        headerLines(mergeHeader(manifestHeader(spark, dir, prev), header)) ++
+        headerLines(mergeHeader(manifestHeader(spark, dir, prev),
+          header + (TsKey -> System.currentTimeMillis.toString))) ++
           manifestEntries(spark, dir, prev) :+ line
       if (tryPublishNew(f, new Path(dir, s"_manifests/$next.manifest"),
           lines.mkString("\n"))) committed = next
@@ -571,18 +600,26 @@ object ManifestSink {
     val perBucket: Map[Long, Map[String, ColStats]] =
       if (statsCols.isEmpty) Map.empty
       else groupedStats(written, "__zb", statsCols)
+    // per-bucket exact row counts (one tiny aggregate over the written
+    // files) — every z entry stays [[rowCount]]-addressable
+    val perBucketRows: Map[Long, Long] = written
+      .groupBy(col("__zb")).count().collect()
+      .map(r => r.getAs[Number]("__zb").longValue -> r.getLong(1)).toMap
     val f = fs(spark, dir)
     val subdirs = f.listStatus(new Path(staging))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__zb=")).sortBy(_.stripPrefix("__zb=").toLong)
     val entries = subdirs.map { sd =>
       val b = sd.stripPrefix("__zb=").toLong
-      Entry(s"data/$batch/$sd", perBucket.getOrElse(b, Map.empty)).line
+      val stats = perBucket.getOrElse(b, Map.empty[String, ColStats]) ++
+        perBucketRows.get(b).map(rowsStat)
+      Entry(s"data/$batch/$sd", stats).line
     }
     val prev = version(spark, dir)
     val next = prev + 1
     publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
-      (headerLines(manifestHeader(spark, dir, prev)) ++ entries)
+      (headerLines(mergeHeader(manifestHeader(spark, dir, prev),
+        Map(TsKey -> System.currentTimeMillis.toString))) ++ entries)
         .mkString("\n"))
     writeHint(f, new Path(dir, "_latest"), next.toString)
     next
@@ -621,6 +658,51 @@ object ManifestSink {
     * pruning spec and any external planner read. */
   def entries(spark: SparkSession, dir: String, v: Long): Seq[Entry] =
     manifestEntries(spark, dir, v).map(parseEntry)
+
+  /** Exact row count of the current snapshot from manifest METADATA
+    * alone — no data read, no Spark job: every commit records its
+    * batch's count (observed on the write job) in the entry line, so
+    * `count(*)` and the retention-threshold check cost one small-file
+    * read whatever the table size. None when some entry predates row
+    * counts (fall back to `read(...).count()`). */
+  def rowCount(spark: SparkSession, dir: String): Option[Long] = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val per = entries(spark, dir, v)
+      .map(_.stats.get(RowsKey).flatMap(_.min.toLongOption))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** Largest committed version whose commit wall-clock (`#ts` header,
+    * recorded by every commit) is at or before `tsMillis` — the
+    * `VERSION AS OF <timestamp>` resolver. Headerless versions (a
+    * history started before timestamps) order as oldest. Fails if even
+    * the oldest retained version is after the cutoff, or if every
+    * candidate manifest was vacuumed. */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val cur = version(spark, dir)
+    require(cur >= 0, s"ManifestSink at $dir has no committed version")
+    var v = cur
+    while (v >= 0) {
+      val header = scala.util.Try(manifestHeader(spark, dir, v)).toOption
+      header match {
+        case None => v = -1 // vacuumed below here: nothing older remains
+        case Some(h) =>
+          val ts = h.get(TsKey).flatMap(_.toLongOption).getOrElse(Long.MinValue)
+          if (ts <= tsMillis) return v
+          v -= 1
+      }
+    }
+    throw new IllegalArgumentException(
+      s"no retained version at or before timestamp $tsMillis in $dir")
+  }
+
+  /** Time-travel read by wall clock: the newest snapshot committed at or
+    * before `tsMillis` (see [[versionAsOf]]; [[vacuum]] retention
+    * window applies). */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    readAt(spark, dir, versionAsOf(spark, dir, tsMillis), mergeSchema)
 
   /** Closed range predicate on one stats column (None = unbounded side).
     * Bound values must be of the column's own type family (integral for
@@ -958,6 +1040,12 @@ object ManifestSink {
     (0L until keepFrom).foreach { v =>
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
     }
+    // sweep crash-orphaned publish temps: a live appender whose temp is
+    // swept mid-commit just loses the rename and retries; a rewrite
+    // commit fails loudly there, exactly as on any lost race
+    f.listStatus(new Path(dir, "_manifests")).toSeq
+      .filter(_.getPath.getName.endsWith(".tmp"))
+      .foreach(st => f.delete(st.getPath, false))
     f.listStatus(dataRoot).toSeq
       .filter { st =>
         // a z-compacted commit references SUBdirectories of its batch dir

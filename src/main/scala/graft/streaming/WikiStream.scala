@@ -129,10 +129,14 @@ object WikiStream {
         else batch.join(ManifestSink.read(spark, sinkDir)
           .select(DedupKey.map(col): _*), DedupKey, "left_anti")
       ManifestSink.append(fresh, sinkDir)
-      val sink = ManifestSink.read(spark, sinkDir)
-      if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
+      // the threshold check is manifest METADATA (per-entry row counts)
+      // — no table scan per micro-batch; the fallback covers histories
+      // with pre-rowcount entries
+      val n = ManifestSink.rowCount(spark, sinkDir)
+        .getOrElse(ManifestSink.read(spark, sinkDir).count())
+      if (WikiIngest.needsCleanup(n, cfg.dbMaxEvents,
           cfg.cleanupHysteresis)) {
-        val retained = sink
+        val retained = ManifestSink.read(spark, sinkDir)
           .orderBy(col("event_timestamp").desc, col("username"), col("title"))
           .limit(cfg.dbMaxEvents.toInt + 1)
         ManifestSink.replace(retained, sinkDir)
@@ -169,10 +173,13 @@ object WikiStream {
     val spark = batch.sparkSession
     try ManifestSink.appendOnce(batch, sinkDir, batchId)
     finally batch.unpersist()
-    val sink = ManifestSink.read(spark, sinkDir)
-    if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
+    // metadata-only threshold check — with the O(1) replay guard this
+    // makes the whole no-cleanup trigger path free of table reads
+    val n = ManifestSink.rowCount(spark, sinkDir)
+      .getOrElse(ManifestSink.read(spark, sinkDir).count())
+    if (WikiIngest.needsCleanup(n, cfg.dbMaxEvents,
         cfg.cleanupHysteresis)) {
-      val retained = sink
+      val retained = ManifestSink.read(spark, sinkDir)
         .orderBy(col("event_timestamp").desc, col("username"), col("title"))
         .limit(cfg.dbMaxEvents.toInt + 1)
       ManifestSink.replace(retained, sinkDir)
@@ -201,10 +208,11 @@ object WikiStream {
     val unique = graft.ingest.WikiIngest.dedupFirstWins(
       batch, DedupKey, Seq("raw_json")) // key-unique survivor, see scaladoc
     ManifestSink.merge(unique, sinkDir, DedupKey)
-    val sink = ManifestSink.read(spark, sinkDir)
-    if (WikiIngest.needsCleanup(sink.count(), cfg.dbMaxEvents,
+    val n = ManifestSink.rowCount(spark, sinkDir)
+      .getOrElse(ManifestSink.read(spark, sinkDir).count())
+    if (WikiIngest.needsCleanup(n, cfg.dbMaxEvents,
         cfg.cleanupHysteresis)) {
-      val retained = sink
+      val retained = ManifestSink.read(spark, sinkDir)
         .orderBy(col("event_timestamp").desc, col("username"), col("title"))
         .limit(cfg.dbMaxEvents.toInt + 1)
       ManifestSink.replace(retained, sinkDir)

@@ -92,12 +92,12 @@ class ManifestSinkSpec extends SparkSpec {
     ManifestSink.merge(Seq((2L, "B2")).toDF("k", "v"), dir, Seq("k"))
     // copy-on-write pruning: dirs A and C must be carried by REFERENCE —
     // the merged manifest keeps 2 of the 3 original entries verbatim
-    val m2 = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(dir, "_manifests/2.manifest"))
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
-    val m3 = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(dir, "_manifests/3.manifest"))
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    def entryLines(m: String): Set[String] = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, s"_manifests/$m.manifest"))
+      .split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    val m2 = entryLines("2")
+    val m3 = entryLines("3")
     assert(m3.size === 3)
     assert((m2 & m3).size === 2, s"expected 2 carried entries: $m2 vs $m3")
     val got = ManifestSink.read(spark, dir).collect()
@@ -262,7 +262,7 @@ class ManifestSinkSpec extends SparkSpec {
     // the carried stats entry [1,2] is skipped; the rewritten batch (no
     // stats, conservative) is kept
     assert(s2.size === 1 && s2.head.stats.contains("k"))
-    assert(k2.size === 1 && k2.head.stats.isEmpty)
+    assert(k2.size === 1 && !k2.head.stats.contains("k"))
     val after = ManifestSink.read(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after === Map(1L -> "a", 2L -> "b", 500L -> "Z"))
@@ -514,13 +514,13 @@ class ManifestSinkSpec extends SparkSpec {
       Seq((90000L, "user-90000")).toDF("id", "key"), dir)
     val (k2, _) = ManifestSink.prunedEntriesEq(
       spark, dir, "key", "user-90000")
-    assert(k2.exists(_.stats.isEmpty))
+    assert(k2.exists(e => !e.stats.keys.exists(_.endsWith("\u0000bf"))))
     assert(ManifestSink.readWhereEq(spark, dir, "key", "user-90000")
       .count() === 1)
     // range pruning on the same entries still works beside the blooms
     val (k3, s3) = ManifestSink.prunedEntries(
       spark, dir, "id", Some(100000L), None)
-    assert(k3.size === 1 && k3.head.stats.isEmpty && s3.size === 3)
+    assert(k3.size === 1 && !k3.head.stats.contains("id") && s3.size === 3)
   }
 
   test("NaN endpoints never prune: readWhere equals read+filter") {
@@ -774,6 +774,66 @@ class ManifestSinkSpec extends SparkSpec {
     ManifestSink.append(Seq(5L).toDF("v"), dir)
     assert(ManifestSink.lastBatchId(spark, dir) === 2L)
     assert(ManifestSink.read(spark, dir).count() === 5)
+  }
+
+  test("rowCount answers count(*) from manifest metadata across mutations") {
+    val dir = Files.createTempDirectory("msinkrc").toString + "/t"
+    ManifestSink.append(spark.range(0, 100).toDF("v"), dir)
+    ManifestSink.appendWithStats(
+      spark.range(100, 250).selectExpr("id AS v", "id % 7 AS w"),
+      dir, Seq("v"))
+    assert(ManifestSink.rowCount(spark, dir) === Some(250L))
+    // every mutation path maintains the counts
+    ManifestSink.merge(
+      Seq((50L, 0L), (999L, 1L)).toDF("v", "w"), dir, Seq("v"))
+    assert(ManifestSink.rowCount(spark, dir) === Some(251L))
+    ManifestSink.deleteWhere(spark, dir,
+      Seq(ManifestSink.Range("v", Some(0L), Some(9L))))
+    assert(ManifestSink.rowCount(spark, dir) === Some(241L))
+    ManifestSink.compactZOrder(spark, dir, Seq("v", "w"), buckets = 4)
+    assert(ManifestSink.rowCount(spark, dir) === Some(241L))
+    assert(ManifestSink.rowCount(spark, dir).get ===
+      ManifestSink.read(spark, dir).count())
+    // an entry written without a count (pre-feature manifest line)
+    // degrades to None, never to a wrong number
+    val v = ManifestSink.version(spark, dir)
+    val mf = java.nio.file.Paths.get(dir, s"_manifests/${v + 1}.manifest")
+    val stripped = ManifestSink.entries(spark, dir, v)
+      .map(_.path).mkString("\n")
+    java.nio.file.Files.writeString(mf, stripped)
+    assert(ManifestSink.rowCount(spark, dir) === None)
+  }
+
+  test("versionAsOf resolves wall-clock time travel from commit headers") {
+    val dir = Files.createTempDirectory("msinktt").toString + "/t"
+    ManifestSink.append(Seq(1L).toDF("v"), dir)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    ManifestSink.append(Seq(2L).toDF("v"), dir)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    ManifestSink.replace(Seq(9L).toDF("v"), dir)
+    assert(ManifestSink.versionAsOf(spark, dir, t0) === 0L)
+    assert(ManifestSink.versionAsOf(spark, dir, t1) === 1L)
+    assert(ManifestSink.versionAsOf(spark, dir,
+      System.currentTimeMillis()) === 2L)
+    assert(ManifestSink.readAsOf(spark, dir, t1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // a cutoff before the first commit has no version to resolve
+    intercept[IllegalArgumentException] {
+      ManifestSink.versionAsOf(spark, dir, t0 - 3600000L)
+    }
+  }
+
+  test("vacuum sweeps crash-orphaned publish temp files") {
+    val dir = Files.createTempDirectory("msinktmp").toString + "/t"
+    ManifestSink.append(Seq(1L).toDF("v"), dir)
+    val stray = java.nio.file.Paths.get(dir,
+      "_manifests/9.manifest.deadbeef.tmp")
+    java.nio.file.Files.writeString(stray, "orphaned")
+    ManifestSink.vacuum(spark, dir)
+    assert(!java.nio.file.Files.exists(stray))
+    assert(ManifestSink.read(spark, dir).count() === 1)
   }
 
   test("deleteWhere preserves late-added columns across schema evolution") {
