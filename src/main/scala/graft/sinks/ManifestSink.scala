@@ -789,6 +789,107 @@ object ManifestSink {
     base.filter(col(colName) === lit(value))
   }
 
+  /** Split the current snapshot's entries into (kept, skipped) for an
+    * ARBITRARY predicate, by extracting the conjunctive range/equality
+    * bounds the predicate implies on stats columns from its analyzed
+    * expression tree. Extraction is sound by construction: only terms
+    * of the shapes `col (=|<|<=|>|>=) literal` (either operand order,
+    * under any top-level ANDs) contribute bounds — ORs, UDFs,
+    * arithmetic, casts, and null-matching terms contribute nothing and
+    * so never prune an entry the predicate could match. Equality terms
+    * additionally consult per-entry blooms. A bound whose literal
+    * can't be compared against a column's stats (wrong type family) is
+    * treated as undecidable — kept, never dropped. */
+  private[sinks] def prunedEntriesForPredicate(spark: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column,
+      base: DataFrame): (Seq[Entry], Seq[Entry]) = {
+    import org.apache.spark.sql.catalyst.expressions.{And,
+      AttributeReference, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    val cond: Option[Expression] =
+      base.filter(pred).queryExecution.analyzed match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          Some(f.condition)
+        case _ => None
+      }
+    def litVal(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else Option(e.eval()) match {
+        case Some(u: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(u.toString)
+        case v => v
+      }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    val ranges = Seq.newBuilder[Range]
+    val eqs = Seq.newBuilder[(String, Any)]
+    // apply `direct` for (attr op lit), `flipped` for (lit op attr)
+    def bound(l: Expression, r: Expression)(direct: (String, Any) => Unit)(
+        flipped: (String, Any) => Unit): Unit =
+      (attrName(l), litVal(r)) match {
+        case (Some(n), Some(v)) => direct(n, v)
+        case _ => (attrName(r), litVal(l)) match {
+          case (Some(n), Some(v)) => flipped(n, v)
+          case _                  => ()
+        }
+      }
+    def walk(e: Expression): Unit = e match {
+      case And(a, b) => walk(a); walk(b)
+      // strict bounds prune with their inclusive superset — sound
+      case GreaterThanOrEqual(l, r) =>
+        bound(l, r)((n, v) => ranges += Range(n, Some(v), None))(
+          (n, v) => ranges += Range(n, None, Some(v)))
+      case GreaterThan(l, r) =>
+        bound(l, r)((n, v) => ranges += Range(n, Some(v), None))(
+          (n, v) => ranges += Range(n, None, Some(v)))
+      case LessThanOrEqual(l, r) =>
+        bound(l, r)((n, v) => ranges += Range(n, None, Some(v)))(
+          (n, v) => ranges += Range(n, Some(v), None))
+      case LessThan(l, r) =>
+        bound(l, r)((n, v) => ranges += Range(n, None, Some(v)))(
+          (n, v) => ranges += Range(n, Some(v), None))
+      case EqualTo(l, r) =>
+        val both = (n: String, v: Any) => {
+          ranges += Range(n, Some(v), Some(v)); eqs += (n -> v); ()
+        }
+        bound(l, r)(both)(both)
+      case _ => () // unprunable term: no bounds
+    }
+    cond.foreach(walk)
+    val rs = ranges.result()
+    val es = eqs.result()
+    entries(spark, dir, version(spark, dir)).partition { e =>
+      rs.forall { r =>
+        e.stats.get(r.colName).forall(st =>
+          scala.util.Try(st.overlaps(r.lo.map(boundStr), r.hi.map(boundStr)))
+            .getOrElse(true))
+      } && es.forall { case (c, v) =>
+        scala.util.Try(bloomMightContain(e, c, v)).getOrElse(true)
+      }
+    }
+  }
+
+  /** `read(...).filter(pred)` with AUTOMATIC manifest file skipping: the
+    * prunable bounds are extracted from `pred` itself (see
+    * [[prunedEntriesForPredicate]]) and whole batch directories are
+    * skipped by range stats and blooms; the FULL predicate then applies
+    * to the kept directories, so the result is identical to the unpruned
+    * filter whatever was extractable. The lakehouse reader ergonomics:
+    * write the filter once, file skipping falls out — at 100 TB this is
+    * [[readWhere]] without asking callers to hand-compile their
+    * predicates into ranges. */
+  def readFiltered(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val base = read(spark, dir)
+    val (kept, _) = prunedEntriesForPredicate(spark, dir, pred, base)
+    val pruned =
+      if (kept.isEmpty) base.limit(0)
+      else spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*)
+    pruned.filter(pred)
+  }
+
   /** DELETE WHERE with file-granular copy-on-write: removes every row
     * inside the conjunction of `ranges`, rewriting ONLY the batch
     * directories whose manifest stats might contain a match — located

@@ -836,6 +836,38 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.read(spark, dir).count() === 1)
   }
 
+  test("readFiltered prunes from an arbitrary predicate, result identical") {
+    val dir = Files.createTempDirectory("msinkrf").toString + "/t"
+    (0 until 3).foreach { k =>
+      ManifestSink.appendWithStats(
+        spark.range(k * 100L, (k + 1) * 100L)
+          .selectExpr("id", "concat('u-', id) AS key"),
+        dir, Seq("id"), bloomCols = Seq("key"))
+    }
+    def check(pred: org.apache.spark.sql.Column, expectKept: Int): Unit = {
+      val (kept, _) = ManifestSink.prunedEntriesForPredicate(
+        spark, dir, pred, ManifestSink.read(spark, dir))
+      assert(kept.size === expectKept, s"pred $pred kept ${kept.size}")
+      val got = ManifestSink.readFiltered(spark, dir, pred)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = ManifestSink.read(spark, dir).filter(pred)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want)
+    }
+    // conjunctive range + an unprunable arithmetic term: middle dir only
+    check($"id" >= 120L && $"id" < 180L && $"id" % 7 === 0, 1)
+    // reversed literal order
+    check(org.apache.spark.sql.functions.lit(250L) <= $"id", 1)
+    // equality on the bloom column localizes the key's directory
+    check($"key" === "u-42", 1)
+    // OR extracts nothing — all dirs scanned, result still exact
+    check($"id" === 5L || $"id" === 250L, 3)
+    // a null-matching term never contributes bounds
+    check($"id".isNull || $"id" >= 0L, 3)
+    // strict bounds prune as their inclusive superset
+    check($"id" > 100L && $"id" < 199L, 1)
+  }
+
   test("deleteWhere preserves late-added columns across schema evolution") {
     val dir = Files.createTempDirectory("msinkde").toString + "/t"
     ManifestSink.appendWithStats(
