@@ -428,6 +428,15 @@ object ManifestSink {
     val line = Entry(s"data/$batch",
       writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
         rowsStat(rows)).line
+    commitAppendLines(spark, dir, Seq(line), header)
+  }
+
+  /** The CAS loop shared by every appending commit: publish `newLines`
+    * appended to the current snapshot's entries, rebasing and retrying
+    * on a lost race (the data these lines reference is already on disk
+    * and immutable — only the manifest rebases). */
+  private def commitAppendLines(spark: SparkSession, dir: String,
+      newLines: Seq[String], header: Map[String, String]): Long = {
     val f = fs(spark, dir)
     var committed = -1L
     var attempts = 0
@@ -439,7 +448,7 @@ object ManifestSink {
       val lines =
         headerLines(mergeHeader(manifestHeader(spark, dir, prev),
           header + (TsKey -> System.currentTimeMillis.toString))) ++
-          manifestEntries(spark, dir, prev) :+ line
+          manifestEntries(spark, dir, prev) ++ newLines
       if (tryPublishNew(f, new Path(dir, s"_manifests/$next.manifest"),
           lines.mkString("\n"))) committed = next
       else {
@@ -469,6 +478,43 @@ object ManifestSink {
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01): Long =
     commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp)
+
+  /** Append a batch split into ONE MANIFEST ENTRY PER VALUE of
+    * `partCol` — the time-partitioned fact-table layout. A wide batch
+    * appended as one entry gets one [min,max] per column; per-partition
+    * entries keep range scans pruning at PARTITION granularity from the
+    * first commit, and a later `deleteWhere`/`merge` rewrites single
+    * partitions instead of the whole batch. The partition column is
+    * duplicated into the subdir name (Spark's partitionBy drops it from
+    * the files, so a `__p` copy carries the naming while the real
+    * column stays in the data — entry-path reads lose nothing). Stats
+    * on `statsCols` plus `partCol` and the exact row count are recorded
+    * per partition: one small stats job per NEW partition — bounded by
+    * partitions-per-batch (a daily load has a handful), never by table
+    * size. Multi-writer safe like [[append]] (same rebase loop; all of
+    * this batch's partition entries publish atomically in one commit). */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    require(df.columns.contains(partCol),
+      s"partition column $partCol not in ${df.columns.mkString(",")}")
+    val batch = java.util.UUID.randomUUID().toString
+    val staging = s"$dir/data/$batch"
+    df.withColumn("__p", col(partCol))
+      .write.partitionBy("__p").parquet(staging)
+    val f = fs(spark, dir)
+    val subdirs = f.listStatus(new Path(staging))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__p=")).sorted
+    val wantStats = (statsCols :+ partCol).distinct
+    val lines = subdirs.toSeq.map { sd =>
+      val sub = spark.read.parquet(s"$staging/$sd")
+      val stats = batchStats(sub, wantStats) + rowsStat(sub.count())
+      Entry(s"data/$batch/$sd", stats).line
+    }
+    commitAppendLines(spark, dir, lines, Map.empty)
+  }
 
   /** Header key holding the last exactly-once-folded batch id. */
   private val BatchKey = "batch"
@@ -673,6 +719,39 @@ object ManifestSink {
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
+  /** tag-typed `<=` over the stats string encoding ('L' long, 'D'
+    * double, 'S' unsigned-UTF-8). */
+  private def leTagged(tag: Char, a: String, b: String): Boolean = tag match {
+    case 'L' => a.toLong <= b.toLong
+    case 'D' => a.toDouble <= b.toDouble
+    case _ =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(StandardCharsets.UTF_8),
+        b.getBytes(StandardCharsets.UTF_8)) <= 0
+  }
+
+  /** Min/max of `colName` over the current snapshot from manifest
+    * METADATA alone — the MIN/MAX aggregate without touching data.
+    * None when any entry lacks stats for the column, entries disagree
+    * on the stats tag, or a double endpoint is NaN (undecidable order)
+    * — callers then aggregate the data instead. Returns the tag and
+    * the min/max in the stats string encoding. */
+  def colBounds(spark: SparkSession, dir: String,
+      colName: String): Option[(Char, String, String)] = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val sts = entries(spark, dir, v).map(_.stats.get(colName))
+    if (sts.isEmpty || sts.exists(_.isEmpty)) return None
+    val all = sts.flatten
+    val tag = all.head.tag
+    if (tag == 'B' || all.exists(_.tag != tag)) return None
+    if (tag == 'D' && all.exists(st =>
+        st.min.toDouble.isNaN || st.max.toDouble.isNaN)) return None
+    val mn = all.map(_.min).reduce((a, b) => if (leTagged(tag, a, b)) a else b)
+    val mx = all.map(_.max).reduce((a, b) => if (leTagged(tag, a, b)) b else a)
+    Some((tag, mn, mx))
+  }
+
   /** Largest committed version whose commit wall-clock (`#ts` header,
     * recorded by every commit) is at or before `tsMillis` — the
     * `VERSION AS OF <timestamp>` resolver. Headerless versions (a
@@ -805,7 +884,7 @@ object ManifestSink {
       base: DataFrame): (Seq[Entry], Seq[Entry]) = {
     import org.apache.spark.sql.catalyst.expressions.{And,
       AttributeReference, EqualTo, Expression, GreaterThan,
-      GreaterThanOrEqual, LessThan, LessThanOrEqual}
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
     val cond: Option[Expression] =
       base.filter(pred).queryExecution.analyzed match {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -825,6 +904,7 @@ object ManifestSink {
     }
     val ranges = Seq.newBuilder[Range]
     val eqs = Seq.newBuilder[(String, Any)]
+    val ins = Seq.newBuilder[(String, Seq[Any])]
     // apply `direct` for (attr op lit), `flipped` for (lit op attr)
     def bound(l: Expression, r: Expression)(direct: (String, Any) => Unit)(
         flipped: (String, Any) => Unit): Unit =
@@ -855,11 +935,20 @@ object ManifestSink {
           ranges += Range(n, Some(v), Some(v)); eqs += (n -> v); ()
         }
         bound(l, r)(both)(both)
+      // IN prunes as the DISJUNCTION of its values: an entry survives if
+      // ANY value might be present (range + bloom per value). Lists with
+      // a null member are skipped whole — conservative
+      case In(a, vs) =>
+        for (n <- attrName(a)) {
+          val vals = vs.flatMap(litVal)
+          if (vals.nonEmpty && vals.size == vs.size) ins += (n -> vals)
+        }
       case _ => () // unprunable term: no bounds
     }
     cond.foreach(walk)
     val rs = ranges.result()
     val es = eqs.result()
+    val is = ins.result()
     entries(spark, dir, version(spark, dir)).partition { e =>
       rs.forall { r =>
         e.stats.get(r.colName).forall(st =>
@@ -867,6 +956,13 @@ object ManifestSink {
             .getOrElse(true))
       } && es.forall { case (c, v) =>
         scala.util.Try(bloomMightContain(e, c, v)).getOrElse(true)
+      } && is.forall { case (c, vals) =>
+        vals.exists { v =>
+          scala.util.Try(
+            e.stats.get(c).forall(
+              _.overlaps(Some(boundStr(v)), Some(boundStr(v)))) &&
+              bloomMightContain(e, c, v)).getOrElse(true)
+        }
       }
     }
   }

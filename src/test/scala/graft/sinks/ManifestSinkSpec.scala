@@ -868,6 +868,83 @@ class ManifestSinkSpec extends SparkSpec {
     check($"id" > 100L && $"id" < 199L, 1)
   }
 
+  test("appendPartitioned creates one stat-carrying entry per partition") {
+    val dir = Files.createTempDirectory("msinkap").toString + "/t"
+    // a wide batch spanning 4 days: as one entry it would never prune a
+    // single-day scan; per-partition entries prune to one dir
+    val rows = spark.range(0, 400).selectExpr(
+      "id", "CAST(id / 100 AS INT) AS day", "id * 2 AS v")
+    val ver = ManifestSink.appendPartitioned(rows, dir, "day", Seq("id"))
+    val es = ManifestSink.entries(spark, dir, ver)
+    assert(es.size === 4)
+    // every entry carries day + id stats and its row count
+    assert(ManifestSink.rowCount(spark, dir) === Some(400L))
+    val (kept, skipped) = ManifestSink.prunedEntries(
+      spark, dir, "day", Some(2), Some(2))
+    assert(kept.size === 1 && skipped.size === 3)
+    // the partition column survives the entry-path read
+    val snap = ManifestSink.read(spark, dir)
+    assert(snap.columns.toSet === Set("id", "day", "v"))
+    assert(snap.count() === 400)
+    assert(ManifestSink.readWhere(spark, dir, "day", Some(2), Some(2))
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) ===
+      (200L until 300L).sum)
+    // a day-range delete rewrites only the matching partitions
+    val before = ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir)).map(_.line).toSet
+    ManifestSink.deleteWhere(spark, dir,
+      Seq(ManifestSink.Range("day", Some(3), Some(3))))
+    val after = ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir)).map(_.line).toSet
+    assert((before & after).size === 3) // days 0-2 carried verbatim
+    assert(ManifestSink.read(spark, dir).count() === 300)
+  }
+
+  test("colBounds answers min/max from manifest metadata") {
+    val dir = Files.createTempDirectory("msinkcb").toString + "/t"
+    ManifestSink.appendWithStats(
+      spark.range(50, 150).selectExpr("id", "concat('k', id) AS s"),
+      dir, Seq("id", "s"))
+    ManifestSink.appendWithStats(
+      spark.range(0, 50).selectExpr("id", "concat('k', id) AS s"),
+      dir, Seq("id", "s"))
+    assert(ManifestSink.colBounds(spark, dir, "id") ===
+      Some(('L', "0", "149")))
+    // string bounds: unsigned-UTF-8 order, k0 < k99
+    assert(ManifestSink.colBounds(spark, dir, "s") ===
+      Some(('S', "k0", "k99")))
+    // a stats-less entry degrades to None, never a wrong bound
+    ManifestSink.append(spark.range(500, 501)
+      .selectExpr("id", "'z' AS s"), dir)
+    assert(ManifestSink.colBounds(spark, dir, "id") === None)
+  }
+
+  test("readFiltered prunes IN lists by value ranges and blooms") {
+    val dir = Files.createTempDirectory("msinkin").toString + "/t"
+    (0 until 3).foreach { k =>
+      ManifestSink.appendWithStats(
+        spark.range(k * 100L, (k + 1) * 100L)
+          .selectExpr("id", "concat('u-', id) AS key"),
+        dir, Seq("id"), bloomCols = Seq("key"))
+    }
+    // both IN values live in the first dir: 2 of 3 pruned
+    val p1 = $"id".isin(5L, 42L)
+    val (k1, s1) = ManifestSink.prunedEntriesForPredicate(
+      spark, dir, p1, ManifestSink.read(spark, dir))
+    assert(k1.size === 1 && s1.size === 2)
+    assert(ManifestSink.readFiltered(spark, dir, p1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 42L))
+    // values spanning two dirs keep both, skip the third
+    val p2 = $"id".isin(5L, 250L)
+    assert(ManifestSink.prunedEntriesForPredicate(
+      spark, dir, p2, ManifestSink.read(spark, dir))._1.size === 2)
+    // bloom-column IN localizes by filter probes
+    val p3 = $"key".isin("u-42", "u-55")
+    assert(ManifestSink.prunedEntriesForPredicate(
+      spark, dir, p3, ManifestSink.read(spark, dir))._1.size === 1)
+    assert(ManifestSink.readFiltered(spark, dir, p3).count() === 2)
+  }
+
   test("deleteWhere preserves late-added columns across schema evolution") {
     val dir = Files.createTempDirectory("msinkde").toString + "/t"
     ManifestSink.appendWithStats(
