@@ -193,6 +193,54 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  /** Partitioned layout + predicate skipping through the gate: events
+    * land via [[ManifestSink.appendPartitioned]] keyed on a derived
+    * day-bucket column (one stat-carrying manifest entry per bucket —
+    * the date-partitioned fact table), and the aggregate reads through
+    * [[ManifestSink.readFiltered]] with a predicate mixing prunable
+    * bounds (the bucket range) and an unprunable term (value % filter)
+    * — so partition splitting, per-partition stats, predicate-to-bounds
+    * extraction, AND the partition column's survival through entry-path
+    * reads are all oracle-checked against the source table.
+    *
+    * Scale: the layout is the one a time-partitioned 100 TB table has;
+    * the scan prunes to the 2 matching partitions at manifest level;
+    * per-partition stats cost one small job per partition at write. */
+  private val q102: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val bucketW = maxId / 5 + 1
+    val sink = freshScratch("graft_q102", dir) + "/events_sink"
+    ManifestSink.appendPartitioned(
+      ev.withColumn("day", ($"event_id" / bucketW).cast("int")),
+      sink, "day", Seq("event_id"))
+    ManifestSink.readFiltered(s, sink,
+      $"day" >= 1 && $"day" <= 2 && $"event_id" % 3 =!= 0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("sum_value"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+  private val q102Sql =
+    s"""WITH w AS (SELECT MAX(event_id) // 5 + 1 AS bw FROM events),
+       |bucketed AS (
+       |  SELECT e.*, CAST(event_id // bw AS INT) AS day
+       |  FROM events e CROSS JOIN w)
+       |SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  MIN(event_id) AS min_id,
+       |  MAX(event_id) AS max_id
+       |FROM bucketed
+       |WHERE day BETWEEN 1 AND 2 AND event_id % 3 <> 0
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- q100
   /** FLAGSHIP lakehouse lifecycle: every mutation the sink supports,
     * chained on one table, then answered through the pruned scan —
@@ -271,11 +319,13 @@ object SinkOps {
     "q88_manifest_roundtrip" -> q88,
     "q98_incremental_view" -> q98,
     "q100_lakehouse_lifecycle" -> q100,
-    "q101_exactly_once_fold" -> q101)
+    "q101_exactly_once_fold" -> q101,
+    "q102_partitioned_scan" -> q102)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
     "q98_incremental_view" -> q98Sql,
     "q100_lakehouse_lifecycle" -> q100Sql,
-    "q101_exactly_once_fold" -> q101Sql)
+    "q101_exactly_once_fold" -> q101Sql,
+    "q102_partitioned_scan" -> q102Sql)
 }

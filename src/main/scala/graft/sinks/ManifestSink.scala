@@ -879,7 +879,7 @@ object ManifestSink {
     * additionally consult per-entry blooms. A bound whose literal
     * can't be compared against a column's stats (wrong type family) is
     * treated as undecidable — kept, never dropped. */
-  private[sinks] def prunedEntriesForPredicate(spark: SparkSession,
+  def prunedEntriesForPredicate(spark: SparkSession,
       dir: String, pred: org.apache.spark.sql.Column,
       base: DataFrame): (Seq[Entry], Seq[Entry]) = {
     import org.apache.spark.sql.catalyst.expressions.{And,

@@ -41,4 +41,24 @@ class SinkOpsSpec extends SparkSpec {
       spark, sink, "event_id", Some(cut1 + 1), Some(cut2))
     assert(kept.size === 1 && skipped.size === 2)
   }
+
+  test("q102's predicate scan prunes to the two matching partitions") {
+    val ev = Tables(spark, sf, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val bucketW = maxId / 5 + 1
+    val sink = java.nio.file.Files
+      .createTempDirectory("sinkops102_").toString + "/t"
+    ManifestSink.appendPartitioned(
+      ev.withColumn("day", ($"event_id" / bucketW).cast("int")),
+      sink, "day", Seq("event_id"))
+    val all = ManifestSink.entries(spark, sink,
+      ManifestSink.version(spark, sink))
+    assert(all.size >= 5) // one entry per day bucket
+    val (kept, skipped) = ManifestSink.prunedEntriesForPredicate(
+      spark, sink, $"day" >= 1 && $"day" <= 2 && $"event_id" % 3 =!= 0,
+      ManifestSink.read(spark, sink))
+    assert(kept.size === 2, s"kept ${kept.size} of ${all.size}")
+    assert(skipped.size === all.size - 2)
+  }
 }
