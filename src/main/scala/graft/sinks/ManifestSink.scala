@@ -494,7 +494,12 @@ object ManifestSink {
     * size. Multi-writer safe like [[append]] (same rebase loop; all of
     * this batch's partition entries publish atomically in one commit). */
   def appendPartitioned(df: DataFrame, dir: String, partCol: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+    appendPartitionedWithHeader(df, dir, partCol, statsCols, Map.empty)
+
+  private def appendPartitionedWithHeader(df: DataFrame, dir: String,
+      partCol: String, statsCols: Seq[String],
+      header: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     require(df.columns.contains(partCol),
@@ -513,7 +518,45 @@ object ManifestSink {
       val stats = batchStats(sub, wantStats) + rowsStat(sub.count())
       Entry(s"data/$batch/$sd", stats).line
     }
-    commitAppendLines(spark, dir, lines, Map.empty)
+    commitAppendLines(spark, dir, lines, header)
+  }
+
+  /** [[appendOnce]] × [[appendPartitioned]]: exactly-once epoch folding
+    * into the partitioned layout — the production streaming shape for a
+    * date-partitioned table (each epoch lands one stat-carrying entry
+    * per partition it touches; a replayed epoch is skipped from the
+    * manifest header). Same caveats as both parents. */
+  def appendOncePartitioned(df: DataFrame, dir: String, batchId: Long,
+      partCol: String, statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val cur = version(spark, dir)
+    if (cur >= 0 && lastBatchId(spark, dir) >= batchId) return cur
+    appendPartitionedWithHeader(df, dir, partCol, statsCols,
+      Map(BatchKey -> batchId.toString))
+  }
+
+  /** Compact ONE partition of an [[appendPartitioned]] table: every
+    * entry whose `partCol` stats pin it to exactly `value` is rewritten
+    * into a single fresh entry; everything else carries by reference.
+    * The per-partition OPTIMIZE of a streaming date-partitioned table —
+    * epochs accumulate one entry per (epoch × partition) and this folds
+    * one partition's pile back to one entry without touching the rest.
+    * Entries without `partCol` stats are never touched (they may span
+    * partitions). No-op when the partition already has ≤ 1 entry.
+    * Single-writer like every rewriting commit. */
+  def compactPartition(spark: SparkSession, dir: String, partCol: String,
+      value: Any, statsCols: Seq[String] = Nil): Long = {
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    val v = boundStr(value)
+    val (target, rest) = entries(spark, dir, prev).partition { e =>
+      e.stats.get(partCol).exists(st => st.min == v && st.max == v)
+    }
+    if (target.size <= 1) return prev
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(target.map(e => s"$dir/${e.path}"): _*)
+    commit(spark, dir, merged, rest.map(_.line),
+      (statsCols :+ partCol).distinct)
   }
 
   /** Header key holding the last exactly-once-folded batch id. */

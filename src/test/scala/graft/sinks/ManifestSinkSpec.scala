@@ -707,11 +707,15 @@ class ManifestSinkSpec extends SparkSpec {
     pool.shutdown()
     val n = threads * perThread
     // every commit got a distinct contiguous version
-    assert(versions.sorted === (0L until n.toLong))
+    assert(versions.sorted === (0L until n.toLong),
+      s"committed versions: ${versions.sorted.mkString(",")}")
     assert(ManifestSink.version(spark, dir) === n - 1L)
     // no batch lost, none duplicated
     val vals = ManifestSink.read(spark, dir).collect().map(_.getLong(0))
-    assert(vals.length === n * 100)
+    assert(vals.length === n * 100,
+      s"got ${vals.length} rows; missing ${
+        ((0L until n * 100L).toSet -- vals).take(5)}, dup ${
+        vals.groupBy(identity).filter(_._2.length > 1).keys.take(5)}")
     assert(vals.toSet === (0L until n * 100L).toSet)
     // the final manifest references every batch exactly once
     val entries = ManifestSink.entries(spark, dir, n - 1L)
@@ -898,6 +902,45 @@ class ManifestSinkSpec extends SparkSpec {
       ManifestSink.version(spark, dir)).map(_.line).toSet
     assert((before & after).size === 3) // days 0-2 carried verbatim
     assert(ManifestSink.read(spark, dir).count() === 300)
+  }
+
+  test("exactly-once partitioned epochs fold once; partition compaction") {
+    val dir = Files.createTempDirectory("msinkop").toString + "/t"
+    def epoch(from: Long, to: Long) = spark.range(from, to)
+      .selectExpr("id", "CAST(id % 3 AS INT) AS day")
+    // three epochs, each touching all 3 day-partitions → 9 entries
+    ManifestSink.appendOncePartitioned(epoch(0, 30), dir, 0L, "day")
+    ManifestSink.appendOncePartitioned(epoch(30, 60), dir, 1L, "day")
+    // replayed epoch 1: skipped from the header, no new entries
+    ManifestSink.appendOncePartitioned(epoch(30, 60), dir, 1L, "day")
+    ManifestSink.appendOncePartitioned(epoch(60, 90), dir, 2L, "day")
+    val all = ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir))
+    assert(all.size === 9)
+    assert(ManifestSink.rowCount(spark, dir) === Some(90L))
+    assert(ManifestSink.lastBatchId(spark, dir) === 2L)
+    // fold day=1's three entries into one; others carry verbatim
+    val before = all.map(_.line).toSet
+    val v = ManifestSink.compactPartition(spark, dir, "day", 1)
+    val after = ManifestSink.entries(spark, dir, v)
+    assert(after.size === 7)
+    assert((before & after.map(_.line).toSet).size === 6)
+    // content identical, counts maintained, epoch marker survived
+    assert(ManifestSink.read(spark, dir).count() === 90)
+    assert(ManifestSink.rowCount(spark, dir) === Some(90L))
+    assert(ManifestSink.lastBatchId(spark, dir) === 2L)
+    // the compacted entry still prunes single-day scans
+    val (kept, _) = ManifestSink.prunedEntries(
+      spark, dir, "day", Some(1), Some(1))
+    assert(kept.size === 1)
+    assert(ManifestSink.readWhere(spark, dir, "day", Some(1), Some(1))
+      .count() === 30)
+    // compacting an already-single partition is a no-op
+    assert(ManifestSink.compactPartition(spark, dir, "day", 1) === v)
+    // vacuum reclaims the three replaced day-1 staging dirs' batch? no —
+    // the three source BATCH dirs still hold days 0 and 2: nothing is
+    // reclaimable until those partitions compact too
+    assert(ManifestSink.vacuum(spark, dir).isEmpty)
   }
 
   test("colBounds answers min/max from manifest metadata") {
