@@ -125,16 +125,12 @@ object ManifestSink {
       * stay a superset of the exact filter. */
     def overlaps(lo: Option[String], hi: Option[String]): Boolean = {
       if (tag == 'B') return true // bloom payload: range-undecidable
-      def le(a: String, b: String): Boolean = tag match {
-        case 'L' => a.toLong <= b.toLong
-        case 'D' =>
-          val (x, y) = (a.toDouble, b.toDouble)
-          x.isNaN || y.isNaN || x <= y
-        case _ =>
-          java.util.Arrays.compareUnsigned(
-            a.getBytes(StandardCharsets.UTF_8),
-            b.getBytes(StandardCharsets.UTF_8)) <= 0
-      }
+      // NaN endpoints are undecidable → treated as ordered (true) so the
+      // entry is never pruned; everything else delegates to the shared
+      // tag comparator
+      def le(a: String, b: String): Boolean =
+        if (tag == 'D' && (a.toDouble.isNaN || b.toDouble.isNaN)) true
+        else leTagged(tag, a, b)
       lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
     }
   }
@@ -158,12 +154,24 @@ object ManifestSink {
 
   /** Write `df` to `dataDir` and return the exact row count, observed
     * as an accumulator on the write job itself -- no second pass, no
-    * extra job. */
+    * extra job. The observation result arrives via the listener bus,
+    * which can drop events under extreme driver load; rather than hang
+    * the commit path on `Observation.get`'s unbounded wait, a bounded
+    * wait falls back to counting the written files (one cheap parquet
+    * metadata pass over the batch just written). */
   private def writeCounted(df: DataFrame, dataDir: String): Long = {
     import org.apache.spark.sql.functions.{count, lit}
     val obs = org.apache.spark.sql.Observation()
     df.observe(obs, count(lit(1)).as("n")).write.parquet(dataDir)
-    obs.get("n").asInstanceOf[Long]
+    try {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get("n").asInstanceOf[Long]),
+        scala.concurrent.duration.Duration(30, "s"))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        df.sparkSession.read.parquet(dataDir).count()
+    }
   }
 
   private def rowsStat(n: Long): (String, ColStats) =
@@ -298,19 +306,26 @@ object ManifestSink {
       k -> v
     }.toMap
 
+  /** Rewriting commit. `basedOn` is the version the caller PLANNED
+    * `baseEntries` against — the publish targets exactly `basedOn + 1`,
+    * so if ANY other commit (e.g. a concurrent rebasing append) landed
+    * after planning, the conditional put hits an existing name and
+    * fails loudly instead of silently dropping the interloper's entries
+    * from the new snapshot. Re-resolving the version here would defeat
+    * the staleness check: the name would simply slide past the
+    * concurrent commit. */
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
-      baseEntries: Seq[String], statsCols: Seq[String] = Nil,
+      baseEntries: Seq[String], basedOn: Long, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     val rows = writeCounted(df, dataDir)
     val stats = writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
       rowsStat(rows)
-    val prev = version(spark, dir)
-    val lines = headerLines(mergeHeader(manifestHeader(spark, dir, prev),
+    val lines = headerLines(mergeHeader(manifestHeader(spark, dir, basedOn),
       Map(TsKey -> System.currentTimeMillis.toString))) ++
       baseEntries :+ Entry(s"data/$batch", stats).line
-    val next = prev + 1
+    val next = basedOn + 1
     val f = fs(spark, dir)
     // commit point: this rename (new name — nothing is deleted first)
     publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
@@ -452,6 +467,15 @@ object ManifestSink {
       if (tryPublishNew(f, new Path(dir, s"_manifests/$next.manifest"),
           lines.mkString("\n"))) committed = next
       else {
+        // only a COMPETING COMMIT makes the conditional put lose (the
+        // winner's manifest occupies the name, so the listing advanced);
+        // a failed rename with no version advance is an infrastructure
+        // failure (permissions, disk full, store errors) — retrying
+        // 1000× would only mask it
+        require(listedVersion(f, dir) > prev,
+          s"failed to publish manifest $next at $dir: rename failed " +
+            "but no competing commit advanced the version — " +
+            "infrastructure failure, not a commit race")
         attempts += 1
         require(attempts < 1000,
           s"append to $dir starved: lost $attempts consecutive commit races")
@@ -500,7 +524,8 @@ object ManifestSink {
   private def appendPartitionedWithHeader(df: DataFrame, dir: String,
       partCol: String, statsCols: Seq[String],
       header: Map[String, String]): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, input_file_name,
+      regexp_extract}
     val spark = df.sparkSession
     require(df.columns.contains(partCol),
       s"partition column $partCol not in ${df.columns.mkString(",")}")
@@ -512,10 +537,23 @@ object ManifestSink {
     val subdirs = f.listStatus(new Path(staging))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__p=")).sorted
+    // an empty batch writes no partition subdirs: committing would
+    // publish an entry-less manifest (unreadable as a first version) —
+    // a no-op instead, and an exactly-once marker is NOT advanced
+    // (replaying an empty epoch is a no-op whatever the marker says)
+    if (subdirs.isEmpty) return version(spark, dir)
+    // stats + counts per partition in ONE grouped pass, keyed by the
+    // Hive subdir name extracted from each row's file path — no
+    // per-partition jobs, no partition-value escaping guesswork
     val wantStats = (statsCols :+ partCol).distinct
+    val written = spark.read.parquet(staging)
+      .withColumn("__sd",
+        regexp_extract(input_file_name(), "(__p=[^/]+)/[^/]+$", 1))
+    val perPart = groupedStatsWithCount(written, col("__sd"), wantStats)
     val lines = subdirs.toSeq.map { sd =>
-      val sub = spark.read.parquet(s"$staging/$sd")
-      val stats = batchStats(sub, wantStats) + rowsStat(sub.count())
+      val stats = perPart.get(sd)
+        .map { case (n, st) => st + rowsStat(n) }
+        .getOrElse(Map.empty[String, ColStats])
       Entry(s"data/$batch/$sd", stats).line
     }
     commitAppendLines(spark, dir, lines, header)
@@ -555,7 +593,7 @@ object ManifestSink {
     if (target.size <= 1) return prev
     val merged = spark.read.option("mergeSchema", "true")
       .parquet(target.map(e => s"$dir/${e.path}"): _*)
-    commit(spark, dir, merged, rest.map(_.line),
+    commit(spark, dir, merged, rest.map(_.line), prev,
       (statsCols :+ partCol).distinct)
   }
 
@@ -601,8 +639,10 @@ object ManifestSink {
 
   /** Replace the whole table content (compaction/retention commit):
     * previous data files become unreferenced, reclaim via [[vacuum]]. */
-  def replace(df: DataFrame, dir: String): Long =
-    commit(df.sparkSession, dir, df, Nil)
+  def replace(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    commit(spark, dir, df, Nil, version(spark, dir))
+  }
 
   /** Compact the current snapshot into a single batch directory (the
     * OPTIMIZE analog): content-identical rows, one entry in the new
@@ -616,11 +656,16 @@ object ManifestSink {
       statsCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     // mergeSchema: compacting a schema-evolved table must carry EVERY
-    // column — the single-schema read would silently drop late-added ones
-    val snap = read(spark, dir, mergeSchema = true)
+    // column — the single-schema read would silently drop late-added ones.
+    // The version is PINNED: the rewrite commits against exactly the
+    // snapshot it read, so a concurrent append fails this commit loudly
+    // instead of being silently dropped
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    val snap = readAt(spark, dir, prev, mergeSchema = true)
     val clustered =
       if (sortCols.isEmpty) snap else snap.sort(sortCols.map(col): _*)
-    commit(spark, dir, clustered, Nil, statsCols)
+    commit(spark, dir, clustered, Nil, prev, statsCols)
   }
 
   /** Z-order compaction: rewrite the current snapshot clustered on the
@@ -654,7 +699,11 @@ object ManifestSink {
     val totalBits = bitsPerDim * nd
     val kBits = 31 - Integer.numberOfLeadingZeros(buckets)
     require(kBits <= totalBits, s"buckets 2^$kBits exceeds z space")
-    val snap = read(spark, dir, mergeSchema = true)
+    // pinned snapshot: the rewrite commits against exactly the version it
+    // read — a concurrent append fails this commit loudly, never vanishes
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    val snap = readAt(spark, dir, prev, mergeSchema = true)
     val boundAggs = zCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"__mn_$c"),
       max(col(c)).cast("double").as(s"__mx_$c")))
@@ -683,28 +732,22 @@ object ManifestSink {
     val batch = java.util.UUID.randomUUID().toString
     val staging = s"$dir/data/$batch"
     snap.withColumn("__zb", zb).write.partitionBy("__zb").parquet(staging)
-    // per-bucket stats from the written files (one columnar min/max pass);
-    // __zb rides along as the inferred partition column
+    // per-bucket stats + exact row counts from the written files — ONE
+    // grouped columnar pass; __zb rides along as the inferred partition
+    // column, so every z entry stays [[rowCount]]-addressable
     val written = spark.read.parquet(staging)
-    val perBucket: Map[Long, Map[String, ColStats]] =
-      if (statsCols.isEmpty) Map.empty
-      else groupedStats(written, "__zb", statsCols)
-    // per-bucket exact row counts (one tiny aggregate over the written
-    // files) — every z entry stays [[rowCount]]-addressable
-    val perBucketRows: Map[Long, Long] = written
-      .groupBy(col("__zb")).count().collect()
-      .map(r => r.getAs[Number]("__zb").longValue -> r.getLong(1)).toMap
+    val perBucket = groupedStatsWithCount(written, col("__zb"), statsCols)
     val f = fs(spark, dir)
     val subdirs = f.listStatus(new Path(staging))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__zb=")).sortBy(_.stripPrefix("__zb=").toLong)
     val entries = subdirs.map { sd =>
-      val b = sd.stripPrefix("__zb=").toLong
-      val stats = perBucket.getOrElse(b, Map.empty[String, ColStats]) ++
-        perBucketRows.get(b).map(rowsStat)
+      val b = sd.stripPrefix("__zb=")
+      val stats = perBucket.get(b)
+        .map { case (n, st) => st + rowsStat(n) }
+        .getOrElse(Map.empty[String, ColStats])
       Entry(s"data/$batch/$sd", stats).line
     }
-    val prev = version(spark, dir)
     val next = prev + 1
     publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
       (headerLines(mergeHeader(manifestHeader(spark, dir, prev),
@@ -714,11 +757,14 @@ object ManifestSink {
     next
   }
 
-  /** [[batchStats]] per group: min/max of each supported stats column
-    * keyed by `groupCol` — one aggregate, ≤ #groups driver rows. */
-  private def groupedStats(df: DataFrame, groupCol: String,
-      statsCols: Seq[String]): Map[Long, Map[String, ColStats]] = {
-    import org.apache.spark.sql.functions.{col, max, min}
+  /** [[batchStats]] + exact row count per group, keyed by the STRING
+    * form of `groupKey` — ONE aggregate over the frame, ≤ #groups
+    * driver rows, whatever the key's type (z buckets, Hive partition
+    * subdir names, …). */
+  private def groupedStatsWithCount(df: DataFrame,
+      groupKey: org.apache.spark.sql.Column, statsCols: Seq[String])
+      : Map[String, (Long, Map[String, ColStats])] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     import org.apache.spark.sql.types._
     val typed = statsCols.flatMap { c =>
       df.schema.find(_.name == c).flatMap(f => f.dataType match {
@@ -728,18 +774,18 @@ object ManifestSink {
         case _                                             => None
       })
     }
-    if (typed.isEmpty) return Map.empty
-    val aggs = typed.flatMap { case (c, _) =>
+    val aggs = count(lit(1)).as("__n") +: typed.flatMap { case (c, _) =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")) }
-    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(groupKey.cast("string").as("__g"))
+      .agg(aggs.head, aggs.drop(1): _*)
       .collect().map { row =>
-        val g = row.getAs[Number](groupCol).longValue
-        g -> typed.flatMap { case (c, tag) =>
+        val stats = typed.flatMap { case (c, tag) =>
           val mn = row.getAs[Any](s"__mn_$c")
           val mx = row.getAs[Any](s"__mx_$c")
           if (mn == null || mx == null) None
           else Some(c -> ColStats(tag, boundStr(mn), boundStr(mx)))
         }.toMap
+        row.getAs[String]("__g") -> (row.getAs[Long]("__n") -> stats)
       }.toMap
   }
 
@@ -1062,7 +1108,7 @@ object ManifestSink {
       // null range values never match a range predicate, so null rows
       // survive a delete — same semantics as SQL DELETE WHERE
       .filter(!coalesceFalse(matches))
-    commit(spark, dir, survivors, untouched.map(_.line), statsCols)
+    commit(spark, dir, survivors, untouched.map(_.line), prev, statsCols)
   }
 
   private def coalesceFalse(c: org.apache.spark.sql.Column) = {
@@ -1088,7 +1134,7 @@ object ManifestSink {
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
       .filter(!coalesceFalse(col(colName) === lit(value)))
-    commit(spark, dir, survivors, untouched.map(_.line), statsCols,
+    commit(spark, dir, survivors, untouched.map(_.line), prev, statsCols,
       bloomCols)
   }
 
@@ -1120,7 +1166,7 @@ object ManifestSink {
       .filter(col("__n") > 1).isEmpty,
       s"merge updates must be unique per key ${keys.mkString("(", ",", ")")}")
     val prev = version(spark, dir)
-    if (prev < 0) return commit(spark, dir, updates, Nil)
+    if (prev < 0) return commit(spark, dir, updates, Nil, prev)
     if (updates.isEmpty) return prev // no-op merge: no new version
     val entries = manifestEntries(spark, dir, prev)
     // one pass over the snapshot finds the directories holding matched
@@ -1159,7 +1205,7 @@ object ManifestSink {
             "replaced rows would silently lose them")
         survivors.unionByName(updates, allowMissingColumns = true)
       }
-    commit(spark, dir, rewritten, kept)
+    commit(spark, dir, rewritten, kept, prev)
   }
 
   /** Read the current snapshot (empty sink → empty frame is an error —
@@ -1267,8 +1313,18 @@ object ManifestSink {
     * time-travel window); delete older manifest files and any data
     * directory no retained manifest references (replaced compactions,
     * aborted writes). Returns deleted data dirs. */
+  /** Garbage-collect unreferenced data and old manifests.
+    *
+    * `minAgeMs` guards CONCURRENT APPENDERS: an appender writes its
+    * data directory BEFORE its manifest entry exists, so a vacuum
+    * racing it would see the directory as unreferenced garbage and
+    * delete it out from under the commit. With multi-writer appends,
+    * set `minAgeMs` above the longest plausible data-write duration
+    * (the log-structured-format tombstone-retention discipline); the
+    * 0 default is for the single-stream retention pipelines, where the
+    * only writer is the one calling vacuum. */
   def vacuum(spark: SparkSession, dir: String,
-      keepVersions: Int = 1): Seq[String] = {
+      keepVersions: Int = 1, minAgeMs: Long = 0L): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, dir)
     val dataRoot = new Path(dir, "data")
@@ -1282,17 +1338,23 @@ object ManifestSink {
     }
     // sweep crash-orphaned publish temps: a live appender whose temp is
     // swept mid-commit just loses the rename and retries; a rewrite
-    // commit fails loudly there, exactly as on any lost race
-    f.listStatus(new Path(dir, "_manifests")).toSeq
-      .filter(_.getPath.getName.endsWith(".tmp"))
-      .foreach(st => f.delete(st.getPath, false))
+    // commit fails loudly there, exactly as on any lost race. (A table
+    // whose first-ever commit crashed before publishing has data but no
+    // _manifests directory yet.)
+    val mdir = new Path(dir, "_manifests")
+    if (f.exists(mdir))
+      f.listStatus(mdir).toSeq
+        .filter(_.getPath.getName.endsWith(".tmp"))
+        .foreach(st => f.delete(st.getPath, false))
+    val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(dataRoot).toSeq
       .filter { st =>
         // a z-compacted commit references SUBdirectories of its batch dir
         // (data/<uuid>/__zb=k) — the batch dir is live if any retained
         // entry sits at or under it
         val name = s"data/${st.getPath.getName}"
-        !referenced.exists(r => r == name || r.startsWith(name + "/"))
+        !referenced.exists(r => r == name || r.startsWith(name + "/")) &&
+          st.getModificationTime <= cutoff
       }
       .map { st =>
         require(f.delete(st.getPath, true), s"failed to vacuum ${st.getPath}")

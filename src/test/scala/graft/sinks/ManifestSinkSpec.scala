@@ -829,6 +829,48 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("vacuum minAge shields a concurrent appender's fresh data dir") {
+    val dir = Files.createTempDirectory("msinkage").toString + "/t"
+    ManifestSink.append(Seq(1L).toDF("v"), dir)
+    ManifestSink.replace(Seq(2L).toDF("v"), dir)
+    // the replaced batch dir is unreferenced but FRESH — with a grace
+    // window it must survive (it could be a mid-commit appender's data)
+    assert(ManifestSink.vacuum(spark, dir, minAgeMs = 3600000L).isEmpty)
+    // without the grace (single-writer pipelines) it is reclaimed
+    assert(ManifestSink.vacuum(spark, dir).size === 1)
+    assert(ManifestSink.read(spark, dir).count() === 1)
+  }
+
+  test("vacuum handles a table whose first commit never published") {
+    val dir = Files.createTempDirectory("msinkfc").toString + "/t"
+    // simulate a crash during the first-ever data write: data exists,
+    // _manifests was never created
+    val orphan = java.nio.file.Paths.get(dir, "data/deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-0.parquet"), "x")
+    val deleted = ManifestSink.vacuum(spark, dir)
+    assert(deleted === Seq("deadbeef"))
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
+  test("empty partitioned batches are no-ops, not entry-less manifests") {
+    val dir = Files.createTempDirectory("msinkeb").toString + "/t"
+    val empty = spark.range(0, 0).selectExpr("id", "CAST(0 AS INT) AS day")
+    // empty FIRST batch: no version published (a header-only manifest
+    // would make read() throw); table stays uncommitted
+    assert(ManifestSink.appendPartitioned(empty, dir, "day") === -1L)
+    assert(ManifestSink.version(spark, dir) === -1L)
+    // exactly-once variant: marker NOT advanced by an empty epoch
+    assert(ManifestSink.appendOncePartitioned(empty, dir, 0L, "day") === -1L)
+    val rows = spark.range(0, 10).selectExpr("id", "CAST(id % 2 AS INT) AS day")
+    ManifestSink.appendOncePartitioned(rows, dir, 0L, "day")
+    assert(ManifestSink.read(spark, dir).count() === 10)
+    // empty later epoch: current version returned, nothing published
+    val v = ManifestSink.version(spark, dir)
+    assert(ManifestSink.appendOncePartitioned(empty, dir, 1L, "day") === v)
+    assert(ManifestSink.version(spark, dir) === v)
+  }
+
   test("vacuum sweeps crash-orphaned publish temp files") {
     val dir = Files.createTempDirectory("msinktmp").toString + "/t"
     ManifestSink.append(Seq(1L).toDF("v"), dir)
