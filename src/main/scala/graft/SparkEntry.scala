@@ -23,7 +23,7 @@ object SparkEntry {
       operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
       operators.RangeJoin.queries ++ operators.TrainingOps.queries ++
       operators.Skew.queries ++ operators.SinkOps.queries ++
-      operators.ProfileOps.queries ++
+      operators.ProfileOps.queries ++ operators.GraphOps.queries ++
       streaming.StreamAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +36,6 @@ object SparkEntry {
       operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++
       operators.RangeJoin.oracleSql ++ operators.TrainingOps.oracleSql ++
       operators.Skew.oracleSql ++ operators.SinkOps.oracleSql ++
-      operators.ProfileOps.oracleSql ++
+      operators.ProfileOps.oracleSql ++ operators.GraphOps.oracleSql ++
       streaming.StreamAnalytics.oracleSql
 }

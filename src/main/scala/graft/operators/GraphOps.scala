@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics beyond connected components (q71/q71b): weighted
+  * PageRank over a graph AGGREGATED from the fact table. The pattern is
+  * the scale-honest one for relational-sourced graphs: the 100 TB work is
+  * collapsing the fact table into a weighted edge list (one distributed
+  * aggregation); the iteration then runs over the edge list, whose size
+  * is bounded by the key-pair domain, not the data volume.
+  *
+  * Determinism across engines comes from FIXED-POINT INTEGER arithmetic:
+  * ranks are scaled longs ([[GraphOps.SCALE]]) and edge transition
+  * probabilities are scaled longs ([[GraphOps.PSCALE]]), so every update
+  * is integer multiply + truncating divide + exact integer sum — no
+  * float accumulation order to disagree on. Spark's `div` and DuckDB's
+  * `//` agree on nonnegative operands (both truncate), and all values
+  * here are nonnegative. Overflow bound: r <= SCALE (total rank mass is
+  * non-increasing) and p <= PSCALE, so r*p <= 1e18 < 2^63 regardless of
+  * data scale; p's own product w*PSCALE stays in range for any
+  * per-edge-weight below 9.2e12 events.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Rank fixed-point scale (1.0 == 1e12). */
+  private val SCALE = 1000000000000L
+
+  /** Edge-probability fixed-point scale (1.0 == 1e6). */
+  private val PSCALE = 1000000L
+
+  private val ITERS = 10
+
+  // --------------------------------------------------------------- q104
+  /** Nation-to-nation trade PageRank: edges are order flows (customer's
+    * nation -> supplier's nation, weighted by lineitem count), ranks the
+    * damped-0.85 fixpoint after 10 iterations. Dangling nations (no
+    * outgoing flow) leak their mass — the implicit-sink PageRank variant,
+    * identical in both engines, chosen so the update needs no global
+    * dangling-mass redistribution term.
+    *
+    * Scale: the 4-way join + groupBy collapses the fact table once into
+    * a <= |nations|^2 edge list; edges and the per-round 25-row rank
+    * frame are localCheckpoint'd (the q71 discipline: constant-size plan
+    * per round, no lineage growth, no fact-table re-scan inside the
+    * loop). Each round is a tiny broadcast join + hash aggregate. The
+    * only driver scalars are the node count and the derived literals. */
+  private val q104: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val o = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val c = Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val su = Tables(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val flows = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(su, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey", $"s_nationkey")
+      .agg(count(lit(1)).as("w"))
+      .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"), $"w")
+    // per-source transition probability as a scaled long; the window runs
+    // over the <= |nations|^2 edge list, never the fact table
+    val edges = flows
+      .withColumn("out_w", sum($"w").over(Window.partitionBy($"src")))
+      .selectExpr("src", "dst", s"(w * ${PSCALE}L) div out_w AS p")
+      .localCheckpoint()
+    val nations = Tables(s, dir, "nation")
+      .select($"n_nationkey".as("node"), $"n_name").localCheckpoint()
+    val n = nations.count()
+    val r0 = SCALE / n
+    val base = ((SCALE * 15L) / 100L) / n
+    var ranks = nations.select($"node", lit(r0).as("r"))
+    for (_ <- 1 to ITERS) {
+      val inflow = edges.join(ranks, edges("src") === ranks("node"))
+        .selectExpr("dst", s"(r * p) div ${PSCALE}L AS c")
+        .groupBy($"dst").agg(sum($"c").as("inflow"))
+      ranks = nations.select($"node")
+        .join(inflow, $"node" === $"dst", "left")
+        .selectExpr("node",
+          s"${base}L + (85L * coalesce(inflow, 0L)) div 100 AS r")
+        .localCheckpoint()
+    }
+    ranks.join(nations, "node")
+      .select($"n_name", $"r".as("rank_fp"))
+      .orderBy($"rank_fp".desc, $"n_name")
+  }
+
+  /** One unrolled oracle iteration (DuckDB disallows nothing here, but
+    * aggregates inside a recursive term are engine-dependent — a chain of
+    * plain CTEs is portable and exactly ITERS long). DuckDB's SUM(BIGINT)
+    * widens to HUGEINT; the closing CAST narrows back losslessly because
+    * every value is bounded by SCALE. */
+  private def iterCte(k: Int): String =
+    s"""r$k AS (
+       |  SELECT nodes.node,
+       |    CAST(bs.base + (85 * COALESCE(inf.c, 0)) // 100 AS BIGINT) AS r
+       |  FROM nodes CROSS JOIN bs
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, SUM((p.r * e.p) // $PSCALE) AS c
+       |    FROM e JOIN r${k - 1} p ON e.src = p.node
+       |    GROUP BY e.dst) inf ON nodes.node = inf.node)""".stripMargin
+
+  private val q104Sql =
+    s"""WITH flows AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT src, dst,
+       |    CAST((w * $PSCALE) // SUM(w) OVER (PARTITION BY src)
+       |      AS BIGINT) AS p
+       |  FROM flows),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |bs AS (
+       |  SELECT ((${SCALE} * 15) // 100) // COUNT(*) AS base,
+       |    ${SCALE} // COUNT(*) AS r0
+       |  FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(bs.r0 AS BIGINT) AS r
+       |  FROM nodes CROSS JOIN bs),
+       |${(1 to ITERS).map(iterCte).mkString(",\n")}
+       |SELECT n.n_name, r.r AS rank_fp
+       |FROM r$ITERS r JOIN nation n ON r.node = n.n_nationkey
+       |ORDER BY rank_fp DESC, n.n_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q104_nation_pagerank" -> q104)
+
+  val oracleSql: Map[String, String] = Map(
+    "q104_nation_pagerank" -> q104Sql)
+}

@@ -267,17 +267,64 @@ object Relational4 {
        |WHERE r.rn <= 3
        |ORDER BY r.event_type, r.rn""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  /** Correlated-subquery SQL surface: the three correlation shapes a SQL
+    * user reaches for — a correlated scalar aggregate (per-customer order
+    * count; the COUNT-over-empty-group-is-0 case Catalyst's decorrelation
+    * must get right), EXISTS with an extra correlated predicate, and a
+    * correlated scalar compared back to the outer row (balance equals the
+    * nation's max). All three decorrelate: the scalar COUNT becomes a
+    * left outer join onto a pre-grouped aggregate, EXISTS a left semi
+    * existence join, the per-nation MAX a broadcast of the 25-row
+    * aggregate — no per-outer-row re-execution anywhere.
+    *
+    * Scale: orders pre-aggregates on o_custkey before its join (two-phase
+    * hash agg), so the joins are key-to-key; the nation-max side is
+    * nation-count-sized. One customer-key shuffle, one broadcast. The
+    * equality against MAX is exact: both operands are the same stored
+    * double, no arithmetic. */
+  private val q103: Q = (s, dir) => {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v103")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_v103")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |  (SELECT COUNT(*) FROM orders_v103 o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  EXISTS (SELECT 1 FROM orders_v103 o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+        |  (c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer_v103 c2
+        |                  WHERE c2.c_nationkey = c.c_nationkey))
+        |    AS is_nation_max
+        |FROM customer_v103 c
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+  private val q103Sql =
+    """SELECT c.c_custkey, c.c_name,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  EXISTS (SELECT 1 FROM orders o
+      |          WHERE o.o_custkey = c.c_custkey
+      |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+      |  (c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+      |                  WHERE c2.c_nationkey = c.c_nationkey))
+      |    AS is_nation_max
+      |FROM customer c
+      |ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q92_recursive_spine" -> q92,
     "q93_lateral_topk" -> q93,
     "q95_sliding_time_window" -> q95,
     "q96_token_ids" -> q96,
-    "q99_null_semantics" -> q99)
+    "q99_null_semantics" -> q99,
+    "q103_correlated_subqueries" -> q103)
 
   val oracleSql: Map[String, String] = Map(
     "q92_recursive_spine" -> q92Sql,
     "q93_lateral_topk" -> q93Sql,
     "q95_sliding_time_window" -> q95Sql,
     "q96_token_ids" -> q96Sql,
-    "q99_null_semantics" -> q99Sql)
+    "q99_null_semantics" -> q99Sql,
+    "q103_correlated_subqueries" -> q103Sql)
 }

@@ -315,8 +315,68 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q105
+  /** Key-exact CDC through the gate: events land as two appends (version
+    * A = the table at id <= cut2, original values), then a keyed MERGE
+    * upserts every 10th event (+ inserts a slice of ids beyond cut2) and
+    * a DELETE WHERE removes a mid band (version B). The emitted change
+    * feed [[ManifestSink.changesByKey]](A, B) must be EXACTLY the
+    * relational diff the oracle recomputes from the source table:
+    * inserts/updates carry the post-image, deletes the pre-image — a CDC
+    * bug of any kind (missed update, post-image on a delete, a row
+    * counted both updated and deleted) hash-mismatches.
+    *
+    * Scale: the diff is three key-partitioned joins between two manifest
+    * snapshots — no state beyond the snapshots themselves, and the
+    * update detection compares struct-packed data columns null-safely in
+    * one pass. */
+  private val q105: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val (d1, d2) = (maxId / 4, maxId / 2) // deleted band
+    val sink = freshScratch("graft_q105", dir) + "/events_sink"
+    ManifestSink.append(ev.filter($"event_id" <= cut1), sink)
+    val vA = ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink)
+    ManifestSink.merge(
+      ev.filter($"event_id" % 10 === 0 ||
+          ($"event_id" > cut2 && $"event_id" % 7 === 0))
+        .withColumn("value", $"value" + 1000.0),
+      sink, Seq("event_id"))
+    val vB = ManifestSink.deleteWhere(s, sink,
+      Seq(ManifestSink.Range("event_id", Some(d1), Some(d2))))
+    ManifestSink.changesByKey(s, sink, vA, vB, Seq("event_id"))
+      .orderBy($"_change_type", $"event_id")
+  }
+  private val q105Sql =
+    """WITH cuts AS (
+      |  SELECT 2 * MAX(event_id) // 3 AS cut2,
+      |         MAX(event_id) // 4 AS d1,
+      |         MAX(event_id) // 2 AS d2
+      |  FROM events)
+      |SELECT e.event_id, e.event_type, e.value + 1000.0 AS value,
+      |  'insert' AS _change_type
+      |FROM events e CROSS JOIN cuts
+      |WHERE e.event_id > cut2
+      |  AND (e.event_id % 7 = 0 OR e.event_id % 10 = 0)
+      |UNION ALL
+      |SELECT e.event_id, e.event_type, e.value + 1000.0, 'update'
+      |FROM events e CROSS JOIN cuts
+      |WHERE e.event_id <= cut2 AND e.event_id % 10 = 0
+      |  AND NOT (e.event_id BETWEEN d1 AND d2)
+      |UNION ALL
+      |SELECT e.event_id, e.event_type, e.value, 'delete'
+      |FROM events e CROSS JOIN cuts
+      |WHERE e.event_id <= cut2 AND e.event_id BETWEEN d1 AND d2
+      |ORDER BY _change_type, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q88_manifest_roundtrip" -> q88,
+    "q105_cdc_feed" -> q105,
     "q98_incremental_view" -> q98,
     "q100_lakehouse_lifecycle" -> q100,
     "q101_exactly_once_fold" -> q101,
@@ -324,6 +384,7 @@ object SinkOps {
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
+    "q105_cdc_feed" -> q105Sql,
     "q98_incremental_view" -> q98Sql,
     "q100_lakehouse_lifecycle" -> q100Sql,
     "q101_exactly_once_fold" -> q101Sql,

@@ -59,6 +59,19 @@ object StreamAnalytics {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
 
+  /** Stream-static enrichment: every streaming row joined to a STATIC
+    * dimension frame on `key` — the dimension-lookup shape of an ingest
+    * pipeline (event -> user/geo attributes). The static side is
+    * re-planned per micro-batch and broadcast (stream-static joins are
+    * stateless — no watermark, no state store), and the join is LEFT so
+    * an event never drops because its dimension row is missing; the
+    * unmatched columns arrive null, the reference's `.get(..., default)`
+    * posture (pipeline.py:113-115) at the enrichment seam. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(key), "left")
+
   private val fmt = "yyyy-MM-dd HH:mm:ss"
   private val fmtSql = "%Y-%m-%d %H:%M:%S"
 

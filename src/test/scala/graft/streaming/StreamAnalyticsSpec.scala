@@ -115,4 +115,24 @@ class StreamAnalyticsSpec extends SparkSpec {
       .count()
     assert(n === 2) // event falls into 09:30-10:30 and 10:00-11:00
   }
+
+  test("stream-static enrichment keeps unmatched events with null dims") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Double)]
+    val stream = src.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamAnalytics.enrichWithStatic(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      src.addData((2L, 20.0)) // second micro-batch re-plans the static side
+      q.processAllAvailable()
+      val out = spark.table("enriched").select("user_id", "tier")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(out === Set((1L, Some("gold")), (3L, None),
+        (2L, Some("silver"))))
+    } finally q.stop()
+  }
 }
