@@ -452,7 +452,72 @@ object EventOps {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  // --------------------------------------------------------------- q106
+  /** SCD Type-2 interval build — event-sourced dimension versioning: per
+    * user, consecutive runs of the same event_type collapse into one
+    * versioned row with [valid_from, valid_to) bounds, the open version
+    * flagged current — the slowly-changing-dimension table a warehouse
+    * derives from a change stream. Run detection is the q91 lag +
+    * cumulative-sum machinery keyed on attribute change instead of time
+    * gaps; ordering within a user is the total (ts, event_id), so run
+    * boundaries are engine-identical.
+    *
+    * Scale: both windows and the rollup partition on user_id — one hash
+    * partitioning end-to-end, per-user sequences bounded, no global
+    * window. */
+  private val q106: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val prevType = lag($"event_type", 1).over(byUser)
+    val runs = ev(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("chg",
+        when(prevType.isNull || prevType =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("run_idx",
+        sum($"chg").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"run_idx", $"event_type")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("vf"))
+    val byRun = Window.partitionBy($"user_id").orderBy($"run_idx")
+    runs
+      .withColumn("vt", lead($"vf", 1).over(byRun))
+      .select($"user_id", $"run_idx".cast("long").as("version"),
+        $"event_type",
+        date_format($"vf", tsFmt).as("valid_from"),
+        date_format($"vt", tsFmt).as("valid_to"),
+        $"vt".isNull.as("is_current"),
+        $"n_events".cast("long").as("n_events"))
+      .orderBy($"user_id", $"version")
+  }
+  private val q106Sql =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(event_type) OVER w IS NULL
+       |           OR lag(event_type) OVER w <> event_type
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |r AS (
+       |  SELECT user_id, ts, event_type,
+       |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx
+       |  FROM g),
+       |runs AS (
+       |  SELECT user_id, run_idx, event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS vf
+       |  FROM r GROUP BY user_id, run_idx, event_type)
+       |SELECT user_id, CAST(run_idx AS BIGINT) AS version, event_type,
+       |  strftime(vf, '$tsFmtSqlSec') AS valid_from,
+       |  strftime(lead(vf) OVER v, '$tsFmtSqlSec') AS valid_to,
+       |  (lead(vf) OVER v IS NULL) AS is_current,
+       |  n_events
+       |FROM runs
+       |WINDOW v AS (PARTITION BY user_id ORDER BY run_idx)
+       |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q106_scd2_intervals" -> q106,
     "q91_gap_sessions" -> q91,
     "q90_cohort_retention" -> q90,
     "q89_funnel_steps" -> q89,
@@ -469,6 +534,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q106_scd2_intervals" -> q106Sql,
     "q91_gap_sessions" -> q91Sql,
     "q90_cohort_retention" -> q90Sql,
     "q89_funnel_steps" -> q89Sql,

@@ -80,6 +80,66 @@ object ProfileOps {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
-  val queries: Map[String, Q] = Map("q97_data_profile" -> q97)
-  val oracleSql: Map[String, String] = Map("q97_data_profile" -> q97Sql)
+  // --------------------------------------------------------------- q107
+  /** Referential-integrity audit over the star schema: for each declared
+    * relationship, BOTH directions of breakage — child rows whose key has
+    * no parent (orphans; a real FK violation, expected 0 on intact data
+    * — the zeros ARE the assertion) and parent keys no child references
+    * (childless; genuine coverage gaps, e.g. customers who never
+    * ordered). The events.user_id -> customer edge audits the one
+    * relationship the schema never declared.
+    *
+    * Scale: each edge aggregates the child side to (key, count) BEFORE
+    * the join (two-phase agg, one key shuffle), full-outer joins the
+    * parent's key set, and reduces to one row — per-edge cost is one
+    * key-partitioned join, and the audit output is edge-count-sized. */
+  private val fkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("events.user_id -> customer", "events", "user_id",
+      "customer", "c_custkey"),
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey",
+      "customer", "c_custkey"))
+
+  private val q107: Q = (s, dir) => {
+    val per = fkEdges.map { case (label, ct, ck, pt, pk) =>
+      val child = Tables(s, dir, ct)
+        .groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+      val parent = Tables(s, dir, pt)
+        .select(col(pk).as("k")).distinct().withColumn("hit", lit(1))
+      child.join(parent, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("cnt"), lit(0L))).as("n_child"),
+          sum(when(col("hit").isNull, col("cnt")).otherwise(lit(0L)))
+            .as("n_orphan_child"),
+          count(col("hit")).as("n_parent"),
+          count(when(col("hit").isNotNull && col("cnt").isNull, 1))
+            .as("n_childless_parent"))
+        .selectExpr(s"'$label' AS fk",
+          "CAST(n_child AS BIGINT) AS n_child",
+          "CAST(n_orphan_child AS BIGINT) AS n_orphan_child",
+          "CAST(n_parent AS BIGINT) AS n_parent",
+          "CAST(n_childless_parent AS BIGINT) AS n_childless_parent")
+    }
+    per.reduce(_ unionByName _).orderBy(col("fk"))
+  }
+  private val q107Sql = fkEdges.map { case (label, ct, ck, pt, pk) =>
+    s"""SELECT '$label' AS fk,
+       |  CAST(COALESCE(SUM(c.cnt), 0) AS BIGINT) AS n_child,
+       |  CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN c.cnt
+       |    ELSE 0 END), 0) AS BIGINT) AS n_orphan_child,
+       |  CAST(COUNT(p.k) AS BIGINT) AS n_parent,
+       |  CAST(COUNT(CASE WHEN p.k IS NOT NULL AND c.k IS NULL
+       |    THEN 1 END) AS BIGINT) AS n_childless_parent
+       |FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $ct GROUP BY 1) c
+       |FULL OUTER JOIN (SELECT DISTINCT $pk AS k FROM $pt) p
+       |  ON c.k = p.k""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+
+  val queries: Map[String, Q] =
+    Map("q97_data_profile" -> q97, "q107_referential_audit" -> q107)
+  val oracleSql: Map[String, String] =
+    Map("q97_data_profile" -> q97Sql, "q107_referential_audit" -> q107Sql)
 }
