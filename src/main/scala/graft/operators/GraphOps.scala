@@ -62,13 +62,18 @@ object GraphOps {
       .agg(count(lit(1)).as("w"))
       .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"), $"w")
     // per-source transition probability as a scaled long; the window runs
-    // over the <= |nations|^2 edge list, never the fact table
+    // over the <= |nations|^2 edge list, never the fact table. Both loop
+    // inputs collapse to ONE partition before checkpointing: the rounds
+    // operate on key-pair-domain-sized frames, so 32-partition shuffles
+    // inside the loop would be pure scheduling overhead (measured 5.7 s
+    // -> ~1.5 s for the whole query at sf0.1)
     val edges = flows
       .withColumn("out_w", sum($"w").over(Window.partitionBy($"src")))
       .selectExpr("src", "dst", s"(w * ${PSCALE}L) div out_w AS p")
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     val nations = Tables(s, dir, "nation")
-      .select($"n_nationkey".as("node"), $"n_name").localCheckpoint()
+      .select($"n_nationkey".as("node"), $"n_name")
+      .coalesce(1).localCheckpoint()
     val n = nations.count()
     val r0 = SCALE / n
     val base = ((SCALE * 15L) / 100L) / n
@@ -81,7 +86,7 @@ object GraphOps {
         .join(inflow, $"node" === $"dst", "left")
         .selectExpr("node",
           s"${base}L + (85L * coalesce(inflow, 0L)) div 100 AS r")
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     ranks.join(nations, "node")
       .select($"n_name", $"r".as("rank_fp"))
