@@ -187,11 +187,17 @@ object Relational {
 
   // ---------------------------------------------------------------- q07
   /** Running-total window with exact (decimal) accumulation, so the frame
-    * evaluation strategy (running vs segment tree) cannot change the value. */
+    * evaluation strategy (running vs segment tree) cannot change the value.
+    * The window order extends through the price columns because the
+    * synthetic lineitem table does NOT have a unique (orderkey, linenumber)
+    * key (~2% duplicated at every SF, and one sf0.1 pair collides on
+    * suppkey+shipdate too) — a tie in a running-sum order makes the
+    * prefix sums engine-order-dependent; the full value tuple is unique. */
   private val q07: Q = (s, dir) => {
     import s.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_extendedprice".asc, $"l_discount".asc, $"l_quantity".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(
@@ -206,7 +212,8 @@ object Relational {
        |  CAST(l_shipdate AS DATE) AS ship_date,
        |  CAST(SUM(CAST(($revenueSql) AS DECIMAL(38,4)))
        |       OVER (PARTITION BY l_suppkey
-       |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+       |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+       |                      l_extendedprice ASC, l_discount ASC, l_quantity ASC
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        |    AS running_rev
        |FROM lineitem
@@ -264,18 +271,23 @@ object Relational {
 
   // ---------------------------------------------------------------- q10
   /** Top-K by value with a unique tiebreak: TakeOrderedAndProject — no full
-    * sort, each partition keeps K rows, driver merges. */
+    * sort, each partition keeps K rows, driver merges. l_quantity closes
+    * the tiebreak chain: (orderkey, linenumber) is NOT unique in the
+    * synthetic lineitem, so a boundary tie on the first three keys could
+    * otherwise admit either of two rows with different quantities. */
   private val q10: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity")
-      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_quantity".asc)
       .limit(10)
   }
   private val q10Sql =
     """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
       |FROM lineitem
-      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC,
+      |         l_quantity ASC
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q11
