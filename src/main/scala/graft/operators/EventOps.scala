@@ -471,9 +471,14 @@ object EventOps {
     val prevType = lag($"event_type", 1).over(byUser)
     val runs = ev(s, dir)
       .select($"user_id", $"event_id", $"ts", $"event_type")
+      // null-SAFE distinctness: `prevType =!= x` is NULL (not true) when
+      // either side is NULL, which would glue a NULL-typed row onto the
+      // previous run while still splitting the rollup group — duplicate
+      // version numbers + a lead() tie. <=> makes every transition
+      // involving NULL an explicit run boundary (and a leading NULL run
+      // its own run 0), matching the oracle's IS DISTINCT FROM.
       .withColumn("chg",
-        when(prevType.isNull || prevType =!= $"event_type", 1L)
-          .otherwise(0L))
+        when(!(prevType <=> $"event_type"), 1L).otherwise(0L))
       .withColumn("run_idx",
         sum($"chg").over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -493,8 +498,7 @@ object EventOps {
   private val q106Sql =
     s"""WITH g AS (
        |  SELECT user_id, event_id, ts, event_type,
-       |    CASE WHEN lag(event_type) OVER w IS NULL
-       |           OR lag(event_type) OVER w <> event_type
+       |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
        |         THEN 1 ELSE 0 END AS chg
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -105,15 +105,24 @@ object ProfileOps {
 
   private val q107: Q = (s, dir) => {
     val per = fkEdges.map { case (label, ct, ck, pt, pk) =>
-      val child = Tables(s, dir, ct)
+      // NULL keys are EXCLUDED on both sides, explicitly and identically
+      // in both engines: a NULL FK is not a reference (SQL FK semantics —
+      // it can be neither an orphan nor a match), and a NULL parent key
+      // can't be referenced. Without the filters the engines disagree on
+      // dirty data: Spark's full-outer join emits the NULL-key rows and
+      // the hit/cnt tests count them, while the oracle's COUNT(p.k) and
+      // equi-join skip them. The outer coalesce keeps the sums 0 (not
+      // NULL) over an empty edge, matching COALESCE(SUM(..), 0).
+      val child = Tables(s, dir, ct).filter(col(ck).isNotNull)
         .groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
-      val parent = Tables(s, dir, pt)
+      val parent = Tables(s, dir, pt).filter(col(pk).isNotNull)
         .select(col(pk).as("k")).distinct().withColumn("hit", lit(1))
       child.join(parent, Seq("k"), "full_outer")
         .agg(
-          sum(coalesce(col("cnt"), lit(0L))).as("n_child"),
-          sum(when(col("hit").isNull, col("cnt")).otherwise(lit(0L)))
-            .as("n_orphan_child"),
+          coalesce(sum(coalesce(col("cnt"), lit(0L))), lit(0L))
+            .as("n_child"),
+          coalesce(sum(when(col("hit").isNull, col("cnt"))
+            .otherwise(lit(0L))), lit(0L)).as("n_orphan_child"),
           count(col("hit")).as("n_parent"),
           count(when(col("hit").isNotNull && col("cnt").isNull, 1))
             .as("n_childless_parent"))
@@ -133,8 +142,10 @@ object ProfileOps {
        |  CAST(COUNT(p.k) AS BIGINT) AS n_parent,
        |  CAST(COUNT(CASE WHEN p.k IS NOT NULL AND c.k IS NULL
        |    THEN 1 END) AS BIGINT) AS n_childless_parent
-       |FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $ct GROUP BY 1) c
-       |FULL OUTER JOIN (SELECT DISTINCT $pk AS k FROM $pt) p
+       |FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $ct
+       |      WHERE $ck IS NOT NULL GROUP BY 1) c
+       |FULL OUTER JOIN (SELECT DISTINCT $pk AS k FROM $pt
+       |                 WHERE $pk IS NOT NULL) p
        |  ON c.k = p.k""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
 

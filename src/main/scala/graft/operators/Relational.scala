@@ -205,7 +205,10 @@ object Relational {
         $"l_shipdate".cast("date").as("ship_date"),
         sum(revenue(s).cast(DecimalType(38, 4))).over(w)
           .cast("double").as("running_rev"))
-      .orderBy($"l_suppkey", $"ship_date", $"l_orderkey", $"l_linenumber")
+      // running_rev closes the output order: the duplicate-key pair ties
+      // on all four name columns but carries distinct prefix sums
+      .orderBy($"l_suppkey", $"ship_date", $"l_orderkey", $"l_linenumber",
+        $"running_rev")
   }
   private val q07Sql =
     s"""SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -217,7 +220,8 @@ object Relational {
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        |    AS running_rev
        |FROM lineitem
-       |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin
+       |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber,
+       |         running_rev""".stripMargin
 
   // ---------------------------------------------------------------- q08
   /** ROLLUP grouping sets; grouping nulls folded to 'ALL' to keep ordering

@@ -32,7 +32,6 @@ object Relational4 {
   private val q92: Q = (s, dir) => {
     import org.apache.spark.sql.functions.{max, min}
     val o = Tables(s, dir, "orders")
-    o.createOrReplaceTempView("orders_v92")
     // the spine bounds inline as LITERALS (one 1-row columnar min/max
     // job): a scalar subquery inside the recursive step re-evaluates
     // against the fact table on EVERY iteration — measured 18.8 s vs
@@ -47,7 +46,7 @@ object Relational4 {
       case x => x.toString
     }
     val (lo, hi) = (ts(b.get(0)), ts(b.get(1)))
-    s.sql(
+    Tables.sqlOverViews(s, "orders" -> o) { v =>
       s"""WITH RECURSIVE spine(mon) AS (
          |  SELECT CAST(date_trunc('MONTH', TIMESTAMP '$lo') AS DATE)
          |  UNION ALL
@@ -58,12 +57,13 @@ object Relational4 {
          |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
          |    CAST(COUNT(*) AS BIGINT) AS n_orders,
          |    ${Exact.sqlSum("o_totalprice")} AS revenue
-         |  FROM orders_v92 GROUP BY 1)
+         |  FROM ${v("orders")} GROUP BY 1)
          |SELECT date_format(s.mon, 'yyyy-MM') AS mon,
          |  COALESCE(m.n_orders, 0L) AS n_orders,
          |  COALESCE(m.revenue, 0.0D) AS revenue
          |FROM spine s LEFT JOIN m ON s.mon = m.mon
-         |ORDER BY 1""".stripMargin)
+         |ORDER BY 1""".stripMargin
+    }
   }
   private val q92Sql =
     s"""WITH RECURSIVE spine(mon) AS (
@@ -97,18 +97,18 @@ object Relational4 {
     * Scale: customer shuffles once on its nation key with the per-key
     * top-3 reduced map-side (rank-limit pushdown); nation broadcasts.
     * Equivalent plans at 1000x: the k rows per key bound the state. */
-  private val q93: Q = (s, dir) => {
-    Tables(s, dir, "nation").createOrReplaceTempView("nation_v93")
-    Tables(s, dir, "customer").createOrReplaceTempView("customer_v93")
-    s.sql(
-      """SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey
-        |FROM nation_v93 n
-        |JOIN LATERAL (
-        |  SELECT c_name, c_acctbal, c_custkey FROM customer_v93
-        |  WHERE c_nationkey = n.n_nationkey
-        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
-        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
-  }
+  private val q93: Q = (s, dir) =>
+    Tables.sqlOverViews(s,
+      "nation" -> Tables(s, dir, "nation"),
+      "customer" -> Tables(s, dir, "customer")) { v =>
+      s"""SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey
+         |FROM ${v("nation")} n
+         |JOIN LATERAL (
+         |  SELECT c_name, c_acctbal, c_custkey FROM ${v("customer")}
+         |  WHERE c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
+    }
   private val q93Sql =
     """SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey
       |FROM nation n
@@ -283,22 +283,22 @@ object Relational4 {
     * nation-count-sized. One customer-key shuffle, one broadcast. The
     * equality against MAX is exact: both operands are the same stored
     * double, no arithmetic. */
-  private val q103: Q = (s, dir) => {
-    Tables(s, dir, "customer").createOrReplaceTempView("customer_v103")
-    Tables(s, dir, "orders").createOrReplaceTempView("orders_v103")
-    s.sql(
-      """SELECT c.c_custkey, c.c_name,
-        |  (SELECT COUNT(*) FROM orders_v103 o
-        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
-        |  EXISTS (SELECT 1 FROM orders_v103 o
-        |          WHERE o.o_custkey = c.c_custkey
-        |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
-        |  (c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer_v103 c2
-        |                  WHERE c2.c_nationkey = c.c_nationkey))
-        |    AS is_nation_max
-        |FROM customer_v103 c
-        |ORDER BY c.c_custkey""".stripMargin)
-  }
+  private val q103: Q = (s, dir) =>
+    Tables.sqlOverViews(s,
+      "customer" -> Tables(s, dir, "customer"),
+      "orders" -> Tables(s, dir, "orders")) { v =>
+      s"""SELECT c.c_custkey, c.c_name,
+         |  (SELECT COUNT(*) FROM ${v("orders")} o
+         |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+         |  EXISTS (SELECT 1 FROM ${v("orders")} o
+         |          WHERE o.o_custkey = c.c_custkey
+         |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+         |  (c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM ${v("customer")} c2
+         |                  WHERE c2.c_nationkey = c.c_nationkey))
+         |    AS is_nation_max
+         |FROM ${v("customer")} c
+         |ORDER BY c.c_custkey""".stripMargin
+    }
   private val q103Sql =
     """SELECT c.c_custkey, c.c_name,
       |  (SELECT COUNT(*) FROM orders o

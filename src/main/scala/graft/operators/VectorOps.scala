@@ -692,15 +692,16 @@ object VectorOps {
     * oracle-exact results from the same kernels as the DataFrame API. */
   private val q65: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
-    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
-    s.sql(
-      """SELECT label,
-        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
-        |  MAX(seq_dot(embedding, embedding)) AS max_self_dot,
-        |  MIN(seq_dot(embedding, embedding)) AS min_self_dot
-        |FROM embeddings_v
-        |GROUP BY label
-        |ORDER BY label""".stripMargin)
+    Tables.sqlOverViews(s, "embeddings" -> Tables(s, dir, "embeddings")) {
+      v =>
+        s"""SELECT label,
+           |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |  MAX(seq_dot(embedding, embedding)) AS max_self_dot,
+           |  MIN(seq_dot(embedding, embedding)) AS min_self_dot
+           |FROM ${v("embeddings")}
+           |GROUP BY label
+           |ORDER BY label""".stripMargin
+    }
   }
   private val q65Sql = {
     val d = dotSql("embedding", "embedding")

@@ -27,6 +27,24 @@ object Tables {
     else df
   }
 
+  /** Run a SQL query over temp views WITHOUT racing concurrent
+    * invocations on the same session: each frame registers under a
+    * per-invocation unique name, `build` receives the alias→name map to
+    * interpolate into its SQL text, and the views drop before returning.
+    * Safe because `sql()` ANALYZES eagerly — the returned frame's plan
+    * embeds the resolved view plans, so it survives the drop. Session-
+    * global fixed view names (the previous pattern here) let one query's
+    * `createOrReplaceTempView` silently redirect another in-flight
+    * invocation's tables. */
+  def sqlOverViews(spark: SparkSession, frames: (String, DataFrame)*)(
+      build: Map[String, String] => String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val names = frames.map { case (a, _) => a -> s"${a}_$tag" }.toMap
+    frames.foreach { case (a, df) => df.createOrReplaceTempView(names(a)) }
+    try spark.sql(build(names))
+    finally names.values.foreach(spark.catalog.dropTempView(_))
+  }
+
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Reads with nanosAsLong enabled for JUST this read: the previous

@@ -24,6 +24,25 @@ class TablesSpec extends SparkSpec {
     assert(events.select("ts").na.drop().count() === n)
   }
 
+  test("sqlOverViews isolates concurrent invocations and drops its views") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(10, 20).toDF("x")
+    // the frame returned from inside the block must survive the view drop
+    // (sql() analyzes eagerly) and see ONLY its own registration
+    val ra = Tables.sqlOverViews(spark, "t" -> a) { v =>
+      s"SELECT SUM(x) AS s FROM ${v("t")}"
+    }
+    val rb = Tables.sqlOverViews(spark, "t" -> b) { v =>
+      s"SELECT SUM(x) AS s FROM ${v("t")}"
+    }
+    assert(ra.head().getLong(0) === 6L)
+    assert(rb.head().getLong(0) === 30L)
+    // no leaked temp views from either invocation
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("t_")))
+  }
+
   test("a session-wide nanosAsLong=false survives loading events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     try {
