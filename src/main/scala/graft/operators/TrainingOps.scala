@@ -626,7 +626,89 @@ object TrainingOps {
        |ORDER BY rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q108
+  /** Quantile feature binning — the fit+transform discretizer shape of ML
+    * feature prep: quartile cuts are FIT per event_type on the q78-style
+    * deterministic bottom-K hash sample (order-statistic cuts at
+    * ceil(q·m) positions, shared integer formulas), then the type→cuts
+    * table (one row per type) broadcasts and every event bins MAP-SIDE
+    * by three comparisons; the output audits each (type, bin) with row
+    * count, exact-decimal value sum, and bounds.
+    *
+    * Scale: the fit touches K rows per group past the rank-limit window
+    * (map-side group-limit, the q78 path — wide groups never hit a
+    * reducer whole); the transform is a broadcast hash join +
+    * projection, so the fact table shuffles exactly once, for the final
+    * two-phase (type, bin) aggregate. The cuts are sample order
+    * statistics — both engines compare against the SAME stored double,
+    * so bin assignment is exact, never an ulp question. */
+  private val binK = 128
+
+  private val q108: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact
+    val ev = Tables(s, dir, "events")
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"value")
+    val smp = ev
+      .withColumn("h", PortableHash.tokenHashP($"event_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"event_type")
+        .orderBy($"h".asc, $"event_id".asc)))
+      .filter($"rn" <= binK)
+    val cuts = smp
+      .withColumn("rn2", row_number().over(Window.partitionBy($"event_type")
+        .orderBy($"value".asc, $"event_id".asc)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(
+        max(when(expr("rn2 = (m + 3) div 4"), $"value")).as("c1"),
+        max(when(expr("rn2 = (m + 1) div 2"), $"value")).as("c2"),
+        max(when(expr("rn2 = (3 * m + 3) div 4"), $"value")).as("c3"))
+    ev.join(broadcast(cuts), "event_type")
+      .withColumn("bin",
+        when($"value" <= $"c1", 0L).when($"value" <= $"c2", 1L)
+          .when($"value" <= $"c3", 2L).otherwise(3L))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n_rows"), Exact.dsum($"value").as("sum_v"),
+        min($"value").as("min_v"), max($"value").as("max_v"))
+      .orderBy($"event_type", $"bin")
+  }
+  private val q108Sql = {
+    val h = tokenHashPSql("event_id")
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, value FROM events
+       |  WHERE value IS NOT NULL),
+       |smp AS (
+       |  SELECT event_type, event_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |                       ORDER BY $h ASC, event_id ASC) AS rn
+       |  FROM e),
+       |sv AS (
+       |  SELECT event_type, event_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |                       ORDER BY value ASC, event_id ASC) AS rn2,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS m
+       |  FROM smp WHERE rn <= $binK),
+       |cuts AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rn2 = (m + 3) // 4 THEN value END) AS c1,
+       |    MAX(CASE WHEN rn2 = (m + 1) // 2 THEN value END) AS c2,
+       |    MAX(CASE WHEN rn2 = (3 * m + 3) // 4 THEN value END) AS c3
+       |  FROM sv GROUP BY event_type)
+       |SELECT e.event_type,
+       |  CAST(CASE WHEN e.value <= c.c1 THEN 0
+       |            WHEN e.value <= c.c2 THEN 1
+       |            WHEN e.value <= c.c3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${graft.functions.Exact.sqlSum("e.value")} AS sum_v,
+       |  MIN(e.value) AS min_v, MAX(e.value) AS max_v
+       |FROM e JOIN cuts c USING (event_type)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_feature_binning" -> q108,
     "q55_tfidf_top_terms" -> q55,
     "q86_bm25_ranking" -> q86,
     "q56_hash_sample" -> q56,
@@ -639,6 +721,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q108_feature_binning" -> q108Sql,
     "q55_tfidf_top_terms" -> q55Sql,
     "q86_bm25_ranking" -> q86Sql,
     "q56_hash_sample" -> q56Sql,

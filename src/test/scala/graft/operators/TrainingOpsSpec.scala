@@ -27,6 +27,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(small.subsetOf(large)) // raising the rate only adds rows
   }
 
+  test("feature binning: bins partition rows and are value-disjoint") {
+    val out = TrainingOps.queries("q108_feature_binning")(spark, sf)
+      .collect()
+    val total = graft.sources.Tables(spark, sf, "events")
+      .filter(col("value").isNotNull).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === total)
+    // within a type, bins are ordered intervals: each bin's max stays
+    // below the next bin's min (cuts from the sample really separate)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byBin = rows.sortBy(_.getAs[Long]("bin"))
+      assert(byBin.map(_.getAs[Long]("bin")).toSeq ===
+        (0L until byBin.length).toSeq)
+      byBin.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getAs[Double]("max_v") <= hi.getAs[Double]("min_v"))
+        case _ =>
+      }
+    }
+  }
+
   test("count-min estimates never undercount (CMS upper-bound property)") {
     val out = TrainingOps.queries("q64_countmin_sketch")(spark, sf).collect()
     assert(out.length === 10)
