@@ -279,19 +279,16 @@ object Relational3 {
     * `h < P·c/E[group]` pre-filter keeps the window input at O(K) rows
     * per group before the sort, so wide groups never hit a reducer whole
     * (the failure mode that rules out q70's exact form at 100 TB). */
-  private val sampleK = 128
+  private val sampleK = Sampling.K
 
   /** The reusable operator behind q78: per-group bottom-K rows by
-    * PortableHash(id) (a deterministic uniform sample), then exact
-    * quantiles of the sample. `id` must be unique per row. */
+    * PortableHash(id) (a deterministic uniform sample, the shared
+    * [[Sampling.bottomKByHash]] fit), then exact quantiles of the
+    * sample. `id` must be unique per row. */
   def sampledQuantiles(df: DataFrame, key: String, value: String,
       id: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(col("h").asc, col(id).asc)
-    df.select(col(key), col(id), col(value),
-        graft.functions.PortableHash.tokenHashP(col(id)).as("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    Sampling.bottomKByHash(
+        df.select(col(key), col(id), col(value)), key, id, k)
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_sample"),
         percentile(col(value), lit(0.5)).as("p50"),
@@ -304,12 +301,10 @@ object Relational3 {
     sampledQuantiles(t(s, dir, "events"),
       "event_type", "value", "event_id", sampleK)
   private val q78Sql = {
-    val h = graft.functions.PortableHash.tokenHashPSql("event_id")
+    val smp = Sampling.bottomKByHashSql(
+      "event_type, value", "events", "event_type", "event_id")
     s"""WITH smp AS (
-       |  SELECT event_type, value,
-       |    ROW_NUMBER() OVER (PARTITION BY event_type
-       |                       ORDER BY $h ASC, event_id ASC) AS rn
-       |  FROM events)
+       |  $smp)
        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
        |  quantile_cont(value, 0.5) AS p50,
        |  quantile_cont(value, 0.9) AS p90,

@@ -628,8 +628,9 @@ object TrainingOps {
 
   // --------------------------------------------------------------- q108
   /** Quantile feature binning — the fit+transform discretizer shape of ML
-    * feature prep: quartile cuts are FIT per event_type on the q78-style
-    * deterministic bottom-K hash sample (order-statistic cuts at
+    * feature prep: quartile cuts are FIT per event_type on the SAME
+    * deterministic bottom-K hash sample as q78 — the shared
+    * [[Sampling.bottomKByHash]] fit (order-statistic cuts at
     * ceil(q·m) positions, shared integer formulas), then the type→cuts
     * table (one row per type) broadcasts and every event bins MAP-SIDE
     * by three comparisons; the output audits each (type, bin) with row
@@ -642,19 +643,13 @@ object TrainingOps {
     * two-phase (type, bin) aggregate. The cuts are sample order
     * statistics — both engines compare against the SAME stored double,
     * so bin assignment is exact, never an ulp question. */
-  private val binK = 128
-
   private val q108: Q = (s, dir) => {
     import s.implicits._
     import graft.functions.Exact
     val ev = Tables(s, dir, "events")
       .filter($"value".isNotNull)
       .select($"event_type", $"event_id", $"value")
-    val smp = ev
-      .withColumn("h", PortableHash.tokenHashP($"event_id"))
-      .withColumn("rn", row_number().over(Window.partitionBy($"event_type")
-        .orderBy($"h".asc, $"event_id".asc)))
-      .filter($"rn" <= binK)
+    val smp = Sampling.bottomKByHash(ev, "event_type", "event_id", Sampling.K)
     val cuts = smp
       .withColumn("rn2", row_number().over(Window.partitionBy($"event_type")
         .orderBy($"value".asc, $"event_id".asc)))
@@ -674,21 +669,19 @@ object TrainingOps {
       .orderBy($"event_type", $"bin")
   }
   private val q108Sql = {
-    val h = tokenHashPSql("event_id")
+    val smp = Sampling.bottomKByHashSql(
+      "event_type, event_id, value", "e", "event_type", "event_id")
     s"""WITH e AS (
        |  SELECT event_type, event_id, value FROM events
        |  WHERE value IS NOT NULL),
        |smp AS (
-       |  SELECT event_type, event_id, value,
-       |    ROW_NUMBER() OVER (PARTITION BY event_type
-       |                       ORDER BY $h ASC, event_id ASC) AS rn
-       |  FROM e),
+       |  $smp),
        |sv AS (
        |  SELECT event_type, event_id, value,
        |    ROW_NUMBER() OVER (PARTITION BY event_type
        |                       ORDER BY value ASC, event_id ASC) AS rn2,
        |    COUNT(*) OVER (PARTITION BY event_type) AS m
-       |  FROM smp WHERE rn <= $binK),
+       |  FROM smp WHERE rn <= ${Sampling.K}),
        |cuts AS (
        |  SELECT event_type,
        |    MAX(CASE WHEN rn2 = (m + 3) // 4 THEN value END) AS c1,

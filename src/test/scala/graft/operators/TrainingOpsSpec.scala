@@ -37,8 +37,11 @@ class TrainingOpsSpec extends SparkSpec {
     // below the next bin's min (cuts from the sample really separate)
     out.groupBy(_.getString(0)).foreach { case (_, rows) =>
       val byBin = rows.sortBy(_.getAs[Long]("bin"))
-      assert(byBin.map(_.getAs[Long]("bin")).toSeq ===
-        (0L until byBin.length).toSeq)
+      // bins are a strictly increasing subset of 0..3 (a middle bin may
+      // be structurally empty when sampled cuts tie, e.g. tiny groups)
+      val bins = byBin.map(_.getAs[Long]("bin")).toSeq
+      assert(bins === bins.sorted.distinct && bins.forall(b => b >= 0L && b <= 3L),
+        s"bins not a subset of 0..3: $bins")
       byBin.sliding(2).foreach {
         case Array(lo, hi) =>
           assert(lo.getAs[Double]("max_v") <= hi.getAs[Double]("min_v"))
