@@ -884,7 +884,58 @@ object DedupOps {
        |ORDER BY nw.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q109
+  /** Fuzzy self-join at edit distance <= 1 via deletion-neighborhood
+    * blocking — EXACT, not approximate: two strings are within one edit
+    * iff they share a member of {s} ∪ {s with one char deleted} (equal →
+    * the identity variant; substitution at i → both delete position i;
+    * insert/delete → the shorter string IS a deletion variant of the
+    * longer). Each name explodes into length+1 variants map-side, the
+    * self-join is a plain equi-join on the variant (candidates come from
+    * shared-variant buckets, never all pairs), and only candidates pay
+    * the `levenshtein` verification — the same block-then-verify shape as
+    * the MinHash pipeline, with a completeness guarantee.
+    *
+    * Scale: the variant blowup is (L+1)× rows but map-side and
+    * projection-only; the join shuffles on the variant string whose
+    * bucket sizes are the true near-match groups, so work is
+    * output-bound. An all-pairs formulation (the oracle's luxury at
+    * sf0.1) is O(n²) and impossible at 100 TB. */
+  def fuzzyJoinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val variants = df.select(col(idCol), col(strCol),
+      explode(concat(array(col(strCol)), expr(
+        s"""transform(sequence(1, length($strCol)),
+           |  i -> concat(substring($strCol, 1, i - 1),
+           |              substring($strCol, i + 1)))""".stripMargin)))
+        .as("v"))
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("k1"), col(s"a.$strCol").as("name1"),
+        col(s"b.$idCol").as("k2"), col(s"b.$strCol").as("name2"))
+      .distinct() // a candidate pair may share several variants
+      .filter(levenshtein(col("name1"), col("name2")) <= 1)
+  }
+
+  private val q109: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+    fuzzyJoinEd1(c, "c_custkey", "c_name").orderBy($"k1", $"k2")
+  }
+  private val q109Sql =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name FROM customer
+      |  WHERE c_mktsegment = 'BUILDING')
+      |SELECT a.c_custkey AS k1, a.c_name AS name1,
+      |       b.c_custkey AS k2, b.c_name AS name2
+      |FROM c a JOIN c b
+      |  ON a.c_custkey < b.c_custkey
+      | AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY k1, k2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q109_fuzzy_join" -> q109,
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
     "q60_shingle_near_dup" -> q60,
@@ -896,6 +947,7 @@ object DedupOps {
     "q85_incremental_admission" -> q85)
 
   val oracleSql: Map[String, String] = Map(
+    "q109_fuzzy_join" -> q109Sql,
     "q36_minhash_near_dup" -> q36Sql,
     "q37_simhash_fingerprints" -> q37Sql,
     "q60_shingle_near_dup" -> q60Sql,

@@ -198,6 +198,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(first.getAs[String]("clean_text").nonEmpty)
   }
 
+  test("ed-1 fuzzy join is exact: every edit type found, distance 2 excluded") {
+    // 1~2 equal, 1~3 substitution, 1~4 deletion, 1~5 insertion,
+    // 6 is two substitutions away from 1, 7 shares nothing
+    val names = Seq(
+      (1L, "customer#42"), (2L, "customer#42"), (3L, "customer#4X"),
+      (4L, "customer#4"), (5L, "customer#042"), (6L, "customer#XX"),
+      (7L, "supplier#99")
+    ).toDF("id", "name")
+    val pairs = DedupOps.fuzzyJoinEd1(names, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // ground truth: brute-force all pairs at <= 1 edit
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      if org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b) <= 1
+    } yield (i, j)).toSet
+    assert(pairs === expected)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.contains((1L, 6L)) && !pairs.exists(p => p._2 == 7L))
+  }
+
   test("incremental admission covers the new batch and is consistent") {
     val out = DedupOps.queries("q85_incremental_admission")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
