@@ -21,6 +21,7 @@ object SparkEntry {
       operators.EventOps.queries ++
       operators.TextOps.queries ++ operators.DedupOps.queries ++
       operators.VectorOps.queries ++ operators.MultimodalOps.queries ++
+      operators.AudioOps.queries ++
       operators.RangeJoin.queries ++ operators.TrainingOps.queries ++
       operators.Skew.queries ++ operators.SinkOps.queries ++
       operators.ProfileOps.queries ++ operators.GraphOps.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       operators.EventOps.oracleSql ++
       operators.TextOps.oracleSql ++ operators.DedupOps.oracleSql ++
       operators.VectorOps.oracleSql ++ operators.MultimodalOps.oracleSql ++
+      operators.AudioOps.oracleSql ++
       operators.RangeJoin.oracleSql ++ operators.TrainingOps.oracleSql ++
       operators.Skew.oracleSql ++ operators.SinkOps.oracleSql ++
       operators.ProfileOps.oracleSql ++ operators.GraphOps.oracleSql ++
