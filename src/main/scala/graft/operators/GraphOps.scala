@@ -135,9 +135,115 @@ object GraphOps {
        |FROM r$ITERS r JOIN nation n ON r.node = n.n_nationkey
        |ORDER BY rank_fp DESC, n.n_name""".stripMargin
 
+  // --------------------------------------------------------------- q112
+  /** Triangle counting over a part co-occurrence graph, the third classic
+    * distributed-graph kernel beside components (q71) and PageRank
+    * (q104). Nodes are parts; an undirected edge connects two parts that
+    * appear in the same 1995 order (the date window scales the graph
+    * linearly with data while preserving per-order density — within-order
+    * cliques survive any window).
+    *
+    * The kernel is DEGREE-ORDERED EDGE ORIENTATION — the shape that
+    * survives skewed degree distributions at scale: every undirected edge
+    * is directed from its (degree, id)-smaller endpoint to the larger, so
+    * a node's out-degree is O(sqrt(m)) regardless of its true degree, and
+    * the wedge join (out-edges ⋈ out-edges on source) is bounded by
+    * Σ outdeg² ~ m^1.5 instead of the unoriented Σ deg² that explodes on
+    * hub nodes. Each triangle is then found EXACTLY ONCE (at its
+    * orientation-minimal vertex) by probing wedges against the oriented
+    * edge set. Per-node participation re-expands the found triangles to
+    * all three corners. Edge building is a within-group pair expansion
+    * bounded by (items/order)², not data volume.
+    *
+    * Everything is exact integer counting — nothing for engines to
+    * disagree on; the top-100 cut has the (count desc, part asc) total
+    * order. */
+  /** Per-node triangle participation of an undirected graph given as a
+    * distinct (p1 < p2) edge list — the degree-ordered-orientation kernel
+    * q112 runs over the co-occurrence graph. Nodes outside any triangle
+    * are absent from the output. */
+  def triangleParticipation(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    // degree table is node-domain-sized (a dimension, not a fact) —
+    // broadcast both probes
+    val deg = e.select($"p1".as("p")).unionAll(e.select($"p2".as("p")))
+      .groupBy($"p").agg(count(lit(1)).as("d"))
+    // materialize the oriented edge list ONCE: it feeds three join legs
+    // (both wedge sides + the closing probe), and without pinning it the
+    // whole edge build — two distincts over the fact join — re-runs per
+    // leg (measured 2.4 s -> 0.7 s for the counting phase at sf0.1)
+    val oriented = e
+      .join(broadcast(deg.as("da")), $"p1" === $"da.p")
+      .join(broadcast(deg.as("db")), $"p2" === $"db.p")
+      .select(
+        when($"da.d" < $"db.d" ||
+          ($"da.d" === $"db.d" && $"p1" < $"p2"), $"p1").otherwise($"p2")
+          .as("s"),
+        when($"da.d" < $"db.d" ||
+          ($"da.d" === $"db.d" && $"p1" < $"p2"), $"p2").otherwise($"p1")
+          .as("t"))
+      .localCheckpoint()
+    // wedge (s; v, w): two out-edges of s, deduped by t order; the
+    // closing probe finds the edge that closes the triangle
+    val tri = oriented.as("x").join(oriented.as("y"),
+        $"x.s" === $"y.s" && $"x.t" < $"y.t")
+      .select($"x.s".as("u"), $"x.t".as("v"), $"y.t".as("w"))
+      .join(oriented.as("z"), $"v" === $"z.s" && $"w" === $"z.t")
+      .select($"u", $"v", $"w")
+    tri.select(explode(array($"u", $"v", $"w")).as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("triangles"))
+  }
+
+  private val q112: Q = (s, dir) => {
+    import s.implicits._
+    val ip = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_orderdate".between("1995-01-01", "1995-12-31"))
+          .select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val e = ip.as("a").join(ip.as("b"),
+        $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+      .select($"a.p".as("p1"), $"b.p".as("p2")).distinct()
+    triangleParticipation(e)
+      .orderBy($"triangles".desc, $"part")
+      .limit(100)
+  }
+
+  private val q112Sql =
+    """WITH ip AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      |e AS (
+      |  SELECT DISTINCT a.p AS p1, b.p AS p2
+      |  FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (
+      |  SELECT p, COUNT(*) AS d
+      |  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)
+      |  GROUP BY p),
+      |o AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
+      |              THEN e.p1 ELSE e.p2 END AS s,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
+      |              THEN e.p2 ELSE e.p1 END AS t
+      |  FROM e JOIN deg da ON e.p1 = da.p JOIN deg db ON e.p2 = db.p),
+      |tri AS (
+      |  SELECT x.s AS u, x.t AS v, y.t AS w
+      |  FROM o x JOIN o y ON x.s = y.s AND x.t < y.t
+      |  JOIN o z ON z.s = x.t AND z.t = y.t)
+      |SELECT part, CAST(COUNT(*) AS BIGINT) AS triangles
+      |FROM (SELECT u AS part FROM tri UNION ALL SELECT v FROM tri
+      |      UNION ALL SELECT w FROM tri)
+      |GROUP BY part
+      |ORDER BY triangles DESC, part
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q104_nation_pagerank" -> q104)
+    "q104_nation_pagerank" -> q104,
+    "q112_triangle_count" -> q112)
 
   val oracleSql: Map[String, String] = Map(
-    "q104_nation_pagerank" -> q104Sql)
+    "q104_nation_pagerank" -> q104Sql,
+    "q112_triangle_count" -> q112Sql)
 }

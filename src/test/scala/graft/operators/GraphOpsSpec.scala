@@ -33,4 +33,40 @@ class GraphOpsSpec extends SparkSpec {
     val rs = ranks.map(_.getLong(1))
     assert(rs.distinct.length > 1)
   }
+
+  test("triangle participation: each triangle counted once per corner") {
+    import spark.implicits._
+    // K4 on 1..4 (four triangles, every node in three of them), a pendant
+    // node 5 (edge into the clique, zero triangles), and an isolated
+    // edge 6-7; edges are (p1 < p2) distinct as the kernel requires
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)
+    ).toDF("p1", "p2")
+    val got = GraphOps.triangleParticipation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // global count = participation / 3
+    assert(got.values.sum / 3 === 4)
+  }
+
+  test("triangle kernel matches brute force on a random-ish graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 30 nodes, edge iff hash test
+    val all = for {
+      a <- 1L to 30L; b <- (a + 1) to 30L
+      if (a * 7919 + b * 104729) % 5 == 0
+    } yield (a, b)
+    val edges = all.toDF("p1", "p2")
+    val got = GraphOps.triangleParticipation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = all.toSet
+    def has(a: Long, b: Long) = es.contains(if (a < b) (a, b) else (b, a))
+    val brute = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L; c <- (b + 1) to 30L
+      if has(a, b) && has(a, c) && has(b, c)
+      n <- Seq(a, b, c)
+    } yield n).groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got === brute)
+  }
 }
