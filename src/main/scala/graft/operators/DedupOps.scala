@@ -934,7 +934,62 @@ object DedupOps {
       | AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY k1, k2""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** Entity resolution end-to-end — the composition the two pieces exist
+    * for: ed-1 fuzzy matching ([[fuzzyJoinEd1]], exact deletion-
+    * neighborhood blocking) produces the match edges, two-star
+    * contraction ([[twoStarLabels]], adversarial-chain-safe) groups them
+    * into entity clusters, and each cluster reports its canonical record
+    * (the minimum key — also the cluster label, so the canonical-name
+    * join is key-exact). Only multi-member clusters survive: those are
+    * the resolved duplicates a curation pipeline would merge.
+    *
+    * Scale: every stage is a already-proven distributed shape — variant
+    * equi-join (never all-pairs), O(log n)-round contraction, one
+    * label-keyed aggregate. The oracle replays the same edges with the
+    * all-pairs levenshtein form + recursive-CTE closure DuckDB can
+    * afford at test SFs. */
+  private val q114: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+    val edges = fuzzyJoinEd1(c, "c_custkey", "c_name")
+      .select($"k1".as("a"), $"k2".as("b"))
+    val (labels, _) =
+      twoStarLabels(c.select($"c_custkey".as("doc_id")), edges)
+    labels.groupBy($"label")
+      .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_key"))
+      .filter($"n_members" >= 2)
+      .join(c.select($"c_custkey".as("label"),
+        $"c_name".as("canonical_name")), "label")
+      .select($"label".as("cluster_id"), $"canonical_name",
+        $"n_members", $"max_key")
+      .orderBy($"cluster_id")
+  }
+  private val q114Sql =
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey AS k, c_name AS name FROM customer
+      |  WHERE c_mktsegment = 'BUILDING'),
+      |e0 AS (
+      |  SELECT a.k AS a, b.k AS b
+      |  FROM c a JOIN c b
+      |    ON a.k < b.k AND levenshtein(a.name, b.name) <= 1),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |reach(a, b) AS (
+      |  SELECT k, k FROM c
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT a AS k, MIN(b) AS label FROM reach GROUP BY a)
+      |SELECT label AS cluster_id, cn.name AS canonical_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members, MAX(l.k) AS max_key
+      |FROM lbl l JOIN c cn ON cn.k = l.label
+      |GROUP BY label, cn.name
+      |HAVING COUNT(*) >= 2
+      |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q114_entity_clusters" -> q114,
     "q109_fuzzy_join" -> q109,
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
@@ -947,6 +1002,7 @@ object DedupOps {
     "q85_incremental_admission" -> q85)
 
   val oracleSql: Map[String, String] = Map(
+    "q114_entity_clusters" -> q114Sql,
     "q109_fuzzy_join" -> q109Sql,
     "q36_minhash_near_dup" -> q36Sql,
     "q37_simhash_fingerprints" -> q37Sql,

@@ -520,7 +520,60 @@ object EventOps {
        |WINDOW v AS (PARTITION BY user_id ORDER BY run_idx)
        |ORDER BY user_id, version""".stripMargin
 
+  // --------------------------------------------------------------- q113
+  /** Exponential moving average over per-type daily counts — the
+    * time-series smoothing stage of a monitoring dashboard, and a pattern
+    * class nothing else in the tree exercises: a SEQUENTIAL RECURRENCE
+    * (ema_i depends on ema_{i-1}) that no window frame expresses. The
+    * scale-honest shape: the recurrence is inherently serial *within* a
+    * series, so collapse each series to an array — bounded by the TIME
+    * DOMAIN (days), not data volume, because it folds the pre-aggregated
+    * daily counts — and run the fold as one `aggregate` prefix scan per
+    * group, groups in parallel. α = 1/2 in fixed-point (×1000) integer
+    * arithmetic: every step is add + truncating halve, so engines cannot
+    * disagree (DuckDB mirrors with a recursive CTE over the row index,
+    * depth = series length). */
+  private val q113: Q = (s, dir) => {
+    import s.implicits._
+    val daily = ev(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"cnt"))).as("xs"))
+      .select($"event_type", explode(expr(
+        """zip_with(xs,
+          |  aggregate(xs, cast(array() as array<bigint>), (acc, x) ->
+          |    acc || array(CASE WHEN size(acc) = 0 THEN x.cnt * 1000L
+          |      ELSE (element_at(acc, -1) + x.cnt * 1000L) div 2 END)),
+          |  (x, e) -> struct(x.day as day, x.cnt as cnt, e as ema_fp))"""
+          .stripMargin)).as("r"))
+      .select($"event_type", $"r.day".as("day"), $"r.cnt".as("cnt"),
+        $"r.ema_fp".as("ema_fp"))
+      .orderBy($"event_type", $"day")
+  }
+  private val q113Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |ema AS (
+      |  SELECT event_type, day, cnt, rn, cnt * 1000 AS ema_fp
+      |  FROM idx WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.event_type, i.day, i.cnt, i.rn,
+      |         (e.ema_fp + i.cnt * 1000) // 2
+      |  FROM ema e JOIN idx i
+      |    ON i.event_type = e.event_type AND i.rn = e.rn + 1)
+      |SELECT event_type, day, cnt, CAST(ema_fp AS BIGINT) AS ema_fp
+      |FROM ema
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_ema_daily" -> q113,
     "q106_scd2_intervals" -> q106,
     "q91_gap_sessions" -> q91,
     "q90_cohort_retention" -> q90,
@@ -538,6 +591,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q113_ema_daily" -> q113Sql,
     "q106_scd2_intervals" -> q106Sql,
     "q91_gap_sessions" -> q91Sql,
     "q90_cohort_retention" -> q90Sql,

@@ -43,4 +43,31 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("depth")).toMap
     assert(depths === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("ema fold matches the scalar recurrence, per type, gaps skipped") {
+    import java.sql.Timestamp
+    // type a: days 1,2,4 (gap on 3) with counts 3,1,2; type b: one day
+    val ev = Seq(
+      (1L, "a", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "a", Timestamp.valueOf("2024-01-01 11:00:00")),
+      (3L, "a", Timestamp.valueOf("2024-01-01 12:00:00")),
+      (4L, "a", Timestamp.valueOf("2024-01-02 10:00:00")),
+      (5L, "a", Timestamp.valueOf("2024-01-04 10:00:00")),
+      (6L, "a", Timestamp.valueOf("2024-01-04 11:00:00")),
+      (7L, "b", Timestamp.valueOf("2024-01-03 09:00:00"))
+    ).map { case (id, t, ts) => (id, t, ts, 0L, 0.0, "{}") }
+      .toDF("event_id", "event_type", "ts", "user_id", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ema_").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.queries("q113_ema_daily")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3)))
+    // recurrence: e0 = c0*1000; e_i = (e_{i-1} + c_i*1000) div 2 over
+    // OBSERVED days only (the gap day contributes no point)
+    assert(out.toSeq === Seq(
+      ("a", "2024-01-01", 3L, 3000L),
+      ("a", "2024-01-02", 1L, (3000L + 1000L) / 2),
+      ("a", "2024-01-04", 2L, ((3000L + 1000L) / 2 + 2000L) / 2),
+      ("b", "2024-01-03", 1L, 1000L)))
+  }
 }
