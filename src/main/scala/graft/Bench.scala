@@ -54,12 +54,11 @@ object Bench {
       }
       name -> times.min
     }
-    // Per-query timings as one SMALL json line each, then a short
-    // total-only line LAST: the driver keeps only a bounded tail of
-    // stdout, and the previous single giant line (total + 80-entry map)
-    // overflowed it — the artifact parsed as null and lost 25 of 80
-    // timings. Small trailing lines survive the tail buffer; the final
-    // line stays parseable on its own.
+    // Per-query timings as compact DIGEST lines (10 queries per line,
+    // each line valid JSON on its own): the driver keeps only ~35 tail
+    // lines of stdout, and 121 one-per-line entries overflowed it in r7 —
+    // 86 timings (94.6 of 115.2 s) never reached the artifact. 121
+    // queries now fit in ~13 digest lines plus the two total lines.
     // Locale.ROOT: the default-locale f-interpolator would print a comma
     // decimal separator under e.g. de_DE and break the JSON parse.
     def num(v: Double): String =
@@ -73,8 +72,9 @@ object Bench {
     val totalLine =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
     println(totalLine)
-    results.foreach { case (k, v) =>
-      println(s"""{"query":"$k","sec":${num(v)}}""")
+    results.toSeq.grouped(10).foreach { group =>
+      val pairs = group.map { case (k, v) => s""""$k":${num(v)}""" }
+      println(s"""{"queries":{${pairs.mkString(",")}}}""")
     }
     println(totalLine)
     spark.stop()

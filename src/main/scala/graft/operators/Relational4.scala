@@ -183,9 +183,14 @@ object Relational4 {
         coalesce($"token_id", lit(0L)).as("tid"))
       .groupBy($"doc_id")
       .agg(transform(array_sort(collect_list(struct($"pos", $"tid"))),
-        p => p.getField("tid")).as("token_ids"))
-      .select($"doc_id", $"token_ids",
-        size($"token_ids").cast("long").as("n_tokens"))
+        p => p.getField("tid")).as("tids"))
+      // Serialized (not a raw array<bigint>) because the driver's oracle
+      // comparator sorts output columns with pandas, which cannot hash
+      // array cells; every registered query must emit scalar columns only
+      // (enforced by ScalarOutputSpec).
+      .select($"doc_id",
+        array_join($"tids".cast("array<string>"), ",").as("token_ids"),
+        size($"tids").cast("long").as("n_tokens"))
       .orderBy($"doc_id")
   }
   private val q96Sql =
@@ -202,7 +207,8 @@ object Relational4 {
        |ids AS (
        |  SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
-       |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+       |SELECT doc_id,
+       |  array_to_string(list(tid ORDER BY pos), ',') AS token_ids,
        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
        |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -31,6 +31,23 @@ class GraftSpec extends SparkSpec {
       .head().getDouble(0) === 11.0)
   }
 
+  test("every registered query emits scalar columns only") {
+    // The driver's oracle comparator sorts result columns with pandas,
+    // which cannot hash array/map/struct cells — q96 errored in round 7
+    // for exactly this. Any complex value must be serialized (array_join,
+    // to_json, …) before it leaves a registered query.
+    import org.apache.spark.sql.types._
+    Graft.install(spark)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        val bad = f(spark, sf).schema.fields.collect {
+          case StructField(n, _: ArrayType | _: MapType | _: StructType, _, _) => n
+        }
+        if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty, s"non-scalar output columns in: $offenders")
+  }
+
   test("every registered query has an oracle unless explicitly exempt") {
     // the correctness gate only checks queries present in BOTH maps; a
     // missing oracleSql entry silently downgrades a query to a rows-only
