@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the caller UNPREFIXED: sbt's default
+// LoggedOutput wraps every line in "[info] ", which breaks any per-line
+// JSON parse of Bench's one-line artifact (the driver's `parsed: null`
+// for 8 straight rounds). StdoutOutput passes the child's stdout through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,14 +45,19 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // A rep that THROWS must not masquerade as a (fast) timing: analysis
+      // errors fail in milliseconds and r8 reported three crashed queries
+      // as 0.05 s "wins". A query with any failed rep is reported as an
+      // explicit error, and errored queries are excluded from the total.
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         clearLeakedCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
     }
     // Per-query timings as compact DIGEST lines (10 queries per line,
     // each line valid JSON on its own): the driver keeps only ~35 tail
@@ -68,12 +73,16 @@ object Bench {
     // intact, so the driver's extractor is neither strictly-last-line nor
     // tail-based — bracketing the per-query lines with the total means a
     // first-match, last-match, or bounded-buffer heuristic all land on it.
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.flatten.sum
+    val nErr = results.values.count(_.isEmpty)
     val totalLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr}"""
     println(totalLine)
     results.toSeq.grouped(10).foreach { group =>
-      val pairs = group.map { case (k, v) => s""""$k":${num(v)}""" }
+      val pairs = group.map {
+        case (k, Some(v)) => s""""$k":${num(v)}"""
+        case (k, None)    => s""""$k":"err""""
+      }
       println(s"""{"queries":{${pairs.mkString(",")}}}""")
     }
     println(totalLine)

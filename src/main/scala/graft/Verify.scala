@@ -25,7 +25,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A crash must leave a visible artifact, never an absent row: the
+        // driver's comparator treats a missing dump as "query not present",
+        // which silently shrinks the correctness file (r8: 121→116). The
+        // .err file makes the failure first-class in the signal of record.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
       // drop cache a query persisted for its own internal reuse — dead
       // after the write; letting it pile up across 69 queries evicts and

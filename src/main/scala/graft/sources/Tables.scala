@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (repo:TESTDATA.md).
   *
@@ -18,13 +18,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = read(spark, s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses natively
-    // (PARQUET_TYPE_ILLEGAL) — it arrives as a ns-since-epoch long via the
-    // legacy conf below; truncate to µs TimestampType (floor, matching how
-    // second-resolution formatting behaves in both engines).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // The loader is the one seam that guarantees events.ts is TimestampType
+    // regardless of how the driver's generator wrote the footer:
+    //  - TIMESTAMP(NANOS): Spark 4 refuses it natively (PARQUET_TYPE_ILLEGAL);
+    //    it arrives as a ns-since-epoch long via the legacy conf below, which
+    //    we truncate to µs TimestampType (floor, matching second-resolution
+    //    formatting in both engines).
+    //  - TIMESTAMP(isAdjustedToUTC=false, MICROS): Spark 4 infers
+    //    TimestampNTZType; cast to TimestampType. The session TZ is pinned
+    //    UTC (build.sbt / Verify / Bench), so the naive→instant cast is
+    //    value-identity — same micros, now instant-typed, matching DuckDB's
+    //    naive TIMESTAMP semantics on the same file.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Run a SQL query over temp views WITHOUT racing concurrent

@@ -4,13 +4,14 @@ import graft.SparkSpec
 
 class TablesSpec extends SparkSpec {
 
-  test("events (TIMESTAMP(NANOS) parquet) materializes after conf restore") {
+  test("events materializes as TimestampType regardless of footer shape") {
     // Tables.read scopes spark.sql.legacy.parquet.nanosAsLong to schema
-    // inference and restores the previous value before any action. This
-    // pins the load-bearing assumption documented in Tables.read: at
-    // EXECUTION time the reader accepts INT64(NANOS) against the pinned
-    // LongType schema with the conf unset. If a Spark upgrade re-consults
-    // the conf at execution, this test fails before production does.
+    // inference and restores the previous value before any action (only
+    // needed for the TIMESTAMP(NANOS) footer generation; harmless for the
+    // MICROS/NTZ footer the current generator writes). Whatever the footer
+    // says — NANOS (→ LongType → timestamp_micros) or
+    // isAdjustedToUTC=false MICROS (→ TimestampNTZType → cast) — the
+    // loader must hand every operator a plain µs TimestampType `ts`.
     // getOption returns the registered default ("false") even when unset —
     // assert the EFFECTIVE value is off, i.e. the scoped "true" never leaks
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") !== "true")
@@ -18,10 +19,30 @@ class TablesSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") !== "true")
     val n = events.count() // full scan — exercises the execution-time path
     assert(n > 0)
-    // the ns column arrives as a proper µs TimestampType after the loader
     assert(events.schema("ts").dataType ===
       org.apache.spark.sql.types.TimestampType)
     assert(events.select("ts").na.drop().count() === n)
+  }
+
+  test("NTZ footer normalization is value-identity under the UTC session") {
+    // Write an NTZ parquet ourselves (independent of what the driver's
+    // generator currently emits) and load it through the Tables seam: the
+    // micros under the timestamp must be unchanged by the NTZ→instant cast.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ntz_events").toString
+    spark.range(5).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L)
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+      col("id").as("user_id"), lit("edit").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props")
+    ).coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables(spark, dir, "events")
+    assert(loaded.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val micros = loaded.select(unix_micros(col("ts"))).as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(micros === Array.tabulate(5)(i => 1700000000000000L + i * 1000000L))
   }
 
   test("sqlOverViews isolates concurrent invocations and drops its views") {
