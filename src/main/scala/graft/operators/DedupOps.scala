@@ -91,24 +91,100 @@ object DedupOps {
       PortableHash.fold(b.toLong, parts).as(s"__band$b")
     }
 
+  /** Hot-bucket cap for every band self-join in the LSH family: buckets
+    * with more members than this are decomposed into block pairs so no
+    * single reducer ever materializes a quadratic bucket. 1024 keeps the
+    * per-task pair count ≤ ~(2·1024)²/2 ≈ 2M — comfortably in-memory —
+    * while at test scale no real bucket comes near it (the decomposition
+    * is exercised by spec with a tiny cap). */
+  val DefaultMaxBucket: Int = 1024
+
+  /** The one band self-join kernel: `banded` must carry `idCol`, `__bidx`,
+    * `__bhash`, plus `payload` columns; returns one row per co-bucketed
+    * ordered pair (`__ga` < `__gb`, payload as `<p>_a`/`<p>_b`) — one row
+    * PER SHARED BAND (callers dedup when they need set semantics).
+    *
+    * Skew safety (the 100 TB story): a pathological bucket — 10⁵
+    * near-identical-but-distinct docs sharing a band hash — would make a
+    * plain equi self-join put ~5·10⁹ pairs in ONE reducer. Buckets larger
+    * than `maxBucket` are instead split into B = ⌈n/maxBucket⌉ blocks by
+    * member-id hash, and each unordered block pair (p ≤ q) is shipped to
+    * its own reducer: side A emits a row for each q ∈ [blk, B), side B
+    * for each p ∈ [0, blk], so pair (x, y) with blocks (bx ≤ by) meets in
+    * exactly reducer (bx, by) — identical output, per-reducer input
+    * bounded by 2·maxBucket rows. The total candidate count is inherent
+    * to exact pair enumeration (that is what the query returns); the cap
+    * turns one straggler into ~B²/2 even tasks. The pre-count of bucket
+    * sizes is a map-side-combinable aggregation over the banded rows. */
+  private[operators] def bandSelfJoin(banded: DataFrame, idCol: String,
+      payload: Seq[String], maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy(col("__bidx"), col("__bhash"))
+      .agg(count(lit(1)).as("__bn"))
+    val tagged = banded.join(sizes, Seq("__bidx", "__bhash"))
+    def aSide(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.select((keys.map(col) :+ col(idCol).as("__ga")) ++
+        payload.map(p => col(p).as(s"${p}_a")): _*)
+    def bSide(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.select((keys.map(col) :+ col(idCol).as("__gb")) ++
+        payload.map(p => col(p).as(s"${p}_b")): _*)
+    val out = Seq(col("__ga"), col("__gb")) ++
+      payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b")))
+
+    val cold = tagged.filter(col("__bn") <= maxBucket)
+    val coldPairs = aSide(cold, Seq("__bidx", "__bhash"))
+      .join(bSide(cold, Seq("__bidx", "__bhash")), Seq("__bidx", "__bhash"))
+      .filter(col("__ga") < col("__gb"))
+      .select(out: _*)
+
+    val hot = tagged.filter(col("__bn") > maxBucket)
+      .withColumn("__B",
+        ceil(col("__bn").cast("double") / maxBucket).cast("int"))
+      .withColumn("__blk",
+        pmod(xxhash64(col(idCol)), col("__B").cast("long")).cast("int"))
+    val hotKeys = Seq("__bidx", "__bhash", "__p", "__q")
+    val hotA = aSide(
+      hot.withColumn("__p", col("__blk"))
+        .withColumn("__q",
+          explode(sequence(col("__blk"), col("__B") - 1))), hotKeys)
+    val hotB = bSide(
+      hot.withColumn("__q", col("__blk"))
+        .withColumn("__p", explode(sequence(lit(0), col("__blk")))), hotKeys)
+    val joined = hotA.join(hotB, hotKeys)
+    // Reducer (p, p) holds block p on both sides: the ga < gb filter keeps
+    // each unordered pair once. Reducer (p, q), p < q, holds DISJOINT
+    // blocks (a gid hashes to one block), so each cross pair arrives
+    // exactly once but in hash order, not id order — orient it to
+    // (least, greatest), swapping the payload along with the ids.
+    val diag = joined
+      .filter(col("__p") === col("__q") && col("__ga") < col("__gb"))
+      .select(out: _*)
+    val offOut = Seq(
+      least(col("__ga"), col("__gb")).as("__ga"),
+      greatest(col("__ga"), col("__gb")).as("__gb")) ++
+      payload.flatMap(p => Seq(
+        when(col("__ga") < col("__gb"), col(s"${p}_a"))
+          .otherwise(col(s"${p}_b")).as(s"${p}_a"),
+        when(col("__ga") < col("__gb"), col(s"${p}_b"))
+          .otherwise(col(s"${p}_a")).as(s"${p}_b")))
+    val off = joined.filter(col("__p") =!= col("__q")).select(offOut: _*)
+
+    coldPairs.union(diag).union(off)
+  }
+
   /** LSH banding: signature → `bands` hashes of `rowsPerBand` components;
     * docs sharing any band hash become candidate pairs via an equi-join.
     * `dedup=false` defers the pair-distinct to after verification — when
     * most candidates are filtered out, deduping the small verified set is
     * far cheaper than deduping the raw candidate stream. */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
-      rowsPerBand: Int, dedup: Boolean = true): DataFrame = {
+      rowsPerBand: Int, dedup: Boolean = true,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = sig.select(col(idCol) +: bandHashCols(bands, rowsPerBand): _*)
     val long = banded.select(col(idCol),
       posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
         .as(Seq("__bidx", "__bhash")))
-    val a = long.alias("a")
-    val b = long.alias("b")
-    val pairs = a.join(b,
-        col("a.__bidx") === col("b.__bidx") &&
-        col("a.__bhash") === col("b.__bhash") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val pairs = bandSelfJoin(long, idCol, Seq.empty, maxBucket)
+      .select(col("__ga").as("id_a"), col("__gb").as("id_b"))
     if (dedup) pairs.distinct() else pairs
   }
 
@@ -154,7 +230,8 @@ object DedupOps {
 
   def minhashNearDupTokens(df: DataFrame, idCol: String, toksCol: Column,
       numHashes: Int, bands: Int, threshold: Double,
-      bitmapMaxVocab: Long = DefaultBitmapMaxVocab): DataFrame = {
+      bitmapMaxVocab: Long = DefaultBitmapMaxVocab,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // 1. tokenize once → distinct canonical sets, keyed by smallest member
     val canon = df
@@ -176,17 +253,9 @@ object DedupOps {
     val banded0 = groups.select(col("__gid"),
       posexplode(graft.functions.MinhashBands.bands(
         col("__set"), numHashes, bands)).as(Seq("__bidx", "__bhash")))
-    def candidatePairs: DataFrame = {
-      val a = banded0.select(col("__gid").as("__ga"),
-        col("__bidx"), col("__bhash"))
-      val b = banded0.select(col("__gid").as("__gb"),
-        col("__bidx").as("__bidx2"), col("__bhash").as("__bhash2"))
-      a.join(b,
-          col("__bidx") === col("__bidx2") &&
-          col("__bhash") === col("__bhash2") &&
-          col("__ga") < col("__gb"))
+    def candidatePairs: DataFrame =
+      bandSelfJoin(banded0, "__gid", Seq.empty, maxBucket)
         .select(col("__ga"), col("__gb")).distinct()
-    }
     // 4. banded candidates + exact-Jaccard verification — three-tier
     // adaptive kernel by global vocab size:
     //   ≤62        one long per set, carried THROUGH the band explode so
@@ -207,16 +276,9 @@ object DedupOps {
         .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __idx)")).as("__mask"))
       val banded = banded0.join(setMasks, "__gid")
         .select(col("__gid"), col("__mask"), col("__bidx"), col("__bhash"))
-      val a = banded.select(col("__gid").as("__ga"), col("__mask").as("__m_a"),
-        col("__bidx"), col("__bhash"))
-      val b = banded.select(col("__gid").as("__gb"), col("__mask").as("__m_b"),
-        col("__bidx").as("__bidx2"), col("__bhash").as("__bhash2"))
-      a.join(b,
-          col("__bidx") === col("__bidx2") &&
-          col("__bhash") === col("__bhash2") &&
-          col("__ga") < col("__gb"))
+      bandSelfJoin(banded, "__gid", Seq("__mask"), maxBucket)
         .select(col("__ga"), col("__gb"),
-          TokenBitmask.jaccard(col("__m_a"), col("__m_b")).as("jaccard"))
+          TokenBitmask.jaccard(col("__mask_a"), col("__mask_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
         .distinct()
     } else if (vocabSize <= bitmapMaxVocab) {

@@ -241,4 +241,80 @@ class DedupOpsSpec extends SparkSpec {
       if (a) assert(out(d), s"doc $d admitted by q67 but rejected by q85")
     }
   }
+
+  // ---- hot-bucket cap: one pathological band bucket must never become a
+  // single quadratic reducer (block-pair decomposition, result-identical)
+
+  test("bandSelfJoin: hot bucket decomposes into block pairs, pair-exact") {
+    val banded = spark.range(50).select(
+      col("id").as("__gid"), lit(0).as("__bidx"), lit(42L).as("__bhash"),
+      (col("id") * 2).as("__pay"))
+    val capped = DedupOps.bandSelfJoin(banded, "__gid", Seq("__pay"), 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every unordered pair exactly once, ordered, payload carried intact
+    assert(capped.length === 50 * 49 / 2)
+    assert(capped.toSet.size === capped.length)
+    capped.foreach { case (ga, gb, pa, pb) =>
+      assert(ga < gb); assert(pa === ga * 2); assert(pb === gb * 2)
+    }
+  }
+
+  test("bandSelfJoin: capped equals uncapped on mixed hot/cold buckets") {
+    // bucket (0,1): 30 members — hot at cap 8; bucket (1,2): 5 — cold.
+    // Ids 0-4 sit in both buckets, so their pairs keep multiplicity 2
+    // (one row per shared band, the contract callers' .distinct relies on).
+    val rows = (0 until 30).map(i => (i.toLong, 0, 1L)) ++
+      (0 until 5).map(i => (i.toLong, 1, 2L))
+    val banded = rows.toDF("__gid", "__bidx", "__bhash")
+    def run(cap: Int) = DedupOps.bandSelfJoin(banded, "__gid", Seq.empty, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val capped = run(8)
+    assert(capped === run(Int.MaxValue))
+    assert(capped.count(_ == (0L, 1L)) === 2)
+  }
+
+  test("minhash near-dup is identical under an adversarial hot bucket") {
+    // 60 near-identical-but-DISTINCT docs (shared base + one unique token
+    // each): every band bucket holds all 60 sets, the exact shape that
+    // defeats identical-set collapse. cap=4 forces the block-pair path in
+    // both verification tiers; results must match the uncapped run.
+    def pairs(docs: org.apache.spark.sql.DataFrame, cap: Int) =
+      DedupOps.minhashNearDupTokens(docs, "doc_id",
+          DedupOps.tokenSet(col("text")), 16, 4, 0.8, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    // vocab 10+40=50 ≤ 62 → single-long bitmask tier (payload through join)
+    val base10 = (0 until 10).map(i => s"tok$i").mkString(" ")
+    val small = (0 until 40).map(i => (i.toLong, s"$base10 unique$i"))
+      .toDF("doc_id", "text")
+    // LSH recall is probabilistic (jaccard 10/12 → ~93% of pairs become
+    // candidates with 4 bands of 4), so the contract is capped ≡ uncapped
+    // plus a recall floor, not the full pair count.
+    val smallCapped = pairs(small, 4)
+    assert(smallCapped === pairs(small, Int.MaxValue))
+    assert(smallCapped.length > 40 * 39 / 2 / 2)
+    // vocab 20+60=80 > 62 → long-array bitmap tier (candidatePairs path)
+    val base20 = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val mid = (0 until 60).map(i => (i.toLong, s"$base20 unique$i"))
+      .toDF("doc_id", "text")
+    val midCapped = pairs(mid, 4)
+    assert(midCapped === pairs(mid, Int.MaxValue))
+    assert(midCapped.length > 60 * 59 / 2 / 2)
+  }
+
+  test("lshCandidates: capped equals uncapped, with and without dedup") {
+    val base = (0 until 15).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 30).map(i => (i.toLong, s"$base extra$i"))
+      .toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignatures(
+      docs.select($"doc_id", DedupOps.tokenSet($"text").as("t")),
+      "doc_id", "t", 16)
+    def run(cap: Int, dedup: Boolean) =
+      DedupOps.lshCandidates(sig, "doc_id", 4, 4, dedup = dedup,
+          maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(run(4, dedup = true) === run(Int.MaxValue, dedup = true))
+    assert(run(4, dedup = false) === run(Int.MaxValue, dedup = false))
+  }
 }
