@@ -554,13 +554,174 @@ object MultimodalOps {
       |GROUP BY doc_id, k, w, h
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------- PERCEPTUAL HASHING
+  /** 64-bit dHash row: the hash is carried as two 32-bit halves in signed
+    * longs so every downstream engine (Spark, DuckDB) can band, xor, and
+    * popcount it without unsigned-overflow edge cases at bit 63. */
+  final case class DHashRow(doc_id: Long, dhash_lo: Long, dhash_hi: Long)
+
+  /** REAL perceptual dHash over decoded pixels, through the same
+    * partition-batched ImageIO seam as [[decodeBatch]]: sample a 9×8
+    * grayscale grid (nearest-neighbor — integer index math an oracle can
+    * replicate exactly, unlike area-average resize), then one bit per
+    * adjacent-column comparison: bit(gy·8+gx) = gray(gx+1,gy) > gray(gx,gy).
+    * Comparing NEIGHBORS makes the hash invariant under uniform brightness
+    * shift (both sides move together), which is exactly the perturbation
+    * class near-dup images exhibit; only values that wrap mod 256 flip
+    * bits. Undecodable payloads are skipped row by row. */
+  def dhashBatch(media: Dataset[Media]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        readImage(m.payload).map { bi =>
+          val w = bi.getWidth
+          val h = bi.getHeight
+          val px = bi.getRGB(0, 0, w, h, null, 0, w)
+          @inline def gray(gx: Int, gy: Int): Int = {
+            val rgb = px((gy * h / 8) * w + (gx * w / 9))
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          var lo = 0L; var hi = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (gray(gx + 1, gy) > gray(gx, gy)) {
+                val bit = gy * 8 + gx
+                if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+              }
+              gx += 1
+            }
+            gy += 1
+          }
+          DHashRow(m.doc_id, lo, hi)
+        }
+      }
+    }
+  }
+
+  /** Image near-dup by Hamming distance over dHash — the pixel analog of
+    * MinHash-LSH, reusing its scale machinery end to end: collapse
+    * identical hashes first (an exact-dup cluster of m images is ONE
+    * node through candidate generation), band the 64 bits into 4×16-bit
+    * exact-match keys (any pair within Hamming ≤ 16 shares a band by
+    * pigeonhole; at the ≤4 threshold used here recall is 1 unless all 4
+    * flipped bits land in distinct bands), generate candidates through
+    * [[DedupOps.bandSelfJoin]] (hot-bucket capped), verify with two
+    * xor+popcounts, and expand members after verification. */
+  def dhashNearDup(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    val groups = hashes.groupBy(col("dhash_lo"), col("dhash_hi"))
+      .agg(collect_list(col("doc_id")).as("__members"))
+      .withColumn("__gid", array_min(col("__members")))
+    val banded = groups.select(col("__gid") +: col("dhash_lo") +:
+      col("dhash_hi") +:
+      Seq(posexplode(array(
+        col("dhash_lo").bitwiseAND(65535),
+        shiftright(col("dhash_lo"), 16).bitwiseAND(65535),
+        col("dhash_hi").bitwiseAND(65535),
+        shiftright(col("dhash_hi"), 16).bitwiseAND(65535)))
+        .as(Seq("__bidx", "__bhash"))): _*)
+    val verified = DedupOps.bandSelfJoin(
+        banded, "__gid", Seq("dhash_lo", "dhash_hi"), maxBucket)
+      .select(col("__ga"), col("__gb"),
+        (bit_count(col("dhash_lo_a").bitwiseXOR(col("dhash_lo_b"))) +
+          bit_count(col("dhash_hi_a").bitwiseXOR(col("dhash_hi_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val ga = groups.select(col("__gid").as("__ga"),
+      col("__members").as("__mem_a"))
+    val gb = groups.select(col("__gid").as("__gb"),
+      col("__members").as("__mem_b"))
+    val cross = verified.join(ga, "__ga").join(gb, "__gb")
+      .select(explode(col("__mem_a")).as("__x"), col("__mem_b"),
+        col("hamming"))
+      .select(col("__x"), explode(col("__mem_b")).as("__y"), col("hamming"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("hamming"))
+    val intra = groups.filter(size(col("__members")) >= 2)
+      .select(explode(col("__members")).as("__x"), col("__members"))
+      .select(col("__x"), explode(col("__members")).as("__y"))
+      .filter(col("__x") < col("__y"))
+      .select(col("__x").as("id_a"), col("__y").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.union(intra)
+  }
+
+  // --------------------------------------------------------------- q115
+  /** Perceptual near-dup end-to-end on REAL pixels: each doc renders a
+    * brightness-shifted variant of a shared base pattern
+    * (`syntheticFramePng(doc_id % 20, (doc_id/20) % 3)` — the frame term
+    * adds a uniform +13·v to every channel mod 256, i.e. a brightness
+    * shift with wraparound), PNG-encode → ImageIO-decode → dHash →
+    * Hamming-banded near-dup at distance ≤ 4. Same-variant docs are
+    * pixel-identical (hamming 0, via the identical-hash collapse);
+    * cross-variant docs differ only where values wrap, flipping few
+    * dHash bits. The oracle replicates hash, bands, candidates, and
+    * verification with integer arithmetic over the closed-form pattern. */
+  private val q115: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map(d =>
+        Media(d, syntheticFramePng(d % 20, ((d / 20) % 3).toInt))))
+    dhashNearDup(dhashBatch(media).toDF(), maxHamming = 4)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q115Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 20 AS base, (doc_id // 20) % 3 AS v
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, base, v,
+      |         8 + base % 9 AS w, 8 + (base // 9) % 7 AS h
+      |  FROM d),
+      |bits AS (
+      |  SELECT doc_id, gy * 8 + gx AS bit,
+      |    CASE WHEN
+      |      ((base*31 + v*13 + ((gy*h//8)*w + ((gx+1)*w//9))*7) % 256
+      |       + (base*31 + v*13 + ((gy*h//8)*w + ((gx+1)*w//9))*7 + 101) % 256
+      |       + (base*31 + v*13 + ((gy*h//8)*w + ((gx+1)*w//9))*7 + 202) % 256) // 3
+      |      >
+      |      ((base*31 + v*13 + ((gy*h//8)*w + (gx*w//9))*7) % 256
+      |       + (base*31 + v*13 + ((gy*h//8)*w + (gx*w//9))*7 + 101) % 256
+      |       + (base*31 + v*13 + ((gy*h//8)*w + (gx*w//9))*7 + 202) % 256) // 3
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM dims, UNNEST(range(0, 8)) AS t1(gx), UNNEST(range(0, 8)) AS t2(gy)),
+      |hash AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN bit < 32
+      |      THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN bit >= 32
+      |      THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, lo, hi,
+      |    UNNEST([lo & 65535, (lo >> 16) & 65535,
+      |            hi & 65535, (hi >> 16) & 65535]) AS bhash,
+      |    UNNEST([0, 1, 2, 3]) AS bidx
+      |  FROM hash),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(ha.lo, hb.lo))
+      |     + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN hash ha ON ha.doc_id = c.id_a
+      |JOIN hash hb ON hb.doc_id = c.id_b
+      |WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
     "q51_multimodal_decode_stub" -> q51,
     "q68_frame_sample" -> q68,
     "q76_image_decode" -> q76,
     "q79_image_features" -> q79,
-    "q80_video_frames" -> q80)
+    "q80_video_frames" -> q80,
+    "q115_image_phash_dedup" -> q115)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
@@ -568,5 +729,6 @@ object MultimodalOps {
     "q68_frame_sample" -> q68Sql,
     "q76_image_decode" -> q76Sql,
     "q79_image_features" -> q79Sql,
-    "q80_video_frames" -> q80Sql)
+    "q80_video_frames" -> q80Sql,
+    "q115_image_phash_dedup" -> q115Sql)
 }

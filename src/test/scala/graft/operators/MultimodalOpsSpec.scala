@@ -164,4 +164,44 @@ class MultimodalOpsSpec extends SparkSpec {
       .collect()
     assert(out.map(_.doc_id).toSeq === Seq(1L))
   }
+
+  test("dHash: identical pixels hash equal, brightness shift stays near, " +
+      "different base is far") {
+    val media = Seq(
+      Media(0L, MultimodalOps.syntheticFramePng(9L, 0)),
+      Media(1L, MultimodalOps.syntheticFramePng(9L, 0)), // exact dup of 0
+      Media(2L, MultimodalOps.syntheticFramePng(9L, 1)), // brightness shift
+      Media(3L, MultimodalOps.syntheticFramePng(10L, 0)) // different pattern
+    ).toDS()
+    val h = MultimodalOps.dhashBatch(media).collect()
+      .map(r => r.doc_id -> (r.dhash_lo, r.dhash_hi)).toMap
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(h(a)._1 ^ h(b)._1) +
+        java.lang.Long.bitCount(h(a)._2 ^ h(b)._2)
+    assert(ham(0L, 1L) === 0)
+    // the synthetic pattern is adversarially high-frequency (adjacent
+    // pixels differ by 7 mod 256), so a +13 shift wraps more bits than it
+    // would on a natural image — the invariant worth pinning is ORDER:
+    // shifted variant strictly nearer than a different pattern
+    assert(ham(0L, 2L) < ham(0L, 3L))
+    assert(ham(0L, 3L) > 12) // unrelated pattern ~half the bits differ
+  }
+
+  test("dhashNearDup: exact + near pairs found, unrelated skipped, " +
+      "hot-bucket cap is result-identical") {
+    val media = (0L until 40L).map(d =>
+      Media(d, MultimodalOps.syntheticFramePng(d % 4, ((d / 4) % 3).toInt)))
+    def pairs(cap: Int) = MultimodalOps.dhashNearDup(
+        MultimodalOps.dhashBatch(media.toDS()).toDF(), maxHamming = 4,
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val got = pairs(Int.MaxValue)
+    // docs 0 and 12 share (base 0, variant 0): pixel-identical
+    assert(got.contains((0L, 12L, 0L)))
+    // all pairs relate same-base docs; base differs → no pair
+    got.foreach { case (a, b, _) => assert(a % 4 === b % 4) }
+    // the decomposed path (cap 2 forces block pairs) is result-identical
+    assert(got === pairs(2))
+  }
 }
