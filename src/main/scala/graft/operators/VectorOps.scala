@@ -131,14 +131,17 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------- q42
-  /** LSH-bucketed approximate top-5 (scale path): 8 deterministic
-    * pseudo-random hyperplanes → 8 sign bits → bucket id; search only
-    * within the query's bucket. Plane weights come from a pure integer
-    * formula (no engine-specific hash), and the plane dot is the same
-    * sequential kernel as q40/q41 — so the whole approximate pipeline,
-    * bucket assignment included, is replicated exactly by the DuckDB
-    * oracle. Recall semantics additionally unit-tested on clustered
-    * synthetic data (VectorOpsSpec). */
+  /** Multi-probe LSH approximate top-5 (scale path): 8 deterministic
+    * pseudo-random hyperplanes → 8 sign bits → bucket id; each query
+    * searches its own bucket plus every bucket within Hamming ≤ 2
+    * ([[probeMasks]] — single-bucket lookup measures recall 0 on this
+    * low-similarity corpus; multi-probe lifts it to ~0.44 at q77). Plane
+    * weights come from a pure integer formula (no engine-specific hash),
+    * and the plane dot is the same sequential kernel as q40/q41 — so the
+    * whole approximate pipeline, bucket assignment and probe expansion
+    * included, is replicated exactly by the DuckDB oracle. Recall
+    * semantics additionally unit-tested on clustered synthetic data
+    * (VectorOpsSpec). */
   private val nPlanes = 8
 
   /** deterministic plane weight in (-1, 1]: integer formula, identical in
@@ -170,14 +173,30 @@ object VectorOps {
       s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Multi-probe masks: every bucket within Hamming ≤ 2 of the query's
+    * bucket (1 + 8 + 28 = 37 probes over 8 planes). A plane whose dot is
+    * near zero splits true neighbors nearly at random, so probing the
+    * buckets that flip one or two sign bits recovers most of the recall a
+    * single-bucket lookup loses — the standard multi-probe LSH lever,
+    * expressed as QUERY-side expansion so candidate generation stays an
+    * equi-join on bucket id (each query probes 37 partitions instead of
+    * scanning N; the probe frame is still broadcast-tiny). */
+  private val probeMasks: Seq[Long] = {
+    val bits = 0 until nPlanes
+    Seq(0L) ++ bits.map(i => 1L << i) ++
+      (for { i <- bits; j <- bits if i < j } yield (1L << i) | (1L << j))
+  }
+
   private val q42: Q = (s, dir) => {
     import s.implicits._
     val e = emb(s, dir).withColumn("bucket", lshBucket($"embedding"))
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"),
         $"bucket".as("qbucket"))
+      .withColumn("probe", explode(array(
+        probeMasks.map(m => $"qbucket".bitwiseXOR(lit(m))): _*)))
     val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id".asc)
-    e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+    e.join(broadcast(q), $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         dot($"qv", $"embedding").as("dot"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -188,24 +207,27 @@ object VectorOps {
     val d = dotSql("e.embedding", "q.qv")
     s"""WITH bkt AS (
        |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
-       |  FROM embeddings)
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, xor(bucket, m) AS probe
+       |  FROM bkt, UNNEST([${probeMasks.mkString(", ")}]) AS t(m)
+       |  WHERE vec_id < 10)
        |SELECT query_id, neighbor_id, dot, rank FROM (
        |  SELECT q.query_id, e.vec_id AS neighbor_id, $d AS dot,
        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
        |                       ORDER BY $d DESC, e.vec_id ASC) AS rank
        |  FROM bkt e
-       |  JOIN (SELECT vec_id AS query_id, embedding AS qv, bucket
-       |        FROM bkt WHERE vec_id < 10) q
-       |    ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+       |  JOIN probes q
+       |    ON e.bucket = q.probe AND e.vec_id <> q.query_id)
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q42b
   /** Multi-table LSH ANN: L=8 independent hash tables of 5 planes each
-    * (the standard recall lever for random-hyperplane LSH — q42's single
-    * 8-plane table is 256 buckets over this corpus and misses nearly all
-    * true neighbors; q77 measures it at recall 0). A vector lands in one
+    * (the OTHER standard recall lever for random-hyperplane LSH, beside
+    * q42's multi-probe: more tables vs more probes trade memory for
+    * query fan-out). A vector lands in one
     * bucket PER TABLE; candidates are the union of same-bucket pairs
     * across tables (distinct), then exact re-ranked. Planes reuse the
     * same pure-integer weight formula with plane index p = 5t+i, so the
