@@ -126,8 +126,12 @@ object AsOf {
   /** Public entry: left-as-of join `probes` to `refs` on (key, time);
     * adds a nullable `matched_time` column. Registers the planner strategy
     * on first use (public ExperimentalMethods hook). */
-  def join(probes: DataFrame, refs: DataFrame, keyCol: String,
+  def join(probesIn: DataFrame, refsIn: DataFrame, keyCol: String,
       timeCol: String): DataFrame = {
+    // tolerate TimestampNTZ time columns (footer-shape drift): cast to
+    // instant at ingress — value-identity under the pinned UTC session
+    val probes = graft.functions.TsNorm.instant(probesIn, timeCol)
+    val refs = graft.functions.TsNorm.instant(refsIn, timeCol)
     val spark = probes.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
