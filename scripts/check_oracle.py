@@ -47,7 +47,14 @@ def main():
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
+            # Verify writes <name>.err when the query THREW — surface the
+            # crash message instead of a bare "no output" (an absent row
+            # is a crash, round-8 lesson)
+            try:
+                msg = open(f"{outdir}/{name}.err").read().strip()
+                print(f"FAIL {name}: query crashed: {msg}")
+            except OSError:
+                print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
