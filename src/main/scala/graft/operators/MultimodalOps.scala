@@ -611,9 +611,14 @@ object MultimodalOps {
     * xor+popcounts, and expand members after verification. */
   def dhashNearDup(hashes: DataFrame, maxHamming: Int,
       maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    // persist: everything upstream of here is the DECODE+hash pipeline —
+    // the probe job, both candidate sides, and both expansion sides
+    // consume this frame, and without the cache each would re-decode the
+    // whole corpus (same discipline as minhashNearDupTokens' groups)
     val groups = hashes.groupBy(col("dhash_lo"), col("dhash_hi"))
       .agg(collect_list(col("doc_id")).as("__members"))
       .withColumn("__gid", array_min(col("__members")))
+      .persist()
     val banded = groups.select(col("__gid") +: col("dhash_lo") +:
       col("dhash_hi") +:
       Seq(posexplode(array(
