@@ -89,13 +89,25 @@ object StreamingDedup {
       stateTtl: Option[String] = None): Dataset[BandVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val regEnc = Encoders.product[BucketReg]
-    implicit val outEnc = Encoders.product[BandVerdict]
     val exploded = docs
       .select(col(idCol).cast("long").as("doc_id"),
         bandHashes(col(textCol), numHashes, bands).as("bb"))
       .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
       .as[(Long, Int, Long)]
+    verdictsFromExploded(exploded, stateTtl)
+  }
+
+  /** The first-writer-wins bucket registry over ANY (doc, band, bucket)
+    * stream — the stateful core [[bandVerdicts]] (text MinHash bands) and
+    * [[imageBandVerdicts]] (pixel dHash bands) both feed. Admission
+    * semantics are band-source-agnostic: a document is a near-dup of the
+    * first claimant of any band bucket it shares. */
+  def verdictsFromExploded(exploded: Dataset[(Long, Int, Long)],
+      stateTtl: Option[String] = None): Dataset[BandVerdict] = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    implicit val regEnc = Encoders.product[BucketReg]
+    implicit val outEnc = Encoders.product[BandVerdict]
     val timeout =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -199,4 +211,27 @@ object StreamingDedup {
       .agg(min(col("first_in_bucket")).as("admit"),
         max(when(!col("first_in_bucket"), col("prior_doc_id")))
           .as("dup_of"))
+
+  /** Streaming IMAGE near-dup admission: decode each payload through the
+    * real ImageIO seam, dHash it, band the 64 bits into 4×16-bit exact
+    * keys (the batch q115 pipeline's bands), and run the same first-writer
+    * bucket registry as the text path. The decode is a stateless
+    * mapPartitions — append-legal in a stream — and everything after it is
+    * [[verdictsFromExploded]], so text and image admission share one
+    * stateful core and one set of replay/TTL semantics. Undecodable
+    * payloads are skipped row by row (they claim nothing, admit nothing). */
+  def imageBandVerdicts(media: Dataset[graft.operators.MultimodalOps.Media],
+      stateTtl: Option[String] = None): Dataset[BandVerdict] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val exploded = graft.operators.MultimodalOps.dhashBatch(media).toDF()
+      .select(col("doc_id"), posexplode(array(
+        col("dhash_lo").bitwiseAND(65535),
+        shiftright(col("dhash_lo"), 16).bitwiseAND(65535),
+        col("dhash_hi").bitwiseAND(65535),
+        shiftright(col("dhash_hi"), 16).bitwiseAND(65535)))
+        .as(Seq("band", "bucket")))
+      .as[(Long, Int, Long)]
+    verdictsFromExploded(exploded, stateTtl)
+  }
 }

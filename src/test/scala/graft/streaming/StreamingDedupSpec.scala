@@ -242,4 +242,50 @@ class StreamingDedupSpec extends SparkSpec {
       assert(byId(9L) === ((false, Some(7L))))
     } finally q.stop()
   }
+
+  test("streaming IMAGE admission: dHash bands through the shared registry") {
+    import graft.operators.MultimodalOps
+    import graft.operators.MultimodalOps.Media
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte])]
+    val verdicts = StreamingDedup.imageBandVerdicts(
+      src.toDF().toDF("doc_id", "payload").as[Media])
+    val admitted = mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = verdicts.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingDedup.admissions(batch).collect().foreach { r =>
+          admitted(r.getLong(0)) =
+            (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        }
+      }
+      .start()
+    try {
+      // batch 1: two distinct images — both admitted
+      src.addData(
+        (1L, MultimodalOps.syntheticFramePng(11L, 0)),
+        (2L, MultimodalOps.syntheticFramePng(5L, 0)))
+      q.processAllAvailable()
+      assert(admitted(1L) === ((true, None)))
+      assert(admitted(2L) === ((true, None)))
+      // batch 2: doc 3 is pixel-identical to doc 1 → all 4 bands collide
+      // with the PREVIOUS batch's state; doc 4 is doc 1's brightness
+      // variant — chosen so its dHash shares exactly one 16-bit band with
+      // doc 1's (the near-dup-caught-through-one-band case)
+      src.addData(
+        (3L, MultimodalOps.syntheticFramePng(11L, 0)),
+        (4L, MultimodalOps.syntheticFramePng(11L, 1)))
+      q.processAllAvailable()
+      assert(admitted(3L) === ((false, Some(1L))))
+      assert(admitted(4L) === ((false, Some(1L))))
+      // batch 3: an undecodable payload claims nothing and emits no
+      // verdict (per-row skip, streaming edition); a fresh image admits
+      src.addData(
+        (5L, Array[Byte](1, 2, 3)),
+        (6L, MultimodalOps.syntheticFramePng(3L, 0)))
+      q.processAllAvailable()
+      assert(!admitted.contains(5L))
+      assert(admitted(6L) === ((true, None)))
+    } finally q.stop()
+  }
 }
