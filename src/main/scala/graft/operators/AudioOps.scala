@@ -68,25 +68,45 @@ object AudioOps {
     * writes an actual RIFF/WAVE container. The byte stream is part of the
     * WAV spec (44-byte canonical header) but is never oracled; the
     * *decoded samples* are exact because PCM is lossless. */
-  def syntheticWav(docId: Long): Array[Byte] = {
-    val n = nSamples(docId)
-    val pcm = new Array[Byte](n * 2)
+  def syntheticWav(docId: Long): Array[Byte] =
+    encodeWav(Array.tabulate(nSamples(docId))(i => sampleValue(docId, i)),
+      sampleRate(docId))
+
+  /** 16-bit signed little-endian mono PCM → RIFF/WAVE bytes. */
+  private def encodeWav(samples: Array[Int], rate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
     var i = 0
-    while (i < n) {
-      val v = sampleValue(docId, i)
+    while (i < samples.length) {
+      val v = samples(i)
       pcm(i * 2) = (v & 0xff).toByte
       pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate(docId).toFloat, 16, 1, true, false)
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  /** Fingerprint-fixture sample (q116): QUADRATIC phase so the sign
+    * pattern is pseudo-random per base — the linear q110 pattern walks in
+    * constant +11 steps, which gives every doc the same sign-run
+    * structure and makes any content fingerprint degenerate. `v` selects
+    * a variant of the same base clip: +500 on every 31st sample, offset
+    * by the variant — the small additive corruption (a click track) a
+    * near-dup fingerprint must see through. Range ±2548, inside 16-bit. */
+  @inline def fpSampleValue(base: Long, v: Int, i: Int): Int =
+    (((base * 1000003L + i.toLong * i * 7919L + i.toLong * 104729L)
+      % 4096L) - 2048L).toInt + (if ((i + v) % 31 == 0) 500 else 0)
+
+  /** The q116 fixture payload: a real WAVE of the variant pattern. */
+  def syntheticWavVariant(base: Long, v: Int): Array[Byte] =
+    encodeWav(Array.tabulate(nSamples(base))(i => fpSampleValue(base, v, i)),
+      sampleRate(base))
 
   /** Shared WAVE read with the reference's per-row corrupt-payload skip
     * (pipeline.py:96-102): unparseable bytes or a non-16-bit-PCM format
@@ -257,11 +277,106 @@ object AudioOps {
       |GROUP BY doc_id, i // 100
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------------ FINGERPRINT
+  /** 64-bit audio fingerprint row, carried as two 32-bit halves (the same
+    * signed-safe layout as the image dHash). */
+  final case class AudioFp(doc_id: Long, fp_lo: Long, fp_hi: Long)
+
+  /** Zero-crossing-pattern fingerprint over REALLY-decoded samples: 64
+    * nearest-neighbor grid points across the clip (length-invariant — a
+    * clip resampled to a different rate keeps its grid), bit j =
+    * sample(j·n/64) > 0. Sign bits survive amplitude scaling exactly and
+    * small additive corruption mostly — the robustness class an audio
+    * near-dup needs — while the grid keeps the bit count fixed so the
+    * hash bands like any other 64-bit fingerprint. Same partition-batched
+    * AudioSystem seam as [[decodeWavBatch]]; unparseable payloads skip. */
+  def fingerprintBatch(media: Dataset[Media]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        readWav(m.payload).map { case (_, _, _, s) =>
+          val n = s.length
+          var lo = 0L; var hi = 0L
+          var j = 0
+          while (j < 64 && n > 0) {
+            if (s(j * n / 64) > 0) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          AudioFp(m.doc_id, lo, hi)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q116
+  /** Audio near-dup end-to-end — the FOURTH modality in the dedup matrix
+    * (text MinHash, embedding SemDeDup, pixel dHash, now waveform): each
+    * doc WAVE-encodes a click-corrupted variant of a base clip, really
+    * decodes it, fingerprints the sign pattern, and finds near pairs at
+    * Hamming ≤ 2 through the SAME Hamming-banded machinery as q115
+    * ([[MultimodalOps.dhashNearDup]]: identical-hash collapse, 4×16-bit
+    * pigeonhole bands, hot-bucket-capped bandSelfJoin, xor+popcount
+    * verify). The oracle replicates fingerprint, bands, candidates, and
+    * verification in integer arithmetic. */
+  private val q116: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map(d =>
+        Media(d, syntheticWavVariant(d % 20, ((d / 20) % 3).toInt))))
+    MultimodalOps.dhashNearDup(
+        fingerprintBatch(media).toDF().select($"doc_id",
+          $"fp_lo".as("dhash_lo"), $"fp_hi".as("dhash_hi")),
+        maxHamming = 2)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q116Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 20 AS base, (doc_id // 20) % 3 AS v,
+      |         200 + (doc_id % 20) % 300 AS n
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN
+      |      (base*1000003 + (j*n//64)*(j*n//64)*7919 + (j*n//64)*104729)
+      |        % 4096 - 2048
+      |      + CASE WHEN ((j*n//64) + v) % 31 = 0 THEN 500 ELSE 0 END > 0
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM d, UNNEST(range(0, 64)) AS t(j)),
+      |hash AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN j < 32
+      |      THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN j >= 32
+      |      THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, lo, hi,
+      |    UNNEST([lo & 65535, (lo >> 16) & 65535,
+      |            hi & 65535, (hi >> 16) & 65535]) AS bhash,
+      |    UNNEST([0, 1, 2, 3]) AS bidx
+      |  FROM hash),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(ha.lo, hb.lo))
+      |     + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN hash ha ON ha.doc_id = c.id_a
+      |JOIN hash hb ON hb.doc_id = c.id_b
+      |WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q110_audio_decode" -> q110,
-    "q111_audio_frames" -> q111)
+    "q111_audio_frames" -> q111,
+    "q116_audio_fingerprint_dedup" -> q116)
 
   val oracleSql: Map[String, String] = Map(
     "q110_audio_decode" -> q110Sql,
-    "q111_audio_frames" -> q111Sql)
+    "q111_audio_frames" -> q111Sql,
+    "q116_audio_fingerprint_dedup" -> q116Sql)
 }

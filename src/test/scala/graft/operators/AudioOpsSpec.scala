@@ -53,4 +53,24 @@ class AudioOpsSpec extends SparkSpec {
   test("nSamples rejects negative doc_id (oracle floor-div divergence)") {
     intercept[IllegalArgumentException](AudioOps.nSamples(-1L))
   }
+
+  test("audio fingerprint: variants near, different bases far, " +
+      "corrupt payloads skipped") {
+    val media = Seq(
+      Media(0L, AudioOps.syntheticWavVariant(7L, 0)),
+      Media(1L, AudioOps.syntheticWavVariant(7L, 0)), // identical clip
+      Media(2L, AudioOps.syntheticWavVariant(7L, 1)), // click-shifted variant
+      Media(3L, AudioOps.syntheticWavVariant(8L, 0)), // different base
+      Media(4L, Array[Byte](9, 9, 9))                 // unparseable
+    ).toDS()
+    val h = AudioOps.fingerprintBatch(media).collect()
+      .map(r => r.doc_id -> (r.fp_lo, r.fp_hi)).toMap
+    assert(!h.contains(4L)) // skipped row-by-row, not a crash
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(h(a)._1 ^ h(b)._1) +
+        java.lang.Long.bitCount(h(a)._2 ^ h(b)._2)
+    assert(ham(0L, 1L) === 0)
+    assert(ham(0L, 2L) <= 2)  // sign bits see through the click track
+    assert(ham(0L, 3L) > 10)  // different base clip ~uncorrelated signs
+  }
 }
