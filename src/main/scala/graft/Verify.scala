@@ -4,6 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => deleteRecursively(c))
+        finally children.close()
+      }
+      Files.delete(p)
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (builder tooling, driver never passes it): comma-
     // separated query-name filter for fast single-query iteration
@@ -22,6 +32,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Stale-artifact guard (ADVICE r9): if the outDir is reused across
+      // runs, a newly-crashing query must not leave last run's successful
+      // dump in place (check_oracle would silently compare stale results),
+      // and a newly-passing query must not leave last run's .err beside a
+      // fresh dump. Clear both before every attempt.
+      deleteRecursively(Paths.get(s"$outDir/$name"))
+      Files.deleteIfExists(Paths.get(s"$outDir/$name.err"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -116,8 +116,17 @@ object DedupOps {
     * to exact pair enumeration (that is what the query returns); the cap
     * turns one straggler into ~B²/2 even tasks. The pre-count of bucket
     * sizes is a map-side-combinable aggregation over the banded rows. */
-  private[operators] def bandSelfJoin(banded: DataFrame, idCol: String,
+  private[operators] def bandSelfJoin(banded0: DataFrame, idCol: String,
       payload: Seq[String], maxBucket: Int): DataFrame = {
+    // The max-bucket probe below is an EAGER action at call time; without
+    // a cache here the caller's upstream pipeline would re-run up to 3×
+    // (probe + both self-join sides — r9 advice: lshCandidates paid
+    // exactly that). Persisting the banded projection makes the probe and
+    // every join branch read one materialization; callers that already
+    // persist upstream (minhash/dhash `groups`) add only a small cache of
+    // the (id, band, hash, payload) rows. The ContextCleaner reclaims the
+    // cache when the returned frame is GC'd.
+    val banded = banded0.persist()
     def aSide(df: DataFrame, keys: Seq[String]): DataFrame =
       df.select((keys.map(col) :+ col(idCol).as("__ga")) ++
         payload.map(p => col(p).as(s"${p}_a")): _*)
@@ -204,7 +213,13 @@ object DedupOps {
     * docs sharing any band hash become candidate pairs via an equi-join.
     * `dedup=false` defers the pair-distinct to after verification — when
     * most candidates are filtered out, deduping the small verified set is
-    * far cheaper than deduping the raw candidate stream. */
+    * far cheaper than deduping the raw candidate stream.
+    *
+    * NOTE: NOT lazy — calling this runs an eager Spark job (the skew
+    * probe that sizes the largest band bucket, see [[bandSelfJoin]])
+    * before returning the candidate frame. The probe reads a cached copy
+    * of the banded signatures, which the returned frame's join branches
+    * then reuse. */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int, dedup: Boolean = true,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {

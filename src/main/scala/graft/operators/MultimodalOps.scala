@@ -604,11 +604,20 @@ object MultimodalOps {
     * MinHash-LSH, reusing its scale machinery end to end: collapse
     * identical hashes first (an exact-dup cluster of m images is ONE
     * node through candidate generation), band the 64 bits into 4×16-bit
-    * exact-match keys (any pair within Hamming ≤ 16 shares a band by
-    * pigeonhole; at the ≤4 threshold used here recall is 1 unless all 4
-    * flipped bits land in distinct bands), generate candidates through
+    * exact-match keys, generate candidates through
     * [[DedupOps.bandSelfJoin]] (hot-bucket capped), verify with two
-    * xor+popcounts, and expand members after verification. */
+    * xor+popcounts, and expand members after verification.
+    *
+    * RECALL CONTRACT (r9 advice): with 4 bands, candidate generation is
+    * guaranteed-complete only for `maxHamming` ≤ 3 (pigeonhole: ≤ 3
+    * flipped bits cannot touch all 4 bands, so some band matches
+    * exactly). At `maxHamming` ≥ 4 a pair whose flipped bits land in 4
+    * distinct bands shares no band and is silently dropped — banded
+    * recall < 1, the standard LSH tradeoff. Callers needing exact
+    * Hamming-≤ k semantics for k ≥ 4 must add probe bands (q115 runs at
+    * maxHamming = 4 and its oracle mirrors the same banded candidate
+    * generation, so the gate measures the banded semantics, not exact
+    * Hamming). */
   def dhashNearDup(hashes: DataFrame, maxHamming: Int,
       maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
     // persist: everything upstream of here is the DECODE+hash pipeline —

@@ -355,34 +355,49 @@ object VectorOps {
   private val nCells = 16
   private val nProbe = 2
 
-  private val q58: Q = (s, dir) => {
-    import s.implicits._
-    val e = emb(s, dir)
-    val cents = e.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+  /** The deterministic sample centroids q58's index starts from. */
+  private def sampleCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+
+  /** The IVF search pipeline, parameterized by its centroid table (the
+    * index artifact): assign each corpus vector to its nearest centroid,
+    * route each query to its `nProbe` nearest cells, exact top-5 within
+    * the probed cells. Centroids are broadcast-tiny whether computed
+    * inline (q58/q58b) or loaded from a [[VectorIndex]] commit
+    * (q117/q118). */
+  private def ivfTopK(e: DataFrame, cents: DataFrame): DataFrame = {
     // cell assignment: nearest centroid by dot (inputs are normalized)
-    val wCell = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cent_id".asc)
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
     val cells = e.crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding", $"cent_id",
-        dot($"embedding", $"cv").as("cdot"))
-      .withColumn("rn", row_number().over(wCell)).filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        dot(col("embedding"), col("cv")).as("cdot"))
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
     // each query probes its nProbe nearest cells
-    val wProbe = Window.partitionBy($"query_id").orderBy($"cdot".desc, $"cent_id".asc)
-    val probes = e.filter($"vec_id" < 10).crossJoin(broadcast(cents))
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cent_id",
-        dot($"embedding", $"cv").as("cdot"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
-      .select($"query_id", $"qv", $"cent_id".as("cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cent_id"), dot(col("embedding"), col("cv")).as("cdot"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
     // exact top-5 within the probed cells (each corpus vector lives in
     // exactly one cell, so no candidate is scored twice)
-    val wTop = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id".asc)
-    cells.join(probes, "cell").filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        dot($"qv", $"embedding").as("dot"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    cells.join(probes, "cell").filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("embedding")).as("dot"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter($"rank" <= 5)
-      .orderBy($"query_id", $"rank")
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q58: Q = (s, dir) => {
+    val e = emb(s, dir)
+    ivfTopK(e, sampleCents(e))
   }
   private val q58Sql = {
     val dAsg = dotSql("e.embedding", "cents.cv")
@@ -433,44 +448,34 @@ object VectorOps {
     * out) and a renormalization over nCells rows on the driver side of a
     * broadcast — assignment and probing stay map-side against broadcast
     * centroids, exactly as q58. More iterations = more of the same pass. */
-  private val q58b: Q = (s, dir) => {
-    import s.implicits._
-    val e = emb(s, dir)
-    val cents0 = e.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cent_id".asc)
-      e.crossJoin(broadcast(cents))
-        .select($"vec_id", $"embedding", $"cent_id",
-          dot($"embedding", $"cv").as("cdot"))
-        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"vec_id", $"embedding", $"cent_id".as("cell"))
-    }
-    val means = assign(cents0)
-      .select($"cell", posexplode($"embedding").as(Seq("i", "x")))
-      .groupBy($"cell", $"i")
-      .agg((sum($"x".cast("decimal(38,8)")).cast("double") /
+  /** One Lloyd refinement over the sample centroids — the corpus-scale
+    * index BUILD q58b runs (full assign + posexplode + groupBy over every
+    * vector). This is the pass [[VectorIndex]] amortizes: q118 stores its
+    * output and re-derives it only when the corpus fingerprint changes. */
+  private def lloydCents(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(sampleCents(e)))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        dot(col("embedding"), col("cv")).as("cdot"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg((sum(col("x").cast("decimal(38,8)")).cast("double") /
         count(lit(1))).as("m"))
-    val cents1 = means.groupBy($"cell")
-      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
+    means.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         p => p.getField("m")).as("mv"))
-      .withColumn("nrm", sqrt(dot($"mv", $"mv")))
-      .select($"cell".as("cent_id"),
-        transform($"mv", x => x / $"nrm").as("cv"))
-    val cells = assign(cents1)
-    val wProbe = Window.partitionBy($"query_id").orderBy($"cdot".desc, $"cent_id".asc)
-    val probes = e.filter($"vec_id" < 10).crossJoin(broadcast(cents1))
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cent_id",
-        dot($"embedding", $"cv").as("cdot"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nProbe)
-      .select($"query_id", $"qv", $"cent_id".as("cell"))
-    val wTop = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id".asc)
-    cells.join(probes, "cell").filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        dot($"qv", $"embedding").as("dot"))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter($"rank" <= 5)
-      .orderBy($"query_id", $"rank")
+      .withColumn("nrm", sqrt(dot(col("mv"), col("mv"))))
+      .select(col("cell").as("cent_id"),
+        transform(col("mv"), x => x / col("nrm")).as("cv"))
+  }
+
+  private val q58b: Q = (s, dir) => {
+    val e = emb(s, dir)
+    ivfTopK(e, lloydCents(e))
   }
   private val q58bSql = {
     val dAsg0 = dotSql("e.embedding", "cents0.cv")
@@ -553,51 +558,65 @@ object VectorOps {
   private val pqSub = 8  // dims per subspace
   private val pqK = 16   // centroids per subspace (4-bit codes)
 
-  private val q94: Q = (s, dir) => {
-    import s.implicits._
-    val e = emb(s, dir)
+  /** PQ index BUILD: per-subspace codebooks from the deterministic
+    * sample, then encode every corpus vector and emit its reconstruction
+    * (vec_id, rv) — the compressed representation a PQ index stores (the
+    * codes themselves, materialized as the sub-centroid concatenation the
+    * ADC scan scores against). This is the corpus-scale argmin pass
+    * [[VectorIndex]] amortizes for q119. */
+  private def pqRecon(e: DataFrame): DataFrame = {
     def subSlices(v: Column): Column = explode(array((0 until pqM).map(j =>
       struct(lit(j).as("j"), slice(v, j * pqSub + 1, pqSub).as("sv"))): _*))
-    // per-subspace codebooks from the deterministic sample
-    val cents = e.filter($"vec_id" < pqK)
-      .select($"vec_id".as("k"), subSlices($"embedding").as("c"))
-      .select($"k", $"c.j".as("j"), $"c.sv".as("cv"))
+    val cents = e.filter(col("vec_id") < pqK)
+      .select(col("vec_id").as("k"), subSlices(col("embedding")).as("c"))
+      .select(col("k"), col("c.j").as("j"), col("c.sv").as("cv"))
     // encode: nearest sub-centroid per (vector, subspace) by L2 distance
-    val wCode = Window.partitionBy($"vec_id", $"j")
-      .orderBy($"d2".asc, $"k".asc)
-    val codes = e.select($"vec_id", subSlices($"embedding").as("p"))
-      .select($"vec_id", $"p.j".as("j"), $"p.sv".as("sv"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2").asc, col("k").asc)
+    val codes = e.select(col("vec_id"), subSlices(col("embedding")).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
       .join(broadcast(cents), "j")
-      .select($"vec_id", $"j", $"k", $"cv",
-        (dot($"cv", $"cv") - lit(2.0) * dot($"sv", $"cv")).as("d2"))
-      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+      .select(col("vec_id"), col("j"), col("k"), col("cv"),
+        (dot(col("cv"), col("cv")) -
+          lit(2.0) * dot(col("sv"), col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
     // decode: reconstruction = concatenated chosen sub-centroids
-    val recon = codes.groupBy($"vec_id")
-      .agg(flatten(transform(array_sort(collect_list(struct($"j", $"cv"))),
+    codes.groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("cv")))),
         p => p.getField("cv"))).as("rv"))
-    // ADC shortlist: top-50 by approximate (compressed-domain) score —
-    // the 10x-oversampled candidate set of the standard PQ pipeline
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-    val wAdc = Window.partitionBy($"query_id")
-      .orderBy($"adot".desc, $"neighbor_id".asc)
-    val shortlist = recon.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .select($"query_id", $"qv", $"vec_id".as("neighbor_id"),
-        dot($"qv", $"rv").as("adot"))
-      .withColumn("arn", row_number().over(wAdc)).filter($"arn" <= 50)
-    // exact re-rank: fetch the 50 full vectors per query and score
-    // full-precision — the classic ADC + re-rank design (at scale this
-    // fetch is 50 point reads per query, not a corpus scan)
-    val wTop = Window.partitionBy($"query_id")
-      .orderBy($"dot".desc, $"neighbor_id".asc)
+  }
+
+  /** PQ search over a reconstruction table: ADC shortlist (top-50 by
+    * compressed-domain score — the 10x-oversampled candidate set of the
+    * standard PQ pipeline) then exact re-rank against the full vectors
+    * (at scale the re-rank fetch is 50 point reads per query, not a
+    * corpus scan). */
+  private def pqTopK(e: DataFrame, recon: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("neighbor_id").asc)
+    val shortlist = recon
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("rv")).as("adot"))
+      .withColumn("arn", row_number().over(wAdc)).filter(col("arn") <= 50)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
     shortlist
-      .join(e.select($"vec_id".as("neighbor_id"), $"embedding"),
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
         "neighbor_id")
-      .select($"query_id", $"neighbor_id",
-        dot($"qv", $"embedding").as("dot"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("embedding")).as("dot"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter($"rank" <= 5)
-      .orderBy($"query_id", $"rank")
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q94: Q = (s, dir) => {
+    val e = emb(s, dir)
+    pqTopK(e, pqRecon(e))
   }
   private val q94Sql = {
     val dCC = dotSql("c.cv", "c.cv")
@@ -641,6 +660,43 @@ object VectorOps {
        |  JOIN embeddings e ON e.vec_id = sl.neighbor_id)
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------- q117 / q118 / q119
+  /** Index-backed ANN variants: the SAME search pipelines as q58 / q58b /
+    * q94, but the index artifact (sample centroids, Lloyd means, PQ
+    * reconstructions) comes from a [[VectorIndex]] ManifestSink table
+    * keyed to the corpus fingerprint — built on first touch, REUSED by
+    * every later invocation in any session on this host, rebuilt only
+    * when the corpus changes. Results are hash-identical to the inline
+    * variants (deterministic builders + bit-exact parquet round-trip),
+    * so all three share the inline queries' DuckDB oracles; what changes
+    * is the cost profile: the corpus-scale build pass (Lloyd's
+    * posexplode+groupBy, PQ's per-(vector,subspace) argmin) runs once
+    * per corpus version instead of once per query — the amortization
+    * that dominates ANN cost at 100 TB. VectorIndexSpec proves the
+    * second invocation reads instead of rebuilding and that a corpus
+    * append invalidates. */
+  private def indexedArtifact(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val fp = VectorIndex.corpusFingerprint(s, s"$dir/embeddings.parquet")
+    VectorIndex.loadOrBuild(s,
+      s"${VectorIndex.indexRoot(dir)}/$name", fp)(build)
+  }
+
+  private val q117: Q = (s, dir) => {
+    val e = emb(s, dir)
+    ivfTopK(e, indexedArtifact(s, dir, "ivf_sample")(sampleCents(e)))
+  }
+
+  private val q118: Q = (s, dir) => {
+    val e = emb(s, dir)
+    ivfTopK(e, indexedArtifact(s, dir, "ivf_lloyd")(lloydCents(e)))
+  }
+
+  private val q119: Q = (s, dir) => {
+    val e = emb(s, dir)
+    pqTopK(e, indexedArtifact(s, dir, "pq_recon")(pqRecon(e)))
   }
 
   // ---------------------------------------------------------------- q77
@@ -811,7 +867,10 @@ object VectorOps {
     "q65_sql_surface" -> q65,
     "q77_ann_recall" -> q77,
     "q82_semdedup" -> q82,
-    "q94_ann_pq" -> q94)
+    "q94_ann_pq" -> q94,
+    "q117_ann_ivf_indexed" -> q117,
+    "q118_ann_ivf_lloyd_indexed" -> q118,
+    "q119_ann_pq_indexed" -> q119)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -825,5 +884,12 @@ object VectorOps {
     "q65_sql_surface" -> q65Sql,
     "q77_ann_recall" -> q77Sql,
     "q82_semdedup" -> q82Sql,
-    "q94_ann_pq" -> q94Sql)
+    "q94_ann_pq" -> q94Sql,
+    // the indexed variants are result-identical to the inline pipelines
+    // by construction, so they share the same oracles — the gate then
+    // proves the stored-artifact path agrees with DuckDB recomputing
+    // everything from scratch
+    "q117_ann_ivf_indexed" -> q58Sql,
+    "q118_ann_ivf_lloyd_indexed" -> q58bSql,
+    "q119_ann_pq_indexed" -> q94Sql)
 }

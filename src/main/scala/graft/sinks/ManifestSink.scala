@@ -316,14 +316,15 @@ object ManifestSink {
     * concurrent commit. */
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
       baseEntries: Seq[String], basedOn: Long, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Long = {
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+      header: Map[String, String] = Map.empty): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     val rows = writeCounted(df, dataDir)
     val stats = writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
       rowsStat(rows)
     val lines = headerLines(mergeHeader(manifestHeader(spark, dir, basedOn),
-      Map(TsKey -> System.currentTimeMillis.toString))) ++
+      header + (TsKey -> System.currentTimeMillis.toString))) ++
       baseEntries :+ Entry(s"data/$batch", stats).line
     val next = basedOn + 1
     val f = fs(spark, dir)
@@ -642,6 +643,19 @@ object ManifestSink {
   def replace(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     commit(spark, dir, df, Nil, version(spark, dir))
+  }
+
+  /** [[replace]] carrying caller metadata in the manifest header of the
+    * SAME atomic commit — the derived-artifact pattern (e.g. an ANN index
+    * stamped with the fingerprint of the corpus it was built from): the
+    * artifact and its provenance marker can never be observed separately.
+    * NOTE: numeric header values merge monotonically (max, see
+    * [[mergeHeader]]); provenance values should be non-numeric strings
+    * (e.g. `sha:...`) so a rewrite always wins. */
+  def replaceWithHeader(df: DataFrame, dir: String,
+      header: Map[String, String]): Long = {
+    val spark = df.sparkSession
+    commit(spark, dir, df, Nil, version(spark, dir), header = header)
   }
 
   /** Compact the current snapshot into a single batch directory (the
