@@ -14,6 +14,12 @@ cd "$(dirname "$0")/.."
 sbt -batch "Test/compile"
 echo "preflight OK: main + test sources compile"
 
+# Footer-schema drift guard (round 10): the r8 drift class was caught by
+# the smoke only because it CRASHED; a footer change that silently
+# reshapes semantics would sail through. Diff every table's parquet
+# footer at every SF against the pinned snapshot — fail loudly, by name.
+python3 scripts/check_footers.py
+
 SMOKE_QUERIES="q01_pricing_summary,q17b_asof_custom_operator,q59_interval_join_attribution,q63_time_range_join,q95_sliding_time_window,q97_data_profile"
 SMOKE_DIR=$(mktemp -d /tmp/preflight_smoke.XXXXXX)
 trap 'rm -rf "$SMOKE_DIR"' EXIT

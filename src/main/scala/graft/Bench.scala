@@ -62,27 +62,40 @@ object Bench {
     // Per-query timings as compact DIGEST lines (10 queries per line,
     // each line valid JSON on its own): the driver keeps only ~35 tail
     // lines of stdout, and 121 one-per-line entries overflowed it in r7 —
-    // 86 timings (94.6 of 115.2 s) never reached the artifact. 121
-    // queries now fit in ~13 digest lines plus the two total lines.
+    // 86 timings (94.6 of 115.2 s) never reached the artifact.
     // Locale.ROOT: the default-locale f-interpolator would print a comma
     // decimal separator under e.g. de_DE and break the JSON parse.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def pair(k: String, t: Option[Double]): String = t match {
+      case Some(v) => s""""$k":${num(v)}"""
+      case None    => s""""$k":"err""""
+    }
+    // Truncation-proofing (r9 verdict #3): a tail-buffered capture drops
+    // the HEAD of stdout, so per-query lines print cheapest-first — the
+    // slowest queries (the ones regression triage needs every round) land
+    // in the last digest lines, immediately before the final total line,
+    // and truncation can only cost the cheap head. Errors sort after the
+    // slowest (they must never be the rows a bounded buffer drops).
+    val byCost = results.toSeq
+      .sortBy { case (_, t) => t.getOrElse(Double.MaxValue) }
+    val total = results.values.flatten.sum
+    val nErr = results.values.count(_.isEmpty)
+    // Belt and braces: the total line itself carries the top-20 slowest
+    // (plus any errors) in its "queries" field, so even a capture that
+    // keeps ONLY the parsed total line preserves the expensive head.
+    val top = byCost.takeRight(20).reverse
+      .map { case (k, t) => pair(k, t) }.mkString(",")
+    val totalLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"queries":{$top}}"""
     // The total line prints BOTH first and last (identical content): the
     // r6 artifact parsed as null even though the trailing total line was
     // intact, so the driver's extractor is neither strictly-last-line nor
     // tail-based — bracketing the per-query lines with the total means a
     // first-match, last-match, or bounded-buffer heuristic all land on it.
-    val total = results.values.flatten.sum
-    val nErr = results.values.count(_.isEmpty)
-    val totalLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr}"""
     println(totalLine)
-    results.toSeq.grouped(10).foreach { group =>
-      val pairs = group.map {
-        case (k, Some(v)) => s""""$k":${num(v)}"""
-        case (k, None)    => s""""$k":"err""""
-      }
+    byCost.grouped(10).foreach { group =>
+      val pairs = group.map { case (k, t) => pair(k, t) }
       println(s"""{"queries":{${pairs.mkString(",")}}}""")
     }
     println(totalLine)

@@ -212,6 +212,28 @@ object StreamingDedup {
         max(when(!col("first_in_bucket"), col("prior_doc_id")))
           .as("dup_of"))
 
+  /** The 4×16-bit Hamming bands every 64-bit fingerprint modality feeds
+    * the bucket registry with (the batch q115/q116 band layout): position
+    * in the array = band index, value = that band's 16 bits. */
+  private def hamming64Bands(lo: Column, hi: Column): Column = array(
+    lo.bitwiseAND(65535),
+    shiftright(lo, 16).bitwiseAND(65535),
+    hi.bitwiseAND(65535),
+    shiftright(hi, 16).bitwiseAND(65535))
+
+  /** (doc, band, bucket) rows from a (doc_id, lo, hi) fingerprint frame —
+    * the shared on-ramp from any 64-bit-fingerprint modality into
+    * [[verdictsFromExploded]]. */
+  private def fingerprintExploded(fps: DataFrame, lo: String,
+      hi: String): Dataset[(Long, Int, Long)] = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    fps.select(col("doc_id"),
+      posexplode(hamming64Bands(col(lo), col(hi)))
+        .as(Seq("band", "bucket")))
+      .as[(Long, Int, Long)]
+  }
+
   /** Streaming IMAGE near-dup admission: decode each payload through the
     * real ImageIO seam, dHash it, band the 64 bits into 4×16-bit exact
     * keys (the batch q115 pipeline's bands), and run the same first-writer
@@ -221,17 +243,26 @@ object StreamingDedup {
     * stateful core and one set of replay/TTL semantics. Undecodable
     * payloads are skipped row by row (they claim nothing, admit nothing). */
   def imageBandVerdicts(media: Dataset[graft.operators.MultimodalOps.Media],
-      stateTtl: Option[String] = None): Dataset[BandVerdict] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val exploded = graft.operators.MultimodalOps.dhashBatch(media).toDF()
-      .select(col("doc_id"), posexplode(array(
-        col("dhash_lo").bitwiseAND(65535),
-        shiftright(col("dhash_lo"), 16).bitwiseAND(65535),
-        col("dhash_hi").bitwiseAND(65535),
-        shiftright(col("dhash_hi"), 16).bitwiseAND(65535)))
-        .as(Seq("band", "bucket")))
-      .as[(Long, Int, Long)]
-    verdictsFromExploded(exploded, stateTtl)
-  }
+      stateTtl: Option[String] = None): Dataset[BandVerdict] =
+    verdictsFromExploded(
+      fingerprintExploded(
+        graft.operators.MultimodalOps.dhashBatch(media).toDF(),
+        "dhash_lo", "dhash_hi"),
+      stateTtl)
+
+  /** Streaming AUDIO near-dup admission — the fourth modality through the
+    * shared registry: really decode each WAVE payload
+    * ([[graft.operators.AudioOps.fingerprintBatch]]'s AudioSystem seam),
+    * take the 64-bit zero-crossing fingerprint, and band it exactly like
+    * the image dHash (both are 64-bit Hamming-space fingerprints, so they
+    * share [[hamming64Bands]] — the batch q116 pipeline's bands).
+    * Unparseable payloads skip row by row: they claim no buckets and
+    * admit nothing, same contract as the image path. */
+  def audioBandVerdicts(media: Dataset[graft.operators.MultimodalOps.Media],
+      stateTtl: Option[String] = None): Dataset[BandVerdict] =
+    verdictsFromExploded(
+      fingerprintExploded(
+        graft.operators.AudioOps.fingerprintBatch(media).toDF(),
+        "fp_lo", "fp_hi"),
+      stateTtl)
 }

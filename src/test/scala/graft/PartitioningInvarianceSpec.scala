@@ -16,10 +16,12 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q81  gate→LSH→decontaminate pipeline (windows + broadcast joins)
   //   q94  PQ encode→ADC shortlist→re-rank (sequential-dot tie-breaks)
   //   q115 decode→dHash→Hamming-banded pairs (bandSelfJoin + expansion)
+  //   q116 audio decode→fingerprint→the same banded kernel from a second
+  //        modality (mapPartitions codec seam + capped self-join)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
-    "q115_image_phash_dedup")
+    "q115_image_phash_dedup", "q116_audio_fingerprint_dedup")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"

@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkSpec {
       "q77_ann_recall",            // q41/q58/q58b/q94 subtrees + 4-row method frame
       "q82_semdedup",              // crossJoin(broadcast(16 centroids))
       "q86_bm25_ranking",          // crossJoin(broadcast(1-row corpus stats))
-      "q94_ann_pq")                // broadcast(10 query vectors) ⋈ ≠ (ADC scan)
+      "q94_ann_pq",                // broadcast(10 query vectors) ⋈ ≠ (ADC scan)
+      "q117_ann_ivf_indexed",      // q58's pipeline over stored centroids
+      "q118_ann_ivf_lloyd_indexed",// q58b's pipeline over stored centroids
+      "q119_ann_pq_indexed")       // q94's ADC scan over stored recon
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||

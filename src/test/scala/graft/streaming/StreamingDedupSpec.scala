@@ -288,4 +288,53 @@ class StreamingDedupSpec extends SparkSpec {
       assert(admitted(6L) === ((true, None)))
     } finally q.stop()
   }
+
+  test("streaming AUDIO admission: fingerprint bands through the shared registry") {
+    import graft.operators.AudioOps
+    import graft.operators.MultimodalOps.Media
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte])]
+    val verdicts = StreamingDedup.audioBandVerdicts(
+      src.toDF().toDF("doc_id", "payload").as[Media])
+    val admitted = mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = verdicts.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingDedup.admissions(batch).collect().foreach { r =>
+          admitted(r.getLong(0)) =
+            (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        }
+      }
+      .start()
+    try {
+      // batch 1: two distinct clips (bases 10 and 5 share no fingerprint
+      // band) — both admitted
+      src.addData(
+        (1L, AudioOps.syntheticWavVariant(10L, 0)),
+        (2L, AudioOps.syntheticWavVariant(5L, 0)))
+      q.processAllAvailable()
+      assert(admitted(1L) === ((true, None)))
+      assert(admitted(2L) === ((true, None)))
+      // batch 2: doc 3 is sample-identical to doc 1 → all 4 bands collide
+      // with the PREVIOUS batch's state; doc 4 is base 10's click-shifted
+      // variant — its fingerprint differs from doc 1's by Hamming 2 and
+      // shares exactly 2 of the 4 bands (the near-dup-caught-through-a-
+      // shared-band case, cross-batch)
+      src.addData(
+        (3L, AudioOps.syntheticWavVariant(10L, 0)),
+        (4L, AudioOps.syntheticWavVariant(10L, 1)))
+      q.processAllAvailable()
+      assert(admitted(3L) === ((false, Some(1L))))
+      assert(admitted(4L) === ((false, Some(1L))))
+      // batch 3: an unparseable payload claims nothing and emits no
+      // verdict (per-row skip); a fresh clip (base 3, disjoint bands)
+      // admits
+      src.addData(
+        (5L, Array[Byte](1, 2, 3)),
+        (6L, AudioOps.syntheticWavVariant(3L, 0)))
+      q.processAllAvailable()
+      assert(!admitted.contains(5L))
+      assert(admitted(6L) === ((true, None)))
+    } finally q.stop()
+  }
 }
