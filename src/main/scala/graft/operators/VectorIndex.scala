@@ -50,20 +50,8 @@ object VectorIndex {
     * mtime re-fingerprints (and so rebuilds); nothing that changes data
     * can keep the fingerprint. O(files) namenode/listing calls, zero
     * data reads. */
-  def corpusFingerprint(spark: SparkSession, corpusPath: String): String = {
-    val p = new Path(corpusPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val s = it.next()
-      entries +=
-        s"${s.getPath.toUri.getPath}|${s.getLen}|${s.getModificationTime}"
-    }
-    val md = MessageDigest.getInstance("SHA-256")
-    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
-    "sha:" + md.digest().map("%02x".format(_)).mkString.take(32)
-  }
+  def corpusFingerprint(spark: SparkSession, corpusPath: String): String =
+    fingerprintOf(listEntries(spark, corpusPath))
 
   /** Read the artifact at `indexDir` if its stored fingerprint matches
     * `corpusFp`; otherwise run `build` ONCE, commit its result with the
@@ -91,6 +79,98 @@ object VectorIndex {
       catch {
         case e: Throwable if storedFp.contains(corpusFp) =>
           () // lost a rebuild race to a commit with the right fingerprint
+      }
+    }
+    ManifestSink.read(spark, indexDir)
+  }
+
+  /** One corpus file's identity for delta detection: path plus the same
+    * (length, mtime) metadata the fingerprint hashes. */
+  private def listEntries(spark: SparkSession,
+      corpusPath: String): Seq[(String, String)] = {
+    val p = new Path(corpusPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      // skip writer metadata (_SUCCESS, .crc sidecars, hidden files) —
+      // the same convention Spark's own file listing applies; a delta
+      // build must never be handed a non-data file to read
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += (s.getPath.toString ->
+          s"${s.getLen}|${s.getModificationTime}")
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  private def fingerprintOf(entries: Seq[(String, String)]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    entries.foreach { case (path, meta) =>
+      md.update((new Path(path).toUri.getPath + "|" + meta + "\n")
+        .getBytes("UTF-8"))
+    }
+    "sha:" + md.digest().map("%02x".format(_)).mkString.take(32)
+  }
+
+  /** [[loadOrBuild]] with DELTA maintenance for per-vector artifacts
+    * (e.g. PQ reconstructions): when the corpus change is a PURE APPEND —
+    * every previously-listed file still present with identical length
+    * and mtime, plus new files — only the NEW files are passed to
+    * `buildFrom` and the result is APPENDED to the stored artifact (one
+    * atomic commit carrying the new fingerprint). Any other change
+    * (rewrite, delete, first build) falls back to a full rebuild over
+    * the complete file list. At 100 TB this is the difference between
+    * re-encoding the corpus and encoding the day's arrivals — legitimate
+    * exactly when the artifact is row-per-vector and the model it is
+    * encoded against (codebooks, centroids) derives from data the append
+    * did not touch, which the CALLER must guarantee (PQ codebooks from
+    * the frozen sample qualify; Lloyd means over all vectors do not —
+    * use [[loadOrBuild]] there).
+    *
+    * The file listing that delta detection diffs against is stored as a
+    * sibling ManifestSink table (`<indexDir>_listing`). It is advisory:
+    * the artifact's own fingerprint header remains the source of truth,
+    * so a crash between the artifact commit and the listing refresh
+    * degrades to a full rebuild on the next call, never to a stale or
+    * doubled artifact. */
+  def loadOrBuildIncremental(spark: SparkSession, indexDir: String,
+      corpusPath: String)(
+      buildFrom: Seq[String] => DataFrame): DataFrame = {
+    val listDir = indexDir + "_listing"
+    val cur = listEntries(spark, corpusPath)
+    val fp = fingerprintOf(cur)
+    def storedFp: Option[String] = {
+      val v = ManifestSink.version(spark, indexDir)
+      if (v < 0) None
+      else ManifestSink.manifestHeader(spark, indexDir, v).get(FingerprintKey)
+    }
+    if (!storedFp.contains(fp)) {
+      val old: Seq[(String, String)] =
+        if (ManifestSink.version(spark, listDir) < 0) Nil
+        else ManifestSink.read(spark, listDir).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toSeq
+      val curMap = cur.toMap
+      val pureAppend = old.nonEmpty && storedFp.nonEmpty &&
+        old.forall { case (p, m) => curMap.get(p).contains(m) } &&
+        cur.size > old.size
+      try {
+        if (pureAppend) {
+          val oldPaths = old.map(_._1).toSet
+          val delta = cur.collect {
+            case (p, _) if !oldPaths.contains(p) => p
+          }
+          ManifestSink.appendWithHeader(buildFrom(delta), indexDir,
+            Map(FingerprintKey -> fp))
+        } else
+          ManifestSink.replaceWithHeader(buildFrom(cur.map(_._1)), indexDir,
+            Map(FingerprintKey -> fp))
+        import spark.implicits._
+        ManifestSink.replace(cur.toDF("path", "meta"), listDir)
+      } catch {
+        case e: Throwable if storedFp.contains(fp) =>
+          () // lost a maintenance race to a commit with the right fp
       }
     }
     ManifestSink.read(spark, indexDir)

@@ -564,16 +564,24 @@ object VectorOps {
     * codes themselves, materialized as the sub-centroid concatenation the
     * ADC scan scores against). This is the corpus-scale argmin pass
     * [[VectorIndex]] amortizes for q119. */
-  private def pqRecon(e: DataFrame): DataFrame = {
+  private def pqRecon(e: DataFrame): DataFrame = pqReconFor(e, e)
+
+  /** PQ-encode `subset` against `corpus`'s codebooks — the seam
+    * incremental index maintenance needs: codebooks derive from the
+    * frozen deterministic sample (vec_id < pqK, untouched by appends),
+    * so encoding only a corpus DELTA yields rows identical to what a
+    * full re-encode would produce for those vectors. */
+  private def pqReconFor(corpus: DataFrame, subset: DataFrame): DataFrame = {
     def subSlices(v: Column): Column = explode(array((0 until pqM).map(j =>
       struct(lit(j).as("j"), slice(v, j * pqSub + 1, pqSub).as("sv"))): _*))
-    val cents = e.filter(col("vec_id") < pqK)
+    val cents = corpus.filter(col("vec_id") < pqK)
       .select(col("vec_id").as("k"), subSlices(col("embedding")).as("c"))
       .select(col("k"), col("c.j").as("j"), col("c.sv").as("cv"))
     // encode: nearest sub-centroid per (vector, subspace) by L2 distance
     val wCode = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("d2").asc, col("k").asc)
-    val codes = e.select(col("vec_id"), subSlices(col("embedding")).as("p"))
+    val codes = subset
+      .select(col("vec_id"), subSlices(col("embedding")).as("p"))
       .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
       .join(broadcast(cents), "j")
       .select(col("vec_id"), col("j"), col("k"), col("cv"),
@@ -694,9 +702,20 @@ object VectorOps {
     ivfTopK(e, indexedArtifact(s, dir, "ivf_lloyd")(lloydCents(e)))
   }
 
+  /** q119 maintains its reconstruction table INCREMENTALLY: a pure
+    * corpus append PQ-encodes only the new files against the frozen
+    * sample codebooks and appends one ManifestSink commit — the
+    * daily-arrivals maintenance path; any other corpus change falls
+    * back to a full rebuild (see [[VectorIndex.loadOrBuildIncremental]];
+    * exactness proven by VectorIndexSpec's delta ≡ from-scratch test). */
   private val q119: Q = (s, dir) => {
     val e = emb(s, dir)
-    pqTopK(e, indexedArtifact(s, dir, "pq_recon")(pqRecon(e)))
+    val recon = VectorIndex.loadOrBuildIncremental(s,
+      s"${VectorIndex.indexRoot(dir)}/pq_recon",
+      s"$dir/embeddings.parquet") { files =>
+      pqReconFor(e, s.read.parquet(files: _*))
+    }
+    pqTopK(e, recon)
   }
 
   // ---------------------------------------------------------------- q77

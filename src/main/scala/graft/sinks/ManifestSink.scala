@@ -504,6 +504,16 @@ object ManifestSink {
       bloomFpp: Double = 0.01): Long =
     commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp)
 
+  /** [[append]] carrying caller metadata in the same atomic commit — the
+    * incremental-derived-artifact pattern (e.g. an ANN index extended by
+    * a corpus delta, stamped with the NEW corpus fingerprint): batch and
+    * marker publish together, and a rebased append re-merges the header
+    * per attempt. Same non-numeric-value caveat as
+    * [[replaceWithHeader]]. */
+  def appendWithHeader(df: DataFrame, dir: String,
+      header: Map[String, String]): Long =
+    commitAppend(df.sparkSession, dir, df, header = header)
+
   /** Append a batch split into ONE MANIFEST ENTRY PER VALUE of
     * `partCol` — the time-partitioned fact-table layout. A wide batch
     * appended as one entry gets one [min,max] per column; per-partition

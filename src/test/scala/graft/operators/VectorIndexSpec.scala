@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.collection.mutable
+
 import graft.SparkSpec
 import graft.sinks.ManifestSink
 
@@ -89,6 +91,81 @@ class VectorIndexSpec extends SparkSpec {
       "corpus change must invalidate the stored index")
     assert(r3 !== r1,
       "the rebuilt index must reflect the changed corpus, not the stale one")
+  }
+
+  /** Write `df` as ONE flat parquet file at `target` (Spark writes a
+    * directory; corpora here are directories of plain files). */
+  private def writeFlat(df: org.apache.spark.sql.DataFrame,
+      target: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-flat").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(target).getParent)
+    Files.move(part.toPath, Paths.get(target),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("incremental maintenance: pure append encodes ONLY the delta files") {
+    val corpus = freshDir("incr")
+    // corpus v1: one file of ids 0-9; v2 appends a file of ids 100-104
+    writeFlat(Seq.range(0L, 10L).map(i => (i, s"v$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/a.parquet")
+    val idx = freshDir("incr-idx") + "/art"
+    val builtFrom = mutable.ArrayBuffer.empty[Seq[String]]
+    def run() = VectorIndex.loadOrBuildIncremental(spark, idx,
+      s"$corpus/t.parquet") { files =>
+      builtFrom += files
+      spark.read.parquet(files: _*).select($"vec_id", $"payload")
+    }
+    val r1 = run().collect()
+    assert(r1.length === 10)
+    run() // unchanged corpus: read only
+    assert(builtFrom.size === 1)
+    writeFlat(Seq.range(100L, 105L).map(i => (i, s"v$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/b.parquet")
+    val r2 = run().collect()
+    assert(builtFrom.size === 2, "append must trigger exactly one delta build")
+    assert(builtFrom(1).nonEmpty &&
+      builtFrom(1).forall(_.endsWith("b.parquet")),
+      s"delta build must see ONLY the new files, got ${builtFrom(1)}")
+    assert(r2.map(_.getLong(0)).sorted ===
+      (Seq.range(0L, 10L) ++ Seq.range(100L, 105L)),
+      "artifact after append = old rows + delta rows")
+    // a REWRITE of an old file must fall back to a full rebuild
+    writeFlat(Seq.range(0L, 8L).map(i => (i, s"w$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/a.parquet")
+    val r3 = run().collect()
+    assert(builtFrom.size === 3)
+    assert(builtFrom(2).size === 2,
+      "rewrite must rebuild from the FULL file list")
+    assert(r3.map(_.getLong(0)).sorted ===
+      (Seq.range(0L, 8L) ++ Seq.range(100L, 105L)))
+  }
+
+  test("incremental q119 after a corpus append equals a from-scratch rebuild") {
+    // corpus copy with room to grow
+    val corpus = freshDir("pq-incr")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    writeFlat(e.filter($"vec_id" < 150),
+      s"$corpus/embeddings.parquet/base.parquet")
+    val q119 = graft.SparkEntry.queries("q119_ann_pq_indexed")
+    val idx = s"${graft.operators.VectorIndex.indexRoot(corpus)}/pq_recon"
+    q119(spark, corpus).count() // build v1 index
+    val v1 = graft.sinks.ManifestSink.version(spark, idx)
+    // append the rest of the corpus as a second file
+    writeFlat(e.filter($"vec_id" >= 150),
+      s"$corpus/embeddings.parquet/delta.parquet")
+    val incr = q119(spark, corpus).collect().map(_.toString).toSeq
+    assert(graft.sinks.ManifestSink.version(spark, idx) === v1 + 1,
+      "pure append must extend the index with ONE append commit")
+    // ground truth: the inline (always-from-scratch) pipeline on the
+    // same grown corpus
+    val scratch = graft.SparkEntry.queries("q94_ann_pq")(spark, corpus)
+      .collect().map(_.toString).toSeq
+    assert(incr === scratch,
+      "delta-maintained index must answer identically to a full re-encode")
   }
 
   test("indexed variants are result-identical to the inline pipelines") {
