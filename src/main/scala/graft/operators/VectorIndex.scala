@@ -138,6 +138,42 @@ object VectorIndex {
   def loadOrBuildIncremental(spark: SparkSession, indexDir: String,
       corpusPath: String)(
       buildFrom: Seq[String] => DataFrame): DataFrame = {
+    maintainIncremental(spark, indexDir, corpusPath)(
+      appendFn = (delta, fp) =>
+        ManifestSink.appendWithHeader(buildFrom(delta), indexDir,
+          Map(FingerprintKey -> fp)),
+      replaceFn = (all, fp) =>
+        ManifestSink.replaceWithHeader(buildFrom(all), indexDir,
+          Map(FingerprintKey -> fp)))
+    ManifestSink.read(spark, indexDir)
+  }
+
+  /** [[loadOrBuildIncremental]] in the PARTITIONED manifest layout: the
+    * artifact commits one entry per `partCol` value, so equality scans
+    * ([[ManifestSink.readWhereEq]]) prune to exactly the partitions a
+    * query probes — the posting-list shape an IVF index wants (probe 2
+    * of 4096 cells → read 2 entries' files, plan from manifest metadata
+    * alone). Returns nothing: callers read SELECTIVELY via the pruned
+    * readers rather than materializing the whole index. */
+  def ensurePartitionedIncremental(spark: SparkSession, indexDir: String,
+      corpusPath: String, partCol: String, statsCols: Seq[String] = Nil)(
+      buildFrom: Seq[String] => DataFrame): Unit =
+    maintainIncremental(spark, indexDir, corpusPath)(
+      appendFn = (delta, fp) =>
+        ManifestSink.appendPartitionedHeader(buildFrom(delta), indexDir,
+          partCol, Map(FingerprintKey -> fp), statsCols),
+      replaceFn = (all, fp) =>
+        ManifestSink.replacePartitionedWithHeader(buildFrom(all), indexDir,
+          partCol, Map(FingerprintKey -> fp), statsCols))
+
+  /** The shared maintenance decision: fresh → nothing; pure append →
+    * `appendFn(deltaFiles, fp)`; anything else → `replaceFn(allFiles,
+    * fp)`; then refresh the advisory listing table. Rebuild races are
+    * absorbed when the winner stamped the same fingerprint. */
+  private def maintainIncremental(spark: SparkSession, indexDir: String,
+      corpusPath: String)(
+      appendFn: (Seq[String], String) => Unit,
+      replaceFn: (Seq[String], String) => Unit): Unit = {
     val listDir = indexDir + "_listing"
     val cur = listEntries(spark, corpusPath)
     val fp = fingerprintOf(cur)
@@ -161,11 +197,8 @@ object VectorIndex {
           val delta = cur.collect {
             case (p, _) if !oldPaths.contains(p) => p
           }
-          ManifestSink.appendWithHeader(buildFrom(delta), indexDir,
-            Map(FingerprintKey -> fp))
-        } else
-          ManifestSink.replaceWithHeader(buildFrom(cur.map(_._1)), indexDir,
-            Map(FingerprintKey -> fp))
+          appendFn(delta, fp)
+        } else replaceFn(cur.map(_._1), fp)
         import spark.implicits._
         ManifestSink.replace(cur.toDF("path", "meta"), listDir)
       } catch {
@@ -173,7 +206,6 @@ object VectorIndex {
           () // lost a maintenance race to a commit with the right fp
       }
     }
-    ManifestSink.read(spark, indexDir)
   }
 
   /** Index root for a corpus directory: a deterministic per-corpus-path

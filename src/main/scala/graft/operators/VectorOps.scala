@@ -366,25 +366,35 @@ object VectorOps {
     * the probed cells. Centroids are broadcast-tiny whether computed
     * inline (q58/q58b) or loaded from a [[VectorIndex]] commit
     * (q117/q118). */
-  private def ivfTopK(e: DataFrame, cents: DataFrame): DataFrame = {
-    // cell assignment: nearest centroid by dot (inputs are normalized)
+  /** Cell assignment: nearest centroid by dot (inputs are normalized),
+    * ties to the smaller cent_id. Per-vector and model-dependent only on
+    * `cents` — the property that makes the posting-list index (q120)
+    * delta-maintainable under pure appends when the centroids are the
+    * frozen sample. */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
-    val cells = e.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         dot(col("embedding"), col("cv")).as("cdot"))
       .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    // each query probes its nProbe nearest cells
+  }
+
+  /** Each query's `nProbe` nearest cells (query routing). */
+  private def probeCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
-    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+    e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cent_id"), dot(col("embedding"), col("cv")).as("cdot"))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
-    // exact top-5 within the probed cells (each corpus vector lives in
-    // exactly one cell, so no candidate is scored twice)
+  }
+
+  /** Exact top-5 within the probed cells (each corpus vector lives in
+    * exactly one cell, so no candidate is scored twice). */
+  private def ivfScore(cells: DataFrame, probes: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     cells.join(probes, "cell").filter(col("vec_id") =!= col("query_id"))
@@ -394,6 +404,9 @@ object VectorOps {
       .filter(col("rank") <= 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private def ivfTopK(e: DataFrame, cents: DataFrame): DataFrame =
+    ivfScore(assignCells(e, cents), probeCells(e, cents))
 
   private val q58: Q = (s, dir) => {
     val e = emb(s, dir)
@@ -718,6 +731,43 @@ object VectorOps {
     pqTopK(e, recon)
   }
 
+  // --------------------------------------------------------------- q120
+  /** IVF over a cell-PARTITIONED posting-list index — the full lakehouse
+    * ANN shape: the (vec_id, embedding, cell) assignment is stored as a
+    * ManifestSink table with ONE MANIFEST ENTRY PER CELL
+    * ([[VectorIndex.ensurePartitionedIncremental]]), so a query that
+    * probes `nProbe` cells reads exactly those cells' files — planned
+    * from manifest metadata alone, zero data reads outside the probed
+    * partitions. This is what separates an INDEX from a materialized
+    * assignment: q117 still scans the whole corpus map-side per query;
+    * q120 touches nProbe/nCells of it (2/16 here; 2/4096 in a deployment
+    * where nCells scales with the corpus). Maintenance is the q119 delta
+    * path: assignment is per-vector against the FROZEN sample centroids,
+    * so a pure corpus append assigns only the new files and appends
+    * per-cell entries in one atomic commit.
+    *
+    * The probed-cell set is collected to drive entry pruning — it is
+    * bounded by 10 queries × nProbe (decision-sized, the same
+    * manifest-metadata class as the ManifestSink's own planning reads),
+    * never by data. Results are identical to q58 (same assignment, same
+    * routing, same scoring), so the oracle is q58's. */
+  private val q120: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val cents = indexedArtifact(s, dir, "ivf_sample")(sampleCents(e))
+    val idxDir = s"${VectorIndex.indexRoot(dir)}/ivf_cells"
+    VectorIndex.ensurePartitionedIncremental(s, idxDir,
+      s"$dir/embeddings.parquet", "cell") { files =>
+      assignCells(s.read.parquet(files: _*), cents)
+    }
+    val probes = probeCells(e, cents)
+    val probed = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val posting = probed.map(c =>
+        graft.sinks.ManifestSink.readWhereEq(s, idxDir, "cell", c))
+      .reduce(_ unionByName _)
+    ivfScore(posting, probes)
+  }
+
   // ---------------------------------------------------------------- q77
   /** Recall@5 gate for the approximate indexes: every ANN variant (q42
     * LSH, q58 IVF, q58b IVF+Lloyd, q94 PQ) is joined against q41's
@@ -941,7 +991,8 @@ object VectorOps {
     "q94_ann_pq" -> q94,
     "q117_ann_ivf_indexed" -> q117,
     "q118_ann_ivf_lloyd_indexed" -> q118,
-    "q119_ann_pq_indexed" -> q119)
+    "q119_ann_pq_indexed" -> q119,
+    "q120_ann_ivf_pruned" -> q120)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -962,5 +1013,6 @@ object VectorOps {
     // everything from scratch
     "q117_ann_ivf_indexed" -> q58Sql,
     "q118_ann_ivf_lloyd_indexed" -> q58bSql,
-    "q119_ann_pq_indexed" -> q94Sql)
+    "q119_ann_pq_indexed" -> q94Sql,
+    "q120_ann_ivf_pruned" -> q58Sql)
 }

@@ -532,9 +532,11 @@ object ManifestSink {
       statsCols: Seq[String] = Nil): Long =
     appendPartitionedWithHeader(df, dir, partCol, statsCols, Map.empty)
 
-  private def appendPartitionedWithHeader(df: DataFrame, dir: String,
-      partCol: String, statsCols: Seq[String],
-      header: Map[String, String]): Long = {
+  /** Stage a partitioned batch under `dir/data/` and return its
+    * per-partition manifest entry lines (empty for an empty batch) —
+    * shared by the appending and replacing partitioned commits. */
+  private def stagePartitioned(df: DataFrame, dir: String,
+      partCol: String, statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name,
       regexp_extract}
     val spark = df.sparkSession
@@ -548,11 +550,7 @@ object ManifestSink {
     val subdirs = f.listStatus(new Path(staging))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__p=")).sorted
-    // an empty batch writes no partition subdirs: committing would
-    // publish an entry-less manifest (unreadable as a first version) —
-    // a no-op instead, and an exactly-once marker is NOT advanced
-    // (replaying an empty epoch is a no-op whatever the marker says)
-    if (subdirs.isEmpty) return version(spark, dir)
+    if (subdirs.isEmpty) return Nil
     // stats + counts per partition in ONE grouped pass, keyed by the
     // Hive subdir name extracted from each row's file path — no
     // per-partition jobs, no partition-value escaping guesswork
@@ -561,13 +559,57 @@ object ManifestSink {
       .withColumn("__sd",
         regexp_extract(input_file_name(), "(__p=[^/]+)/[^/]+$", 1))
     val perPart = groupedStatsWithCount(written, col("__sd"), wantStats)
-    val lines = subdirs.toSeq.map { sd =>
+    subdirs.toSeq.map { sd =>
       val stats = perPart.get(sd)
         .map { case (n, st) => st + rowsStat(n) }
         .getOrElse(Map.empty[String, ColStats])
       Entry(s"data/$batch/$sd", stats).line
     }
+  }
+
+  private def appendPartitionedWithHeader(df: DataFrame, dir: String,
+      partCol: String, statsCols: Seq[String],
+      header: Map[String, String]): Long = {
+    val spark = df.sparkSession
+    val lines = stagePartitioned(df, dir, partCol, statsCols)
+    // an empty batch writes no partition subdirs: committing would
+    // publish an entry-less manifest (unreadable as a first version) —
+    // a no-op instead, and an exactly-once marker is NOT advanced
+    // (replaying an empty epoch is a no-op whatever the marker says)
+    if (lines.isEmpty) return version(spark, dir)
     commitAppendLines(spark, dir, lines, header)
+  }
+
+  /** Partitioned [[appendPartitioned]] batch carrying caller metadata in
+    * the same atomic commit (the partitioned sibling of
+    * [[appendWithHeader]] — e.g. a cell-partitioned index delta stamped
+    * with the new corpus fingerprint). */
+  def appendPartitionedHeader(df: DataFrame, dir: String, partCol: String,
+      header: Map[String, String], statsCols: Seq[String] = Nil): Long =
+    appendPartitionedWithHeader(df, dir, partCol, statsCols, header)
+
+  /** Rewriting commit in the PARTITIONED layout: the new snapshot holds
+    * exactly this batch, one entry per `partCol` value (so equality
+    * scans prune from the first commit), header metadata in the same
+    * conditional put. The partitioned sibling of [[replaceWithHeader]].
+    * Previous data becomes unreferenced ([[vacuum]] reclaims). */
+  def replacePartitionedWithHeader(df: DataFrame, dir: String,
+      partCol: String, header: Map[String, String],
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val basedOn = version(spark, dir)
+    val lines = stagePartitioned(df, dir, partCol, statsCols)
+    require(lines.nonEmpty,
+      s"partitioned replace at $dir with an empty batch would publish " +
+        "an entry-less manifest")
+    val all = headerLines(mergeHeader(manifestHeader(spark, dir, basedOn),
+      header + (TsKey -> System.currentTimeMillis.toString))) ++ lines
+    val next = basedOn + 1
+    val f = fs(spark, dir)
+    publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
+      all.mkString("\n"))
+    writeHint(f, new Path(dir, "_latest"), next.toString)
+    next
   }
 
   /** [[appendOnce]] × [[appendPartitioned]]: exactly-once epoch folding

@@ -168,11 +168,31 @@ class VectorIndexSpec extends SparkSpec {
       "delta-maintained index must answer identically to a full re-encode")
   }
 
+  test("posting-list index prunes an equality probe to the probed cell's entries") {
+    // build (or reuse) the cell-partitioned index, then verify the
+    // manifest plans a single-cell probe WITHOUT the other cells' entries
+    graft.SparkEntry.queries("q120_ann_ivf_pruned")(spark, sf).count()
+    val idx = s"${VectorIndex.indexRoot(sf)}/ivf_cells"
+    val v = ManifestSink.version(spark, idx)
+    val all = ManifestSink.entries(spark, idx, v)
+    assert(all.size > 1, "per-cell layout must yield one entry per cell")
+    val (kept, dropped) = ManifestSink.prunedEntriesEq(spark, idx, "cell", 0L)
+    assert(kept.size + dropped.size === all.size)
+    assert(kept.nonEmpty, "cell 0 is populated at this SF")
+    assert(kept.size < all.size,
+      "an equality probe must NOT plan every cell's entries")
+    // and the pruned read returns exactly that cell's rows
+    val rows = ManifestSink.readWhereEq(spark, idx, "cell", 0L)
+      .select($"cell").distinct().collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(0L))
+  }
+
   test("indexed variants are result-identical to the inline pipelines") {
     for ((a, b) <- Seq(
         "q117_ann_ivf_indexed" -> "q58_ann_ivf_cells",
         "q118_ann_ivf_lloyd_indexed" -> "q58b_ann_ivf_lloyd",
-        "q119_ann_pq_indexed" -> "q94_ann_pq")) {
+        "q119_ann_pq_indexed" -> "q94_ann_pq",
+        "q120_ann_ivf_pruned" -> "q58_ann_ivf_cells")) {
       val ia = graft.SparkEntry.queries(a)(spark, sf)
         .collect().map(_.toString).toSeq
       val ib = graft.SparkEntry.queries(b)(spark, sf)
