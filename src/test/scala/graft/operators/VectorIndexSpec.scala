@@ -187,6 +187,36 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows === Seq(0L))
   }
 
+  test("compacting a delta-grown index preserves the fingerprint: no spurious rebuild") {
+    // the maintenance lifecycle end-to-end: build → delta-append →
+    // OPTIMIZE → the next loadOrBuildIncremental must READ, not rebuild
+    // (headers carry through compaction), and content is unchanged
+    val corpus = freshDir("compact")
+    writeFlat(Seq.range(0L, 10L).map(i => (i, s"v$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/a.parquet")
+    val idx = freshDir("compact-idx") + "/art"
+    var builds = 0
+    def run() = VectorIndex.loadOrBuildIncremental(spark, idx,
+      s"$corpus/t.parquet") { files =>
+      builds += 1
+      spark.read.parquet(files: _*).select($"vec_id", $"payload")
+    }
+    run()
+    writeFlat(Seq.range(100L, 105L).map(i => (i, s"v$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/b.parquet")
+    val before = run().collect().map(_.toString).sorted
+    assert(builds === 2)
+    val vGrown = ManifestSink.version(spark, idx)
+    assert(ManifestSink.entries(spark, idx, vGrown).size === 2,
+      "delta append leaves two entries — the pile OPTIMIZE folds")
+    ManifestSink.compact(spark, idx)
+    val after = run().collect().map(_.toString).sorted
+    assert(builds === 2, "compaction must NOT invalidate the fingerprint")
+    assert(after === before)
+    val vNow = ManifestSink.version(spark, idx)
+    assert(ManifestSink.entries(spark, idx, vNow).size === 1)
+  }
+
   test("indexed variants are result-identical to the inline pipelines") {
     for ((a, b) <- Seq(
         "q117_ann_ivf_indexed" -> "q58_ann_ivf_cells",
