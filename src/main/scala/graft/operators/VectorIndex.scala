@@ -186,9 +186,22 @@ object VectorIndex {
       val old: Seq[(String, String)] =
         if (ManifestSink.version(spark, listDir) < 0) Nil
         else ManifestSink.read(spark, listDir).collect()
-          .map(r => r.getString(0) -> r.getString(1)).toSeq
+          .map(r => r.getString(0) -> r.getString(1))
+          .sortBy(_._1).toSeq // parquet row order ≠ listing order; the
+          // fingerprint check below hashes in path order
       val curMap = cur.toMap
-      val pureAppend = old.nonEmpty && storedFp.nonEmpty &&
+      // Delta-append is legal ONLY when the artifact was built from
+      // EXACTLY the corpus state the stored listing describes: the
+      // artifact's fingerprint must equal the fingerprint OF that old
+      // listing. The listing refresh below is a separate commit from the
+      // artifact's, so a crash between them leaves the two skewed —
+      // without this check, a stale listing would make the next append
+      // re-encode files the artifact already holds (doubled rows), and a
+      // listing that ran ahead would under-append (silently missing
+      // rows). Any skew, in either direction, now degrades to a full
+      // rebuild — never to a wrong artifact.
+      val pureAppend = old.nonEmpty &&
+        storedFp.contains(fingerprintOf(old)) &&
         old.forall { case (p, m) => curMap.get(p).contains(m) } &&
         cur.size > old.size
       try {

@@ -187,6 +187,40 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows === Seq(0L))
   }
 
+  test("listing/artifact skew (crash corner) degrades to full rebuild, never doubles") {
+    // simulate a crash BETWEEN the artifact commit and the listing
+    // refresh: artifact holds {a,b}@fp2, listing still describes {a} —
+    // without the fingerprint-of-listing check, the next append would
+    // re-encode b (doubled rows)
+    val corpus = freshDir("skew")
+    writeFlat(Seq.range(0L, 10L).map(i => (i, s"v$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/a.parquet")
+    val idx = freshDir("skew-idx") + "/art"
+    val builtFrom = mutable.ArrayBuffer.empty[Seq[String]]
+    def run() = VectorIndex.loadOrBuildIncremental(spark, idx,
+      s"$corpus/t.parquet") { files =>
+      builtFrom += files
+      spark.read.parquet(files: _*).select($"vec_id", $"payload")
+    }
+    run()
+    val staleListing = graft.sinks.ManifestSink
+      .read(spark, idx + "_listing").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    writeFlat(Seq.range(100L, 105L).map(i => (i, s"v$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/b.parquet")
+    run() // artifact now {a,b}; listing refreshed
+    // crash simulation: roll the listing back to the {a} state
+    ManifestSink.replace(staleListing.toDF("path", "meta"), idx + "_listing")
+    writeFlat(Seq.range(200L, 203L).map(i => (i, s"v$i"))
+      .toDF("vec_id", "payload"), s"$corpus/t.parquet/c.parquet")
+    val r = run().collect().map(_.getLong(0)).sorted
+    assert(builtFrom.last.size === 3,
+      "skewed listing must force a FULL rebuild (all 3 files), " +
+        s"got ${builtFrom.last}")
+    assert(r === (Seq.range(0L, 10L) ++ Seq.range(100L, 105L) ++
+      Seq.range(200L, 203L)), "no doubled rows after the skew recovery")
+  }
+
   test("compacting a delta-grown index preserves the fingerprint: no spurious rebuild") {
     // the maintenance lifecycle end-to-end: build → delta-append →
     // OPTIMIZE → the next loadOrBuildIncremental must READ, not rebuild
