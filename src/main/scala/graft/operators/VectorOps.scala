@@ -976,6 +976,63 @@ object VectorOps {
       .sortBy { case (m, r) => (annCandidateCost(m), -r, m) }.head._1
   }
 
+  // --------------------------------------------------------------- q121
+  /** The index recommendation as a first-class ORACLED query — the
+    * declarative twin of [[recommendIndex]] (no driver-side collect): for
+    * each recall target, join the measured q77 panel with the
+    * [[annCandidateCost]] table and pick the cheapest qualifying method
+    * (ties to higher recall, then name), falling back to brute force
+    * (recall 1, cost 1) when nothing qualifies. Mean recall is computed
+    * as SUM(hits)/(5·COUNT(*)) — one exact-integer division — so both
+    * engines produce bit-identical doubles (an AVG over per-query
+    * recall doubles would be summation-order-dependent). */
+  private val recTargets = Seq(0.2, 0.5, 0.8, 0.9)
+
+  private val q121: Q = (s, dir) => {
+    import s.implicits._
+    val mean = q77(s, dir).groupBy(col("method"))
+      .agg((sum(col("hits")).cast("double") /
+        (lit(5.0) * count(lit(1)))).as("mean_recall"))
+    val costs = annCandidateCost.toSeq.sortBy(_._1).toDF("method", "cost")
+    val targets = recTargets.toDF("target")
+    val w = Window.partitionBy(col("target"))
+      .orderBy(col("cost").asc, col("mean_recall").desc, col("method").asc)
+    val qual = targets.crossJoin(mean.join(costs, "method"))
+      .filter(col("mean_recall") >= col("target"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("target"), col("method"), col("mean_recall"), col("cost"))
+    targets.join(qual, Seq("target"), "left")
+      .select(col("target"),
+        coalesce(col("method"), lit("brute_force")).as("method"),
+        coalesce(col("mean_recall"), lit(1.0)).as("mean_recall"),
+        coalesce(col("cost"), lit(1.0)).as("cost"))
+      .orderBy(col("target"))
+  }
+  private val q121Sql =
+    s"""WITH panel AS ($q77Sql),
+       |mn AS (
+       |  SELECT method,
+       |    CAST(SUM(hits) AS DOUBLE) / (5.0 * COUNT(*)) AS mean_recall
+       |  FROM panel GROUP BY method),
+       |costs(method, cost) AS (VALUES
+       |  ('brute_force', 1.0), ('ivf', 2.0/16.0), ('ivf_lloyd', 2.0/16.0),
+       |  ('lsh', 37.0/256.0), ('lsh_multi', 0.25), ('pq', 1.0/64.0)),
+       |targets(target) AS (VALUES (0.2), (0.5), (0.8), (0.9)),
+       |qual AS (
+       |  SELECT target, method, mean_recall, cost,
+       |    ROW_NUMBER() OVER (PARTITION BY target
+       |      ORDER BY cost ASC, mean_recall DESC, method ASC) AS rn
+       |  FROM targets CROSS JOIN (
+       |    SELECT m.method, m.mean_recall, c.cost
+       |    FROM mn m JOIN costs c ON m.method = c.method) mc
+       |  WHERE mc.mean_recall >= target)
+       |SELECT t.target, COALESCE(q.method, 'brute_force') AS method,
+       |  COALESCE(q.mean_recall, 1.0) AS mean_recall,
+       |  COALESCE(q.cost, 1.0) AS cost
+       |FROM targets t
+       |LEFT JOIN (SELECT * FROM qual WHERE rn = 1) q ON t.target = q.target
+       |ORDER BY t.target""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
@@ -992,7 +1049,8 @@ object VectorOps {
     "q117_ann_ivf_indexed" -> q117,
     "q118_ann_ivf_lloyd_indexed" -> q118,
     "q119_ann_pq_indexed" -> q119,
-    "q120_ann_ivf_pruned" -> q120)
+    "q120_ann_ivf_pruned" -> q120,
+    "q121_index_recommendation" -> q121)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -1014,5 +1072,6 @@ object VectorOps {
     "q117_ann_ivf_indexed" -> q58Sql,
     "q118_ann_ivf_lloyd_indexed" -> q58bSql,
     "q119_ann_pq_indexed" -> q94Sql,
-    "q120_ann_ivf_pruned" -> q58Sql)
+    "q120_ann_ivf_pruned" -> q58Sql,
+    "q121_index_recommendation" -> q121Sql)
 }

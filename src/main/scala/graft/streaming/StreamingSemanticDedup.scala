@@ -98,18 +98,20 @@ object StreamingSemanticDedup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
-            var reg = state.getOption.map(_.entries.toList).getOrElse(Nil)
+            val reg = scala.collection.mutable.ArrayBuffer
+              .empty[AdmittedVec]
+            state.getOption.foreach(reg ++= _.entries)
             val out = sorted.map { case (id, v) =>
-              // earliest-admitted match: the registry list is in
+              // earliest-admitted match: the registry buffer is in
               // admission order, so the first hit is the answer
               reg.find(e => dot(e.vec, v) >= tau) match {
                 case Some(m) => SemVerdict(id, cell, admit = false, m.doc_id)
                 case None =>
-                  reg = reg :+ AdmittedVec(id, v)
+                  reg += AdmittedVec(id, v)
                   SemVerdict(id, cell, admit = true, -1L)
               }
             }
-            state.update(CellReg(reg))
+            state.update(CellReg(reg.toSeq))
             stateTtl.foreach(state.setTimeoutDuration)
             out.iterator
           }
