@@ -25,6 +25,7 @@ object SparkEntry {
       operators.RangeJoin.queries ++ operators.TrainingOps.queries ++
       operators.Skew.queries ++ operators.SinkOps.queries ++
       operators.ProfileOps.queries ++ operators.GraphOps.queries ++
+      operators.Expectations.queries ++
       streaming.StreamAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.RangeJoin.oracleSql ++ operators.TrainingOps.oracleSql ++
       operators.Skew.oracleSql ++ operators.SinkOps.oracleSql ++
       operators.ProfileOps.oracleSql ++ operators.GraphOps.oracleSql ++
+      operators.Expectations.oracleSql ++
       streaming.StreamAnalytics.oracleSql
 }

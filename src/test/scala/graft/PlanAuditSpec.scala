@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
       "q118_ann_ivf_lloyd_indexed",// q58b's pipeline over stored centroids
       "q119_ann_pq_indexed",       // q94's ADC scan over stored recon
       "q120_ann_ivf_pruned",       // broadcast(16 stored centroids) routing
-      "q121_index_recommendation") // 4 targets × 5-method panel summary
+      "q121_index_recommendation", // 4 targets × 5-method panel summary
+      "q122_expectations_gate")    // 1-row × 1-row report joins
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
