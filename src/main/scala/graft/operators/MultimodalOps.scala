@@ -728,6 +728,183 @@ object MultimodalOps {
       |WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------ VIDEO NEAR-DUP (q123)
+  /** Video near-dup — the FIFTH dedup modality, closing the matrix
+    * (text shingle/MinHash, image dHash, audio fingerprint, embedding
+    * cosine, now multi-frame video). A video's signature is the sorted
+    * array of its sampled frames' 64-bit dHashes; two videos are
+    * near-dups iff they sampled the SAME frame indices and EVERY aligned
+    * frame pair is within `maxFrameHamming` bits. Scale skeleton is
+    * q115's, lifted from one hash to a hash sequence:
+    *
+    *   1. identical-signature collapse FIRST (an exact-dup cluster of m
+    *      re-uploads is ONE node through candidate generation);
+    *   2. banded candidates — each frame contributes its 4×16-bit
+    *      Hamming bands under band index `k·4+j`, so a shared band means
+    *      "some aligned frame agrees on 16 bits"; the self-join runs
+    *      through [[DedupOps.bandSelfJoin]] (hot-bucket capped, one
+    *      reducer never sees more than 2·maxBucket rows);
+    *   3. verification is array-local: `zip_with` over the two sorted
+    *      signatures (misaligned frame indices poison the pair with a
+    *      sentinel distance — padded nulls from unequal lengths resolve
+    *      to the sentinel too, so unequal frame counts reject without a
+    *      separate length check), `array_max` ≤ threshold;
+    *   4. members expand back AFTER verification (output-bound, like
+    *      every near-dup query here).
+    *
+    * Banded-recall contract (same as [[dhashNearDup]]): per aligned
+    * frame, 4 bands guarantee a shared band only for frame Hamming ≤ 3 —
+    * and a candidate needs only ONE aligned frame to share a band, so
+    * video-level recall is strictly better than single-image recall at
+    * the same threshold. `frameHashes` must be one row per (video,
+    * sampled frame): (doc_id, k, lo, hi). */
+  def videoNearDup(frameHashes: DataFrame, maxFrameHamming: Int,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    val sentinel = 9999L
+    // persist: the signature build reads the whole decode+hash pipeline;
+    // the probe job, both candidate sides, and both expansion sides all
+    // consume this frame (same discipline as dhashNearDup's groups)
+    val groups = frameHashes
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("k"), col("lo"), col("hi")))).as("sig"))
+      .groupBy(col("sig"))
+      .agg(collect_list(col("doc_id")).as("__members"))
+      .withColumn("__gid", array_min(col("__members")))
+      .persist()
+    val banded = groups
+      .select(col("__gid"), col("sig"),
+        posexplode(col("sig")).as(Seq("__fi", "__f")))
+      .select(col("__gid"), col("sig"), col("__f.k").as("__k"),
+        posexplode(array(
+          col("__f.lo").bitwiseAND(65535),
+          shiftright(col("__f.lo"), 16).bitwiseAND(65535),
+          col("__f.hi").bitwiseAND(65535),
+          shiftright(col("__f.hi"), 16).bitwiseAND(65535)))
+          .as(Seq("__j", "__bh")))
+      .select(col("__gid"), col("sig"),
+        (col("__k") * 4 + col("__j")).as("__bidx"),
+        col("__bh").as("__bhash"))
+    val verified = DedupOps.bandSelfJoin(
+        banded, "__gid", Seq("sig"), maxBucket)
+      .dropDuplicates("__ga", "__gb")
+      .withColumn("max_hamming",
+        array_max(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
+          when(a.getField("k") === b.getField("k"),
+            (bit_count(a.getField("lo").bitwiseXOR(b.getField("lo"))) +
+              bit_count(a.getField("hi").bitwiseXOR(b.getField("hi"))))
+              .cast("long"))
+            .otherwise(lit(sentinel)))))
+      .filter(col("max_hamming") <= maxFrameHamming)
+      .select(col("__ga"), col("__gb"), col("max_hamming"))
+    val ga = groups.select(col("__gid").as("__ga"),
+      col("__members").as("__mem_a"))
+    val gb = groups.select(col("__gid").as("__gb"),
+      col("__members").as("__mem_b"))
+    val cross = verified.join(ga, "__ga").join(gb, "__gb")
+      .select(explode(col("__mem_a")).as("__x"), col("__mem_b"),
+        col("max_hamming"))
+      .select(col("__x"), explode(col("__mem_b")).as("__y"),
+        col("max_hamming"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("max_hamming"))
+    val intra = groups.filter(size(col("__members")) >= 2)
+      .select(explode(col("__members")).as("__x"), col("__members"))
+      .select(col("__x"), explode(col("__members")).as("__y"))
+      .filter(col("__x") < col("__y"))
+      .select(col("__x").as("id_a"), col("__y").as("id_b"),
+        lit(0L).as("max_hamming"))
+    cross.union(intra)
+  }
+
+  /** q123: video near-dup end-to-end on REAL decoded pixels. Each doc is
+    * a multi-frame video (nf = 4 + base%3 frames) rendering a
+    * brightness-shifted variant of a shared per-base pattern —
+    * `syntheticFramePng(base, k·3 + v)` puts frame k of variant v at a
+    * uniform +13·(3k+v) channel shift mod 256, so aligned frames of two
+    * variants differ exactly as q115's images do. The stride filter
+    * (k % 2 = 0) runs RELATIONALLY before any encode/decode — dropped
+    * frames are never materialized (q80's cheap-predicate-first rule) —
+    * and the frame key packs into the media id (doc·64 + k) so the
+    * image dHash kernel is reused unchanged. */
+  private val q123: Q = (s, dir) => {
+    import s.implicits._
+    val grid = Tables(s, dir, "documents").select($"doc_id")
+      .select($"doc_id", explode(sequence(lit(0),
+        (lit(3) + $"doc_id" % 20 % 3).cast("int"))).as("k"))
+      .filter($"k" % 2 === 0)
+    val media = grid.as[(Long, Int)].mapPartitions { it =>
+      it.map { case (d, k) =>
+        val base = d % 20
+        val v = ((d / 20) % 3).toInt
+        Media(d * 64 + k, syntheticFramePng(base, k * 3 + v))
+      }
+    }
+    val frameHashes = dhashBatch(media).toDF()
+      .select(shiftright($"doc_id", 6).as("doc_id"),
+        $"doc_id".bitwiseAND(63).cast("int").as("k"),
+        $"dhash_lo".as("lo"), $"dhash_hi".as("hi"))
+    videoNearDup(frameHashes, maxFrameHamming = 4)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q123Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 20 AS base, (doc_id // 20) % 3 AS v
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, base, v,
+      |         8 + base % 9 AS w, 8 + (base // 9) % 7 AS h,
+      |         4 + base % 3 AS nf
+      |  FROM d),
+      |fr AS (
+      |  SELECT doc_id, base, v, w, h, k
+      |  FROM dims, UNNEST(range(0, nf)) AS t(k)
+      |  WHERE k % 2 = 0),
+      |bits AS (
+      |  SELECT doc_id, k, gy * 8 + gx AS bit,
+      |    CASE WHEN
+      |      ((base*31 + (3*k+v)*13 + ((gy*h//8)*w + ((gx+1)*w//9))*7) % 256
+      |       + (base*31 + (3*k+v)*13 + ((gy*h//8)*w + ((gx+1)*w//9))*7 + 101) % 256
+      |       + (base*31 + (3*k+v)*13 + ((gy*h//8)*w + ((gx+1)*w//9))*7 + 202) % 256) // 3
+      |      >
+      |      ((base*31 + (3*k+v)*13 + ((gy*h//8)*w + (gx*w//9))*7) % 256
+      |       + (base*31 + (3*k+v)*13 + ((gy*h//8)*w + (gx*w//9))*7 + 101) % 256
+      |       + (base*31 + (3*k+v)*13 + ((gy*h//8)*w + (gx*w//9))*7 + 202) % 256) // 3
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM fr, UNNEST(range(0, 8)) AS t1(gx), UNNEST(range(0, 8)) AS t2(gy)),
+      |hash AS (
+      |  SELECT doc_id, k,
+      |    CAST(SUM(CASE WHEN bit < 32
+      |      THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN bit >= 32
+      |      THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id, k),
+      |bands AS (
+      |  SELECT doc_id, k, lo, hi,
+      |    UNNEST([lo & 65535, (lo >> 16) & 65535,
+      |            hi & 65535, (hi >> 16) & 65535]) AS bhash,
+      |    UNNEST([k*4 + 0, k*4 + 1, k*4 + 2, k*4 + 3]) AS bidx
+      |  FROM hash),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      |nf_ AS (SELECT doc_id, COUNT(*) AS n FROM hash GROUP BY doc_id),
+      |al AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS aligned,
+      |    MAX(bit_count(xor(ha.lo, hb.lo))
+      |      + bit_count(xor(ha.hi, hb.hi))) AS mh
+      |  FROM cand c
+      |  JOIN hash ha ON ha.doc_id = c.id_a
+      |  JOIN hash hb ON hb.doc_id = c.id_b AND hb.k = ha.k
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT al.id_a, al.id_b, CAST(al.mh AS BIGINT) AS max_hamming
+      |FROM al
+      |JOIN nf_ na ON na.doc_id = al.id_a
+      |JOIN nf_ nb ON nb.doc_id = al.id_b
+      |WHERE al.aligned = na.n AND al.aligned = nb.n AND al.mh <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
     "q51_multimodal_decode_stub" -> q51,
@@ -735,7 +912,8 @@ object MultimodalOps {
     "q76_image_decode" -> q76,
     "q79_image_features" -> q79,
     "q80_video_frames" -> q80,
-    "q115_image_phash_dedup" -> q115)
+    "q115_image_phash_dedup" -> q115,
+    "q123_video_near_dup" -> q123)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
@@ -744,5 +922,6 @@ object MultimodalOps {
     "q76_image_decode" -> q76Sql,
     "q79_image_features" -> q79Sql,
     "q80_video_frames" -> q80Sql,
-    "q115_image_phash_dedup" -> q115Sql)
+    "q115_image_phash_dedup" -> q115Sql,
+    "q123_video_near_dup" -> q123Sql)
 }

@@ -204,4 +204,37 @@ class MultimodalOpsSpec extends SparkSpec {
     // the decomposed path (cap 2 forces block pairs) is result-identical
     assert(got === pairs(2))
   }
+
+  test("videoNearDup: aligned frames match, frame-count/index mismatches " +
+      "reject, hot-bucket cap is result-identical") {
+    // hand-built frame hashes: (doc, frame k, lo, hi)
+    val fh = Seq(
+      // doc 1 and doc 2: same frames {0,2}, aligned hamming 1 on frame 2
+      (1L, 0, 0x1234L, 0x5678L), (1L, 2, 0xff00L, 0x00ffL),
+      (2L, 0, 0x1234L, 0x5678L), (2L, 2, 0xff01L, 0x00ffL),
+      // doc 3: pixel-identical signature to doc 1 (exact-dup cluster)
+      (3L, 0, 0x1234L, 0x5678L), (3L, 2, 0xff00L, 0x00ffL),
+      // doc 4: same hashes as doc 1 but one extra frame → count mismatch
+      (4L, 0, 0x1234L, 0x5678L), (4L, 2, 0xff00L, 0x00ffL),
+      (4L, 4, 0xaaaaL, 0xbbbbL),
+      // doc 5: same count as doc 1, same hashes, DIFFERENT frame indices
+      (5L, 1, 0x1234L, 0x5678L), (5L, 3, 0xff00L, 0x00ffL),
+      // doc 6: same frames as doc 1, one frame far away (> threshold)
+      (6L, 0, 0x1234L, 0x5678L), (6L, 2, 0x0000L, 0x0000L)
+    ).toDF("doc_id", "k", "lo", "hi")
+    def run(cap: Int) = MultimodalOps.videoNearDup(fh, maxFrameHamming = 2,
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val got = run(Int.MaxValue)
+    // exact cluster (1,3) at 0; near pairs (1,2) and (2,3) at 1
+    assert(got.contains((1L, 3L, 0L)))
+    assert(got.contains((1L, 2L, 1L)))
+    assert(got.contains((2L, 3L, 1L)))
+    // 4 (extra frame), 5 (shifted indices), 6 (far frame) pair with no one
+    got.foreach { case (a, b, _) =>
+      assert(!Set(4L, 5L, 6L).contains(a) && !Set(4L, 5L, 6L).contains(b)) }
+    // the capped decomposition path returns identical pairs
+    assert(got === run(1))
+  }
 }
