@@ -374,13 +374,98 @@ object SinkOps {
       |WHERE e.event_id <= cut2 AND e.event_id BETWEEN d1 AND d2
       |ORDER BY _change_type, event_id""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  /** Layout advisor through the gate: three manifest tables with
+    * KNOWN-layout pathologies — `fragmented` (12 small mod-slices of
+    * orders), `interleaved` (4 big mod-slices, every batch spanning the
+    * full key range), `ranged` (3 big range-disjoint slices) — and
+    * [[graft.sinks.LayoutAdvisor.report]] must diagnose each from
+    * manifest metadata alone: compact / zorder / healthy respectively.
+    * The oracle recomputes every batch's row count and key range from
+    * the source table (the slice predicates are closed-form) and applies
+    * the same integer decision rules — a stats-recording bug in the
+    * commit path, a mis-parsed bound, or a wrong overlap count all
+    * hash-mismatch. The `smallRows` floor is total/8: scale-free, so
+    * the verdict triple is identical at every SF.
+    *
+    * Scale: the advisor reads ONE manifest file per table (per-batch
+    * rows + min/max ride in entry lines the commit already wrote);
+    * decisions are batch-count-sized, data files are never opened. */
+  private val q124: Q = (s, dir) => {
+    import s.implicits._
+    val src = Tables(s, dir, "orders").select($"o_orderkey")
+    val maxId = src.agg(max($"o_orderkey")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val root = freshScratch("graft_q124", dir)
+    val frag = root + "/fragmented"
+    (0 until 12).foreach(i => ManifestSink.appendWithStats(
+      src.filter($"o_orderkey" % 12 === i), frag, Seq("o_orderkey")))
+    val inter = root + "/interleaved"
+    (0 until 4).foreach(i => ManifestSink.appendWithStats(
+      src.filter($"o_orderkey" % 4 === i), inter, Seq("o_orderkey")))
+    val ranged = root + "/ranged"
+    ManifestSink.appendWithStats(
+      src.filter($"o_orderkey" <= cut1), ranged, Seq("o_orderkey"))
+    ManifestSink.appendWithStats(
+      src.filter($"o_orderkey" > cut1 && $"o_orderkey" <= cut2), ranged,
+      Seq("o_orderkey"))
+    ManifestSink.appendWithStats(
+      src.filter($"o_orderkey" > cut2), ranged, Seq("o_orderkey"))
+    val total = ManifestSink.rowCount(s, ranged).get
+    graft.sinks.LayoutAdvisor.report(s,
+      Seq("fragmented" -> frag, "interleaved" -> inter, "ranged" -> ranged),
+      "o_orderkey", smallRows = total / 8)
+      .orderBy($"table_name")
+  }
+  private val q124Sql =
+    """WITH src AS (SELECT o_orderkey AS k FROM orders),
+      |cuts AS (
+      |  SELECT MAX(k) // 3 AS cut1, 2 * MAX(k) // 3 AS cut2,
+      |         COUNT(*) // 8 AS small_rows
+      |  FROM src),
+      |batches AS (
+      |  SELECT 'fragmented' AS t, k % 12 AS b,
+      |         COUNT(*) AS c, MIN(k) AS lo, MAX(k) AS hi
+      |  FROM src GROUP BY k % 12
+      |  UNION ALL
+      |  SELECT 'interleaved', k % 4, COUNT(*), MIN(k), MAX(k)
+      |  FROM src GROUP BY k % 4
+      |  UNION ALL
+      |  SELECT 'ranged',
+      |    CASE WHEN k <= cut1 THEN 0 WHEN k <= cut2 THEN 1 ELSE 2 END,
+      |    COUNT(*), MIN(k), MAX(k)
+      |  FROM src CROSS JOIN cuts
+      |  GROUP BY CASE WHEN k <= cut1 THEN 0 WHEN k <= cut2 THEN 1 ELSE 2 END),
+      |agg AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_batches,
+      |         CAST(SUM(c) AS BIGINT) AS total_rows
+      |  FROM batches GROUP BY t),
+      |ov AS (
+      |  SELECT a.t, CAST(COUNT(*) AS BIGINT) AS overlap_pairs
+      |  FROM batches a JOIN batches b
+      |    ON a.t = b.t AND a.b < b.b AND a.lo <= b.hi AND b.lo <= a.hi
+      |  GROUP BY a.t)
+      |SELECT agg.t AS table_name, agg.n_batches, agg.total_rows,
+      |  agg.total_rows // agg.n_batches AS avg_batch_rows,
+      |  COALESCE(ov.overlap_pairs, 0) AS overlap_pairs,
+      |  CASE
+      |    WHEN agg.total_rows // agg.n_batches < cuts.small_rows
+      |      THEN 'compact'
+      |    WHEN COALESCE(ov.overlap_pairs, 0) > 0 THEN 'zorder'
+      |    ELSE 'healthy'
+      |  END AS recommendation
+      |FROM agg LEFT JOIN ov ON agg.t = ov.t CROSS JOIN cuts
+      |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q88_manifest_roundtrip" -> q88,
     "q105_cdc_feed" -> q105,
     "q98_incremental_view" -> q98,
     "q100_lakehouse_lifecycle" -> q100,
     "q101_exactly_once_fold" -> q101,
-    "q102_partitioned_scan" -> q102)
+    "q102_partitioned_scan" -> q102,
+    "q124_layout_advisor" -> q124)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
@@ -388,5 +473,6 @@ object SinkOps {
     "q98_incremental_view" -> q98Sql,
     "q100_lakehouse_lifecycle" -> q100Sql,
     "q101_exactly_once_fold" -> q101Sql,
-    "q102_partitioned_scan" -> q102Sql)
+    "q102_partitioned_scan" -> q102Sql,
+    "q124_layout_advisor" -> q124Sql)
 }

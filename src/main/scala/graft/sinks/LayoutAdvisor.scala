@@ -1,0 +1,73 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table-layout health from manifest METADATA alone — the storage-side
+  * twin of `VectorOps.recommendIndex` (which maps a measured recall panel
+  * to an index choice; this maps measured layout stats to a maintenance
+  * action). At 100 TB the decisions that dominate scan cost — "compact
+  * these small batches", "recluster, your batch ranges all overlap" — are
+  * plannable from the stats every commit already wrote into its manifest
+  * entry: per-batch row counts ([[ManifestSink.rowCount]]'s source) and
+  * per-batch min/max of the sort column. Reading them costs one
+  * small-file read per table; NO data file is opened.
+  *
+  * Signals and the decision order:
+  *   1. `compact` — mean batch size below `smallRows`: scan cost is
+  *      dominated by per-file overhead (open/footer/seek), the classic
+  *      small-file problem; compaction strictly helps whatever the
+  *      clustering looks like, so it outranks `zorder`.
+  *   2. `zorder` — batch [min,max] ranges on `statsCol` overlap: range
+  *      scans cannot prune (every batch might hold matching rows), which
+  *      is exactly what [[ManifestSink.compactZOrder]] repairs; counted
+  *      as overlapping unordered batch pairs. A batch with no stats for
+  *      `statsCol` is range-undecidable and counts as overlapping every
+  *      other batch — the same conservative reading the pruner itself
+  *      uses ([[ManifestSink.ColStats.overlaps]]).
+  *   3. `healthy` — big batches, disjoint ranges: nothing to do.
+  *
+  * All arithmetic is integer (counts, integer-divided mean) so an
+  * external engine reproduces the report bit-exactly. The per-table work
+  * is manifest-entry-sized (one row per batch directory) — a
+  * driver-local computation by design, like every other manifest
+  * planning decision in [[ManifestSink]].
+  */
+object LayoutAdvisor {
+
+  /** One report row per table: (table_name, n_batches, total_rows,
+    * avg_batch_rows, overlap_pairs, recommendation). `tables` maps
+    * display name → sink dir; `statsCol` is the clustering column whose
+    * per-batch ranges are judged; `smallRows` is the mean-batch-size
+    * floor under which compaction is recommended (callers derive it from
+    * a target file size, or — scale-free — from a fraction of the
+    * table's own row count). */
+  def report(spark: SparkSession, tables: Seq[(String, String)],
+      statsCol: String, smallRows: Long): DataFrame = {
+    val rows = tables.map { case (name, dir) =>
+      val v = ManifestSink.version(spark, dir)
+      require(v >= 0, s"LayoutAdvisor: no committed version at $dir")
+      val entries = ManifestSink.entries(spark, dir, v)
+      val nb = entries.size.toLong
+      val total = ManifestSink.rowCount(spark, dir).getOrElse(
+        ManifestSink.read(spark, dir).count())
+      val bounds = entries.map(_.stats.get(statsCol))
+      val overlapPairs = bounds.zipWithIndex.map { case (a, i) =>
+        bounds.drop(i + 1).count { b =>
+          (a, b) match {
+            case (Some(sa), Some(sb)) =>
+              sa.overlaps(Some(sb.min), Some(sb.max))
+            case _ => true // stats-less batch: range-undecidable
+          }
+        }.toLong
+      }.sum
+      val avg = if (nb == 0) 0L else total / nb
+      val rec =
+        if (avg < smallRows) "compact"
+        else if (overlapPairs > 0) "zorder"
+        else "healthy"
+      (name, nb, total, avg, overlapPairs, rec)
+    }
+    spark.createDataFrame(rows).toDF("table_name", "n_batches",
+      "total_rows", "avg_batch_rows", "overlap_pairs", "recommendation")
+  }
+}
