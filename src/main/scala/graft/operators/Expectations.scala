@@ -81,6 +81,72 @@ object Expectations {
         (col("violations") === 0L).as("pass"))
   }
 
+  // ------------------------------------------------- incremental gate
+  /** Incremental row-local gate over an append-only
+    * [[graft.sinks.ManifestSink]] history: violation counts and row
+    * totals are SUMS over rows, so the report at `toV` = the report at
+    * `fromV` + the report over exactly the batches the manifest diff
+    * names ([[graft.sinks.ManifestSink.changes]] — zero data reads to
+    * plan). A daily quality check on a 100 TB table then scans one day's
+    * arrivals, not the corpus ([[graft.sinks.IncrementalAgg]]'s identity
+    * applied to the quality report). Refuses non-append histories — a
+    * rewrite can retract violations, which a fold cannot see; recompute
+    * from the snapshot then (same contract as IncrementalAgg.refresh).
+    * `state` None means "from empty" (fromV = -1 bootstraps). */
+  def refreshRowLocal(spark: SparkSession, state: Option[DataFrame],
+      tableDir: String, fromV: Long, toV: Long,
+      exps: Seq[Expect]): DataFrame = {
+    val (_, removed) =
+      graft.sinks.ManifestSink.changedEntries(spark, tableDir, fromV, toV)
+    require(removed.isEmpty,
+      s"history $fromV→$toV removed entries $removed: " +
+        "recompute the report from the snapshot instead")
+    val delta = report(
+      graft.sinks.ManifestSink.changes(spark, tableDir, fromV, toV), exps)
+    state.fold(delta)(st => st.unionByName(delta)
+      .groupBy(col("expectation"))
+      .agg(sum(col("violations")).cast("long").as("violations"),
+        sum(col("total")).cast("long").as("total"))
+      .select(col("expectation"), col("violations"), col("total"),
+        (col("violations") === 0L).as("pass")))
+  }
+
+  /** Per-key count state for INCREMENTAL uniqueness — the one set-level
+    * contract that maintains under appends, at the price of key-sized
+    * state (row-local state is report-sized): new batches fold per-key
+    * counts into the state, and Σ(n−1) over keys with n > 1 reads the
+    * violation count off the state without touching the table. */
+  def uniqueState(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__n"))
+
+  /** Fold the manifest-diff batches' per-key counts into `state` (same
+    * append-only contract as [[refreshRowLocal]]). */
+  def refreshUnique(spark: SparkSession, state: Option[DataFrame],
+      tableDir: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val (_, removed) =
+      graft.sinks.ManifestSink.changedEntries(spark, tableDir, fromV, toV)
+    require(removed.isEmpty,
+      s"history $fromV→$toV removed entries $removed: " +
+        "recompute the state from the snapshot instead")
+    val delta = uniqueState(
+      graft.sinks.ManifestSink.changes(spark, tableDir, fromV, toV), keyCols)
+    state.fold(delta)(st => st.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__n")).cast("long").as("__n")))
+  }
+
+  /** The (expectation, violations, total, pass) row the per-key state
+    * implies — interchangeable with [[unique]] run on the full table. */
+  def uniqueReportFromState(state: DataFrame, name: String): DataFrame =
+    state.agg(
+        coalesce(sum(col("__n") - 1L), lit(0L)).cast("long")
+          .as("violations"),
+        coalesce(sum(col("__n")), lit(0L)).cast("long").as("total"))
+      .select(lit(name).as("expectation"), col("violations"), col("total"),
+        (col("violations") === 0L).as("pass"))
+
   // --------------------------------------------------------------- q122
   /** The expectations gate over the TPC-H-ish fixture: row-local
     * contracts on lineitem evaluate in one scan (quantity range, price
