@@ -18,10 +18,14 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q115 decode→dHash→Hamming-banded pairs (bandSelfJoin + expansion)
   //   q116 audio decode→fingerprint→the same banded kernel from a second
   //        modality (mapPartitions codec seam + capped self-join)
+  //   q123 video signatures (sorted frame-hash arrays grouped/banded as
+  //        keys — array collect must sort before any grouping for the
+  //        signature to be partition-order-free)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
-    "q115_image_phash_dedup", "q116_audio_fingerprint_dedup")
+    "q115_image_phash_dedup", "q116_audio_fingerprint_dedup",
+    "q123_video_near_dup")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"
