@@ -265,4 +265,39 @@ object StreamingDedup {
         graft.operators.AudioOps.fingerprintBatch(media).toDF(),
         "fp_lo", "fp_hi"),
       stateTtl)
+
+  /** Streaming VIDEO near-dup admission — the FIFTH modality through the
+    * shared registry: each arriving video's sampled frames (one
+    * [[graft.operators.MultimodalOps.Frame]] row per kept frame,
+    * `frame_idx` < 64 — the batch q123 packing contract) decode through
+    * the image seam, and every frame's dHash registers its 4 bands under
+    * band index `frame_idx·4 + j` — the batch
+    * [[graft.operators.MultimodalOps.videoNearDup]] band layout, so
+    * aligned frames compete in aligned buckets and a frame-shifted
+    * re-cut does NOT collide (alignment is part of the key, exactly as
+    * in the batch semantics). A video is rejected iff a prior video
+    * claimed any of its aligned-frame buckets. Undecodable frames skip
+    * row by row: they claim no buckets; the video's remaining frames
+    * still register (an all-corrupt video emits no verdict and admits
+    * nothing). */
+  def videoBandVerdicts(
+      frames: Dataset[graft.operators.MultimodalOps.Frame],
+      stateTtl: Option[String] = None): Dataset[BandVerdict] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val packed = frames.map(f => graft.operators.MultimodalOps.Media(
+      f.doc_id * 64 + f.frame_idx, f.payload))
+    val fh = graft.operators.MultimodalOps.dhashBatch(packed).toDF()
+      .select(shiftright(col("doc_id"), 6).as("doc_id"),
+        col("doc_id").bitwiseAND(63).cast("int").as("k"),
+        col("dhash_lo"), col("dhash_hi"))
+    val exploded = fh
+      .select(col("doc_id"), col("k"),
+        posexplode(hamming64Bands(col("dhash_lo"), col("dhash_hi")))
+          .as(Seq("j", "bucket")))
+      .select(col("doc_id"),
+        (col("k") * 4 + col("j")).cast("int").as("band"), col("bucket"))
+      .as[(Long, Int, Long)]
+    verdictsFromExploded(exploded, stateTtl)
+  }
 }

@@ -337,4 +337,57 @@ class StreamingDedupSpec extends SparkSpec {
       assert(admitted(6L) === ((true, None)))
     } finally q.stop()
   }
+
+  test("streaming VIDEO admission: frame-aligned bands through the " +
+      "shared registry") {
+    import graft.operators.MultimodalOps
+    implicit val sqlCtx = spark.sqlContext
+    // one row per sampled frame: (doc_id, frame_idx, payload)
+    val src = MemoryStream[(Long, Int, Array[Byte])]
+    val verdicts = StreamingDedup.videoBandVerdicts(
+      src.toDF().toDF("doc_id", "frame_idx", "payload")
+        .as[MultimodalOps.Frame])
+    val admitted = mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = verdicts.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingDedup.admissions(batch).collect().foreach { r =>
+          admitted(r.getLong(0)) =
+            (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        }
+      }
+      .start()
+    try {
+      // batch 1: video 1 = frames {0: pattern 11, 2: pattern 12} admits
+      src.addData(
+        (1L, 0, MultimodalOps.syntheticFramePng(11L, 0)),
+        (1L, 2, MultimodalOps.syntheticFramePng(12L, 0)))
+      q.processAllAvailable()
+      assert(admitted(1L) === ((true, None)))
+      // batch 2: video 2 re-cuts video 1's frames at SHIFTED indices
+      // {2, 4} — same pixels, different alignment → no aligned bucket
+      // collides → admits (bag-of-frames would wrongly reject here)
+      src.addData(
+        (2L, 2, MultimodalOps.syntheticFramePng(11L, 0)),
+        (2L, 4, MultimodalOps.syntheticFramePng(12L, 0)))
+      q.processAllAvailable()
+      assert(admitted(2L) === ((true, None)))
+      // batch 3: video 3 aligns with video 1 — frame 0 is pattern 11's
+      // brightness variant (shares a band, the image-spec fixture),
+      // frame 2 pixel-identical → rejected against batch-1 state
+      src.addData(
+        (3L, 0, MultimodalOps.syntheticFramePng(11L, 1)),
+        (3L, 2, MultimodalOps.syntheticFramePng(12L, 0)))
+      q.processAllAvailable()
+      assert(admitted(3L) === ((false, Some(1L))))
+      // batch 4: a video whose only frame is undecodable claims nothing
+      // and emits no verdict; a fresh aligned video admits
+      src.addData(
+        (5L, 0, Array[Byte](9, 9, 9)),
+        (6L, 0, MultimodalOps.syntheticFramePng(3L, 0)))
+      q.processAllAvailable()
+      assert(!admitted.contains(5L))
+      assert(admitted(6L) === ((true, None)))
+    } finally q.stop()
+  }
 }
