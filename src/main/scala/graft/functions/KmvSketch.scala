@@ -98,10 +98,73 @@ case class KmvSketch(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** [[KmvSketch]]'s persistable twin: same buffer, same merge, but `eval`
+  * returns the SKETCH CONTENT (the sorted k minima as `array<long>`)
+  * instead of the collapsed (n, kth) summary — the form that can be
+  * STORED as data and re-merged later. The KMV order-ideal property
+  * makes the stored form losslessly mergeable: the k smallest distinct
+  * hashes of A ∪ B are computable from the k smallest of A and the k
+  * smallest of B alone, so per-batch sketch columns persisted beside a
+  * table fold into exact global sketches without rescanning — the
+  * mergeable-summary pattern (Agarwal et al., "Mergeable Summaries",
+  * PODS'12) that incremental distinct-count maintenance needs. */
+case class KmvSketchValues(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[JTreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "KMV needs k >= 2")
+
+  private val impl = KmvSketch(child, k)
+
+  override def prettyName: String = "kmv_sketch_values"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def nullIntolerant: Boolean = false
+
+  override def createAggregationBuffer(): JTreeSet[java.lang.Long] =
+    impl.createAggregationBuffer()
+  override def update(buf: JTreeSet[java.lang.Long],
+      input: InternalRow): JTreeSet[java.lang.Long] = impl.update(buf, input)
+  override def merge(b1: JTreeSet[java.lang.Long],
+      b2: JTreeSet[java.lang.Long]): JTreeSet[java.lang.Long] =
+    impl.merge(b1, b2)
+  override def serialize(buf: JTreeSet[java.lang.Long]): Array[Byte] =
+    impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): JTreeSet[java.lang.Long] =
+    impl.deserialize(bytes)
+
+  override def eval(buf: JTreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): KmvSketchValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): KmvSketchValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): KmvSketchValues =
+    copy(child = newChild)
+}
+
 object KmvSketch {
   /** Aggregate column: `struct(n_sketch, kth)` over the k smallest
     * distinct values of `hashCol` (must be LongType). */
   def sketch(hashCol: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketch(ColumnBridge.expression(hashCol), k).toAggregateExpression())
+
+  /** Aggregate column: the sorted k smallest distinct values themselves
+    * (`array<long>`) — the persistable, re-mergeable sketch form. */
+  def sketchValues(hashCol: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketchValues(ColumnBridge.expression(hashCol), k)
+        .toAggregateExpression())
 }

@@ -458,6 +458,65 @@ object SinkOps {
       |FROM agg LEFT JOIN ov ON agg.t = ov.t CROSS JOIN cuts
       |ORDER BY table_name""".stripMargin
 
+  // --------------------------------------------------------------- q125
+  /** Incremental distinct-count through the gate: events land as three
+    * commits, and the per-event-type distinct-user KMV sketch is
+    * maintained by [[graft.sinks.IncrementalDistinct]] — each refresh
+    * sketches ONLY that commit's batches (located by manifest diff) and
+    * folds the k-minima arrays into the stored state relationally. The
+    * oracle computes the same per-group KMV estimate directly from the
+    * source table (distinct hashes → per-group top-k — deterministic
+    * because the hash is [[graft.functions.PortableHash]]), so any fold
+    * bug — a dropped batch, a mis-merged array, an un-deduplicated
+    * minimum — shifts the k-th minimum and hash-mismatches.
+    *
+    * Scale: COUNT(DISTINCT) maintenance without rescans — per refresh,
+    * map-side partial sketches over the delta, k longs per group across
+    * the wire, state k longs per group forever. */
+  private val KmvK = 128
+  private val q125: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.PortableHash
+    import graft.sinks.IncrementalDistinct
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"user_id")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q125", dir) + "/events_sink"
+    val v0 = ManifestSink.append(ev.filter($"event_id" <= cut1), sink)
+    val v1 = ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink)
+    val v2 = ManifestSink.append(ev.filter($"event_id" > cut2), sink)
+    val keys = Seq("event_type")
+    val h = PortableHash.tokenHashP(col("user_id"))
+    val s0 = IncrementalDistinct.refresh(s, None, sink, -1L, v0, keys, h, KmvK)
+    val s1 = IncrementalDistinct.refresh(s, Some(s0), sink, v0, v1, keys, h, KmvK)
+    val s2 = IncrementalDistinct.refresh(s, Some(s1), sink, v1, v2, keys, h, KmvK)
+    IncrementalDistinct.present(s2, keys, KmvK, PortableHash.P)
+      .orderBy($"event_type")
+  }
+  private val q125Sql = {
+    import graft.functions.PortableHash.{P, tokenHashPSql}
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type, ${tokenHashPSql("user_id")} AS h
+       |  FROM events),
+       |rk AS (
+       |  SELECT event_type, h,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+       |  FROM h),
+       |sk AS (
+       |  SELECT event_type, MAX(h) AS hk, COUNT(*) AS n_sketch
+       |  FROM rk WHERE r <= $KmvK GROUP BY event_type)
+       |SELECT event_type,
+       |  CAST(n_sketch AS BIGINT) AS n_sketch,
+       |  CASE WHEN n_sketch >= $KmvK
+       |       THEN CAST(${(KmvK - 1).toLong * P} AS DOUBLE) / hk
+       |       ELSE CAST(n_sketch AS DOUBLE) END AS est_distinct
+       |FROM sk
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_manifest_roundtrip" -> q88,
     "q105_cdc_feed" -> q105,
@@ -465,7 +524,8 @@ object SinkOps {
     "q100_lakehouse_lifecycle" -> q100,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
-    "q124_layout_advisor" -> q124)
+    "q124_layout_advisor" -> q124,
+    "q125_incremental_distinct" -> q125)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
@@ -474,5 +534,6 @@ object SinkOps {
     "q100_lakehouse_lifecycle" -> q100Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
-    "q124_layout_advisor" -> q124Sql)
+    "q124_layout_advisor" -> q124Sql,
+    "q125_incremental_distinct" -> q125Sql)
 }
