@@ -224,6 +224,15 @@ object ManifestSink {
   private def entryPath(line: String): String =
     line.indexOf('\t') match { case -1 => line; case i => line.substring(0, i) }
 
+  /** Resolve an entry's data path against the table dir. Entries
+    * normally hold table-relative `data/<uuid>` paths; a
+    * [[shallowClone]]'s borrowed entries hold ABSOLUTE paths (plain or
+    * scheme-qualified) and resolve as-is. */
+  private def isAbsoluteEntry(p: String): Boolean =
+    p.startsWith("/") || p.contains(":/")
+  private def resolvePath(dir: String, p: String): String =
+    if (isAbsoluteEntry(p)) p else s"$dir/$p"
+
   /** Largest committed manifest number, or -1 for an empty sink — the
     * source of truth (crash-safe: a manifest exists iff its commit's
     * rename completed). */
@@ -645,7 +654,7 @@ object ManifestSink {
     }
     if (target.size <= 1) return prev
     val merged = spark.read.option("mergeSchema", "true")
-      .parquet(target.map(e => s"$dir/${e.path}"): _*)
+      .parquet(target.map(e => resolvePath(dir, e.path)): _*)
     commit(spark, dir, merged, rest.map(_.line), prev,
       (statsCols :+ partCol).distinct)
   }
@@ -708,6 +717,66 @@ object ManifestSink {
       header: Map[String, String]): Long = {
     val spark = df.sparkSession
     commit(spark, dir, df, Nil, version(spark, dir), header = header)
+  }
+
+  /** Metadata-only ROLLBACK (the RESTORE analog): commit a NEW version
+    * whose entry list is exactly version `v`'s. No data is read, copied,
+    * or deleted — the cost is one small manifest write whatever the
+    * table size — and the rolled-back versions stay time-travel
+    * readable until [[vacuum]] (so a mistaken restore is itself
+    * restorable). The restore commit carries the CURRENT header
+    * lineage, not `v`'s: header keys are progress markers (exactly-once
+    * batch ids, commit timestamps) and rolling them back would let a
+    * replayed batch double-apply after a data rollback. Fails loudly if
+    * a concurrent commit lands first (same conditional-put discipline
+    * as every rewrite). */
+  def restore(spark: SparkSession, dir: String, v: Long): Long = {
+    val cur = version(spark, dir)
+    require(cur >= 0, s"ManifestSink at $dir has no committed version")
+    require(v >= 0 && v <= cur, s"restore target $v outside [0, $cur]")
+    val lines = headerLines(mergeHeader(manifestHeader(spark, dir, cur),
+      Map(TsKey -> System.currentTimeMillis.toString))) ++
+      manifestEntries(spark, dir, v)
+    val f = fs(spark, dir)
+    val next = cur + 1
+    publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
+      lines.mkString("\n"))
+    writeHint(f, new Path(dir, "_latest"), next.toString)
+    next
+  }
+
+  /** Zero-copy SHALLOW CLONE: initialize `dstDir` with a manifest whose
+    * entries reference the source snapshot's data directories IN PLACE
+    * (absolutized paths) — no data is read or copied; the cost is one
+    * small manifest write whatever the table size. The clone then
+    * evolves independently: its own commits land under its own `data/`
+    * root, and a [[merge]]/[[deleteWhere]] that touches a borrowed batch
+    * rewrites it copy-on-write into the clone — the source is never
+    * mutated. [[vacuum]] on the clone sweeps only the clone's own data
+    * root, so borrowed files are never its to delete; vacuum on the
+    * SOURCE does not know about borrowers — keep the source's retention
+    * covering any live clones (the standard shallow-clone contract).
+    * The source header carries over (a fork keeps its lineage markers)
+    * plus `clone_src` provenance. Returns the clone's first version. */
+  def shallowClone(spark: SparkSession, srcDir: String,
+      dstDir: String): Long = {
+    val sv = version(spark, srcDir)
+    require(sv >= 0, s"clone source $srcDir has no committed version")
+    require(version(spark, dstDir) == -1L,
+      s"clone target $dstDir already has commits")
+    val srcAbs = fs(spark, srcDir)
+      .makeQualified(new Path(srcDir)).toUri.getPath
+    val borrowed = entries(spark, srcDir, sv).map { e =>
+      Entry(resolvePath(srcAbs, e.path), e.stats).line
+    }
+    val lines = headerLines(mergeHeader(manifestHeader(spark, srcDir, sv),
+      Map(TsKey -> System.currentTimeMillis.toString,
+        "clone_src" -> s"$srcAbs@v$sv"))) ++ borrowed
+    val f = fs(spark, dstDir)
+    publishNew(f, new Path(dstDir, "_manifests/0.manifest"),
+      lines.mkString("\n"))
+    writeHint(f, new Path(dstDir, "_latest"), "0")
+    0L
   }
 
   /** Compact the current snapshot into a single batch directory (the
@@ -977,7 +1046,7 @@ object ManifestSink {
     val (kept, _) = prunedEntries(spark, dir, ranges)
     val base =
       if (kept.isEmpty) read(spark, dir).limit(0)
-      else spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*)
+      else spark.read.parquet(kept.map(e => resolvePath(dir, e.path)): _*)
     val p = ranges.flatMap { r =>
       val c = col(r.colName)
       r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v))
@@ -1019,7 +1088,7 @@ object ManifestSink {
     val (kept, _) = prunedEntriesEq(spark, dir, colName, value)
     val base =
       if (kept.isEmpty) read(spark, dir).limit(0)
-      else spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*)
+      else spark.read.parquet(kept.map(e => resolvePath(dir, e.path)): _*)
     base.filter(col(colName) === lit(value))
   }
 
@@ -1137,7 +1206,7 @@ object ManifestSink {
     val (kept, _) = prunedEntriesForPredicate(spark, dir, pred, base)
     val pruned =
       if (kept.isEmpty) base.limit(0)
-      else spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*)
+      else spark.read.parquet(kept.map(e => resolvePath(dir, e.path)): _*)
     pruned.filter(pred)
   }
 
@@ -1170,7 +1239,7 @@ object ManifestSink {
     // carry every column — single-schema inference could silently drop
     // late-added ones from the rewritten batch (permanent data loss)
     val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+      .parquet(candidates.map(e => resolvePath(dir, e.path)): _*)
       // null range values never match a range predicate, so null rows
       // survive a delete — same semantics as SQL DELETE WHERE
       .filter(!coalesceFalse(matches))
@@ -1198,7 +1267,7 @@ object ManifestSink {
     val (candidates, untouched) = prunedEntriesEq(spark, dir, colName, value)
     if (candidates.isEmpty) return prev
     val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+      .parquet(candidates.map(e => resolvePath(dir, e.path)): _*)
       .filter(!coalesceFalse(col(colName) === lit(value)))
     commit(spark, dir, survivors, untouched.map(_.line), prev, statsCols,
       bloomCols)
@@ -1246,10 +1315,17 @@ object ManifestSink {
         regexp_extract(input_file_name(), "(data/.+)/[^/]+$", 1))
       .join(updates.select(keyCols: _*), keys, "left_semi")
       .select("__e").distinct().collect().map(_.getString(0)).toSet
+    // entries match on their data/... SUFFIX: a shallow clone's borrowed
+    // entries are absolute paths, but input_file_name still yields the
+    // same trailing data/<uuid>[/...] key for them
+    def dataKey(p: String): String = {
+      val i = p.lastIndexOf("data/")
+      if (i < 0) p else p.substring(i)
+    }
     // kept entries carry their manifest lines verbatim (stats included:
     // untouched dirs keep pruning); the rewritten batch gets no stats —
     // conservative, so it is always scanned
-    val kept = entries.filterNot(e => touched(entryPath(e)))
+    val kept = entries.filterNot(e => touched(dataKey(entryPath(e))))
     // mergeSchema + allowMissingColumns: updates may carry late-added
     // columns (additive schema evolution through MERGE, as in
     // log-structured table formats) — survivor rows from pre-evolution
@@ -1259,7 +1335,8 @@ object ManifestSink {
       else {
         val survivors = spark.read.option("mergeSchema", "true")
           .parquet(entries.collect {
-            case e if touched(entryPath(e)) => s"$dir/${entryPath(e)}" }: _*)
+            case e if touched(dataKey(entryPath(e))) =>
+              resolvePath(dir, entryPath(e)) }: _*)
           .join(updates.select(keyCols: _*), keys, "left_anti")
         // evolution is one-directional: updates may ADD columns, but an
         // update frame MISSING an existing data column would silently
@@ -1287,7 +1364,7 @@ object ManifestSink {
     val v = version(spark, dir)
     require(v >= 0, s"ManifestSink at $dir has no committed version")
     val paths = manifestEntries(spark, dir, v)
-      .map(e => s"$dir/${entryPath(e)}")
+      .map(e => resolvePath(dir, entryPath(e)))
     spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(paths: _*)
   }
@@ -1304,7 +1381,7 @@ object ManifestSink {
     val lines = manifestEntries(spark, dir, v)
     require(lines.nonEmpty, s"version $v has no manifest at $dir")
     spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(lines.map(e => s"$dir/${entryPath(e)}"): _*)
+      .parquet(lines.map(e => resolvePath(dir, entryPath(e))): _*)
   }
 
   /** Data directories added and removed between two committed versions —
@@ -1332,7 +1409,7 @@ object ManifestSink {
     val (added, _) = changedEntries(spark, dir, fromV, toV)
     if (added.isEmpty) readAt(spark, dir, toV, mergeSchema).limit(0)
     else spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(added.map(e => s"$dir/$e"): _*)
+      .parquet(added.map(e => resolvePath(dir, e)): _*)
   }
 
   /** Key-exact row-level CDC between two snapshots: one row per changed
