@@ -397,21 +397,23 @@ object SinkOps {
     val maxId = src.agg(max($"o_orderkey")).head().getLong(0)
     val cut1 = maxId / 3
     val cut2 = 2 * maxId / 3
+    // each pathological layout lands as ONE partitioned commit (one
+    // write job, one entry per batch with per-batch stats) — the
+    // advisor sees exactly the same manifest shape as N separate
+    // appends at a fraction of the fixture cost
     val root = freshScratch("graft_q124", dir)
     val frag = root + "/fragmented"
-    (0 until 12).foreach(i => ManifestSink.appendWithStats(
-      src.filter($"o_orderkey" % 12 === i), frag, Seq("o_orderkey")))
+    ManifestSink.appendPartitioned(
+      src.withColumn("b", $"o_orderkey" % 12), frag, "b", Seq("o_orderkey"))
     val inter = root + "/interleaved"
-    (0 until 4).foreach(i => ManifestSink.appendWithStats(
-      src.filter($"o_orderkey" % 4 === i), inter, Seq("o_orderkey")))
+    ManifestSink.appendPartitioned(
+      src.withColumn("b", $"o_orderkey" % 4), inter, "b", Seq("o_orderkey"))
     val ranged = root + "/ranged"
-    ManifestSink.appendWithStats(
-      src.filter($"o_orderkey" <= cut1), ranged, Seq("o_orderkey"))
-    ManifestSink.appendWithStats(
-      src.filter($"o_orderkey" > cut1 && $"o_orderkey" <= cut2), ranged,
-      Seq("o_orderkey"))
-    ManifestSink.appendWithStats(
-      src.filter($"o_orderkey" > cut2), ranged, Seq("o_orderkey"))
+    ManifestSink.appendPartitioned(
+      src.withColumn("b",
+        when($"o_orderkey" <= cut1, 0)
+          .when($"o_orderkey" <= cut2, 1).otherwise(2)),
+      ranged, "b", Seq("o_orderkey"))
     val total = ManifestSink.rowCount(s, ranged).get
     graft.sinks.LayoutAdvisor.report(s,
       Seq("fragmented" -> frag, "interleaved" -> inter, "ranged" -> ranged),
