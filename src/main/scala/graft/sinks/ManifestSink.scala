@@ -351,13 +351,14 @@ object ManifestSink {
     * some stats were requested: the plain-append hot path pays nothing. */
   private def writtenStats(spark: SparkSession, dataDir: String,
       statsCols: Seq[String], bloomCols: Seq[String],
-      bloomFpp: Double): Map[String, ColStats] =
-    if (statsCols.isEmpty && bloomCols.isEmpty) Map.empty
+      bloomFpp: Double, ndvCols: Seq[String] = Nil): Map[String, ColStats] =
+    if (statsCols.isEmpty && bloomCols.isEmpty && ndvCols.isEmpty) Map.empty
     else {
       val written = spark.read.parquet(dataDir)
       (if (statsCols.isEmpty) Map.empty[String, ColStats]
        else batchStats(written, statsCols)) ++
-        batchBlooms(written, bloomCols, bloomFpp)
+        batchBlooms(written, bloomCols, bloomFpp) ++
+        batchNdvSketches(written, ndvCols)
     }
 
   /** Per-column min/max of one written batch, for columns whose type the
@@ -413,6 +414,66 @@ object ManifestSink {
     }.toMap
   }
 
+  /** Stats-map key holding a column's KMV distinct sketch (tag 'V',
+    * base64-packed sorted minima in `min`, k in `max`) — the
+    * distinct-count complement to min/max (range) and bloom (point)
+    * stats, as per-table NDV sketches in lakehouse stats files. */
+  private def kmvKey(c: String): String = c + "\u0000kmv"
+
+  /** Default k for per-entry NDV sketches: 128 longs ≈ 1 KB per
+    * (entry, column) — manifest-sized — with ~9% standard error. */
+  val NdvSketchK: Int = 128
+
+  /** Per-column KMV distinct sketch of one written batch: the k smallest
+    * [[graft.functions.PortableHash]] hashes of the column's string form
+    * (deterministic — the same batch always yields the same sketch,
+    * whatever the partitioning). One aggregate job over the written
+    * files computes every requested column's sketch. */
+  private def batchNdvSketches(written: DataFrame,
+      ndvCols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.spark.sql.functions.col
+    if (ndvCols.isEmpty) return Map.empty
+    val aggs = ndvCols.map(c => graft.functions.KmvSketch.sketchValues(
+      graft.functions.PortableHash.tokenHashP(col(c).cast("string")),
+      NdvSketchK).as(c))
+    val row = written.agg(aggs.head, aggs.tail: _*).collect().head
+    ndvCols.zipWithIndex.map { case (c, i) =>
+      val arr = row.getSeq[Long](i)
+      val bb = java.nio.ByteBuffer.allocate(8 * arr.size)
+      arr.foreach(bb.putLong)
+      kmvKey(c) -> ColStats('V',
+        java.util.Base64.getEncoder.encodeToString(bb.array()),
+        NdvSketchK.toString)
+    }.toMap
+  }
+
+  /** Distinct-count estimate for `colName` from manifest METADATA alone:
+    * per-entry KMV sketches merge losslessly (the k smallest hashes of a
+    * union are determined by each entry's k smallest — the mergeable-
+    * summaries property), so table-level NDV costs one small-file read,
+    * zero data reads — the statistic a join planner wants before
+    * choosing broadcast vs shuffle. Exact below k. None when any entry
+    * lacks the sketch (pre-sketch commits, compactions — absence
+    * degrades to "recompute from data", never to a wrong number). */
+  def ndvEstimate(spark: SparkSession, dir: String,
+      colName: String): Option[Double] = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val sks = entries(spark, dir, v).map(_.stats.get(kmvKey(colName)))
+    if (sks.isEmpty || sks.exists(s => s.isEmpty || s.get.tag != 'V'))
+      return None
+    val k = sks.map(_.get.max.toInt).min
+    val merged = sks.flatMap { s =>
+      val bytes = java.util.Base64.getDecoder.decode(s.get.min)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Seq.fill(bytes.length / 8)(bb.getLong)
+    }.distinct.sorted.take(k)
+    Some(
+      if (merged.size >= k)
+        (k - 1).toDouble * graft.functions.PortableHash.P / merged.last
+      else merged.size.toDouble)
+  }
+
   /** true iff `value` might be present per the entry's bloom for `c`
     * (no bloom recorded → unknown → true). Integral values widen to Long
     * to match how the writer's aggregate hashed them. */
@@ -446,13 +507,14 @@ object ManifestSink {
   private def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01,
-      header: Map[String, String] = Map.empty): Long = {
+      header: Map[String, String] = Map.empty,
+      ndvCols: Seq[String] = Nil): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     val rows = writeCounted(df, dataDir)
     val line = Entry(s"data/$batch",
-      writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
-        rowsStat(rows)).line
+      writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp,
+        ndvCols) + rowsStat(rows)).line
     commitAppendLines(spark, dir, Seq(line), header)
   }
 
@@ -510,8 +572,9 @@ object ManifestSink {
     * manifest the reader already fetches. */
   def appendWithStats(df: DataFrame, dir: String,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): Long =
-    commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp)
+      bloomFpp: Double = 0.01, ndvCols: Seq[String] = Nil): Long =
+    commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp,
+      ndvCols = ndvCols)
 
   /** [[append]] carrying caller metadata in the same atomic commit — the
     * incremental-derived-artifact pattern (e.g. an ANN index extended by

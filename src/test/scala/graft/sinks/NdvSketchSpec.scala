@@ -1,0 +1,45 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class NdvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-entry KMV sketches merge to the table NDV from metadata " +
+      "alone; exact below k; cross-batch duplicates never double-count") {
+    val dir = Files.createTempDirectory("ndv").toString + "/t"
+    // three appends with OVERLAPPING user sets: u0..u9, u5..u14, u10..u19
+    // → 20 distinct users, 30 rows
+    ManifestSink.appendWithStats(
+      (0 until 10).map(i => s"u$i").toDF("u"), dir, Seq("u"),
+      ndvCols = Seq("u"))
+    ManifestSink.appendWithStats(
+      (5 until 15).map(i => s"u$i").toDF("u"), dir, Seq("u"),
+      ndvCols = Seq("u"))
+    ManifestSink.appendWithStats(
+      (10 until 20).map(i => s"u$i").toDF("u"), dir, Seq("u"),
+      ndvCols = Seq("u"))
+    // 20 < k=128 → the merged sketch is EXACT
+    assert(ManifestSink.ndvEstimate(spark, dir, "u") === Some(20.0))
+    // a column without sketches answers None, not a guess
+    assert(ManifestSink.ndvEstimate(spark, dir, "missing") === None)
+  }
+
+  test("full sketches estimate within KMV error; a sketch-less entry " +
+      "degrades to None") {
+    val dir = Files.createTempDirectory("ndvfull").toString + "/t"
+    val n = 5000
+    ManifestSink.appendWithStats(
+      (0 until n).map(i => s"user_$i").toDF("u"), dir, Seq("u"),
+      ndvCols = Seq("u"))
+    val est = ManifestSink.ndvEstimate(spark, dir, "u").get
+    // k=128 → standard error ~1/sqrt(k) ≈ 9%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.36, s"estimate $est vs $n")
+    // an append WITHOUT the sketch makes table NDV unanswerable from
+    // metadata (absence degrades, never silently underestimates)
+    ManifestSink.append(Seq("another").toDF("u"), dir)
+    assert(ManifestSink.ndvEstimate(spark, dir, "u") === None)
+  }
+}
