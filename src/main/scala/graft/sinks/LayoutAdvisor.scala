@@ -70,4 +70,37 @@ object LayoutAdvisor {
     spark.createDataFrame(rows).toDF("table_name", "n_batches",
       "total_rows", "avg_batch_rows", "overlap_pairs", "recommendation")
   }
+
+  /** Act on the report — the self-maintaining-table loop: `compact` and
+    * `zorder` verdicts both run [[ManifestSink.compact]] clustered on
+    * `statsCol` (for a single clustering dimension a sorted rewrite IS
+    * the recluster — tight, disjoint ranges in one batch; multi-column
+    * clustering is [[ManifestSink.compactZOrder]]'s job and stays a
+    * caller decision); `healthy` tables are not touched (no commit, no
+    * version bump). Returns the pre-maintenance report plus an `action`
+    * column recording what ran — re-run [[report]] afterwards to observe
+    * the layout go healthy. Each rewrite is one distributed job
+    * committing against a pinned version (concurrent appends fail the
+    * maintenance commit loudly, never the other way around). */
+  def applyRecommendations(spark: SparkSession,
+      tables: Seq[(String, String)], statsCol: String,
+      smallRows: Long): DataFrame = {
+    val dirByName = tables.toMap
+    val rep = report(spark, tables, statsCol, smallRows).collect()
+    val acted = rep.map { r =>
+      val name = r.getString(0)
+      val action = r.getString(5) match {
+        case "compact" | "zorder" =>
+          ManifestSink.compact(spark, dirByName(name),
+            statsCols = Seq(statsCol), sortCols = Seq(statsCol))
+          "compacted_sorted"
+        case _ => "none"
+      }
+      (name, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5), action)
+    }.toSeq
+    spark.createDataFrame(acted).toDF("table_name", "n_batches",
+      "total_rows", "avg_batch_rows", "overlap_pairs", "recommendation",
+      "action")
+  }
 }

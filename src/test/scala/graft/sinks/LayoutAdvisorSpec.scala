@@ -42,6 +42,31 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(r3("inter") === ((0L, "healthy")))
   }
 
+  test("applyRecommendations maintains unhealthy tables and leaves " +
+      "healthy ones uncommitted") {
+    val root = Files.createTempDirectory("advisorapply").toString
+    val frag = root + "/frag"
+    (1L to 6L).foreach(i =>
+      ManifestSink.appendWithStats(Seq(i).toDF("k"), frag, Seq("k")))
+    val ranged = root + "/ranged"
+    ManifestSink.appendWithStats(Seq(1L, 2L, 3L).toDF("k"), ranged, Seq("k"))
+    ManifestSink.appendWithStats(Seq(4L, 5L, 6L).toDF("k"), ranged, Seq("k"))
+    val rangedV = ManifestSink.version(spark, ranged)
+    val tables = Seq("frag" -> frag, "ranged" -> ranged)
+    val acted = LayoutAdvisor
+      .applyRecommendations(spark, tables, "k", smallRows = 2L)
+      .collect().map(r => r.getString(0) -> r.getString(6)).toMap
+    assert(acted === Map("frag" -> "compacted_sorted", "ranged" -> "none"))
+    // the maintained table re-reports healthy; content is unchanged
+    val after = LayoutAdvisor.report(spark, tables, "k", 2L)
+      .collect().map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(after === Map("frag" -> "healthy", "ranged" -> "healthy"))
+    assert(ManifestSink.read(spark, frag).collect().map(_.getLong(0))
+      .sorted.toSeq === (1L to 6L))
+    // healthy table saw NO commit
+    assert(ManifestSink.version(spark, ranged) === rangedV)
+  }
+
   test("a stats-less batch is range-undecidable and counts as overlapping") {
     val root = Files.createTempDirectory("advisor").toString
     val t = root + "/t"
