@@ -519,6 +519,57 @@ object SinkOps {
        |ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- q126
+  /** Incremental quantile monitoring through the gate: events land as
+    * three commits, and the per-event-type value quantiles are
+    * maintained by [[graft.sinks.IncrementalQuantiles]] — each refresh
+    * samples ONLY that commit's batches (bottom-k-by-PortableHash, the
+    * q78 estimator) and folds the samples by the order-ideal merge. The
+    * folded sample is bit-identical to sampling the whole table, so the
+    * oracle is EXACTLY q78's formulation computed directly from the
+    * source — any fold bug (dropped batch, mis-ordered merge, truncated
+    * sample) perturbs the sample set and hash-mismatches.
+    *
+    * Scale: order-statistic monitoring without rescans — per refresh one
+    * rank-limit window over the delta (map-side group limit), k rows per
+    * group across the wire, state k rows per group forever. */
+  private val q126: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sinks.IncrementalQuantiles
+    val sampleK = Sampling.K
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q126", dir) + "/events_sink"
+    val v0 = ManifestSink.append(ev.filter($"event_id" <= cut1), sink)
+    val v1 = ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink)
+    val v2 = ManifestSink.append(ev.filter($"event_id" > cut2), sink)
+    val s0 = IncrementalQuantiles.refresh(s, None, sink, -1L, v0,
+      "event_type", "event_id", "value", sampleK)
+    val s1 = IncrementalQuantiles.refresh(s, Some(s0), sink, v0, v1,
+      "event_type", "event_id", "value", sampleK)
+    val s2 = IncrementalQuantiles.refresh(s, Some(s1), sink, v1, v2,
+      "event_type", "event_id", "value", sampleK)
+    IncrementalQuantiles.present(s2, "event_type")
+      .orderBy($"event_type")
+  }
+  private val q126Sql = {
+    val smp = Sampling.bottomKByHashSql(
+      "event_type, value", "events", "event_type", "event_id")
+    s"""WITH smp AS (
+       |  $smp)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+       |  quantile_cont(value, 0.5) AS p50,
+       |  quantile_cont(value, 0.9) AS p90,
+       |  quantile_cont(value, 0.99) AS p99
+       |FROM smp WHERE rn <= ${Sampling.K}
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_manifest_roundtrip" -> q88,
     "q105_cdc_feed" -> q105,
@@ -527,7 +578,8 @@ object SinkOps {
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
-    "q125_incremental_distinct" -> q125)
+    "q125_incremental_distinct" -> q125,
+    "q126_incremental_quantiles" -> q126)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
@@ -537,5 +589,6 @@ object SinkOps {
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,
-    "q125_incremental_distinct" -> q125Sql)
+    "q125_incremental_distinct" -> q125Sql,
+    "q126_incremental_quantiles" -> q126Sql)
 }
