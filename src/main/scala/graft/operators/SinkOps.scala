@@ -570,6 +570,71 @@ object SinkOps {
        |ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- q127
+  /** Sketch-estimated join cardinality through the gate: customer and
+    * orders land in manifest sinks with per-batch NDV sketches on their
+    * join keys, and [[graft.sinks.ManifestSink.ndvOverlap]] estimates
+    * the key overlap (Jaccard, |A∩B|, |A∪B|) from the STORED sketches —
+    * two manifest reads, zero data reads: the join-selectivity number a
+    * planner consults before picking broadcast/shuffle/filter-first.
+    * The oracle recomputes the identical KMV set-operation estimate
+    * (bottom-k of the hash union, co-membership count) directly from
+    * the source tables — deterministic because the hash is
+    * [[graft.functions.PortableHash]] — so a sketch-recording or merge
+    * bug anywhere in the path shifts a hash and mismatches.
+    *
+    * Scale: the estimate costs O(k) per table side whatever the table
+    * size; the sketches were paid for at write time, one aggregate per
+    * batch. */
+  private val q127: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer").select($"c_custkey")
+    val ords = Tables(s, dir, "orders").select($"o_custkey")
+    val root = freshScratch("graft_q127", dir)
+    val cSink = root + "/customer_sink"
+    val oSink = root + "/orders_sink"
+    // two appends per table: the estimate must come from MERGED
+    // per-batch sketches, not a single batch's
+    ManifestSink.appendWithStats(cust.filter($"c_custkey" % 2 === 0),
+      cSink, Seq("c_custkey"), ndvCols = Seq("c_custkey"))
+    ManifestSink.appendWithStats(cust.filter($"c_custkey" % 2 === 1),
+      cSink, Seq("c_custkey"), ndvCols = Seq("c_custkey"))
+    ManifestSink.appendWithStats(ords.filter($"o_custkey" % 2 === 0),
+      oSink, Seq("o_custkey"), ndvCols = Seq("o_custkey"))
+    ManifestSink.appendWithStats(ords.filter($"o_custkey" % 2 === 1),
+      oSink, Seq("o_custkey"), ndvCols = Seq("o_custkey"))
+    val (j, inter, un) = ManifestSink.ndvOverlap(
+      s, cSink, "c_custkey", oSink, "o_custkey").get
+    Seq((j, inter, un)).toDF("jaccard", "est_intersection", "est_union")
+  }
+  private val q127Sql = {
+    import graft.functions.PortableHash.{P, tokenHashPSql}
+    val k = ManifestSink.NdvSketchK
+    s"""WITH ha AS (
+       |  SELECT DISTINCT ${tokenHashPSql("c_custkey")} AS h FROM customer),
+       |hb AS (
+       |  SELECT DISTINCT ${tokenHashPSql("o_custkey")} AS h FROM orders),
+       |ka AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |kb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |       ORDER BY h LIMIT $k),
+       |st AS (
+       |  SELECT COUNT(*) AS nu, MAX(h) AS hk,
+       |    SUM(CASE WHEN h IN (SELECT h FROM ka)
+       |          AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS j
+       |  FROM un),
+       |est AS (
+       |  SELECT
+       |    CAST(j AS DOUBLE) / (CASE WHEN nu < $k THEN nu ELSE $k END)
+       |      AS jaccard,
+       |    CASE WHEN nu >= $k
+       |         THEN CAST(${(k - 1).toLong * P} AS DOUBLE) / hk
+       |         ELSE CAST(nu AS DOUBLE) END AS est_union
+       |  FROM st)
+       |SELECT jaccard, jaccard * est_union AS est_intersection, est_union
+       |FROM est""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_manifest_roundtrip" -> q88,
     "q105_cdc_feed" -> q105,
@@ -579,7 +644,8 @@ object SinkOps {
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
     "q125_incremental_distinct" -> q125,
-    "q126_incremental_quantiles" -> q126)
+    "q126_incremental_quantiles" -> q126,
+    "q127_join_cardinality" -> q127)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
@@ -590,5 +656,6 @@ object SinkOps {
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,
     "q125_incremental_distinct" -> q125Sql,
-    "q126_incremental_quantiles" -> q126Sql)
+    "q126_incremental_quantiles" -> q126Sql,
+    "q127_join_cardinality" -> q127Sql)
 }

@@ -455,8 +455,10 @@ object ManifestSink {
     * choosing broadcast vs shuffle. Exact below k. None when any entry
     * lacks the sketch (pre-sketch commits, compactions — absence
     * degrades to "recompute from data", never to a wrong number). */
-  def ndvEstimate(spark: SparkSession, dir: String,
-      colName: String): Option[Double] = {
+  /** The table's merged (k, sorted bottom-k hash set) for `colName`, or
+    * None when any entry lacks the sketch. */
+  private def mergedNdvSketch(spark: SparkSession, dir: String,
+      colName: String): Option[(Int, Seq[Long])] = {
     val v = version(spark, dir)
     require(v >= 0, s"ManifestSink at $dir has no committed version")
     val sks = entries(spark, dir, v).map(_.stats.get(kmvKey(colName)))
@@ -468,10 +470,47 @@ object ManifestSink {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       Seq.fill(bytes.length / 8)(bb.getLong)
     }.distinct.sorted.take(k)
-    Some(
-      if (merged.size >= k)
-        (k - 1).toDouble * graft.functions.PortableHash.P / merged.last
-      else merged.size.toDouble)
+    Some((k, merged))
+  }
+
+  private def kmvEstimate(k: Int, sketch: Seq[Long]): Double =
+    if (sketch.size >= k)
+      (k - 1).toDouble * graft.functions.PortableHash.P / sketch.last
+    else sketch.size.toDouble
+
+  def ndvEstimate(spark: SparkSession, dir: String,
+      colName: String): Option[Double] =
+    mergedNdvSketch(spark, dir, colName)
+      .map { case (k, merged) => kmvEstimate(k, merged) }
+
+  /** Join-cardinality planning from metadata alone: estimate the KEY
+    * OVERLAP of two tables' columns from their stored NDV sketches —
+    * the KMV set-operation estimator (Beyer et al., SIGMOD'07): take
+    * the bottom-k of the UNION of both sketches; the fraction of those
+    * hashes present in BOTH sketch sets estimates the Jaccard
+    * similarity, and |A∩B| ≈ J · |A∪B|. Returns (jaccard,
+    * est_intersection, est_union), or None when either side lacks
+    * sketches. This is the number a planner wants before choosing a
+    * join strategy — a near-zero overlap says the join output is tiny
+    * whatever the input sizes (filter first), a high overlap on a
+    * low-NDV key warns of multiplicative blowup — and it costs two
+    * manifest reads, no data. Exact (not estimated) whenever both
+    * columns' distinct counts fit under k. */
+  def ndvOverlap(spark: SparkSession, dirA: String, colA: String,
+      dirB: String, colB: String): Option[(Double, Double, Double)] = {
+    for {
+      (ka, sa) <- mergedNdvSketch(spark, dirA, colA)
+      (kb, sb) <- mergedNdvSketch(spark, dirB, colB)
+    } yield {
+      val k = math.min(ka, kb)
+      val aSet = sa.toSet
+      val bSet = sb.toSet
+      val union = (sa ++ sb).distinct.sorted.take(k)
+      val j = union.count(h => aSet(h) && bSet(h))
+      val jaccard = j.toDouble / math.min(k, union.size)
+      val estUnion = kmvEstimate(k, union)
+      (jaccard, jaccard * estUnion, estUnion)
+    }
   }
 
   /** true iff `value` might be present per the entry's bloom for `c`

@@ -27,6 +27,31 @@ class NdvSketchSpec extends SparkSpec {
     assert(ManifestSink.ndvEstimate(spark, dir, "missing") === None)
   }
 
+  test("ndvOverlap: exact Jaccard/intersection below k; None when a " +
+      "side lacks sketches") {
+    val root = Files.createTempDirectory("ndvov").toString
+    val a = root + "/a"
+    val b = root + "/b"
+    // A = u0..u29, B = u20..u49 → |A∩B| = 10, |A∪B| = 50, J = 0.2
+    ManifestSink.appendWithStats((0 until 30).map(i => s"u$i").toDF("k"),
+      a, Seq("k"), ndvCols = Seq("k"))
+    ManifestSink.appendWithStats((20 until 50).map(i => s"u$i").toDF("k"),
+      b, Seq("k"), ndvCols = Seq("k"))
+    val (j, inter, union) = ManifestSink.ndvOverlap(spark, a, "k", b, "k").get
+    assert(j === 0.2)
+    assert(inter === 10.0)
+    assert(union === 50.0)
+    // disjoint sides → zero overlap
+    val c = root + "/c"
+    ManifestSink.appendWithStats((100 until 110).map(i => s"u$i").toDF("k"),
+      c, Seq("k"), ndvCols = Seq("k"))
+    assert(ManifestSink.ndvOverlap(spark, a, "k", c, "k").get._1 === 0.0)
+    // a sketch-less side degrades to None
+    val d = root + "/d"
+    ManifestSink.append(Seq("x").toDF("k"), d)
+    assert(ManifestSink.ndvOverlap(spark, a, "k", d, "k") === None)
+  }
+
   test("full sketches estimate within KMV error; a sketch-less entry " +
       "degrades to None") {
     val dir = Files.createTempDirectory("ndvfull").toString + "/t"
