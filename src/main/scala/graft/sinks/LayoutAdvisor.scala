@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plannable from the stats every commit already wrote into its manifest
   * entry: per-batch row counts ([[ManifestSink.rowCount]]'s source) and
   * per-batch min/max of the sort column. Reading them costs one
-  * small-file read per table; NO data file is opened.
+  * small-file read per table; no data file is opened (the one
+  * exception: a table whose entries predate row counts falls back to
+  * one count over the data — absence of stats degrades cost, never
+  * correctness, the same contract as the pruner's).
   *
   * Signals and the decision order:
   *   1. `compact` — mean batch size below `smallRows`: scan cost is
