@@ -25,10 +25,14 @@ import graft.sinks.{IncrementalAgg, ManifestSink}
   * state, never the accumulated table. */
 object StreamingView {
 
-  /** Fold one micro-batch into the view at `viewDir`. Safe under
-    * foreachBatch replays (see class doc). */
-  def maintainView(batch: DataFrame, batchId: Long, viewDir: String,
-      keys: Seq[String], value: String): Unit = {
+  /** The batchId-transactional fold skeleton every streaming view
+    * shares: probe the committed state's `__batch_id` marker, skip
+    * replayed epochs, fold, replace atomically (state + marker in one
+    * commit), keep one previous version readable. `fold` receives the
+    * previous state (marker column already dropped) or None on first
+    * fold. */
+  private def transactionalFold(batch: DataFrame, batchId: Long,
+      viewDir: String)(fold: Option[DataFrame] => DataFrame): Unit = {
     val spark = batch.sparkSession
     // resolve version → manifest → paths ONCE; both the marker probe and
     // the merge reuse this frame instead of paying a second resolution
@@ -40,15 +44,50 @@ object StreamingView {
       if (r.isNullAt(0)) -1L else r.getLong(0) // empty state: no marker
     }
     if (batchId <= last) return // replayed epoch: already folded
-    val delta = IncrementalAgg.aggregate(batch, keys, value)
-    val next = state.fold(delta)(st =>
-      IncrementalAgg.merge(st.drop("__batch_id"), delta, keys))
+    val next = fold(state.map(_.drop("__batch_id")))
     ManifestSink.replace(
       next.withColumn("__batch_id", lit(batchId)), viewDir)
     // keep one previous version readable (snapshot isolation for a
     // reader holding the pre-replace view), reclaim older ones
     ManifestSink.vacuum(spark, viewDir, keepVersions = 2)
   }
+
+  /** Fold one micro-batch into the view at `viewDir`. Safe under
+    * foreachBatch replays (see class doc). */
+  def maintainView(batch: DataFrame, batchId: Long, viewDir: String,
+      keys: Seq[String], value: String): Unit =
+    transactionalFold(batch, batchId, viewDir) { state =>
+      val delta = IncrementalAgg.aggregate(batch, keys, value)
+      state.fold(delta)(st => IncrementalAgg.merge(st, delta, keys))
+    }
+
+  /** Streaming DISTINCT-COUNT view — the live "unique users per type"
+    * dashboard number, maintained as per-group KMV sketch state
+    * ([[graft.sinks.IncrementalDistinct]]'s fold) with the same
+    * batchId-transactional replay discipline: per trigger this sketches
+    * the batch (k longs per group across the wire) and merges arrays —
+    * COUNT(DISTINCT) over unbounded history at O(batch + k·groups) per
+    * trigger, where the exact streaming form would need per-key state
+    * growing with history. `hashExpr` as in IncrementalDistinct (a
+    * deterministic uniform LongType hash of the counted expression). */
+  def maintainDistinctView(batch: DataFrame, batchId: Long,
+      viewDir: String, keys: Seq[String],
+      hashExpr: org.apache.spark.sql.Column, k: Int): Unit =
+    transactionalFold(batch, batchId, viewDir) { state =>
+      val delta = graft.sinks.IncrementalDistinct
+        .sketchState(batch, keys, hashExpr, k)
+      state.fold(delta)(st =>
+        graft.sinks.IncrementalDistinct.merge(st, delta, keys, k))
+    }
+
+  /** Presentation read of the distinct-count view: (keys..., n_sketch,
+    * est_distinct) — exact below k. */
+  def readDistinctView(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String, keys: Seq[String], k: Int,
+      modulus: Long): DataFrame =
+    graft.sinks.IncrementalDistinct.present(
+      ManifestSink.read(spark, viewDir).drop("__batch_id"), keys, k,
+      modulus)
 
   /** Presentation read of the view: grouped rows, exact decimal sum
     * collapsed to double, progress marker dropped. */

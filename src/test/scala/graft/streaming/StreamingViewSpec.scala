@@ -62,4 +62,43 @@ class StreamingViewSpec extends SparkSpec {
     assert(after.getAs[Long]("n") === 4L)
     assert(after.getAs[Double]("sum_value") === 15.75)
   }
+
+  test("streaming distinct-count view: cross-batch repeat users never " +
+      "double-count; replays are no-ops") {
+    import graft.functions.PortableHash
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("sdview").toString
+    val viewDir = s"$root/view"
+    val k = 16
+    val h = PortableHash.tokenHashP($"user_id")
+    val src = MemoryStream[(String, String)]
+    val q = src.toDF().toDF("event_type", "user_id").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        StreamingView.maintainDistinctView(
+          b, id, viewDir, Seq("event_type"), h, k)
+      }
+      .start()
+    try {
+      src.addData(("view", "u1"), ("view", "u2"), ("click", "u1"))
+      q.processAllAvailable()
+      // batch 2 repeats u2 for "view" (cross-batch dup) and adds u3
+      src.addData(("view", "u2"), ("view", "u3"), ("click", "u9"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val view = StreamingView.readDistinctView(
+        spark, viewDir, Seq("event_type"), k, PortableHash.P)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(view === Map("view" -> 3.0, "click" -> 2.0))
+    // replay of the last epoch is a no-op
+    val vBefore = ManifestSink.version(spark, viewDir)
+    val lastId = ManifestSink.read(spark, viewDir)
+      .agg(org.apache.spark.sql.functions.max($"__batch_id"))
+      .head().getLong(0)
+    StreamingView.maintainDistinctView(
+      Seq(("view", "u2"), ("view", "u3"), ("click", "u9"))
+        .toDF("event_type", "user_id"),
+      lastId, viewDir, Seq("event_type"), h, k)
+    assert(ManifestSink.version(spark, viewDir) === vBefore)
+  }
 }
