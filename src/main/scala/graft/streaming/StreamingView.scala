@@ -89,6 +89,30 @@ object StreamingView {
       ManifestSink.read(spark, viewDir).drop("__batch_id"), keys, k,
       modulus)
 
+  /** Streaming QUANTILE view — live per-group p50/p90/p99 over unbounded
+    * history at bounded state: the maintained state is
+    * [[graft.sinks.IncrementalQuantiles]]' deterministic
+    * bottom-k-by-hash sample (k rows per group forever), folded per
+    * micro-batch under the same batchId-transactional discipline. `id`
+    * must be unique per row across the stream's lifetime (an event id;
+    * it keys the uniform sample). */
+  def maintainQuantileView(batch: DataFrame, batchId: Long,
+      viewDir: String, key: String, id: String, value: String,
+      k: Int): Unit =
+    transactionalFold(batch, batchId, viewDir) { state =>
+      val delta = graft.sinks.IncrementalQuantiles
+        .sampleState(batch, key, id, value, k)
+      state.fold(delta)(st =>
+        graft.sinks.IncrementalQuantiles.merge(st, delta, key, k))
+    }
+
+  /** Presentation read of the quantile view: (key, n_sample, p50, p90,
+    * p99) — the q78 estimator over the maintained sample. */
+  def readQuantileView(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String, key: String): DataFrame =
+    graft.sinks.IncrementalQuantiles.present(
+      ManifestSink.read(spark, viewDir).drop("__batch_id"), key)
+
   /** Presentation read of the view: grouped rows, exact decimal sum
     * collapsed to double, progress marker dropped. */
   def readView(spark: org.apache.spark.sql.SparkSession, viewDir: String,

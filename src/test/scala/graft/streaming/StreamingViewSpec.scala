@@ -101,4 +101,36 @@ class StreamingViewSpec extends SparkSpec {
       lastId, viewDir, Seq("event_type"), h, k)
     assert(ManifestSink.version(spark, viewDir) === vBefore)
   }
+
+  test("streaming quantile view equals the batch sample estimator " +
+      "over the full history") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("sqview").toString
+    val viewDir = s"$root/view"
+    val k = 8
+    val all = (1 to 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i * 0.5))
+    val src = MemoryStream[(Long, String, Double)]
+    val q = src.toDF().toDF("id", "g", "v").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        StreamingView.maintainQuantileView(
+          b, bid, viewDir, "g", "id", "v", k)
+      }
+      .start()
+    try {
+      src.addData(all.take(25): _*)
+      q.processAllAvailable()
+      src.addData(all.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(d: DataFrame) = d.collect().map(_.toString).sorted.toSeq
+    // the streamed view == the batch estimator over the whole history
+    // (the folded sample is bit-identical to the from-scratch sample)
+    val direct = rows(graft.sinks.IncrementalQuantiles.present(
+      graft.sinks.IncrementalQuantiles.sampleState(
+        all.toDF("id", "g", "v"), "g", "id", "v", k), "g"))
+    assert(rows(StreamingView.readQuantileView(spark, viewDir, "g"))
+      === direct)
+  }
 }
