@@ -520,6 +520,94 @@ object EventOps {
        |WINDOW v AS (PARTITION BY user_id ORDER BY run_idx)
        |ORDER BY user_id, version""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** POINT-IN-TIME feature join against a versioned (SCD2) dimension —
+    * the leakage-free enrichment a training pipeline needs: each
+    * purchase event joins the user's behavioral regime (q106's run
+    * versioning over the NON-purchase stream) as it stood AT purchase
+    * time, never a later version — the feature-store "as-of"
+    * correctness rule that keeps future information out of training
+    * examples.
+    *
+    * The Spark-first shape: an SCD2 interval lookup is NOT a range join
+    * — because versions tile each user's timeline, "the version valid
+    * at t" ≡ "the latest version starting ≤ t", i.e. an AS-OF join.
+    * Union dimension starts and facts, one (user, time, kind, tie)
+    * sort, one last(ignoreNulls) carry — a single hash exchange on
+    * user_id, no interval explosion, per-user sequences bound every
+    * window. Ties: a version starting exactly at purchase time counts
+    * as active (kind orders dim rows first); two runs starting at the
+    * same instant resolve to the later version (tie = version), which
+    * the oracle mirrors by deduping equal-start versions to the
+    * highest. */
+  private val q128: Q = (s, dir) => {
+    import s.implicits._
+    val evs = ev(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val prevType = lag($"event_type", 1).over(byUser)
+    val dim = evs.filter($"event_type" =!= "purchase")
+      .withColumn("chg",
+        when(!(prevType <=> $"event_type"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum($"chg").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"version", $"event_type")
+      .agg(min($"ts").as("vf"))
+      .select($"user_id", $"vf".as("ts"), lit(0).as("kind"),
+        $"version".cast("long").as("tie"),
+        $"event_type".as("regime"), lit(null).cast("long").as("event_id"))
+    val facts = evs.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"),
+        $"event_id".as("tie"), lit(null).cast("string").as("regime"),
+        $"event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"kind".asc, $"tie".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.union(facts)
+      .withColumn("st", last(when($"kind" === 0,
+          struct($"regime", $"tie".as("version"), $"ts".as("vf"))),
+        ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id", $"user_id",
+        date_format($"ts", tsFmt).as("purchase_time"),
+        $"st.regime".as("regime"),
+        $"st.version".as("regime_version"),
+        date_format($"st.vf", tsFmt).as("regime_since"))
+      .orderBy($"event_id")
+  }
+  private val q128Sql =
+    s"""WITH b AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM events WHERE event_type <> 'purchase'
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |r AS (
+       |  SELECT user_id, ts, event_type,
+       |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+       |  FROM b),
+       |runs AS (
+       |  SELECT user_id, version, event_type AS regime, MIN(ts) AS vf
+       |  FROM r GROUP BY user_id, version, event_type),
+       |dedup AS (
+       |  SELECT user_id, version, regime, vf,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, vf
+       |                       ORDER BY version DESC) AS rn
+       |  FROM runs),
+       |d AS (SELECT * FROM dedup WHERE rn = 1),
+       |f AS (SELECT event_id, user_id, ts FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT f.event_id, f.user_id,
+       |  strftime(f.ts, '$tsFmtSqlSec') AS purchase_time,
+       |  d.regime,
+       |  CAST(d.version AS BIGINT) AS regime_version,
+       |  strftime(d.vf, '$tsFmtSqlSec') AS regime_since
+       |FROM f ASOF LEFT JOIN d
+       |  ON f.user_id = d.user_id AND f.ts >= d.vf
+       |ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------------------- q113
   /** Exponential moving average over per-type daily counts — the
     * time-series smoothing stage of a monitoring dashboard, and a pattern
@@ -575,6 +663,7 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "q113_ema_daily" -> q113,
     "q106_scd2_intervals" -> q106,
+    "q128_pit_scd2_join" -> q128,
     "q91_gap_sessions" -> q91,
     "q90_cohort_retention" -> q90,
     "q89_funnel_steps" -> q89,
@@ -593,6 +682,7 @@ object EventOps {
   val oracleSql: Map[String, String] = Map(
     "q113_ema_daily" -> q113Sql,
     "q106_scd2_intervals" -> q106Sql,
+    "q128_pit_scd2_join" -> q128Sql,
     "q91_gap_sessions" -> q91Sql,
     "q90_cohort_retention" -> q90Sql,
     "q89_funnel_steps" -> q89Sql,
