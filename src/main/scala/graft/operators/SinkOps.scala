@@ -46,6 +46,68 @@ object SinkOps {
     scratch.toString
   }
 
+  // --------------------------------------------------------------- q129
+  /** Fork-and-rollback lifecycle through the gate: events (up to cut2)
+    * land in a source table; a ZERO-COPY [[ManifestSink.shallowClone]]
+    * forks it; the tail appends to the FORK only; a corrupting commit
+    * lands on the fork and is undone by a metadata-only
+    * [[ManifestSink.restore]]. The emitted per-type aggregates of BOTH
+    * tables must equal what the oracle computes straight from the
+    * source rows — so a clone that misses/duplicates a borrowed batch,
+    * a restore that rolls back too little or too much, or divergence
+    * leaking between fork and source all hash-mismatch.
+    *
+    * Scale: the fork is one small manifest write (no data copied,
+    * whatever the table size); the rollback is one manifest write (no
+    * data deleted); the final aggregates are two-phase on a 5-value
+    * key. */
+  private val q129: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val root = freshScratch("graft_q129", dir)
+    val src = root + "/src"
+    val fork = root + "/fork"
+    ManifestSink.append(ev.filter($"event_id" <= cut1), src)
+    ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), src)
+    ManifestSink.shallowClone(s, src, fork)
+    ManifestSink.append(ev.filter($"event_id" > cut2), fork)
+    // a corrupting commit on the fork, undone metadata-only
+    val good = ManifestSink.version(s, fork)
+    ManifestSink.append(
+      ev.filter($"event_id" <= cut1)
+        .withColumn("value", $"value" + 1000000.0), fork)
+    ManifestSink.restore(s, fork, good)
+    def agg(name: String, d: DataFrame) = d
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("sum_value"))
+      .select(lit(name).as("table_name"), $"event_type",
+        $"n_events", $"sum_value")
+    agg("fork", ManifestSink.read(s, fork))
+      .unionByName(agg("source", ManifestSink.read(s, src)))
+      .orderBy($"table_name", $"event_type")
+  }
+  private val q129Sql =
+    s"""WITH cuts AS (
+       |  SELECT 2 * MAX(event_id) // 3 AS cut2 FROM events)
+       |SELECT 'fork' AS table_name, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM events GROUP BY event_type
+       |UNION ALL
+       |SELECT 'source', event_type,
+       |  CAST(COUNT(*) AS BIGINT),
+       |  ${Exact.sqlSum("value")}
+       |FROM events CROSS JOIN cuts
+       |WHERE event_id <= cut2
+       |GROUP BY event_type
+       |ORDER BY table_name, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q88
   /** Manifest roundtrip + file skipping: land `events` in a manifest sink
     * as three range-disjoint appends with event_id stats (the time-ordered
@@ -645,7 +707,8 @@ object SinkOps {
     "q124_layout_advisor" -> q124,
     "q125_incremental_distinct" -> q125,
     "q126_incremental_quantiles" -> q126,
-    "q127_join_cardinality" -> q127)
+    "q127_join_cardinality" -> q127,
+    "q129_fork_rollback" -> q129)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
@@ -657,5 +720,6 @@ object SinkOps {
     "q124_layout_advisor" -> q124Sql,
     "q125_incremental_distinct" -> q125Sql,
     "q126_incremental_quantiles" -> q126Sql,
-    "q127_join_cardinality" -> q127Sql)
+    "q127_join_cardinality" -> q127Sql,
+    "q129_fork_rollback" -> q129Sql)
 }
