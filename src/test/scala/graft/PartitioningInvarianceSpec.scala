@@ -21,11 +21,14 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q123 video signatures (sorted frame-hash arrays grouped/banded as
   //        keys — array collect must sort before any grouping for the
   //        signature to be partition-order-free)
+  //   q125 mergeable-state fold (KMV arrays built per batch then merged
+  //        relationally — collect_list order must wash out in the
+  //        distinct+sort+slice)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
     "q115_image_phash_dedup", "q116_audio_fingerprint_dedup",
-    "q123_video_near_dup")
+    "q123_video_near_dup", "q125_incremental_distinct")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"

@@ -144,4 +144,19 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("incremental-quantile delta sampling gets WindowGroupLimit " +
+      "(map-side group limit before the window shuffle)") {
+    // the IncrementalQuantiles scale claim: the bottom-k-by-hash window
+    // over a delta prunes per-partition BEFORE the exchange, so a wide
+    // group never reaches one reducer whole. Pin it on the executed plan.
+    import spark.implicits._
+    val delta = graft.sources.Tables(spark, sf, "events")
+      .select($"event_id", $"event_type", $"value")
+    val st = graft.sinks.IncrementalQuantiles.sampleState(
+      delta, "event_type", "event_id", "value", 16)
+    st.collect()
+    val p = st.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
 }
