@@ -108,6 +108,56 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY table_name, event_type""".stripMargin
 
+  // --------------------------------------------------------------- q130
+  /** Incremental LEADERBOARD through the gate: the per-(type, user)
+    * aggregate state folds commit by commit
+    * ([[graft.sinks.IncrementalAgg]], exactly q98's maintenance), and
+    * the top-3 spenders per type read off the STATE with one rank
+    * window — the expensive part (history) is amortized by the fold;
+    * the ranking never touches more than state rows. Decimal-summed
+    * rank keys with a user_id tiebreak make the order total and
+    * engine-identical; the oracle recomputes per-(type, user) sums and
+    * the same window straight from the source.
+    *
+    * Scale: fold cost is O(commit delta); the rank window prunes
+    * map-side (WindowGroupLimit) over state rows — a leaderboard over
+    * a 100 TB history costs one delta scan per refresh plus a
+    * state-sized rank. */
+  private val q130: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sinks.IncrementalAgg
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"user_id", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q130", dir) + "/events_sink"
+    val keys = Seq("event_type", "user_id")
+    val v0 = ManifestSink.append(ev.filter($"event_id" <= cut1), sink)
+    val v1 = ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink)
+    val v2 = ManifestSink.append(ev.filter($"event_id" > cut2), sink)
+    val s0 = IncrementalAgg.aggregate(
+      ManifestSink.changes(s, sink, -1L, v0), keys, "value")
+    val s1 = IncrementalAgg.refresh(s, s0, sink, v0, v1, keys, "value")
+    val s2 = IncrementalAgg.refresh(s, s1, sink, v1, v2, keys, "value")
+    IncrementalAgg.presentTopK(s2, Seq("event_type"), Seq("user_id"), 3)
+      .orderBy($"event_type", $"rank")
+  }
+  private val q130Sql =
+    """WITH st AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(value AS DECIMAL(38,4))) AS sum_dec
+      |  FROM events GROUP BY event_type, user_id),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY sum_dec DESC, user_id ASC) AS rank
+      |  FROM st)
+      |SELECT event_type, user_id, CAST(rank AS BIGINT) AS rank, n,
+      |  CAST(sum_dec AS DOUBLE) AS sum_value
+      |FROM rk WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+
   // ---------------------------------------------------------------- q88
   /** Manifest roundtrip + file skipping: land `events` in a manifest sink
     * as three range-disjoint appends with event_id stats (the time-ordered
@@ -708,7 +758,8 @@ object SinkOps {
     "q125_incremental_distinct" -> q125,
     "q126_incremental_quantiles" -> q126,
     "q127_join_cardinality" -> q127,
-    "q129_fork_rollback" -> q129)
+    "q129_fork_rollback" -> q129,
+    "q130_incremental_topk" -> q130)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
@@ -721,5 +772,6 @@ object SinkOps {
     "q125_incremental_distinct" -> q125Sql,
     "q126_incremental_quantiles" -> q126Sql,
     "q127_join_cardinality" -> q127Sql,
-    "q129_fork_rollback" -> q129Sql)
+    "q129_fork_rollback" -> q129Sql,
+    "q130_incremental_topk" -> q130Sql)
 }

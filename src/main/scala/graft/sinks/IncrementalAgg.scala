@@ -60,4 +60,24 @@ object IncrementalAgg {
     state.select((keys.map(col) :+ col("n") :+
       col("sum_dec").cast("double").as("sum_value") :+
       col("mn") :+ col("mx")): _*)
+
+  /** Top-k presentation over maintained state: per `groupKeys`, the k
+    * `rankKeys` rows with the largest decimal sum (ties broken by the
+    * rank keys for a total, engine-identical order). This is how an
+    * incremental leaderboard works at scale: the STATE is maintained
+    * per (group, member) by the O(delta) fold — the expensive part —
+    * and the top-k is a cheap rank over state rows, never over history.
+    * The rank window prunes map-side (WindowGroupLimit), so wide state
+    * groups never reach one reducer whole. */
+  def presentTopK(state: DataFrame, groupKeys: Seq[String],
+      rankKeys: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupKeys.map(col): _*)
+      .orderBy(col("sum_dec").desc +: rankKeys.map(c => col(c).asc): _*)
+    state.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((groupKeys ++ rankKeys).map(col) ++ Seq(
+        col("rank").cast("long").as("rank"), col("n"),
+        col("sum_dec").cast("double").as("sum_value")): _*)
+  }
 }
