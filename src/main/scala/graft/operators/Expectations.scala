@@ -147,6 +147,29 @@ object Expectations {
       .select(lit(name).as("expectation"), col("violations"), col("total"),
         (col("violations") === 0L).as("pass"))
 
+  // ------------------------------------------------- quarantine split
+  /** Enforce row-local expectations as a WRITE GATE: split a batch into
+    * passing rows and quarantined violators (each violator labeled with
+    * the FIRST failed expectation, in declaration order — deterministic,
+    * so both the split and the labels are oracle-able). Both sides are
+    * plain filters over one scan each; at 100 TB the split is map-side
+    * work at the scan with no shuffle at all — the
+    * expectations-with-quarantine action of declarative pipeline
+    * frameworks, where bad rows are retained for triage instead of
+    * silently dropped. */
+  def quarantine(df: DataFrame,
+      exps: Seq[Expect]): (DataFrame, DataFrame) = {
+    require(exps.nonEmpty, "at least one expectation")
+    val anyViolation = exps.map(_.violates).reduce(_ || _)
+    val firstFailed = exps.reverse.foldLeft(lit(null).cast("string")) {
+      (acc, e) => when(e.violates, lit(e.name)).otherwise(acc)
+    }
+    val pass = df.filter(!coalesce(anyViolation, lit(false)))
+    val quarantined = df.filter(coalesce(anyViolation, lit(false)))
+      .withColumn("failed_expectation", firstFailed)
+    (pass, quarantined)
+  }
+
   // --------------------------------------------------------------- q122
   /** The expectations gate over the TPC-H-ish fixture: row-local
     * contracts on lineitem evaluate in one scan (quantity range, price

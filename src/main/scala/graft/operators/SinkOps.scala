@@ -158,6 +158,67 @@ object SinkOps {
       |FROM rk WHERE rank <= 3
       |ORDER BY event_type, rank""".stripMargin
 
+  // --------------------------------------------------------------- q131
+  /** Expectations as a WRITE GATE with quarantine: events split by
+    * row-local contracts ([[Expectations.quarantine]] — map-side
+    * filters, violators labeled with the FIRST failed expectation in
+    * declaration order), each side lands in its own manifest table, and
+    * the report aggregates BOTH tables after reading them back — so the
+    * split logic, the label precedence, and the two write/read
+    * roundtrips are all inside one hash check. The oracle mirrors the
+    * split with the same ordered CASE over the source rows.
+    *
+    * Scale: the split is two scan-local filters (no shuffle before the
+    * writes); quarantined rows are RETAINED for triage, not dropped —
+    * the declarative-pipeline expectations action. */
+  private val q131: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"user_id", $"value")
+    val exps = Seq(
+      Expectations.inRange("value_in_range", col("value"), 0, 50),
+      Expectations.matches("type_known", col("event_type"),
+        "^(view|click|purchase|signup)$"))
+    val (pass, quar) = Expectations.quarantine(ev, exps)
+    val root = freshScratch("graft_q131", dir)
+    val aDir = root + "/accepted"
+    val qDir = root + "/quarantine"
+    ManifestSink.append(pass, aDir)
+    ManifestSink.append(quar, qDir)
+    val acc = ManifestSink.read(s, aDir)
+      .groupBy($"event_type".as("label"))
+      .agg(count(lit(1)).as("n_rows"), Exact.dsum($"value").as("sum_value"))
+      .select(lit("accepted").as("side"), $"label", $"n_rows", $"sum_value")
+    val qr = ManifestSink.read(s, qDir)
+      .groupBy($"failed_expectation".as("label"))
+      .agg(count(lit(1)).as("n_rows"), Exact.dsum($"value").as("sum_value"))
+      .select(lit("quarantine").as("side"), $"label", $"n_rows",
+        $"sum_value")
+    acc.unionByName(qr).orderBy($"side", $"label")
+  }
+  private val q131Sql =
+    s"""WITH labeled AS (
+       |  SELECT *,
+       |    CASE
+       |      WHEN value IS NULL OR value < 0 OR value > 50
+       |        THEN 'value_in_range'
+       |      WHEN event_type IS NULL
+       |        OR NOT regexp_matches(event_type,
+       |                              '^(view|click|purchase|signup)$$')
+       |        THEN 'type_known'
+       |    END AS failed
+       |  FROM events)
+       |SELECT 'accepted' AS side, event_type AS label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM labeled WHERE failed IS NULL GROUP BY event_type
+       |UNION ALL
+       |SELECT 'quarantine', failed,
+       |  CAST(COUNT(*) AS BIGINT),
+       |  ${Exact.sqlSum("value")}
+       |FROM labeled WHERE failed IS NOT NULL GROUP BY failed
+       |ORDER BY side, label""".stripMargin
+
   // ---------------------------------------------------------------- q88
   /** Manifest roundtrip + file skipping: land `events` in a manifest sink
     * as three range-disjoint appends with event_id stats (the time-ordered
@@ -759,7 +820,8 @@ object SinkOps {
     "q126_incremental_quantiles" -> q126,
     "q127_join_cardinality" -> q127,
     "q129_fork_rollback" -> q129,
-    "q130_incremental_topk" -> q130)
+    "q130_incremental_topk" -> q130,
+    "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
     "q88_manifest_roundtrip" -> q88Sql,
@@ -773,5 +835,6 @@ object SinkOps {
     "q126_incremental_quantiles" -> q126Sql,
     "q127_join_cardinality" -> q127Sql,
     "q129_fork_rollback" -> q129Sql,
-    "q130_incremental_topk" -> q130Sql)
+    "q130_incremental_topk" -> q130Sql,
+    "q131_quarantine_gate" -> q131Sql)
 }

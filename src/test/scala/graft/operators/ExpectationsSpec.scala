@@ -26,6 +26,27 @@ class ExpectationsSpec extends SparkSpec {
     assert(rep("id_not_null") === ((0L, 4L, true)))
   }
 
+  test("quarantine splits exactly, labels with the FIRST failed " +
+      "expectation in declaration order") {
+    val df = Seq(
+      (1L, 10.0, "A"),   // clean
+      (2L, -5.0, "A"),   // fails range (declared first)
+      (3L, 200.0, "Z"),  // fails range AND vocab → labeled range
+      (4L, 30.0, "Z")    // fails vocab only
+    ).toDF("id", "v", "flag")
+    val (pass, quar) = Expectations.quarantine(df, Seq(
+      Expectations.inRange("v_in_range", col("v"), 0, 100),
+      Expectations.matches("flag_vocab", col("flag"), "^[AR]$")))
+    assert(pass.collect().map(_.getLong(0)).toSet === Set(1L))
+    val labels = quar.collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("failed_expectation"))
+      .toMap
+    assert(labels === Map(2L -> "v_in_range", 3L -> "v_in_range",
+      4L -> "flag_vocab"))
+    // split is a partition: nothing lost, nothing duplicated
+    assert(pass.count() + quar.count() === df.count())
+  }
+
   test("incremental row-local gate folds only the delta and matches " +
       "the full recompute") {
     val dir = Files.createTempDirectory("expinc").toString + "/t"
