@@ -808,7 +808,60 @@ object SinkOps {
        |FROM est""".stripMargin
   }
 
+  // --------------------------------------------------------------- q132
+  /** Merge-on-read DELETE through the gate
+    * ([[ManifestSink.deleteKeysMergeOnRead]]): events land in two
+    * appends; an equality-delete tombstone erases every then-present row
+    * of the users with `user_id % 7 = 0` — committing ONLY a key file,
+    * no data rewrite; the tail then appends, so those same users' LATER
+    * events must survive (the tombstone binds to manifest position, not
+    * to keys forever); a second tombstone on a DIFFERENT key shape
+    * (`event_type = 'error'`) erases errors from all three batches. The
+    * emitted per-type aggregates come off the assembled merge-on-read
+    * scan, so a tombstone that under- or over-applies — wrong position
+    * rule, wrong shape composition, resurrect-on-append — hash-mismatches
+    * the oracle recomputing the same erasures from the source rows.
+    *
+    * Scale: each delete is one small key-file commit whatever the table
+    * size (the GDPR shape copy-on-write cannot reach on a table whose
+    * key spans most batches); the read pays one broadcast anti-join per
+    * tombstone shape until a compaction materializes. */
+  private val q132: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q132", dir) + "/events_sink"
+    ManifestSink.append(ev.filter($"event_id" <= cut1), sink)
+    ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink)
+    ManifestSink.deleteKeysMergeOnRead(
+      ManifestSink.read(s, sink).filter($"user_id" % 7 === 0)
+        .select($"user_id"), sink, Seq("user_id"))
+    ManifestSink.append(ev.filter($"event_id" > cut2), sink)
+    ManifestSink.deleteKeysMergeOnRead(
+      Seq("error").toDF("event_type"), sink, Seq("event_type"))
+    ManifestSink.read(s, sink)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  private val q132Sql =
+    s"""WITH cuts AS (
+       |  SELECT 2 * MAX(event_id) // 3 AS cut2 FROM events),
+       |live AS (
+       |  SELECT e.* FROM events e CROSS JOIN cuts c
+       |  WHERE e.event_type <> 'error'
+       |    AND NOT (e.event_id <= c.cut2 AND e.user_id % 7 = 0))
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q132_mor_delete" -> q132,
     "q88_manifest_roundtrip" -> q88,
     "q105_cdc_feed" -> q105,
     "q98_incremental_view" -> q98,
@@ -824,6 +877,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q132_mor_delete" -> q132Sql,
     "q88_manifest_roundtrip" -> q88Sql,
     "q105_cdc_feed" -> q105Sql,
     "q98_incremental_view" -> q98Sql,

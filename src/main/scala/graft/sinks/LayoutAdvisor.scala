@@ -49,7 +49,11 @@ object LayoutAdvisor {
     val rows = tables.map { case (name, dir) =>
       val v = ManifestSink.version(spark, dir)
       require(v >= 0, s"LayoutAdvisor: no committed version at $dir")
+      // merge-on-read tombstone entries are keys, not data layout: they
+      // would read as stats-less batches (= overlap everything) and
+      // manufacture a zorder verdict for a perfectly clustered table
       val entries = ManifestSink.entries(spark, dir, v)
+        .filterNot(ManifestSink.isTombEntry)
       val nb = entries.size.toLong
       val total = ManifestSink.rowCount(spark, dir).getOrElse(
         ManifestSink.read(spark, dir).count())

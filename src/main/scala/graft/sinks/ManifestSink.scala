@@ -152,6 +152,38 @@ object ManifestSink {
     * max keeps it monotonic under clock skew and rebased races. */
   private val TsKey = "ts"
 
+  /** Reserved stats key marking an entry as a merge-on-read DELETE
+    * TOMBSTONE (the equality-delete file of log-structured formats,
+    * Iceberg v2 shape): the entry's parquet holds the distinct deleted
+    * KEY rows, not data; `min` = comma-joined key column names, `max` =
+    * key row count. The leading NUL can't collide with a column name.
+    * Ordering semantics ride on MANIFEST LINE POSITION (see
+    * [[assembleRead]]): a tombstone deletes matching rows from every
+    * data entry that precedes it in the entry list; entries appended
+    * later are untouched, so re-inserting a deleted key after the
+    * delete survives. Every commit path preserves relative line order
+    * (appends add at the end, rewrites carry kept lines in order), so
+    * position is a durable sequence number without touching any other
+    * commit path's entry format. */
+  private val TombKey = "\u0000tomb"
+
+  private[sinks] def isTombEntry(e: Entry): Boolean =
+    e.stats.contains(TombKey)
+  private def tombKeyCols(e: Entry): Seq[String] =
+    e.stats(TombKey).min.split(",").toSeq
+
+  /** true iff the current snapshot carries unmaterialized merge-on-read
+    * delete tombstones (a [[compact]]/[[compactZOrder]] materializes
+    * them away). While true, metadata-only answers that a delete can
+    * invalidate degrade on their own: [[rowCount]] and [[colBounds]]
+    * return None (the tombstone entry lacks the stats they require) and
+    * [[ndvEstimate]] returns None (no sketch on the tombstone entry). */
+  def hasTombstones(spark: SparkSession, dir: String): Boolean = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    entries(spark, dir, v).exists(isTombEntry)
+  }
+
   /** Write `df` to `dataDir` and return the exact row count, observed
     * as an accumulator on the write job itself -- no second pass, no
     * extra job. The observation result arrives via the listener bus,
@@ -755,8 +787,12 @@ object ManifestSink {
       e.stats.get(partCol).exists(st => st.min == v && st.max == v)
     }
     if (target.size <= 1) return prev
-    val merged = spark.read.option("mergeSchema", "true")
-      .parquet(target.map(e => resolvePath(dir, e.path)): _*)
+    // assembled read: a tombstone after a target entry still filters its
+    // rows before the rewrite; tombstone entries themselves carry no
+    // partCol stats, so they always land in `rest` and carry forward
+    val targetPaths = target.map(_.path).toSet
+    val merged = assembleRead(spark, dir, prev, mergeSchema = true,
+      keep = e => targetPaths(e.path))
     commit(spark, dir, merged, rest.map(_.line), prev,
       (statsCols :+ partCol).distinct)
   }
@@ -1121,7 +1157,8 @@ object ManifestSink {
     * optimization, never a filter. */
   def prunedEntries(spark: SparkSession, dir: String,
       ranges: Seq[Range]): (Seq[Entry], Seq[Entry]) =
-    entries(spark, dir, version(spark, dir)).partition { e =>
+    entries(spark, dir, version(spark, dir))
+      .filterNot(isTombEntry).partition { e =>
       ranges.forall { r =>
         e.stats.get(r.colName) match {
           case Some(st) =>
@@ -1148,12 +1185,23 @@ object ManifestSink {
     val (kept, _) = prunedEntries(spark, dir, ranges)
     val base =
       if (kept.isEmpty) read(spark, dir).limit(0)
-      else spark.read.parquet(kept.map(e => resolvePath(dir, e.path)): _*)
+      else prunedRead(spark, dir, kept)
     val p = ranges.flatMap { r =>
       val c = col(r.colName)
       r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v))
     }.reduceOption(_ && _).getOrElse(lit(true))
     base.filter(p)
+  }
+
+  /** Scan of a pruned data-entry subset with tombstones still applied —
+    * the shared body of [[readWhere]]/[[readWhereEq]]/[[readFiltered]]
+    * (a pruned read must agree with `read(...).filter(...)` even on a
+    * merge-on-read-deleted table). */
+  private def prunedRead(spark: SparkSession, dir: String,
+      kept: Seq[Entry]): DataFrame = {
+    val keptPaths = kept.map(_.path).toSet
+    assembleRead(spark, dir, version(spark, dir), mergeSchema = false,
+      keep = e => keptPaths(e.path))
   }
 
   /** Single-column convenience form of the conjunctive overload. */
@@ -1168,7 +1216,8 @@ object ManifestSink {
     * always survive — same never-a-filter contract as range pruning. */
   def prunedEntriesEq(spark: SparkSession, dir: String, colName: String,
       value: Any): (Seq[Entry], Seq[Entry]) =
-    entries(spark, dir, version(spark, dir)).partition { e =>
+    entries(spark, dir, version(spark, dir))
+      .filterNot(isTombEntry).partition { e =>
       val rangeOk = e.stats.get(colName) match {
         case Some(st) =>
           st.overlaps(Some(boundStr(value)), Some(boundStr(value)))
@@ -1190,7 +1239,7 @@ object ManifestSink {
     val (kept, _) = prunedEntriesEq(spark, dir, colName, value)
     val base =
       if (kept.isEmpty) read(spark, dir).limit(0)
-      else spark.read.parquet(kept.map(e => resolvePath(dir, e.path)): _*)
+      else prunedRead(spark, dir, kept)
     base.filter(col(colName) === lit(value))
   }
 
@@ -1275,7 +1324,8 @@ object ManifestSink {
     val rs = ranges.result()
     val es = eqs.result()
     val is = ins.result()
-    entries(spark, dir, version(spark, dir)).partition { e =>
+    entries(spark, dir, version(spark, dir))
+      .filterNot(isTombEntry).partition { e =>
       rs.forall { r =>
         e.stats.get(r.colName).forall(st =>
           scala.util.Try(st.overlaps(r.lo.map(boundStr), r.hi.map(boundStr)))
@@ -1308,7 +1358,7 @@ object ManifestSink {
     val (kept, _) = prunedEntriesForPredicate(spark, dir, pred, base)
     val pruned =
       if (kept.isEmpty) base.limit(0)
-      else spark.read.parquet(kept.map(e => resolvePath(dir, e.path)): _*)
+      else prunedRead(spark, dir, kept)
     pruned.filter(pred)
   }
 
@@ -1329,7 +1379,7 @@ object ManifestSink {
     require(ranges.nonEmpty, "deleteWhere requires at least one range")
     val prev = version(spark, dir)
     require(prev >= 0, s"ManifestSink at $dir has no committed version")
-    val (candidates, untouched) = prunedEntries(spark, dir, ranges)
+    val (candidates, _) = prunedEntries(spark, dir, ranges)
     if (candidates.isEmpty) return prev // provably nothing to delete
     // all-unbounded ranges are a legal "delete everything on this column"
     // request: no bound terms → the predicate is `true`
@@ -1337,15 +1387,23 @@ object ManifestSink {
       val c = col(r.colName)
       r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v))
     }.reduceOption(_ && _).getOrElse(lit(true))
+    val candPaths = candidates.map(_.path).toSet
+    // kept lines come from the RAW line list (order preserved): untouched
+    // data entries keep their stats, and merge-on-read tombstone entries
+    // carry forward — they still apply to the kept data entries before
+    // them, while the rewritten survivors (already tombstone-filtered by
+    // the assembled read) land safely after every tombstone
+    val keptLines = manifestEntries(spark, dir, prev)
+      .filterNot(l => candPaths(entryPath(l)))
     // mergeSchema: rewriting candidates from a schema-evolved table must
     // carry every column — single-schema inference could silently drop
     // late-added ones from the rewritten batch (permanent data loss)
-    val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(e => resolvePath(dir, e.path)): _*)
+    val survivors = assembleRead(spark, dir, prev, mergeSchema = true,
+        keep = e => candPaths(e.path))
       // null range values never match a range predicate, so null rows
       // survive a delete — same semantics as SQL DELETE WHERE
       .filter(!coalesceFalse(matches))
-    commit(spark, dir, survivors, untouched.map(_.line), prev, statsCols)
+    commit(spark, dir, survivors, keptLines, prev, statsCols)
   }
 
   private def coalesceFalse(c: org.apache.spark.sql.Column) = {
@@ -1366,13 +1424,60 @@ object ManifestSink {
     import org.apache.spark.sql.functions.{col, lit}
     val prev = version(spark, dir)
     require(prev >= 0, s"ManifestSink at $dir has no committed version")
-    val (candidates, untouched) = prunedEntriesEq(spark, dir, colName, value)
+    val (candidates, _) = prunedEntriesEq(spark, dir, colName, value)
     if (candidates.isEmpty) return prev
-    val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(e => resolvePath(dir, e.path)): _*)
+    val candPaths = candidates.map(_.path).toSet
+    val keptLines = manifestEntries(spark, dir, prev)
+      .filterNot(l => candPaths(entryPath(l)))
+    val survivors = assembleRead(spark, dir, prev, mergeSchema = true,
+        keep = e => candPaths(e.path))
       .filter(!coalesceFalse(col(colName) === lit(value)))
-    commit(spark, dir, survivors, untouched.map(_.line), prev, statsCols,
+    commit(spark, dir, survivors, keptLines, prev, statsCols,
       bloomCols)
+  }
+
+  /** Merge-on-read DELETE by key (the equality-delete tombstone of
+    * log-structured formats, e.g. Iceberg v2): commits ONE small file of
+    * distinct deleted keys plus one manifest line — no data file is read
+    * or rewritten, whatever the table size. Readers apply the tombstone
+    * as a broadcast anti-join by manifest position (see [[assembleRead]]):
+    * it deletes matching rows from every batch committed BEFORE it, while
+    * rows appended after — including a re-insert of a deleted key —
+    * survive. Null-keyed rows survive (SQL DELETE semantics). Deletes on
+    * different key-column sets compose; repeated deletes stack.
+    *
+    * This is the 100 TB erasure shape [[deleteWhereEq]]'s copy-on-write
+    * cannot reach: a GDPR request against a table without blooms (or one
+    * whose key spans most batches) rewrites everything under
+    * copy-on-write, but commits in O(|keys|) here. The read-side cost —
+    * one broadcast anti-join per delete commit's key shape — accrues
+    * until a [[compact]]/[[compactZOrder]]/[[merge]]-rewrite
+    * MATERIALIZES the tombstones; metadata-only answers degrade
+    * conservatively meanwhile ([[hasTombstones]]). Incremental
+    * consumers refuse the window ([[changes]]) — a delete is a
+    * retraction no append-only fold can absorb.
+    *
+    * Safe under concurrent appenders (same CAS rebase as [[append]]):
+    * the tombstone's position is wherever the commit finally lands, so
+    * it applies to exactly the snapshot it won against. Returns the
+    * committed version (unchanged when `deleteKeys` is empty). */
+  def deleteKeysMergeOnRead(deleteKeys: DataFrame, dir: String,
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "merge-on-read delete requires key columns")
+    require(keyCols.forall(!_.contains(",")),
+      "key column names must not contain ','")
+    val spark = deleteKeys.sparkSession
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    val keyRows = deleteKeys.select(keyCols.map(col): _*).distinct()
+    if (keyRows.isEmpty) return prev
+    val batch = java.util.UUID.randomUUID().toString
+    val rows = writeCounted(keyRows, s"$dir/data/$batch")
+    val line = Entry(s"data/$batch",
+      Map(TombKey ->
+        ColStats('S', keyCols.mkString(","), rows.toString))).line
+    commitAppendLines(spark, dir, Seq(line), Map.empty)
   }
 
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
@@ -1396,8 +1501,7 @@ object ManifestSink {
   def merge(updates: DataFrame, dir: String, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val spark = updates.sparkSession
-    import org.apache.spark.sql.functions.{col, count, input_file_name,
-      lit, regexp_extract}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val keyCols = keys.map(col)
     require(updates.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).isEmpty,
@@ -1411,10 +1515,13 @@ object ManifestSink {
     // collecting it on the driver mirrors the manifest read itself.
     // The entry dir is everything between data/ and the file name — NOT
     // just the first path segment: a z-compacted commit's entries are
-    // nested subdirectories (data/<uuid>/__zb=k)
-    val touched = read(spark, dir)
-      .withColumn("__e",
-        regexp_extract(input_file_name(), "(data/.+)/[^/]+$", 1))
+    // nested subdirectories (data/<uuid>/__zb=k). The path rides through
+    // [[assembleRead]]'s pathCol hook (tagged map-side, before any
+    // tombstone anti-join): a key whose only occurrences are
+    // merge-on-read-deleted does not touch its directory — the live
+    // content has no match, so no rewrite is needed.
+    val touched = assembleRead(spark, dir, prev, mergeSchema = false,
+        pathCol = Some("__e"))
       .join(updates.select(keyCols: _*), keys, "left_semi")
       .select("__e").distinct().collect().map(_.getString(0)).toSet
     // entries match on their data/... SUFFIX: a shallow clone's borrowed
@@ -1435,10 +1542,11 @@ object ManifestSink {
     val rewritten =
       if (touched.isEmpty) updates
       else {
-        val survivors = spark.read.option("mergeSchema", "true")
-          .parquet(entries.collect {
-            case e if touched(dataKey(entryPath(e))) =>
-              resolvePath(dir, entryPath(e)) }: _*)
+        // assembled read: tombstones positioned after a touched entry
+        // still filter its rows, so the rewrite (which lands after every
+        // tombstone) cannot resurrect merge-on-read-deleted rows
+        val survivors = assembleRead(spark, dir, prev, mergeSchema = true,
+            keep = e => touched(dataKey(e.path)))
           .join(updates.select(keyCols: _*), keys, "left_anti")
         // evolution is one-directional: updates may ADD columns, but an
         // update frame MISSING an existing data column would silently
@@ -1465,10 +1573,80 @@ object ManifestSink {
       mergeSchema: Boolean = false): DataFrame = {
     val v = version(spark, dir)
     require(v >= 0, s"ManifestSink at $dir has no committed version")
-    val paths = manifestEntries(spark, dir, v)
-      .map(e => resolvePath(dir, entryPath(e)))
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(paths: _*)
+    assembleRead(spark, dir, v, mergeSchema)
+  }
+
+  /** Assemble a snapshot from version `v`'s manifest lines, applying
+    * merge-on-read delete tombstones (see [[TombKey]]) by MANIFEST
+    * POSITION: a data entry's rows are anti-joined against every
+    * tombstone that appears LATER in the entry list. `keep` restricts
+    * which DATA entries are scanned (the pruned-read hook) — tombstones
+    * always apply in full, so a pruned read agrees with
+    * `read(...).filter(...)` exactly. `pathCol` optionally tags each row
+    * with its entry's `data/...` key, extracted MAP-SIDE before any
+    * join (post-join `input_file_name()` is not reliable).
+    *
+    * Tombstone-free snapshots take the exact pre-tombstone plan: one
+    * multi-path parquet scan, zero overhead. With tombstones, data
+    * entries group by their count of preceding tombstones (entries in a
+    * group share the same applicable tombstone suffix), each group scans
+    * once with a literal group id, and each tombstone key-shape applies
+    * as ONE broadcast left-anti join with the position rule
+    * `tombstoneIdx >= groupId` — delete files are key lists (small by
+    * construction), so the anti-join never shuffles the data side. */
+  private def assembleRead(spark: SparkSession, dir: String, v: Long,
+      mergeSchema: Boolean, keep: Entry => Boolean = _ => true,
+      pathCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
+      lit, regexp_extract}
+    val parsed = manifestEntries(spark, dir, v).map(parseEntry)
+    // a data entry's group id = how many tombstones precede it; a
+    // tombstone's id = its 0-based position among tombstones. Tombstone
+    // j applies to a data entry with group id s exactly when j >= s.
+    var nt = 0
+    val data = Seq.newBuilder[(Entry, Int)]
+    val tombs = Seq.newBuilder[(Entry, Int)]
+    parsed.foreach { e =>
+      if (isTombEntry(e)) { tombs += ((e, nt)); nt += 1 }
+      else data += ((e, nt))
+    }
+    val keptData = data.result().filter { case (e, _) => keep(e) }
+    require(keptData.nonEmpty,
+      s"ManifestSink at $dir v$v has no data entries to read")
+    def scan(paths: Seq[String]): DataFrame = {
+      val df = spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(paths: _*)
+      pathCol.fold(df)(c => df.withColumn(c,
+        regexp_extract(input_file_name(), "(data/.+)/[^/]+$", 1)))
+    }
+    val ts = tombs.result()
+    if (ts.isEmpty)
+      return scan(keptData.map { case (e, _) => resolvePath(dir, e.path) })
+    val seg = "__mor_seg"
+    val base = keptData.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (s, es) =>
+        scan(es.map { case (e, _) => resolvePath(dir, e.path) })
+          .withColumn(seg, lit(s))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+    // one anti-join per tombstone KEY SHAPE (deletes on different key
+    // columns compose); within a shape all delete files union with their
+    // global tombstone position
+    val out = ts.groupBy { case (e, _) => tombKeyCols(e) }.toSeq
+      .sortBy(_._1.mkString(","))
+      .foldLeft(base) { case (acc, (keyCols, shape)) =>
+        val tombDf = shape.map { case (e, j) =>
+          spark.read.parquet(resolvePath(dir, e.path))
+            .select(keyCols.map(col): _*)
+            .toDF(keyCols.map("__mor_" + _): _*)
+            .withColumn("__mor_tj", lit(j))
+        }.reduce(_ unionByName _)
+        // plain (not null-safe) equality: null-keyed rows survive a
+        // delete, the SQL DELETE semantics [[deleteWhere]] documents
+        val cond = keyCols.map(k => acc(k) === tombDf(s"__mor_$k"))
+          .reduce(_ && _) && tombDf("__mor_tj") >= acc(seg)
+        acc.join(broadcast(tombDf), cond, "left_anti")
+      }
+    out.drop(seg)
   }
 
   /** Time-travel read: the snapshot exactly as committed at version `v`.
@@ -1482,8 +1660,7 @@ object ManifestSink {
     require(v >= 0, s"version must be >= 0, got $v")
     val lines = manifestEntries(spark, dir, v)
     require(lines.nonEmpty, s"version $v has no manifest at $dir")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(lines.map(e => resolvePath(dir, entryPath(e))): _*)
+    assembleRead(spark, dir, v, mergeSchema)
   }
 
   /** Data directories added and removed between two committed versions —
@@ -1509,6 +1686,17 @@ object ManifestSink {
   def changes(spark: SparkSession, dir: String, fromV: Long,
       toV: Long, mergeSchema: Boolean = false): DataFrame = {
     val (added, _) = changedEntries(spark, dir, fromV, toV)
+    // a merge-on-read delete in the window is a RETRACTION: a file-level
+    // incremental read cannot express it (and the tombstone file itself
+    // is keys, not rows). Refuse loudly — the same contract as the
+    // rewrite refusal every incremental consumer already applies —
+    // rather than silently hand the consumer rows that no longer exist.
+    val tombPaths = manifestEntries(spark, dir, toV).map(parseEntry)
+      .filter(isTombEntry).map(_.path).toSet
+    require(!added.exists(tombPaths),
+      s"merge-on-read delete committed in ($fromV, $toV] at $dir — " +
+        "file-level incremental reads cannot express deletes; use " +
+        "changesByKey or recompute from the snapshot")
     if (added.isEmpty) readAt(spark, dir, toV, mergeSchema).limit(0)
     else spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(added.map(e => resolvePath(dir, e)): _*)
