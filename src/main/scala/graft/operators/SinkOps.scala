@@ -860,7 +860,105 @@ object SinkOps {
        |  ${Exact.sqlSum("value")} AS sum_value
        |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  /** Multi-column layout diagnosis through the gate
+    * ([[graft.sinks.LayoutAdvisor.report]]'s conjunctive form): three
+    * two-column layouts of orders — `interleaved2d` (4 mod-slices, every
+    * batch spanning both key ranges → every pair co-scannable → zorder),
+    * `grid` (4 half×half cells: every pair separated on at least one
+    * column → healthy), and the DISCRIMINATOR `striped` (3 orderkey
+    * range slices whose custkey ranges all overlap: a single-column
+    * custkey diagnosis would demand a recluster, but no conjunctive
+    * range query can co-scan two stripes — the conjunctive count is 0,
+    * healthy). The oracle recomputes every batch's count and BOTH
+    * columns' ranges from closed-form slice predicates and applies the
+    * same both-columns-overlap pair rule — an overlap rule that ORs
+    * instead of ANDs, or drops a column, hash-mismatches.
+    *
+    * Scale: identical to q124 — one manifest read per table, decisions
+    * batch-count-sized, no data opened. The maintenance this verdict
+    * drives is the real [[graft.sinks.ManifestSink.compactZOrder]]
+    * (LayoutAdvisorSpec proves the apply loop lands `zordered` and the
+    * re-report goes healthy by z-prefix disjointness). */
+  private val q133: Q = (s, dir) => {
+    import s.implicits._
+    val src = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val agg = src.agg(max($"o_orderkey"), max($"o_custkey")).head()
+    val (maxK, maxC) = (agg.getLong(0), agg.getLong(1))
+    val (cut1, cut2) = (maxK / 3, 2 * maxK / 3)
+    val (kcut, ccut) = (maxK / 2, maxC / 2)
+    val root = freshScratch("graft_q133", dir)
+    val cols = Seq("o_orderkey", "o_custkey")
+    val inter = root + "/interleaved2d"
+    ManifestSink.appendPartitioned(
+      src.withColumn("b", $"o_orderkey" % 4), inter, "b", cols)
+    val grid = root + "/grid"
+    ManifestSink.appendPartitioned(
+      src.withColumn("b",
+        when($"o_orderkey" <= kcut, 0).otherwise(2) +
+          when($"o_custkey" <= ccut, 0).otherwise(1)),
+      grid, "b", cols)
+    val striped = root + "/striped"
+    ManifestSink.appendPartitioned(
+      src.withColumn("b",
+        when($"o_orderkey" <= cut1, 0)
+          .when($"o_orderkey" <= cut2, 1).otherwise(2)),
+      striped, "b", cols)
+    val total = ManifestSink.rowCount(s, grid).get
+    graft.sinks.LayoutAdvisor.report(s,
+      Seq("interleaved2d" -> inter, "grid" -> grid, "striped" -> striped),
+      cols, smallRows = total / 8)
+      .orderBy($"table_name")
+  }
+  private val q133Sql =
+    """WITH src AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+      |cuts AS (
+      |  SELECT MAX(k) // 3 AS cut1, 2 * MAX(k) // 3 AS cut2,
+      |         MAX(k) // 2 AS kcut, MAX(c) // 2 AS ccut,
+      |         COUNT(*) // 8 AS small_rows
+      |  FROM src),
+      |batches AS (
+      |  SELECT 'interleaved2d' AS t, k % 4 AS b, COUNT(*) AS cnt,
+      |         MIN(k) AS klo, MAX(k) AS khi, MIN(c) AS clo, MAX(c) AS chi
+      |  FROM src GROUP BY k % 4
+      |  UNION ALL
+      |  SELECT 'grid',
+      |    (CASE WHEN k <= kcut THEN 0 ELSE 2 END)
+      |      + (CASE WHEN c <= ccut THEN 0 ELSE 1 END),
+      |    COUNT(*), MIN(k), MAX(k), MIN(c), MAX(c)
+      |  FROM src CROSS JOIN cuts
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'striped',
+      |    CASE WHEN k <= cut1 THEN 0 WHEN k <= cut2 THEN 1 ELSE 2 END,
+      |    COUNT(*), MIN(k), MAX(k), MIN(c), MAX(c)
+      |  FROM src CROSS JOIN cuts
+      |  GROUP BY 2),
+      |agg AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_batches,
+      |         CAST(SUM(cnt) AS BIGINT) AS total_rows
+      |  FROM batches GROUP BY t),
+      |ov AS (
+      |  SELECT a.t, CAST(COUNT(*) AS BIGINT) AS overlap_pairs
+      |  FROM batches a JOIN batches b
+      |    ON a.t = b.t AND a.b < b.b
+      |   AND a.klo <= b.khi AND b.klo <= a.khi
+      |   AND a.clo <= b.chi AND b.clo <= a.chi
+      |  GROUP BY a.t)
+      |SELECT agg.t AS table_name, agg.n_batches, agg.total_rows,
+      |  agg.total_rows // agg.n_batches AS avg_batch_rows,
+      |  COALESCE(ov.overlap_pairs, 0) AS overlap_pairs,
+      |  CASE
+      |    WHEN agg.total_rows // agg.n_batches < cuts.small_rows
+      |      THEN 'compact'
+      |    WHEN COALESCE(ov.overlap_pairs, 0) > 0 THEN 'zorder'
+      |    ELSE 'healthy'
+      |  END AS recommendation
+      |FROM agg LEFT JOIN ov ON agg.t = ov.t CROSS JOIN cuts
+      |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q133_layout_2d" -> q133,
     "q132_mor_delete" -> q132,
     "q88_manifest_roundtrip" -> q88,
     "q105_cdc_feed" -> q105,
@@ -877,6 +975,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q133_layout_2d" -> q133Sql,
     "q132_mor_delete" -> q132Sql,
     "q88_manifest_roundtrip" -> q88Sql,
     "q105_cdc_feed" -> q105Sql,

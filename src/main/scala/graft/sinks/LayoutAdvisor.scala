@@ -45,7 +45,22 @@ object LayoutAdvisor {
     * a target file size, or — scale-free — from a fraction of the
     * table's own row count). */
   def report(spark: SparkSession, tables: Seq[(String, String)],
-      statsCol: String, smallRows: Long): DataFrame = {
+      statsCol: String, smallRows: Long): DataFrame =
+    report(spark, tables, Seq(statsCol), smallRows)
+
+  /** Multi-column form: a batch pair counts as overlapping only when
+    * its ranges overlap on EVERY column of `statsCols` — the exact
+    * condition under which a conjunctive range query can co-scan both
+    * batches (overlap on one column alone never defeats pruning if
+    * another column separates them, so counting it would misdiagnose a
+    * column-striped layout as needing recluster). A batch missing stats
+    * for a column is range-undecidable ON THAT COLUMN and counts as
+    * overlapping there — the pruner's own conservative reading
+    * ([[ManifestSink.ColStats.overlaps]]). With one column this reduces
+    * to the single-column rule exactly. */
+  def report(spark: SparkSession, tables: Seq[(String, String)],
+      statsCols: Seq[String], smallRows: Long): DataFrame = {
+    require(statsCols.nonEmpty, "report requires at least one stats column")
     val rows = tables.map { case (name, dir) =>
       val v = ManifestSink.version(spark, dir)
       require(v >= 0, s"LayoutAdvisor: no committed version at $dir")
@@ -57,13 +72,13 @@ object LayoutAdvisor {
       val nb = entries.size.toLong
       val total = ManifestSink.rowCount(spark, dir).getOrElse(
         ManifestSink.read(spark, dir).count())
-      val bounds = entries.map(_.stats.get(statsCol))
+      val bounds = entries.map(e => statsCols.map(e.stats.get))
       val overlapPairs = bounds.zipWithIndex.map { case (a, i) =>
         bounds.drop(i + 1).count { b =>
-          (a, b) match {
+          a.zip(b).forall {
             case (Some(sa), Some(sb)) =>
               sa.overlaps(Some(sb.min), Some(sb.max))
-            case _ => true // stats-less batch: range-undecidable
+            case _ => true // stats-less on this column: undecidable
           }
         }.toLong
       }.sum
@@ -78,28 +93,46 @@ object LayoutAdvisor {
       "total_rows", "avg_batch_rows", "overlap_pairs", "recommendation")
   }
 
-  /** Act on the report — the self-maintaining-table loop: `compact` and
-    * `zorder` verdicts both run [[ManifestSink.compact]] clustered on
-    * `statsCol` (for a single clustering dimension a sorted rewrite IS
-    * the recluster — tight, disjoint ranges in one batch; multi-column
-    * clustering is [[ManifestSink.compactZOrder]]'s job and stays a
-    * caller decision); `healthy` tables are not touched (no commit, no
-    * version bump). Returns the pre-maintenance report plus an `action`
-    * column recording what ran — re-run [[report]] afterwards to observe
-    * the layout go healthy. Each rewrite is one distributed job
-    * committing against a pinned version (concurrent appends fail the
-    * maintenance commit loudly, never the other way around). */
+  /** Act on the report — the self-maintaining-table loop. With one
+    * stats column, `compact` and `zorder` verdicts both run
+    * [[ManifestSink.compact]] clustered on it (for a single clustering
+    * dimension a sorted rewrite IS the recluster — tight, disjoint
+    * ranges in one batch). `healthy` tables are not touched (no commit,
+    * no version bump). Returns the pre-maintenance report plus an
+    * `action` column recording what ran — re-run [[report]] afterwards
+    * to observe the layout go healthy. Each rewrite is one distributed
+    * job committing against a pinned version (concurrent appends fail
+    * the maintenance commit loudly, never the other way around). */
   def applyRecommendations(spark: SparkSession,
       tables: Seq[(String, String)], statsCol: String,
+      smallRows: Long): DataFrame =
+    applyRecommendations(spark, tables, Seq(statsCol), smallRows)
+
+  /** Multi-column form: a `zorder` verdict runs the REAL
+    * [[ManifestSink.compactZOrder]] on `statsCols` (action `zordered`).
+    * This closes the loop the conjunctive report opens: any two
+    * distinct z-bucket entries differ somewhere in their z-prefix, the
+    * highest differing bit belongs to some dimension whose cell bits
+    * above it agree — so that dimension's cells (and hence value
+    * ranges) are disjoint, the pair cannot conjunctively overlap, and
+    * the post-maintenance report is `healthy` by construction. A
+    * `compact` verdict (small files dominate, clustering secondary)
+    * keeps the single-job lexicographic sorted rewrite. */
+  def applyRecommendations(spark: SparkSession,
+      tables: Seq[(String, String)], statsCols: Seq[String],
       smallRows: Long): DataFrame = {
     val dirByName = tables.toMap
-    val rep = report(spark, tables, statsCol, smallRows).collect()
+    val rep = report(spark, tables, statsCols, smallRows).collect()
     val acted = rep.map { r =>
       val name = r.getString(0)
       val action = r.getString(5) match {
+        case "zorder" if statsCols.size >= 2 =>
+          ManifestSink.compactZOrder(spark, dirByName(name),
+            zCols = statsCols, statsCols = statsCols)
+          "zordered"
         case "compact" | "zorder" =>
           ManifestSink.compact(spark, dirByName(name),
-            statsCols = Seq(statsCol), sortCols = Seq(statsCol))
+            statsCols = statsCols, sortCols = statsCols)
           "compacted_sorted"
         case _ => "none"
       }

@@ -67,6 +67,51 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(ManifestSink.version(spark, ranged) === rangedV)
   }
 
+  test("conjunctive multi-column overlap: a column-striped layout is " +
+      "healthy, and a 2-D zorder verdict repairs via real compactZOrder") {
+    val root = Files.createTempDirectory("advisor2d").toString
+    // striped: disjoint on a, fully overlapping on b — no conjunctive
+    // range query co-scans the batches, so the 2-col verdict is healthy
+    // (a single-column diagnosis on b would demand a recluster)
+    val striped = root + "/striped"
+    ManifestSink.appendWithStats(
+      Seq((1L, 10L), (2L, 90L)).toDF("a", "b"), striped, Seq("a", "b"))
+    ManifestSink.appendWithStats(
+      Seq((5L, 20L), (6L, 80L)).toDF("a", "b"), striped, Seq("a", "b"))
+    // interleaved on BOTH columns: genuinely co-scannable
+    val inter = root + "/inter"
+    val mk = (off: Long) => (0L until 64L)
+      .map(i => (off + i * 3 % 61, off + i * 7 % 61)).toDF("a", "b")
+    ManifestSink.appendWithStats(mk(0L), inter, Seq("a", "b"))
+    ManifestSink.appendWithStats(mk(1L), inter, Seq("a", "b"))
+
+    val rep = LayoutAdvisor.report(spark,
+        Seq("striped" -> striped, "inter" -> inter), Seq("a", "b"), 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getString(5)))
+      .toMap
+    assert(rep("striped") === ((0L, "healthy")))
+    assert(rep("inter") === ((1L, "zorder")))
+    // single-column-on-b sanity: the stripe WOULD have been misdiagnosed
+    assert(LayoutAdvisor.report(spark, Seq("s" -> striped), "b", 1L)
+      .head().getString(5) === "zorder")
+
+    val before = ManifestSink.read(spark, inter)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val acted = LayoutAdvisor.applyRecommendations(spark,
+        Seq("striped" -> striped, "inter" -> inter), Seq("a", "b"), 1L)
+      .collect().map(r => r.getString(0) -> r.getString(6)).toMap
+    assert(acted("inter") === "zordered")
+    assert(acted("striped") === "none")
+    // content identical, and the re-report goes healthy by z-prefix
+    // disjointness (every z-bucket pair separates on some dimension)
+    assert(ManifestSink.read(spark, inter)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === before)
+    val rep2 = LayoutAdvisor.report(spark, Seq("inter" -> inter),
+      Seq("a", "b"), 1L).head()
+    assert(rep2.getLong(4) === 0L && rep2.getString(5) === "healthy")
+  }
+
   test("a stats-less batch is range-undecidable and counts as overlapping") {
     val root = Files.createTempDirectory("advisor").toString
     val t = root + "/t"
