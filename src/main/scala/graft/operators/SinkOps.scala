@@ -957,7 +957,123 @@ object SinkOps {
       |FROM agg LEFT JOIN ov ON agg.t = ov.t CROSS JOIN cuts
       |ORDER BY table_name""".stripMargin
 
+  // --------------------------------------------------------------- q134
+  /** Join planning from metadata through the gate
+    * ([[ManifestSink.joinPlan]] — the decision [[q127]]'s overlap
+    * estimate exists to feed): three table pairs with distinct right
+    * answers — customer⋈nation on nationkey (a 25-row dimension →
+    * `broadcast`), customer⋈orders on custkey (both big, keys
+    * near-coextensive → `shuffle`), lineitem⋈low-orders on orderkey
+    * (both big, but the dimension holds only the bottom 1/25th of the
+    * key domain → ~96 % of the fact side dies in the join →
+    * `prefilter_semi`). Row counts come off manifest entry counts, NDV
+    * and overlap off stored KMV sketches; the oracle recomputes every
+    * count, sketch, estimate, and the same fixed-order decision rules
+    * from the source tables — a planner reading the wrong metadata,
+    * mixing up sides, or reordering the double arithmetic
+    * hash-mismatches. The broadcast floor is lineitem-rows/200:
+    * scale-free, so all three verdicts hold at every SF.
+    *
+    * Scale: the entire plan row costs two manifest reads per pair —
+    * this is the broadcast/shuffle/filter-first choice made BEFORE
+    * touching 100 TB, from stats the commits already wrote. */
+  private val q134: Q = (s, dir) => {
+    import s.implicits._
+    val root = freshScratch("graft_q134", dir)
+    def sink(name: String, df: DataFrame, c: String): String = {
+      val p = root + "/" + name
+      ManifestSink.appendWithStats(df, p, Seq(c), ndvCols = Seq(c))
+      p
+    }
+    val cust = Tables(s, dir, "customer")
+    val ords = Tables(s, dir, "orders")
+    val maxO = ords.agg(max($"o_orderkey")).head().getLong(0)
+    val custNk = sink("cust_nk", cust.select($"c_nationkey"), "c_nationkey")
+    val natNk = sink("nat_nk",
+      Tables(s, dir, "nation").select($"n_nationkey"), "n_nationkey")
+    val custCk = sink("cust_ck", cust.select($"c_custkey"), "c_custkey")
+    val ordsCk = sink("ords_ck", ords.select($"o_custkey"), "o_custkey")
+    val liOk = sink("li_ok",
+      Tables(s, dir, "lineitem").select($"l_orderkey"), "l_orderkey")
+    val ordsLow = sink("ords_low",
+      ords.select($"o_orderkey").filter($"o_orderkey" <= maxO / 25),
+      "o_orderkey")
+    val bc = ManifestSink.rowCount(s, liOk).get / 200
+    def row(pair: String, a: String, ca: String, b: String, cb: String) = {
+      val p = ManifestSink.joinPlan(s, a, ca, b, cb, bc).get
+      (pair, p.rowsA, p.rowsB, p.ndvA, p.ndvB, p.estKeyOverlap,
+        p.estJoinRows, p.strategy)
+    }
+    Seq(
+      row("customer_nation", custNk, "c_nationkey", natNk, "n_nationkey"),
+      row("customer_orders", custCk, "c_custkey", ordsCk, "o_custkey"),
+      row("lineitem_lowkeys", liOk, "l_orderkey", ordsLow, "o_orderkey"))
+      .toDF("pair", "rows_a", "rows_b", "ndv_a", "ndv_b",
+        "est_key_overlap", "est_join_rows", "strategy")
+      .orderBy($"pair")
+  }
+  private val q134Sql = {
+    import graft.functions.PortableHash.{P, tokenHashPSql}
+    val k = ManifestSink.NdvSketchK
+    val k1p = (k - 1).toLong * P
+    def est(kside: String) =
+      s"""(SELECT CASE WHEN COUNT(*) >= $k
+         |   THEN CAST($k1p AS DOUBLE) / MAX(h)
+         |   ELSE CAST(COUNT(*) AS DOUBLE) END FROM $kside)""".stripMargin
+    def pair(p: String, name: String, exprA: String, srcA: String,
+        exprB: String, srcB: String) =
+      s"""ha_$p AS (
+         |  SELECT DISTINCT ${tokenHashPSql(exprA)} AS h FROM $srcA),
+         |ka_$p AS (SELECT h FROM ha_$p ORDER BY h LIMIT $k),
+         |hb_$p AS (
+         |  SELECT DISTINCT ${tokenHashPSql(exprB)} AS h FROM $srcB),
+         |kb_$p AS (SELECT h FROM hb_$p ORDER BY h LIMIT $k),
+         |un_$p AS (
+         |  SELECT h FROM (SELECT h FROM ka_$p UNION SELECT h FROM kb_$p)
+         |  ORDER BY h LIMIT $k),
+         |fin_$p AS (
+         |  SELECT '$name' AS pair,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $srcA) AS rows_a,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $srcB) AS rows_b,
+         |    ${est(s"ka_$p")} AS ndv_a,
+         |    ${est(s"kb_$p")} AS ndv_b,
+         |    (SELECT
+         |       (CAST(SUM(CASE WHEN h IN (SELECT h FROM ka_$p)
+         |                       AND h IN (SELECT h FROM kb_$p)
+         |                  THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / (CASE WHEN COUNT(*) < $k THEN COUNT(*) ELSE $k END))
+         |       * (CASE WHEN COUNT(*) >= $k
+         |            THEN CAST($k1p AS DOUBLE) / MAX(h)
+         |            ELSE CAST(COUNT(*) AS DOUBLE) END)
+         |     FROM un_$p) AS est_key_overlap)""".stripMargin
+    s"""WITH mxo AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+       |bct AS (SELECT COUNT(*) // 200 AS bc FROM lineitem),
+       |${pair("cn", "customer_nation", "c_nationkey", "customer",
+         "n_nationkey", "nation")},
+       |${pair("co", "customer_orders", "c_custkey", "customer",
+         "o_custkey", "orders")},
+       |${pair("ll", "lineitem_lowkeys", "l_orderkey", "lineitem",
+         "o_orderkey",
+         "(SELECT o_orderkey FROM orders CROSS JOIN mxo" +
+           " WHERE o_orderkey <= mx // 25)")},
+       |allp AS (
+       |  SELECT * FROM fin_cn UNION ALL
+       |  SELECT * FROM fin_co UNION ALL
+       |  SELECT * FROM fin_ll)
+       |SELECT pair, rows_a, rows_b, ndv_a, ndv_b, est_key_overlap,
+       |  ((CAST(rows_a AS DOUBLE) / ndv_a)
+       |    * (CAST(rows_b AS DOUBLE) / ndv_b)) * est_key_overlap
+       |    AS est_join_rows,
+       |  CASE WHEN LEAST(rows_a, rows_b) <= (SELECT bc FROM bct)
+       |         THEN 'broadcast'
+       |       WHEN est_key_overlap * 20.0 < GREATEST(ndv_a, ndv_b)
+       |         THEN 'prefilter_semi'
+       |       ELSE 'shuffle' END AS strategy
+       |FROM allp ORDER BY pair""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_join_plan" -> q134,
     "q133_layout_2d" -> q133,
     "q132_mor_delete" -> q132,
     "q88_manifest_roundtrip" -> q88,
@@ -975,6 +1091,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q134_join_plan" -> q134Sql,
     "q133_layout_2d" -> q133Sql,
     "q132_mor_delete" -> q132Sql,
     "q88_manifest_roundtrip" -> q88Sql,

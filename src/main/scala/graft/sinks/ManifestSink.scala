@@ -545,6 +545,56 @@ object ManifestSink {
     }
   }
 
+  /** The decision [[ndvOverlap]] exists to feed, fully evaluated:
+    * (rows, NDV, key overlap) → join cardinality estimate + strategy.
+    * See [[joinPlan]]. */
+  final case class JoinPlan(rowsA: Long, rowsB: Long, ndvA: Double,
+      ndvB: Double, estKeyOverlap: Double, estJoinRows: Double,
+      strategy: String)
+
+  /** Metadata-only JOIN PLANNING — the storage layer answering "how
+    * should these two tables join?" before any data is read: row counts
+    * come off the manifests' per-entry counts, per-side NDV and the key
+    * overlap off the stored KMV sketches (two small-file reads total).
+    * The cardinality estimate is the classic uniform-frequency model
+    * restricted to the estimated key intersection:
+    * `rowsA/ndvA · rowsB/ndvB · |A∩B|`. Strategy, in decision order:
+    *
+    *   1. `broadcast` — either side's ROW count is at or under
+    *      `broadcastRows`: ship the small side to every task, no
+    *      shuffle at all (Spark's own broadcast-join rule, decided here
+    *      from manifest counts instead of scan-size guesses).
+    *   2. `prefilter_semi` — the estimated key intersection is under
+    *      1/20 of the LARGER side's key set: most of the big side's
+    *      rows die in the join, so a bloom/semi-join prefilter built
+    *      from the other side's keys pays for itself before the
+    *      shuffle (the low-overlap warning [[ndvOverlap]] documents).
+    *   3. `shuffle` — both sides big, overlap material: the plain
+    *      hash-partitioned join is the right plan.
+    *
+    * Every input is deterministic given the manifests (counts are
+    * exact, sketch arithmetic is fixed-order double math), so an
+    * external engine reproduces the full plan row bit-exactly — q134
+    * holds this function's output to a DuckDB oracle. None when either
+    * side lacks row counts or sketches on the join column (plan from
+    * data when metadata can't answer — never guess). */
+  def joinPlan(spark: SparkSession, dirA: String, colA: String,
+      dirB: String, colB: String, broadcastRows: Long): Option[JoinPlan] =
+    for {
+      ra <- rowCount(spark, dirA)
+      rb <- rowCount(spark, dirB)
+      na <- ndvEstimate(spark, dirA, colA)
+      nb <- ndvEstimate(spark, dirB, colB)
+      (_, inter, _) <- ndvOverlap(spark, dirA, colA, dirB, colB)
+    } yield {
+      val est = ra.toDouble / na * (rb.toDouble / nb) * inter
+      val strategy =
+        if (math.min(ra, rb) <= broadcastRows) "broadcast"
+        else if (inter * 20.0 < math.max(na, nb)) "prefilter_semi"
+        else "shuffle"
+      JoinPlan(ra, rb, na, nb, inter, est, strategy)
+    }
+
   /** true iff `value` might be present per the entry's bloom for `c`
     * (no bloom recorded → unknown → true). Integral values widen to Long
     * to match how the writer's aggregate hashed them. */

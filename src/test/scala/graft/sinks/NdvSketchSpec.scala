@@ -67,4 +67,33 @@ class NdvSketchSpec extends SparkSpec {
     ManifestSink.append(Seq("another").toDF("u"), dir)
     assert(ManifestSink.ndvEstimate(spark, dir, "u") === None)
   }
+
+  test("joinPlan decides broadcast/prefilter/shuffle from metadata and " +
+      "degrades to None when a side lacks sketches") {
+    val root = Files.createTempDirectory("jplan").toString
+    def mk(name: String, vals: Seq[Long]): String = {
+      val d = root + "/" + name
+      ManifestSink.appendWithStats(vals.toDF("k"), d, Seq("k"),
+        ndvCols = Seq("k"))
+      d
+    }
+    val big = mk("big", (1L to 100L) ++ (1L to 100L)) // 200 rows, 100 keys
+    val dim = mk("dim", 1L to 100L)                    // full overlap
+    val low = mk("low", 1L to 2L)                      // 2% of big's keys
+    // broadcast: the 100-row dim fits under the floor
+    assert(ManifestSink.joinPlan(spark, big, "k", dim, "k", 100L)
+      .get.strategy === "broadcast")
+    // shuffle: both sides over the floor, keys coextensive
+    assert(ManifestSink.joinPlan(spark, big, "k", dim, "k", 50L)
+      .get.strategy === "shuffle")
+    // prefilter: overlap is 2 of big's 100 keys — under the 1/20 rule
+    val p = ManifestSink.joinPlan(spark, big, "k", low, "k", 1L).get
+    assert(p.strategy === "prefilter_semi")
+    // exact-below-k sketches make the estimate exact: 200/100 * 2/2 * 2
+    assert(p.estJoinRows === 4.0)
+    // a side without sketches can't be planned from metadata
+    val bare = root + "/bare"
+    ManifestSink.append((1L to 10L).toDF("k"), bare)
+    assert(ManifestSink.joinPlan(spark, big, "k", bare, "k", 1L) === None)
+  }
 }
