@@ -318,7 +318,127 @@ object Relational4 {
       |FROM customer c
       |ORDER BY c.c_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  /** Per-group RESAMPLE with forward-fill and linear interpolation — the
+    * time-series regularization q92's zero-filled spine cannot express
+    * (a sensor/metric series wants the LAST OBSERVED value carried
+    * across gaps, or the gap interpolated, not zeros): each sampled
+    * user's events aggregate to an hourly mean, a per-user hourly grid
+    * spans that user's own [first, last] observed hour, and every gap
+    * hour carries v_ffill (last observation carried forward) and v_lerp
+    * (linear interpolation between the bracketing observations, exact
+    * on integer hour indexes).
+    *
+    * Spark-first: the grid is `sequence(h0, h1, 1 hour)` EXPLODED
+    * map-side off a per-user min/max aggregate — no recursion, no
+    * driver loop, grid size = the user's own span (never
+    * users × global span); the fills are two running windows
+    * (`last(ignoreNulls)` / `first(ignoreNulls)`) over the same
+    * user-hash partitioning the grid join already established — one
+    * exchange end to end. All fill arithmetic is fixed-order double
+    * math over exact inputs (decimal hour-mean, integer hour deltas),
+    * so the oracle reproduces every interpolated value bit-exactly.
+    *
+    * Scale: partition by user (high cardinality); per-user cost is
+    * span-bounded; a pathological always-on user costs its span, not
+    * the table. The 1-in-10 user sample keeps the emitted grid
+    * ~100k rows at sf0.1 — the operator itself is sample-free. */
+  private val q135: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val e = Tables(s, dir, "events").filter($"user_id" % 10 === 0)
+    val hourly = e
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_obs"), Exact.dsum($"value").as("sv"))
+      .withColumn("v_hour",
+        $"sv".cast("double") / $"n_obs".cast("double"))
+      .drop("sv")
+    val spine = hourly.groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val j = spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("hidx", (unix_timestamp($"hour") / 3600L).cast("long"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"hidx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"hidx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("v_ffill",
+        last($"v_hour", ignoreNulls = true).over(wPrev))
+      .withColumn("prev_h",
+        last(when($"v_hour".isNotNull, $"hidx"), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("next_v",
+        first($"v_hour", ignoreNulls = true).over(wNext))
+      .withColumn("next_h",
+        first(when($"v_hour".isNotNull, $"hidx"), ignoreNulls = true)
+          .over(wNext))
+      .withColumn("v_lerp", when($"v_hour".isNotNull, $"v_hour")
+        .otherwise($"v_ffill" + ($"next_v" - $"v_ffill") *
+          (($"hidx" - $"prev_h").cast("double") /
+            ($"next_h" - $"prev_h").cast("double"))))
+      .select($"user_id", $"hidx",
+        coalesce($"n_obs", lit(0L)).as("n_obs"),
+        $"v_hour", $"v_ffill", $"v_lerp")
+      .orderBy($"user_id", $"hidx")
+  }
+  private val q135Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS hh, "value"
+       |  FROM events WHERE user_id % 10 = 0),
+       |hourly AS (
+       |  SELECT user_id, hh, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       |    ${Exact.sqlSum("\"value\"")} AS sv
+       |  FROM e GROUP BY user_id, hh),
+       |hourly2 AS (
+       |  SELECT user_id, hh, n_obs,
+       |    CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE) AS v_hour
+       |  FROM hourly),
+       |b AS (SELECT user_id, MIN(hh) AS h0, MAX(hh) AS h1
+       |      FROM hourly GROUP BY user_id),
+       |spine AS (
+       |  SELECT user_id,
+       |    UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hh
+       |  FROM b),
+       |j AS (
+       |  SELECT s.user_id,
+       |    CAST(epoch(s.hh) AS BIGINT) // 3600 AS hidx,
+       |    h.n_obs, h.v_hour
+       |  FROM spine s LEFT JOIN hourly2 h
+       |    ON s.user_id = h.user_id AND s.hh = h.hh),
+       |w AS (
+       |  SELECT user_id, hidx, CAST(COALESCE(n_obs, 0) AS BIGINT)
+       |      AS n_obs, v_hour,
+       |    LAST_VALUE(v_hour IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY hidx
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS v_ffill,
+       |    LAST_VALUE(CASE WHEN v_hour IS NOT NULL THEN hidx END
+       |        IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY hidx
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS prev_h,
+       |    FIRST_VALUE(v_hour IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY hidx
+       |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS next_v,
+       |    FIRST_VALUE(CASE WHEN v_hour IS NOT NULL THEN hidx END
+       |        IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY hidx
+       |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS next_h
+       |  FROM j)
+       |SELECT user_id, hidx, n_obs, v_hour, v_ffill,
+       |  CASE WHEN v_hour IS NOT NULL THEN v_hour
+       |       ELSE v_ffill + (next_v - v_ffill)
+       |         * (CAST(hidx - prev_h AS DOUBLE)
+       |            / CAST(next_h - prev_h AS DOUBLE)) END AS v_lerp
+       |FROM w ORDER BY user_id, hidx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q135_resample_ffill" -> q135,
     "q92_recursive_spine" -> q92,
     "q93_lateral_topk" -> q93,
     "q95_sliding_time_window" -> q95,
@@ -327,6 +447,7 @@ object Relational4 {
     "q103_correlated_subqueries" -> q103)
 
   val oracleSql: Map[String, String] = Map(
+    "q135_resample_ffill" -> q135Sql,
     "q92_recursive_spine" -> q92Sql,
     "q93_lateral_topk" -> q93Sql,
     "q95_sliding_time_window" -> q95Sql,
