@@ -660,7 +660,88 @@ object EventOps {
       |FROM ema
       |ORDER BY event_type, day""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  /** Rolling anomaly detection — the monitoring query a metrics pipeline
+    * runs over every series it ingests: each user's hourly mean value is
+    * scored against the mean/stddev of their own PREVIOUS 24 observed
+    * hours (a trailing baseline that excludes the current point, so a
+    * spike can't mask itself), z = (v − μ)/σ, flagged at |z| > 3. Scores
+    * are emitted only once 8 prior observations exist (cold series don't
+    * alarm) and σ > 0 (a constant baseline scores nothing rather than
+    * ±∞).
+    *
+    * Cross-engine exactness: the rolling μ and σ derive from DECIMAL
+    * frame sums of v and v² ([[graft.functions.Exact]] — the
+    * order-independent accumulation), variance via the fixed-order
+    * E[v²]−μ² form floored at 0 (catastrophic cancellation on a
+    * near-constant series must not produce NaN on one engine and 0 on
+    * the other), and sqrt/divide are correctly-rounded IEEE — every z
+    * is bit-identical in DuckDB.
+    *
+    * Scale: one (user, hour) hash aggregate, then ONE sort-window per
+    * user ordered by hour computing all three frame aggregates — the
+    * same single-exchange shape as every per-entity window here; frames
+    * are 24 rows whatever the history length. */
+  private val q137: Q = (s, dir) => {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 4)
+    val hourly = Tables(s, dir, "events")
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_obs"), dsum($"value").as("sv"))
+      .withColumn("v", $"sv".cast("double") / $"n_obs".cast("double"))
+      .withColumn("hidx", (unix_timestamp($"hour") / 3600L).cast("long"))
+    val wTrail = Window.partitionBy($"user_id").orderBy($"hidx")
+      .rowsBetween(-24, -1)
+    val scored = hourly
+      .withColumn("n_prior", count(lit(1)).over(wTrail))
+      .withColumn("s1", sum($"v".cast(dec)).over(wTrail).cast("double"))
+      .withColumn("s2",
+        sum(($"v" * $"v").cast(dec)).over(wTrail).cast("double"))
+      .withColumn("mu", $"s1" / $"n_prior".cast("double"))
+      .withColumn("sigma", sqrt(greatest(
+        $"s2" / $"n_prior".cast("double") - $"mu" * $"mu", lit(0.0))))
+      .withColumn("z", when($"n_prior" >= 8 && $"sigma" > 0,
+        ($"v" - $"mu") / $"sigma"))
+    scored.select($"user_id", $"hidx", $"v", $"n_prior", $"z",
+        coalesce(abs($"z") > 3.0, lit(false)).as("is_anomaly"))
+      .orderBy($"user_id", $"hidx")
+  }
+  private val q137Sql =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hh,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs,
+      |    CAST(SUM(CAST("value" AS DECIMAL(38,4))) AS DOUBLE) AS sv
+      |  FROM events GROUP BY user_id, hh),
+      |hv AS (
+      |  SELECT user_id, CAST(epoch(hh) AS BIGINT) // 3600 AS hidx,
+      |    sv / CAST(n_obs AS DOUBLE) AS v
+      |  FROM hourly),
+      |roll AS (
+      |  SELECT user_id, hidx, v,
+      |    COUNT(*) OVER w AS n_prior,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+      |  FROM hv
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY hidx
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT user_id, hidx, v, n_prior,
+      |    s1 / CAST(n_prior AS DOUBLE) AS mu,
+      |    sqrt(GREATEST(
+      |      s2 / CAST(n_prior AS DOUBLE)
+      |        - (s1 / CAST(n_prior AS DOUBLE))
+      |          * (s1 / CAST(n_prior AS DOUBLE)), 0.0)) AS sigma
+      |  FROM roll)
+      |SELECT user_id, hidx, v, n_prior,
+      |  CASE WHEN n_prior >= 8 AND sigma > 0
+      |       THEN (v - mu) / sigma END AS z,
+      |  COALESCE(abs(CASE WHEN n_prior >= 8 AND sigma > 0
+      |                    THEN (v - mu) / sigma END) > 3.0, false)
+      |    AS is_anomaly
+      |FROM scored ORDER BY user_id, hidx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q137_rolling_anomaly" -> q137,
     "q113_ema_daily" -> q113,
     "q106_scd2_intervals" -> q106,
     "q128_pit_scd2_join" -> q128,
@@ -680,6 +761,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q137_rolling_anomaly" -> q137Sql,
     "q113_ema_daily" -> q113Sql,
     "q106_scd2_intervals" -> q106Sql,
     "q128_pit_scd2_join" -> q128Sql,

@@ -700,7 +700,51 @@ object TrainingOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // --------------------------------------------------------------- q136
+  /** LEAKAGE-SAFE train/val/test split: the split key is the duplicate
+    * CLUSTER's representative, not the document — so a document and its
+    * duplicates can never straddle splits (the train/test contamination
+    * a per-document hash split (q69 step 5) silently allows: one copy
+    * trains, its twin evaluates). Clusters here are exact-dup groups
+    * (md5 fingerprint, q35's semantics); the same shape composes with
+    * any cluster id — MinHash component roots (q71), SemDeDup cells —
+    * because the operator only needs `(row, cluster_rep)`. Assignment is
+    * [[PortableHash]] of the representative id → 80/10/10, stable under
+    * any partitioning, engine, or rerun.
+    *
+    * Scale: one window over the fingerprint (hash-partitioned,
+    * high-cardinality) to elect representatives; the assignment itself
+    * is row-local arithmetic — no joins, no state, no driver. */
+  private val q136: Q = (s, dir) => {
+    import s.implicits._
+    val wFp = Window.partitionBy($"f")
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", md5($"text").as("f"))
+      .withColumn("cluster_rep", min($"doc_id").over(wFp))
+      .withColumn("b",
+        PortableHash.tokenHashP($"cluster_rep") % lit(100L))
+      .select($"doc_id", $"lang", $"cluster_rep",
+        when($"b" < 80, "train").when($"b" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+  private val q136Sql =
+    s"""WITH cl AS (
+       |  SELECT doc_id, lang,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_rep
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang, cluster_rep,
+       |    ${tokenHashPSql("cluster_rep")} % 100 AS bkt
+       |  FROM cl)
+       |SELECT doc_id, lang, cluster_rep,
+       |  CASE WHEN bkt < 80 THEN 'train'
+       |       WHEN bkt < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q136_leakage_safe_split" -> q136,
     "q108_feature_binning" -> q108,
     "q55_tfidf_top_terms" -> q55,
     "q86_bm25_ranking" -> q86,
@@ -714,6 +758,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q136_leakage_safe_split" -> q136Sql,
     "q108_feature_binning" -> q108Sql,
     "q55_tfidf_top_terms" -> q55Sql,
     "q86_bm25_ranking" -> q86Sql,
