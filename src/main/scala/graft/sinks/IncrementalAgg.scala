@@ -55,6 +55,25 @@ object IncrementalAgg {
       ManifestSink.changes(spark, dir, fromV, toV), keys, value), keys)
   }
 
+  /** [[refresh]] with the self-healing fallback log-structured view
+    * maintenance prescribes: an append-only window folds O(delta); a
+    * window containing a rewrite (removed entries) or a merge-on-read
+    * delete (a retraction no fold can absorb) RECOMPUTES the state from
+    * the `toV` snapshot instead of refusing — the view keeps serving
+    * through table maintenance, and subsequent append-only windows fold
+    * incrementally again from the recomputed state. Returns
+    * (state, folded) — `folded = false` marks the recompute paths so a
+    * caller can account the full-scan cost. */
+  def refreshOrRecompute(spark: SparkSession, state: DataFrame,
+      dir: String, fromV: Long, toV: Long, keys: Seq[String],
+      value: String): (DataFrame, Boolean) = {
+    val (_, removed) = ManifestSink.changedEntries(spark, dir, fromV, toV)
+    if (removed.nonEmpty ||
+        ManifestSink.tombstonesAdded(spark, dir, fromV, toV))
+      (aggregate(ManifestSink.readAt(spark, dir, toV), keys, value), false)
+    else (refresh(spark, state, dir, fromV, toV, keys, value), true)
+  }
+
   /** Presentation form: exact decimal sum collapsed to double. */
   def present(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select((keys.map(col) :+ col("n") :+

@@ -1733,6 +1733,19 @@ object ManifestSink {
     * the version, read only what's new). After a [[merge]] or
     * [[replace]], added directories also carry rewritten rows —
     * key-exact semantics for that case are [[changesByKey]]. */
+  /** true iff a merge-on-read delete tombstone entered the manifest in
+    * (fromV, toV] — the retraction marker every file-level incremental
+    * consumer must check before folding a window ([[changes]] refuses
+    * such a window; the fold family's `refreshOrRecompute` falls back
+    * to a snapshot recompute on it). Manifest-read only. */
+  def tombstonesAdded(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): Boolean = {
+    val (added, _) = changedEntries(spark, dir, fromV, toV)
+    val tombPaths = manifestEntries(spark, dir, toV).map(parseEntry)
+      .filter(isTombEntry).map(_.path).toSet
+    added.exists(tombPaths)
+  }
+
   def changes(spark: SparkSession, dir: String, fromV: Long,
       toV: Long, mergeSchema: Boolean = false): DataFrame = {
     val (added, _) = changedEntries(spark, dir, fromV, toV)
@@ -1741,15 +1754,16 @@ object ManifestSink {
     // is keys, not rows). Refuse loudly — the same contract as the
     // rewrite refusal every incremental consumer already applies —
     // rather than silently hand the consumer rows that no longer exist.
-    val tombPaths = manifestEntries(spark, dir, toV).map(parseEntry)
-      .filter(isTombEntry).map(_.path).toSet
-    require(!added.exists(tombPaths),
+    require(!tombstonesAdded(spark, dir, fromV, toV),
       s"merge-on-read delete committed in ($fromV, $toV] at $dir — " +
         "file-level incremental reads cannot express deletes; use " +
         "changesByKey or recompute from the snapshot")
-    if (added.isEmpty) readAt(spark, dir, toV, mergeSchema).limit(0)
+    val tombPaths = manifestEntries(spark, dir, toV).map(parseEntry)
+      .filter(isTombEntry).map(_.path).toSet
+    val dataAdded = added.filterNot(tombPaths)
+    if (dataAdded.isEmpty) readAt(spark, dir, toV, mergeSchema).limit(0)
     else spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(added.map(e => resolvePath(dir, e)): _*)
+      .parquet(dataAdded.map(e => resolvePath(dir, e)): _*)
   }
 
   /** Key-exact row-level CDC between two snapshots: one row per changed

@@ -24,11 +24,15 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q125 mergeable-state fold (KMV arrays built per batch then merged
   //        relationally — collect_list order must wash out in the
   //        distinct+sort+slice)
+  //   q132 merge-on-read assembled scan (position-segmented tombstone
+  //        anti-joins + decimal aggregate — the delete must erase the
+  //        same rows whatever the physical partitioning)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
     "q115_image_phash_dedup", "q116_audio_fingerprint_dedup",
-    "q123_video_near_dup", "q125_incremental_distinct")
+    "q123_video_near_dup", "q125_incremental_distinct",
+    "q132_mor_delete")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"

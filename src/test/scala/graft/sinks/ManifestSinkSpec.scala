@@ -480,6 +480,27 @@ class ManifestSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalAgg.refresh(spark, s2, dir, v2, v3, keys, "v")
     }
+    // ...but refreshOrRecompute self-heals: the rewrite window (and a
+    // merge-on-read delete window) recomputes from the snapshot, and
+    // the NEXT append-only window folds incrementally off that state
+    def check(st: org.apache.spark.sql.DataFrame): Unit =
+      assert(IncrementalAgg.present(st, keys)
+        .collect().map(_.toString).sorted.toSeq ===
+        IncrementalAgg.present(IncrementalAgg.aggregate(
+          ManifestSink.read(spark, dir), keys, "v"), keys)
+          .collect().map(_.toString).sorted.toSeq)
+    val (s3, folded3) =
+      IncrementalAgg.refreshOrRecompute(spark, s2, dir, v2, v3, keys, "v")
+    assert(!folded3); check(s3)
+    val v4 = ManifestSink.deleteKeysMergeOnRead(
+      Seq(1L).toDF("k"), dir, Seq("k"))
+    val (s4, folded4) =
+      IncrementalAgg.refreshOrRecompute(spark, s3, dir, v3, v4, keys, "v")
+    assert(!folded4); check(s4)
+    val v5 = ManifestSink.append(batch(1000, 1100), dir)
+    val (s5, folded5) =
+      IncrementalAgg.refreshOrRecompute(spark, s4, dir, v4, v5, keys, "v")
+    assert(folded5); check(s5)
   }
 
   test("bloom filters prune point lookups that ranges cannot") {
