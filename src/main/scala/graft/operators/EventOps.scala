@@ -740,7 +740,74 @@ object EventOps {
       |    AS is_anomaly
       |FROM scored ORDER BY user_id, hidx""".stripMargin
 
+  // --------------------------------------------------------------- q138
+  /** Consecutive-run pattern detection (MATCH_RECOGNIZE's workhorse
+    * case, relationally): per user, maximal runs of CONSECUTIVE
+    * same-type events — broken by any other event type or a gap over
+    * 10 minutes — surfaced where the type is `error` and the run is ≥ 3
+    * long: the "three failures in a row" alerting shape. Gaps-and-
+    * islands: one lag window marks run breaks, a running sum numbers
+    * the islands, one grouped aggregate per island; q91's session
+    * operator breaks on time alone — this breaks on value AND time,
+    * which is what distinguishes a burst from a busy session. Time
+    * arithmetic is integer microseconds (`unix_micros`/`epoch_us`), so
+    * every duration is engine-exact.
+    *
+    * Scale: both windows and the island aggregate partition on
+    * user_id — ONE hash exchange end to end; island state is a running
+    * sum, never a buffered partition. */
+  private val q138: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val marked = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"))
+      .withColumn("brk", when(
+        lag($"event_type", 1).over(w).isNull ||
+          $"event_type" =!= lag($"event_type", 1).over(w) ||
+          $"us" - lag($"us", 1).over(w) > 600000000L, 1L).otherwise(0L))
+      .withColumn("run", sum($"brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy($"user_id", $"event_type", $"run")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("first_event_id"),
+        max($"event_id").as("last_event_id"),
+        (max($"us") - min($"us")).as("duration_us"))
+      .filter($"event_type" === "error" && $"n_events" >= 3)
+      .select($"user_id", $"first_event_id", $"last_event_id",
+        $"n_events", $"duration_us")
+      .orderBy($"user_id", $"first_event_id")
+  }
+  private val q138Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN prev_type IS NULL OR event_type <> prev_type
+      |                   OR us - prev_us > 600000000 THEN 1 ELSE 0 END
+      |              AS brk
+      |  FROM (SELECT *,
+      |          LAG(event_type) OVER w AS prev_type,
+      |          LAG(us) OVER w AS prev_us
+      |        FROM e
+      |        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))),
+      |runs AS (
+      |  SELECT *, SUM(brk) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM marked)
+      |SELECT user_id,
+      |  MIN(event_id) AS first_event_id,
+      |  MAX(event_id) AS last_event_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(us) - MIN(us) AS duration_us
+      |FROM runs
+      |GROUP BY user_id, event_type, run
+      |HAVING event_type = 'error' AND COUNT(*) >= 3
+      |ORDER BY user_id, first_event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q138_error_bursts" -> q138,
     "q137_rolling_anomaly" -> q137,
     "q113_ema_daily" -> q113,
     "q106_scd2_intervals" -> q106,
@@ -761,6 +828,7 @@ object EventOps {
     "q26_minute_deltas" -> q26)
 
   val oracleSql: Map[String, String] = Map(
+    "q138_error_bursts" -> q138Sql,
     "q137_rolling_anomaly" -> q137Sql,
     "q113_ema_daily" -> q113Sql,
     "q106_scd2_intervals" -> q106Sql,

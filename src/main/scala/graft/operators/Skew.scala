@@ -66,6 +66,137 @@ object Skew {
        |GROUP BY s_nationkey
        |ORDER BY s_nationkey""".stripMargin
 
-  val queries: Map[String, Q] = Map("q61_salted_join" -> q61)
-  val oracleSql: Map[String, String] = Map("q61_salted_join" -> q61Sql)
+  /** Skew DIAGNOSIS — the report that tells a pipeline to reach for
+    * [[saltJoin]]/[[saltedCount]] BEFORE a straggler does: one two-phase
+    * aggregate per key candidate yields (rows, distinct keys, mean and
+    * max per-key rows); verdict `salt` when the hottest key carries more
+    * than 4× the mean key's rows — the single-reducer-pins-the-stage
+    * shape AQE's skew split can only partially absorb. All arithmetic is
+    * integral (DIV), so the report is externally reproducible; the
+    * classic real-world hit is a SENTINEL key (null/default foreign key
+    * coalesced to one value) owning half the table — q139's fixture. */
+  def skewReport(df: DataFrame, key: Column, label: String): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_key_rows"))
+      .withColumn("candidate", lit(label))
+      .withColumn("avg_key_rows", expr("n_rows DIV n_keys"))
+      .withColumn("skew_x100", expr("max_key_rows * 100 DIV avg_key_rows"))
+      .withColumn("verdict",
+        when(col("max_key_rows") > col("avg_key_rows") * 4, "salt")
+          .otherwise("ok"))
+      .select(col("candidate"), col("n_rows"), col("n_keys"),
+        col("avg_key_rows"), col("max_key_rows"), col("skew_x100"),
+        col("verdict"))
+
+  // --------------------------------------------------------------- q139
+  /** Skew report through the gate: three join-key candidates — a
+    * uniform user key (`ok` at every SF), the lineitem FK (borderline:
+    * the synthetic generator's lines-per-order tail crosses the 4× rule
+    * at sf0.1 — a MEASURED verdict, which is the point), and the
+    * SENTINEL-key pathology (half the rows coalesced onto one default
+    * key — the null-FK hotspot every real warehouse eventually grows)
+    * which flags `salt` at 280× mean everywhere. The oracle recomputes
+    * every count and the same integral decision — a report that
+    * measured frequencies wrong or rounded differently
+    * hash-mismatches. */
+  private val q139: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val li = Tables(s, dir, "lineitem")
+    skewReport(ev, $"user_id", "events.user_id")
+      .unionByName(skewReport(li, $"l_orderkey", "lineitem.l_orderkey"))
+      .unionByName(skewReport(ev,
+        when($"user_id" % 10 < 5, -1L).otherwise($"user_id"),
+        "events.sentinel_user"))
+      .orderBy($"candidate")
+  }
+  private val q139Sql = {
+    def block(label: String, keyExpr: String, table: String) =
+      s"""SELECT '$label' AS candidate,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_key_rows,
+         |  CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         |  CAST(MAX(c) * 100 // (SUM(c) // COUNT(*)) AS BIGINT)
+         |    AS skew_x100,
+         |  CASE WHEN MAX(c) > (SUM(c) // COUNT(*)) * 4
+         |       THEN 'salt' ELSE 'ok' END AS verdict
+         |FROM (SELECT $keyExpr AS k, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM $table GROUP BY 1)""".stripMargin
+    s"""${block("events.user_id", "user_id", "events")}
+       |UNION ALL
+       |${block("lineitem.l_orderkey", "l_orderkey", "lineitem")}
+       |UNION ALL
+       |${block("events.sentinel_user",
+         "CASE WHEN user_id % 10 < 5 THEN -1 ELSE user_id END", "events")}
+       |ORDER BY candidate""".stripMargin
+  }
+
+  /** Execute [[graft.sinks.ManifestSink.joinPlan]]'s `prefilter_semi`
+    * verdict: when the key intersection is a sliver of the big side's
+    * key set, first broadcast the dimension's DISTINCT keys as a
+    * left-semi filter (the relational form of a bloom prefilter — rows
+    * that cannot match die map-side, BEFORE the join shuffle moves
+    * them), then run the real join on the survivors. Semantically
+    * identical to the plain inner join for any inputs — the prefilter
+    * only removes rows the join would drop — which is exactly what the
+    * q140 oracle checks with a plain-join mirror. At 100 TB the payoff
+    * is the shuffle that never happens: ~96 % of the fact side in the
+    * q134 fixture would otherwise be partitioned, shipped, and then
+    * discarded by the probe. `bigKey` and `dimKey` must differ (rename
+    * one side otherwise). */
+  def prefilteredJoin(big: DataFrame, dim: DataFrame, bigKey: String,
+      dimKey: String): DataFrame = {
+    require(bigKey != dimKey,
+      "prefilteredJoin needs distinct key names; rename one side")
+    val keys = dim.select(col(dimKey).as(bigKey)).distinct()
+    big.join(broadcast(keys), Seq(bigKey), "left_semi")
+      .join(dim, col(bigKey) === col(dimKey))
+  }
+
+  // --------------------------------------------------------------- q140
+  /** The prefilter_semi verdict EXECUTED (q134 diagnosed this exact
+    * pair): lineitem joins the bottom-1/25th order slice through
+    * [[prefilteredJoin]] — the broadcast semi kills ~96 % of lineitem
+    * before the join — and the per-status revenue must equal the plain
+    * join the oracle runs. Closes the planner's loop the way
+    * applyRecommendations closes the layout advisor's: the
+    * recommendation is not advice, it is an executable plan whose
+    * semantics are gated. */
+  private val q140: Q = (s, dir) => {
+    import s.implicits._
+    val ords = Tables(s, dir, "orders")
+    val maxO = ords.agg(max($"o_orderkey")).head().getLong(0)
+    val low = ords.filter($"o_orderkey" <= maxO / 25)
+      .select($"o_orderkey", $"o_orderstatus")
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    prefilteredJoin(li, low, "l_orderkey", "o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+  private val q140Sql =
+    s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+       |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN (SELECT o_orderkey, o_orderstatus
+       |      FROM orders CROSS JOIN mx WHERE o_orderkey <= m // 25) o
+       |  ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q61_salted_join" -> q61,
+    "q139_skew_report" -> q139,
+    "q140_prefiltered_join" -> q140)
+  val oracleSql: Map[String, String] = Map(
+    "q61_salted_join" -> q61Sql,
+    "q139_skew_report" -> q139Sql,
+    "q140_prefiltered_join" -> q140Sql)
 }

@@ -159,4 +159,20 @@ class PlanAuditSpec extends SparkSpec {
     val p = st.queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
+
+  test("prefilteredJoin kills non-matching rows with a broadcast semi " +
+      "BEFORE the real join (q140's executed shape)") {
+    // the prefilter_semi verdict executed: the big side must meet a
+    // LeftSemi broadcast of the dimension's distinct keys before any
+    // equi-join — rows that cannot match die map-side, so the join
+    // shuffle (at scale) never moves them
+    val p = plan("q140_prefiltered_join")
+    val lines = p.linesIterator.toSeq
+    // the semi is a broadcast (key lists are decision-sized)
+    assert(lines.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      "no broadcast LeftSemi prefilter in the plan")
+    assert(lines.exists(l => l.contains("Join") && l.contains("Inner")),
+      "no inner join alongside the semi prefilter")
+  }
 }
