@@ -149,8 +149,76 @@ object ProfileOps {
        |  ON c.k = p.k""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
 
+  // --------------------------------------------------------------- q142
+  /** Distribution DRIFT report — the train/serve-skew monitor every
+    * production feature pipeline runs: the first week of events is the
+    * reference window, the rest is current; `value` buckets into 10
+    * equal-width bins over the GLOBAL range (fixed bins, so both
+    * windows are measured on the same ruler), and each bin reports both
+    * windows' counts, probability masses, and the |p_ref − p_cur| L1
+    * contribution. L1 (total variation ×2) instead of PSI/KL
+    * deliberately: it needs no logarithm — `ln` is not guaranteed
+    * correctly-rounded and may differ between engines, while
+    * subtraction/abs are exact — so the whole report stays bit-exact
+    * cross-engine.
+    *
+    * Scale: ONE conditional two-phase aggregate over the table (bin +
+    * window flag are row-local), 10 output rows; the min/max bounds are
+    * one columnar min/max job. */
+  private val q142: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val b = e.agg(min($"value"), max($"value")).head()
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val cutUs = java.time.Instant.parse("2024-01-08T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val bucket = least(lit(9L), greatest(lit(0L),
+      floor(($"value" - lit(mn)) / lit(mx - mn) * 10).cast("long")))
+    val agg = e
+      .withColumn("bucket", bucket)
+      .withColumn("is_ref", unix_micros($"ts") < cutUs)
+      .groupBy($"bucket")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+    val tot = agg.agg(sum($"n_ref"), sum($"n_cur")).head()
+    val (tr, tc) = (tot.getLong(0), tot.getLong(1))
+    agg
+      .withColumn("p_ref", $"n_ref".cast("double") / lit(tr.toDouble))
+      .withColumn("p_cur", $"n_cur".cast("double") / lit(tc.toDouble))
+      .withColumn("l1_contrib", abs($"p_ref" - $"p_cur"))
+      .orderBy($"bucket")
+  }
+  private val q142Sql =
+    """WITH bounds AS (
+      |  SELECT MIN("value") AS mn, MAX("value") AS mx FROM events),
+      |binned AS (
+      |  SELECT
+      |    LEAST(9, GREATEST(0, CAST(floor(
+      |      ("value" - mn) / (mx - mn) * 10) AS BIGINT))) AS bucket,
+      |    ts < TIMESTAMP '2024-01-08 00:00:00' AS is_ref
+      |  FROM events CROSS JOIN bounds),
+      |agg AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ref,
+      |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cur
+      |  FROM binned GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+      |         CAST(SUM(n_cur) AS DOUBLE) AS tc FROM agg)
+      |SELECT bucket, n_ref, n_cur,
+      |  CAST(n_ref AS DOUBLE) / tr AS p_ref,
+      |  CAST(n_cur AS DOUBLE) / tc AS p_cur,
+      |  abs(CAST(n_ref AS DOUBLE) / tr - CAST(n_cur AS DOUBLE) / tc)
+      |    AS l1_contrib
+      |FROM agg CROSS JOIN tot
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] =
-    Map("q97_data_profile" -> q97, "q107_referential_audit" -> q107)
+    Map("q97_data_profile" -> q97, "q107_referential_audit" -> q107,
+      "q142_drift_report" -> q142)
   val oracleSql: Map[String, String] =
-    Map("q97_data_profile" -> q97Sql, "q107_referential_audit" -> q107Sql)
+    Map("q97_data_profile" -> q97Sql, "q107_referential_audit" -> q107Sql,
+      "q142_drift_report" -> q142Sql)
 }

@@ -498,7 +498,72 @@ object TextOps {
        |ORDER BY event_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q141
+  /** Vocabulary COVERAGE curve — the tokenizer-design question q32's
+    * plain top-words list doesn't answer: what fraction of the token
+    * STREAM does a size-V vocabulary cover (equivalently, the OOV rate
+    * a V-entry tokenizer pays)? Terms rank by (frequency desc, term
+    * asc — a total, engine-identical order); coverage at V = Σ n over
+    * ranks ≤ V. Evaluated at V ∈ {4, 8, 16, 32} via ONE conditional
+    * aggregate over the ranked terms (no rank-range join — the
+    * cutoff×term non-equi join would be a nested-loop), unpivoted with
+    * `stack`. The global rank window runs over DISTINCT TERMS (the
+    * vocabulary), not tokens — vocabulary-sized, the same bounded-row
+    * caveat as q26's minute series.
+    *
+    * Scale: token explode + term count is the q30/q32 two-phase
+    * aggregate; everything after operates on vocabulary rows. */
+  private val q141: Q = (s, dir) => {
+    import s.implicits._
+    val tf = Tables(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+    val wr = Window.orderBy($"n".desc, $"term".asc)
+    val ranked = tf.withColumn("rank", row_number().over(wr))
+    val cuts = Seq(4, 8, 16, 32)
+    val agg = ranked.agg(
+      sum($"n").cast("double").as("total"),
+      cuts.map(v => sum(when($"rank" <= v, $"n").otherwise(0L))
+        .cast("long").as(s"c$v")): _*)
+    agg.select(col("total"), expr(
+        s"stack(${cuts.size}, " +
+          cuts.map(v => s"${v}L, c$v").mkString(", ") +
+          ") as (vocab_size, covered_tokens)"))
+      .withColumn("coverage", $"covered_tokens".cast("double") / $"total")
+      .withColumn("oov_rate", lit(1.0) - $"coverage")
+      .select($"vocab_size", $"covered_tokens", $"coverage", $"oov_rate")
+      .orderBy($"vocab_size")
+  }
+  private val q141Sql = {
+    val cuts = Seq(4, 8, 16, 32)
+    val sums = cuts.map(v =>
+      s"CAST(SUM(CASE WHEN rank <= $v THEN n ELSE 0 END) AS BIGINT) " +
+        s"AS c$v").mkString(",\n|    ")
+    val rows = cuts.map(v =>
+      s"SELECT CAST($v AS BIGINT) AS vocab_size, c$v AS covered_tokens, " +
+        s"CAST(c$v AS DOUBLE) / total AS coverage, " +
+        s"1.0 - CAST(c$v AS DOUBLE) / total AS oov_rate FROM t")
+      .mkString("\n|  UNION ALL\n|  ")
+    s"""WITH tf AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY term),
+       |r AS (
+       |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC)
+       |    AS rank
+       |  FROM tf),
+       |t AS (
+       |  SELECT CAST(SUM(n) AS DOUBLE) AS total,
+       |    $sums
+       |  FROM r)
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY vocab_size""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_vocab_coverage" -> q141,
     "q87_pii_redaction" -> q87,
     "q75_lm_quality" -> q75,
     "q66_repetition_signals" -> q66,
@@ -512,6 +577,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q141_vocab_coverage" -> q141Sql,
     "q87_pii_redaction" -> q87Sql,
     "q75_lm_quality" -> q75Sql,
     "q66_repetition_signals" -> q66Sql,
