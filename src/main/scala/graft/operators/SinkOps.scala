@@ -816,11 +816,14 @@ object SinkOps {
     * no data rewrite; the tail then appends, so those same users' LATER
     * events must survive (the tombstone binds to manifest position, not
     * to keys forever); a second tombstone on a DIFFERENT key shape
-    * (`event_type = 'error'`) erases errors from all three batches. The
-    * emitted per-type aggregates come off the assembled merge-on-read
-    * scan, so a tombstone that under- or over-applies — wrong position
-    * rule, wrong shape composition, resurrect-on-append — hash-mismatches
-    * the oracle recomputing the same erasures from the source rows.
+    * (`event_type = 'error'`) erases errors from all three batches; a
+    * RANGE tombstone (no delete file — one manifest line) then expires
+    * the oldest sixth of the id space, the zero-rewrite retention
+    * shape. The emitted per-type aggregates come off the assembled
+    * merge-on-read scan, so a tombstone that under- or over-applies —
+    * wrong position rule, wrong shape composition, wrong bound
+    * inclusivity, resurrect-on-append — hash-mismatches the oracle
+    * recomputing the same erasures from the source rows.
     *
     * Scale: each delete is one small key-file commit whatever the table
     * size (the GDPR shape copy-on-write cannot reach on a table whose
@@ -843,6 +846,10 @@ object SinkOps {
     ManifestSink.append(ev.filter($"event_id" > cut2), sink)
     ManifestSink.deleteKeysMergeOnRead(
       Seq("error").toDF("event_type"), sink, Seq("event_type"))
+    // zero-rewrite retention: a RANGE tombstone (no delete file at all)
+    // expires the oldest sixth of the id space from every prior batch
+    ManifestSink.deleteRangeMergeOnRead(s, sink, "event_id",
+      lo = None, hi = Some(maxId / 6))
     ManifestSink.read(s, sink)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -851,11 +858,13 @@ object SinkOps {
   }
   private val q132Sql =
     s"""WITH cuts AS (
-       |  SELECT 2 * MAX(event_id) // 3 AS cut2 FROM events),
+       |  SELECT 2 * MAX(event_id) // 3 AS cut2,
+       |         MAX(event_id) // 6 AS keep6 FROM events),
        |live AS (
        |  SELECT e.* FROM events e CROSS JOIN cuts c
        |  WHERE e.event_type <> 'error'
-       |    AND NOT (e.event_id <= c.cut2 AND e.user_id % 7 = 0))
+       |    AND NOT (e.event_id <= c.cut2 AND e.user_id % 7 = 0)
+       |    AND e.event_id > c.keep6)
        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        |  ${Exact.sqlSum("value")} AS sum_value
        |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin

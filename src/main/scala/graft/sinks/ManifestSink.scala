@@ -167,10 +167,35 @@ object ManifestSink {
     * commit path's entry format. */
   private val TombKey = "\u0000tomb"
 
+  /** Reserved stats key marking a RANGE tombstone (merge-on-read
+    * `DELETE WHERE col BETWEEN lo AND hi` — the zero-rewrite retention
+    * shape): no delete file at all, just one manifest line whose stats
+    * value carries (column, typed bounds). `tag` is the VALUE type tag
+    * ('L'/'D'/'S'), `min` = column name + \u0001 + lo (empty =
+    * unbounded), `max` = hi (empty = unbounded). Position semantics
+    * identical to [[TombKey]]; readers apply it as a FILTER (cheaper
+    * than the key kind — no join), null values survive (SQL DELETE). */
+  private val TombRangeKey = "\u0000tombr"
+
   private[sinks] def isTombEntry(e: Entry): Boolean =
-    e.stats.contains(TombKey)
+    e.stats.contains(TombKey) || e.stats.contains(TombRangeKey)
   private def tombKeyCols(e: Entry): Seq[String] =
     e.stats(TombKey).min.split(",").toSeq
+
+  /** (column, typed lo, typed hi) of a range tombstone. */
+  private def tombRange(e: Entry): (String, Option[Any], Option[Any]) = {
+    val st = e.stats(TombRangeKey)
+    val i = st.min.indexOf('\u0001')
+    val c = st.min.substring(0, i)
+    def typed(s: String): Option[Any] =
+      if (s.isEmpty) None
+      else Some(st.tag match {
+        case 'L' => s.toLong
+        case 'D' => s.toDouble
+        case _   => s
+      })
+    (c, typed(st.min.substring(i + 1)), typed(st.max))
+  }
 
   /** true iff the current snapshot carries unmaterialized merge-on-read
     * delete tombstones (a [[compact]]/[[compactZOrder]] materializes
@@ -1530,6 +1555,44 @@ object ManifestSink {
     commitAppendLines(spark, dir, Seq(line), Map.empty)
   }
 
+  /** Merge-on-read DELETE WHERE `colName BETWEEN lo AND hi` (either
+    * bound optional) — the zero-rewrite RETENTION shape: expiring a
+    * time range from a 100 TB table is ONE manifest line, no delete
+    * file, no data read or rewritten; readers apply it as a row-local
+    * filter (cheaper than the key kind — no join at all) to every batch
+    * committed before it, and a compaction materializes it away. Same
+    * position semantics, degradations, and incremental-consumer
+    * refusals as [[deleteKeysMergeOnRead]]. Bound values must be Long/
+    * Int, Double/Float, or String and match the column's type family
+    * (the caller's contract, as in [[readWhere]]); null values survive.
+    * Returns the committed version. */
+  def deleteRangeMergeOnRead(spark: SparkSession, dir: String,
+      colName: String, lo: Option[Any], hi: Option[Any]): Long = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "range delete requires at least one bound " +
+        "(use deleteWhere for delete-everything)")
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    def tagOf(v: Any): Char = v match {
+      case _: Long | _: Int | _: java.lang.Long | _: java.lang.Integer =>
+        'L'
+      case _: Double | _: Float | _: java.lang.Double |
+          _: java.lang.Float => 'D'
+      case _: String => 'S'
+      case x => throw new IllegalArgumentException(
+        s"unsupported range-delete bound type ${x.getClass}")
+    }
+    val tags = (lo.toSeq ++ hi.toSeq).map(tagOf).distinct
+    require(tags.size == 1, s"bounds must share one type family, got $tags")
+    require(!colName.contains('\u0001'),
+      "column names must not contain \\u0001")
+    val line = Entry(s"data/${java.util.UUID.randomUUID().toString}",
+      Map(TombRangeKey -> ColStats(tags.head,
+        colName + "\u0001" + lo.fold("")(boundStr),
+        hi.fold("")(boundStr)))).line
+    commitAppendLines(spark, dir, Seq(line), Map.empty)
+  }
+
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
     * row sharing its key; unmatched keys insert. Copy-on-write with
     * file-level pruning — only the batch directories that actually
@@ -1678,12 +1741,24 @@ object ManifestSink {
         scan(es.map { case (e, _) => resolvePath(dir, e.path) })
           .withColumn(seg, lit(s))
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+    // RANGE tombstones first: each is one row-local filter — a row dies
+    // when an applicable (position rule) tombstone's bounds contain its
+    // value; null values survive (SQL DELETE semantics, via the
+    // null-as-false coalesce)
+    val (rangeTombs, keyTombs) =
+      ts.partition { case (e, _) => e.stats.contains(TombRangeKey) }
+    val filtered = rangeTombs.foldLeft(base) { case (acc, (e, j)) =>
+      val (c, lo, hi) = tombRange(e)
+      val inRange = (lo.map(col(c) >= lit(_)).toSeq ++
+        hi.map(col(c) <= lit(_))).reduceOption(_ && _).getOrElse(lit(true))
+      acc.filter(!coalesceFalse(col(seg) <= lit(j) && inRange))
+    }
     // one anti-join per tombstone KEY SHAPE (deletes on different key
     // columns compose); within a shape all delete files union with their
     // global tombstone position
-    val out = ts.groupBy { case (e, _) => tombKeyCols(e) }.toSeq
+    val out = keyTombs.groupBy { case (e, _) => tombKeyCols(e) }.toSeq
       .sortBy(_._1.mkString(","))
-      .foldLeft(base) { case (acc, (keyCols, shape)) =>
+      .foldLeft(filtered) { case (acc, (keyCols, shape)) =>
         val tombDf = shape.map { case (e, j) =>
           spark.read.parquet(resolvePath(dir, e.path))
             .select(keyCols.map(col): _*)

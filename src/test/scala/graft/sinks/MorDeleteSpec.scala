@@ -149,6 +149,44 @@ class MorDeleteSpec extends SparkSpec {
       Set((3L, "c2"), (4L, "d2"), (5L, "e")))
   }
 
+  test("range tombstones: zero-file retention, position semantics, " +
+      "composition with key tombstones, and compaction") {
+    val dir = Files.createTempDirectory("morrange").toString + "/t"
+    ManifestSink.append(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    val nData = Files.list(Paths.get(s"$dir/data")).toArray.length
+    // retention: expire k <= 4 — one manifest line, NO new file at all
+    ManifestSink.deleteRangeMergeOnRead(spark, dir, "k",
+      lo = None, hi = Some(4L))
+    assert(Files.list(Paths.get(s"$dir/data")).toArray.length === nData)
+    assert(ManifestSink.read(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet === (5L to 10L).toSet)
+    // bounded range + a later re-insert inside the range survives
+    ManifestSink.deleteRangeMergeOnRead(spark, dir, "k",
+      lo = Some(7L), hi = Some(8L))
+    ManifestSink.append(Seq((7L, "back")).toDF("k", "v"), dir)
+    assert(ManifestSink.read(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet === Set(5L, 6L, 7L, 9L, 10L))
+    // composes with a key tombstone; pruned read agrees
+    ManifestSink.deleteKeysMergeOnRead(Seq(9L).toDF("k"), dir, Seq("k"))
+    assert(ManifestSink.readWhere(spark, dir, "k", Some(5L), Some(10L))
+      .select("k").collect().map(_.getLong(0)).toSet ===
+      Set(5L, 6L, 7L, 10L))
+    // compaction materializes both kinds away
+    ManifestSink.compact(spark, dir)
+    assert(!ManifestSink.hasTombstones(spark, dir))
+    assert(ManifestSink.read(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet === Set(5L, 6L, 7L, 10L))
+    // bounds must share a type family and carry at least one bound
+    intercept[IllegalArgumentException] {
+      ManifestSink.deleteRangeMergeOnRead(spark, dir, "k", None, None)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSink.deleteRangeMergeOnRead(spark, dir, "k",
+        Some(1L), Some("x"))
+    }
+  }
+
   test("incremental consumers refuse a delete window; restore and " +
       "shallow clone preserve tombstone semantics") {
     val dir = Files.createTempDirectory("morinc").toString + "/t"
