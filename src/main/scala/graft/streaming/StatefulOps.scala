@@ -105,4 +105,62 @@ object StatefulOps {
           closed.result().iterator
       }
   }
+
+  // --------------------------------------------------- burst alerting
+  /** A fired burst alert: `n_events` CONSECUTIVE `event_type` events
+    * (no other type, no gap over the limit, batch boundaries
+    * irrelevant) — the streaming twin of the batch q138 island
+    * detector. Emitted exactly once per run, the moment the run first
+    * reaches the threshold (append semantics: an alert never retracts
+    * or re-fires as the same run grows). */
+  final case class BurstAlert(user_id: Long, event_type: String,
+      first_ms: Long, last_ms: Long, n_events: Long)
+
+  /** In-flight run state (public: Catalyst codegen instantiates it). */
+  final case class OpenRun(event_type: String, firstMs: Long,
+      lastMs: Long, n: Long, alerted: Boolean)
+
+  /** Live "three failures in a row" detection via
+    * flatMapGroupsWithState: per user, a run of consecutive
+    * `watchType` events — broken by ANY other event type or an
+    * event-time gap over `gapMillis` — fires one alert when its length
+    * first reaches `threshold`. Runs carry across micro-batches (two
+    * errors in batch N and one in batch N+1 alert in batch N+1); a
+    * break resets silently. State is ONE small run record per live
+    * user whatever the history (the bounded-state contract of every
+    * stateful op here). */
+  def burstAlerts(events: Dataset[UserEvent], watchType: String,
+      threshold: Int, gapMillis: Long): Dataset[BurstAlert] = {
+    implicit val enc = Encoders.product[BurstAlert]
+    implicit val stateEnc = Encoders.product[OpenRun]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenRun, BurstAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[OpenRun]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val fired = Seq.newBuilder[BurstAlert]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            open = open match {
+              case Some(r) if r.event_type == e.event_type &&
+                  ms - r.lastMs <= gapMillis =>
+                Some(OpenRun(r.event_type, r.firstMs, ms, r.n + 1,
+                  r.alerted))
+              case _ =>
+                Some(OpenRun(e.event_type, ms, ms, 1L, alerted = false))
+            }
+            open = open.map { r =>
+              if (r.event_type == watchType && !r.alerted &&
+                  r.n >= threshold) {
+                fired += BurstAlert(userId, r.event_type, r.firstMs,
+                  r.lastMs, r.n)
+                r.copy(alerted = true)
+              } else r
+            }
+          }
+          open.foreach(state.update)
+          fired.result().iterator
+      }
+  }
 }

@@ -76,4 +76,54 @@ class StatefulOpsSpec extends SparkSpec {
       assert(latest(2L)._1 === 1L)
     } finally q.stop()
   }
+
+  test("burst alerts fire once per cross-batch run, reset on type or " +
+      "gap breaks, and never re-fire as the run grows") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[UserEvent]
+    val out = StatefulOps.burstAlerts(src.toDS(), watchType = "error",
+      threshold = 3, gapMillis = 10 * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("bursts")
+      .outputMode("append").start()
+    try {
+      // two errors in batch 1: run open, below threshold — no alert yet
+      src.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), "error"),
+        UserEvent(1L, ts("2024-01-01 10:01:00"), "error"),
+        // user 2's run is broken by a click between errors
+        UserEvent(2L, ts("2024-01-01 10:00:00"), "error"),
+        UserEvent(2L, ts("2024-01-01 10:01:00"), "click"),
+        UserEvent(2L, ts("2024-01-01 10:02:00"), "error"))
+      q.processAllAvailable()
+      assert(spark.table("bursts").count() === 0)
+      // the third consecutive error arrives in batch 2: alert fires,
+      // with the run's TRUE start (batch boundaries invisible)
+      src.addData(UserEvent(1L, ts("2024-01-01 10:02:00"), "error"))
+      q.processAllAvailable()
+      val a = spark.table("bursts").collect()
+      assert(a.length === 1)
+      assert(a.head.getAs[Long]("user_id") === 1L)
+      assert(a.head.getAs[Long]("n_events") === 3L)
+      assert(a.head.getAs[Long]("first_ms") ===
+        ts("2024-01-01 10:00:00").getTime)
+      // the same run growing longer does NOT re-alert
+      src.addData(UserEvent(1L, ts("2024-01-01 10:03:00"), "error"))
+      q.processAllAvailable()
+      assert(spark.table("bursts").count() === 1)
+      // a >10 min gap resets: three more errors = a NEW run, new alert
+      src.addData(
+        UserEvent(1L, ts("2024-01-01 11:00:00"), "error"),
+        UserEvent(1L, ts("2024-01-01 11:01:00"), "error"),
+        UserEvent(1L, ts("2024-01-01 11:02:00"), "error"))
+      q.processAllAvailable()
+      assert(spark.table("bursts").count() === 2)
+      // a non-watched type bursting never alerts
+      src.addData(
+        UserEvent(3L, ts("2024-01-01 10:00:00"), "view"),
+        UserEvent(3L, ts("2024-01-01 10:01:00"), "view"),
+        UserEvent(3L, ts("2024-01-01 10:02:00"), "view"))
+      q.processAllAvailable()
+      assert(spark.table("bursts").count() === 2)
+    } finally q.stop()
+  }
 }
