@@ -518,6 +518,123 @@ object DedupOps {
   private val q60Sql: String =
     lshPipelineSql(shingleSetSql("text"), 16, 4, 0.8)
 
+  // --------------------------------------------------------------- q143
+  /** EXACT set-similarity join via prefix filtering — the deterministic
+    * complement to the MinHash-LSH family: q36/q60 trade recall for
+    * constant-size signatures; this operator returns EVERY pair with
+    * Jaccard ≥ τ, guaranteed, and still never compares all pairs.
+    *
+    * The algorithm (Chaudhuri et al. ICDE'06 SSJoin; Bayardo et al.
+    * WWW'07 All-Pairs; Vernica et al. SIGMOD'10 for the MapReduce
+    * shape): order every document's element set by GLOBAL document
+    * frequency ascending (rarest first, ties by element value — a total
+    * order); a document of size s only indexes its first
+    * s − ⌈τ·s⌉ + 1 elements (the "prefix"). Any pair with J ≥ τ has
+    * |x∩y| ≥ τ·|x∪y| ≥ ⌈τ·max(|x|,|y|)⌉ shared elements, so skipping the
+    * last ⌈τ·s⌉ − 1 of each side cannot skip the whole intersection —
+    * two qualifying docs MUST share a prefix element. Candidates are an
+    * equi-join on prefix elements (small buckets: prefixes hold the
+    * RAREST elements of each doc on a Zipfian corpus), then the exact
+    * Jaccard is verified on the full sets. Lossless by construction;
+    * DedupOpsSpec pins equality against the all-pairs form.
+    *
+    * τ is taken as the integer ratio `tauNum/tauDen` and every pruning
+    * predicate is INTEGER arithmetic (⌈τ·s⌉ = (tauNum·s + tauDen − 1) div
+    * tauDen; J ≥ τ ⇔ tauDen·|∩| ≥ tauNum·|∪|) — no float rounding can
+    * differ between engines; the reported `jaccard` is one exact-integer
+    * division (correctly rounded IEEE, bit-identical cross-engine).
+    *
+    * Scale (100 TB): one explode + one (element) shuffle builds the df
+    * order; the candidate join ships PREFIX rows only (≈ (1−τ)·set size
+    * per doc) and routes through the capped [[bandSelfJoin]], so one
+    * ultra-hot prefix element cannot pin a reducer; verification joins
+    * doc-id→set twice (hash joins on the doc key) and touches candidate
+    * pairs only. The all-pairs O(n²) form exists nowhere in the plan. */
+  def prefixSimilarityJoin(sets: DataFrame, idCol: String, setCol: String,
+      tauNum: Int, tauDen: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sets.select(col(idCol).as("__id"), col(setCol).as("__set"))
+      .filter(size(col("__set")) > 0)
+      .persist() // feeds the df build, the prefix explode, and both
+                 // verify branches — one tokenize/shingle pass total
+    val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
+      explode(col("__set")).as("__el"))
+    val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
+    // rank each doc's elements rarest-first; keep the prefix
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("__el").asc)
+    val ceilTauSz = (col("__sz") * tauNum + (tauDen - 1)) .divide(tauDen)
+      .cast("long") // integer ⌈τ·s⌉ via (num·s + den − 1) div den
+    val prefix = ex.join(dfreq, "__el")
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)
+      .select(col("__id"), lit(0).as("__bidx"),
+        PortableHash.tokenHashP(col("__el")).as("__bhash"), col("__sz"))
+    // candidate pairs (skew-capped), length-filtered: J ≥ τ needs
+    // den·min(sz) ≥ num·max(sz)
+    val cand = bandSelfJoin(prefix, "__id", Seq("__sz"), maxBucket)
+      .filter(col("__sz_a") * tauDen >= col("__sz_b") * tauNum &&
+        col("__sz_b") * tauDen >= col("__sz_a") * tauNum)
+      .select(col("__ga").as("id_a"), col("__gb").as("id_b")).distinct()
+    val a = s.select(col("__id").as("id_a"), col("__set").as("__seta"))
+    val b = s.select(col("__id").as("id_b"), col("__set").as("__setb"))
+    val inter = size(array_intersect(col("__seta"), col("__setb")))
+      .cast("long")
+    val uni = size(col("__seta")).cast("long") +
+      size(col("__setb")).cast("long") - inter
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_common"), uni.as("n_union"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter(col("n_common") * tauDen >= col("n_union") * tauNum)
+      .drop("n_union")
+  }
+
+  /** q143: exact 2-gram-shingle Jaccard ≥ 0.8 join over `documents` —
+    * the guaranteed-recall twin of q60 (which is MinHash-approximate at
+    * the same threshold and unit): every returned pair is verified
+    * exact, and every qualifying pair is returned. */
+  private val q143: Q = (s, dir) => {
+    import s.implicits._
+    val withWords = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("__words"))
+    val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
+    prefixSimilarityJoin(sets, "doc_id", "sh", 4, 5)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q143Sql: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ${shingleSetSql("text")} AS sh FROM documents),
+       |sz AS (SELECT doc_id, sh, len(sh) AS sz FROM sets WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, sz, unnest(sh) AS el FROM sz),
+       |dfreq AS (SELECT el, COUNT(*) AS df FROM ex GROUP BY el),
+       |ranked AS (
+       |  SELECT e.doc_id, e.sz, e.el,
+       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id
+       |                       ORDER BY d.df ASC, e.el ASC) AS pos
+       |  FROM ex e JOIN dfreq d USING (el)),
+       |prefix AS (
+       |  SELECT * FROM ranked
+       |  WHERE pos <= sz - ((4 * sz + 4) // 5) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b
+       |    ON a.el = b.el AND a.doc_id < b.doc_id
+       |  WHERE a.sz * 5 >= b.sz * 4 AND b.sz * 5 >= a.sz * 4),
+       |v AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common,
+       |    CAST(len(x.sh) + len(y.sh)
+       |         - len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_union
+       |  FROM cand c
+       |  JOIN sz x ON x.doc_id = c.doc_a
+       |  JOIN sz y ON y.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |FROM v WHERE n_common * 5 >= n_union * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q67
   /** Batch semantics pin for the STREAMING near-dup admission operator
     * ([[graft.streaming.StreamingDedup]]): the same row-local band-bucket
@@ -1100,6 +1217,7 @@ object DedupOps {
     "q36_minhash_near_dup" -> q36,
     "q37_simhash_fingerprints" -> q37,
     "q60_shingle_near_dup" -> q60,
+    "q143_exact_prefix_join" -> q143,
     "q67_streaming_dedup_pin" -> q67,
     "q71_dedup_components" -> q71,
     "q71b_components_twostar" -> q71b,
@@ -1113,6 +1231,7 @@ object DedupOps {
     "q36_minhash_near_dup" -> q36Sql,
     "q37_simhash_fingerprints" -> q37Sql,
     "q60_shingle_near_dup" -> q60Sql,
+    "q143_exact_prefix_join" -> q143Sql,
     "q67_streaming_dedup_pin" -> q67Sql,
     "q71_dedup_components" -> q71Sql,
     "q71b_components_twostar" -> q71Sql,

@@ -215,10 +215,44 @@ object ProfileOps {
       |FROM agg CROSS JOIN tot
       |ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  /** k-anonymity audit — the re-identification gate a pipeline runs
+    * before releasing or training on user-adjacent tables (Sweeney 2002:
+    * a row is k-anonymous when at least k rows share its quasi-identifier
+    * combination): equivalence classes over (nation, market segment,
+    * account-balance band), each reporting its size and whether it meets
+    * k = 5. The balance band (floor(bal/2000)) is the generalization
+    * step — auditing the RAW balance would make nearly every row its own
+    * class; the report tells the curator which strata still need
+    * coarsening or suppression before release.
+    *
+    * Scale: one two-phase groupBy over row-local derived columns; output
+    * is equivalence-class-sized. Division/floor on doubles is
+    * correctly-rounded IEEE — identical in both engines. */
+  private val q145: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .withColumn("bal_band", floor($"c_acctbal" / 2000.0).cast("long"))
+      .groupBy($"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("segment"), $"bal_band")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anonymous", $"n" >= 5)
+      .orderBy($"nation", $"segment", $"bal_band")
+  }
+  private val q145Sql =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |  c_mktsegment AS segment,
+      |  CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  COUNT(*) >= 5 AS k_anonymous
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |ORDER BY nation, segment, bal_band""".stripMargin
+
   val queries: Map[String, Q] =
     Map("q97_data_profile" -> q97, "q107_referential_audit" -> q107,
-      "q142_drift_report" -> q142)
+      "q142_drift_report" -> q142, "q145_k_anonymity" -> q145)
   val oracleSql: Map[String, String] =
     Map("q97_data_profile" -> q97Sql, "q107_referential_audit" -> q107Sql,
-      "q142_drift_report" -> q142Sql)
+      "q142_drift_report" -> q142Sql, "q145_k_anonymity" -> q145Sql)
 }

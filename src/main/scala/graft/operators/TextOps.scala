@@ -562,7 +562,58 @@ object TextOps {
        |ORDER BY vocab_size""".stripMargin
   }
 
+  // --------------------------------------------------------------- q144
+  /** Cross-document duplicated-n-gram coverage — the document-level
+    * "how much of me exists elsewhere" signal substring-dedup pipelines
+    * filter on (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", measure duplication at the substring
+    * level precisely because whole-doc dedup misses partial copies):
+    * for each document, the fraction of its distinct 2-gram shingles
+    * that also occur in at least one OTHER document. A doc at coverage
+    * 1.0 is wholly reassembled from corpus-shared n-grams; high-coverage
+    * docs are the span-dedup (q83) candidates.
+    *
+    * Scale: one shingle explode + one (shingle) groupBy for corpus
+    * document frequency, one join back on shingle, one per-doc
+    * aggregate — all map-side-combinable two-phase aggs; no pair
+    * enumeration anywhere (this is the linear-cost triage that decides
+    * whether the quadratic-output q143/q60 pipelines are worth running).
+    * Docs with fewer than 2 tokens have no shingles and drop out (both
+    * engines). */
+  private val q144: Q = (s, dir) => {
+    import s.implicits._
+    val sets = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("__words"))
+      .select($"doc_id", DedupOps.shingles($"__words", 2).as("sh"))
+    val ex = sets.select($"doc_id", explode($"sh").as("g"))
+    val dfreq = ex.groupBy($"g")
+      .agg(count_distinct($"doc_id").as("df"))
+    ex.join(dfreq, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_coverage",
+        $"n_dup_grams".cast("double") / $"n_grams".cast("double"))
+      .orderBy($"doc_id")
+  }
+  private val q144Sql: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ${DedupOps.shingleSetSql("text")} AS sh
+       |  FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+       |dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY g)
+       |SELECT e.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_grams,
+       |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_coverage
+       |FROM ex e JOIN dfreq d USING (g)
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q144_dup_ngram_coverage" -> q144,
     "q141_vocab_coverage" -> q141,
     "q87_pii_redaction" -> q87,
     "q75_lm_quality" -> q75,
@@ -577,6 +628,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q144_dup_ngram_coverage" -> q144Sql,
     "q141_vocab_coverage" -> q141Sql,
     "q87_pii_redaction" -> q87Sql,
     "q75_lm_quality" -> q75Sql,

@@ -317,4 +317,55 @@ class DedupOpsSpec extends SparkSpec {
     assert(run(4, dedup = true) === run(Int.MaxValue, dedup = true))
     assert(run(4, dedup = false) === run(Int.MaxValue, dedup = false))
   }
+
+  test("prefixSimilarityJoin is lossless: equals the all-pairs exact join") {
+    // 40 docs: 8 near-dup families (one token perturbed per member) plus
+    // distinct fillers — enough overlap structure to exercise prefix
+    // pruning, small enough for the quadratic reference
+    val fams = (0 until 8).flatMap { f =>
+      val base = (0 until 12).map(i => s"w${f}_$i")
+      Seq((f * 3 + 0).toLong -> base,
+        (f * 3 + 1).toLong -> (base.dropRight(1) :+ s"x$f"),
+        (f * 3 + 2).toLong -> base.reverse)
+    }
+    val fillers = (24 until 40).map(i =>
+      i.toLong -> (0 until 12).map(j => s"f${i}_$j"))
+    val docs = (fams ++ fillers)
+      .map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sets = docs.select($"doc_id",
+      DedupOps.shingleSet($"text", 2).as("sh"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "n_common", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val fast = norm(
+      DedupOps.prefixSimilarityJoin(sets, "doc_id", "sh", 7, 10))
+    // quadratic reference: every pair, exact Jaccard, same threshold
+    val a = sets.select($"doc_id".as("id_a"), $"sh".as("sa"))
+    val b = sets.select($"doc_id".as("id_b"), $"sh".as("sb"))
+    val inter = size(array_intersect($"sa", $"sb")).cast("long")
+    val uni = size($"sa").cast("long") + size($"sb").cast("long") - inter
+    val slow = norm(a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", inter.as("n_common"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter($"n_common" * 10 >= uni * 7)) // J >= 7/10, integer form
+    assert(fast.nonEmpty, "fixture must produce qualifying pairs")
+    assert(fast === slow)
+  }
+
+  test("prefixSimilarityJoin capped equals uncapped on a hot prefix") {
+    // every doc shares one ultra-common shingle that lands in some
+    // prefixes; the cap must not change the result set
+    val docs = (0 until 25).map { i =>
+      (i.toLong, s"hot hot a$i b$i c$i d$i e$i " +
+        (if (i % 5 == 0) "s0 s1 s2 s3" else s"t$i u$i v$i w$i"))
+    }.toDF("doc_id", "text")
+    val sets = docs.select($"doc_id",
+      DedupOps.shingleSet($"text", 2).as("sh"))
+    def run(cap: Int) =
+      DedupOps.prefixSimilarityJoin(sets, "doc_id", "sh", 3, 10, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(run(4) === run(Int.MaxValue))
+  }
 }
