@@ -119,4 +119,19 @@ object StreamingView {
       keys: Seq[String]): DataFrame =
     IncrementalAgg.present(
       ManifestSink.read(spark, viewDir).drop("__batch_id"), keys)
+
+  /** LEADERBOARD read of the view — the live top-k per group, completing
+    * the streaming mergeable-state family (count/sum, distinct, quantile,
+    * now top-k): maintain with [[maintainView]] keyed by
+    * `groupKeys ++ rankKeys`, then this read ranks the MAINTAINED state
+    * ([[graft.sinks.IncrementalAgg.presentTopK]] — decimal-exact sums, id
+    * tie-break, WindowGroupLimit-prunable rank window over state rows
+    * only). Per trigger the stream pays the O(batch) fold; the rank pays
+    * state-row cost at READ time, never history cost. */
+  def readTopKView(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String, groupKeys: Seq[String], rankKeys: Seq[String],
+      k: Int): DataFrame =
+    IncrementalAgg.presentTopK(
+      ManifestSink.read(spark, viewDir).drop("__batch_id"), groupKeys,
+      rankKeys, k)
 }

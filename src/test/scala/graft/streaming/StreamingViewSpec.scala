@@ -133,4 +133,49 @@ class StreamingViewSpec extends SparkSpec {
     assert(rows(StreamingView.readQuantileView(spark, viewDir, "g"))
       === direct)
   }
+
+  test("streaming leaderboard view: top-k per group off maintained state, " +
+      "cross-batch sums rank correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("stopk").toString
+    val viewDir = s"$root/view"
+    // (event_type, user_id, value): user 3's total only wins its group
+    // once BOTH batches fold — a per-batch top-k would rank it wrong
+    val batch1 = Seq(("a", 1L, 5.0), ("a", 2L, 4.0), ("a", 3L, 3.0),
+      ("b", 7L, 1.0), ("b", 8L, 2.0))
+    val batch2 = Seq(("a", 3L, 9.0), ("a", 1L, 0.5), ("b", 7L, 4.0))
+    val src = MemoryStream[(String, Long, Double)]
+    val q = src.toDF().toDF("event_type", "user_id", "value").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        StreamingView.maintainView(
+          b, bid, viewDir, Seq("event_type", "user_id"), "value")
+      }
+      .start()
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = StreamingView.readTopKView(
+        spark, viewDir, Seq("event_type"), Seq("user_id"), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+      .toSet
+    // group a: user 3 total 12.0 ranks 1, user 1 total 5.5 ranks 2
+    // group b: user 7 total 5.0 ranks 1, user 8 total 2.0 ranks 2
+    assert(top === Set(("a", 3L, 1L, 12.0), ("a", 1L, 2L, 5.5),
+      ("b", 7L, 1L, 5.0), ("b", 8L, 2L, 2.0)))
+    // == the batch leaderboard over the full history
+    def rows(d: DataFrame) = d.collect().map(_.toString).sorted.toSeq
+    val all = batch1 ++ batch2
+    val direct = rows(IncrementalAgg.presentTopK(
+      IncrementalAgg.aggregate(all.toDF("event_type", "user_id", "value"),
+        Seq("event_type", "user_id"), "value"),
+      Seq("event_type"), Seq("user_id"), 2))
+    assert(rows(StreamingView.readTopKView(
+      spark, viewDir, Seq("event_type"), Seq("user_id"), 2)) === direct)
+  }
 }
