@@ -1881,6 +1881,33 @@ object ManifestSink {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** Apply a [[changesByKey]] feed to a REPLICA table — the APPLY CHANGES
+    * INTO shape that closes the CDC loop: downstream replicas (a served
+    * copy, a region mirror, a redacted projection) stay in sync by
+    * consuming key-level change rows instead of re-copying the table.
+    * Inserts and updates upsert via [[merge]] (file-granular
+    * copy-on-write — only directories holding matched keys rewrite);
+    * deletes commit ONE merge-on-read key tombstone (zero data
+    * rewritten). Work is change-sized, never table-sized.
+    *
+    * Each key appears at most once per [[changesByKey]] window (it
+    * diffs two snapshots), so upserts satisfy merge's unique-key
+    * contract and no upsert/delete ordering ambiguity exists inside one
+    * feed. Re-applying the same feed converges to the same content
+    * (same-value upserts, already-erased tombstone keys) — at-least-once
+    * delivery is safe content-wise; for replay-free versioning wrap the
+    * call in the batchId-transactional pattern (streaming views). */
+  def applyChanges(cdc: DataFrame, replicaDir: String,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(cdc.columns.contains("_change_type"),
+      "applyChanges expects a changesByKey feed (_change_type column)")
+    merge(cdc.filter(col("_change_type") =!= "delete")
+      .drop("_change_type"), replicaDir, keys)
+    deleteKeysMergeOnRead(cdc.filter(col("_change_type") === "delete")
+      .select(keys.map(col): _*), replicaDir, keys)
+  }
+
   /** Garbage-collect: keep the newest `keepVersions` manifests (the
     * time-travel window); delete older manifest files and any data
     * directory no retained manifest references (replaced compactions,

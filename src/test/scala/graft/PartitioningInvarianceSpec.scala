@@ -27,12 +27,15 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q132 merge-on-read assembled scan (position-segmented tombstone
   //        anti-joins + decimal aggregate — the delete must erase the
   //        same rows whatever the physical partitioning)
+  //   q143 prefix-filter exact similarity join (global-df rank windows
+  //        feeding the capped self-join — the prefix SET must be
+  //        identical whatever partitioning computed the frequencies)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
     "q115_image_phash_dedup", "q116_audio_fingerprint_dedup",
     "q123_video_near_dup", "q125_incremental_distinct",
-    "q132_mor_delete")
+    "q132_mor_delete", "q143_exact_prefix_join")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"

@@ -213,6 +213,35 @@ class ManifestSinkSpec extends SparkSpec {
     assert(applied === toMap(ManifestSink.readAt(spark, dir, v2)))
   }
 
+  test("applyChanges maintains a replica that tracks the source exactly") {
+    val root = Files.createTempDirectory("msinkcdc").toString
+    val (src, rep) = (s"$root/src", s"$root/rep")
+    val v0 = ManifestSink.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), src)
+    // replica bootstraps from the full initial snapshot (fromV = -1)
+    ManifestSink.applyChanges(
+      ManifestSink.changesByKey(spark, src, -1L, v0, Seq("k")), rep,
+      Seq("k"))
+    def rows(dir: String) = ManifestSink.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(rep) === rows(src))
+    // source mutates through every change kind: upsert-update,
+    // upsert-insert, copy-on-write delete, merge-on-read delete
+    ManifestSink.merge(Seq((2L, "B"), (5L, "e")).toDF("k", "v"), src,
+      Seq("k"))
+    ManifestSink.replace(
+      ManifestSink.read(spark, src).filter($"k" =!= 4L), src)
+    val v1 = ManifestSink.deleteKeysMergeOnRead(
+      Seq(Tuple1(1L)).toDF("k"), src, Seq("k"))
+    val cdc = ManifestSink.changesByKey(spark, src, v0, v1, Seq("k"))
+    ManifestSink.applyChanges(cdc, rep, Seq("k"))
+    assert(rows(rep) === rows(src))
+    assert(rows(rep) === Set(2L -> "B", 3L -> "c", 5L -> "e"))
+    // at-least-once: re-applying the same feed converges (same content)
+    ManifestSink.applyChanges(cdc, rep, Seq("k"))
+    assert(rows(rep) === rows(src))
+  }
+
   test("manifest stats prune whole batch dirs from a range scan") {
     val dir = Files.createTempDirectory("msinkfs").toString + "/t"
     // three appends with disjoint key ranges — the time-ordered-append
