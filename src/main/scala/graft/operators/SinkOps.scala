@@ -488,6 +488,57 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** Schema evolution through the gate — the table-format behavior that
+    * decides whether a live pipeline can add a feature column without
+    * rewriting history: phase-1 batches land with the original 3-column
+    * schema; a later append carries a NEW `quality` column; a compaction
+    * then rewrites the mixed-schema history. The merged read must
+    * present the union schema with pre-evolution rows null in the late
+    * column — through the compaction, which would silently drop the
+    * column if it read with any single batch's schema. The aggregate
+    * pins all three: row survival, null backfill (`n_pre_evolution`
+    * counts exactly the phase-1 rows), and the evolved column's values.
+    *
+    * Scale: evolution itself is free (nothing rewrites on append — the
+    * union schema is resolved at READ); the compaction is the only
+    * rewrite and it is one distributed job. */
+  private val q146: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut = maxId / 2
+    val sink = freshScratch("graft_q146", dir) + "/evolved"
+    ManifestSink.append(ev.filter($"event_id" <= cut), sink)
+    ManifestSink.append(
+      ev.filter($"event_id" > cut)
+        .withColumn("quality", $"value" * 2.0), sink)
+    ManifestSink.compact(s, sink, statsCols = Seq("event_id"))
+    ManifestSink.read(s, sink, mergeSchema = true)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"quality".isNull, 1L).otherwise(0L))
+          .as("n_pre_evolution"),
+        Exact.dsum(coalesce($"quality", lit(0.0))).as("sum_quality"))
+      .orderBy($"event_type")
+  }
+  private val q146Sql =
+    s"""WITH cuts AS (SELECT MAX(event_id) // 2 AS cut FROM events),
+       |evolved AS (
+       |  SELECT event_type,
+       |    CASE WHEN event_id > cut THEN value * 2.0 ELSE NULL END
+       |      AS quality
+       |  FROM events CROSS JOIN cuts)
+       |SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pre_evolution,
+       |  ${Exact.sqlSum("COALESCE(quality, 0.0)")} AS sum_quality
+       |FROM evolved
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- q105
   /** Key-exact CDC through the gate: events land as two appends (version
     * A = the table at id <= cut2, original values), then a keyed MERGE
@@ -1089,6 +1140,7 @@ object SinkOps {
     "q105_cdc_feed" -> q105,
     "q98_incremental_view" -> q98,
     "q100_lakehouse_lifecycle" -> q100,
+    "q146_schema_evolution" -> q146,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
@@ -1107,6 +1159,7 @@ object SinkOps {
     "q105_cdc_feed" -> q105Sql,
     "q98_incremental_view" -> q98Sql,
     "q100_lakehouse_lifecycle" -> q100Sql,
+    "q146_schema_evolution" -> q146Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,
