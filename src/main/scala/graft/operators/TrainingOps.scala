@@ -743,7 +743,122 @@ object TrainingOps {
        |       ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q147
+  /** BPE merge learning — the tokenizer-TRAINING step (Sennrich et al.
+    * 2016): q96 applies a fixed vocabulary; this learns one FROM the
+    * corpus. Each round counts adjacent symbol pairs across the
+    * frequency-weighted word vocabulary, picks the most frequent pair
+    * (ties by pair string — deterministic), and merges its left-to-right
+    * non-overlapping occurrences in every word; `rounds` merge rules are
+    * the learned tokenizer.
+    *
+    * Word symbol sequences are '/'-joined strings (symbols are corpus
+    * tokens' characters and their concatenations — never contain '/'),
+    * and the merge application is a STRING FOLD over the symbol list: if
+    * the accumulator's last symbol equals the pair's left and the next
+    * symbol equals its right, append the right symbol WITHOUT a
+    * separator (the two fuse); else append with '/'. A fold never
+    * re-merges its own output within a round (the fused symbol no longer
+    * equals the pair's left), which is exactly the left-to-right
+    * non-overlapping rule — and `functions.aggregate` here and DuckDB's
+    * `list_reduce` in the oracle express the IDENTICAL fold, so the
+    * learned rules hash-match cross-engine.
+    *
+    * Scale (100 TB): the corpus collapses to the frequency-weighted
+    * DISTINCT-WORD table in one token-count aggregation (the only
+    * corpus-sized pass); every round after that is one explode + one
+    * map-side-combinable pair count over vocabulary-sized data plus a
+    * 1-row argmax decision (the same eager decision-probe pattern as the
+    * LSH bucket cap). This is how production BPE trainers distribute:
+    * iterate on the vocab, not the corpus. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    val wc = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist() // vocabulary-sized; every round's pair count reads it
+    // initial symbolization: one symbol per character ("(?!$)" splits at
+    // every position except the end — no trailing empty element)
+    var words = wc.select(col("n"),
+      concat_ws("/", split(col("w"), "(?!$)")).as("sym"))
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val l = split(col("sym"), "/")
+      val top = words
+        // guard: sequence(1, 0) DESCENDS in Spark, so a single-symbol
+        // word must yield an empty pair array, not indexes [1, 0]
+        .select(col("n"), explode(when(size(l) >= 2,
+          transform(sequence(lit(1), size(l) - 1),
+            i => concat(element_at(l, i), lit("/"), element_at(l, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .head() // decision probe: 1 row off a vocab-sized aggregate
+      val Array(a, b) = top.getString(0).split("/", 2)
+      out += ((r, a, b, a + b, top.getLong(1)))
+      val folded = aggregate(
+        slice(l, lit(2), greatest(size(l) - 1, lit(0))),
+        element_at(l, 1),
+        (acc, x) => when(
+          (acc === lit(a) || acc.endsWith("/" + a)) && x === lit(b),
+          concat(acc, x)).otherwise(concat(acc, lit("/"), x)))
+      words = words.select(col("n"), folded.as("sym"))
+    }
+    val res = out.result()
+    wc.unpersist()
+    res
+  }
+
+  /** q147: learn 5 BPE merge rules from `documents` — the merge table a
+    * tokenizer trainer emits, hash-checked against DuckDB recomputing
+    * the identical fold. */
+  private val q147: Q = (s, dir) => {
+    import s.implicits._
+    bpeMerges(Tables(s, dir, "documents"), "text", 5)
+      .map { case (r, a, b, m, c) => (r.toLong, a, b, m, c) }
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy($"round")
+  }
+  private val q147Sql: String = {
+    val rounds = 5
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT l[i] || '/' || l[i+1] AS pair, SUM(n) AS cnt
+         |  FROM (SELECT n, str_split(sym, '/') AS l FROM w${r - 1}),
+         |       unnest(range(1, len(l))) t(i)
+         |  GROUP BY 1),
+         |t$r AS (
+         |  SELECT split_part(pair, '/', 1) AS ls,
+         |         split_part(pair, '/', 2) AS rs,
+         |         CAST(cnt AS BIGINT) AS cnt
+         |  FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT n,
+         |    list_reduce(str_split(sym, '/'),
+         |      (acc, x) -> CASE
+         |        WHEN (acc = t.ls OR ends_with(acc, '/' || t.ls))
+         |             AND x = t.rs
+         |        THEN acc || x ELSE acc || '/' || x END) AS sym
+         |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ls AS left_sym, rs AS right_sym, ls || rs AS merged, cnt AS pair_count FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |w0 AS (
+       |  SELECT n, list_reduce(str_split(w, ''), (a, b) -> a || '/' || b)
+       |    AS sym
+       |  FROM wc),
+       |$stages
+       |$unions
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_bpe_merges" -> q147,
     "q136_leakage_safe_split" -> q136,
     "q108_feature_binning" -> q108,
     "q55_tfidf_top_terms" -> q55,
@@ -758,6 +873,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q147_bpe_merges" -> q147Sql,
     "q136_leakage_safe_split" -> q136Sql,
     "q108_feature_binning" -> q108Sql,
     "q55_tfidf_top_terms" -> q55Sql,

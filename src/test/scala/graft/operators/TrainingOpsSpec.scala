@@ -202,4 +202,29 @@ class TrainingOpsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again === out)
   }
+
+  test("bpeMerges learns the hand-computed merge sequence with " +
+      "deterministic tie-breaks") {
+    import spark.implicits._
+    // wc: key:3 keg:1 egg:1 → r1 (k,e,4); r2 (ke,y,3); r3 tie at 1
+    //   among e/g, g/g, ke/g → lex picks (e,g); r4 tie eg/g vs ke/g →
+    //   (eg,g); r5 (ke,g,1)
+    val docs = Seq("key key key keg egg").toDF("text")
+    val merges = TrainingOps.bpeMerges(docs, "text", 5)
+    assert(merges === Seq(
+      (1, "k", "e", "ke", 4L), (2, "ke", "y", "key", 3L),
+      (3, "e", "g", "eg", 1L), (4, "eg", "g", "egg", 1L),
+      (5, "ke", "g", "keg", 1L)))
+  }
+
+  test("bpeMerges fold is left-to-right non-overlapping on runs") {
+    import spark.implicits._
+    // 'aaaa' x2: r1 counts the overlapping a/a pairs (3 per word, 6
+    // total — standard BPE statistics) but merges only non-overlapping
+    // occurrences → aa/aa; r2 fuses those → one 'aaaa' symbol
+    val docs = Seq("aaaa aaaa").toDF("text")
+    val merges = TrainingOps.bpeMerges(docs, "text", 2)
+    assert(merges === Seq(
+      (1, "a", "a", "aa", 6L), (2, "aa", "aa", "aaaa", 2L)))
+  }
 }
