@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -796,18 +796,24 @@ object TrainingOps {
         .head() // decision probe: 1 row off a vocab-sized aggregate
       val Array(a, b) = top.getString(0).split("/", 2)
       out += ((r, a, b, a + b, top.getLong(1)))
-      val folded = aggregate(
-        slice(l, lit(2), greatest(size(l) - 1, lit(0))),
-        element_at(l, 1),
-        (acc, x) => when(
-          (acc === lit(a) || acc.endsWith("/" + a)) && x === lit(b),
-          concat(acc, x)).otherwise(concat(acc, lit("/"), x)))
-      words = words.select(col("n"), folded.as("sym"))
+      words = words.withColumn("sym", mergeFold(l, a, b))
     }
     val res = out.result()
     wc.unpersist()
     res
   }
+
+  /** One BPE merge rule applied to a '/'-joined symbol list `l`: the
+    * left-to-right non-overlapping string fold shared by learning
+    * ([[bpeMerges]]) and encoding (q148) — and mirrored verbatim by the
+    * oracle's `list_reduce`. */
+  private def mergeFold(l: Column, a: String, b: String): Column =
+    aggregate(
+      slice(l, lit(2), greatest(size(l) - 1, lit(0))),
+      element_at(l, 1),
+      (acc, x) => when(
+        (acc === lit(a) || acc.endsWith("/" + a)) && x === lit(b),
+        concat(acc, x)).otherwise(concat(acc, lit("/"), x)))
 
   /** q147: learn 5 BPE merge rules from `documents` — the merge table a
     * tokenizer trainer emits, hash-checked against DuckDB recomputing
@@ -819,8 +825,12 @@ object TrainingOps {
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy($"round")
   }
-  private val q147Sql: String = {
-    val rounds = 5
+  /** Shared WITH-prefix for the BPE oracles: `wc` (word, weight), `w0`
+    * (char symbolization), and per-round (pair-count, top-pair, merged
+    * words) stages — each stage's `list_reduce` is the verbatim mirror
+    * of [[mergeFold]]. Word kept through every stage so the encode
+    * oracle (q148) can join the final map back to documents. */
+  private def bpeStagesSql(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT l[i] || '/' || l[i+1] AS pair, SUM(n) AS cnt
@@ -833,7 +843,7 @@ object TrainingOps {
          |         CAST(cnt AS BIGINT) AS cnt
          |  FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
          |w$r AS (
-         |  SELECT n,
+         |  SELECT w, n,
          |    list_reduce(str_split(sym, '/'),
          |      (acc, x) -> CASE
          |        WHEN (acc = t.ls OR ends_with(acc, '/' || t.ls))
@@ -841,24 +851,76 @@ object TrainingOps {
          |        THEN acc || x ELSE acc || '/' || x END) AS sym
          |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, ls AS left_sym, rs AS right_sym, ls || rs AS merged, cnt AS pair_count FROM t$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH wc AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
        |  GROUP BY w),
        |w0 AS (
-       |  SELECT n, list_reduce(str_split(w, ''), (a, b) -> a || '/' || b)
-       |    AS sym
+       |  SELECT w, n,
+       |    list_reduce(str_split(w, ''), (a, b) -> a || '/' || b) AS sym
        |  FROM wc),
-       |$stages
+       |$stages""".stripMargin
+  }
+  private val q147Sql: String = {
+    val unions = (1 to 5).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ls AS left_sym, rs AS right_sym, ls || rs AS merged, cnt AS pair_count FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeStagesSql(5)}
        |$unions
        |ORDER BY round""".stripMargin
   }
 
+  // --------------------------------------------------------------- q148
+  /** BPE ENCODE under the learned merges — train-then-apply, the full
+    * tokenizer lifecycle: re-derive q147's 5 merge rules, apply them in
+    * learning order to every distinct word, and report each document's
+    * token count under the learned tokenizer beside its character
+    * count (`compression` = chars per BPE token — the chars/token lift
+    * a vocabulary that small buys on this corpus).
+    *
+    * Scale: encoding is a JOIN against the distinct-word symbol map —
+    * the corpus-sized pass never folds strings per occurrence, it
+    * folds once per distinct word and joins the result back (the
+    * word-level memoization real tokenizers use). */
+  private val q148: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+    val merges = bpeMerges(d, "text", 5)
+    var words = d.select(explode(split($"text", " ")).as("w")).distinct()
+      .select($"w", concat_ws("/", split($"w", "(?!$)")).as("sym"))
+    for ((_, a, b, _, _) <- merges)
+      words = words.withColumn("sym", mergeFold(split($"sym", "/"), a, b))
+    val wsym = words.select($"w",
+      size(split($"sym", "/")).cast("long").as("n_sym"),
+      length($"w").cast("long").as("n_char"))
+    d.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .join(wsym, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sym").as("n_bpe_tokens"), sum($"n_char").as("n_chars"))
+      .withColumn("compression",
+        $"n_chars".cast("double") / $"n_bpe_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+  private val q148Sql: String =
+    s"""${bpeStagesSql(5)},
+       |wsym AS (
+       |  SELECT w, CAST(len(str_split(sym, '/')) AS BIGINT) AS n_sym,
+       |         CAST(length(w) AS BIGINT) AS n_char
+       |  FROM w5),
+       |ex AS (
+       |  SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       |SELECT e.doc_id,
+       |  CAST(SUM(s.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(s.n_char) AS BIGINT) AS n_chars,
+       |  CAST(SUM(s.n_char) AS DOUBLE) / CAST(SUM(s.n_sym) AS DOUBLE)
+       |    AS compression
+       |FROM ex e JOIN wsym s USING (w)
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q147_bpe_merges" -> q147,
+    "q148_bpe_encode" -> q148,
     "q136_leakage_safe_split" -> q136,
     "q108_feature_binning" -> q108,
     "q55_tfidf_top_terms" -> q55,
@@ -874,6 +936,7 @@ object TrainingOps {
 
   val oracleSql: Map[String, String] = Map(
     "q147_bpe_merges" -> q147Sql,
+    "q148_bpe_encode" -> q148Sql,
     "q136_leakage_safe_split" -> q136Sql,
     "q108_feature_binning" -> q108Sql,
     "q55_tfidf_top_terms" -> q55Sql,
