@@ -782,7 +782,9 @@ object TrainingOps {
     var words = wc.select(col("n"),
       concat_ws("/", split(col("w"), "(?!$)")).as("sym"))
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val l = split(col("sym"), "/")
       val top = words
         // guard: sequence(1, 0) DESCENDS in Spark, so a single-symbol
@@ -793,10 +795,15 @@ object TrainingOps {
           .otherwise(array().cast("array<string>"))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .head() // decision probe: 1 row off a vocab-sized aggregate
-      val Array(a, b) = top.getString(0).split("/", 2)
-      out += ((r, a, b, a + b, top.getLong(1)))
-      words = words.withColumn("sym", mergeFold(l, a, b))
+        .limit(1).collect() // decision probe: ≤1 row off a vocab-sized agg
+      top.headOption match {
+        case None => exhausted = true // every word is one symbol already
+        case Some(t) =>
+          val Array(a, b) = t.getString(0).split("/", 2)
+          out += ((r, a, b, a + b, t.getLong(1)))
+          words = words.withColumn("sym", mergeFold(l, a, b))
+          r += 1
+      }
     }
     val res = out.result()
     wc.unpersist()

@@ -227,4 +227,14 @@ class TrainingOpsSpec extends SparkSpec {
     assert(merges === Seq(
       (1, "a", "a", "aa", 6L), (2, "aa", "aa", "aaaa", 2L)))
   }
+
+  test("bpeMerges stops early when no pairs remain") {
+    import spark.implicits._
+    // single-char words have no pairs at all → zero merges, no crash
+    assert(TrainingOps.bpeMerges(Seq("a b c").toDF("text"), "text", 3)
+      === Seq())
+    // 'ab' fuses in round 1; round 2 finds nothing and stops
+    assert(TrainingOps.bpeMerges(Seq("ab ab").toDF("text"), "text", 3)
+      === Seq((1, "a", "b", "ab", 2L)))
+  }
 }
