@@ -85,6 +85,51 @@ object Bitmap {
     new GenericArrayData(out)
   }
 
+  /** popcount(a AND b) — the exact intersection cardinality as a LONG,
+    * for callers whose downstream predicates must stay in integer
+    * arithmetic (q143's den·|∩| ≥ num·|∪| threshold); null on width
+    * mismatch, like [[BitmapJaccard]]. */
+  case class BitmapAndCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def prettyName: String = "bitmap_and_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bitmap_and_count expects two array<long>, got $other")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Bitmap.andCountKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val c = ctx.freshName("cnt")
+        s"""
+           |Object $c = graft.functions.Bitmap.andCountKernel($a, $b);
+           |if ($c == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Long) $c).longValue(); }
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): BitmapAndCount = copy(left = l, right = r)
+  }
+
+  def andCountKernel(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var inter = 0L
+    var i = 0
+    while (i < n) {
+      inter += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(inter)
+  }
+
   def jaccardKernel(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -108,4 +153,7 @@ object Bitmap {
   def jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(
       BitmapJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def andCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapAndCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

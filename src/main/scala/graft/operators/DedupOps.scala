@@ -547,12 +547,19 @@ object DedupOps {
     * Scale (100 TB): one explode + one (element) shuffle builds the df
     * order; the candidate join ships PREFIX rows only (≈ (1−τ)·set size
     * per doc) and routes through the capped [[bandSelfJoin]], so one
-    * ultra-hot prefix element cannot pin a reducer; verification joins
-    * doc-id→set twice (hash joins on the doc key) and touches candidate
-    * pairs only. The all-pairs O(n²) form exists nowhere in the plan. */
+    * ultra-hot prefix element cannot pin a reducer. Verification is
+    * ADAPTIVE on a vocabulary probe: a bounded element vocabulary
+    * (≤ `bitmapMaxVocab`) verifies on dictionary-exact popcount bitmaps
+    * carried as join payload — every candidate dies or survives inside
+    * its reducer, and only output-sized survivors reach the pair
+    * distinct (the tiny-vocab corpus where prefix buckets are large is
+    * exactly where this matters); an open vocabulary falls back to
+    * distinct-then-array-verify on the full sets. Both paths return
+    * identical rows (spec-pinned). The all-pairs O(n²) form exists
+    * nowhere in the plan. */
   def prefixSimilarityJoin(sets: DataFrame, idCol: String, setCol: String,
-      tauNum: Int, tauDen: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      tauNum: Int, tauDen: Int, maxBucket: Int = DefaultMaxBucket,
+      bitmapMaxVocab: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = sets.select(col(idCol).as("__id"), col(setCol).as("__set"))
       .filter(size(col("__set")) > 0)
@@ -561,6 +568,15 @@ object DedupOps {
     val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("__el"))
     val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
+      .persist() // vocab-sized; feeds the probe, the rank join, and
+                 // (small-vocab tier) the dictionary
+    // adaptive-verify probe (same eager-decision pattern as the LSH
+    // bucket cap): with a bounded element vocabulary, verification can
+    // run on dictionary-exact bitmaps INSIDE the candidate join — the
+    // worst case for prefix filtering is exactly a tiny vocabulary
+    // (every element frequent → large prefix buckets), and there the
+    // candidate stream must die in-reducer, before any pair distinct
+    val vocabSize = dfreq.count()
     // rank each doc's elements rarest-first; keep the prefix
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("__el").asc)
@@ -571,23 +587,58 @@ object DedupOps {
       .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)
       .select(col("__id"), lit(0).as("__bidx"),
         PortableHash.tokenHashP(col("__el")).as("__bhash"), col("__sz"))
-    // candidate pairs (skew-capped), length-filtered: J ≥ τ needs
-    // den·min(sz) ≥ num·max(sz)
-    val cand = bandSelfJoin(prefix, "__id", Seq("__sz"), maxBucket)
-      .filter(col("__sz_a") * tauDen >= col("__sz_b") * tauNum &&
+    // length filter: J ≥ τ needs den·min(sz) ≥ num·max(sz)
+    def lengthOk(p: DataFrame): DataFrame =
+      p.filter(col("__sz_a") * tauDen >= col("__sz_b") * tauNum &&
         col("__sz_b") * tauDen >= col("__sz_a") * tauNum)
-      .select(col("__ga").as("id_a"), col("__gb").as("id_b")).distinct()
-    val a = s.select(col("__id").as("id_a"), col("__set").as("__seta"))
-    val b = s.select(col("__id").as("id_b"), col("__set").as("__setb"))
-    val inter = size(array_intersect(col("__seta"), col("__setb")))
-      .cast("long")
-    val uni = size(col("__seta")).cast("long") +
-      size(col("__setb")).cast("long") - inter
-    cand.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"), inter.as("n_common"), uni.as("n_union"),
-        (inter.cast("double") / uni.cast("double")).as("jaccard"))
-      .filter(col("n_common") * tauDen >= col("n_union") * tauNum)
-      .drop("n_union")
+
+    if (vocabSize > 0 && vocabSize <= bitmapMaxVocab) {
+      // small-vocab tier: each set is ⌈vocab/64⌉ longs
+      // (graft.functions.Bitmap — codegen popcount kernels, identical
+      // counts), carried as PAYLOAD through the capped self-join so
+      // every candidate row verifies in its reducer; only survivors
+      // (output-sized, not candidate-sized) reach the pair distinct
+      import graft.functions.{Bitmap, TokenBitmask}
+      val dict = TokenBitmask.dictionary(dfreq, "__el")
+        .select(col("__el"), col("__idx"))
+      val words = ((vocabSize + 63) / 64).toInt
+      val bitmaps = ex.select(col("__id"), col("__el"))
+        .join(broadcast(dict), "__el")
+        .groupBy(col("__id"))
+        .agg(collect_list(col("__idx")).as("__p"))
+        .select(col("__id"), Bitmap.fromPositions(col("__p"), words).as("__bm"))
+      val inter = Bitmap.andCount(col("__bm_a"), col("__bm_b"))
+      lengthOk(bandSelfJoin(prefix.join(bitmaps, "__id"), "__id",
+          Seq("__sz", "__bm"), maxBucket))
+        .withColumn("__i", inter)
+        .withColumn("__u",
+          (col("__sz_a") + col("__sz_b")).cast("long") - col("__i"))
+        .filter(col("__i") * tauDen >= col("__u") * tauNum)
+        .select(col("__ga").as("id_a"), col("__gb").as("id_b"),
+          col("__i").as("n_common"), col("__u").as("n_union"))
+        .distinct()
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          (col("n_common").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+    } else {
+      // open-vocab tier (the 100 TB default): candidates distinct
+      // first, then exact array verification on the full sets
+      val cand = lengthOk(bandSelfJoin(prefix, "__id", Seq("__sz"),
+          maxBucket))
+        .select(col("__ga").as("id_a"), col("__gb").as("id_b")).distinct()
+      val a = s.select(col("__id").as("id_a"), col("__set").as("__seta"))
+      val b = s.select(col("__id").as("id_b"), col("__set").as("__setb"))
+      val inter = size(array_intersect(col("__seta"), col("__setb")))
+        .cast("long")
+      val uni = size(col("__seta")).cast("long") +
+        size(col("__setb")).cast("long") - inter
+      cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), inter.as("n_common"),
+          uni.as("n_union"),
+          (inter.cast("double") / uni.cast("double")).as("jaccard"))
+        .filter(col("n_common") * tauDen >= col("n_union") * tauNum)
+        .drop("n_union")
+    }
   }
 
   /** q143: exact 2-gram-shingle Jaccard ≥ 0.8 join over `documents` —

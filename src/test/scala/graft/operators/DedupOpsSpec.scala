@@ -354,6 +354,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("prefixSimilarityJoin bitmap and array verify tiers are identical") {
+    val docs = (0 until 30).flatMap { i =>
+      val base = (0 until 10).map(j => s"w${i % 6}_$j")
+      Seq((i * 2L, base.mkString(" ")),
+        (i * 2 + 1L, (base.dropRight(1) :+ s"x$i").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sets = docs.select($"doc_id",
+      DedupOps.shingleSet($"text", 2).as("sh"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // bitmapMaxVocab = 0 forces the open-vocab array path
+    val viaBitmap = norm(
+      DedupOps.prefixSimilarityJoin(sets, "doc_id", "sh", 7, 10))
+    val viaArrays = norm(DedupOps.prefixSimilarityJoin(
+      sets, "doc_id", "sh", 7, 10, bitmapMaxVocab = 0L))
+    assert(viaBitmap.nonEmpty && viaBitmap === viaArrays)
+  }
+
   test("prefixSimilarityJoin capped equals uncapped on a hot prefix") {
     // every doc shares one ultra-common shingle that lands in some
     // prefixes; the cap must not change the result set
