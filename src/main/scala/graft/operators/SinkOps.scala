@@ -598,6 +598,78 @@ object SinkOps {
       |WHERE e.event_id <= cut2 AND e.event_id BETWEEN d1 AND d2
       |ORDER BY _change_type, event_id""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** CDC REPLICATION through the gate — [[ManifestSink.applyChanges]]
+    * driving a replica from key-level change feeds, end-to-end against
+    * a closed-form oracle: the replica bootstraps from the full
+    * snapshot feed (`changesByKey(-1 → vA)`), the source then mutates
+    * through upsert-updates, inserts, and a range delete (q105's exact
+    * mutation algebra), and the INCREMENTAL feed (vA → vB) drives the
+    * replica to the source's final state. The aggregate runs over the
+    * REPLICA — a missed update, a resurrected delete, or a double-applied
+    * insert all hash-mismatch.
+    *
+    * Scale: both feeds are change-sized; applying them costs one keyed
+    * merge (file-granular CoW) + one tombstone line each — the replica
+    * never re-reads the source table. */
+  private val q149: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val (d1, d2) = (maxId / 4, maxId / 2) // deleted band
+    val root = freshScratch("graft_q149", dir)
+    val (src, rep) = (root + "/src", root + "/rep")
+    ManifestSink.append(ev.filter($"event_id" <= cut1), src)
+    val vA = ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), src)
+    ManifestSink.applyChanges(
+      ManifestSink.changesByKey(s, src, -1L, vA, Seq("event_id")), rep,
+      Seq("event_id"))
+    ManifestSink.merge(
+      ev.filter($"event_id" % 10 === 0 ||
+          ($"event_id" > cut2 && $"event_id" % 7 === 0))
+        .withColumn("value", $"value" + 1000.0),
+      src, Seq("event_id"))
+    val vB = ManifestSink.deleteWhere(s, src,
+      Seq(ManifestSink.Range("event_id", Some(d1), Some(d2))))
+    ManifestSink.applyChanges(
+      ManifestSink.changesByKey(s, src, vA, vB, Seq("event_id")), rep,
+      Seq("event_id"))
+    ManifestSink.read(s, rep)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("sum_value"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+  private val q149Sql =
+    s"""WITH cuts AS (
+       |  SELECT 2 * MAX(event_id) // 3 AS cut2,
+       |         MAX(event_id) // 4 AS d1,
+       |         MAX(event_id) // 2 AS d2
+       |  FROM events),
+       |state AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 10 = 0
+       |           OR (event_id > cut2 AND event_id % 7 = 0)
+       |         THEN value + 1000.0 ELSE value END AS value
+       |  FROM events CROSS JOIN cuts
+       |  WHERE (event_id <= cut2
+       |         OR event_id % 7 = 0 OR event_id % 10 = 0)
+       |    AND NOT (event_id BETWEEN d1 AND d2))
+       |SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  MIN(event_id) AS min_id,
+       |  MAX(event_id) AS max_id
+       |FROM state
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- q124
   /** Layout advisor through the gate: three manifest tables with
     * KNOWN-layout pathologies — `fragmented` (12 small mod-slices of
@@ -1141,6 +1213,7 @@ object SinkOps {
     "q98_incremental_view" -> q98,
     "q100_lakehouse_lifecycle" -> q100,
     "q146_schema_evolution" -> q146,
+    "q149_cdc_replica" -> q149,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
@@ -1160,6 +1233,7 @@ object SinkOps {
     "q98_incremental_view" -> q98Sql,
     "q100_lakehouse_lifecycle" -> q100Sql,
     "q146_schema_evolution" -> q146Sql,
+    "q149_cdc_replica" -> q149Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,
