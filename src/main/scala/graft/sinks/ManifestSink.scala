@@ -904,12 +904,22 @@ object ManifestSink {
     * [[graft.streaming.WikiStream.appendOnceWithRetentionManifest]]'s
     * empty-batch count guard does exactly this. */
   def appendOnce(df: DataFrame, dir: String, batchId: Long,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+    appendOnceWithHeader(df, dir, batchId, Map.empty, statsCols)
+
+  /** [[appendOnce]] carrying extra caller metadata in the SAME atomic
+    * commit as the batch marker and the data — for streaming folds that
+    * maintain their own progress values beside the batch id (e.g. the
+    * late-data channel's event-time watermark). Numeric header values
+    * merge monotonically (max, [[mergeHeader]]), so a rebased or
+    * replayed commit can never regress a progress marker. */
+  def appendOnceWithHeader(df: DataFrame, dir: String, batchId: Long,
+      header: Map[String, String], statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val cur = version(spark, dir)
     if (cur >= 0 && lastBatchId(spark, dir) >= batchId) return cur
     commitAppend(spark, dir, df, statsCols,
-      header = Map(BatchKey -> batchId.toString))
+      header = header + (BatchKey -> batchId.toString))
   }
 
   /** Replace the whole table content (compaction/retention commit):
