@@ -75,13 +75,38 @@ object ManifestSink {
     * deleted before returning. */
   private[sinks] def tryPublishNew(f: FileSystem, p: Path,
       content: String): Boolean = {
-    val tmp = new Path(p.getParent,
-      p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val won = f.rename(tmp, p)
-    if (!won) f.delete(tmp, false)
-    won
+    val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
+    if (scheme == "file") {
+      // POSIX rename(2) REPLACES an existing destination, so Hadoop's
+      // local-FS rename is NOT a conditional put: under heavy contention
+      // two racers can both "win" the same manifest name, the second
+      // silently overwriting the first — a LOST COMMIT (surfaced by the
+      // 8-thread race spec flaking under full-suite load: 32 appends,
+      // 31 surviving versions). Hard-LINK creation is the local-FS
+      // conditional put — atomic and EEXIST-exclusive at the syscall
+      // level: write a writer-unique temp, link it into place, lose
+      // cleanly if the name exists.
+      import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+      val dst = Paths.get(p.toUri.getPath)
+      Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(
+        p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      try { Files.createLink(dst, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    } else {
+      // HDFS and object-store schemes: rename-without-overwrite IS the
+      // conditional put (fails when the destination exists)
+      val tmp = new Path(p.getParent,
+        p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = f.rename(tmp, p)
+      if (!won) f.delete(tmp, false)
+      won
+    }
   }
 
   /** Publish `content` at `p`, requiring the conditional put to succeed —

@@ -733,6 +733,32 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readAt(spark, dir, v - 1).count() === 50)
   }
 
+  test("tryPublishNew is an exclusive conditional put under contention") {
+    // POSIX rename overwrites, so the old rename-based put let two
+    // racers both "win" a manifest name under load (a lost commit, seen
+    // as a full-suite flake of the race test below); the hard-link put
+    // must admit EXACTLY one winner and preserve the winner's bytes
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val root = Files.createTempDirectory("condput").toString
+    (0 until 40).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$i.manifest")
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val ths = (0 until 8).map { t =>
+        new Thread(() => {
+          barrier.await()
+          if (ManifestSink.tryPublishNew(f, p, s"writer-$t")) wins.add(t)
+        })
+      }
+      ths.foreach(_.start()); ths.foreach(_.join())
+      assert(wins.size === 1, s"round $i: winners ${wins}")
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/$i.manifest")))
+      assert(content === s"writer-${wins.peek()}") // no silent overwrite
+    }
+  }
+
   test("concurrent appends all land exactly once via commit-race rebase") {
     val dir = Files.createTempDirectory("msinkcc").toString + "/t"
     // 8 threads × 4 appends, every batch a distinct value range — the
