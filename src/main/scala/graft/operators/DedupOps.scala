@@ -561,7 +561,12 @@ object DedupOps {
       tauNum: Int, tauDen: Int, maxBucket: Int = DefaultMaxBucket,
       bitmapMaxVocab: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = sets.select(col(idCol).as("__id"), col(setCol).as("__set"))
+    // array_distinct: the size/overlap arithmetic below (prefix length,
+    // |∪| = sz_a + sz_b − |∩|) is SET arithmetic — an input array with
+    // duplicate elements would count multiplicity and silently void the
+    // lossless guarantee, so distinctness is enforced here, not assumed
+    val s = sets.select(col(idCol).as("__id"),
+        array_distinct(col(setCol)).as("__set"))
       .filter(size(col("__set")) > 0)
       .persist() // feeds the df build, the prefix explode, and both
                  // verify branches — one tokenize/shingle pass total
@@ -580,8 +585,11 @@ object DedupOps {
     // rank each doc's elements rarest-first; keep the prefix
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("__el").asc)
-    val ceilTauSz = (col("__sz") * tauNum + (tauDen - 1)) .divide(tauDen)
-      .cast("long") // integer ⌈τ·s⌉ via (num·s + den − 1) div den
+    // integer ⌈τ·s⌉ via (num·s + den − 1) div den — IntegralDivide, not
+    // double-divide-then-truncate, so the predicate is genuinely
+    // integral at any magnitude (no 2^53 mantissa cliff)
+    val ceilTauSz =
+      expr(s"(CAST(__sz AS BIGINT) * $tauNum + ${tauDen - 1}) div $tauDen")
     val prefix = ex.join(dfreq, "__el")
       .withColumn("__pos", row_number().over(w))
       .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)

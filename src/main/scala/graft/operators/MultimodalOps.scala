@@ -569,35 +569,81 @@ object MultimodalOps {
     * shift (both sides move together), which is exactly the perturbation
     * class near-dup images exhibit; only values that wrap mod 256 flip
     * bits. Undecodable payloads are skipped row by row. */
+  /** The dHash bit kernel over one decoded image (shared by the per-row
+    * and content-addressed seams). */
+  private def dhashOf(bi: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = bi.getWidth
+    val h = bi.getHeight
+    val px = bi.getRGB(0, 0, w, h, null, 0, w)
+    @inline def gray(gx: Int, gy: Int): Int = {
+      val rgb = px((gy * h / 8) * w + (gx * w / 9))
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    var lo = 0L; var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gx + 1, gy) > gray(gx, gy)) {
+          val bit = gy * 8 + gx
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (lo, hi)
+  }
+
   def dhashBatch(media: Dataset[Media]): Dataset[DHashRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
         readImage(m.payload).map { bi =>
-          val w = bi.getWidth
-          val h = bi.getHeight
-          val px = bi.getRGB(0, 0, w, h, null, 0, w)
-          @inline def gray(gx: Int, gy: Int): Int = {
-            val rgb = px((gy * h / 8) * w + (gx * w / 9))
-            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          }
-          var lo = 0L; var hi = 0L
-          var gy = 0
-          while (gy < 8) {
-            var gx = 0
-            while (gx < 8) {
-              if (gray(gx + 1, gy) > gray(gx, gy)) {
-                val bit = gy * 8 + gx
-                if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
-              }
-              gx += 1
-            }
-            gy += 1
-          }
+          val (lo, hi) = dhashOf(bi)
           DHashRow(m.doc_id, lo, hi)
         }
       }
     }
+  }
+
+  /** CONTENT-ADDRESSED dHash: byte-identical payloads decode exactly
+    * once. Real corpora are full of byte-identical media (re-uploads,
+    * mirrors, hotlink caches), and decode is the expensive stage of the
+    * pipeline — so collapse on a sha-256 content key BEFORE the codec
+    * seam, decode one representative per distinct payload, and fan the
+    * hash back out to every carrying row.
+    *
+    * Shape (one pass over `media`, one shuffle): hash each payload
+    * (codegen sha2 — orders of magnitude cheaper than the ImageIO
+    * decode it elides), then a single partially-aggregated groupBy
+    * ships ONE payload per content key per map partition (`first` is
+    * map-side combinable) plus the carrying doc ids (`collect_list`,
+    * the same bounded-duplication collapse contract as
+    * [[dhashNearDup]]'s identical-hash groups); the decode seam then
+    * runs over DISTINCT payloads only, and an `explode` restores
+    * per-doc rows. Decode cost scales with distinct content, not
+    * corpus size — on a corpus with duplication factor f this is an
+    * f× cut of the dominant stage. Output rows match [[dhashBatch]]
+    * exactly (spec-pinned). */
+  def dhashContentAddressed(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.toDF()
+      .select(sha2(col("payload"), 256).as("__ck"), col("payload"),
+        col("doc_id"))
+      .groupBy(col("__ck"))
+      .agg(first(col("payload")).as("payload"),
+        collect_list(col("doc_id")).as("__ids"))
+      .select(col("payload"), col("__ids"))
+      .as[(Array[Byte], Seq[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, ids) =>
+          readImage(p).map { bi => val (lo, hi) = dhashOf(bi); (ids, lo, hi) }
+        }
+      }
+      .toDF("__ids", "dhash_lo", "dhash_hi")
+      .select(explode(col("__ids")).as("doc_id"), col("dhash_lo"),
+        col("dhash_hi"))
   }
 
   /** Image near-dup by Hamming distance over dHash — the pixel analog of
@@ -679,7 +725,10 @@ object MultimodalOps {
     val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
       .mapPartitions(it => it.map(d =>
         Media(d, syntheticFramePng(d % 20, ((d / 20) % 3).toInt))))
-    dhashNearDup(dhashBatch(media).toDF(), maxHamming = 4)
+    // content-addressed: the corpus is re-upload-heavy by construction
+    // (every same-(base, v) doc is byte-identical), so the decode seam
+    // runs once per distinct payload, not once per doc
+    dhashNearDup(dhashContentAddressed(media), maxHamming = 4)
       .orderBy($"id_a", $"id_b")
   }
   private val q115Sql =
@@ -840,7 +889,11 @@ object MultimodalOps {
         Media(d * 64 + k, syntheticFramePng(base, k * 3 + v))
       }
     }
-    val frameHashes = dhashBatch(media).toDF()
+    // content-addressed: frames repeat across re-uploaded videos (every
+    // same-(base, v) video is a byte-identical frame list), so the
+    // decode seam — the dominant stage (r10 verdict) — runs once per
+    // distinct frame payload, not once per (video, frame)
+    val frameHashes = dhashContentAddressed(media)
       .select(shiftright($"doc_id", 6).as("doc_id"),
         $"doc_id".bitwiseAND(63).cast("int").as("k"),
         $"dhash_lo".as("lo"), $"dhash_hi".as("hi"))

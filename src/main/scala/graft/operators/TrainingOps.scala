@@ -777,6 +777,18 @@ object TrainingOps {
       .select(explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .persist() // vocabulary-sized; every round's pair count reads it
+    // Separator-injectivity guard (one vocab-sized probe): a corpus
+    // token containing '/' would make the '/'-joined symbol encoding
+    // ambiguous — and the top-pair parse would then diverge between
+    // engines (Spark split("/", 2) keeps the remainder; DuckDB
+    // split_part takes the second segment). Refuse loudly instead of
+    // learning silently-wrong merges.
+    val slashed = wc.filter(col("w").contains("/")).head(1)
+    require(slashed.isEmpty,
+      s"bpeMerges: corpus token ${slashed.headOption.fold("?")(r =>
+        "'" + r.getString(0) + "'")} contains the symbol separator '/'; " +
+        "BPE symbolization here requires '/'-free tokens (pre-split or " +
+        "remap the separator before training)")
     // initial symbolization: one symbol per character ("(?!$)" splits at
     // every position except the end — no trailing empty element)
     var words = wc.select(col("n"),

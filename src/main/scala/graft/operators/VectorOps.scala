@@ -979,7 +979,8 @@ object VectorOps {
   // --------------------------------------------------------------- q121
   /** The index recommendation as a first-class ORACLED query — the
     * declarative twin of [[recommendIndex]] (no driver-side collect): for
-    * each recall target, join the measured q77 panel with the
+    * each recall target, join the measured q77 panel — read from the
+    * stored artifact ([[storedRecallPanel]]) — with the
     * [[annCandidateCost]] table and pick the cheapest qualifying method
     * (ties to higher recall, then name), falling back to brute force
     * (recall 1, cost 1) when nothing qualifies. Mean recall is computed
@@ -988,9 +989,23 @@ object VectorOps {
     * recall doubles would be summation-order-dependent). */
   private val recTargets = Seq(0.2, 0.5, 0.8, 0.9)
 
+  /** The q77 recall panel as a STORED measurement: the full five-pipeline
+    * panel run persists as a fingerprint-stamped [[VectorIndex]] artifact
+    * exactly like the index artifacts it measures (r10 verdict #3 — the
+    * index artifacts amortized, but the panel measurement didn't), so a
+    * decision query re-reads a 500-row parquet table instead of
+    * re-executing every ANN pipeline. Rebuilt only when the embeddings
+    * corpus changes — which is also exactly when the measured recalls
+    * could change (every panel input is a deterministic function of the
+    * corpus). Hash-exactness survives storage: hits is a long and
+    * recall_at_5 = hits/5.0 is an exact dyadic double, both bit-exact
+    * through parquet. */
+  private def storedRecallPanel(s: SparkSession, dir: String): DataFrame =
+    indexedArtifact(s, dir, "recall_panel")(q77(s, dir))
+
   private val q121: Q = (s, dir) => {
     import s.implicits._
-    val mean = q77(s, dir).groupBy(col("method"))
+    val mean = storedRecallPanel(s, dir).groupBy(col("method"))
       .agg((sum(col("hits")).cast("double") /
         (lit(5.0) * count(lit(1)))).as("mean_recall"))
     val costs = annCandidateCost.toSeq.sortBy(_._1).toDF("method", "cost")

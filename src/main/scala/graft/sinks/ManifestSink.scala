@@ -35,18 +35,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write-new/flip-pointer/collect-garbage protocol as log-structured
   * table formats, reduced to the minimum the engine needs.
   *
-  * Concurrency: the rename IS a conditional put (`FileSystem.rename`
-  * onto an existing destination fails and leaves it intact), so of any
-  * writers racing to one manifest name exactly one wins. [[append]] /
-  * [[appendWithStats]] exploit this for full multi-writer safety:
-  * appends commute, so a loser rebases its entry onto the winner's
-  * snapshot and retries — optimistic concurrency's blind-append fast
-  * path. Table-rewriting commits (replace / merge / delete / compact)
-  * compute their entry sets against one snapshot and thus can't rebase:
-  * they keep the single-writer contract and fail loudly on a lost race
-  * (the reference is single-writer throughout, pipeline.py WAL mode).
-  * On a true object store the rename becomes a conditional copy of one
-  * tiny object (If-None-Match put), with identical semantics.
+  * Concurrency: publishing a manifest name is a CONDITIONAL PUT —
+  * exactly one of any concurrent publishers of a name succeeds — but
+  * the primitive that provides it is per-scheme (see [[tryPublishNew]]):
+  * hard-link creation on local FS, rename-without-overwrite on HDFS, and
+  * on object stores a registered [[registerConditionalPut]] seam (their
+  * rename is a non-atomic copy+delete, NOT a conditional put — the sink
+  * refuses to run there rather than lose commits silently). [[append]] /
+  * [[appendWithStats]] exploit the exclusivity for full multi-writer
+  * safety: appends commute, so a loser rebases its entry onto the
+  * winner's snapshot and retries — optimistic concurrency's blind-append
+  * fast path. Table-rewriting commits (replace / merge / delete /
+  * compact) compute their entry sets against one snapshot and thus can't
+  * rebase: they keep the single-writer contract and fail loudly on a
+  * lost race (the reference is single-writer throughout, pipeline.py WAL
+  * mode).
   */
 object ManifestSink {
 
@@ -64,19 +67,64 @@ object ManifestSink {
     } finally in.close()
   }
 
-  /** Attempt to publish `content` at `p` via unique-temp + rename, and
-    * report whether THIS writer won the name. `FileSystem.rename` onto an
-    * existing destination fails and leaves the destination intact (HDFS
-    * contract; probed true for LocalFileSystem too), so the rename is a
-    * CONDITIONAL PUT: of any number of concurrent publishers of one
-    * manifest name, exactly one succeeds. The temp name embeds a UUID —
-    * two writers racing to the same version must never share a temp file,
-    * or the winner could publish the loser's content. A losing temp is
-    * deleted before returning. */
+  /** Conditional-put implementations for schemes where neither built-in
+    * path is safe (object stores). Registered via
+    * [[registerConditionalPut]]; e.g. an S3 seam would issue a
+    * `PutObject` with `If-None-Match: *` and map 412 → false. */
+  private val extraConditionalPuts =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (FileSystem, Path, String) => Boolean]()
+
+  /** Plug a conditional-put primitive for a URI scheme: `put(fs, path,
+    * content)` must atomically publish `content` at `path` iff the name
+    * does not exist, returning whether THIS caller won the name. */
+  def registerConditionalPut(scheme: String,
+      put: (FileSystem, Path, String) => Boolean): Unit =
+    extraConditionalPuts.put(scheme, put)
+
+  /** Schemes whose Hadoop `rename` is a client-side copy+delete — neither
+    * atomic nor exclusive — so rename-as-conditional-put would LOSE
+    * COMMITS silently. Publishing there requires a registered seam. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "swift", "cos")
+
+  /** Attempt to publish `content` at `p`, and report whether THIS writer
+    * won the name. The conditional-put primitive is dispatched PER
+    * SCHEME, because no single filesystem operation is exclusive
+    * everywhere:
+    *
+    *   - `file`: POSIX rename(2) REPLACES an existing destination, so
+    *     local-FS rename is NOT conditional (the lost-commit race the
+    *     8-thread spec caught). Hard-LINK creation is the local
+    *     conditional put — atomic and EEXIST-exclusive at the syscall
+    *     level.
+    *   - HDFS (and other schemes with the HDFS rename contract):
+    *     rename-without-overwrite fails when the destination exists and
+    *     leaves it intact — a true conditional put.
+    *   - Object stores (`s3a`, `gs`, `abfs`, …): rename is a non-atomic
+    *     copy+delete with NO exclusivity guarantee. Refused loudly
+    *     unless a [[registerConditionalPut]] seam is installed (S3 since
+    *     2024 supports `If-None-Match: *` PUT — exactly this seam — but
+    *     not through `FileSystem.rename`).
+    *
+    * The temp name embeds a UUID — two writers racing to the same
+    * version must never share a temp file, or the winner could publish
+    * the loser's content. A losing temp is deleted before returning. */
   private[sinks] def tryPublishNew(f: FileSystem, p: Path,
       content: String): Boolean = {
     val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
-    if (scheme == "file") {
+    val plugged = extraConditionalPuts.get(scheme)
+    if (plugged != null) {
+      plugged(f, p, content)
+    } else if (NonAtomicRenameSchemes.contains(scheme)) {
+      throw new UnsupportedOperationException(
+        s"ManifestSink: scheme '$scheme' has copy+delete rename with no " +
+          "exclusivity guarantee, so commits could be silently lost. " +
+          "Register a conditional-put seam for it via " +
+          "ManifestSink.registerConditionalPut (e.g. an S3 " +
+          "If-None-Match:* PUT) before writing to this scheme.")
+    } else if (scheme == "file") {
       // POSIX rename(2) REPLACES an existing destination, so Hadoop's
       // local-FS rename is NOT a conditional put: under heavy contention
       // two racers can both "win" the same manifest name, the second
@@ -86,17 +134,33 @@ object ManifestSink {
       // conditional put — atomic and EEXIST-exclusive at the syscall
       // level: write a writer-unique temp, link it into place, lose
       // cleanly if the name exists.
-      import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+      import java.nio.file.{FileAlreadyExistsException, Files,
+        FileSystemException, Paths}
       val dst = Paths.get(p.toUri.getPath)
       Files.createDirectories(dst.getParent)
       val tmp = dst.resolveSibling(
         p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
       Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
       try { Files.createLink(dst, tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
+      catch {
+        case _: FileAlreadyExistsException => false
+        // A 'file'-scheme mount WITHOUT hard links (FUSE, exFAT, some
+        // network FS) would otherwise surface as an opaque crash that
+        // breaks this method's boolean contract — name the requirement
+        // instead of leaking the raw syscall error.
+        case e @ (_: UnsupportedOperationException |
+                  _: FileSystemException) =>
+          throw new UnsupportedOperationException(
+            s"ManifestSink: conditional put on local scheme needs hard-" +
+              s"link support (atomic EEXIST-exclusive publish), which " +
+              s"the filesystem under '$dst' refused: $e. Use a " +
+              "hard-link-capable mount, or register a conditional-put " +
+              "seam via ManifestSink.registerConditionalPut(\"file\", …).",
+            e)
+      }
       finally Files.deleteIfExists(tmp)
     } else {
-      // HDFS and object-store schemes: rename-without-overwrite IS the
+      // HDFS-contract schemes: rename-without-overwrite IS the
       // conditional put (fails when the destination exists)
       val tmp = new Path(p.getParent,
         p.getName + "." + java.util.UUID.randomUUID() + ".tmp")

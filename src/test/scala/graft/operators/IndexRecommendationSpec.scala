@@ -61,4 +61,33 @@ class IndexRecommendationSpec extends SparkSpec {
     assert(VectorOps.recommendIndex(tied, 0.5,
       maxCandidateFraction = 0.2) === "ivf_lloyd")
   }
+
+  test("q121 reads a STORED recall panel: built once, fingerprint-" +
+      "stamped, row-identical to the live q77 measurement") {
+    import graft.sinks.ManifestSink
+    val panelDir = s"${VectorIndex.indexRoot(sf)}/recall_panel"
+    // the artifact survives across sessions on this host — start clean
+    // so this test observes the BUILD, not a previous run's artifact
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(panelDir))
+    val q121 = graft.SparkEntry.queries("q121_index_recommendation")
+    q121(spark, sf).collect()
+    val v1 = ManifestSink.version(spark, panelDir)
+    assert(v1 >= 0, "first q121 invocation must commit the panel artifact")
+    // provenance: stamped with the embeddings corpus fingerprint, so a
+    // corpus change (generic loadOrBuild contract, VectorIndexSpec)
+    // invalidates exactly when the measured recalls could change
+    val fp = VectorIndex.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    assert(ManifestSink.manifestHeader(spark, panelDir, v1)
+      .get(VectorIndex.FingerprintKey) === Some(fp))
+    // build-once: a second invocation reads the commit, never re-runs
+    // the five ANN pipelines (no new manifest version)
+    q121(spark, sf).collect()
+    assert(ManifestSink.version(spark, panelDir) === v1)
+    // the stored panel is row-identical to the live measurement
+    val stored = ManifestSink.read(spark, panelDir)
+      .collect().map(_.toString).sorted
+    val live = panel.collect().map(_.toString).sorted
+    assert(stored === live)
+  }
 }

@@ -237,4 +237,27 @@ class MultimodalOpsSpec extends SparkSpec {
     // the capped decomposition path returns identical pairs
     assert(got === run(1))
   }
+
+  test("dhashContentAddressed: row-identical to the per-row seam, and " +
+      "the decode side is distinct-payload-sized") {
+    // 30 docs over 6 distinct payloads — a re-upload-heavy corpus
+    val media = (0L until 30L).map(d =>
+      Media(d, MultimodalOps.syntheticFramePng(d % 3, (d % 2).toInt)))
+    val perRow = MultimodalOps.dhashBatch(media.toDS()).collect()
+      .map(r => (r.doc_id, r.dhash_lo, r.dhash_hi)).toSeq.sorted
+    val ca = MultimodalOps.dhashContentAddressed(media.toDS()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(ca === perRow)
+    // the collapse really is content-addressed: 6 distinct payloads
+    val nDistinct = media.toDS().toDF()
+      .select(sha2(col("payload"), 256)).distinct().count()
+    assert(nDistinct === 6L)
+    // a corrupt payload is skipped for every carrier, same as per-row
+    val withBad = media ++ Seq(Media(97L, Array[Byte](1, 2, 3)),
+      Media(98L, Array[Byte](1, 2, 3)))
+    val caBad = MultimodalOps.dhashContentAddressed(withBad.toDS())
+      .collect().map(_.getLong(0)).toSet
+    assert(!caBad.contains(97L) && !caBad.contains(98L))
+    assert(caBad.size === 30)
+  }
 }
