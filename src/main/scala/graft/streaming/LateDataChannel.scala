@@ -78,4 +78,40 @@ object LateDataChannel {
       else Map(WatermarkKey -> wmNew.toString))
     b.unpersist()
   }
+
+  /** [[ingest]] with a PLUGGABLE main-side lander — the seam that lets a
+    * full sink policy (dedup, retention, partitioning) sit behind the
+    * late split: the channel owns the split and the watermark advance;
+    * `landMain(onTime, header)` owns HOW on-time rows commit, and MUST
+    * fold `header` into the same atomic commit as the rows (e.g.
+    * `ManifestSink.appendOnceWithHeader`) and be replay-idempotent.
+    * Empty batches are skipped whole (the count probe still touches
+    * every partition, which Spark's state-store commit validation
+    * requires of a foreachBatch body); an empty LATE side is skipped
+    * too — no dead-letter version churn on healthy triggers — but the
+    * main lander always runs so the watermark can advance. */
+  def ingestVia(batch: DataFrame, batchId: Long, mainDir: String,
+      lateDir: String, tsCol: String, delayUs: Long)(
+      landMain: (DataFrame, Map[String, String]) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val wmPrev = watermarkUs(spark, mainDir)
+    val b = batch.persist()
+    try {
+      if (b.count() == 0L) return
+      val tsUs = unix_micros(col(tsCol))
+      val isLate = tsUs.isNull || tsUs < lit(wmPrev)
+      val late = b.filter(isLate)
+      // late side FIRST (see [[ingest]]): a mid-crash replay skips the
+      // landed late side and completes the main side
+      if (late.count() > 0L) ManifestSink.appendOnce(late, lateDir, batchId)
+      val onTime = b.filter(!isLate)
+      val mx = onTime.agg(max(tsUs)).head()
+      val wmNew =
+        if (mx.isNullAt(0)) wmPrev
+        else math.max(wmPrev, mx.getLong(0) - delayUs)
+      landMain(onTime,
+        if (wmNew == Long.MinValue) Map.empty
+        else Map(WatermarkKey -> wmNew.toString))
+    } finally b.unpersist()
+  }
 }

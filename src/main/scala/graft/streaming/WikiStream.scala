@@ -36,17 +36,27 @@ object WikiStream {
     * extra action or accumulator plumbing. */
   def fromRawLines(raw: DataFrame, rawCol: String = "value",
       watermarkDelay: String = "10 seconds"): DataFrame = {
-    val typed = WikiIngest.transform(
-        WikiIngest.filterEvents(WikiIngest.parseRaw(raw, rawCol)), rawCol)
-      .observe("graft_ingest",
-        count(lit(1)).as("rows_typed"),
-        sum(abs(col("length_diff_bytes"))).as("bytes_changed"))
+    val typed = typedWithMetrics(raw, rawCol)
     if (typed.isStreaming)
       typed.withWatermark("event_timestamp", watermarkDelay)
         .dropDuplicatesWithinWatermark("event_timestamp", "username", "title")
     else
       WikiIngest.dedup(typed)
   }
+
+  /** Parse/filter/transform + the `observe` metric node, WITHOUT the
+    * stateful watermark dedup — the typed surface the late-aware path
+    * builds on: Spark's own watermark DISCARDS late rows inside stateful
+    * operators, so a pipeline that wants to LAND them (dead-letter, see
+    * [[LateDataChannel]]) must not put a watermarked operator between
+    * source and sink. Dedup then happens wholly at the sink (batch-local
+    * + anti-join across epochs — the reference's UNIQUE-index shape). */
+  private def typedWithMetrics(raw: DataFrame, rawCol: String): DataFrame =
+    WikiIngest.transform(
+        WikiIngest.filterEvents(WikiIngest.parseRaw(raw, rawCol)), rawCol)
+      .observe("graft_ingest",
+        count(lit(1)).as("rows_typed"),
+        sum(abs(col("length_diff_bytes"))).as("bytes_changed"))
 
   /** Dedup key of the sink table — the reference's UNIQUE constraint
     * (pipeline.py:216). */
@@ -249,7 +259,8 @@ object WikiStream {
       sinkDir: String, checkpointDir: String, cfg: GraftConfig = GraftConfig(),
       userAgent: String = null, backoffMs: Long = -1L,
       trigger: Option[Trigger] = null,
-      watermarkDelay: String = "10 seconds"): StreamingQuery = {
+      watermarkDelay: String = "10 seconds",
+      lateDir: String = null, lateDelayUs: Long = 10_000_000L): StreamingQuery = {
     // unset per-call knobs fall back to the config layer, like the
     // reference's main() forwarding config.user_agent etc. (main.py:241-248)
     val ua = Option(userAgent).getOrElse(cfg.userAgent)
@@ -275,14 +286,63 @@ object WikiStream {
       .options(since.map("since" -> _).toMap)
       .load()
       .filter(col("event") === "message").select(col("data").as("value"))
-    val out = fromRawLines(raw, "value", watermarkDelay)
+    // Late-aware mode (`lateDir` set): the stateful watermark dedup is
+    // BYPASSED — Spark's watermark would silently drop exactly the rows
+    // the dead-letter channel exists to land — and the full D1 contract
+    // moves to the sink (batch-local dedup + cross-epoch anti-join in
+    // [[appendLateAwareManifest]]). Default mode is unchanged.
+    val out =
+      if (lateDir == null) fromRawLines(raw, "value", watermarkDelay)
+      else typedWithMetrics(raw, "value")
     val writer = out.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendWithRetentionManifest(batch, sinkDir, cfg)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (lateDir == null) appendWithRetentionManifest(batch, sinkDir, cfg)
+        else appendLateAwareManifest(batch, batchId, sinkDir, lateDir, cfg,
+          lateDelayUs)
       }
     trig.foreach(writer.trigger)
     writer.start()
+  }
+
+  /** [[appendWithRetentionManifest]] behind the late-data dead-letter
+    * split ([[LateDataChannel.ingestVia]]): rows whose event time is
+    * behind the main table's stored watermark (or null) land in
+    * `lateDir` for triage/backfill; on-time rows go through the same
+    * D1 dedup (batch-local first-wins + anti-join against committed
+    * keys) and R1/F6 retention as the default path; the watermark
+    * advances in the SAME atomic commit as the main append. Replay-safe:
+    * both sides fold under the epoch marker, and the anti-join makes a
+    * re-delivered row a no-op even across epochs. */
+  def appendLateAwareManifest(batch: DataFrame, batchId: Long,
+      sinkDir: String, lateDir: String, cfg: GraftConfig,
+      delayUs: Long): Unit = {
+    import graft.sinks.ManifestSink
+    require(cfg.dbMaxEvents <= Int.MaxValue,
+      s"dbMaxEvents ${cfg.dbMaxEvents} exceeds the limit-based compaction " +
+        "range; use time-partitioned retention (ParquetSink) instead")
+    LateDataChannel.ingestVia(batch, batchId, sinkDir, lateDir,
+      "event_timestamp", delayUs) { (onTime, header) =>
+      val spark = onTime.sparkSession
+      val unique = WikiIngest.dedup(onTime) // batch-local D1
+      val fresh =
+        if (ManifestSink.version(spark, sinkDir) < 0) unique
+        else unique.join(ManifestSink.read(spark, sinkDir)
+          .select(DedupKey.map(col): _*), DedupKey, "left_anti")
+      // even a fully-deduped batch commits: the watermark header must
+      // still advance (monotonic merge makes replays harmless)
+      ManifestSink.appendOnceWithHeader(fresh, sinkDir, batchId, header)
+      val n = ManifestSink.rowCount(spark, sinkDir)
+        .getOrElse(ManifestSink.read(spark, sinkDir).count())
+      if (WikiIngest.needsCleanup(n, cfg.dbMaxEvents,
+          cfg.cleanupHysteresis)) {
+        val retained = ManifestSink.read(spark, sinkDir)
+          .orderBy(col("event_timestamp").desc, col("username"), col("title"))
+          .limit(cfg.dbMaxEvents.toInt + 1)
+        ManifestSink.replace(retained, sinkDir)
+        ManifestSink.vacuum(spark, sinkDir)
+      }
+    }
   }
 
   /** Start the full pipeline over a text-file source directory (the raw

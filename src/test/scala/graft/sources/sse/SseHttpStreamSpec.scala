@@ -315,4 +315,60 @@ class SseHttpStreamSpec extends SparkSpec {
       assert(server.requests.asScala.count(_.lastEventId.nonEmpty) >= 1)
     } finally { q.stop(); server.stop() }
   }
+
+  private def wikiJson(dt: String, title: String): String =
+    s"""{"meta":{"dt":"$dt"},"type":"edit","title":"$title",""" +
+      s""""title_url":"http://x/$title","user":"alice","bot":false,""" +
+      s""""length":{"old":1,"new":5}}"""
+
+  test("startLive late-aware: behind-watermark event lands in the " +
+      "dead-letter table; main table and watermark intact") {
+    import graft.sinks.ManifestSink
+    import graft.streaming.LateDataChannel
+    val onTime = Seq(
+      wikiJson("2024-01-01T00:10:00Z", "A"),
+      wikiJson("2024-01-01T00:10:30Z", "B"))
+    val lateJson = wikiJson("2024-01-01T00:05:00Z", "LATE")
+    // the late event is held back until the main table has committed the
+    // on-time batch — the split must be observed against an ESTABLISHED
+    // watermark, not a same-batch race
+    val mainReady = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = new SseServer((conn, _) =>
+      if (conn == 0)
+        (onTime.zipWithIndex.map { case (j, i) =>
+          s"id: e$i\nevent: message\ndata: $j\n\n" }, false)
+      else if (!mainReady.get()) (Seq(), false)
+      else (Seq(s"id: e9\nevent: message\ndata: $lateJson\n\n"), true))
+    val dir = Files.createTempDirectory("sselate")
+    val sinkDir = s"$dir/sink"
+    val lateDir = s"$dir/late"
+    val q = graft.streaming.WikiStream.startLive(spark, server.url,
+      capturePath = s"$dir/cap.sse", sinkDir = sinkDir,
+      checkpointDir = s"$dir/ckpt",
+      cfg = graft.GraftConfig(dbMaxEvents = 100),
+      userAgent = "graft-test/0.1", backoffMs = 30L, trigger = None,
+      lateDir = lateDir, lateDelayUs = 10_000_000L)
+    try {
+      // phase 1: on-time events commit; watermark = max(ts) − 10 s
+      assert(awaitTrue() {
+        ManifestSink.version(spark, sinkDir) >= 0 &&
+          ManifestSink.read(spark, sinkDir).count() == 2
+      }, "on-time events never landed in the main table")
+      val wm1 = LateDataChannel.watermarkUs(spark, sinkDir)
+      assert(wm1 === java.time.Instant.parse("2024-01-01T00:10:20Z")
+        .toEpochMilli * 1000L)
+      mainReady.set(true)
+      // phase 2: the late event lands in the dead-letter table, not main
+      assert(awaitTrue() {
+        ManifestSink.version(spark, lateDir) >= 0 &&
+          ManifestSink.read(spark, lateDir).count() == 1
+      }, "late event never landed in the dead-letter table")
+      assert(ManifestSink.read(spark, lateDir)
+        .select("title").head().getString(0) === "LATE")
+      assert(ManifestSink.read(spark, sinkDir).count() === 2,
+        "late event must not reach the main table")
+      // the watermark survived the late delivery (never regressed)
+      assert(LateDataChannel.watermarkUs(spark, sinkDir) === wm1)
+    } finally { q.stop(); server.stop() }
+  }
 }
