@@ -81,13 +81,28 @@ object Bench {
       .sortBy { case (_, t) => t.getOrElse(Double.MaxValue) }
     val total = results.values.flatten.sum
     val nErr = results.values.count(_.isEmpty)
+    // Family split (r10 verdict #5): write-path GATES spend their time
+    // in the manifest mutations they exist to verify (append / replace /
+    // merge / CDC / clone on EVERY invocation) — inherent cost that must
+    // not be triaged like a read-plan regression. Membership derives
+    // from the registries that define sink-mutation gates, so new gates
+    // classify themselves; the amortized index/panel builders
+    // (q117-q121) READ after their first build and stay in the read
+    // family.
+    val writeGateNames = operators.SinkOps.queries.keySet ++
+      operators.Expectations.queries.keySet
+    def famSum(p: String => Boolean): Double =
+      results.collect { case (k, Some(t)) if p(k) => t }.sum
+    val writeSec = famSum(writeGateNames)
+    val readSec = famSum(k => !writeGateNames(k))
     // Belt and braces: the total line itself carries the top-20 slowest
     // (plus any errors) in its "queries" field, so even a capture that
     // keeps ONLY the parsed total line preserves the expensive head.
     val top = byCost.takeRight(20).reverse
       .map { case (k, t) => pair(k, t) }.mkString(",")
+    val nWrite = results.keysIterator.count(writeGateNames)
     val totalLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"queries":{$top}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite,"queries":{$top}}"""
     // The total line prints BOTH first and last (identical content): the
     // r6 artifact parsed as null even though the trailing total line was
     // intact, so the driver's extractor is neither strictly-last-line nor
