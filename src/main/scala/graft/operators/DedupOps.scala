@@ -694,6 +694,122 @@ object DedupOps {
        |FROM v WHERE n_common * 5 >= n_union * 4
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------ containment join
+  /** Exact CONTAINMENT join: every ORDERED pair (inner → outer) with
+    * C(inner → outer) = |inner ∩ outer| / |inner| ≥ τ — the asymmetric
+    * twin of [[prefixSimilarityJoin]], detecting subset/quotation
+    * relationships Jaccard misses (a 10-shingle quote inside a
+    * 1000-shingle article has Jaccard ≈ 0.01 but containment 1.0).
+    *
+    * Prefix filtering carries over with ONE change: the required overlap
+    * t = ⌈τ·|inner|⌉ depends on the CONTAINED side only, so a document
+    * acting as the container cannot compute its own prefix against its
+    * partner's t. The standard fix (SSJoin'06 generalization): take the
+    * most conservative bound t_min = ⌈τ·min(sz)⌉ over the corpus — an
+    * eager decision probe, same pattern as the LSH bucket cap — and give
+    * EVERY document the prefix of length sz − t_min + 1. Lossless: a
+    * qualifying pair shares ≥ t(inner) ≥ t_min elements, and two sets
+    * sharing ≥ t elements must collide within their (sz − t + 1)-length
+    * global-order prefixes (pigeonhole), a fortiori within the longer
+    * t_min prefixes. `minSize` exists because t_min is corpus-global: a
+    * single 1-element doc would force everyone to index almost
+    * everything — the caller states the smallest contained side it
+    * cares about. Candidates route through the capped [[bandSelfJoin]];
+    * verification computes |∩| once per unordered pair and tests both
+    * directions with integer arithmetic (den·|∩| ≥ num·sz). */
+  def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
+      tauNum: Int, tauDen: Int, minSize: Int = 1,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sets.select(col(idCol).as("__id"),
+        array_distinct(col(setCol)).as("__set"))
+      .filter(size(col("__set")) >= math.max(minSize, 1))
+      .persist()
+    val szMinRow = s.agg(min(size(col("__set")))).head()
+    if (szMinRow.isNullAt(0))
+      return s.select(col("__id").as("inner_id"), col("__id").as("outer_id"),
+        lit(0L).as("n_common"), lit(0.0).as("containment")).limit(0)
+    val tMin = (tauNum.toLong * szMinRow.getInt(0) + tauDen - 1) / tauDen
+    val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
+      explode(col("__set")).as("__el"))
+    val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("__el").asc)
+    val prefix = ex.join(dfreq, "__el")
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= col("__sz") - lit(tMin) + 1)
+      .select(col("__id"), lit(0).as("__bidx"),
+        PortableHash.tokenHashP(col("__el")).as("__bhash"), col("__sz"))
+    val cand = bandSelfJoin(prefix, "__id", Seq("__sz"), maxBucket)
+      .select(col("__ga").as("__xa"), col("__gb").as("__xb")).distinct()
+    val a = s.select(col("__id").as("__xa"), col("__set").as("__seta"))
+    val b = s.select(col("__id").as("__xb"), col("__set").as("__setb"))
+    val pairs = cand.join(a, "__xa").join(b, "__xb")
+      .select(col("__xa"), col("__xb"),
+        size(col("__seta")).cast("long").as("__sza"),
+        size(col("__setb")).cast("long").as("__szb"),
+        size(array_intersect(col("__seta"), col("__setb")))
+          .cast("long").as("n_common"))
+      .persist() // both direction filters read the verified pair once
+    def direction(inner: Column, outer: Column, szInner: Column) =
+      pairs.filter(col("n_common") * tauDen >= szInner * tauNum)
+        .select(inner.as("inner_id"), outer.as("outer_id"), col("n_common"),
+          (col("n_common").cast("double") / szInner.cast("double"))
+            .as("containment"))
+    direction(col("__xa"), col("__xb"), col("__sza"))
+      .unionByName(direction(col("__xb"), col("__xa"), col("__szb")))
+  }
+
+  /** q151: exact 2-shingle containment ≥ 0.8 join over `documents`
+    * (min 5 shingles) — finds quote/subset relationships between docs.
+    * Ordered output: `doc_in`'s shingles are ≥ 80% inside `doc_out`. */
+  private val q151: Q = (s, dir) => {
+    import s.implicits._
+    val withWords = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("__words"))
+    val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
+    containmentJoin(sets, "doc_id", "sh", 4, 5, minSize = 5)
+      .withColumnRenamed("inner_id", "doc_in")
+      .withColumnRenamed("outer_id", "doc_out")
+      .orderBy($"doc_in", $"doc_out")
+  }
+  private val q151Sql: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ${shingleSetSql("text")} AS sh FROM documents),
+       |sz AS (SELECT doc_id, sh, len(sh) AS sz FROM sets WHERE len(sh) >= 5),
+       |tmin AS (SELECT (4 * MIN(sz) + 4) // 5 AS t FROM sz),
+       |ex AS (SELECT doc_id, sz, unnest(sh) AS el FROM sz),
+       |dfreq AS (SELECT el, COUNT(*) AS df FROM ex GROUP BY el),
+       |ranked AS (
+       |  SELECT e.doc_id, e.sz, e.el,
+       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id
+       |                       ORDER BY d.df ASC, e.el ASC) AS pos
+       |  FROM ex e JOIN dfreq d USING (el)),
+       |prefix AS (
+       |  SELECT r.* FROM ranked r CROSS JOIN tmin
+       |  WHERE r.pos <= r.sz - tmin.t + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS xa, b.doc_id AS xb
+       |  FROM prefix a JOIN prefix b
+       |    ON a.el = b.el AND a.doc_id < b.doc_id),
+       |p AS (
+       |  SELECT c.xa, c.xb,
+       |    CAST(len(x.sh) AS BIGINT) AS sza,
+       |    CAST(len(y.sh) AS BIGINT) AS szb,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN sz x ON x.doc_id = c.xa
+       |  JOIN sz y ON y.doc_id = c.xb)
+       |SELECT doc_in, doc_out, n_common, containment FROM (
+       |  SELECT xa AS doc_in, xb AS doc_out, n_common,
+       |    CAST(n_common AS DOUBLE) / CAST(sza AS DOUBLE) AS containment
+       |  FROM p WHERE n_common * 5 >= sza * 4
+       |  UNION ALL
+       |  SELECT xb AS doc_in, xa AS doc_out, n_common,
+       |    CAST(n_common AS DOUBLE) / CAST(szb AS DOUBLE) AS containment
+       |  FROM p WHERE n_common * 5 >= szb * 4)
+       |ORDER BY doc_in, doc_out""".stripMargin
+
   // ---------------------------------------------------------------- q67
   /** Batch semantics pin for the STREAMING near-dup admission operator
     * ([[graft.streaming.StreamingDedup]]): the same row-local band-bucket
@@ -1277,6 +1393,7 @@ object DedupOps {
     "q37_simhash_fingerprints" -> q37,
     "q60_shingle_near_dup" -> q60,
     "q143_exact_prefix_join" -> q143,
+    "q151_containment_join" -> q151,
     "q67_streaming_dedup_pin" -> q67,
     "q71_dedup_components" -> q71,
     "q71b_components_twostar" -> q71b,
@@ -1291,6 +1408,7 @@ object DedupOps {
     "q37_simhash_fingerprints" -> q37Sql,
     "q60_shingle_near_dup" -> q60Sql,
     "q143_exact_prefix_join" -> q143Sql,
+    "q151_containment_join" -> q151Sql,
     "q67_streaming_dedup_pin" -> q67Sql,
     "q71_dedup_components" -> q71Sql,
     "q71b_components_twostar" -> q71Sql,

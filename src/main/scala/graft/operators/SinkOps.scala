@@ -539,6 +539,61 @@ object SinkOps {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q153
+  /** Time-travel ROW DIFF through the gate — "what changed between
+    * version X and version Y", answered without a change log: events
+    * land as two appends (v0: ids ≤ cut1; v1: + (cut1, cut2]), then v2
+    * merge-on-read-deletes every 7th event.
+    * [[ManifestSink.versionRowDiff]](0→1) must be EXACTLY the appended
+    * rows — and is planned entry-pruned, reading only the new
+    * directories; (1→2) must be exactly the deleted rows as removals —
+    * the tombstone-change case that falls back to full-snapshot EXCEPT.
+    * Aggregated per (phase, op, event_type) so the oracle recomputes
+    * the expected diff relationally; a diff bug of any kind (missed
+    * append row, resurrecting a deleted row, op inversion)
+    * hash-mismatches. */
+  private val q153: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut1 = maxId / 3
+    val cut2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q153", dir) + "/t"
+    ManifestSink.append(ev.filter($"event_id" <= cut1), sink) // v0
+    ManifestSink.append(
+      ev.filter($"event_id" > cut1 && $"event_id" <= cut2), sink) // v1
+    ManifestSink.deleteKeysMergeOnRead(
+      ev.filter($"event_id" <= cut2 && $"event_id" % 7 === 0)
+        .select($"event_id"), sink, Seq("event_id")) // v2
+    val d01 = ManifestSink.versionRowDiff(s, sink, 0, 1)
+      .withColumn("phase", lit("append"))
+    val d12 = ManifestSink.versionRowDiff(s, sink, 1, 2)
+      .withColumn("phase", lit("delete"))
+    d01.unionByName(d12)
+      .groupBy($"phase", $"op", $"event_type")
+      .agg(count(lit(1)).as("n_rows"), Exact.dsum($"value").as("sum_value"))
+      .orderBy($"phase", $"op", $"event_type")
+  }
+  private val q153Sql =
+    s"""WITH cuts AS (
+       |  SELECT MAX(event_id) // 3 AS c1, (2 * MAX(event_id)) // 3 AS c2
+       |  FROM events),
+       |diff AS (
+       |  SELECT 'append' AS phase, 'added' AS op, event_type, value
+       |  FROM events CROSS JOIN cuts
+       |  WHERE event_id > c1 AND event_id <= c2
+       |  UNION ALL
+       |  SELECT 'delete' AS phase, 'removed' AS op, event_type, value
+       |  FROM events CROSS JOIN cuts
+       |  WHERE event_id <= c2 AND event_id % 7 = 0)
+       |SELECT phase, op, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM diff
+       |GROUP BY phase, op, event_type
+       |ORDER BY phase, op, event_type""".stripMargin
+
   // --------------------------------------------------------------- q105
   /** Key-exact CDC through the gate: events land as two appends (version
     * A = the table at id <= cut2, original values), then a keyed MERGE
@@ -1214,6 +1269,7 @@ object SinkOps {
     "q100_lakehouse_lifecycle" -> q100,
     "q146_schema_evolution" -> q146,
     "q149_cdc_replica" -> q149,
+    "q153_version_diff" -> q153,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
@@ -1234,6 +1290,7 @@ object SinkOps {
     "q100_lakehouse_lifecycle" -> q100Sql,
     "q146_schema_evolution" -> q146Sql,
     "q149_cdc_replica" -> q149Sql,
+    "q153_version_diff" -> q153Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,

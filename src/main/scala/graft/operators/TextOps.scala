@@ -208,6 +208,42 @@ object TextOps {
       |GROUP BY 1
       |ORDER BY fingerprint""".stripMargin
 
+  // --------------------------------------------------------------- q154
+  /** Source-PRECEDENCE survivor selection: within each exact-dup cluster
+    * (same text), keep the copy from the highest-priority source (here
+    * src0 > src1 > src2 — lexicographic source order IS the priority
+    * ladder), ties to the smallest doc_id. The policy complement of
+    * q35's first-write-wins: cross-corpus curation dedups BY PROVENANCE
+    * (licensed > crawled > scraped mirrors), not by arrival order.
+    * Every doc is emitted with its verdict and — for losers — the
+    * survivor it duplicates. One shuffle on the content key; the
+    * survivor travels via the window's running `first`, no second join. */
+  private val q154: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"text").orderBy($"source".asc, $"doc_id".asc)
+    docs(s, dir)
+      .select($"doc_id", $"source", $"text")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__surv", first($"doc_id").over(w))
+      .select($"doc_id", $"source",
+        ($"__rn" === 1).as("keep"),
+        when($"__rn" === 1, lit(null).cast("long"))
+          .otherwise($"__surv").as("dup_of"))
+      .orderBy($"doc_id")
+  }
+  private val q154Sql =
+    """SELECT doc_id, source,
+      |  (rn = 1) AS keep,
+      |  CASE WHEN rn = 1 THEN NULL ELSE surv END AS dup_of
+      |FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY text
+      |                       ORDER BY source ASC, doc_id ASC) AS rn,
+      |    FIRST_VALUE(doc_id) OVER (PARTITION BY text
+      |                              ORDER BY source ASC, doc_id ASC) AS surv
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q38
   /** Exact n-gram(1) Jaccard near-dup pairs, blocked by `source`: the
     * candidate space is each source group, not the full cross product —
@@ -614,6 +650,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "q144_dup_ngram_coverage" -> q144,
+    "q154_precedence_survivor" -> q154,
     "q141_vocab_coverage" -> q141,
     "q87_pii_redaction" -> q87,
     "q75_lm_quality" -> q75,
@@ -629,6 +666,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q144_dup_ngram_coverage" -> q144Sql,
+    "q154_precedence_survivor" -> q154Sql,
     "q141_vocab_coverage" -> q141Sql,
     "q87_pii_redaction" -> q87Sql,
     "q75_lm_quality" -> q75Sql,

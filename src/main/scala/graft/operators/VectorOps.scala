@@ -768,6 +768,84 @@ object VectorOps {
     ivfScore(posting, probes)
   }
 
+  // --------------------------------------------------------------- q150
+  /** FILTERED vector search — ANN under a metadata predicate (the
+    * multi-tenant / attribute-constrained search every production vector
+    * store needs): top-5 within the probed IVF cells among candidates
+    * whose `label` equals the query's label. The filterable attribute is
+    * stored IN the posting-list index (one cell-partitioned ManifestSink
+    * entry per cell, carrying `label` beside the vector — how real
+    * filtered-ANN indexes co-locate attributes with codes), so a query
+    * reads nProbe cells' files and applies the label predicate AT THE
+    * SCAN (parquet pushdown on a stored column) — pre-filtering, never
+    * score-then-discard over the unfiltered candidate set.
+    *
+    * The flip side — a highly selective filter starves the probed cells
+    * of qualifying candidates (fewer than k results) — is left visible
+    * in the output row counts; production systems widen nProbe under
+    * selective filters, which here is a parameter change, not a new
+    * plan. */
+  private val q150: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val cents = indexedArtifact(s, dir, "ivf_sample")(sampleCents(e))
+    val idxDir = s"${VectorIndex.indexRoot(dir)}/ivf_cells_attr"
+    VectorIndex.ensurePartitionedIncremental(s, idxDir,
+      s"$dir/embeddings.parquet", "cell") { files =>
+      val vecs = s.read.parquet(files: _*)
+      assignCells(vecs, cents)
+        .join(vecs.select(col("vec_id"), col("label")), "vec_id")
+    }
+    val qlab = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val probes = probeCells(e, cents).join(broadcast(qlab), "query_id")
+    val probed = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val posting = probed.map(c =>
+        graft.sinks.ManifestSink.readWhereEq(s, idxDir, "cell", c))
+      .reduce(_ unionByName _)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    posting.join(probes, "cell")
+      .filter(col("label") === col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("embedding")).as("dot"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q150Sql = {
+    val dAsg = dotSql("e.embedding", "cents.cv")
+    val dTop = dotSql("c.embedding", "p.qv")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, label, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.label, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents)
+       |  WHERE rn = 1),
+       |prb AS (
+       |  SELECT query_id, qv, qlabel, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qv,
+       |      e.label AS qlabel, cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= $nProbe)
+       |SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, $dTop AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |                       ORDER BY $dTop DESC, c.vec_id ASC) AS rank
+       |  FROM cells c JOIN prb p ON c.cell = p.cell
+       |  WHERE c.label = p.qlabel AND c.vec_id <> p.query_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q77
   /** Recall@5 gate for the approximate indexes: every ANN variant (q42
     * LSH, q58 IVF, q58b IVF+Lloyd, q94 PQ) is joined against q41's
@@ -924,6 +1002,64 @@ object VectorOps {
        |ORDER BY c.vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q152
+  /** SEMANTIC decontamination — the embedding-space complement of q74's
+    * n-gram decontamination: a training vector is contaminated when it
+    * sits within cosine τ of ANY held-out benchmark vector (paraphrased
+    * eval leakage that exact n-gram overlap cannot see). The pair space
+    * is bounded the SemDeDup way (q82): cosine is computed only between
+    * train and benchmark vectors sharing a deterministic IVF cell — at
+    * 100 TB the benchmark side is tiny and cell-partitioned alongside
+    * the corpus, so the check is an equi-join on cell, never
+    * train × benchmark. Reports every train vector with its cell and
+    * the smallest qualifying benchmark id (q82's deterministic
+    * representative convention); recall beyond the shared-cell horizon
+    * follows nProbe like any IVF search. Benchmark set here: every 50th
+    * vector. */
+  private val q152: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cells = assignCells(e, sampleCents(e))
+    val bench = cells.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("bench_id"), $"embedding".as("bv"), $"cell")
+    val train = cells.filter($"vec_id" % 50 =!= 0)
+    val hits = train.join(bench, "cell")
+      .select($"vec_id", $"bench_id", dot($"embedding", $"bv").as("cos"))
+      .filter($"cos" >= 0.4)
+      .groupBy($"vec_id").agg(min($"bench_id").as("contaminated_by"))
+    train.join(hits, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"contaminated_by".isNotNull.as("contaminated"), $"contaminated_by")
+      .orderBy($"vec_id")
+  }
+  private val q152Sql = {
+    val dAsg = dotSql("e.embedding", "cents.cv")
+    val dPair = dotSql("t.embedding", "b.bv")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $nCells),
+       |cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents)
+       |  WHERE rn = 1),
+       |bench AS (
+       |  SELECT vec_id AS bench_id, embedding AS bv, cell FROM cells
+       |  WHERE vec_id % 50 = 0),
+       |train AS (SELECT * FROM cells WHERE vec_id % 50 <> 0),
+       |hits AS (
+       |  SELECT t.vec_id, MIN(b.bench_id) AS contaminated_by
+       |  FROM train t JOIN bench b ON t.cell = b.cell
+       |  WHERE $dPair >= 0.4
+       |  GROUP BY t.vec_id)
+       |SELECT t.vec_id, CAST(t.cell AS BIGINT) AS cell,
+       |  (h.vec_id IS NOT NULL) AS contaminated, h.contaminated_by
+       |FROM train t LEFT JOIN hits h ON t.vec_id = h.vec_id
+       |ORDER BY t.vec_id""".stripMargin
+  }
+
   // ------------------------------------------ index recommendation
   /** Per-query candidate-cost model for the ANN panel: the approximate
     * fraction of the corpus each method touches to answer one query, the
@@ -1065,7 +1201,9 @@ object VectorOps {
     "q118_ann_ivf_lloyd_indexed" -> q118,
     "q119_ann_pq_indexed" -> q119,
     "q120_ann_ivf_pruned" -> q120,
-    "q121_index_recommendation" -> q121)
+    "q121_index_recommendation" -> q121,
+    "q150_filtered_ann" -> q150,
+    "q152_semantic_decontamination" -> q152)
 
   val oracleSql: Map[String, String] = Map(
     "q40_embedding_norms" -> q40Sql,
@@ -1088,5 +1226,7 @@ object VectorOps {
     "q118_ann_ivf_lloyd_indexed" -> q58bSql,
     "q119_ann_pq_indexed" -> q94Sql,
     "q120_ann_ivf_pruned" -> q58Sql,
-    "q121_index_recommendation" -> q121Sql)
+    "q121_index_recommendation" -> q121Sql,
+    "q150_filtered_ann" -> q150Sql,
+    "q152_semantic_decontamination" -> q152Sql)
 }

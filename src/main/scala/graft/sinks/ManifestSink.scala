@@ -1900,6 +1900,53 @@ object ManifestSink {
     (to.filterNot(from), (from -- to).toSeq.sorted)
   }
 
+  /** ROW-granular diff between two committed versions — time-travel
+    * EXCEPT planned from manifest metadata. When the two versions share
+    * the same tombstone set (the append / replace / compact family),
+    * only entries that CHANGED between them are read on either side: a
+    * pure append diffs by reading just the new directories, and a
+    * compaction that rewrote identical rows reads only the swapped
+    * entries and diffs to zero — never the whole table. A tombstone-set
+    * change can delete rows out of UNCHANGED entries, so that case
+    * falls back to full-snapshot EXCEPT on both sides (correctness
+    * first; the audit asking "what did that delete remove" is rare and
+    * explicitly row-reading). Schemas are aligned by NAME across the
+    * two versions (missing columns null-fill — the mergeSchema
+    * evolution semantics), so a schema-evolved history diffs instead of
+    * erroring. Output: each added row with `op='added'`, each removed
+    * row with `op='removed'`, multiset semantics via `exceptAll`. */
+  def versionRowDiff(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV <= toV,
+      s"need 0 <= fromV <= toV, got $fromV..$toV")
+    import org.apache.spark.sql.functions.{col, lit}
+    def tombLines(v: Long): Seq[String] =
+      manifestEntries(spark, dir, v).filter(l => isTombEntry(parseEntry(l)))
+    val sameTombs = tombLines(fromV) == tombLines(toV)
+    val (addedDirs, removedDirs) = changedEntries(spark, dir, fromV, toV)
+    def pruned(v: Long, dirs: Seq[String]): DataFrame = {
+      val keep = dirs.toSet
+      if (keep.isEmpty) readAt(spark, dir, v, mergeSchema = true).limit(0)
+      else assembleRead(spark, dir, v, mergeSchema = true,
+        keep = e => keep(e.path))
+    }
+    val (fromSide, toSide) =
+      if (sameTombs) (pruned(fromV, removedDirs), pruned(toV, addedDirs))
+      else (readAt(spark, dir, fromV, mergeSchema = true),
+        readAt(spark, dir, toV, mergeSchema = true))
+    val toCols = toSide.columns
+    val cols = (toCols ++ fromSide.columns.filterNot(toCols.contains)).toSeq
+    val fieldType = (toSide.schema.fields ++ fromSide.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    def align(df: DataFrame): DataFrame =
+      df.select(cols.map(c => if (df.columns.contains(c)) col(c)
+        else lit(null).cast(fieldType(c)).as(c)): _*)
+    val f = align(fromSide)
+    val t = align(toSide)
+    t.exceptAll(f).withColumn("op", lit("added"))
+      .unionByName(f.exceptAll(t).withColumn("op", lit("removed")))
+  }
+
   /** Incremental read: all rows in data directories the `toV` snapshot
     * references that `fromV` did not — for an append-only history this
     * is EXACTLY the rows inserted in (fromV, toV], read without touching

@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkSpec {
       "q119_ann_pq_indexed",       // q94's ADC scan over stored recon
       "q120_ann_ivf_pruned",       // broadcast(16 stored centroids) routing
       "q121_index_recommendation", // 4 targets × 5-method panel summary
-      "q122_expectations_gate")    // 1-row × 1-row report joins
+      "q122_expectations_gate",    // 1-row × 1-row report joins
+      "q150_filtered_ann",         // broadcast(16 centroids) routing
+      "q152_semantic_decontamination") // crossJoin(broadcast(16 centroids))
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||

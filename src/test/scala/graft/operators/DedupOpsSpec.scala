@@ -354,6 +354,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("containmentJoin is lossless vs the all-pairs reference, both " +
+      "directions, and the hot-bucket cap is result-identical") {
+    // subset structure Jaccard misses: doc 100 is a short "quote" fully
+    // inside doc 0 (containment 1.0, Jaccard ~0.3); near-dup families
+    // exercise the both-directions case; fillers exercise pruning
+    val fams = (0 until 6).flatMap { f =>
+      val base = (0 until 12).map(i => s"w${f}_$i")
+      Seq((f * 2 + 0).toLong -> base,
+        (f * 2 + 1).toLong -> (base.dropRight(1) :+ s"x$f"))
+    }
+    val quote = Seq(100L -> (0 until 5).map(i => s"w0_$i"))
+    val fillers = (20 until 32).map(i =>
+      i.toLong -> (0 until 12).map(j => s"f${i}_$j"))
+    val sets = (fams ++ quote ++ fillers)
+      .map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .select($"doc_id", DedupOps.shingleSet($"text", 2).as("sh"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("inner_id", "outer_id", "n_common", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val fast = norm(
+      DedupOps.containmentJoin(sets, "doc_id", "sh", 4, 5, minSize = 3))
+    // quadratic reference: every ORDERED pair, exact containment
+    val base = sets.filter(size($"sh") >= 3)
+    val a = base.select($"doc_id".as("inner_id"), $"sh".as("sa"))
+    val b = base.select($"doc_id".as("outer_id"), $"sh".as("sb"))
+    val inter = size(array_intersect($"sa", $"sb")).cast("long")
+    val slow = norm(a.crossJoin(b).filter($"inner_id" =!= $"outer_id")
+      .select($"inner_id", $"outer_id", inter.as("n_common"),
+        (inter.cast("double") / size($"sa").cast("double"))
+          .as("containment"))
+      .filter($"n_common" * 5 >= size($"sa").cast("long") * 4))
+    assert(fast.nonEmpty, "fixture must produce qualifying pairs")
+    // the quote-inside-article pair is found (the case Jaccard misses)
+    assert(fast.exists { case (in, out, _, c) =>
+      in == 100L && out == 0L && c == 1.0 })
+    assert(fast === slow)
+    // capped decomposition path returns identical rows
+    assert(fast === norm(DedupOps.containmentJoin(
+      sets, "doc_id", "sh", 4, 5, minSize = 3, maxBucket = 1)))
+  }
+
   test("prefixSimilarityJoin bitmap and array verify tiers are identical") {
     val docs = (0 until 30).flatMap { i =>
       val base = (0 until 10).map(j => s"w${i % 6}_$j")

@@ -1121,4 +1121,34 @@ class ManifestSinkSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("w")))).toMap
     assert(snap === Map(1L -> None, 4L -> Some(40L)))
   }
+
+  test("versionRowDiff: append is entry-pruned, compaction diffs to " +
+      "zero, tombstone change reports removals, evolution null-fills") {
+    val dir = Files.createTempDirectory("msinkdiff").toString + "/t"
+    ManifestSink.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir) // v0
+    ManifestSink.append(Seq((3L, "c")).toDF("k", "s"), dir)            // v1
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[String]("op"), r.getLong(0),
+        Option(r.getAs[String]("s")))).toSeq.sorted
+    // pure append: exactly the new rows, nothing removed
+    assert(rows(ManifestSink.versionRowDiff(spark, dir, 0, 1)) ===
+      Seq(("added", 3L, Some("c"))))
+    // compaction rewrites everything into new entries — row diff is EMPTY
+    ManifestSink.compact(spark, dir)                                   // v2
+    assert(ManifestSink.versionRowDiff(spark, dir, 1, 2).count() === 0)
+    // merge-on-read delete: the diff reports exactly the deleted row as
+    // removed (tombstone-change fallback path)
+    ManifestSink.deleteKeysMergeOnRead(
+      Seq(2L).toDF("k"), dir, Seq("k"))                                // v3
+    assert(rows(ManifestSink.versionRowDiff(spark, dir, 2, 3)) ===
+      Seq(("removed", 2L, Some("b"))))
+    // schema evolution: a late column null-fills on the old side
+    ManifestSink.append(Seq((9L, "z", 7L)).toDF("k", "s", "w"), dir)   // v4
+    val d = ManifestSink.versionRowDiff(spark, dir, 3, 4).collect()
+      .map(r => (r.getAs[String]("op"), r.getLong(0),
+        Option(r.getAs[Any]("w")).map(_.toString))).toSeq.sorted
+    assert(d === Seq(("added", 9L, Some("7"))))
+    // identity: diffing a version against itself is empty
+    assert(ManifestSink.versionRowDiff(spark, dir, 4, 4).count() === 0)
+  }
 }
