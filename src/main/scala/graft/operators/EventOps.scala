@@ -452,6 +452,113 @@ object EventOps {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  // --------------------------------------------------------------- q155
+  /** Concurrency curve over session INTERVALS — the sweep-line
+    * aggregation (how many sessions were simultaneously live, hour by
+    * hour: capacity planning's first question). Sessions are q91's
+    * gap-1800s intervals, occupying [start, end + 1s); each contributes
+    * a +1 boundary at start and a −1 at end+1, and the concurrency at
+    * any boundary is the running sum of deltas in (t, delta) order
+    * (delta ascending puts ends before starts at the same instant).
+    *
+    * The prefix sum is SHARDED, never global (q73's pattern): per-hour
+    * delta totals roll up map-side; one tiny window over the HOUR KEYS
+    * (bounded by the timespan, not the data) turns them into
+    * entering-the-hour offsets; the within-hour running sum partitions
+    * by hour. Per hour: boundary count, entering concurrency, and the
+    * peak (entering level included — an hour of pure endings peaks at
+    * entry). Tie order among equal (t, delta) rows cannot change any
+    * emitted value: equal deltas commute, so the running-sum multiset —
+    * and its max — is deterministic. Hours without boundaries carry the
+    * previous level implicitly and are not emitted. */
+  private val q155: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapSec = unix_timestamp($"ts") -
+      unix_timestamp(lag($"ts", 1).over(byUser))
+    val sess = ev(s, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("new_session",
+        when(gapSec.isNull || gapSec > 1800L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(unix_timestamp(min($"ts")).as("s"),
+        (unix_timestamp(max($"ts")) + 1L).as("e"))
+    val bounds = sess.select(explode(array(
+        struct($"s".as("t"), lit(1L).as("delta")),
+        struct($"e".as("t"), lit(-1L).as("delta")))).as("b"))
+      .select($"b.t".as("t"), $"b.delta".as("delta"))
+      .withColumn("hr", expr("t div 3600"))
+    val hourTot = bounds.groupBy($"hr")
+      .agg(sum($"delta").as("hd"), count(lit(1)).as("n_boundaries"))
+    // hour-key prefix: a window over ~timespan/3600 rows, not data rows
+    val wh = Window.orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hourTot.withColumn("entering",
+      coalesce(sum($"hd").over(wh), lit(0L)))
+    val wIn = Window.partitionBy($"hr").orderBy($"t", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bounds.withColumn("rs", sum($"delta").over(wIn))
+      .groupBy($"hr").agg(max($"rs").as("max_rs"))
+    offsets.join(run, "hr")
+      .select($"hr".as("hour"), $"n_boundaries", $"entering",
+        greatest($"entering", $"entering" + $"max_rs")
+          .as("peak_concurrency"))
+      .orderBy($"hour")
+  }
+  private val q155Sql =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_idx
+       |  FROM g),
+       |iv AS (
+       |  SELECT
+       |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', MIN(ts))
+       |      AS s,
+       |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', MAX(ts))
+       |      + 1 AS e
+       |  FROM sess GROUP BY user_id, session_idx),
+       |b AS (
+       |  SELECT s AS t, 1 AS delta FROM iv
+       |  UNION ALL
+       |  SELECT e AS t, -1 AS delta FROM iv),
+       |hb AS (SELECT t, delta, t // 3600 AS hr FROM b),
+       |ht AS (
+       |  SELECT hr, SUM(delta) AS hd, COUNT(*) AS n_boundaries
+       |  FROM hb GROUP BY hr),
+       |off AS (
+       |  SELECT hr, n_boundaries,
+       |    COALESCE(SUM(hd) OVER (ORDER BY hr
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS entering
+       |  FROM ht),
+       |run AS (
+       |  SELECT hr, MAX(rs) AS max_rs FROM (
+       |    SELECT hr,
+       |      SUM(delta) OVER (PARTITION BY hr ORDER BY t, delta
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+       |    FROM hb)
+       |  GROUP BY hr)
+       |SELECT o.hr AS hour,
+       |  CAST(o.n_boundaries AS BIGINT) AS n_boundaries,
+       |  CAST(o.entering AS BIGINT) AS entering,
+       |  CAST(GREATEST(o.entering, o.entering + r.max_rs) AS BIGINT)
+       |    AS peak_concurrency
+       |FROM off o JOIN run r ON o.hr = r.hr
+       |ORDER BY hour""".stripMargin
+
   // --------------------------------------------------------------- q106
   /** SCD Type-2 interval build — event-sourced dimension versioning: per
     * user, consecutive runs of the same event_type collapse into one
@@ -813,6 +920,7 @@ object EventOps {
     "q106_scd2_intervals" -> q106,
     "q128_pit_scd2_join" -> q128,
     "q91_gap_sessions" -> q91,
+    "q155_concurrency_curve" -> q155,
     "q90_cohort_retention" -> q90,
     "q89_funnel_steps" -> q89,
     "q27_approx_distinct" -> q27,
@@ -834,6 +942,7 @@ object EventOps {
     "q106_scd2_intervals" -> q106Sql,
     "q128_pit_scd2_join" -> q128Sql,
     "q91_gap_sessions" -> q91Sql,
+    "q155_concurrency_curve" -> q155Sql,
     "q90_cohort_retention" -> q90Sql,
     "q89_funnel_steps" -> q89Sql,
     "q27b_kmv_distinct" -> q27bSql,

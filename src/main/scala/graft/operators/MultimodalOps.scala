@@ -646,6 +646,48 @@ object MultimodalOps {
         col("dhash_hi"))
   }
 
+  /** REAL nearest-neighbor RESIZE through the ImageIO seam — the
+    * thumbnail/normalization stage of a media pipeline, emitting resized
+    * MEDIA (PNG payloads), not just stats: decode, resample to
+    * `outW`×`outH` with integer nearest-neighbor index math
+    * (ix = x·w/outW, iy = y·h/outH — the same oracle-replicable sampling
+    * as [[dhashBatch]]'s grid; area-average interpolation is
+    * deliberately avoided because float filtering is not cross-engine
+    * exact), re-encode PNG. Undecodable payloads are skipped row by row.
+    * Composes with every other media stage ([[decodeBatch]],
+    * [[dhashBatch]], [[dhashContentAddressed]]) since the output is the
+    * same `Media` shape as the input. */
+  def resizeBatch(media: Dataset[Media], outW: Int,
+      outH: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        readImage(m.payload).map { bi =>
+          val w = bi.getWidth
+          val h = bi.getHeight
+          val px = bi.getRGB(0, 0, w, h, null, 0, w)
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val opx = new Array[Int](outW * outH)
+          var y = 0
+          while (y < outH) {
+            val iy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              opx(y * outW + x) = px(iy * w + (x * w / outW))
+              x += 1
+            }
+            y += 1
+          }
+          out.setRGB(0, 0, outW, outH, opx, 0, outW)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Media(m.doc_id, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Image near-dup by Hamming distance over dHash — the pixel analog of
     * MinHash-LSH, reusing its scale machinery end to end: collapse
     * identical hashes first (an exact-dup cluster of m images is ONE
@@ -958,6 +1000,56 @@ object MultimodalOps {
       |WHERE al.aligned = na.n AND al.aligned = nb.n AND al.mh <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  /** REAL resize end-to-end — the full media normalization round trip
+    * (encode → decode → nearest-neighbor resize to 16×12 → re-encode →
+    * decode → stats), four genuine ImageIO passes through two seams
+    * composed on the `Media` shape. The oracle replicates the resized
+    * pixel values with integer arithmetic alone: output pixel (x, y)
+    * samples source index iy·w + ix with ix = ⌊x·w/16⌋, iy = ⌊y·h/12⌋,
+    * and the source value is q76's closed-form pattern — PNG is lossless
+    * at both encode steps, so the decoded stats are exact. */
+  private val q156: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map(d => Media(d, syntheticPng(d))))
+    decodeBatch(resizeBatch(media, 16, 12)).toDF()
+      .select($"doc_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"sum_r", $"sum_g", $"sum_b",
+        $"min_r".cast("long").as("min_r"),
+        $"max_r".cast("long").as("max_r"))
+      .orderBy($"doc_id")
+  }
+  private val q156Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         8 + doc_id % 9 AS w,
+      |         8 + (doc_id // 9) % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |         ((j // 16) * h // 12) * w + ((j % 16) * w // 16) AS i
+      |  FROM d, UNNEST(range(0, 192)) AS t(j)),
+      |v AS (
+      |  SELECT doc_id,
+      |         (doc_id * 31 + i * 7) % 256 AS r,
+      |         (doc_id * 31 + i * 7 + 101) % 256 AS g,
+      |         (doc_id * 31 + i * 7 + 202) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id,
+      |  CAST(16 AS BIGINT) AS width,
+      |  CAST(12 AS BIGINT) AS height,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MIN(r) AS BIGINT) AS min_r,
+      |  CAST(MAX(r) AS BIGINT) AS max_r
+      |FROM v
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
     "q51_multimodal_decode_stub" -> q51,
@@ -966,7 +1058,8 @@ object MultimodalOps {
     "q79_image_features" -> q79,
     "q80_video_frames" -> q80,
     "q115_image_phash_dedup" -> q115,
-    "q123_video_near_dup" -> q123)
+    "q123_video_near_dup" -> q123,
+    "q156_image_resize" -> q156)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
@@ -976,5 +1069,6 @@ object MultimodalOps {
     "q79_image_features" -> q79Sql,
     "q80_video_frames" -> q80Sql,
     "q115_image_phash_dedup" -> q115Sql,
-    "q123_video_near_dup" -> q123Sql)
+    "q123_video_near_dup" -> q123Sql,
+    "q156_image_resize" -> q156Sql)
 }

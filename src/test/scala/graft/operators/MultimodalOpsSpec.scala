@@ -238,6 +238,23 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === run(1))
   }
 
+  test("resizeBatch: identity dims are a pixel copy, resized output is " +
+      "re-decodable at the target dims, corrupt payloads skip") {
+    val m = Seq(Media(5L, MultimodalOps.syntheticPng(5L))).toDS()
+    val orig = MultimodalOps.decodeBatch(m).collect().head
+    // nearest-neighbor at the source dims samples every pixel exactly
+    // once at its own index — a lossless round trip
+    val ident = MultimodalOps.decodeBatch(
+      MultimodalOps.resizeBatch(m, orig.width, orig.height)).collect().head
+    assert(ident === orig)
+    val rs = MultimodalOps.decodeBatch(
+      MultimodalOps.resizeBatch(m, 16, 12)).collect().head
+    assert(rs.width === 16 && rs.height === 12 && rs.channels === 3)
+    assert(rs.sum_r > 0 && rs.sum_r <= 255L * 192)
+    assert(MultimodalOps.resizeBatch(
+      Seq(Media(1L, Array[Byte](9, 9))).toDS(), 8, 8).collect().isEmpty)
+  }
+
   test("dhashContentAddressed: row-identical to the per-row seam, and " +
       "the decode side is distinct-payload-sized") {
     // 30 docs over 6 distinct payloads — a re-upload-heavy corpus
