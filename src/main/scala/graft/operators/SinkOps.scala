@@ -594,6 +594,55 @@ object SinkOps {
        |GROUP BY phase, op, event_type
        |ORDER BY phase, op, event_type""".stripMargin
 
+  // --------------------------------------------------------------- q157
+  /** PARTITION EVOLUTION through the gate — changing a table's layout
+    * without rewriting history (the table-format capability that
+    * decides whether a year-old 100 TB table can adopt partitioning the
+    * day you need it): an early era lands UNPARTITIONED (one entry per
+    * append), a later era lands partitioned by `event_type` (one
+    * stat-carrying entry per partition value). Reads never care — the
+    * manifest is just entries — and a point query on the partition
+    * column prunes the EVOLVED era's entries by their stats while the
+    * never-a-filter contract keeps every stat-less legacy entry.
+    * The gate reads the mixed-layout table twice: per-type aggregates
+    * over the full snapshot (row survival across the evolution) and
+    * the same aggregate for one type through the PRUNED point-read path
+    * (`readWhereEq` — must agree exactly with the full-read filter even
+    * though it plans from metadata). */
+  private val q157: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut = maxId / 2
+    val sink = freshScratch("graft_q157", dir) + "/t"
+    ManifestSink.append(ev.filter($"event_id" <= cut), sink) // legacy era
+    ManifestSink.appendPartitioned(
+      ev.filter($"event_id" > cut), sink, "event_type") // evolved era
+    val full = ManifestSink.read(s, sink)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), Exact.dsum($"value").as("sum_value"))
+      .withColumn("path", lit("full"))
+    val prunedErr = ManifestSink.readWhereEq(s, sink, "event_type", "error")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), Exact.dsum($"value").as("sum_value"))
+      .withColumn("path", lit("pruned_eq"))
+    full.unionByName(prunedErr)
+      .select($"path", $"event_type", $"n_rows", $"sum_value")
+      .orderBy($"path", $"event_type")
+  }
+  private val q157Sql =
+    s"""WITH agg AS (
+       |  SELECT event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    ${Exact.sqlSum("value")} AS sum_value
+       |  FROM events GROUP BY event_type)
+       |SELECT 'full' AS path, event_type, n_rows, sum_value FROM agg
+       |UNION ALL
+       |SELECT 'pruned_eq' AS path, event_type, n_rows, sum_value
+       |FROM agg WHERE event_type = 'error'
+       |ORDER BY path, event_type""".stripMargin
+
   // --------------------------------------------------------------- q105
   /** Key-exact CDC through the gate: events land as two appends (version
     * A = the table at id <= cut2, original values), then a keyed MERGE
@@ -1270,6 +1319,7 @@ object SinkOps {
     "q146_schema_evolution" -> q146,
     "q149_cdc_replica" -> q149,
     "q153_version_diff" -> q153,
+    "q157_partition_evolution" -> q157,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
@@ -1291,6 +1341,7 @@ object SinkOps {
     "q146_schema_evolution" -> q146Sql,
     "q149_cdc_replica" -> q149Sql,
     "q153_version_diff" -> q153Sql,
+    "q157_partition_evolution" -> q157Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,

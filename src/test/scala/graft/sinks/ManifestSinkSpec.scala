@@ -1151,4 +1151,22 @@ class ManifestSinkSpec extends SparkSpec {
     // identity: diffing a version against itself is empty
     assert(ManifestSink.versionRowDiff(spark, dir, 4, 4).count() === 0)
   }
+
+  test("partition evolution: a point read prunes evolved-era entries by " +
+      "stats and keeps every stat-less legacy entry") {
+    val dir = Files.createTempDirectory("msinkpe").toString + "/t"
+    // legacy era: one unpartitioned entry, no stats on 't'
+    ManifestSink.append(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "t", "v"), dir)
+    // evolved era: one stat-carrying entry per 't' partition
+    ManifestSink.appendPartitioned(
+      Seq((3L, "a", 3.0), (4L, "b", 4.0), (5L, "c", 5.0))
+        .toDF("k", "t", "v"), dir, "t")
+    val (kept, skipped) = ManifestSink.prunedEntriesEq(spark, dir, "t", "a")
+    assert(skipped.size === 2, "evolved 'b'/'c' partitions must be skipped")
+    assert(kept.size === 2, "legacy entry (never-a-filter) + 'a' partition")
+    val rows = ManifestSink.readWhereEq(spark, dir, "t", "a")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows === Set(1L, 3L))
+  }
 }
