@@ -695,69 +695,154 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------ containment join
+  /** Skew-capped asymmetric equi-join on a key — the probe × index
+    * generalization of [[bandSelfJoin]]'s block decomposition: an
+    * adaptive eager probe finds the largest per-key probe×index row
+    * product; when every key fits (≤ maxBucket²) the plain equi-join
+    * runs with zero overhead, otherwise each side of a hot key splits
+    * into ⌈n/maxBucket⌉ id-hash blocks and every (probe block, index
+    * block) pair ships to its own reducer — each (probe row, index row)
+    * pair meets exactly once, per-reducer input bounded by 2·maxBucket
+    * rows, output identical. Candidate rows repeat once per shared key
+    * (callers distinct). */
+  private def cappedProbeIndexJoin(probe: DataFrame, index: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val pCols = probe.columns.filterNot(_ == "__k").map(col).toSeq
+    val iCols = index.columns.filterNot(_ == "__k").map(col).toSeq
+    val p = probe.persist() // the count probe + the join read it once
+    val ix = index.persist()
+    val pc = p.groupBy(col("__k")).agg(count(lit(1)).as("__pc"))
+    val ic = ix.groupBy(col("__k")).agg(count(lit(1)).as("__ic"))
+    val counts = pc.join(ic, "__k").persist()
+    val maxProd = Option(
+      counts.agg(max(col("__pc") * col("__ic"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    if (maxProd <= maxBucket.toLong * maxBucket)
+      return p.join(ix, "__k").select(pCols ++ iCols: _*)
+    val blk = counts.select(col("__k"),
+      greatest(ceil(col("__pc") / maxBucket), lit(1L)).as("__bp"),
+      greatest(ceil(col("__ic") / maxBucket), lit(1L)).as("__bi"))
+    // probe row: its own p-block, replicated across the index blocks;
+    // index row: its own i-block, replicated across the probe blocks
+    val pB = p.join(blk, "__k")
+      .select(pCols ++ Seq(col("__k"),
+        pmod(xxhash64(col("__xa")), col("__bp")).as("__p"),
+        explode(sequence(lit(0L), col("__bi") - 1)).as("__i")): _*)
+    val iB = ix.join(blk, "__k")
+      .select(iCols ++ Seq(col("__k"),
+        pmod(xxhash64(col("__xb")), col("__bi")).as("__i"),
+        explode(sequence(lit(0L), col("__bp") - 1)).as("__p")): _*)
+    pB.join(iB, Seq("__k", "__p", "__i"))
+      .select(pCols ++ iCols: _*)
+  }
+
   /** Exact CONTAINMENT join: every ORDERED pair (inner → outer) with
     * C(inner → outer) = |inner ∩ outer| / |inner| ≥ τ — the asymmetric
     * twin of [[prefixSimilarityJoin]], detecting subset/quotation
     * relationships Jaccard misses (a 10-shingle quote inside a
     * 1000-shingle article has Jaccard ≈ 0.01 but containment 1.0).
     *
-    * Prefix filtering carries over with ONE change: the required overlap
-    * t = ⌈τ·|inner|⌉ depends on the CONTAINED side only, so a document
-    * acting as the container cannot compute its own prefix against its
-    * partner's t. The standard fix (SSJoin'06 generalization): take the
-    * most conservative bound t_min = ⌈τ·min(sz)⌉ over the corpus — an
-    * eager decision probe, same pattern as the LSH bucket cap — and give
-    * EVERY document the prefix of length sz − t_min + 1. Lossless: a
-    * qualifying pair shares ≥ t(inner) ≥ t_min elements, and two sets
-    * sharing ≥ t elements must collide within their (sz − t + 1)-length
-    * global-order prefixes (pigeonhole), a fortiori within the longer
-    * t_min prefixes. `minSize` exists because t_min is corpus-global: a
-    * single 1-element doc would force everyone to index almost
-    * everything — the caller states the smallest contained side it
-    * cares about. Candidates route through the capped [[bandSelfJoin]];
-    * verification computes |∩| once per unordered pair and tests both
-    * directions with integer arithmetic (den·|∩| ≥ num·sz). */
+    * Prefix filtering is ASYMMETRIC here (the SSJoin'06 containment
+    * form): a qualifying (inner → outer) pair shares ≥ t = ⌈τ·|inner|⌉
+    * elements, and by pigeonhole on the INNER side alone, inner's
+    * global-order prefix of length |inner| − t + 1 must contain a
+    * shared element — the outer side needs no prefix at all. So the
+    * candidate join probes each doc's OWN prefix (its ⌈(1−τ)·sz⌉+1
+    * rarest elements — never the corpus-global worst case a symmetric
+    * scheme would force when one tiny doc exists) against the FULL
+    * inverted index, producing ordered candidates directly; each is
+    * verified once with integer arithmetic (den·|∩| ≥ num·sz_inner).
+    * Hot elements route through [[cappedProbeIndexJoin]] (prefixes
+    * hold each doc's RAREST elements, so a corpus-hot element appears
+    * on the probe side only for docs whose other elements are hotter
+    * still — the product skew the cap bounds). `minSize` drops sets
+    * smaller than the smallest contained side the caller cares about.
+    *
+    * Verification is ADAPTIVE on the same vocabulary probe as
+    * [[prefixSimilarityJoin]]: a bounded element vocabulary — exactly
+    * the corpus where prefix filtering has no selectivity and the
+    * candidate stream is largest — verifies on dictionary-exact
+    * popcount bitmaps INSIDE the candidate join, so every losing
+    * candidate dies in its reducer and only output-sized survivors
+    * reach the pair distinct; an open vocabulary falls back to
+    * distinct-then-array-verify. Both paths return identical rows
+    * (spec-pinned). */
   def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
       tauNum: Int, tauDen: Int, minSize: Int = 1,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      bitmapMaxVocab: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = sets.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__set"))
       .filter(size(col("__set")) >= math.max(minSize, 1))
       .persist()
-    val szMinRow = s.agg(min(size(col("__set")))).head()
-    if (szMinRow.isNullAt(0))
-      return s.select(col("__id").as("inner_id"), col("__id").as("outer_id"),
-        lit(0L).as("n_common"), lit(0.0).as("containment")).limit(0)
-    val tMin = (tauNum.toLong * szMinRow.getInt(0) + tauDen - 1) / tauDen
     val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("__el"))
     val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
+      .persist() // vocab-sized; feeds the probe, the rank join, and
+                 // (small-vocab tier) the dictionary
+    val vocabSize = dfreq.count()
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("__el").asc)
-    val prefix = ex.join(dfreq, "__el")
+    // each doc's own t = ⌈τ·sz⌉ via integral arithmetic
+    val ceilTauSz =
+      expr(s"(CAST(__sz AS BIGINT) * $tauNum + ${tauDen - 1}) div $tauDen")
+    val prefixIds = ex.join(dfreq, "__el")
       .withColumn("__pos", row_number().over(w))
-      .filter(col("__pos") <= col("__sz") - lit(tMin) + 1)
-      .select(col("__id"), lit(0).as("__bidx"),
-        PortableHash.tokenHashP(col("__el")).as("__bhash"), col("__sz"))
-    val cand = bandSelfJoin(prefix, "__id", Seq("__sz"), maxBucket)
-      .select(col("__ga").as("__xa"), col("__gb").as("__xb")).distinct()
-    val a = s.select(col("__id").as("__xa"), col("__set").as("__seta"))
-    val b = s.select(col("__id").as("__xb"), col("__set").as("__setb"))
-    val pairs = cand.join(a, "__xa").join(b, "__xb")
-      .select(col("__xa"), col("__xb"),
-        size(col("__seta")).cast("long").as("__sza"),
-        size(col("__setb")).cast("long").as("__szb"),
-        size(array_intersect(col("__seta"), col("__setb")))
-          .cast("long").as("n_common"))
-      .persist() // both direction filters read the verified pair once
-    def direction(inner: Column, outer: Column, szInner: Column) =
-      pairs.filter(col("n_common") * tauDen >= szInner * tauNum)
-        .select(inner.as("inner_id"), outer.as("outer_id"), col("n_common"),
-          (col("n_common").cast("double") / szInner.cast("double"))
+      .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)
+      .select(col("__id"), col("__el"), col("__sz"))
+
+    if (vocabSize > 0 && vocabSize <= bitmapMaxVocab) {
+      import graft.functions.{Bitmap, TokenBitmask}
+      val dict = TokenBitmask.dictionary(dfreq, "__el")
+        .select(col("__el"), col("__idx"))
+      val words = ((vocabSize + 63) / 64).toInt
+      val bitmaps = ex.select(col("__id"), col("__el"))
+        .join(broadcast(dict), "__el")
+        .groupBy(col("__id"))
+        .agg(collect_list(col("__idx")).as("__p"))
+        .select(col("__id"), Bitmap.fromPositions(col("__p"), words).as("__bm"))
+      val probe = prefixIds.join(bitmaps, "__id")
+        .select(col("__id").as("__xa"),
+          PortableHash.tokenHashP(col("__el")).as("__k"),
+          col("__sz").as("__sza"), col("__bm").as("__bma"))
+      val index = ex.select(col("__id"), col("__el")).join(bitmaps, "__id")
+        .select(col("__id").as("__xb"),
+          PortableHash.tokenHashP(col("__el")).as("__k"),
+          col("__bm").as("__bmb"))
+      cappedProbeIndexJoin(probe, index, maxBucket)
+        .filter(col("__xa") =!= col("__xb"))
+        .withColumn("__i", Bitmap.andCount(col("__bma"), col("__bmb")))
+        .filter(col("__i") * tauDen >= col("__sza") * tauNum)
+        .select(col("__xa"), col("__xb"), col("__sza"), col("__i"))
+        .distinct() // survivors only — output-sized, never candidate-sized
+        .select(col("__xa").as("inner_id"), col("__xb").as("outer_id"),
+          col("__i").as("n_common"),
+          (col("__i").cast("double") / col("__sza").cast("double"))
             .as("containment"))
-    direction(col("__xa"), col("__xb"), col("__sza"))
-      .unionByName(direction(col("__xb"), col("__xa"), col("__szb")))
+    } else {
+      val probe = prefixIds
+        .select(col("__id").as("__xa"),
+          PortableHash.tokenHashP(col("__el")).as("__k"),
+          col("__sz").as("__sza"))
+      val index = ex.select(col("__id").as("__xb"),
+        PortableHash.tokenHashP(col("__el")).as("__k"))
+      val cand = cappedProbeIndexJoin(probe, index, maxBucket)
+        .filter(col("__xa") =!= col("__xb"))
+        .select(col("__xa"), col("__xb")).distinct()
+      val a = s.select(col("__id").as("__xa"), col("__set").as("__seta"))
+      val b = s.select(col("__id").as("__xb"), col("__set").as("__setb"))
+      cand.join(a, "__xa").join(b, "__xb")
+        .select(col("__xa"), col("__xb"),
+          size(col("__seta")).cast("long").as("__sza"),
+          size(array_intersect(col("__seta"), col("__setb")))
+            .cast("long").as("n_common"))
+        .filter(col("n_common") * tauDen >= col("__sza") * tauNum)
+        .select(col("__xa").as("inner_id"), col("__xb").as("outer_id"),
+          col("n_common"),
+          (col("n_common").cast("double") / col("__sza").cast("double"))
+            .as("containment"))
+    }
   }
 
   /** q151: exact 2-shingle containment ≥ 0.8 join over `documents`
@@ -777,7 +862,6 @@ object DedupOps {
     s"""WITH sets AS (
        |  SELECT doc_id, ${shingleSetSql("text")} AS sh FROM documents),
        |sz AS (SELECT doc_id, sh, len(sh) AS sz FROM sets WHERE len(sh) >= 5),
-       |tmin AS (SELECT (4 * MIN(sz) + 4) // 5 AS t FROM sz),
        |ex AS (SELECT doc_id, sz, unnest(sh) AS el FROM sz),
        |dfreq AS (SELECT el, COUNT(*) AS df FROM ex GROUP BY el),
        |ranked AS (
@@ -786,28 +870,22 @@ object DedupOps {
        |                       ORDER BY d.df ASC, e.el ASC) AS pos
        |  FROM ex e JOIN dfreq d USING (el)),
        |prefix AS (
-       |  SELECT r.* FROM ranked r CROSS JOIN tmin
-       |  WHERE r.pos <= r.sz - tmin.t + 1),
+       |  SELECT r.* FROM ranked r
+       |  WHERE r.pos <= r.sz - ((4 * r.sz + 4) // 5) + 1),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS xa, b.doc_id AS xb
-       |  FROM prefix a JOIN prefix b
-       |    ON a.el = b.el AND a.doc_id < b.doc_id),
-       |p AS (
+       |  FROM prefix a JOIN ex b
+       |    ON a.el = b.el AND a.doc_id <> b.doc_id)
+       |SELECT xa AS doc_in, xb AS doc_out, n_common, containment FROM (
        |  SELECT c.xa, c.xb,
        |    CAST(len(x.sh) AS BIGINT) AS sza,
-       |    CAST(len(y.sh) AS BIGINT) AS szb,
-       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |      / CAST(len(x.sh) AS DOUBLE) AS containment
        |  FROM cand c
        |  JOIN sz x ON x.doc_id = c.xa
        |  JOIN sz y ON y.doc_id = c.xb)
-       |SELECT doc_in, doc_out, n_common, containment FROM (
-       |  SELECT xa AS doc_in, xb AS doc_out, n_common,
-       |    CAST(n_common AS DOUBLE) / CAST(sza AS DOUBLE) AS containment
-       |  FROM p WHERE n_common * 5 >= sza * 4
-       |  UNION ALL
-       |  SELECT xb AS doc_in, xa AS doc_out, n_common,
-       |    CAST(n_common AS DOUBLE) / CAST(szb AS DOUBLE) AS containment
-       |  FROM p WHERE n_common * 5 >= szb * 4)
+       |WHERE n_common * 5 >= sza * 4
        |ORDER BY doc_in, doc_out""".stripMargin
 
   // ---------------------------------------------------------------- q67

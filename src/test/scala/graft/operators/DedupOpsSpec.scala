@@ -395,6 +395,9 @@ class DedupOpsSpec extends SparkSpec {
     // capped decomposition path returns identical rows
     assert(fast === norm(DedupOps.containmentJoin(
       sets, "doc_id", "sh", 4, 5, minSize = 3, maxBucket = 1)))
+    // the open-vocab array tier returns identical rows to the bitmap tier
+    assert(fast === norm(DedupOps.containmentJoin(
+      sets, "doc_id", "sh", 4, 5, minSize = 3, bitmapMaxVocab = 0L)))
   }
 
   test("prefixSimilarityJoin bitmap and array verify tiers are identical") {
