@@ -500,6 +500,122 @@ object DedupOps {
        |FROM sh JOIN roll ON sh.doc_id = roll.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q158
+  /** SimHash near-dup with MULTIPROBE banding — the classic web-scale
+    * configuration (Manku et al. WWW'07: find 64-bit SimHashes within
+    * Hamming k of each other): plain 4-band LSH on a 48-bit SimHash
+    * guarantees a shared band only for Hamming ≤ 3; PROBING each band's
+    * one-bit neighborhood extends the guarantee to Hamming ≤ 7 with the
+    * SAME four bands (pigeonhole: 7 flipped bits over 4 bands leave
+    * some band with ≤ 1 flip, and a ≤-1-flip band matches the identity
+    * band or one of its 12 one-bit variants — never quadratic, never a
+    * band-count explosion).
+    *
+    * Shape: identical fingerprints collapse first (exact-dup clusters
+    * are ONE node); the probe side carries each group's 4 identity
+    * bands, the index side carries identity + 12 flipped variants per
+    * band (13× index rows — the standard multiprobe trade: more index
+    * entries, same query cost class); candidates route through the
+    * skew-capped [[cappedProbeIndexJoin]]; verification is one
+    * xor+popcount; members expand after verification. */
+  def simhashNearDupProbed(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming <= 7,
+      s"4-band one-bit multiprobe guarantees recall only to Hamming 7, " +
+        s"got $maxHamming")
+    val groups = hashes.groupBy(col("simhash"))
+      .agg(collect_list(col("doc_id")).as("__members"))
+      .withColumn("__gid", array_min(col("__members")))
+      .persist()
+    val bands = groups.select(col("__gid"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), 12 * k).bitwiseAND(4095)): _*))
+        .as(Seq("__kk", "__h")))
+    val probe = bands.select(col("__gid").as("__xa"),
+      col("simhash").as("__sha"),
+      (col("__kk") * 4096 + col("__h")).cast("long").as("__k"))
+    val index = bands
+      .select(col("__gid"), col("simhash"), col("__kk"),
+        explode(concat(array(col("__h")),
+          expr("transform(sequence(0, 11), j -> __h ^ shiftleft(1, j))")))
+          .as("__hv"))
+      .select(col("__gid").as("__xb"), col("simhash").as("__shb"),
+        (col("__kk") * 4096 + col("__hv")).cast("long").as("__k"))
+    val verified = cappedProbeIndexJoin(probe, index, maxBucket)
+      .filter(col("__xa") < col("__xb"))
+      .select(col("__xa"), col("__xb"), col("__sha"), col("__shb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__sha").bitwiseXOR(col("__shb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("__xa"), col("__xb"), col("hamming"))
+    val ga = groups.select(col("__gid").as("__xa"),
+      col("__members").as("__mem_a"))
+    val gb = groups.select(col("__gid").as("__xb"),
+      col("__members").as("__mem_b"))
+    val cross = verified.join(ga, "__xa").join(gb, "__xb")
+      .select(explode(col("__mem_a")).as("__x"), col("__mem_b"),
+        col("hamming"))
+      .select(col("__x"), explode(col("__mem_b")).as("__y"), col("hamming"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("hamming"))
+    val intra = groups.filter(size(col("__members")) >= 2)
+      .select(explode(col("__members")).as("__x"), col("__members"))
+      .select(col("__x"), explode(col("__members")).as("__y"))
+      .filter(col("__x") < col("__y"))
+      .select(col("__x").as("id_a"), col("__y").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.union(intra)
+  }
+
+  /** q158: multiprobe SimHash near-dup pairs over `documents` at
+    * Hamming ≤ 7 — recall-guaranteed by the probe construction (plain
+    * 4-band LSH would silently drop a pair whose 4-7 flipped bits touch
+    * every band). */
+  private val q158: Q = (s, dir) => {
+    import s.implicits._
+    simhashNearDupProbed(
+      simhash(Tables(s, dir, "documents"), "doc_id", "text"),
+      maxHamming = 7)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q158Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${tokenHashSql("tok")} AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, $SimHashBits)) AS bit) b
+       |  GROUP BY doc_id, bit),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+       |             ELSE 0::BIGINT END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |ident AS (
+       |  SELECT doc_id, simhash,
+       |    k * 4096 + ((simhash >> (12 * k)) & 4095) AS key
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS k) kk),
+       |ext AS (
+       |  SELECT doc_id, simhash, key FROM ident
+       |  UNION ALL
+       |  SELECT doc_id, simhash,
+       |    k * 4096 + xor((simhash >> (12 * k)) & 4095, 1 << j) AS key
+       |  FROM sh
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k) kk
+       |  CROSS JOIN (SELECT unnest(range(0, 12)) AS j) jj),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sha,
+       |    b.doc_id AS id_b, b.simhash AS shb
+       |  FROM ident a JOIN ext b
+       |    ON a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sha, shb)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** Order-sensitive near-dup via 2-gram shingle MinHash-LSH: documents
     * that share vocabulary but not word order (which unigram Jaccard, q36,
@@ -1472,6 +1588,7 @@ object DedupOps {
     "q60_shingle_near_dup" -> q60,
     "q143_exact_prefix_join" -> q143,
     "q151_containment_join" -> q151,
+    "q158_simhash_multiprobe" -> q158,
     "q67_streaming_dedup_pin" -> q67,
     "q71_dedup_components" -> q71,
     "q71b_components_twostar" -> q71b,
@@ -1487,6 +1604,7 @@ object DedupOps {
     "q60_shingle_near_dup" -> q60Sql,
     "q143_exact_prefix_join" -> q143Sql,
     "q151_containment_join" -> q151Sql,
+    "q158_simhash_multiprobe" -> q158Sql,
     "q67_streaming_dedup_pin" -> q67Sql,
     "q71_dedup_components" -> q71Sql,
     "q71b_components_twostar" -> q71Sql,

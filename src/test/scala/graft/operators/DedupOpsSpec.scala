@@ -400,6 +400,37 @@ class DedupOpsSpec extends SparkSpec {
       sets, "doc_id", "sh", 4, 5, minSize = 3, bitmapMaxVocab = 0L)))
   }
 
+  test("simhashNearDupProbed: lossless vs all-pairs to Hamming 7 — " +
+      "including the all-bands-spread case plain banding misses — and " +
+      "the capped path is result-identical") {
+    val base = 0x0000FACEB00CL & ((1L << 48) - 1)
+    def flip(bits: Int*): Long = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+    val rows = Seq(
+      0L -> base,
+      1L -> flip(0, 13, 26, 39), // one flip in EVERY band: a plain
+                                 // 4-band exact match has no clean band
+      2L -> flip(1, 2),
+      3L -> flip(0, 13, 26, 39, 1, 14, 27), // 7 flips, band 3 clean-ish
+      4L -> base,                // exact dup of 0
+      5L -> flip(0, 1, 2, 3, 12, 13, 14, 15, 24, 25)) // hamming 10: out
+    val df = rows.toDF("doc_id", "simhash")
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val got = norm(DedupOps.simhashNearDupProbed(df, 7))
+    val slow = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      hm = java.lang.Long.bitCount(ha ^ hb) if hm <= 7
+    } yield (a, b, hm.toLong)).sorted
+    assert(slow.contains((0L, 1L, 4L)),
+      "fixture must include the spread pair")
+    assert(got === slow)
+    // plain 4-band exact matching would DROP the spread pair: no band
+    // of doc 1 equals the corresponding band of doc 0
+    assert((0 until 4).forall(k =>
+      ((base >> (12 * k)) & 4095) != ((flip(0, 13, 26, 39) >> (12 * k)) & 4095)))
+    assert(got === norm(DedupOps.simhashNearDupProbed(df, 7, maxBucket = 1)))
+  }
+
   test("prefixSimilarityJoin bitmap and array verify tiers are identical") {
     val docs = (0 until 30).flatMap { i =>
       val base = (0 until 10).map(j => s"w${i % 6}_$j")
