@@ -643,6 +643,52 @@ object SinkOps {
        |FROM agg WHERE event_type = 'error'
        |ORDER BY path, event_type""".stripMargin
 
+  // --------------------------------------------------------------- q159
+  /** Metadata introspection through the gate — the DESCRIBE DETAIL /
+    * files-table surface: three stat-carrying appends land deterministic
+    * event slices, then [[ManifestSink.filesReport]] describes the
+    * table from the manifest ALONE (one small-file read, zero data
+    * reads whatever the table size — the introspection cost model that
+    * matters at 100 TB). The oracle recomputes each entry's row count
+    * and event_id range relationally; a drifted stat, miscounted entry,
+    * or reordered manifest hash-mismatches. */
+  private val q159: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val c1 = maxId / 3
+    val c2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q159", dir) + "/t"
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" <= c1), sink, Seq("event_id"))
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > c1 && $"event_id" <= c2), sink, Seq("event_id"))
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > c2), sink, Seq("event_id"))
+    ManifestSink.filesReport(s, sink, Seq("event_id"))
+      .select($"entry_idx", $"n_rows",
+        $"event_id_min".cast("long").as("event_id_min"),
+        $"event_id_max".cast("long").as("event_id_max"))
+      .orderBy($"entry_idx")
+  }
+  private val q159Sql =
+    """WITH cuts AS (
+      |  SELECT MAX(event_id) // 3 AS c1, (2 * MAX(event_id)) // 3 AS c2
+      |  FROM events),
+      |sl AS (
+      |  SELECT CASE WHEN event_id <= c1 THEN 0
+      |              WHEN event_id <= c2 THEN 1
+      |              ELSE 2 END AS entry_idx,
+      |         event_id
+      |  FROM events CROSS JOIN cuts)
+      |SELECT CAST(entry_idx AS BIGINT) AS entry_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(event_id) AS event_id_min,
+      |  MAX(event_id) AS event_id_max
+      |FROM sl
+      |GROUP BY entry_idx
+      |ORDER BY entry_idx""".stripMargin
+
   // --------------------------------------------------------------- q105
   /** Key-exact CDC through the gate: events land as two appends (version
     * A = the table at id <= cut2, original values), then a keyed MERGE
@@ -1320,6 +1366,7 @@ object SinkOps {
     "q149_cdc_replica" -> q149,
     "q153_version_diff" -> q153,
     "q157_partition_evolution" -> q157,
+    "q159_files_report" -> q159,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
@@ -1342,6 +1389,7 @@ object SinkOps {
     "q149_cdc_replica" -> q149Sql,
     "q153_version_diff" -> q153Sql,
     "q157_partition_evolution" -> q157Sql,
+    "q159_files_report" -> q159Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,

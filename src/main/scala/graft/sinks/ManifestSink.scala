@@ -1900,6 +1900,42 @@ object ManifestSink {
     (to.filterNot(from), (from -- to).toSeq.sorted)
   }
 
+  /** Per-entry metadata report of the current snapshot — the DESCRIBE
+    * DETAIL / files-table introspection surface every table format
+    * exposes: one row per DATA entry (tombstones excluded), in manifest
+    * order, with the entry's recorded row count and each requested
+    * stats column's [min, max] — answered from the MANIFEST ALONE (one
+    * small-file read; zero data reads at any table size). Stats values
+    * come back in their string encoding; callers cast by the column's
+    * known type. Entries predating stats report nulls — introspection
+    * never fails a table, it describes it. */
+  def filesReport(spark: SparkSession, dir: String,
+      statCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val data = entries(spark, dir, v).filterNot(isTombEntry)
+    val rows = data.zipWithIndex.map { case (e, i) =>
+      val n: Any = e.stats.get(RowsKey)
+        .flatMap(_.min.toLongOption).map(Long.box).orNull
+      Row.fromSeq(
+        (i.toLong: Any) +: n +:
+          statCols.flatMap(c => Seq[Any](
+            e.stats.get(c).map(_.min).orNull,
+            e.stats.get(c).map(_.max).orNull)))
+    }
+    val schema = StructType(
+      StructField("entry_idx", LongType, nullable = false) +:
+        StructField("n_rows", LongType, nullable = true) +:
+        statCols.flatMap(c => Seq(
+          StructField(s"${c}_min", StringType, nullable = true),
+          StructField(s"${c}_max", StringType, nullable = true))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** ROW-granular diff between two committed versions — time-travel
     * EXCEPT planned from manifest metadata. When the two versions share
     * the same tombstone set (the append / replace / compact family),
