@@ -1000,6 +1000,148 @@ object MultimodalOps {
       |WHERE al.aligned = na.n AND al.aligned = nb.n AND al.mh <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------- GIF video container
+  /** REAL video-container ENCODE: an animated GIF89a — a genuine
+    * multi-frame container format (logical screen descriptor, per-frame
+    * image descriptors, LZW-compressed palette-indexed data) written
+    * through `javax.imageio`'s sequence writer. Grayscale frames
+    * round-trip pixel-exact (each frame's ≤256 distinct colors fit the
+    * palette — probed true on this JDK), the property that makes a
+    * closed-form DuckDB oracle possible, exactly as PNG's losslessness
+    * does for the still-image seams. */
+  def encodeGifVideo(
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    imageIoNoDiskCache
+    import javax.imageio.{IIOImage, ImageIO}
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new IIOImage(f, null, null), writer.getDefaultWriteParam))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL video-container DECODE through the partition-batched seam:
+    * parse the GIF container (`ImageReader.getNumImages` walks the
+    * block structure; `read(k)` LZW-decodes frame k against its
+    * palette) and emit per-frame stats. A payload that is not a
+    * well-formed GIF — wrong magic, truncated block stream, corrupt LZW
+    * data — is SKIPPED whole, row by row, the reference's corrupt-event
+    * rule applied to containers. */
+  def gifFrameStats(media: Dataset[Media]): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      imageIoNoDiskCache
+      it.flatMap { m =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+        try {
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            // seekForwardOnly must be FALSE: getNumImages(allowSearch)
+            // walks the whole block stream and rejects forward-only input
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            var k = 0
+            while (k < n) {
+              val bi = reader.read(k)
+              val w = bi.getWidth
+              val h = bi.getHeight
+              val px = bi.getRGB(0, 0, w, h, null, 0, w)
+              var lum = 0L; var mn = 255L; var mx = 0L
+              var i = 0
+              while (i < px.length) {
+                val r = (px(i) >> 16) & 0xff
+                lum += r + ((px(i) >> 8) & 0xff) + (px(i) & 0xff)
+                if (r < mn) mn = r
+                if (r > mx) mx = r
+                i += 1
+              }
+              out += FrameStats(m.doc_id, k.toLong, w.toLong, h.toLong,
+                lum, mn, mx)
+              k += 1
+            }
+          } finally { reader.dispose(); iis.close() }
+        } catch {
+          case _: java.io.IOException => out.clear() // container corrupt
+          case _: RuntimeException => out.clear()
+        }
+        out
+      }
+    }
+  }
+
+  /** One grayscale pattern frame for the GIF fixture: value
+    * v(i) = (base·31 + k·13 + i·7) mod 256 at flat index i. */
+  def syntheticGrayFrame(base: Long, k: Int): java.awt.image.BufferedImage = {
+    val (w, h) = imageDims(base)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      val v = ((base * 31 + k * 13 + i.toLong * 7) % 256).toInt
+      px(i) = (v << 16) | (v << 8) | v
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  // --------------------------------------------------------------- q160
+  /** REAL container-format video decode end-to-end: each doc is an
+    * ANIMATED GIF (2 + doc_id%3 grayscale pattern frames) — encoded as
+    * a true GIF89a container and decoded back through the container
+    * seam ([[gifFrameStats]]: block-structure walk + per-frame LZW
+    * decode against the palette). Grayscale round-trips pixel-exact, so
+    * every emitted stat equals a closed-form function of
+    * (doc_id, frame, pixel index) that DuckDB computes with integer
+    * arithmetic — the container pipeline gets the same oracle rigor as
+    * the still-image seams. */
+  private val q160: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map { d =>
+        val nf = (2 + d % 3).toInt
+        Media(d, encodeGifVideo(
+          (0 until nf).map(k => syntheticGrayFrame(d % 20, k))))
+      })
+    gifFrameStats(media).toDF()
+      .select($"doc_id", $"frame_idx", $"width", $"height",
+        $"lum_sum", $"min_r", $"max_r")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+  private val q160Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 20 AS base, 2 + doc_id % 3 AS nf
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, base, nf,
+      |         8 + base % 9 AS w, 8 + (base // 9) % 7 AS h
+      |  FROM d),
+      |fr AS (
+      |  SELECT doc_id, base, w, h, k
+      |  FROM dims, UNNEST(range(0, nf)) AS t(k)),
+      |px AS (
+      |  SELECT doc_id, k, w, h,
+      |         (base * 31 + k * 13 + i * 7) % 256 AS v
+      |  FROM fr, UNNEST(range(0, w * h)) AS u(i))
+      |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(3 * SUM(v) AS BIGINT) AS lum_sum,
+      |  CAST(MIN(v) AS BIGINT) AS min_r,
+      |  CAST(MAX(v) AS BIGINT) AS max_r
+      |FROM px
+      |GROUP BY doc_id, k, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // --------------------------------------------------------------- q156
   /** REAL resize end-to-end — the full media normalization round trip
     * (encode → decode → nearest-neighbor resize to 16×12 → re-encode →
@@ -1059,7 +1201,8 @@ object MultimodalOps {
     "q80_video_frames" -> q80,
     "q115_image_phash_dedup" -> q115,
     "q123_video_near_dup" -> q123,
-    "q156_image_resize" -> q156)
+    "q156_image_resize" -> q156,
+    "q160_gif_video_decode" -> q160)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
@@ -1070,5 +1213,6 @@ object MultimodalOps {
     "q80_video_frames" -> q80Sql,
     "q115_image_phash_dedup" -> q115Sql,
     "q123_video_near_dup" -> q123Sql,
-    "q156_image_resize" -> q156Sql)
+    "q156_image_resize" -> q156Sql,
+    "q160_gif_video_decode" -> q160Sql)
 }

@@ -238,6 +238,26 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === run(1))
   }
 
+  test("gifFrameStats: the animated-GIF container round-trips frame-" +
+      "exact; truncated or garbage containers skip whole") {
+    val good = Media(1L, MultimodalOps.encodeGifVideo(
+      (0 until 3).map(k => MultimodalOps.syntheticGrayFrame(4L, k))))
+    val truncated = Media(2L,
+      good.payload.take(good.payload.length / 4)) // dies inside frame 0
+    val garbage = Media(3L, Array[Byte](1, 2, 3, 4))
+    val out = MultimodalOps.gifFrameStats(
+      Seq(good, truncated, garbage).toDS()).collect()
+    assert(out.forall(_.doc_id == 1L),
+      "corrupt containers must skip whole, never partially emit")
+    assert(out.map(_.frame_idx).sorted.toSeq === Seq(0L, 1L, 2L))
+    // frame 1's stats match the closed form: v = (4*31 + 13 + 7i) % 256
+    val (w, h) = MultimodalOps.imageDims(4L)
+    val vals = (0 until w * h).map(i => (4 * 31 + 13 + 7 * i) % 256)
+    val f1 = out.find(_.frame_idx == 1L).get
+    assert(f1.lum_sum === 3L * vals.sum)
+    assert(f1.min_r === vals.min.toLong && f1.max_r === vals.max.toLong)
+  }
+
   test("resizeBatch: identity dims are a pixel copy, resized output is " +
       "re-decodable at the target dims, corrupt payloads skip") {
     val m = Seq(Media(5L, MultimodalOps.syntheticPng(5L))).toDS()
