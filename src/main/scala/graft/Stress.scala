@@ -109,6 +109,8 @@ object Stress {
     "q38_jaccard_near_dup",   // bitmap verify under a hot bucket
     "q60_shingle_near_dup",   // giant-doc shingle straggler
     "q143_exact_prefix_join", // prefix buckets under tiny-vocab skew
+    "q151_containment_join",  // asymmetric probe + bitmap tier under clones
+    "q158_simhash_multiprobe",// 13x probe index under hash clustering
     "q144_dup_ngram_coverage",
     "q83_span_dedup",
     "q35_fingerprint_dedup",
