@@ -1078,6 +1078,44 @@ object MultimodalOps {
     }
   }
 
+  /** Container-native frame-SAMPLED dHash: only every `stride`-th frame
+    * of the GIF container is LZW-decoded (`ImageReader.read(k)` decodes
+    * on demand), which is the sampling lever a real container gives
+    * that a pre-exploded frame table cannot — frames the stride skips
+    * are never decompressed at all. Corrupt containers skip whole. */
+  def gifFrameDHash(media: Dataset[Media], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      imageIoNoDiskCache
+      it.flatMap { m =>
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+        try {
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            var k = 0
+            while (k < n) {
+              if (k % stride == 0) {
+                val (lo, hi) = dhashOf(reader.read(k))
+                out += ((m.doc_id, k, lo, hi))
+              }
+              k += 1
+            }
+          } finally { reader.dispose(); iis.close() }
+        } catch {
+          case _: java.io.IOException => out.clear()
+          case _: RuntimeException => out.clear()
+        }
+        out
+      }
+    }.toDF("doc_id", "k", "lo", "hi")
+  }
+
   /** One grayscale pattern frame for the GIF fixture: value
     * v(i) = (base·31 + k·13 + i·7) mod 256 at flat index i. */
   def syntheticGrayFrame(base: Long, k: Int): java.awt.image.BufferedImage = {
@@ -1142,6 +1180,84 @@ object MultimodalOps {
       |GROUP BY doc_id, k, w, h
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --------------------------------------------------------------- q161
+  /** Video near-dup over REAL containers, end to end: each doc is one
+    * ANIMATED GIF holding its full frame list; the stride filter runs
+    * AT THE CONTAINER ([[gifFrameDHash]] LZW-decodes only every 2nd
+    * frame — skipped frames are never decompressed), and the sampled
+    * frame dHashes feed the SAME [[videoNearDup]] pipeline as q123
+    * (collapse-first, capped aligned bands, zip_with verify). The
+    * fixture mirrors q123's variant structure on grayscale frames
+    * (same-(base,v) videos byte-identical, cross-variant near), so the
+    * oracle re-derives every sampled frame's hash from the closed form
+    * with single-channel integer compares. */
+  private val q161: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map { d =>
+        val base = d % 20
+        val v = ((d / 20) % 3).toInt
+        val nf = (4 + base % 3).toInt
+        Media(d, encodeGifVideo(
+          (0 until nf).map(k => syntheticGrayFrame(base, 3 * k + v))))
+      })
+    videoNearDup(gifFrameDHash(media, 2), maxFrameHamming = 4)
+      .orderBy($"id_a", $"id_b")
+  }
+  private val q161Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 20 AS base, (doc_id // 20) % 3 AS v
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, base, v,
+      |         8 + base % 9 AS w, 8 + (base // 9) % 7 AS h,
+      |         4 + base % 3 AS nf
+      |  FROM d),
+      |fr AS (
+      |  SELECT doc_id, base, v, w, h, k
+      |  FROM dims, UNNEST(range(0, nf)) AS t(k)
+      |  WHERE k % 2 = 0),
+      |bits AS (
+      |  SELECT doc_id, k, gy * 8 + gx AS bit,
+      |    CASE WHEN
+      |      (base*31 + (3*k+v)*13 + ((gy*h//8)*w + ((gx+1)*w//9))*7) % 256
+      |      >
+      |      (base*31 + (3*k+v)*13 + ((gy*h//8)*w + (gx*w//9))*7) % 256
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM fr, UNNEST(range(0, 8)) AS t1(gx), UNNEST(range(0, 8)) AS t2(gy)),
+      |hash AS (
+      |  SELECT doc_id, k,
+      |    CAST(SUM(CASE WHEN bit < 32
+      |      THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN bit >= 32
+      |      THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id, k),
+      |bands AS (
+      |  SELECT doc_id, k, lo, hi,
+      |    UNNEST([lo & 65535, (lo >> 16) & 65535,
+      |            hi & 65535, (hi >> 16) & 65535]) AS bhash,
+      |    UNNEST([k*4 + 0, k*4 + 1, k*4 + 2, k*4 + 3]) AS bidx
+      |  FROM hash),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      |nf_ AS (SELECT doc_id, COUNT(*) AS n FROM hash GROUP BY doc_id),
+      |al AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS aligned,
+      |    MAX(bit_count(xor(ha.lo, hb.lo))
+      |      + bit_count(xor(ha.hi, hb.hi))) AS mh
+      |  FROM cand c
+      |  JOIN hash ha ON ha.doc_id = c.id_a
+      |  JOIN hash hb ON hb.doc_id = c.id_b AND hb.k = ha.k
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT al.id_a, al.id_b, CAST(al.mh AS BIGINT) AS max_hamming
+      |FROM al
+      |JOIN nf_ na ON na.doc_id = al.id_a
+      |JOIN nf_ nb ON nb.doc_id = al.id_b
+      |WHERE al.aligned = na.n AND al.aligned = nb.n AND al.mh <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   // --------------------------------------------------------------- q156
   /** REAL resize end-to-end — the full media normalization round trip
     * (encode → decode → nearest-neighbor resize to 16×12 → re-encode →
@@ -1202,7 +1318,8 @@ object MultimodalOps {
     "q115_image_phash_dedup" -> q115,
     "q123_video_near_dup" -> q123,
     "q156_image_resize" -> q156,
-    "q160_gif_video_decode" -> q160)
+    "q160_gif_video_decode" -> q160,
+    "q161_gif_video_near_dup" -> q161)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
@@ -1214,5 +1331,6 @@ object MultimodalOps {
     "q115_image_phash_dedup" -> q115Sql,
     "q123_video_near_dup" -> q123Sql,
     "q156_image_resize" -> q156Sql,
-    "q160_gif_video_decode" -> q160Sql)
+    "q160_gif_video_decode" -> q160Sql,
+    "q161_gif_video_near_dup" -> q161Sql)
 }
