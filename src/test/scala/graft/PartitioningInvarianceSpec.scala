@@ -30,12 +30,23 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q143 prefix-filter exact similarity join (global-df rank windows
   //        feeding the capped self-join — the prefix SET must be
   //        identical whatever partitioning computed the frequencies)
+  //   q151 asymmetric containment (per-doc prefix windows + the capped
+  //        probe×index join + in-reducer bitmap verify — three stages
+  //        whose partial orders must all wash out)
+  //   q155 sharded sweep-line prefix sums (the within-hour running sums
+  //        have tie groups whose ORDER is partition-dependent — only
+  //        the emitted max/entering values may not be)
+  //   q158 multiprobe banding (13× probe index + first-collapse)
+  //   q161 container decode → sampled frame signatures (GIF seam +
+  //        sorted-signature grouping)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
     "q115_image_phash_dedup", "q116_audio_fingerprint_dedup",
     "q123_video_near_dup", "q125_incremental_distinct",
-    "q132_mor_delete", "q143_exact_prefix_join")
+    "q132_mor_delete", "q143_exact_prefix_join",
+    "q151_containment_join", "q155_concurrency_curve",
+    "q158_simhash_multiprobe", "q161_gif_video_near_dup")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"
