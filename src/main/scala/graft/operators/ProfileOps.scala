@@ -249,10 +249,49 @@ object ProfileOps {
       |GROUP BY 1, 2, 3
       |ORDER BY nation, segment, bal_band""".stripMargin
 
+  // --------------------------------------------------------------- q163
+  /** l-DIVERSITY audit (Machanavalajhala et al. ICDE'06 — the successor
+    * privacy gate to q145's k-anonymity): a k-anonymous class still
+    * leaks when every member shares the same SENSITIVE value, so each
+    * quasi-identifier class (q145's (nation, segment, balance-band))
+    * must also carry ≥ l DISTINCT sensitive values — here the order
+    * priorities observed across the class's customers (joined through
+    * orders; customers without orders contribute none). One join + one
+    * two-phase distinct aggregate; the report names the classes still
+    * below l = 3 so the curator knows where generalization must
+    * coarsen further. */
+  private val q163: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .withColumn("bal_band", floor($"c_acctbal" / 2000.0).cast("long"))
+      .select($"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("segment"), $"bal_band", $"c_custkey")
+    val o = Tables(s, dir, "orders")
+      .select($"o_custkey".as("c_custkey"), $"o_orderpriority")
+    c.join(o, Seq("c_custkey"), "left")
+      .groupBy($"nation", $"segment", $"bal_band")
+      .agg(countDistinct($"c_custkey").as("n_members"),
+        countDistinct($"o_orderpriority").as("l"))
+      .withColumn("l_diverse", $"l" >= 3)
+      .orderBy($"nation", $"segment", $"bal_band")
+  }
+  private val q163Sql =
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+      |  c.c_mktsegment AS segment,
+      |  CAST(FLOOR(c.c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+      |  CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_members,
+      |  CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l,
+      |  COUNT(DISTINCT o.o_orderpriority) >= 3 AS l_diverse
+      |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY nation, segment, bal_band""".stripMargin
+
   val queries: Map[String, Q] =
     Map("q97_data_profile" -> q97, "q107_referential_audit" -> q107,
-      "q142_drift_report" -> q142, "q145_k_anonymity" -> q145)
+      "q142_drift_report" -> q142, "q145_k_anonymity" -> q145,
+      "q163_l_diversity" -> q163)
   val oracleSql: Map[String, String] =
     Map("q97_data_profile" -> q97Sql, "q107_referential_audit" -> q107Sql,
-      "q142_drift_report" -> q142Sql, "q145_k_anonymity" -> q145Sql)
+      "q142_drift_report" -> q142Sql, "q145_k_anonymity" -> q145Sql,
+      "q163_l_diversity" -> q163Sql)
 }

@@ -306,6 +306,45 @@ object TrainingOps {
       |  AS t(w)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------------------------------- q162
+  /** LENGTH-BUCKETED batching report — the padding-waste accounting
+    * behind bucketed batch samplers: docs padded to a common batch width
+    * burn compute on pad tokens, so real loaders group similar lengths
+    * and pad only to the bucket boundary. Buckets here are pad-to-16
+    * bands (band = ⌈tokens/16⌉·16); per band the report carries doc
+    * count, real tokens, padded tokens (n·band), and the exact waste
+    * fraction — the number that justifies (or kills) a bucketing stage
+    * in a training pipeline. One two-phase aggregate over a row-local
+    * derived column; integral band arithmetic. */
+  private val q162: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .withColumn("band", expr("((n + 15) div 16) * 16"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("sum_tokens"))
+      .withColumn("padded_tokens", $"n_docs" * $"band")
+      .withColumn("waste_tokens", $"padded_tokens" - $"sum_tokens")
+      .withColumn("waste_frac",
+        $"waste_tokens".cast("double") / $"padded_tokens".cast("double"))
+      .orderBy($"band")
+  }
+  private val q162Sql =
+    """WITH n_ AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (SELECT n, ((n + 15) // 16) * 16 AS band FROM n_)
+      |SELECT band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+      |  CAST(COUNT(*) * band AS BIGINT) AS padded_tokens,
+      |  CAST(COUNT(*) * band - SUM(n) AS BIGINT) AS waste_tokens,
+      |  CAST(COUNT(*) * band - SUM(n) AS DOUBLE)
+      |    / CAST(COUNT(*) * band AS DOUBLE) AS waste_frac
+      |FROM b
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
   // ---------------------------------------------------------------- q73
   /** Sequence packing — assign documents to fixed-budget training bins
     * (4096 tokens) by running token count, sharded so the prefix sum
@@ -950,6 +989,7 @@ object TrainingOps {
     "q69_training_corpus" -> q69,
     "q72_document_chunks" -> q72,
     "q73_sequence_packing" -> q73,
+    "q162_length_buckets" -> q162,
     "q81_curation_pipeline" -> q81,
     "q84_mixture_sample" -> q84)
 
@@ -966,6 +1006,7 @@ object TrainingOps {
     "q69_training_corpus" -> q69Sql,
     "q72_document_chunks" -> q72Sql,
     "q73_sequence_packing" -> q73Sql,
+    "q162_length_buckets" -> q162Sql,
     "q81_curation_pipeline" -> q81Sql,
     "q84_mixture_sample" -> q84Sql)
 }
