@@ -1233,6 +1233,32 @@ object DedupOps {
        |ORDER BY component_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q164
+  /** Dedup IMPACT report — the triage a curator reads before running a
+    * destructive dedup pass: the cluster-size histogram of the q71
+    * near-dup components, with, per size, how many documents a
+    * keep-one-per-cluster policy would remove. Size-1 clusters are the
+    * untouched majority; a heavy tail here is what justifies (and
+    * sizes) the dedup job. Component-output-sized aggregation — the
+    * expensive part is q71 itself, already bounded. */
+  private val q164: Q = (s, dir) => {
+    import s.implicits._
+    q71(s, dir)
+      .groupBy($"n_docs".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("docs_total", $"cluster_size" * $"n_clusters")
+      .withColumn("docs_removable", ($"cluster_size" - 1) * $"n_clusters")
+      .orderBy($"cluster_size")
+  }
+  private val q164Sql: String =
+    s"""SELECT CAST(n_docs AS BIGINT) AS cluster_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(n_docs * COUNT(*) AS BIGINT) AS docs_total,
+       |  CAST((n_docs - 1) * COUNT(*) AS BIGINT) AS docs_removable
+       |FROM ($q71Sql)
+       |GROUP BY n_docs
+       |ORDER BY cluster_size""".stripMargin
+
   // --------------------------------------------------------------- q71b
   /** Alternating large-star/small-star contraction (Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond") — the adversarial-
@@ -1591,6 +1617,7 @@ object DedupOps {
     "q158_simhash_multiprobe" -> q158,
     "q67_streaming_dedup_pin" -> q67,
     "q71_dedup_components" -> q71,
+    "q164_dedup_impact" -> q164,
     "q71b_components_twostar" -> q71b,
     "q74_decontamination" -> q74,
     "q83_span_dedup" -> q83,
@@ -1607,6 +1634,7 @@ object DedupOps {
     "q158_simhash_multiprobe" -> q158Sql,
     "q67_streaming_dedup_pin" -> q67Sql,
     "q71_dedup_components" -> q71Sql,
+    "q164_dedup_impact" -> q164Sql,
     "q71b_components_twostar" -> q71Sql,
     "q74_decontamination" -> q74Sql,
     "q83_span_dedup" -> q83Sql,
