@@ -125,23 +125,36 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // minute/hour-window
+      // row counts must not depend on the host timezone (same pin as
+      // Verify/SparkSpec)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = Paths.get(out)
-    if (!Files.isDirectory(dir)) {
+    // The completion MARKER (not directory existence) gates reuse: a
+    // crashed prior run leaves a partial directory whose queries would
+    // fail confusingly — regenerate from scratch in that case.
+    val marker = dir.resolve("_GENERATED")
+    if (!Files.exists(marker)) {
+      if (Files.isDirectory(dir)) { // partial leftovers: clear them
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       Files.createDirectories(dir)
       genDocuments(spark).write.parquet(s"$out/documents.parquet")
       genEvents(spark).write.parquet(s"$out/events.parquet")
       genEmbeddings(spark).write.parquet(s"$out/embeddings.parquet")
-      // the relational tables are not the stress subject: symlink sf0.1
+      // the relational tables are not the stress subject: symlink sfDir
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem"))
         Files.createSymbolicLink(dir.resolve(s"$t.parquet"),
-          Paths.get(s"/root/testdata/sf0.1/$t.parquet"))
+          Paths.get(s"$sfDir/$t.parquet"))
+      Files.write(marker, java.util.Arrays.asList(sfDir))
     }
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

@@ -820,9 +820,26 @@ object DedupOps {
     * block) pair ships to its own reducer — each (probe row, index row)
     * pair meets exactly once, per-reducer input bounded by 2·maxBucket
     * rows, output identical. Candidate rows repeat once per shared key
-    * (callers distinct). */
+    * (callers distinct).
+    *
+    * Contract: the join key must be named `__k`; hot-key block routing
+    * hashes each side's ID column — `probeIdCol` / `indexIdCol`
+    * (defaults `__xa` / `__xb`), which must exist on the respective
+    * side. CACHING: probe/index/counts are persisted for the duration
+    * of the returned (lazy) plan — the eager `maxProd` probe plus the
+    * join each read them once. They cannot be unpersisted here without
+    * forcing materialization; callers embedding this in a long-lived
+    * session should `spark.catalog.clearCache()` (or unpersist the
+    * returned plan's lineage) after materializing, as Bench/Stress do
+    * between queries. */
   private def cappedProbeIndexJoin(probe: DataFrame, index: DataFrame,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, probeIdCol: String = "__xa",
+      indexIdCol: String = "__xb"): DataFrame = {
+    require(probe.columns.contains(probeIdCol) &&
+        index.columns.contains(indexIdCol),
+      s"cappedProbeIndexJoin routes hot-key blocks by hashing " +
+        s"'$probeIdCol' (probe) / '$indexIdCol' (index); pass " +
+        "probeIdCol/indexIdCol for differently-named id columns")
     val pCols = probe.columns.filterNot(_ == "__k").map(col).toSeq
     val iCols = index.columns.filterNot(_ == "__k").map(col).toSeq
     val p = probe.persist() // the count probe + the join read it once
@@ -842,11 +859,11 @@ object DedupOps {
     // index row: its own i-block, replicated across the probe blocks
     val pB = p.join(blk, "__k")
       .select(pCols ++ Seq(col("__k"),
-        pmod(xxhash64(col("__xa")), col("__bp")).as("__p"),
+        pmod(xxhash64(col(probeIdCol)), col("__bp")).as("__p"),
         explode(sequence(lit(0L), col("__bi") - 1)).as("__i")): _*)
     val iB = ix.join(blk, "__k")
       .select(iCols ++ Seq(col("__k"),
-        pmod(xxhash64(col("__xb")), col("__bi")).as("__i"),
+        pmod(xxhash64(col(indexIdCol)), col("__bi")).as("__i"),
         explode(sequence(lit(0L), col("__bp") - 1)).as("__p")): _*)
     pB.join(iB, Seq("__k", "__p", "__i"))
       .select(pCols ++ iCols: _*)

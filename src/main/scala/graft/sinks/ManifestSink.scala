@@ -146,16 +146,20 @@ object ManifestSink {
         case _: FileAlreadyExistsException => false
         // A 'file'-scheme mount WITHOUT hard links (FUSE, exFAT, some
         // network FS) would otherwise surface as an opaque crash that
-        // breaks this method's boolean contract — name the requirement
-        // instead of leaking the raw syscall error.
+        // breaks this method's boolean contract. The catch is broad
+        // (any FileSystemException — also EACCES, ENOSPC, …), so the
+        // message states the operation that failed and names missing
+        // hard-link support as ONE likely cause, with the original
+        // exception preserved for the real diagnosis.
         case e @ (_: UnsupportedOperationException |
                   _: FileSystemException) =>
           throw new UnsupportedOperationException(
-            s"ManifestSink: conditional put on local scheme needs hard-" +
-              s"link support (atomic EEXIST-exclusive publish), which " +
-              s"the filesystem under '$dst' refused: $e. Use a " +
-              "hard-link-capable mount, or register a conditional-put " +
-              "seam via ManifestSink.registerConditionalPut(\"file\", …).",
+            s"ManifestSink: hard-link publish (the local-scheme atomic " +
+              s"EEXIST-exclusive conditional put) failed under '$dst': " +
+              s"$e. If the filesystem lacks hard-link support, use a " +
+              "hard-link-capable mount or register a conditional-put " +
+              "seam via ManifestSink.registerConditionalPut(\"file\", …); " +
+              "otherwise see the cause (permissions, disk full, …).",
             e)
       }
       finally Files.deleteIfExists(tmp)
