@@ -156,6 +156,57 @@ object Skew {
       .join(dim, col(bigKey) === col(dimKey))
   }
 
+  /** AUTO-DISPATCHING metadata join: read both sides' manifest stats,
+    * evaluate [[graft.sinks.ManifestSink.joinPlan]]'s verdict, and emit
+    * the corresponding physical plan — the planner's loop closed
+    * without a human in it. q134 computes the verdict; q140 executes
+    * ONE verdict by hand; this operator is what a 100 TB deployment
+    * actually calls: per-query, the storage layer's own statistics pick
+    * the join strategy before any data is read.
+    *
+    *   - `broadcast` — the smaller side (by manifest row count) gets
+    *     the broadcast hint: no shuffle at all.
+    *   - `prefilter_semi` — the smaller-NDV side is the dimension; its
+    *     distinct keys broadcast as a left-semi prefilter killing the
+    *     fact side's non-matching rows map-side BEFORE the join shuffle
+    *     (q140's [[prefilteredJoin]], now chosen automatically).
+    *   - `shuffle` — the plain hash-partitioned join, Catalyst's
+    *     default physical pick.
+    *   - no verdict (either side lacks counts/sketches) — the plain
+    *     join: plan from data when metadata can't answer, never guess.
+    *
+    * Every arm returns the SAME rows as the plain inner join on
+    * `colA = colB` (the broadcast hint only places data; the semi
+    * prefilter only removes rows the join would drop) — which is
+    * exactly what the q165 oracle pins with a plain-join mirror across
+    * fixtures landing all three verdicts. `colA` and `colB` must
+    * differ (rename one side otherwise); output columns are A's then
+    * B's, both key columns retained. */
+  def planAwareJoin(spark: SparkSession, dirA: String, colA: String,
+      dirB: String, colB: String, broadcastRows: Long): DataFrame = {
+    import graft.sinks.ManifestSink
+    require(colA != colB,
+      "planAwareJoin needs distinct key names; rename one side")
+    val plan = ManifestSink.joinPlan(spark, dirA, colA, dirB, colB,
+      broadcastRows)
+    val a = ManifestSink.read(spark, dirA)
+    val b = ManifestSink.read(spark, dirB)
+    plan match {
+      case Some(p) if p.strategy == "broadcast" =>
+        if (p.rowsA <= p.rowsB)
+          broadcast(a).join(b, col(colA) === col(colB))
+        else a.join(broadcast(b), col(colA) === col(colB))
+      case Some(p) if p.strategy == "prefilter_semi" =>
+        // the dimension (whose keys prefilter the other side) is the
+        // smaller key set; the fact side is where rows die map-side
+        if (p.ndvA <= p.ndvB) {
+          prefilteredJoin(b, a, colB, colA)
+            .select(a.columns.map(col) ++ b.columns.map(col): _*)
+        } else prefilteredJoin(a, b, colA, colB)
+      case _ => a.join(b, col(colA) === col(colB))
+    }
+  }
+
   // --------------------------------------------------------------- q140
   /** The prefilter_semi verdict EXECUTED (q134 diagnosed this exact
     * pair): lineitem joins the bottom-1/25th order slice through

@@ -77,17 +77,30 @@ object ManifestSink {
 
   /** Plug a conditional-put primitive for a URI scheme: `put(fs, path,
     * content)` must atomically publish `content` at `path` iff the name
-    * does not exist, returning whether THIS caller won the name. */
+    * does not exist, returning whether THIS caller won the name.
+    *
+    * Prove an implementation with [[ConditionalPutContract.check]] —
+    * the same contention harness the built-in hard-link and
+    * HDFS-rename paths pass (ConditionalPutContractSpec runs all
+    * three); [[MemBlobStore.ifNoneMatchPut]] is the reference
+    * If-None-Match:* shape a real S3/GCS/Azure seam maps to. */
   def registerConditionalPut(scheme: String,
       put: (FileSystem, Path, String) => Boolean): Unit =
     extraConditionalPuts.put(scheme, put)
+
+  /** Remove a registered seam (test isolation / reconfiguration). */
+  def deregisterConditionalPut(scheme: String): Unit =
+    extraConditionalPuts.remove(scheme)
 
   /** Schemes whose Hadoop `rename` is a client-side copy+delete — neither
     * atomic nor exclusive — so rename-as-conditional-put would LOSE
     * COMMITS silently. Publishing there requires a registered seam. */
   private val NonAtomicRenameSchemes =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
-      "oss", "swift", "cos")
+      "oss", "swift", "cos",
+      // the in-memory conformance fake ([[MemObjectStoreFileSystem]]):
+      // models exactly this rename behavior, so it takes this branch
+      "mos")
 
   /** Attempt to publish `content` at `p`, and report whether THIS writer
     * won the name. The conditional-put primitive is dispatched PER
