@@ -1354,7 +1354,82 @@ object SinkOps {
        |FROM allp ORDER BY pair""".stripMargin
   }
 
+  // --------------------------------------------------------------- q165
+  /** The q134 verdicts EXECUTED automatically ([[Skew.planAwareJoin]] —
+    * r11 ask #2): the same three table pairs land in stat-carrying
+    * sinks, and then JOIN through the operator that reads the manifest
+    * metadata and dispatches the physical strategy itself — broadcast
+    * hint for customer⋈nation (25-row dimension), plain shuffle for
+    * customer⋈orders (keys near-coextensive), broadcast-semi prefilter
+    * for lineitem⋈low-orders (~96 % of the fact side dies before the
+    * shuffle). The emitted per-pair row count and key checksum must
+    * equal the PLAIN joins the oracle runs — the strategy choice is
+    * placement, never semantics (PlanAuditSpec separately pins each
+    * verdict's physical shape: BroadcastHashJoin / LeftSemi-then-join /
+    * SortMergeJoin).
+    *
+    * Scale: this is the call a 100 TB query makes — the
+    * broadcast/prefilter/shuffle decision comes off two small manifest
+    * reads per pair, before any data is scanned, with no human running
+    * q134 and picking an operator by hand. */
+  private val q165: Q = (s, dir) => {
+    import s.implicits._
+    val root = freshScratch("graft_q165", dir)
+    def sink(name: String, df: DataFrame, c: String): String = {
+      val p = root + "/" + name
+      ManifestSink.appendWithStats(df, p, Seq(c), ndvCols = Seq(c))
+      p
+    }
+    val cust = Tables(s, dir, "customer")
+    val ords = Tables(s, dir, "orders")
+    val maxO = ords.agg(max($"o_orderkey")).head().getLong(0)
+    val custNk = sink("cust_nk", cust.select($"c_nationkey"), "c_nationkey")
+    val natNk = sink("nat_nk",
+      Tables(s, dir, "nation").select($"n_nationkey"), "n_nationkey")
+    val custCk = sink("cust_ck", cust.select($"c_custkey"), "c_custkey")
+    val ordsCk = sink("ords_ck", ords.select($"o_custkey"), "o_custkey")
+    val liOk = sink("li_ok",
+      Tables(s, dir, "lineitem").select($"l_orderkey"), "l_orderkey")
+    val ordsLow = sink("ords_low",
+      ords.select($"o_orderkey").filter($"o_orderkey" <= maxO / 25),
+      "o_orderkey")
+    val bc = ManifestSink.rowCount(s, liOk).get / 200
+    def row(pair: String, a: String, ca: String, b: String, cb: String) = {
+      val j = Skew.planAwareJoin(s, a, ca, b, cb, bc)
+      val r = j.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col(ca)), lit(0L)).cast("long").as("ks")).head()
+      (pair, r.getLong(0), r.getLong(1))
+    }
+    Seq(
+      row("customer_nation", custNk, "c_nationkey", natNk, "n_nationkey"),
+      row("customer_orders", custCk, "c_custkey", ordsCk, "o_custkey"),
+      row("lineitem_lowkeys", liOk, "l_orderkey", ordsLow, "o_orderkey"))
+      .toDF("pair", "n_rows", "key_sum")
+      .orderBy($"pair")
+  }
+  private val q165Sql =
+    s"""WITH mxo AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+       |SELECT 'customer_nation' AS pair,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(SUM(c_nationkey), 0) AS BIGINT) AS key_sum
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |UNION ALL
+       |SELECT 'customer_orders',
+       |  CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT)
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |UNION ALL
+       |SELECT 'lineitem_lowkeys',
+       |  CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT)
+       |FROM lineitem
+       |JOIN (SELECT o_orderkey FROM orders CROSS JOIN mxo
+       |      WHERE o_orderkey <= mx // 25) o
+       |  ON l_orderkey = o_orderkey
+       |ORDER BY pair""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q165_plan_aware_join" -> q165,
     "q134_join_plan" -> q134,
     "q133_layout_2d" -> q133,
     "q132_mor_delete" -> q132,
@@ -1378,6 +1453,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q165_plan_aware_join" -> q165Sql,
     "q134_join_plan" -> q134Sql,
     "q133_layout_2d" -> q133Sql,
     "q132_mor_delete" -> q132Sql,

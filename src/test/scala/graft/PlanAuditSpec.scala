@@ -177,4 +177,71 @@ class PlanAuditSpec extends SparkSpec {
     assert(lines.exists(l => l.contains("Join") && l.contains("Inner")),
       "no inner join alongside the semi prefilter")
   }
+
+  test("planAwareJoin dispatches each verdict to its physical shape") {
+    // The auto-dispatching metadata join (Skew.planAwareJoin): three
+    // fixtures land the three joinPlan verdicts, and the EXECUTED plan
+    // must carry the corresponding shape. autoBroadcastJoinThreshold is
+    // disabled so the only BroadcastHashJoin that can appear is the one
+    // the operator's own hint placed — the assertion is on OUR
+    // dispatch, not Catalyst's size estimate.
+    import spark.implicits._
+    import graft.sinks.ManifestSink
+    import graft.operators.Skew
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("paj").toString
+      def sink(name: String, df: org.apache.spark.sql.DataFrame,
+          c: String): String = {
+        val p = s"$root/$name"
+        ManifestSink.appendWithStats(df, p, Seq(c), ndvCols = Seq(c))
+        p
+      }
+      val bigA = sink("bigA", spark.range(0, 10000).toDF("ka"), "ka")
+      val tiny = sink("tiny", spark.range(0, 20).toDF("kb"), "kb")
+      val bigB = sink("bigB", spark.range(0, 10000)
+        .select(($"id" % 5000).as("kb")), "kb")
+      val low = sink("low", spark.range(0, 300).toDF("kb"), "kb")
+
+      def shapes(a: String, b: String, bc: Long, want: String)
+          : String = {
+        assert(ManifestSink.joinPlan(spark, a, "ka", b, "kb", bc)
+          .get.strategy === want, s"fixture did not land $want")
+        val df = Skew.planAwareJoin(spark, a, "ka", b, "kb", bc)
+        df.count() // settle AQE: assert on the FINAL physical plan
+        df.queryExecution.executedPlan.toString
+      }
+      // broadcast: the 20-row side ships to every task, no shuffle join
+      val pB = shapes(bigA, tiny, 100, "broadcast")
+      assert(pB.contains("BroadcastHashJoin"), s"no broadcast hint:\n$pB")
+      // shuffle: both big, keys coextensive — plain sort-merge, and NO
+      // broadcast anywhere (the threshold is off; a BHJ here would mean
+      // the operator hinted when the verdict said not to)
+      val pS = shapes(bigA, bigB, 10, "shuffle")
+      assert(pS.contains("SortMergeJoin"), s"no shuffle join:\n$pS")
+      assert(!pS.contains("BroadcastHashJoin"),
+        s"unexpected broadcast under shuffle verdict:\n$pS")
+      // prefilter_semi: the dimension's distinct keys broadcast as a
+      // LeftSemi killing the fact side map-side, then the real join
+      val pP = shapes(bigA, low, 10, "prefilter_semi")
+      val lines = pP.linesIterator.toSeq
+      assert(lines.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+        s"no broadcast LeftSemi prefilter:\n$pP")
+      assert(lines.exists(l => l.contains("SortMergeJoin")),
+        s"no real join after the prefilter:\n$pP")
+      // and every arm returns plain-join rows (the q165 oracle's claim,
+      // pinned here at spec scale too)
+      assert(Skew.planAwareJoin(spark, bigA, "ka", tiny, "kb", 100)
+        .count() === 20)
+      assert(Skew.planAwareJoin(spark, bigA, "ka", bigB, "kb", 10)
+        .count() === 10000)
+      assert(Skew.planAwareJoin(spark, bigA, "ka", low, "kb", 10)
+        .count() === 300)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
