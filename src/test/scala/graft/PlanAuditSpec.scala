@@ -239,6 +239,19 @@ class PlanAuditSpec extends SparkSpec {
         .count() === 10000)
       assert(Skew.planAwareJoin(spark, bigA, "ka", low, "kb", 10)
         .count() === 300)
+      // no metadata → no verdict → the plain join, never a guess: a
+      // sink committed WITHOUT ndv sketches can't answer joinPlan
+      val bare = s"$root/bare"
+      ManifestSink.append(spark.range(0, 20).toDF("kb"), bare)
+      assert(ManifestSink.joinPlan(spark, bigA, "ka", bare, "kb", 100)
+        .isEmpty)
+      val pF = {
+        val df = Skew.planAwareJoin(spark, bigA, "ka", bare, "kb", 100)
+        assert(df.count() === 20)
+        df.queryExecution.executedPlan.toString
+      }
+      assert(!pF.contains("BroadcastHashJoin"),
+        s"metadata-less pair must take the unhinted plain join:\n$pF")
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
