@@ -648,7 +648,72 @@ object TextOps {
        |GROUP BY e.doc_id
        |ORDER BY e.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q166
+  /** Unicode normalization as the dedup on-ramp ([[graft.functions
+    * .TextNorm]] — r11 ask #3): a corpus of case/diacritic variants (each
+    * document three ways — as-is, uppercased, and with precomposed
+    * accents injected on a/e/o) dedups THREE WAYS WORSE raw than
+    * normalized. The emitted row pair is the before/after audit: variant
+    * row count, distinct texts, and distinct 2-shingles computed over the
+    * RAW variants vs over `TextNorm.normalize`d text — raw sees ~3× the
+    * distinct texts and shingles (every fingerprint downstream would
+    * near-miss), normalized collapses each document's variants to one.
+    * The oracle rebuilds the same corpus and pipeline on DuckDB's
+    * `strip_accents(lower(nfc_normalize(...)))` — pinning the JDK
+    * normalizer byte-exact against utf8proc on the Latin range.
+    *
+    * Scale: normalize is a codegen'd per-row kernel (ASCII fast-path,
+    * no shuffle); the aggregates are two-phase distincts. */
+  private val q166: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextNorm
+    val d = docs(s, dir)
+    val accented = replace(replace(replace($"text",
+      lit("a"), lit("á")), lit("e"), lit("é")), lit("o"), lit("ó"))
+    val v = d.select($"text")
+      .unionAll(d.select(upper($"text").as("text")))
+      .unionAll(d.select(accented.as("text")))
+    def metrics(kind: String, f: DataFrame): DataFrame = {
+      val m = f.agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct($"text").cast("long").as("distinct_texts"))
+      val sh = f.select(explode(DedupOps.shingleSet($"text", 2)).as("sh"))
+        .agg(countDistinct($"sh").cast("long").as("distinct_shingles"))
+      m.crossJoin(sh) // 1-row × 1-row (PlanAuditSpec-allowlisted)
+        .select(lit(kind).as("kind"), $"n_rows", $"distinct_texts",
+          $"distinct_shingles")
+    }
+    metrics("raw", v)
+      .unionAll(metrics("normalized",
+        v.select(TextNorm.normalize($"text").as("text"))))
+      .orderBy($"kind")
+  }
+  private val q166Sql = {
+    val norm = graft.functions.TextNorm.normalizeSql("text")
+    def block(src: String) =
+      s"""(SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |   CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts
+         | FROM $src),
+         |(SELECT CAST(COUNT(DISTINCT sh) AS BIGINT) AS distinct_shingles
+         | FROM (SELECT unnest(${DedupOps.shingleSetSql("text")}) AS sh
+         |       FROM $src))""".stripMargin
+    s"""WITH v AS (
+       |  SELECT text FROM documents
+       |  UNION ALL SELECT upper(text) FROM documents
+       |  UNION ALL SELECT
+       |    replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ó')
+       |  FROM documents),
+       |nv AS (SELECT $norm AS text FROM v)
+       |SELECT 'normalized' AS kind, n_rows, distinct_texts,
+       |  distinct_shingles
+       |FROM ${block("nv")}
+       |UNION ALL
+       |SELECT 'raw', n_rows, distinct_texts, distinct_shingles
+       |FROM ${block("v")}
+       |ORDER BY kind""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q166_normalized_dedup" -> q166,
     "q144_dup_ngram_coverage" -> q144,
     "q154_precedence_survivor" -> q154,
     "q141_vocab_coverage" -> q141,
@@ -665,6 +730,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q166_normalized_dedup" -> q166Sql,
     "q144_dup_ngram_coverage" -> q144Sql,
     "q154_precedence_survivor" -> q154Sql,
     "q141_vocab_coverage" -> q141Sql,

@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
       "q121_index_recommendation", // 4 targets × 5-method panel summary
       "q122_expectations_gate",    // 1-row × 1-row report joins
       "q150_filtered_ann",         // broadcast(16 centroids) routing
-      "q152_semantic_decontamination") // crossJoin(broadcast(16 centroids))
+      "q152_semantic_decontamination", // crossJoin(broadcast(16 centroids))
+      "q166_normalized_dedup")     // 1-row × 1-row metric joins
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
