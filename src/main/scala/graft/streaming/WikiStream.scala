@@ -393,18 +393,43 @@ object WikiStream {
     * folds via [[appendOnceWithRetentionManifest]], keyed by the
     * epoch's batchId — a restarted query resuming from the checkpoint
     * replays its last uncommitted epoch and the sink skips the half of
-    * it that already landed, from manifest metadata alone. */
+    * it that already landed, from manifest metadata alone.
+    *
+    * `lateDir` non-null routes every epoch through the dead-letter
+    * split ([[appendLateAwareManifest]] / [[LateDataChannel]]) — the
+    * same marker-per-table crash-window contract [[startLive]] wires
+    * for the network source, here on the file source (which is what
+    * the crash-kill e2e drives: CrashKillSpec SIGKILLs this query
+    * mid-epoch and restarts it from the checkpoint).
+    * `maxFilesPerTrigger` > 0 caps files per epoch (epoch-sizing lever;
+    * also what gives a deterministic epoch sequence under test). */
   def startExactlyOnce(spark: SparkSession, sourceDir: String,
       sinkDir: String, checkpointDir: String,
       cfg: GraftConfig = GraftConfig(),
       trigger: Option[Trigger] = Some(Trigger.ProcessingTime("2 seconds")),
-      watermarkDelay: String = "10 seconds"): StreamingQuery = {
-    val raw = spark.readStream.text(sourceDir)
-    val out = fromRawLines(raw, "value", watermarkDelay)
+      watermarkDelay: String = "10 seconds",
+      lateDir: String = null,
+      lateDelayUs: Long = 10000000L,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val reader = spark.readStream
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val raw = reader.text(sourceDir)
+    // Late-aware mode bypasses the stateful watermark dedup, same as
+    // [[startLive]]: Spark's watermark would silently DROP exactly the
+    // rows the dead-letter channel exists to land (CrashKillSpec caught
+    // this live — stragglers vanished from both tables); the D1 dedup
+    // contract moves wholly to the sink's batch-local + anti-join fold.
+    val out =
+      if (lateDir == null) fromRawLines(raw, "value", watermarkDelay)
+      else typedWithMetrics(raw, "value")
     val writer = out.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendOnceWithRetentionManifest(batch, batchId, sinkDir, cfg)
+        if (lateDir == null)
+          appendOnceWithRetentionManifest(batch, batchId, sinkDir, cfg)
+        else appendLateAwareManifest(batch, batchId, sinkDir, lateDir,
+          cfg, lateDelayUs)
       }
     trigger.foreach(writer.trigger)
     writer.start()
