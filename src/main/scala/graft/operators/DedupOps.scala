@@ -1464,6 +1464,118 @@ object DedupOps {
       |FROM k GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q167
+  /** Arbitrary-alignment EXACT-SUBSTRING duplication coverage (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — the ExactSubstr pass, public method — re-expressed for a
+    * distributed engine): find, per document, the exact token regions
+    * covered by some ≥ k-token substring that occurs elsewhere in the
+    * corpus AT ANY ALIGNMENT. q83's C4 spans only catch k-token chunks
+    * on k-token boundaries — a passage repeated at offset 3 never lines
+    * up and survives; this operator slides the window over EVERY
+    * position, which is exactly the recall the suffix-array method
+    * buys, without a global suffix sort.
+    *
+    * Method: every doc emits its n−k+1 sliding k-token windows (one
+    * projection builds the gram array in-row, q83's no-re-split shape);
+    * a window is DUPLICATED when its gram text occurs ≥ 2 times in the
+    * corpus (cross-doc or within-doc — both are training-data
+    * redundancy); per doc, marked positions merge into maximal
+    * contiguous regions (positions p₁ < p₂ with p₂ − p₁ ≤ k cover a
+    * contiguous token range, so an island's coverage is exactly
+    * [min, max + k)).
+    *
+    * RECALL CONTRACT: every repeated substring of length L ≥ k is
+    * covered by L − k + 1 duplicated windows, so the reported region
+    * union contains EVERY such span exactly (no approximation in
+    * coverage); what this operator does not report is which documents
+    * share each span — that is q143/q151's pair-join territory. Grams
+    * compare by the 48-bit portable hash (cross-engine exact; a
+    * collision — ~10⁻² expected per few-million-window corpus — can
+    * only over-mark, and identically in both engines).
+    *
+    * Scale: one projection (no re-split per window), ONE hash-wide
+    * shuffle on the gram hash (carried as a long; the occurrence count
+    * is a window aggregate, not a self-join), one per-doc window for
+    * the island merge — partitioned by doc, bounded by doc length. The
+    * all-suffix sort of the original never materializes. */
+  def substringDupCoverage(docsDf: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withN = docsDf.select(col(idCol).as("__id"),
+      split(col(textCol), " ").as("__tk"))
+      .select(col("__id"), size(col("__tk")).cast("long").as("__n"),
+        col("__tk"))
+    val grams = withN.filter(col("__n") >= k)
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), (col("__n") - k).cast("int")),
+          p => array_join(slice(col("__tk"), p + 1, lit(k)), " ")))
+          .as(Seq("__p", "__g")))
+      .select(col("__id"), col("__p").cast("long").as("__p"),
+        PortableHash.tokenHash(col("__g")).as("__gh"))
+    val marked = grams
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gh"))))
+      .filter(col("__c") >= 2)
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val islands = marked
+      .withColumn("__lag", lag(col("__p"), 1).over(byDoc))
+      .withColumn("__brk",
+        when(col("__lag").isNull || col("__p") - col("__lag") > k, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = islands.groupBy(col("__id"), col("__isl"))
+      .agg(min(col("__p")).as("__s"), (max(col("__p")) + k).as("__e"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("__e") - col("__s")).as("dup_tokens"))
+    withN.select(col("__id"), col("__n"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"), col("__n").as("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q167: 8-token exact-substring coverage over `documents` — the
+    * unaligned-repetition audit q83 cannot see. */
+  private val q167: Q = (s, dir) =>
+    substringDupCoverage(Tables(s, dir, "documents"), "doc_id", "text", 8)
+  private val q167Sql: String = {
+    val gh = PortableHash.tokenHashSql(
+      "array_to_string(tk[p+1 : p+8], ' ')")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, tk FROM t),
+       |g AS (
+       |  SELECT doc_id, p, $gh AS gh
+       |  FROM n, UNNEST(range(0, n - 8 + 1)) AS u(p) WHERE n >= 8),
+       |m AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gh) AS c FROM g)
+       |  WHERE c >= 2),
+       |i AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER w IS NULL
+       |           OR p - lag(p) OVER w > 8 THEN 1 ELSE 0 END AS brk
+       |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |i2 AS (
+       |  SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS UNBOUNDED PRECEDING) AS isl FROM i),
+       |sp AS (
+       |  SELECT doc_id, isl, MIN(p) AS s, MAX(p) + 8 AS e
+       |  FROM i2 GROUP BY doc_id, isl),
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+       |    CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+       |  FROM sp GROUP BY doc_id)
+       |SELECT n.doc_id, n.n AS n_tokens,
+       |  COALESCE(pd.dup_spans, 0) AS dup_spans,
+       |  COALESCE(pd.dup_tokens, 0) AS dup_tokens
+       |FROM n LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q85
   /** Incremental near-dup admission — the corpus-GROWTH pattern: an
     * existing corpus (doc_id < 250, standing in for the last snapshot)
@@ -1638,6 +1750,7 @@ object DedupOps {
     "q71b_components_twostar" -> q71b,
     "q74_decontamination" -> q74,
     "q83_span_dedup" -> q83,
+    "q167_substring_coverage" -> q167,
     "q85_incremental_admission" -> q85)
 
   val oracleSql: Map[String, String] = Map(
@@ -1655,5 +1768,6 @@ object DedupOps {
     "q71b_components_twostar" -> q71Sql,
     "q74_decontamination" -> q74Sql,
     "q83_span_dedup" -> q83Sql,
+    "q167_substring_coverage" -> q167Sql,
     "q85_incremental_admission" -> q85Sql)
 }

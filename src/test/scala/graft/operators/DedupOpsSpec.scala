@@ -464,4 +464,44 @@ class DedupOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(run(4) === run(Int.MaxValue))
   }
+
+  test("substringDupCoverage catches the unaligned passage q83 misses") {
+    // A 10-token passage repeated at OFFSET 3 in doc 1 vs offset 0 in
+    // doc 2: no 8-token boundary-aligned chunk of doc 1 equals any
+    // chunk of doc 2 (the passage straddles every chunk boundary), so
+    // C4-style aligned span dedup sees zero sharing — while the
+    // sliding-window coverage finds the exact 10-token region on both
+    // sides. This is precisely the recall Lee et al.'s suffix method
+    // buys over aligned chunking.
+    val passage = (0 until 10).map(i => s"p$i").mkString(" ")
+    val doc1 = s"x0 x1 x2 $passage y0 y1 y2" // passage at tokens 3..12
+    val doc2 = s"$passage z0 z1 z2 z3 z4 z5" // passage at tokens 0..9
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+
+    // q83's unit: aligned 8-token chunks — provably disjoint here
+    def chunks(s: String): Seq[String] =
+      s.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+    assert(chunks(doc1).intersect(chunks(doc2)).isEmpty,
+      "fixture broken: aligned chunks must not match")
+
+    val got = DedupOps.substringDupCoverage(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    // windows fully inside the passage: doc 1 p ∈ {3,4,5}, doc 2
+    // p ∈ {0,1,2} — one island each, coverage exactly the 10 tokens
+    assert(got === Seq((1L, 16L, 1L, 10L), (2L, 16L, 1L, 10L)))
+  }
+
+  test("substringDupCoverage: within-doc repetition and clean docs") {
+    // the SAME 8 tokens twice in one doc (adjacent → one contiguous
+    // region); a clean doc reports zero
+    val rep = (0 until 8).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$rep $rep tail0 tail1"),  // 16-token dup region at [0,16)
+      (2L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val got = DedupOps.substringDupCoverage(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 18L, 1L, 16L), (2L, 10L, 0L, 0L)))
+  }
 }
