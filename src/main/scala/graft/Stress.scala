@@ -120,7 +120,8 @@ object Stress {
     "q135_resample_ffill",
     "q139_skew_report",       // must DIAGNOSE the skew it reads
     "q82_semdedup",           // degenerate half-corpus cell
-    "q44_embedding_near_dup")
+    "q44_embedding_near_dup",
+    "q167_substring_coverage")// sliding-window explode on giant docs
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-stress")

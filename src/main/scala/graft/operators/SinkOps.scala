@@ -1428,7 +1428,95 @@ object SinkOps {
        |  ON l_orderkey = o_orderkey
        |ORDER BY pair""".stripMargin
 
+  // --------------------------------------------------------------- q168
+  /** The SKEW leg of the metadata join planner (closing the triangle
+    * q134 verdicts / q139 skew report / q140 prefilter execution): the
+    * commit path now records per-entry EXACT heavy hitters
+    * ([[ManifestSink.maxKeyRows]], `topKCols`), `joinPlan` fires a
+    * `salted` verdict when a stored hot key exceeds 4× the average key
+    * (the q139 rule, decided from two manifest reads instead of a data
+    * scan), and [[Skew.planAwareJoin]] executes it — the skewed side
+    * salted, the other replicated per salt, the hot key spread over 16
+    * reducers instead of pinning one. The gate lands one violently
+    * skewed pair (75 % of lineitem collapsed onto one key) and one
+    * broadcast control pair, joins both through `planAwareJoin`, and
+    * emits per pair the join row count, key checksum, and BOTH sides'
+    * recorded max-key-rows — the oracle recomputes each from the raw
+    * tables (single-batch sinks: the heavy-hitter stat is exact), so a
+    * wrong stat, a lost row under salting, or a doubled row from salt
+    * replication all hash-mismatch. PlanAuditSpec separately pins the
+    * verdict itself and the salted physical shape.
+    *
+    * Scale: the decision costs two manifest reads; the salted plan is
+    * the difference between a 16-way-spread hot reducer and a straggler
+    * pinning the stage at 100 TB. */
+  private val q168: Q = (s, dir) => {
+    import s.implicits._
+    val root = freshScratch("graft_q168", dir)
+    def sink(name: String, df: DataFrame, c: String): String = {
+      val p = root + "/" + name
+      ManifestSink.appendWithStats(df, p, Seq(c), ndvCols = Seq(c),
+        topKCols = Seq(c))
+      p
+    }
+    val skewK = when($"l_orderkey" % 4 =!= 0, lit(-1L))
+      .otherwise($"l_orderkey")
+    val fact = sink("fact", Tables(s, dir, "lineitem")
+      .select(skewK.as("f_k")), "f_k")
+    val dim = sink("dim", Tables(s, dir, "orders")
+      .select(when($"o_orderkey" % 4 =!= 0, lit(-1L))
+        .otherwise($"o_orderkey").as("d_k")).distinct(), "d_k")
+    val custNk = sink("cust_nk", Tables(s, dir, "customer")
+      .select($"c_nationkey"), "c_nationkey")
+    val natNk = sink("nat_nk", Tables(s, dir, "nation")
+      .select($"n_nationkey"), "n_nationkey")
+    val bc = ManifestSink.rowCount(s, fact).get / 200
+    def row(pair: String, a: String, ca: String, b: String, cb: String) = {
+      val j = Skew.planAwareJoin(s, a, ca, b, cb, bc)
+      val r = j.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col(ca)), lit(0L)).cast("long").as("ks")).head()
+      (pair, r.getLong(0), r.getLong(1),
+        ManifestSink.maxKeyRows(s, a, ca).getOrElse(-1L),
+        ManifestSink.maxKeyRows(s, b, cb).getOrElse(-1L))
+    }
+    Seq(
+      row("broadcast_customer_nation", custNk, "c_nationkey",
+        natNk, "n_nationkey"),
+      row("skewed_lineitem", fact, "f_k", dim, "d_k"))
+      .toDF("pair", "n_rows", "key_sum", "max_key_rows_a",
+        "max_key_rows_b")
+      .orderBy($"pair")
+  }
+  private val q168Sql =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN -1
+       |              ELSE l_orderkey END AS k FROM lineitem),
+       |dim AS (
+       |  SELECT DISTINCT CASE WHEN o_orderkey % 4 <> 0 THEN -1
+       |                       ELSE o_orderkey END AS k FROM orders)
+       |SELECT 'broadcast_customer_nation' AS pair,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(SUM(c_nationkey), 0) AS BIGINT) AS key_sum,
+       |  (SELECT CAST(MAX(c) AS BIGINT) FROM
+       |    (SELECT COUNT(*) AS c FROM customer GROUP BY c_nationkey))
+       |    AS max_key_rows_a,
+       |  (SELECT CAST(MAX(c) AS BIGINT) FROM
+       |    (SELECT COUNT(*) AS c FROM nation GROUP BY n_nationkey))
+       |    AS max_key_rows_b
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |UNION ALL
+       |SELECT 'skewed_lineitem',
+       |  CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(f.k), 0) AS BIGINT),
+       |  (SELECT CAST(MAX(c) AS BIGINT) FROM
+       |    (SELECT COUNT(*) AS c FROM fact GROUP BY k)),
+       |  (SELECT CAST(MAX(c) AS BIGINT) FROM
+       |    (SELECT COUNT(*) AS c FROM dim GROUP BY k))
+       |FROM fact f JOIN dim d ON f.k = d.k
+       |ORDER BY pair""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q168_salted_plan_join" -> q168,
     "q165_plan_aware_join" -> q165,
     "q134_join_plan" -> q134,
     "q133_layout_2d" -> q133,
@@ -1453,6 +1541,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q168_salted_plan_join" -> q168Sql,
     "q165_plan_aware_join" -> q165Sql,
     "q134_join_plan" -> q134Sql,
     "q133_layout_2d" -> q133Sql,

@@ -170,6 +170,14 @@ object Skew {
     *     distinct keys broadcast as a left-semi prefilter killing the
     *     fact side's non-matching rows map-side BEFORE the join shuffle
     *     (q140's [[prefilteredJoin]], now chosen automatically).
+    *   - `salted` — a stored heavy-hitter stat
+    *     ([[graft.sinks.ManifestSink.maxKeyRows]]) shows one key
+    *     holding > 4× the average key's rows on a side (the q139 skew
+    *     rule, decided from manifest metadata instead of a data scan):
+    *     the skewed side gets a random salt, the other side replicates
+    *     per salt value, and the hot key's rows spread over
+    *     `saltBuckets` reducers instead of pinning one
+    *     ([[saltJoin]]'s shape, chosen automatically).
     *   - `shuffle` — the plain hash-partitioned join, Catalyst's
     *     default physical pick.
     *   - no verdict (either side lacks counts/sketches) — the plain
@@ -203,6 +211,21 @@ object Skew {
           prefilteredJoin(b, a, colB, colA)
             .select(a.columns.map(col) ++ b.columns.map(col): _*)
         } else prefilteredJoin(a, b, colA, colB)
+      case Some(p) if p.strategy == "salted" =>
+        // salt the HOT side (bigger recorded max-key count), replicate
+        // the other per salt value — [[saltJoin]] semantics, columns
+        // restored to the plain join's (both key columns present)
+        val buckets = 16
+        def salted(hot: DataFrame, hotKey: String, other: DataFrame,
+            otherKey: String): DataFrame = {
+          val otherR = other.withColumnRenamed(otherKey, hotKey)
+          saltJoin(hot, otherR, hotKey, buckets)
+            .withColumn(otherKey, col(hotKey))
+        }
+        val j =
+          if (p.maxKeyRowsA >= p.maxKeyRowsB) salted(a, colA, b, colB)
+          else salted(b, colB, a, colA)
+        j.select(a.columns.map(col) ++ b.columns.map(col): _*)
       case _ => a.join(b, col(colA) === col(colB))
     }
   }

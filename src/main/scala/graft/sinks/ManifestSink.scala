@@ -514,14 +514,17 @@ object ManifestSink {
     * some stats were requested: the plain-append hot path pays nothing. */
   private def writtenStats(spark: SparkSession, dataDir: String,
       statsCols: Seq[String], bloomCols: Seq[String],
-      bloomFpp: Double, ndvCols: Seq[String] = Nil): Map[String, ColStats] =
-    if (statsCols.isEmpty && bloomCols.isEmpty && ndvCols.isEmpty) Map.empty
+      bloomFpp: Double, ndvCols: Seq[String] = Nil,
+      topKCols: Seq[String] = Nil): Map[String, ColStats] =
+    if (statsCols.isEmpty && bloomCols.isEmpty && ndvCols.isEmpty &&
+        topKCols.isEmpty) Map.empty
     else {
       val written = spark.read.parquet(dataDir)
       (if (statsCols.isEmpty) Map.empty[String, ColStats]
        else batchStats(written, statsCols)) ++
         batchBlooms(written, bloomCols, bloomFpp) ++
-        batchNdvSketches(written, ndvCols)
+        batchNdvSketches(written, ndvCols) ++
+        batchTopK(written, topKCols)
     }
 
   /** Per-column min/max of one written batch, for columns whose type the
@@ -610,6 +613,72 @@ object ManifestSink {
     }.toMap
   }
 
+  /** Stats-map key holding a column's heavy-hitter list (tag 'T',
+    * `min` = comma-joined `b64(value):count` pairs sorted by (count
+    * desc, value asc), `max` = the per-entry list length) — the SKEW
+    * complement to the NDV sketch: rows/NDV gives the AVERAGE key
+    * frequency, but a salted-join decision needs the MAXIMUM. */
+  private def topKeyKey(c: String): String = c + "\u0000tk"
+
+  /** Heavy hitters recorded per (entry, column): 8 exact top values of
+    * one batch ≈ 200 B — manifest-sized. */
+  val TopKStatN: Int = 8
+
+  /** Per-column EXACT top-[[TopKStatN]] (value, count) of one written
+    * batch, ordered (count desc, value asc) — one aggregate job per
+    * column over the written files. Exact for the batch; the merged
+    * table-level view ([[mergedTopK]]) is a LOWER BOUND per value
+    * (a value can miss an entry's top list). */
+  private def batchTopK(written: DataFrame,
+      topKCols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    topKCols.flatMap { c =>
+      if (!written.columns.contains(c)) None
+      else {
+        val top = written.filter(col(c).isNotNull)
+          .groupBy(col(c).cast("string").as("__v"))
+          .agg(count(lit(1)).as("__c"))
+          .orderBy(col("__c").desc, col("__v").asc)
+          .limit(TopKStatN)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        if (top.isEmpty) None
+        else Some(topKeyKey(c) -> ColStats('T',
+          top.map { case (v, n) => s"${b64(v)}:$n" }.mkString(","),
+          top.length.toString))
+      }
+    }.toMap
+  }
+
+  /** Table-level heavy hitters merged across entries: per-value counts
+    * SUM where present (each entry's list is exact for that entry), so
+    * every reported count is an exact LOWER BOUND on the value's true
+    * table frequency — the safe direction for skew detection (a missed
+    * hot key degrades to the un-salted plan, never a wrong result).
+    * None when any entry lacks the stat (absence degrades to
+    * "recompute from data", never to a wrong number). */
+  def mergedTopK(spark: SparkSession, dir: String,
+      colName: String): Option[Seq[(String, Long)]] = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val sks = entries(spark, dir, v).filterNot(isTombEntry)
+      .map(_.stats.get(topKeyKey(colName)))
+    if (sks.isEmpty || sks.exists(s => s.isEmpty || s.get.tag != 'T'))
+      return None
+    val summed = sks.flatMap(_.get.min.split(",").toSeq.map { p =>
+      val i = p.lastIndexOf(':')
+      unb64(p.substring(0, i)) -> p.substring(i + 1).toLong
+    }).groupBy(_._1).map { case (v0, ps) => v0 -> ps.map(_._2).sum }
+    Some(summed.toSeq.sortBy { case (v0, n) => (-n, v0) }.take(TopKStatN))
+  }
+
+  /** The hottest key's recorded row count (lower bound; see
+    * [[mergedTopK]]) — the single number the salted-join verdict
+    * needs. */
+  def maxKeyRows(spark: SparkSession, dir: String,
+      colName: String): Option[Long] =
+    mergedTopK(spark, dir, colName).flatMap(_.headOption).map(_._2)
+
   /** Distinct-count estimate for `colName` from manifest METADATA alone:
     * per-entry KMV sketches merge losslessly (the k smallest hashes of a
     * union are determined by each entry's k smallest — the mergeable-
@@ -681,7 +750,7 @@ object ManifestSink {
     * See [[joinPlan]]. */
   final case class JoinPlan(rowsA: Long, rowsB: Long, ndvA: Double,
       ndvB: Double, estKeyOverlap: Double, estJoinRows: Double,
-      strategy: String)
+      strategy: String, maxKeyRowsA: Long = -1L, maxKeyRowsB: Long = -1L)
 
   /** Metadata-only JOIN PLANNING — the storage layer answering "how
     * should these two tables join?" before any data is read: row counts
@@ -719,11 +788,22 @@ object ManifestSink {
       (_, inter, _) <- ndvOverlap(spark, dirA, colA, dirB, colB)
     } yield {
       val est = ra.toDouble / na * (rb.toDouble / nb) * inter
+      // optional skew input ([[maxKeyRows]], exact lower bound): absent
+      // stats (-1) simply never fire the salted branch — the q139 rule
+      // (hottest key > 4x the average key) decides, and only where the
+      // plain shuffle would otherwise run: a broadcast has no shuffle
+      // to skew, a prefilter kills the rows first
+      val mka = maxKeyRows(spark, dirA, colA).getOrElse(-1L)
+      val mkb = maxKeyRows(spark, dirB, colB).getOrElse(-1L)
+      val skewed =
+        mka.toDouble > 4.0 * (ra.toDouble / na) ||
+        mkb.toDouble > 4.0 * (rb.toDouble / nb)
       val strategy =
         if (math.min(ra, rb) <= broadcastRows) "broadcast"
         else if (inter * 20.0 < math.max(na, nb)) "prefilter_semi"
+        else if (skewed) "salted"
         else "shuffle"
-      JoinPlan(ra, rb, na, nb, inter, est, strategy)
+      JoinPlan(ra, rb, na, nb, inter, est, strategy, mka, mkb)
     }
 
   /** true iff `value` might be present per the entry's bloom for `c`
@@ -760,13 +840,14 @@ object ManifestSink {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01,
       header: Map[String, String] = Map.empty,
-      ndvCols: Seq[String] = Nil): Long = {
+      ndvCols: Seq[String] = Nil,
+      topKCols: Seq[String] = Nil): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     val rows = writeCounted(df, dataDir)
     val line = Entry(s"data/$batch",
       writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp,
-        ndvCols) + rowsStat(rows)).line
+        ndvCols, topKCols) + rowsStat(rows)).line
     commitAppendLines(spark, dir, Seq(line), header)
   }
 
@@ -824,9 +905,10 @@ object ManifestSink {
     * manifest the reader already fetches. */
   def appendWithStats(df: DataFrame, dir: String,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01, ndvCols: Seq[String] = Nil): Long =
+      bloomFpp: Double = 0.01, ndvCols: Seq[String] = Nil,
+      topKCols: Seq[String] = Nil): Long =
     commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp,
-      ndvCols = ndvCols)
+      ndvCols = ndvCols, topKCols = topKCols)
 
   /** [[append]] carrying caller metadata in the same atomic commit — the
     * incremental-derived-artifact pattern (e.g. an ANN index extended by

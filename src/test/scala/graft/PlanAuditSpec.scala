@@ -187,6 +187,7 @@ class PlanAuditSpec extends SparkSpec {
     // the operator's own hint placed — the assertion is on OUR
     // dispatch, not Catalyst's size estimate.
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     import graft.sinks.ManifestSink
     import graft.operators.Skew
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
@@ -253,6 +254,34 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(!pF.contains("BroadcastHashJoin"),
         s"metadata-less pair must take the unhinted plain join:\n$pF")
+
+      // salted: a stored heavy hitter (90% of rows on one key) fires
+      // the q139 rule from metadata; the executed join carries the salt
+      // key; rows are identical to the plain join. The SAME skewed data
+      // WITHOUT the heavy-hitter stat must stay on the plain shuffle —
+      // absent stats degrade to the standard plan, never to a guess.
+      def skewDf = spark.range(0, 20000)
+        .select(when($"id" % 10 === 0, $"id").otherwise(lit(-1L)).as("ka"))
+      val hotStats = s"$root/hotStats"
+      ManifestSink.appendWithStats(skewDf, hotStats, Seq("ka"),
+        ndvCols = Seq("ka"), topKCols = Seq("ka"))
+      val hotBare = s"$root/hotBare"
+      ManifestSink.appendWithStats(skewDf, hotBare, Seq("ka"),
+        ndvCols = Seq("ka")) // NDV but no heavy hitters
+      val dimB = s"$root/dimB"
+      ManifestSink.appendWithStats(
+        skewDf.select($"ka".as("kb")).distinct(), dimB, Seq("kb"),
+        ndvCols = Seq("kb"), topKCols = Seq("kb"))
+      assert(ManifestSink.maxKeyRows(spark, hotStats, "ka").get === 18000L)
+      assert(ManifestSink.joinPlan(spark, hotStats, "ka", dimB, "kb", 10)
+        .get.strategy === "salted")
+      assert(ManifestSink.joinPlan(spark, hotBare, "ka", dimB, "kb", 10)
+        .get.strategy === "shuffle")
+      val js = Skew.planAwareJoin(spark, hotStats, "ka", dimB, "kb", 10)
+      assert(js.count() === 20000)
+      val pSalt = js.queryExecution.executedPlan.toString
+      assert(pSalt.contains("__salt"),
+        s"salted verdict did not execute the salt-key join:\n$pSalt")
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
