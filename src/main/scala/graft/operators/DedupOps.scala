@@ -1499,9 +1499,11 @@ object DedupOps {
     * is a window aggregate, not a self-join), one per-doc window for
     * the island merge — partitioned by doc, bounded by doc length. The
     * all-suffix sort of the original never materializes. */
-  def substringDupCoverage(docsDf: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared front of the ExactSubstr family: (doc, token array, length)
+    * plus every sliding k-gram as (doc, position, portable 48-bit
+    * hash) — one projection, no re-split per window. */
+  private def slidingGramFront(docsDf: DataFrame, idCol: String,
+      textCol: String, k: Int): (DataFrame, DataFrame) = {
     val withN = docsDf.select(col(idCol).as("__id"),
       split(col(textCol), " ").as("__tk"))
       .select(col("__id"), size(col("__tk")).cast("long").as("__n"),
@@ -1513,6 +1515,13 @@ object DedupOps {
           .as(Seq("__p", "__g")))
       .select(col("__id"), col("__p").cast("long").as("__p"),
         PortableHash.tokenHash(col("__g")).as("__gh"))
+    (withN, grams)
+  }
+
+  def substringDupCoverage(docsDf: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (withN, grams) = slidingGramFront(docsDf, idCol, textCol, k)
     val marked = grams
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__gh"))))
       .filter(col("__c") >= 2)
@@ -1541,6 +1550,134 @@ object DedupOps {
     * unaligned-repetition audit q83 cannot see. */
   private val q167: Q = (s, dir) =>
     substringDupCoverage(Tables(s, dir, "documents"), "doc_id", "text", 8)
+
+  /** The DESTRUCTIVE ExactSubstr pass (Lee et al. 2022 apply their
+    * audit): remove every duplicated ≥ k-token region EXCEPT its
+    * corpus-CANONICAL occurrence, at any alignment.
+    *
+    * Survivor policy, fully deterministic: each duplicated gram's
+    * canonical occurrence is its (doc_id, position)-minimal one —
+    * first doc in key order, earliest position within it (the
+    * keep-first-occurrence rule of q21/q83 extended below alignment
+    * granularity). A token is REMOVED iff some redundant
+    * (non-canonical) duplicated window covers it AND no canonical
+    * window does — so the first copy of a repeated passage survives
+    * byte-exact, later copies vanish, and a token where a canonical and
+    * a redundant region overlap is kept (it is part of the surviving
+    * copy). Unmarked tokens are untouched. Documents reassemble from
+    * kept tokens in order, q83's collect-sort-join shape.
+    *
+    * Scale: [[substringDupCoverage]]'s plan (one projection, one
+    * gram-hash shuffle, per-doc windows) plus one token explode
+    * (corpus-sized) equi-joined to the doc's spans (span list per doc
+    * is region-count-sized, never corpus-sized) — no all-pairs, no
+    * global suffix sort. */
+  def substringDedup(docsDf: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (withN, grams) = slidingGramFront(docsDf, idCol, textCol, k)
+    val byGram = Window.partitionBy(col("__gh"))
+    val occ = grams
+      .withColumn("__c", count(lit(1)).over(byGram))
+      .filter(col("__c") >= 2)
+      .withColumn("__rn", row_number().over(
+        byGram.orderBy(col("__id"), col("__p"))))
+      .withColumn("__canon", col("__rn") === 1)
+    // island-merge marked windows per (doc, class): contiguous
+    // canonical coverage and contiguous redundant coverage each become
+    // spans [min, max+k)
+    val byDocCls = Window.partitionBy(col("__id"), col("__canon"))
+      .orderBy(col("__p"))
+    val spans = occ
+      .withColumn("__lag", lag(col("__p"), 1).over(byDocCls))
+      .withColumn("__brk",
+        when(col("__lag").isNull || col("__p") - col("__lag") > k, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDocCls.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__canon"), col("__isl"))
+      .agg(min(col("__p")).as("__s"), (max(col("__p")) + k).as("__e"))
+    val toks = withN.select(col("__id"),
+      posexplode(col("__tk")).as(Seq("__t", "__w")))
+      .select(col("__id"), col("__t").cast("long").as("__t"), col("__w"))
+    val cov = toks.join(spans, Seq("__id"), "left")
+      .withColumn("__in",
+        col("__s").isNotNull && col("__t") >= col("__s") &&
+          col("__t") < col("__e"))
+      .groupBy(col("__id"), col("__t"), col("__w"))
+      .agg(
+        max(when(col("__in") && !col("__canon"), 1L).otherwise(0L))
+          .as("__red"),
+        max(when(col("__in") && col("__canon"), 1L).otherwise(0L))
+          .as("__can"))
+      .withColumn("__keep", !(col("__red") === 1L && col("__can") === 0L))
+    cov.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__t"), col("__w"))))),
+            x => x.getField("__w")), " ").as("clean_text"))
+      .select(col("__id").as("doc_id"), col("n_tokens"),
+        col("n_removed"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q169: the destructive 8-token pass over `documents` — q167's
+    * audit applied, first occurrence kept. */
+  private val q169: Q = (s, dir) =>
+    substringDedup(Tables(s, dir, "documents"), "doc_id", "text", 8)
+  private val q169Sql: String = {
+    val gh = PortableHash.tokenHashSql(
+      "array_to_string(tk[p+1 : p+8], ' ')")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, tk FROM t),
+       |g AS (
+       |  SELECT doc_id, p, $gh AS gh
+       |  FROM n, UNNEST(range(0, n - 8 + 1)) AS u(p) WHERE n >= 8),
+       |occ AS (
+       |  SELECT doc_id, p, (rn = 1) AS canon FROM (
+       |    SELECT doc_id, p,
+       |      COUNT(*) OVER (PARTITION BY gh) AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+       |    FROM g)
+       |  WHERE c >= 2),
+       |i AS (
+       |  SELECT doc_id, canon, p,
+       |    CASE WHEN lag(p) OVER w IS NULL
+       |           OR p - lag(p) OVER w > 8 THEN 1 ELSE 0 END AS brk
+       |  FROM occ WINDOW w AS (PARTITION BY doc_id, canon ORDER BY p)),
+       |i2 AS (
+       |  SELECT doc_id, canon, p, SUM(brk) OVER (
+       |    PARTITION BY doc_id, canon ORDER BY p
+       |    ROWS UNBOUNDED PRECEDING) AS isl FROM i),
+       |sp AS (
+       |  SELECT doc_id, canon, isl, MIN(p) AS s, MAX(p) + 8 AS e
+       |  FROM i2 GROUP BY doc_id, canon, isl),
+       |tok AS (
+       |  SELECT doc_id, p AS t, tk[p+1] AS w
+       |  FROM n, UNNEST(range(0, n)) AS u(p)),
+       |cov AS (
+       |  SELECT tok.doc_id, tok.t, tok.w,
+       |    MAX(CASE WHEN sp.s IS NOT NULL AND tok.t >= sp.s
+       |              AND tok.t < sp.e AND NOT sp.canon
+       |         THEN 1 ELSE 0 END) AS red,
+       |    MAX(CASE WHEN sp.s IS NOT NULL AND tok.t >= sp.s
+       |              AND tok.t < sp.e AND sp.canon
+       |         THEN 1 ELSE 0 END) AS can
+       |  FROM tok LEFT JOIN sp USING (doc_id)
+       |  GROUP BY tok.doc_id, tok.t, tok.w)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN red = 1 AND can = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN NOT (red = 1 AND can = 0)
+       |    THEN w END, ' ' ORDER BY t), '') AS clean_text
+       |FROM cov GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
   private val q167Sql: String = {
     val gh = PortableHash.tokenHashSql(
       "array_to_string(tk[p+1 : p+8], ' ')")
@@ -1751,6 +1888,7 @@ object DedupOps {
     "q74_decontamination" -> q74,
     "q83_span_dedup" -> q83,
     "q167_substring_coverage" -> q167,
+    "q169_substring_dedup" -> q169,
     "q85_incremental_admission" -> q85)
 
   val oracleSql: Map[String, String] = Map(
@@ -1769,5 +1907,6 @@ object DedupOps {
     "q74_decontamination" -> q74Sql,
     "q83_span_dedup" -> q83Sql,
     "q167_substring_coverage" -> q167Sql,
+    "q169_substring_dedup" -> q169Sql,
     "q85_incremental_admission" -> q85Sql)
 }

@@ -504,4 +504,23 @@ class DedupOpsSpec extends SparkSpec {
         r.getLong(3))).toSeq.sortBy(_._1)
     assert(got === Seq((1L, 18L, 1L, 16L), (2L, 10L, 0L, 0L)))
   }
+
+  test("substringDedup keeps the canonical copy, removes the others") {
+    val passage = (0 until 10).map(i => s"p$i").mkString(" ")
+    val doc1 = s"x0 x1 x2 $passage y0 y1 y2" // canonical (doc 1 < doc 2)
+    val doc2 = s"$passage z0 z1 z2 z3 z4 z5" // later copy — removed
+    val rep = (0 until 8).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, doc1), (2L, doc2),
+      (3L, s"$rep $rep tail0 tail1"), // within-doc: second copy removed
+      (4L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    val got = DedupOps.substringDedup(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 16L, 0L, doc1), // canonical copy survives byte-exact
+      (2L, 16L, 10L, "z0 z1 z2 z3 z4 z5"),
+      (3L, 18L, 8L, s"$rep tail0 tail1"),
+      (4L, 10L, 0L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+  }
 }
