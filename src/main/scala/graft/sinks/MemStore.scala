@@ -192,6 +192,41 @@ abstract class MemFileSystemBase extends FileSystem {
       out.add(getFileStatus(new Path(myUri.toString + n))))
     out.toArray(new Array[FileStatus](0))
   }
+
+  /** Children (file keys and explicit dirs) under a directory key. */
+  protected def childKeys(k: String): Seq[String] = {
+    val prefix = if (k == "/") "/" else k + "/"
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    store.keySet().forEach(c => if (c.startsWith(prefix)) out += c)
+    out.toSeq
+  }
+
+  /** Directory rename support for the two fakes (Spark's file-output
+    * committer renames task directories into place): move every key
+    * under the source prefix. Subclasses decide the FILE semantics;
+    * directory moves here are only used by single-writer committers in
+    * the conformance lifecycle, never as the commit point — the commit
+    * point is always the manifest publish. */
+  protected def renameDir(src: Path, dst: Path,
+      failIfDstExists: Boolean): Boolean = {
+    val sk = key(src); val dk = key(dst)
+    if (failIfDstExists && (store.containsKey(dk) ||
+        explicitDirs.contains(dk) || !childKeys(dk).isEmpty)) return false
+    childKeys(sk).foreach { c =>
+      store.put(dk + c.substring(sk.length), store.remove(c))
+    }
+    val movedDirs = new java.util.ArrayList[String]()
+    explicitDirs.forEach(d =>
+      if (d == sk || d.startsWith(sk + "/")) movedDirs.add(d))
+    movedDirs.forEach { d =>
+      explicitDirs.remove(d)
+      explicitDirs.add(dk + d.substring(sk.length))
+    }
+    true
+  }
+
+  protected def isDirKey(k: String): Boolean =
+    explicitDirs.contains(k) || !childKeys(k).isEmpty
 }
 
 /** HDFS-contract fake (scheme `memhdfs`): rename is ATOMIC and fails
@@ -202,10 +237,13 @@ abstract class MemFileSystemBase extends FileSystem {
 class MemHdfsFileSystem extends MemFileSystemBase {
   override def getScheme: String = "memhdfs"
   override def rename(src: Path, dst: Path): Boolean = {
-    val data = store.get(key(src))
+    val sk = key(src)
+    if (isDirKey(sk) && !store.containsKey(sk))
+      return renameDir(src, dst, failIfDstExists = true)
+    val data = store.get(sk)
     if (data == null) return false
     if (store.putIfAbsent(key(dst), data) != null) false
-    else { store.remove(key(src)); true }
+    else { store.remove(sk); true }
   }
 }
 
@@ -218,10 +256,13 @@ class MemHdfsFileSystem extends MemFileSystemBase {
 class MemObjectStoreFileSystem extends MemFileSystemBase {
   override def getScheme: String = "mos"
   override def rename(src: Path, dst: Path): Boolean = {
-    val data = store.get(key(src))
+    val sk = key(src)
+    if (isDirKey(sk) && !store.containsKey(sk))
+      return renameDir(src, dst, failIfDstExists = false)
+    val data = store.get(sk)
     if (data == null) return false
     store.put(key(dst), data) // unconditional PUT: last writer wins
-    store.remove(key(src))
+    store.remove(sk)
     true
   }
 }

@@ -95,6 +95,71 @@ class ConditionalPutContractSpec extends SparkSpec {
     assert(MemBlobStore.bucket("b5").containsKey("/t2.tmp"))
   }
 
+  test("FULL table lifecycle runs on the object-store fake via the seam") {
+    // the deployment-scale claim, end to end: with ONLY the
+    // If-None-Match seam registered, the whole sink stack — parquet
+    // data writes through Spark's committer, manifest commits, stats,
+    // snapshot reads, time travel, multi-writer contention — runs on a
+    // filesystem with object-store rename semantics. The commit point
+    // is never a rename: data lands under never-reused UUID dirs and
+    // the manifest publishes through the seam.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    MemBlobStore.clear("e2e")
+    hconf // install fs.mos.impl
+    ManifestSink.registerConditionalPut("mos", MemBlobStore.ifNoneMatchPut)
+    try {
+      val dir = "mos://e2e/tbl"
+      assert(ManifestSink.append(spark.range(0, 100).toDF("v"), dir) === 0L)
+      assert(ManifestSink.appendWithStats(
+        spark.range(100, 200).toDF("v"), dir, Seq("v"),
+        ndvCols = Seq("v"), topKCols = Seq("v")) === 1L)
+      assert(ManifestSink.read(spark, dir).count() === 200)
+      assert(ManifestSink.read(spark, dir).agg(sum($"v")).head()
+        .getLong(0) === (0 until 200).sum.toLong)
+      // snapshot isolation / time travel against the older version
+      assert(ManifestSink.readAt(spark, dir, 0).count() === 100)
+      // stats recorded through the fake round-trip
+      assert(ManifestSink.ndvEstimate(spark, dir, "v").isEmpty ||
+        ManifestSink.ndvEstimate(spark, dir, "v").get > 0.0)
+      assert(ManifestSink.maxKeyRows(spark, dir, "v").isEmpty ||
+        ManifestSink.maxKeyRows(spark, dir, "v").get >= 1L)
+      // multi-writer contention: 6 concurrent appends, exactly once each
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (0 until 6).map { t =>
+        scala.concurrent.Future {
+          ManifestSink.append(
+            spark.range(1000L + t * 10, 1000L + t * 10 + 10).toDF("v"), dir)
+        }
+      }
+      val versions = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(180, "s"))
+      pool.shutdown()
+      assert(versions.sorted === (2L until 8L))
+      val vals = ManifestSink.read(spark, dir)
+        .filter($"v" >= 1000).collect().map(_.getLong(0))
+      assert(vals.length === 60)
+      assert(vals.toSet === (1000L until 1060L).toSet)
+    } finally ManifestSink.deregisterConditionalPut("mos")
+  }
+
+  test("lifecycle also runs on the HDFS-contract fake, no seam needed") {
+    // same stack, rename-without-overwrite commit primitive: the sink
+    // must not depend on the seam where the filesystem's own rename IS
+    // a conditional put
+    import spark.implicits._
+    MemBlobStore.clear("e2eh")
+    hconf
+    val dir = "memhdfs://e2eh/tbl"
+    assert(ManifestSink.append(spark.range(0, 50).toDF("v"), dir) === 0L)
+    assert(ManifestSink.append(spark.range(50, 80).toDF("v"), dir) === 1L)
+    assert(ManifestSink.read(spark, dir).count() === 80)
+    assert(ManifestSink.readAt(spark, dir, 0).count() === 50)
+  }
+
   test("seam-backed publish composes with manifest read-back") {
     // beyond the bare primitive: a small end-to-end read of what the
     // seam published, through the filesystem the sink would use
