@@ -421,7 +421,7 @@ object DedupOps {
     * fold, same candidate join, same exact-Jaccard verification
     * (list_intersect == bitmask kernel on distinct sets). */
   private def lshPipelineSql(tokensExpr: String, numHashes: Int, bands: Int,
-      threshold: Double): String = {
+      threshold: Double, sourceSql: String = "documents"): String = {
     val rpb = numHashes / bands
     val sigCols = (0 until numHashes)
       .map(i => s"    min(${permSql(i, "h")}) AS h${i}")
@@ -432,7 +432,7 @@ object DedupOps {
     }.mkString("\n  UNION ALL\n")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($tokensExpr) AS tok
-       |  FROM documents),
+       |  FROM $sourceSql),
        |th AS (SELECT doc_id, ${tokenHashPSql("tok")} AS h FROM toks),
        |sig AS (
        |  SELECT doc_id,
@@ -446,7 +446,7 @@ object DedupOps {
        |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
        |sets AS (
        |  SELECT doc_id, $tokensExpr AS s
-       |  FROM documents)
+       |  FROM $sourceSql)
        |SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
        |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
@@ -462,6 +462,52 @@ object DedupOps {
 
   private val q36Sql: String =
     lshPipelineSql("list_distinct(string_split(text, ' '))", 16, 4, 0.9)
+
+  // --------------------------------------------------------------- q170
+  /** [[graft.functions.TextNorm]] composed with the FULL MinHash-LSH
+    * pipeline (the on-ramp in its place, not just audited): the q166
+    * variant corpus — every document as-is, uppercased, and with
+    * precomposed accents injected, under distinct ids — normalizes
+    * BEFORE tokenization, so all three variants of a doc carry
+    * identical token sets, identical signatures, identical band
+    * buckets, and re-rank to Jaccard exactly 1.0; cross-document
+    * near-dup pairs that exist in the raw corpus survive ×9 (every
+    * variant pairing). Raw, each variant triple would near-miss every
+    * band (q166 measures that collapse); normalized, LSH recall is
+    * restored deterministically. Runs over a deterministic 1-in-10
+    * document slice: the ×9 pair blowup is the point of the fixture,
+    * not a cost worth paying corpus-wide (q166 audits the full corpus;
+    * at sf0.1 the unsliced variant corpus emits 8.5M pairs — pure
+    * output volume, no plan pathology). */
+  private val q170: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextNorm
+    val d = Tables(s, dir, "documents").filter($"doc_id" % 10 === 0)
+    val accented = replace(replace(replace($"text",
+      lit("a"), lit("á")), lit("e"), lit("é")), lit("o"), lit("ó"))
+    val v = d.select(($"doc_id" * 3).as("doc_id"), $"text")
+      .unionAll(d.select(($"doc_id" * 3 + 1).as("doc_id"),
+        upper($"text").as("text")))
+      .unionAll(d.select(($"doc_id" * 3 + 2).as("doc_id"),
+        accented.as("text")))
+      .withColumn("text", TextNorm.normalize($"text"))
+    minhashNearDup(v, "doc_id", "text").orderBy($"id_a", $"id_b")
+  }
+  private val q170Sql: String = {
+    import graft.functions.TextNorm.normalizeSql
+    val accent = "replace(replace(replace(text, 'a', 'á'), 'e', 'é'), " +
+      "'o', 'ó')"
+    lshPipelineSql("list_distinct(string_split(text, ' '))", 16, 4, 0.9,
+      sourceSql =
+        s"""(SELECT doc_id * 3 AS doc_id, ${normalizeSql("text")} AS text
+           |   FROM documents WHERE doc_id % 10 = 0
+           |   UNION ALL
+           |   SELECT doc_id * 3 + 1, ${normalizeSql("upper(text)")}
+           |   FROM documents WHERE doc_id % 10 = 0
+           |   UNION ALL
+           |   SELECT doc_id * 3 + 2, ${normalizeSql(accent)}
+           |   FROM documents WHERE doc_id % 10 = 0)""".stripMargin)
+  }
 
   /** q37: SimHash signature + order-sensitive rolling fingerprint per doc. */
   private val q37: Q = (s, dir) => {
@@ -1889,6 +1935,7 @@ object DedupOps {
     "q83_span_dedup" -> q83,
     "q167_substring_coverage" -> q167,
     "q169_substring_dedup" -> q169,
+    "q170_normalized_near_dup" -> q170,
     "q85_incremental_admission" -> q85)
 
   val oracleSql: Map[String, String] = Map(
@@ -1908,5 +1955,6 @@ object DedupOps {
     "q83_span_dedup" -> q83Sql,
     "q167_substring_coverage" -> q167Sql,
     "q169_substring_dedup" -> q169Sql,
+    "q170_normalized_near_dup" -> q170Sql,
     "q85_incremental_admission" -> q85Sql)
 }
