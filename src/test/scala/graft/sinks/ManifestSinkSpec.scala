@@ -1169,4 +1169,30 @@ class ManifestSinkSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(rows === Set(1L, 3L))
   }
+
+  test("heavy-hitter stats merge across entries as exact lower bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("msinktk").toString + "/t"
+    // batch 1: 50×"hot", 10×"warm"; batch 2: 30×"hot", 20×"cold"
+    def batch(hot: Int, other: String, n: Int) =
+      ((0 until hot).map(_ => "hot") ++ (0 until n).map(_ => other))
+        .toDF("k")
+    ManifestSink.appendWithStats(batch(50, "warm", 10), dir, Seq("k"),
+      topKCols = Seq("k"))
+    ManifestSink.appendWithStats(batch(30, "cold", 20), dir, Seq("k"),
+      topKCols = Seq("k"))
+    // per-value counts SUM where present: hot = 50 + 30
+    val merged = ManifestSink.mergedTopK(spark, dir, "k").get.toMap
+    assert(merged("hot") === 80L)
+    assert(merged("warm") === 10L) // one-batch values survive the merge
+    assert(merged("cold") === 20L)
+    assert(ManifestSink.maxKeyRows(spark, dir, "k").get === 80L)
+    // a batch WITHOUT the stat poisons nothing but disables the answer:
+    // absence degrades to None (recompute from data), never a wrong
+    // lower bound computed from a partial view
+    ManifestSink.append(batch(99, "x", 1), dir)
+    assert(ManifestSink.mergedTopK(spark, dir, "k").isEmpty)
+    assert(ManifestSink.maxKeyRows(spark, dir, "k").isEmpty)
+  }
 }
