@@ -643,6 +643,200 @@ object SinkOps {
        |FROM agg WHERE event_type = 'error'
        |ORDER BY path, event_type""".stripMargin
 
+  // --------------------------------------------------------------- q173
+  /** Cross-table consistent snapshots through the gate: events split
+    * into an evens table and an odds table, committed in three PAIRED
+    * rounds, each round sealed by one [[graft.sinks.Catalog]] publish
+    * pinning both new versions atomically. The emitted aggregates read
+    * BOTH tables through a mid-history catalog version and the final
+    * one — cross-table time travel — and must equal the oracle's
+    * recomputation from the raw rows: a catalog that pinned a version
+    * early, late, or inconsistently between the pair hash-mismatches.
+    * (The atomicity itself — no published catalog version EVER tears a
+    * paired invariant, OCC across 8 concurrent publishers, stale-pin
+    * refusal — is pinned in CatalogSpec.)
+    *
+    * Scale: a catalog version is one KB-sized file (a line per table)
+    * published with one conditional put; the consistent multi-table
+    * view costs a reader ONE extra small-file read, whatever the data
+    * volume. */
+  private val q173: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val c1 = maxId / 3
+    val c2 = 2 * maxId / 3
+    val root = freshScratch("graft_q173", dir)
+    val (evens, odds) = (root + "/evens", root + "/odds")
+    val cat = root + "/cat"
+    def slice(lo: Long, hi: Long, par: Long) = ev.filter(
+      $"event_id" > lo && $"event_id" <= hi && $"event_id" % 2 === par)
+    var midV = -1L
+    Seq((Long.MinValue, c1), (c1, c2), (c2, Long.MaxValue)).zipWithIndex
+      .foreach { case ((lo, hi), i) =>
+        val va = ManifestSink.append(slice(lo, hi, 0L), evens)
+        val vb = ManifestSink.append(slice(lo, hi, 1L), odds)
+        val cv = graft.sinks.Catalog.publish(s, cat,
+          Map("evens" -> (evens, va), "odds" -> (odds, vb)))
+        if (i == 1) midV = cv
+      }
+    val finalV = graft.sinks.Catalog.version(s, cat)
+    def aggOf(snap: String, v: Long, name: String) =
+      graft.sinks.Catalog.readTableAt(s, cat, v, name)
+        .agg(count($"event_id").as("n_rows"),
+          sum($"event_id").as("id_sum"))
+        .select(lit(snap).as("snapshot"), lit(name).as("tbl"),
+          $"n_rows", $"id_sum")
+    Seq(aggOf("mid", midV, "evens"), aggOf("mid", midV, "odds"),
+      aggOf("final", finalV, "evens"), aggOf("final", finalV, "odds"))
+      .reduce(_.union(_)).orderBy($"snapshot", $"tbl")
+  }
+  private val q173Sql =
+    """WITH cuts AS (
+      |  SELECT MAX(event_id) // 3 AS c1, (2 * MAX(event_id)) // 3 AS c2
+      |  FROM events),
+      |lbl AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS tbl,
+      |    event_id <= c2 AS in_mid
+      |  FROM events CROSS JOIN cuts)
+      |SELECT snapshot, tbl,
+      |  CAST(COUNT(event_id) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM (
+      |  SELECT 'mid' AS snapshot, tbl, event_id FROM lbl WHERE in_mid
+      |  UNION ALL SELECT 'final', tbl, event_id FROM lbl)
+      |GROUP BY snapshot, tbl
+      |ORDER BY snapshot, tbl""".stripMargin
+
+  // --------------------------------------------------------------- q172
+  /** Table history through the gate — the DESCRIBE HISTORY surface: a
+    * five-commit lifecycle (create, append, keyed merge rewriting
+    * exactly the one touched batch, merge-on-read key delete, rollback
+    * restore) and then [[ManifestSink.history]] must reconstruct every
+    * commit's kind and exact entry/row accounting from the manifest
+    * chain alone — structure, not recorded labels, so a commit path
+    * that started mis-listing entries (rewriting too much, dropping a
+    * tombstone, double-adding a batch) hash-mismatches here against the
+    * oracle's from-first-principles expectation. Zero data reads:
+    * history costs one small-file read per version at any table size. */
+  private val q172: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id", $"user_id", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val c1 = maxId / 3
+    val c2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q172", dir) + "/t"
+    ManifestSink.append(ev.filter($"event_id" <= c1), sink) // v0 create
+    ManifestSink.append(
+      ev.filter($"event_id" > c1 && $"event_id" <= c2), sink) // v1 append
+    // update-only merge: every 7th id of batch 0 — touches exactly it
+    ManifestSink.merge(
+      ev.filter($"event_id" <= c1 && $"event_id" % 7 === 0)
+        .withColumn("value", -$"value"),
+      sink, Seq("event_id")) // v2 rewrite
+    ManifestSink.deleteKeysMergeOnRead(
+      ev.filter($"event_id" > c1 && $"event_id" <= c2 &&
+        $"event_id" % 5 === 0).select($"event_id"),
+      sink, Seq("event_id")) // v3 delete (tombstone only)
+    ManifestSink.restore(s, sink, 1L) // v4 rewrite (rollback re-list)
+    ManifestSink.history(s, sink)
+      .select($"version", $"kind", $"n_added", $"n_removed",
+        $"n_tombstones_added", $"rows_added", $"rows_removed")
+      .orderBy($"version")
+  }
+  private val q172Sql =
+    """WITH cuts AS (
+      |  SELECT MAX(event_id) // 3 AS c1, (2 * MAX(event_id)) // 3 AS c2
+      |  FROM events),
+      |n AS (
+      |  SELECT
+      |    COUNT(*) FILTER (WHERE event_id <= c1) AS na,
+      |    COUNT(*) FILTER (WHERE event_id > c1 AND event_id <= c2) AS nb
+      |  FROM events CROSS JOIN cuts)
+      |SELECT CAST(version AS BIGINT) AS version, kind,
+      |  CAST(n_added AS BIGINT) AS n_added,
+      |  CAST(n_removed AS BIGINT) AS n_removed,
+      |  CAST(n_tombstones_added AS BIGINT) AS n_tombstones_added,
+      |  CAST(rows_added AS BIGINT) AS rows_added,
+      |  CAST(rows_removed AS BIGINT) AS rows_removed
+      |FROM (
+      |  SELECT 0 AS version, 'create' AS kind, 1 AS n_added,
+      |    0 AS n_removed, 0 AS n_tombstones_added, na AS rows_added,
+      |    0 AS rows_removed FROM n
+      |  UNION ALL SELECT 1, 'append', 1, 0, 0, nb, 0 FROM n
+      |  UNION ALL SELECT 2, 'rewrite', 1, 1, 0, na, na FROM n
+      |  UNION ALL SELECT 3, 'delete', 1, 0, 1, 0, 0 FROM n
+      |  UNION ALL SELECT 4, 'rewrite', 1, 2, 0, na, na FROM n)
+      |ORDER BY version""".stripMargin
+
+  // --------------------------------------------------------------- q171
+  /** Full-text term search through the gate: documents land as three
+    * doc_id-tercile appends, each carrying a TOKEN BLOOM over `text`
+    * ([[ManifestSink.appendWithStats]] `tokenBloomCols`); sentinel terms
+    * are injected into disjoint terciles, so each lookup
+    * ([[ManifestSink.readContainingToken]]) prunes to the single batch
+    * whose vocabulary bloom fires (the pruning shape itself is pinned in
+    * ManifestSinkSpec; a term the corpus never saw returns the empty
+    * frame through the same path). The emitted per-term aggregates must
+    * equal the oracle's exact membership scan over every document —
+    * pruning is an optimization, never a filter, and a bloom that
+    * wrongly excluded a live batch hash-mismatches here.
+    *
+    * Scale: the write-time price is one distinct-token bloom aggregate
+    * per batch; the lookup price is one manifest read + the fired
+    * batches. A rare-term query on a 100 TB corpus (incident phrase,
+    * contamination marker, PII canary) touches the handful of batch
+    * dirs whose vocabulary might contain it instead of every row. */
+  private val q171: Q = (s, dir) => {
+    import s.implicits._
+    val docs =
+      Tables(s, dir, "documents").select($"doc_id", $"text", $"n_chars")
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val c1 = maxId / 3
+    val c2 = 2 * maxId / 3
+    val tagged = docs.withColumn("text",
+      when($"doc_id" <= c1, concat($"text", lit(" zqalpha")))
+        .when($"doc_id" > c2, concat($"text", lit(" zqomega")))
+        .otherwise($"text"))
+    val sink = freshScratch("graft_q171", dir) + "/t"
+    ManifestSink.appendWithStats(tagged.filter($"doc_id" <= c1), sink,
+      Seq("doc_id"), tokenBloomCols = Seq("text"))
+    ManifestSink.appendWithStats(
+      tagged.filter($"doc_id" > c1 && $"doc_id" <= c2), sink,
+      Seq("doc_id"), tokenBloomCols = Seq("text"))
+    ManifestSink.appendWithStats(tagged.filter($"doc_id" > c2), sink,
+      Seq("doc_id"), tokenBloomCols = Seq("text"))
+    Seq("zqalpha", "zqomega", "zqnothing").map { t =>
+      ManifestSink.readContainingToken(s, sink, "text", t)
+        .agg(count($"doc_id").as("n_docs"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+          sum($"n_chars").as("sum_chars"))
+        .select(lit(t).as("term"), $"n_docs", $"min_doc", $"max_doc",
+          $"sum_chars")
+    }.reduce(_.union(_)).orderBy($"term")
+  }
+  private val q171Sql =
+    """WITH cuts AS (
+      |  SELECT MAX(doc_id) // 3 AS c1, (2 * MAX(doc_id)) // 3 AS c2
+      |  FROM documents),
+      |tagged AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id <= c1 THEN text || ' zqalpha'
+      |         WHEN doc_id > c2 THEN text || ' zqomega'
+      |         ELSE text END AS text
+      |  FROM documents CROSS JOIN cuts),
+      |terms(term) AS (VALUES ('zqalpha'), ('zqomega'), ('zqnothing'))
+      |SELECT term,
+      |  CAST(COUNT(t.doc_id) AS BIGINT) AS n_docs,
+      |  MIN(t.doc_id) AS min_doc,
+      |  MAX(t.doc_id) AS max_doc,
+      |  CAST(SUM(t.n_chars) AS BIGINT) AS sum_chars
+      |FROM terms LEFT JOIN tagged t
+      |  ON list_contains(string_split(t.text, ' '), term)
+      |GROUP BY term
+      |ORDER BY term""".stripMargin
+
   // --------------------------------------------------------------- q159
   /** Metadata introspection through the gate — the DESCRIBE DETAIL /
     * files-table surface: three stat-carrying appends land deterministic
@@ -1530,6 +1724,9 @@ object SinkOps {
     "q153_version_diff" -> q153,
     "q157_partition_evolution" -> q157,
     "q159_files_report" -> q159,
+    "q171_token_search" -> q171,
+    "q172_table_history" -> q172,
+    "q173_catalog_snapshot" -> q173,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
@@ -1555,6 +1752,9 @@ object SinkOps {
     "q153_version_diff" -> q153Sql,
     "q157_partition_evolution" -> q157Sql,
     "q159_files_report" -> q159Sql,
+    "q171_token_search" -> q171Sql,
+    "q172_table_history" -> q172Sql,
+    "q173_catalog_snapshot" -> q173Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,

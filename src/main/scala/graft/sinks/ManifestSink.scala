@@ -515,16 +515,18 @@ object ManifestSink {
   private def writtenStats(spark: SparkSession, dataDir: String,
       statsCols: Seq[String], bloomCols: Seq[String],
       bloomFpp: Double, ndvCols: Seq[String] = Nil,
-      topKCols: Seq[String] = Nil): Map[String, ColStats] =
+      topKCols: Seq[String] = Nil,
+      tokenBloomCols: Seq[String] = Nil): Map[String, ColStats] =
     if (statsCols.isEmpty && bloomCols.isEmpty && ndvCols.isEmpty &&
-        topKCols.isEmpty) Map.empty
+        topKCols.isEmpty && tokenBloomCols.isEmpty) Map.empty
     else {
       val written = spark.read.parquet(dataDir)
       (if (statsCols.isEmpty) Map.empty[String, ColStats]
        else batchStats(written, statsCols)) ++
         batchBlooms(written, bloomCols, bloomFpp) ++
         batchNdvSketches(written, ndvCols) ++
-        batchTopK(written, topKCols)
+        batchTopK(written, topKCols) ++
+        batchTokenBlooms(written, tokenBloomCols, bloomFpp)
     }
 
   /** Per-column min/max of one written batch, for columns whose type the
@@ -574,6 +576,45 @@ object ManifestSink {
           val bos = new java.io.ByteArrayOutputStream()
           bf.writeTo(bos)
           Some(bloomKey(c) -> ColStats('B',
+            java.util.Base64.getEncoder.encodeToString(bos.toByteArray), ""))
+        case _ => None
+      })
+    }.toMap
+  }
+
+  /** Stats-map key holding a TOKEN bloom of a text column (tag 'B', same
+    * payload shape as [[bloomKey]] blooms): membership over the column's
+    * whitespace TOKENS rather than its values. The full-text complement
+    * to value blooms — "which batches contain documents mentioning term
+    * X" becomes a manifest-metadata question. */
+  private def tokenBloomKey(c: String): String = c + "\u0000tbf"
+
+  /** Per-entry token bloom of one written batch's text column: the batch
+    * is exploded into whitespace tokens (the engine-wide tokenization —
+    * compose [[graft.functions.TextNorm.normalize]] upstream if the
+    * corpus needs folding) and the DISTINCT tokens feed one bloom sized
+    * for the batch's observed vocabulary. Cost model: one extra
+    * distinct-count + bloom aggregate over the batch being written —
+    * write-time, opt-in, amortized over every future term lookup; the
+    * bloom itself is vocabulary-sized (a few hundred KB per entry at web
+    * batch vocabularies), riding in the manifest the reader already
+    * fetches. String columns only. */
+  private def batchTokenBlooms(written: DataFrame,
+      tokenBloomCols: Seq[String], fpp: Double): Map[String, ColStats] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, explode, split}
+    if (tokenBloomCols.isEmpty) return Map.empty
+    tokenBloomCols.flatMap { c =>
+      written.schema.find(_.name == c).flatMap(_.dataType match {
+        case StringType =>
+          val toks = written
+            .select(explode(split(col(c), " ")).as("__tok"))
+            .where(col("__tok") =!= "").distinct()
+          val n = math.max(1L, toks.count())
+          val bf = toks.stat.bloomFilter("__tok", n, fpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Some(tokenBloomKey(c) -> ColStats('B',
             java.util.Base64.getEncoder.encodeToString(bos.toByteArray), ""))
         case _ => None
       })
@@ -841,13 +882,14 @@ object ManifestSink {
       bloomFpp: Double = 0.01,
       header: Map[String, String] = Map.empty,
       ndvCols: Seq[String] = Nil,
-      topKCols: Seq[String] = Nil): Long = {
+      topKCols: Seq[String] = Nil,
+      tokenBloomCols: Seq[String] = Nil): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     val rows = writeCounted(df, dataDir)
     val line = Entry(s"data/$batch",
       writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp,
-        ndvCols, topKCols) + rowsStat(rows)).line
+        ndvCols, topKCols, tokenBloomCols) + rowsStat(rows)).line
     commitAppendLines(spark, dir, Seq(line), header)
   }
 
@@ -906,9 +948,11 @@ object ManifestSink {
   def appendWithStats(df: DataFrame, dir: String,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01, ndvCols: Seq[String] = Nil,
-      topKCols: Seq[String] = Nil): Long =
+      topKCols: Seq[String] = Nil,
+      tokenBloomCols: Seq[String] = Nil): Long =
     commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp,
-      ndvCols = ndvCols, topKCols = topKCols)
+      ndvCols = ndvCols, topKCols = topKCols,
+      tokenBloomCols = tokenBloomCols)
 
   /** [[append]] carrying caller metadata in the same atomic commit — the
     * incremental-derived-artifact pattern (e.g. an ANN index extended by
@@ -1516,6 +1560,50 @@ object ManifestSink {
     base.filter(col(colName) === lit(value))
   }
 
+  private def tokenBloomMightContain(e: Entry, c: String,
+      token: String): Boolean =
+    e.stats.get(tokenBloomKey(c)) match {
+      case Some(st) if st.tag == 'B' =>
+        val bytes = java.util.Base64.getDecoder.decode(st.min)
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainString(token)
+      case _ => true
+    }
+
+  /** Split the current snapshot's entries into (kept, skipped) for a
+    * full-text term lookup: an entry is skipped only when it carries a
+    * token bloom for `colName` that provably never saw `token`. Entries
+    * without a token bloom always survive — the never-a-filter contract,
+    * so mixing token-bloomed and plain commits stays correct. */
+  def prunedEntriesToken(spark: SparkSession, dir: String, colName: String,
+      token: String): (Seq[Entry], Seq[Entry]) =
+    entries(spark, dir, version(spark, dir))
+      .filterNot(isTombEntry)
+      .partition(e => tokenBloomMightContain(e, colName, token))
+
+  /** Full-text term scan with manifest-level skipping: reads only the
+    * batch directories whose TOKEN blooms might contain `token` in
+    * `colName`, then applies the exact membership predicate — identical
+    * to `read(...).filter(array_contains(split(col, " "), token))`
+    * whatever the pruning decided. The text-corpus twin of
+    * [[readWhereEq]]: at 100 TB a rare-term lookup (an incident phrase,
+    * a contamination marker, a PII canary) touches the handful of
+    * batches whose vocabulary bloom fires instead of scanning every
+    * document; false positives only cost scan breadth, never
+    * correctness. Tokenization is the engine-wide whitespace split —
+    * normalize the corpus at write time ([[graft.functions.TextNorm]])
+    * and the query term at lookup time for folded matching. */
+  def readContainingToken(spark: SparkSession, dir: String,
+      colName: String, token: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_contains, col, lit, split}
+    val (kept, _) = prunedEntriesToken(spark, dir, colName, token)
+    val base =
+      if (kept.isEmpty) read(spark, dir).limit(0)
+      else prunedRead(spark, dir, kept)
+    base.filter(array_contains(split(col(colName), " "), lit(token)))
+  }
+
   /** Split the current snapshot's entries into (kept, skipped) for an
     * ARBITRARY predicate, by extracting the conjunctive range/equality
     * bounds the predicate implies on stats columns from its analyzed
@@ -2008,6 +2096,62 @@ object ManifestSink {
     * come back in their string encoding; callers cast by the column's
     * known type. Entries predating stats report nulls — introspection
     * never fails a table, it describes it. */
+  /** Commit history derived STRUCTURALLY from the manifest chain — the
+    * DESCRIBE HISTORY analog, zero data reads at any table size. Each
+    * version is classified by a multiset diff of its entry lines
+    * against its parent's (batch paths are unique UUIDs, so a line
+    * identifies its batch): `create` (v0), `append` (entries added,
+    * none removed), `delete` (tombstone-only addition — the
+    * merge-on-read shapes), `rewrite` (entries replaced: merge,
+    * compact, copy-on-write delete, restore that re-lists), `shrink`
+    * (entries dropped, none added: a restore to a shorter snapshot),
+    * `marker` (header-only). Deriving the kind from STRUCTURE instead
+    * of a recorded operation name means history works on every
+    * manifest ever committed, needs no commit-path changes, and cannot
+    * be lied to. `rows_added`/`rows_removed` are exact (from the
+    * per-entry row counts every commit records; tombstone entries
+    * excluded — they hold keys, not data); null only if an entry
+    * predates row counting. `ts_millis` is the commit's `#ts` header.
+    * Cost: one small-file read per version — history-length-bounded,
+    * metadata-only. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cur = version(spark, dir)
+    val rows = (0L to cur).map { v =>
+      val prevL =
+        if (v == 0) Seq.empty[String] else manifestEntries(spark, dir, v - 1)
+      val curL = manifestEntries(spark, dir, v)
+      def counts(xs: Seq[String]): Map[String, Int] =
+        xs.groupBy(identity).map { case (k, g) => k -> g.size }
+      val pc = counts(prevL)
+      val cc = counts(curL)
+      val added = cc.toSeq.flatMap { case (l, n) =>
+        Seq.fill(math.max(0, n - pc.getOrElse(l, 0)))(l) }
+      val removed = pc.toSeq.flatMap { case (l, n) =>
+        Seq.fill(math.max(0, n - cc.getOrElse(l, 0)))(l) }
+      val addedE = added.map(parseEntry)
+      val removedE = removed.map(parseEntry)
+      val (addedTomb, addedData) = addedE.partition(isTombEntry)
+      val removedData = removedE.filterNot(isTombEntry)
+      def rowsOf(es: Seq[Entry]): Option[Long] = {
+        val cs = es.map(_.stats.get(RowsKey).flatMap(_.min.toLongOption))
+        if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
+      }
+      val kind =
+        if (v == 0) "create"
+        else if (addedE.isEmpty && removedE.isEmpty) "marker"
+        else if (removedE.isEmpty && addedData.isEmpty) "delete"
+        else if (removedE.isEmpty) "append"
+        else if (addedE.isEmpty) "shrink"
+        else "rewrite"
+      val ts = manifestHeader(spark, dir, v).get(TsKey).map(_.toLong)
+      (v, ts, kind, addedE.size.toLong, removedE.size.toLong,
+        addedTomb.size.toLong, rowsOf(addedData), rowsOf(removedData))
+    }
+    rows.toDF("version", "ts_millis", "kind", "n_added", "n_removed",
+      "n_tombstones_added", "rows_added", "rows_removed")
+  }
+
   def filesReport(spark: SparkSession, dir: String,
       statCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row

@@ -1195,4 +1195,71 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.mergedTopK(spark, dir, "k").isEmpty)
     assert(ManifestSink.maxKeyRows(spark, dir, "k").isEmpty)
   }
+
+  test("history classifies every commit kind with exact row accounting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("msinkh").toString + "/t"
+    ManifestSink.append(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), dir) // v0
+    ManifestSink.append(Seq((3L, "c")).toDF("k", "t"), dir) // v1
+    ManifestSink.merge(Seq((1L, "A")).toDF("k", "t"), dir, Seq("k")) // v2
+    ManifestSink.deleteKeysMergeOnRead(
+      Seq(3L).toDF("k"), dir, Seq("k")) // v3
+    ManifestSink.restore(spark, dir, 2L) // v4: drops only the tombstone
+    val h = ManifestSink.history(spark, dir)
+      .orderBy($"version").collect()
+    assert(h.map(_.getString(2)).toSeq ===
+      Seq("create", "append", "rewrite", "delete", "shrink"))
+    // v0: one entry, two rows in
+    assert(h(0).getLong(3) === 1L && h(0).getAs[Long]("rows_added") === 2L)
+    // v2: merge rewrote exactly the touched batch, rows conserved
+    assert(h(2).getLong(3) === 1L && h(2).getLong(4) === 1L)
+    assert(h(2).getAs[Long]("rows_added") === 2L)
+    assert(h(2).getAs[Long]("rows_removed") === 2L)
+    // v3: tombstone-only commit — no data rows moved
+    assert(h(3).getLong(5) === 1L)
+    assert(h(3).getAs[Long]("rows_added") === 0L)
+    // v4: restore(2) re-lists v2's entries — the only diff is the
+    // dropped tombstone: nothing added, no DATA rows removed
+    assert(h(4).getLong(3) === 0L && h(4).getLong(4) === 1L)
+    assert(h(4).getAs[Long]("rows_removed") === 0L) // tomb excluded
+    // ts header monotone non-decreasing across the chain
+    val ts = h.map(_.getAs[Long]("ts_millis"))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("token blooms prune term lookups to the batches that saw the term") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("msinktb").toString + "/t"
+    ManifestSink.appendWithStats(
+      Seq((1L, "alpha beta shared"), (2L, "beta gamma shared"))
+        .toDF("id", "text"), dir, Seq("id"), tokenBloomCols = Seq("text"))
+    ManifestSink.appendWithStats(
+      Seq((3L, "delta epsilon shared")).toDF("id", "text"),
+      dir, Seq("id"), tokenBloomCols = Seq("text"))
+    // a term unique to batch 1 prunes batch 2 (and vice versa)
+    val (k1, s1) = ManifestSink.prunedEntriesToken(spark, dir, "text", "alpha")
+    assert(k1.size === 1 && s1.size === 1)
+    val (k2, s2) = ManifestSink.prunedEntriesToken(spark, dir, "text", "delta")
+    assert(k2.size === 1 && s2.size === 1)
+    // a term both batches saw keeps both; an unseen term keeps none
+    assert(ManifestSink.prunedEntriesToken(spark, dir, "text", "shared")
+      ._1.size === 2)
+    assert(ManifestSink.prunedEntriesToken(spark, dir, "text", "zzmissing")
+      ._1.isEmpty)
+    // exactness through the pruned read path
+    assert(ManifestSink.readContainingToken(spark, dir, "text", "beta")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(ManifestSink.readContainingToken(spark, dir, "text", "zzmissing")
+      .count() === 0)
+    // partial-token and substring matches must NOT fire: membership is
+    // token-exact, not LIKE
+    assert(ManifestSink.readContainingToken(spark, dir, "text", "bet")
+      .count() === 0)
+    // a commit WITHOUT a token bloom is never filtered out
+    ManifestSink.append(Seq((4L, "zeta")).toDF("id", "text"), dir)
+    val (k3, _) = ManifestSink.prunedEntriesToken(spark, dir, "text", "alpha")
+    assert(k3.size === 2, "stat-less entry survives every term lookup")
+    assert(ManifestSink.readContainingToken(spark, dir, "text", "zeta")
+      .collect().map(_.getLong(0)).toSet === Set(4L))
+  }
 }
