@@ -643,6 +643,77 @@ object SinkOps {
        |FROM agg WHERE event_type = 'error'
        |ORDER BY path, event_type""".stripMargin
 
+  // --------------------------------------------------------------- q174
+  /** Small-file compaction through the gate: one big append plus five
+    * tiny ones (the shape a short-trigger streaming sink leaves
+    * behind), then [[ManifestSink.compactSmall]] merges ONLY the
+    * sub-threshold batches into one clustered entry, carrying the big
+    * batch by reference. The emitted per-entry layout (filesReport:
+    * exactly two data entries, with the big one's rows/bounds
+    * untouched) AND the full-table checksum row must match the oracle's
+    * recomputation — a compaction that dropped, duplicated, or
+    * reshuffled a single row, or touched the entry it had no business
+    * rewriting, hash-mismatches.
+    *
+    * Scale: the maintenance job reads O(small batches), never O(table)
+    * — the difference between fixing a day of 2-second commits by
+    * reading megabytes and re-reading 100 TB. */
+  private val q174: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val c2 = 2 * maxId / 3
+    val sink = freshScratch("graft_q174", dir) + "/t"
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" <= c2), sink, Seq("event_id"))
+    val step = (maxId - c2) / 5
+    (0 until 5).foreach { i =>
+      val lo = c2 + i * step
+      val hi = if (i == 4) maxId else c2 + (i + 1) * step
+      ManifestSink.appendWithStats(
+        ev.filter($"event_id" > lo && $"event_id" <= hi),
+        sink, Seq("event_id"))
+    }
+    val nBig = ev.filter($"event_id" <= c2).count()
+    ManifestSink.compactSmall(s, sink, minRows = nBig,
+      statsCols = Seq("event_id"), sortCols = Seq("event_id"))
+    val perEntry = ManifestSink.filesReport(s, sink, Seq("event_id"))
+      .select($"entry_idx", $"n_rows",
+        $"event_id_min".cast("long").as("event_id_min"),
+        $"event_id_max".cast("long").as("event_id_max"),
+        lit(null).cast("long").as("id_sum"))
+    val total = ManifestSink.read(s, sink)
+      .agg(count($"event_id").as("n_rows"),
+        min($"event_id").as("event_id_min"),
+        max($"event_id").as("event_id_max"),
+        sum($"event_id").as("id_sum"))
+      .select(lit(-1L).as("entry_idx"), $"n_rows", $"event_id_min",
+        $"event_id_max", $"id_sum")
+    perEntry.union(total).orderBy($"entry_idx")
+  }
+  private val q174Sql =
+    """WITH cuts AS (
+      |  SELECT (2 * MAX(event_id)) // 3 AS c2 FROM events),
+      |big AS (
+      |  SELECT COUNT(*) AS n, MIN(event_id) AS mn, MAX(event_id) AS mx
+      |  FROM events CROSS JOIN cuts WHERE event_id <= c2),
+      |small AS (
+      |  SELECT COUNT(*) AS n, MIN(event_id) AS mn, MAX(event_id) AS mx
+      |  FROM events CROSS JOIN cuts WHERE event_id > c2),
+      |tot AS (
+      |  SELECT COUNT(*) AS n, MIN(event_id) AS mn, MAX(event_id) AS mx,
+      |    SUM(event_id) AS s
+      |  FROM events)
+      |SELECT CAST(entry_idx AS BIGINT) AS entry_idx,
+      |  CAST(n_rows AS BIGINT) AS n_rows, event_id_min, event_id_max,
+      |  CAST(id_sum AS BIGINT) AS id_sum
+      |FROM (
+      |  SELECT -1 AS entry_idx, n AS n_rows, mn AS event_id_min,
+      |    mx AS event_id_max, s AS id_sum FROM tot
+      |  UNION ALL SELECT 0, n, mn, mx, NULL FROM big
+      |  UNION ALL SELECT 1, n, mn, mx, NULL FROM small)
+      |ORDER BY entry_idx""".stripMargin
+
   // --------------------------------------------------------------- q173
   /** Cross-table consistent snapshots through the gate: events split
     * into an evens table and an odds table, committed in three PAIRED
@@ -1727,6 +1798,7 @@ object SinkOps {
     "q171_token_search" -> q171,
     "q172_table_history" -> q172,
     "q173_catalog_snapshot" -> q173,
+    "q174_compact_small" -> q174,
     "q101_exactly_once_fold" -> q101,
     "q102_partitioned_scan" -> q102,
     "q124_layout_advisor" -> q124,
@@ -1755,6 +1827,7 @@ object SinkOps {
     "q171_token_search" -> q171Sql,
     "q172_table_history" -> q172Sql,
     "q173_catalog_snapshot" -> q173Sql,
+    "q174_compact_small" -> q174Sql,
     "q101_exactly_once_fold" -> q101Sql,
     "q102_partitioned_scan" -> q102Sql,
     "q124_layout_advisor" -> q124Sql,

@@ -150,6 +150,27 @@ object Catalog {
     committed
   }
 
+  /** Every version of `tableDir` pinned by ANY retained catalog version
+    * — the protection set for [[ManifestSink.vacuum]]'s
+    * `protectVersions`: expiring a table's history must never break a
+    * published cross-table snapshot, so vacuum with this set keeps
+    * every catalog-reachable manifest (and its data) alive while still
+    * reclaiming everything unpinned. Dir equality is resolved through
+    * qualified paths, so relative and absolute spellings of the same
+    * table agree. Cost: one small-file read per catalog version. */
+  def pinnedVersions(spark: SparkSession, catalogDir: String,
+      tableDir: String): Seq[Long] = {
+    val want = fs(spark, tableDir)
+      .makeQualified(new Path(tableDir)).toString
+    (0L to version(spark, catalogDir)).flatMap { cv =>
+      pinsAt(spark, catalogDir, cv).values.collect {
+        case (d, v)
+            if fs(spark, d).makeQualified(new Path(d)).toString == want =>
+          v
+      }
+    }.distinct.sorted
+  }
+
   /** Read one table AT ITS PINNED VERSION under the current catalog —
     * the consistent-snapshot read path: resolve every table of a
     * multi-table query through the same catalog version and no

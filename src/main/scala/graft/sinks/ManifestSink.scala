@@ -1104,6 +1104,41 @@ object ManifestSink {
       (statsCols :+ partCol).distinct)
   }
 
+  /** OPTIMIZE for the SMALL-FILE problem: merge only the batch dirs
+    * whose recorded row count is below `minRows` into one clustered
+    * batch, carrying every other entry by reference — the file-granular
+    * compaction a streaming-append table needs. A 2-second-commit
+    * stream produces tens of thousands of tiny batch dirs a day; full
+    * [[compact]] pays O(table) to fix them, this pays O(small batches)
+    * — at 100 TB the difference between a nightly maintenance job that
+    * reads gigabytes and one that reads everything. Entries WITHOUT a
+    * recorded row count are never treated as small (conservative: an
+    * unknown size must not silently turn an O(small) maintenance op
+    * into O(table)); tombstones stay in place and stay correct — the
+    * merged rows are read THROUGH them (deletions applied before the
+    * rewrite) and the rewritten entry lands after them in line order,
+    * exactly like any append. No-op (current version returned) unless
+    * at least two small entries exist. Optionally sorts by `sortCols`
+    * and records fresh `statsCols` so the merged entry prunes well.
+    * Same single-writer contract as compact/merge. */
+  def compactSmall(spark: SparkSession, dir: String, minRows: Long,
+      statsCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val prev = version(spark, dir)
+    require(prev >= 0, s"ManifestSink at $dir has no committed version")
+    val (small, rest) = entries(spark, dir, prev).partition { e =>
+      !isTombEntry(e) &&
+        e.stats.get(RowsKey).flatMap(_.min.toLongOption).exists(_ < minRows)
+    }
+    if (small.size <= 1) return prev
+    val smallPaths = small.map(_.path).toSet
+    val merged = assembleRead(spark, dir, prev, mergeSchema = true,
+      keep = e => smallPaths(e.path))
+    val clustered =
+      if (sortCols.isEmpty) merged else merged.sort(sortCols.map(col): _*)
+    commit(spark, dir, clustered, rest.map(_.line), prev, statsCols)
+  }
+
   /** Header key holding the last exactly-once-folded batch id. */
   private val BatchKey = "batch"
 
@@ -2348,16 +2383,25 @@ object ManifestSink {
     * 0 default is for the single-stream retention pipelines, where the
     * only writer is the one calling vacuum. */
   def vacuum(spark: SparkSession, dir: String,
-      keepVersions: Int = 1, minAgeMs: Long = 0L): Seq[String] = {
+      keepVersions: Int = 1, minAgeMs: Long = 0L,
+      protectVersions: Seq[Long] = Nil): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, dir)
     val dataRoot = new Path(dir, "data")
     if (!f.exists(dataRoot)) return Nil
     val current = version(spark, dir)
     val keepFrom = math.max(0L, current - keepVersions + 1)
-    val referenced = (keepFrom to current)
+    // versions pinned from OUTSIDE the retention window (a published
+    // [[Catalog]] snapshot, a long audit hold) survive expiration with
+    // their data: retention must never break a reachable snapshot —
+    // pass Catalog.pinnedVersions(...) here and the catalog's
+    // cross-table time travel stays intact through any vacuum
+    val protect =
+      protectVersions.filter(v => v >= 0 && v < keepFrom).distinct
+    val referenced = ((keepFrom to current) ++ protect)
       .flatMap(v => manifestEntries(spark, dir, v).map(entryPath)).toSet
-    (0L until keepFrom).foreach { v =>
+    val protectSet = protect.toSet
+    (0L until keepFrom).filterNot(protectSet).foreach { v =>
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
     }
     // sweep crash-orphaned publish temps: a live appender whose temp is

@@ -76,6 +76,32 @@ class CatalogSpec extends SparkSpec {
       (0 until 8).map(i => s"t$i").toSet)
   }
 
+  test("vacuum with pinnedVersions never breaks a published snapshot") {
+    val root = Files.createTempDirectory("catv").toString
+    val ta = root + "/a"
+    val cat = root + "/cat"
+    val v0 = ManifestSink.append(Seq(1L, 2L).toDF("v"), ta)
+    Catalog.publish(spark, cat, Map("a" -> (ta, v0)))
+    // the table moves on: a replace supersedes v0's only batch dir
+    ManifestSink.replace(Seq(9L).toDF("v"), ta)
+    ManifestSink.append(Seq(10L).toDF("v"), ta)
+    val protect = Catalog.pinnedVersions(spark, cat, ta)
+    assert(protect === Seq(0L))
+    // protected vacuum: keeps v0's manifest AND its data alive even
+    // though both are outside the retention window and unreferenced by
+    // the retained snapshot
+    assert(ManifestSink.vacuum(spark, ta, keepVersions = 1,
+      protectVersions = protect).isEmpty)
+    assert(Catalog.readTable(spark, cat, "a")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // without protection the same vacuum reclaims the pinned batch —
+    // the hazard pinnedVersions exists to prevent
+    assert(ManifestSink.vacuum(spark, ta, keepVersions = 1).nonEmpty)
+    intercept[Exception] {
+      Catalog.readTable(spark, cat, "a").collect()
+    }
+  }
+
   test("stale pins are refused; rollback is explicit") {
     val root = Files.createTempDirectory("cats").toString
     val ta = root + "/a"

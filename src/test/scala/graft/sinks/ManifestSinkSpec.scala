@@ -1196,6 +1196,32 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.maxKeyRows(spark, dir, "k").isEmpty)
   }
 
+  test("compactSmall merges only sub-threshold batches, through tombstones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("msinkcs").toString + "/t"
+    ManifestSink.append(spark.range(0, 100).toDF("k"), dir) // big: kept
+    ManifestSink.append(Seq(100L, 101L).toDF("k"), dir) // small
+    ManifestSink.append(Seq(102L).toDF("k"), dir) // small
+    // MoR-delete a key that lives in a SMALL batch: the rewrite must
+    // read through the tombstone, not resurrect the row
+    ManifestSink.deleteKeysMergeOnRead(Seq(101L).toDF("k"), dir, Seq("k"))
+    val v = ManifestSink.compactSmall(spark, dir, minRows = 10L,
+      statsCols = Seq("k"), sortCols = Seq("k"))
+    assert(v === 4L)
+    // entries now: big + tombstone + merged smalls (line order: kept
+    // lines first, rewrite appended) — 2 data entries, 1 tombstone
+    val es = ManifestSink.entries(spark, dir, v)
+    assert(es.size === 3)
+    val rows = ManifestSink.read(spark, dir).collect().map(_.getLong(0))
+    assert(rows.sorted.toSeq === ((0L until 100L) ++ Seq(100L, 102L)))
+    // the two small dirs are now unreferenced; big batch untouched
+    assert(ManifestSink.vacuum(spark, dir).size === 2)
+    assert(ManifestSink.read(spark, dir).count() === 102)
+    // idempotent: one merged entry left above threshold? it has 2 rows,
+    // still < 10 — but ALONE it cannot merge with anything: no-op
+    assert(ManifestSink.compactSmall(spark, dir, minRows = 10L) === v)
+  }
+
   test("history classifies every commit kind with exact row accounting") {
     import spark.implicits._
     val dir = Files.createTempDirectory("msinkh").toString + "/t"
