@@ -313,10 +313,21 @@ object WikiStream {
     * keys) and R1/F6 retention as the default path; the watermark
     * advances in the SAME atomic commit as the main append. Replay-safe:
     * both sides fold under the epoch marker, and the anti-join makes a
-    * re-delivered row a no-op even across epochs. */
+    * re-delivered row a no-op even across epochs.
+    *
+    * `catalogDir` non-null lifts the PAIR to atomic visibility: after
+    * both tables' epoch commits land, one [[graft.sinks.Catalog]]
+    * publish pins `main` and `late` together — a reader resolving both
+    * through the catalog can never observe a torn epoch (late side
+    * landed, main side not), which per-table exactly-once alone cannot
+    * promise. A crash between the table commits and the publish leaves
+    * the catalog one epoch behind — consistent, never torn — and the
+    * replayed epoch's fold re-publishes the caught-up pins; unchanged
+    * pins (empty or fully-replayed epochs) publish nothing, so catalog
+    * versions track PROGRESS, not triggers. */
   def appendLateAwareManifest(batch: DataFrame, batchId: Long,
       sinkDir: String, lateDir: String, cfg: GraftConfig,
-      delayUs: Long): Unit = {
+      delayUs: Long, catalogDir: String = null): Unit = {
     import graft.sinks.ManifestSink
     require(cfg.dbMaxEvents <= Int.MaxValue,
       s"dbMaxEvents ${cfg.dbMaxEvents} exceeds the limit-based compaction " +
@@ -340,8 +351,28 @@ object WikiStream {
           .orderBy(col("event_timestamp").desc, col("username"), col("title"))
           .limit(cfg.dbMaxEvents.toInt + 1)
         ManifestSink.replace(retained, sinkDir)
-        ManifestSink.vacuum(spark, sinkDir)
+        // catalog readers resolve main through the LAST published pin
+        // (one epoch behind right now) — retention cleanup must not
+        // reclaim what they can still reach
+        ManifestSink.vacuum(spark, sinkDir, protectVersions =
+          if (catalogDir == null) Nil
+          else graft.sinks.Catalog.pinnedVersions(spark, catalogDir,
+            sinkDir))
       }
+    }
+    if (catalogDir != null) {
+      val spark = batch.sparkSession
+      val pins = Seq("main" -> sinkDir, "late" -> lateDir).flatMap {
+        case (n, d) =>
+          val v = ManifestSink.version(spark, d)
+          if (v >= 0) Some(n -> (d, v)) else None
+      }.toMap
+      // publish AFTER both table commits, and only on progress: a
+      // replayed or empty epoch re-derives identical pins and stays
+      // silent, so catalog versions form the exactly-once epoch ledger
+      if (pins.nonEmpty &&
+          graft.sinks.Catalog.pins(spark, catalogDir) != pins)
+        graft.sinks.Catalog.publish(spark, catalogDir, pins)
     }
   }
 
@@ -410,7 +441,11 @@ object WikiStream {
       watermarkDelay: String = "10 seconds",
       lateDir: String = null,
       lateDelayUs: Long = 10000000L,
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      maxFilesPerTrigger: Int = 0,
+      catalogDir: String = null): StreamingQuery = {
+    require(catalogDir == null || lateDir != null,
+      "catalogDir atomicity is the late-aware pair's contract — " +
+        "single-table mode is already atomic per commit")
     val reader = spark.readStream
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -429,7 +464,7 @@ object WikiStream {
         if (lateDir == null)
           appendOnceWithRetentionManifest(batch, batchId, sinkDir, cfg)
         else appendLateAwareManifest(batch, batchId, sinkDir, lateDir,
-          cfg, lateDelayUs)
+          cfg, lateDelayUs, catalogDir)
       }
     trigger.foreach(writer.trigger)
     writer.start()
