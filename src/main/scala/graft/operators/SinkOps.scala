@@ -1780,7 +1780,68 @@ object SinkOps {
        |FROM fact f JOIN dim d ON f.k = d.k
        |ORDER BY pair""".stripMargin
 
+  // --------------------------------------------------------------- q175
+  /** Incremental JOIN view through the gate: lineitem and orders land as
+    * staggered appends on two sink tables; the materialized join is
+    * created once and then maintained by [[graft.sinks
+    * .IncrementalJoinView]]'s delta-join folds — refresh #1 exercises
+    * the ΔL ⋈ R term alone, refresh #2 both terms (and with them the
+    * once-only ΔL ⋈ ΔR overlap: the window where a double-count bug
+    * would live). The emitted per-status aggregate reads the VIEW, the
+    * oracle joins the source tables directly — any dropped, doubled, or
+    * mis-keyed delta row hash-mismatches. Both refreshes must take the
+    * FOLD path (append-only history), asserted in-query.
+    *
+    * Scale: each refresh reads one window's batches (manifest diff, zero
+    * data reads to plan) against the opposite snapshot, broadcast-hinted
+    * from the manifest's recorded delta rows — a daily refresh of a
+    * 100 TB join view costs O(delta·other), never O(L·R) recompute. */
+  private val q175: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sinks.IncrementalJoinView
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_quantity", $"l_extendedprice")
+    val ord = Tables(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val maxOk = ord.agg(max($"okey")).head().getLong(0)
+    val cut1 = maxOk / 3
+    val cut2 = 2 * maxOk / 3
+    val scratch = freshScratch("graft_q175", dir)
+    val (lsink, rsink, vsink) =
+      (scratch + "/l", scratch + "/r", scratch + "/view")
+    ManifestSink.append(li.filter($"okey" <= cut1), lsink)
+    ManifestSink.append(ord.filter($"okey" <= cut2), rsink)
+    IncrementalJoinView.create(s, vsink, lsink, rsink, "okey")
+    ManifestSink.append(
+      li.filter($"okey" > cut1 && $"okey" <= cut2), lsink)
+    val (_, f1) = IncrementalJoinView.refresh(s, vsink, lsink, rsink, "okey")
+    ManifestSink.append(li.filter($"okey" > cut2), lsink)
+    ManifestSink.append(ord.filter($"okey" > cut2), rsink)
+    val (_, f2) = IncrementalJoinView.refresh(s, vsink, lsink, rsink, "okey")
+    require(f1 && f2,
+      "append-only windows must take the fold path, not recompute")
+    IncrementalJoinView.read(s, vsink)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.dsum($"l_extendedprice").as("sum_price"),
+        Exact.dsum($"l_quantity").as("sum_qty"),
+        min($"okey").as("min_okey"),
+        max($"okey").as("max_okey"))
+      .orderBy($"o_orderstatus")
+  }
+  private val q175Sql =
+    s"""SELECT o_orderstatus,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum("l_extendedprice")} AS sum_price,
+       |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |  MIN(l_orderkey) AS min_okey,
+       |  MAX(l_orderkey) AS max_okey
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q175_join_view" -> q175,
     "q168_salted_plan_join" -> q168,
     "q165_plan_aware_join" -> q165,
     "q134_join_plan" -> q134,
@@ -1810,6 +1871,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q175_join_view" -> q175Sql,
     "q168_salted_plan_join" -> q168Sql,
     "q165_plan_aware_join" -> q165Sql,
     "q134_join_plan" -> q134Sql,

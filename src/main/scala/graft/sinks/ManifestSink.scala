@@ -1433,6 +1433,25 @@ object ManifestSink {
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
+  /** Recorded row total of the DATA entries added in `(fromV, toV]` —
+    * manifest metadata only, the size of an incremental read's delta
+    * BEFORE any data is touched (what an incremental consumer needs to
+    * decide broadcast-vs-shuffle for its fold join). Tombstone entries
+    * excluded (keys, not rows). None when any added entry predates row
+    * counting — absence degrades the caller to the conservative plan,
+    * never to a guess. */
+  def addedRows(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): Option[Long] = {
+    val (added, _) = changedEntries(spark, dir, fromV, toV)
+    val es = manifestEntries(spark, dir, toV).map(parseEntry)
+    val tomb = es.filter(isTombEntry).map(_.path).toSet
+    val rowsByPath = es.iterator
+      .map(e => e.path -> e.stats.get(RowsKey).flatMap(_.min.toLongOption))
+      .toMap
+    val per = added.filterNot(tomb).map(p => rowsByPath.getOrElse(p, None))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
   /** tag-typed `<=` over the stats string encoding ('L' long, 'D'
     * double, 'S' unsigned-UTF-8). */
   private def leTagged(tag: Char, a: String, b: String): Boolean = tag match {
