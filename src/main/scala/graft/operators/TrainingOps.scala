@@ -976,7 +976,113 @@ object TrainingOps {
        |GROUP BY e.doc_id
        |ORDER BY e.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q176
+  /** Token-BUDGET sampling: per stratum, keep the maximal deterministic
+    * prefix of documents — ordered by (PortableHash(id), id) — whose
+    * cumulative token count stays within the stratum's budget. The
+    * quota form of corpus curation ("fill exactly B tokens per
+    * language/domain") that rate-based sampling ([[hashSample]] / q57 /
+    * q84) cannot express: rates hit a FRACTION, budgets hit a SIZE.
+    * Deterministic by construction — same docs on every run, any
+    * cluster size, any engine.
+    *
+    * Scale shape (sharded prefix sum, q155's discipline): a naive
+    * per-stratum cumsum window puts a whole stratum — terabytes — on
+    * one reducer. Instead the hash domain splits into `buckets`
+    * ORDER-PRESERVING ranges (bucket = h·B >> 48, monotone in h):
+    * per-(stratum, bucket) token totals roll up map-side into a tiny
+    * frame whose running sum classifies every bucket from metadata-
+    * sized data — `keep_all` (prefix + total ≤ budget: rows pass
+    * WHOLESALE, no window), `drop_all` (exclusive prefix ≥ budget:
+    * rows die in the scan filter), `boundary` (≈ one bucket per
+    * stratum: only these rows — 1/B of the stratum — pay the in-bucket
+    * cumsum window). The expensive sort touches the boundary sliver,
+    * never the corpus.
+    *
+    * `budgets` is one (stratum, budget) row per stratum — broadcast-
+    * sized by definition. Strata absent from it are dropped (no budget
+    * = not requested). Token counts ≥ 1 per doc make `drop_all` sound:
+    * an exclusive prefix at the budget leaves no room for any row. */
+  def tokenBudgetSample(docs: DataFrame, stratumCol: String,
+      idCol: String, tokCol: String, budgets: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 15),
+      s"buckets must be in [1, 32768], got $buckets")
+    val st = col(stratumCol)
+    val h = PortableHash.tokenHash(col(idCol))
+    val rows = docs
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h") * lit(buckets.toLong), 48))
+      .join(broadcast(budgets), Seq(stratumCol))
+    val perBucket = rows.groupBy(st, col("__b"))
+      .agg(sum(col(tokCol)).as("__btok"), first(col("budget")).as("__bud"))
+    val wB = Window.partitionBy(st).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classified = perBucket
+      .withColumn("__prefix", sum(col("__btok")).over(wB) - col("__btok"))
+      .withColumn("__class",
+        when(col("__prefix") + col("__btok") <= col("__bud"), "keep_all")
+          .when(col("__prefix") >= col("__bud"), "drop_all")
+          .otherwise("boundary"))
+      .select(st, col("__b"), col("__prefix"), col("__class"))
+    val tagged = rows.join(broadcast(classified), Seq(stratumCol, "__b"))
+    val keepWhole = tagged.filter(col("__class") === "keep_all")
+    val wIn = Window.partitionBy(st, col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = tagged.filter(col("__class") === "boundary")
+      .withColumn("__cum", col("__prefix") + sum(col(tokCol)).over(wIn))
+      .filter(col("__cum") <= col("budget"))
+      .drop("__cum")
+    keepWhole.unionByName(boundaryKept)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Token-budget curation through the gate: per-language budgets set to
+    * a third of each language's own token mass (data-derived, so the cut
+    * lands mid-corpus at every SF), the sampler applied, and the kept
+    * set aggregated per language. The oracle computes the SAME maximal
+    * hash-ordered prefix with one window — so a bucket misclassified,
+    * a boundary row off by one, or a hash-order tie broken differently
+    * hash-mismatches. Three bucket counts (1 / 7 / 256) would be
+    * plan-identical in output; the registered form runs the 256-bucket
+    * scale shape. */
+  private val q176: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("tok"))
+    val budgets = t.groupBy($"lang")
+      .agg(expr("sum(tok) div 3").as("budget"))
+    tokenBudgetSample(t, "lang", "doc_id", "tok", budgets)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok").cast("long").as("sum_tokens"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"lang")
+  }
+  private val q176Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+       |    ${PortableHash.tokenHashSql("doc_id")} AS h
+       |  FROM documents),
+       |b AS (SELECT lang, SUM(tok) // 3 AS budget FROM t GROUP BY lang),
+       |c AS (
+       |  SELECT t.*, b.budget,
+       |    SUM(tok) OVER (PARTITION BY t.lang ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t JOIN b USING (lang))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM c WHERE cum <= budget
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q176_token_budget_sample" -> q176,
     "q147_bpe_merges" -> q147,
     "q148_bpe_encode" -> q148,
     "q136_leakage_safe_split" -> q136,
@@ -994,6 +1100,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q176_token_budget_sample" -> q176Sql,
     "q147_bpe_merges" -> q147Sql,
     "q148_bpe_encode" -> q148Sql,
     "q136_leakage_safe_split" -> q136Sql,
