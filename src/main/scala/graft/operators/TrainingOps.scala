@@ -1081,7 +1081,95 @@ object TrainingOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q177
+  /** Deterministic corpus shuffle into N equal shards — the data-ordering
+    * step of a pretraining run ("permute the corpus reproducibly, split
+    * into worker shards"): global position = exact 1-based rank in
+    * (PortableHash(id), id) order (a pseudorandom but engine-portable
+    * permutation), shard = ⌊(rank−1)·S / total⌋ — shard sizes equal to
+    * ±1 by construction, same assignment on every run and every engine.
+    *
+    * The primitive underneath is an EXACT distributed row_number with no
+    * global single-reducer sort (the q176 discipline applied to ranking):
+    * order-preserving hash-range buckets → per-bucket counts (map-side,
+    * metadata-sized) → running bucket prefix over BUCKET KEYS → in-bucket
+    * `row_number` windows over 1/B of the data each → global rank =
+    * bucket prefix + in-bucket rank. `total` rides the same tiny count
+    * frame (one decision-sized driver probe, q92's precedent). At 100 TB
+    * the only sorts are per-bucket; nothing corpus-sized ever lands on
+    * one reducer. */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      buckets: Int = 256): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(buckets > 0 && buckets <= (1 << 15),
+      s"buckets must be in [1, 32768], got $buckets")
+    val h = PortableHash.tokenHash(col(idCol))
+    val rows = docs
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h") * lit(buckets.toLong), 48))
+    // ONE corpus scan: per-bucket counts (two-phase agg), then the
+    // exclusive prefix AND the grand total fold driver-side over the
+    // ≤B-row result — a decision-sized probe, q92's precedent
+    val pb = rows.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val pref = pb.map { case (b, n) => val p = acc; acc += n; (b, p) }
+    val total = acc
+    require(total > 0, "shuffleShards needs a non-empty corpus")
+    val spark = docs.sparkSession
+    val prefixed = spark.createDataFrame(
+      scala.collection.immutable.Seq(pref.toIndexedSeq: _*))
+      .toDF("__b", "__prefix")
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    rows.join(broadcast(prefixed), Seq("__b"))
+      .withColumn("rank", col("__prefix") + row_number().over(wIn))
+      .withColumn("shard",
+        expr(s"CAST((rank - 1) * $nShards DIV $total AS INT)"))
+      .select((docs.columns.map(col) :+ col("rank") :+ col("shard"))
+        .toIndexedSeq: _*)
+  }
+
+  /** Shard assignment through the gate: 8-way deterministic shuffle of
+    * `documents`, per-shard membership pinned by count, token mass, rank
+    * span, AND the doc-id sum (so one document in the wrong shard — a
+    * bucket prefix off by one, an in-bucket tie broken differently —
+    * hash-mismatches the oracle's single-window ROW_NUMBER). */
+  private val q177: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("tok"))
+    shuffleShards(t, "doc_id", nShards = 8)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok").cast("long").as("sum_tokens"),
+        min($"rank").as("min_rank"),
+        max($"rank").as("max_rank"),
+        sum($"doc_id").cast("long").as("sum_doc_id"))
+      .orderBy($"shard")
+  }
+  private val q177Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+       |    ${PortableHash.tokenHashSql("doc_id")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, tok,
+       |    ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rank,
+       |    COUNT(*) OVER () AS total
+       |  FROM t)
+       |SELECT CAST((rank - 1) * 8 // total AS INTEGER) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       |  MIN(rank) AS min_rank, MAX(rank) AS max_rank,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q177_shuffle_shards" -> q177,
     "q176_token_budget_sample" -> q176,
     "q147_bpe_merges" -> q147,
     "q148_bpe_encode" -> q148,
@@ -1100,6 +1188,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q177_shuffle_shards" -> q177Sql,
     "q176_token_budget_sample" -> q176Sql,
     "q147_bpe_merges" -> q147Sql,
     "q148_bpe_encode" -> q148Sql,
