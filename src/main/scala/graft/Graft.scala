@@ -25,6 +25,7 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(plans.RangeJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.RangeJoinRule
+    plans.ViewRewrite.install(spark) // inert until a view is registered
     functions.GraftFunctions.register(spark)
   }
 

@@ -1840,7 +1840,75 @@ object SinkOps {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------------------------- q178
+  /** Transparent materialized-view rewrite through the gate: lineitem
+    * lands on a sink table in two appends; an [[graft.sinks
+    * .IncrementalAgg]] view folds the second one in (the q98 maintenance
+    * loop); [[graft.plans.ViewRewrite]] registers the state against the
+    * snapshot's scan paths — and then the USER QUERY is a completely
+    * vanilla grouped aggregate over `ManifestSink.read`. The optimizer
+    * serves it from the state parquet: the query asserts in-plan that
+    * its ONLY scan is the state (a rewrite that silently stopped firing
+    * fails loudly here, not just in a spec), while the oracle computes
+    * the same aggregate straight from the raw rows — so a state that
+    * dropped a batch, double-folded, or mis-mapped an aggregate
+    * hash-mismatches.
+    *
+    * Scale: the rewritten plan reads an aggregate-sized parquet instead
+    * of the fact table — the 100 TB dashboard-query shape. Staleness is
+    * structural: registrations key on the snapshot's path set, which
+    * changes on every commit, so a stale view silently yields to the
+    * base scan rather than ever answering wrong (PlanAuditSpec pins
+    * that arm). */
+  private val q178: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.ViewRewrite
+    import graft.sinks.IncrementalAgg
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_returnflag", $"l_linestatus", $"l_quantity")
+    val maxOk = li.agg(max($"l_orderkey")).head().getLong(0)
+    val cut = maxOk / 2
+    val scratch = freshScratch("graft_q178", dir)
+    val (base, stateDir) = (scratch + "/base", scratch + "/state")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    ManifestSink.append(
+      li.filter($"l_orderkey" <= cut).drop("l_orderkey"), base)
+    val v0 = ManifestSink.version(s, base)
+    val s0 = IncrementalAgg.aggregate(
+      ManifestSink.read(s, base), keys, "l_quantity")
+    ManifestSink.append(
+      li.filter($"l_orderkey" > cut).drop("l_orderkey"), base)
+    val v1 = ManifestSink.version(s, base)
+    IncrementalAgg.refresh(s, s0, base, v0, v1, keys, "l_quantity")
+      .write.mode("overwrite").parquet(stateDir)
+    ViewRewrite.install(s)
+    ViewRewrite.registerForSink(s, base, keys, "l_quantity", stateDir)
+    val user = ManifestSink.read(s, base)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.dsum($"l_quantity").as("sum_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        Exact.davg($"l_quantity").as("avg_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+    val plan = user.queryExecution.executedPlan.toString
+    require(plan.contains("/state") && !plan.contains("/base"),
+      "view rewrite did not serve the aggregate from the state parquet")
+    user
+  }
+  private val q178Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |  MIN(l_quantity) AS min_qty,
+       |  MAX(l_quantity) AS max_qty,
+       |  ${Exact.sqlAvg("l_quantity")} AS avg_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q178_view_rewrite" -> q178,
     "q175_join_view" -> q175,
     "q168_salted_plan_join" -> q168,
     "q165_plan_aware_join" -> q165,
@@ -1871,6 +1939,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q178_view_rewrite" -> q178Sql,
     "q175_join_view" -> q175Sql,
     "q168_salted_plan_join" -> q168Sql,
     "q165_plan_aware_join" -> q165Sql,

@@ -161,5 +161,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectOptimizerRule(_ => RangeJoinRule)
+    ext.injectOptimizerRule(_ => ViewRewrite)
   }
 }

@@ -442,6 +442,21 @@ object ManifestSink {
       v: Long): Seq[String] =
     manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
 
+  /** The root paths [[read]] would scan for the head version — the
+    * registration key [[graft.plans.ViewRewrite]] needs to recognize
+    * this snapshot's bare scan. Refuses tombstoned snapshots: their
+    * assembled read is anti-joined, not a bare multi-path scan, so a
+    * path-keyed view registration could never match it. */
+  def currentDataPaths(spark: SparkSession, dir: String): Seq[String] = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val parsed = manifestEntries(spark, dir, v).map(parseEntry)
+    require(!parsed.exists(isTombEntry),
+      s"ManifestSink at $dir v$v carries tombstones: its snapshot is " +
+        "not a bare scan, so a path-keyed view rewrite cannot serve it")
+    parsed.map(e => resolvePath(dir, e.path))
+  }
+
   /** Manifest header: `#key=value` lines alongside the entry list —
     * commit metadata that travels ATOMICALLY with the snapshot (e.g. the
     * exactly-once batch marker of [[appendOnce]]). Every commit carries
