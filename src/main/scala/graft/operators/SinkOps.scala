@@ -38,7 +38,7 @@ object SinkOps {
     }))
 
   /** A unique per-invocation scratch root, cleaned up at JVM exit. */
-  private def freshScratch(prefix: String, dir: String): String = {
+  private[operators] def freshScratch(prefix: String, dir: String): String = {
     scratchCleanup
     val scratch = java.nio.file.Files.createTempDirectory(
       s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode)}_")

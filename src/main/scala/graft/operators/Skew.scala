@@ -230,6 +230,167 @@ object Skew {
     }
   }
 
+  /** One edge of a star: a dimension sink and the key pair joining it to
+    * the fact. `factKey` and `dimKey` must differ (rename one side). */
+  final case class DimSpec(dir: String, factKey: String, dimKey: String)
+
+  /** One planned edge, in execution order: the strategy the manifests
+    * chose and the metadata cardinality estimate that ordered it
+    * (`unplanned` + -1 when either side lacked stats). */
+  final case class StarStep(dimDir: String, factKey: String,
+      strategy: String, estRows: Double)
+
+  /** MULTI-WAY metadata join planning — [[planAwareJoin]] extended from
+    * one edge to a star: a fact table joins N dimensions, and BOTH
+    * decisions a cost-based planner makes per query come off the
+    * manifests alone, before any data is read:
+    *
+    *   - JOIN ORDER — edges execute most-selective first, ascending by
+    *     [[graft.sinks.ManifestSink.joinPlan]]'s cardinality estimate
+    *     (`rowsF/ndvF · rowsD/ndvD · |keys∩|`). The edge that kills 96 %
+    *     of the fact runs before the edges with fanout 1, so every later
+    *     join sees the shrunken intermediate — the System R greedy
+    *     ordering, driven by stored sketches instead of a data scan.
+    *     Edges with no verdict (missing stats) run LAST, in call order,
+    *     as plain joins: plan from data when metadata can't answer.
+    *   - PER-EDGE STRATEGY — each edge dispatches its own verdict
+    *     exactly as [[planAwareJoin]] does: broadcast hint / broadcast
+    *     left-semi prefilter / salted spread / plain shuffle.
+    *
+    * Verdicts are computed fact-manifest vs dim-manifest (not against
+    * the shrinking intermediate) — the conservative direction: inner
+    * joins only remove fact rows, so a broadcast or prefilter that was
+    * right for the full fact stays right for any subset of it.
+    *
+    * Every arm and every ordering returns the SAME rows as the plain
+    * left-deep inner join (inner joins commute and associate; the
+    * prefilter only drops rows its own join would drop) — the q179
+    * oracle pins that with a plain-SQL mirror. Fact and dim column
+    * names must be pairwise disjoint. Returns the joined frame plus the
+    * executed steps so callers and audits can see what the planner
+    * decided. */
+  def planAwareStarJoin(spark: SparkSession, factDir: String,
+      dims: Seq[DimSpec], broadcastRows: Long,
+      saltBuckets: Int = 16): (DataFrame, Seq[StarStep]) = {
+    import graft.sinks.ManifestSink
+    dims.foreach(d => require(d.factKey != d.dimKey,
+      s"star edge ${d.dir} needs distinct key names; rename one side"))
+    val planned = dims.zipWithIndex.map { case (d, i) =>
+      (d, i, ManifestSink.joinPlan(spark, factDir, d.factKey, d.dir,
+        d.dimKey, broadcastRows))
+    }
+    val ordered = planned.sortBy { case (_, i, p) =>
+      (p.isEmpty, p.map(_.estJoinRows).getOrElse(Double.MaxValue), i)
+    }
+    var acc = ManifestSink.read(spark, factDir)
+    val steps = ordered.map { case (d, _, p) =>
+      val dim = ManifestSink.read(spark, d.dir)
+      val clash = acc.columns.toSet.intersect(dim.columns.toSet)
+      require(clash.isEmpty,
+        s"star columns must be disjoint; ${d.dir} clashes on $clash")
+      val outCols = (acc.columns ++ dim.columns).map(col).toSeq
+      val strategy = p.map(_.strategy).getOrElse("unplanned")
+      acc = strategy match {
+        case "broadcast" =>
+          if (p.get.rowsB <= broadcastRows)
+            acc.join(broadcast(dim), col(d.factKey) === col(d.dimKey))
+          else broadcast(acc).join(dim, col(d.factKey) === col(d.dimKey))
+        case "prefilter_semi" =>
+          prefilteredJoin(acc, dim, d.factKey, d.dimKey)
+        case "salted" =>
+          val j =
+            if (p.get.maxKeyRowsA >= p.get.maxKeyRowsB)
+              saltJoin(acc,
+                dim.withColumnRenamed(d.dimKey, d.factKey), d.factKey,
+                saltBuckets).withColumn(d.dimKey, col(d.factKey))
+            else
+              saltJoin(dim,
+                acc.withColumnRenamed(d.factKey, d.dimKey), d.dimKey,
+                saltBuckets).withColumn(d.factKey, col(d.dimKey))
+          j.select(outCols: _*)
+        case _ => acc.join(dim, col(d.factKey) === col(d.dimKey))
+      }
+      StarStep(d.dir, d.factKey, strategy,
+        p.map(_.estJoinRows).getOrElse(-1.0))
+    }
+    (acc, steps)
+  }
+
+  // --------------------------------------------------------------- q179
+  /** The planner triangle's N-WAY leg through the gate: lineitem (with
+    * NDV sketches on all three keys) stars into a 1/25th order slice, a
+    * part dim, and a supplier dim via [[planAwareStarJoin]]. The
+    * manifests alone must (a) order the slice edge FIRST — its estimate
+    * is fact/25 vs fanout-1 for the others — and (b) land three
+    * DIFFERENT verdicts (prefilter_semi / shuffle / broadcast),
+    * asserted in-query; the emitted brand×status revenue (which also
+    * sums a supplier column, so a dropped or doubled edge shows) must
+    * equal the oracle's plain three-join SQL — ordering and placement,
+    * never semantics.
+    *
+    * Scale: this is the shape of every fact-to-dims query at 100 TB —
+    * N small manifest reads pick the join order and each edge's
+    * physical strategy with zero data scanned and no human in the
+    * loop. */
+  private val q179: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sinks.ManifestSink
+    val li = Tables(s, dir, "lineitem").select(
+      $"l_orderkey", $"l_partkey", $"l_suppkey",
+      $"l_extendedprice", $"l_discount")
+    val ords = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+    val maxO = ords.agg(max($"o_orderkey")).head().getLong(0)
+    val root = SinkOps.freshScratch("graft_q179", dir)
+    def sink(name: String, df: DataFrame, key: String): String = {
+      val p = root + "/" + name
+      ManifestSink.appendWithStats(df, p, Seq(key), ndvCols = Seq(key))
+      p
+    }
+    val fact = root + "/fact"
+    ManifestSink.appendWithStats(li, fact, Seq("l_orderkey"),
+      ndvCols = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val low = sink("low", ords.filter($"o_orderkey" <= maxO / 25),
+      "o_orderkey")
+    val part = sink("part",
+      Tables(s, dir, "part").select($"p_partkey", $"p_brand"), "p_partkey")
+    val sup = sink("sup",
+      Tables(s, dir, "supplier").select($"s_suppkey", $"s_acctbal"),
+      "s_suppkey")
+    val bc = ManifestSink.rowCount(s, fact).get / 200
+    val (joined, steps) = planAwareStarJoin(s, fact, Seq(
+      DimSpec(part, "l_partkey", "p_partkey"),
+      DimSpec(sup, "l_suppkey", "s_suppkey"),
+      DimSpec(low, "l_orderkey", "o_orderkey")), bc)
+    // the selective slice must be planned first, and all three verdicts
+    // must be the distinct trio — a planner regression fails loudly here
+    require(steps.head.factKey == "l_orderkey" &&
+      steps.head.strategy == "prefilter_semi" &&
+      steps.map(_.strategy).sorted ==
+        Seq("broadcast", "prefilter_semi", "shuffle"),
+      s"unexpected star plan: $steps")
+    joined.groupBy($"o_orderstatus", $"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"),
+        Exact.dsum($"s_acctbal").as("sum_acctbal"))
+      .orderBy($"o_orderstatus", $"p_brand")
+  }
+  private val q179Sql =
+    s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+       |SELECT o_orderstatus, p_brand,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  ${Exact.sqlSum("s_acctbal")} AS sum_acctbal
+       |FROM lineitem
+       |JOIN (SELECT o_orderkey, o_orderstatus
+       |      FROM orders CROSS JOIN mx WHERE o_orderkey <= m // 25) o
+       |  ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY o_orderstatus, p_brand
+       |ORDER BY o_orderstatus, p_brand""".stripMargin
+
   // --------------------------------------------------------------- q140
   /** The prefilter_semi verdict EXECUTED (q134 diagnosed this exact
     * pair): lineitem joins the bottom-1/25th order slice through
@@ -268,9 +429,11 @@ object Skew {
   val queries: Map[String, Q] = Map(
     "q61_salted_join" -> q61,
     "q139_skew_report" -> q139,
-    "q140_prefiltered_join" -> q140)
+    "q140_prefiltered_join" -> q140,
+    "q179_star_plan_join" -> q179)
   val oracleSql: Map[String, String] = Map(
     "q61_salted_join" -> q61Sql,
     "q139_skew_report" -> q139Sql,
-    "q140_prefiltered_join" -> q140Sql)
+    "q140_prefiltered_join" -> q140Sql,
+    "q179_star_plan_join" -> q179Sql)
 }

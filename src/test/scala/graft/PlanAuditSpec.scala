@@ -287,4 +287,33 @@ class PlanAuditSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("planAwareStarJoin executes all three verdicts in one plan, " +
+      "broadcast hint placed by the operator alone") {
+    // q179's star (slice prefilter + part shuffle + supplier broadcast)
+    // with autoBroadcastJoinThreshold off: the one BroadcastHashJoin in
+    // the non-semi position must be the operator's own hint, the slice
+    // edge must appear as a broadcast LeftSemi, and the part edge as a
+    // SortMergeJoin. The in-query require already pins the ORDER (the
+    // selective edge first) and the verdict trio.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q179_star_plan_join")(spark, sf)
+      df.count() // settle AQE: assert on the FINAL physical plan
+      val p = df.queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toSeq
+      assert(lines.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+        s"no broadcast LeftSemi prefilter for the slice edge:\n$p")
+      assert(lines.exists(l =>
+        l.contains("BroadcastHashJoin") && !l.contains("LeftSemi")),
+        s"no operator-placed broadcast for the supplier edge:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"no plain shuffle join for the part edge:\n$p")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

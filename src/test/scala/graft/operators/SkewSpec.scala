@@ -29,4 +29,62 @@ class SkewSpec extends SparkSpec {
     assert(salted.getLong(0) === plain.getLong(0))
     assert(salted.getDouble(1) === plain.getDouble(1))
   }
+
+  test("planAwareStarJoin: selective edge first, stat-less edge last, " +
+      "rows equal the plain join") {
+    import graft.sinks.ManifestSink
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_star").toString
+    val fact = root + "/fact"
+    // 1000 fact rows over 100 k-keys, 10 s-keys, 50 u-keys
+    val f = spark.range(0, 1000).select($"id".as("fid"),
+      ($"id" % 100).as("fk"), ($"id" % 10).as("fs"), ($"id" % 50).as("fu"))
+    ManifestSink.appendWithStats(f, fact, Seq("fk"),
+      ndvCols = Seq("fk", "fs", "fu"))
+    // dk: 25 rows but only 4 of the 100 keys — above the broadcast
+    // threshold, low key overlap → selective prefilter edge
+    val dSel = root + "/sel"
+    ManifestSink.appendWithStats(
+      spark.range(0, 25).select(($"id" % 4).as("dk"), lit("sel").as("sv")),
+      dSel, Seq("dk"), ndvCols = Seq("dk"))
+    // ds: 10 rows ≤ broadcast threshold → broadcast edge, fanout 1
+    val dBc = root + "/bc"
+    ManifestSink.appendWithStats(
+      spark.range(0, 10).select($"id".as("ds"), lit("bc").as("bv")),
+      dBc, Seq("ds"), ndvCols = Seq("ds"))
+    // du: NO ndv stats → no verdict → unplanned, must run LAST
+    val dNo = root + "/no"
+    ManifestSink.append(
+      spark.range(0, 50).select($"id".as("du"), lit("no").as("nv")), dNo)
+    val (joined, steps) = Skew.planAwareStarJoin(spark, fact, Seq(
+      Skew.DimSpec(dNo, "fu", "du"),
+      Skew.DimSpec(dBc, "fs", "ds"),
+      Skew.DimSpec(dSel, "fk", "dk")), broadcastRows = 20)
+    assert(steps.map(_.strategy) ===
+      Seq("prefilter_semi", "broadcast", "unplanned"))
+    assert(steps.map(_.factKey) === Seq("fk", "fs", "fu"))
+    val plain = ManifestSink.read(spark, fact)
+      .join(ManifestSink.read(spark, dSel), $"fk" === $"dk")
+      .join(ManifestSink.read(spark, dBc), $"fs" === $"ds")
+      .join(ManifestSink.read(spark, dNo), $"fu" === $"du")
+    assert(joined.count() === plain.count())
+    assert(joined.agg(sum($"fid")).head().getLong(0) ===
+      plain.agg(sum($"fid")).head().getLong(0))
+    assert(joined.columns.sorted === plain.columns.sorted)
+  }
+
+  test("planAwareStarJoin refuses clashing column names") {
+    import graft.sinks.ManifestSink
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_star_clash").toString
+    ManifestSink.append(
+      spark.range(0, 5).select($"id".as("k"), lit(1).as("x")), root + "/f")
+    ManifestSink.append(
+      spark.range(0, 5).select($"id".as("dk"), lit(2).as("x")), root + "/d")
+    val e = intercept[IllegalArgumentException] {
+      Skew.planAwareStarJoin(spark, root + "/f",
+        Seq(Skew.DimSpec(root + "/d", "k", "dk")), 10)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
 }
