@@ -1130,6 +1130,138 @@ object TrainingOps {
         .toIndexedSeq: _*)
   }
 
+  /** CURRICULUM PHASE ASSIGNMENT — the data-ordering step of a staged
+    * pretraining run ("first 70 % of tokens = web mix, last 10 % =
+    * high-quality anneal"): every document gets its EXACT global token
+    * START OFFSET in curriculum order, and the token stream is cut into
+    * phases at integer token boundaries.
+    *
+    * Curriculum order is `(tier, hash(id), id)` — tiers (a bounded
+    * quality/stage column, the strata contract of q176) play out in
+    * ascending order, and documents SHUFFLE WITHIN their tier through
+    * the engine-portable [[PortableHash]] permutation, so each phase
+    * sees its tiers in a reproducible pseudo-random interleave. Phase
+    * boundaries come from integer `weights`: cut p sits at
+    * `total·(w₁+…+wₚ) div Σw` tokens — exact long arithmetic, no
+    * floating rounding to disagree across engines. A document straddling
+    * a cut belongs to the phase its FIRST token falls in (documents are
+    * atomic — the documented convention).
+    *
+    * Scale shape = q177's sharded prefix sum, lifted from row counts to
+    * token mass: ONE corpus scan aggregates per-(tier, hash-range
+    * bucket) token totals (two-phase agg into a tiers×B frame), the
+    * exclusive prefix and grand total fold driver-side over that
+    * decision-sized result, and the only windows are in-bucket running
+    * sums over 1/B of a tier each — no data-sized global window
+    * anywhere. Order-preserving bucketing makes the composed offset
+    * bit-identical to the one-window form (the spec pins buckets
+    * 1/2/17/256 against it).
+    *
+    * Output = input columns + `start_offset` (0-based global token
+    * offset) + `phase` (0-based). */
+  def curriculumPhases(docs: DataFrame, idCol: String, tokCol: String,
+      tierCol: String, weights: Seq[Long],
+      buckets: Int = 256): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0),
+      s"phase weights must be positive, got $weights")
+    require(buckets > 0 && buckets <= (1 << 15),
+      s"buckets must be in [1, 32768], got $buckets")
+    val h = PortableHash.tokenHash(col(idCol))
+    val rows = docs
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h") * lit(buckets.toLong), 48))
+    // ONE corpus scan: per-(tier, bucket) token totals, prefix + grand
+    // total folded driver-side over the decision-sized frame
+    val pb = rows.groupBy(col(tierCol).as("__pt"), col("__b").as("__pb"))
+      .agg(sum(col(tokCol)).cast("long").as("__bt"))
+      .orderBy(col("__pt"), col("__pb"))
+      .collect()
+    var acc = 0L
+    val pref = pb.map { r =>
+      val p = acc; acc += r.getLong(2)
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1), p)
+    }
+    val total = acc
+    require(total > 0, "curriculumPhases needs a non-empty corpus")
+    val sumW = weights.sum
+    val cuts = weights.scanLeft(0L)(_ + _).tail.dropRight(1)
+      .map(cw => total * cw / sumW)
+    val spark = docs.sparkSession
+    val tierField = docs.schema(tierCol)
+    val prefixed = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(pref: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pt", tierField.dataType),
+        org.apache.spark.sql.types.StructField("__pb",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__prefix",
+          org.apache.spark.sql.types.LongType))))
+    val wIn = Window.partitionBy(col(tierCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    val phase = cuts
+      .map(c => (col("start_offset") >= lit(c)).cast("int"))
+      .reduceOption(_ + _).getOrElse(lit(0)).cast("int")
+    rows.join(broadcast(prefixed),
+        col(tierCol) === col("__pt") && col("__b") === col("__pb"))
+      .withColumn("__cum", sum(col(tokCol)).over(wIn))
+      .withColumn("start_offset",
+        col("__prefix") + col("__cum") - col(tokCol))
+      .withColumn("phase", phase)
+      .select((docs.columns.map(col) :+ col("start_offset") :+
+        col("phase")).toIndexedSeq: _*)
+  }
+
+  // --------------------------------------------------------------- q180
+  /** Curriculum through the gate: documents tiered by a deterministic
+    * quality proxy (n_chars bands), phases cut 70/20/10 by token mass.
+    * The emitted phase×tier matrix (counts, token mass, offset span,
+    * doc-id sum) must equal the oracle's one-window exclusive running
+    * sum — so a bucket prefix off by one token, a straddling document
+    * on the wrong side of a cut, or a tie broken differently all
+    * hash-mismatch. */
+  private val q180: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir, "documents").select(
+      $"doc_id",
+      size(split($"text", " ")).cast("long").as("tok"),
+      when($"n_chars" < 200, 0).when($"n_chars" < 400, 1).otherwise(2)
+        .cast("int").as("tier"))
+    curriculumPhases(t, "doc_id", "tok", "tier", Seq(7L, 2L, 1L))
+      .groupBy($"phase", $"tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok").cast("long").as("sum_tokens"),
+        min($"start_offset").as("min_off"),
+        max($"start_offset").as("max_off"),
+        sum($"doc_id").cast("long").as("sum_doc_id"))
+      .orderBy($"phase", $"tier")
+  }
+  private val q180Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+       |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+       |         ELSE 2 END AS tier,
+       |    ${PortableHash.tokenHashSql("doc_id")} AS h
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, tok, tier,
+       |    CAST(COALESCE(SUM(tok) OVER (ORDER BY tier, h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_offset,
+       |    CAST(SUM(tok) OVER () AS BIGINT) AS total
+       |  FROM t)
+       |SELECT CAST((start_offset >= total * 7 // 10)::INT
+       |         + (start_offset >= total * 9 // 10)::INT AS INTEGER)
+       |    AS phase,
+       |  tier,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       |  MIN(start_offset) AS min_off, MAX(start_offset) AS max_off,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM o
+       |GROUP BY phase, tier
+       |ORDER BY phase, tier""".stripMargin
+
   /** Shard assignment through the gate: 8-way deterministic shuffle of
     * `documents`, per-shard membership pinned by count, token mass, rank
     * span, AND the doc-id sum (so one document in the wrong shard — a
@@ -1169,6 +1301,7 @@ object TrainingOps {
        |ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q180_curriculum_phases" -> q180,
     "q177_shuffle_shards" -> q177,
     "q176_token_budget_sample" -> q176,
     "q147_bpe_merges" -> q147,
@@ -1188,6 +1321,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q180_curriculum_phases" -> q180Sql,
     "q177_shuffle_shards" -> q177Sql,
     "q176_token_budget_sample" -> q176Sql,
     "q147_bpe_merges" -> q147Sql,
