@@ -1211,6 +1211,127 @@ object TrainingOps {
         col("phase")).toIndexedSeq: _*)
   }
 
+  /** EPOCH-CAPPED UPSAMPLING — the data-constrained-scaling repeat step
+    * (Muennighoff et al. 2023: when a source is scarce, repeat it, but
+    * only up to a cap past which extra epochs stop helping): each source
+    * s with total token mass T_s and budget B_s materializes
+    * `e_s = min(B_s div T_s, maxEpochs)` FULL epochs plus one PARTIAL
+    * epoch holding the maximal (PortableHash, id)-ordered prefix of the
+    * remainder `B_s − e_s·T_s` tokens (zero when the cap bit) — the
+    * [[tokenBudgetSample]] prefix, so the partial epoch is the same
+    * deterministic subset on every run and engine. Output = input
+    * columns + `epoch` (0-based; full epochs 0..e_s−1, the partial
+    * epoch e_s). Sources missing from `budgets` are excluded.
+    *
+    * Scale: per-source totals are one decision-sized two-phase
+    * aggregate; full epochs are a row-local explode against a broadcast
+    * per-source epoch count (no shuffle, output-bound by construction —
+    * the repeats ARE the product); the partial epoch reuses
+    * tokenBudgetSample's sharded prefix plan, so nothing corpus-sized
+    * ever lands on one reducer. */
+  def epochUpsample(docs: DataFrame, sourceCol: String, idCol: String,
+      tokCol: String, budgets: DataFrame, maxEpochs: Int,
+      buckets: Int = 256): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokCol)).cast("long").as("__tot"))
+      .join(budgets, Seq(sourceCol))
+      .withColumn("__e",
+        least(expr("budget div __tot"), lit(maxEpochs.toLong)))
+      .withColumn("__r",
+        when(col("__e") < maxEpochs,
+          col("budget") - col("__e") * col("__tot")).otherwise(lit(0L)))
+    val outCols =
+      (docs.columns.map(col) :+ col("epoch")).toIndexedSeq
+    val full = docs
+      .join(broadcast(totals.select(col(sourceCol), col("__e"))),
+        Seq(sourceCol))
+      .filter(col("__e") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__e") - 1)))
+      .select(outCols: _*)
+    val partial = tokenBudgetSample(docs, sourceCol, idCol, tokCol,
+        totals.select(col(sourceCol), col("__r").as("budget")), buckets)
+      .join(broadcast(totals.select(col(sourceCol),
+        col("__e").as("epoch"))), Seq(sourceCol))
+      .select(outCols: _*)
+    full.unionByName(partial)
+  }
+
+  // --------------------------------------------------------------- q181
+  /** Epoch upsampling through the gate: per-source budgets derived from
+    * each source's own token mass land all three regimes at every SF —
+    * class 0 (budget 2.5×) takes two full epochs plus a half-mass
+    * partial, class 1 (budget 7×) hits the 3-epoch cap with zero
+    * remainder, class 2 (budget 0.5×) is partial-only. The emitted
+    * class×epoch matrix (counts, token mass, doc-id sum) must equal the
+    * oracle's generate_series repeats + one-window prefix — a repeat
+    * count off by one, a cap not applied, or a partial prefix cut at
+    * the wrong token all hash-mismatch. */
+  private val q181: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir, "documents").select(
+      $"doc_id", $"source",
+      size(split($"text", " ")).cast("long").as("tok"))
+    val budgets = t.groupBy($"source")
+      .agg(sum($"tok").as("__t"))
+      .withColumn("__m", expr("CAST(substring(source, 4, 10) AS INT) % 3"))
+      .withColumn("budget",
+        when($"__m" === 0, expr("__t * 5 div 2"))
+          .when($"__m" === 1, $"__t" * 7)
+          .otherwise(expr("__t div 2")))
+      .select($"source", $"budget")
+    epochUpsample(t, "source", "doc_id", "tok", budgets, maxEpochs = 3)
+      .withColumn("src_class",
+        expr("CAST(CAST(substring(source, 4, 10) AS INT) % 3 AS INT)"))
+      .groupBy($"src_class", $"epoch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok").cast("long").as("sum_tokens"),
+        sum($"doc_id").cast("long").as("sum_doc_id"))
+      .orderBy($"src_class", $"epoch")
+  }
+  private val q181Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+       |    ${PortableHash.tokenHashSql("doc_id")} AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, SUM(tok) AS tot,
+       |    CASE CAST(substr(source, 4) AS INT) % 3
+       |      WHEN 0 THEN SUM(tok) * 5 // 2
+       |      WHEN 1 THEN SUM(tok) * 7
+       |      ELSE SUM(tok) // 2 END AS budget
+       |  FROM t GROUP BY source),
+       |e AS (
+       |  SELECT source, tot, budget, LEAST(budget // tot, 3) AS e,
+       |    CASE WHEN LEAST(budget // tot, 3) < 3
+       |      THEN budget - LEAST(budget // tot, 3) * tot
+       |      ELSE 0 END AS r
+       |  FROM s),
+       |fulls AS (
+       |  SELECT t.doc_id, t.source, t.tok, g.i AS epoch
+       |  FROM t JOIN e USING (source)
+       |  CROSS JOIN generate_series(0, 2) AS g(i)
+       |  WHERE g.i < e.e),
+       |pfx AS (
+       |  SELECT t.*, SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t),
+       |partial AS (
+       |  SELECT pfx.doc_id, pfx.source, pfx.tok, e.e AS epoch
+       |  FROM pfx JOIN e USING (source)
+       |  WHERE pfx.cum <= e.r),
+       |u AS (SELECT * FROM fulls UNION ALL SELECT * FROM partial)
+       |SELECT CAST(CAST(substr(source, 4) AS INT) % 3 AS INTEGER)
+       |    AS src_class,
+       |  CAST(epoch AS BIGINT) AS epoch,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM u
+       |GROUP BY src_class, epoch
+       |ORDER BY src_class, epoch""".stripMargin
+
   // --------------------------------------------------------------- q180
   /** Curriculum through the gate: documents tiered by a deterministic
     * quality proxy (n_chars bands), phases cut 70/20/10 by token mass.
@@ -1301,6 +1422,7 @@ object TrainingOps {
        |ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q181_epoch_upsample" -> q181,
     "q180_curriculum_phases" -> q180,
     "q177_shuffle_shards" -> q177,
     "q176_token_budget_sample" -> q176,
@@ -1321,6 +1443,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q181_epoch_upsample" -> q181Sql,
     "q180_curriculum_phases" -> q180Sql,
     "q177_shuffle_shards" -> q177Sql,
     "q176_token_budget_sample" -> q176Sql,
