@@ -1907,7 +1907,77 @@ object SinkOps {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // --------------------------------------------------------------- q182
+  /** Transparent JOIN-view rewrite through the gate: q175's staggered
+    * lifecycle (two sources, create, two delta-folding refreshes), then
+    * [[graft.plans.ViewRewrite.registerJoinForView]] registers the view
+    * in ONE call off its own absorbed-versions header — and the USER
+    * QUERY is a completely vanilla `read(L).join(read(R), Seq(key))`
+    * aggregate. The optimizer substitutes the materialized join: the
+    * query asserts in-plan that its only scan is the view, while the
+    * oracle joins the raw tables — so a view that dropped, doubled, or
+    * mis-keyed a delta row hash-mismatches through the TRANSPARENT
+    * path, not just the explicit read (q175's check).
+    *
+    * Scale: the rewritten plan never re-runs the L⋈R join — the 100 TB
+    * dashboard shape over a maintained join. Staleness is structural on
+    * BOTH sides' path sets (any source commit stops the match; the spec
+    * pins the fallback arm). */
+  private val q182: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.ViewRewrite
+    import graft.sinks.IncrementalJoinView
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_quantity", $"l_extendedprice")
+    val ord = Tables(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val maxOk = ord.agg(max($"okey")).head().getLong(0)
+    val (cut1, cut2) = (maxOk / 3, 2 * maxOk / 3)
+    val scratch = freshScratch("graft_q182", dir)
+    val (lsink, rsink, vsink) =
+      (scratch + "/l", scratch + "/r", scratch + "/view")
+    ManifestSink.append(li.filter($"okey" <= cut1), lsink)
+    ManifestSink.append(ord.filter($"okey" <= cut2), rsink)
+    IncrementalJoinView.create(s, vsink, lsink, rsink, "okey")
+    ManifestSink.append(
+      li.filter($"okey" > cut1 && $"okey" <= cut2), lsink)
+    val (_, f1) = IncrementalJoinView.refresh(s, vsink, lsink, rsink, "okey")
+    ManifestSink.append(li.filter($"okey" > cut2), lsink)
+    ManifestSink.append(ord.filter($"okey" > cut2), rsink)
+    val (_, f2) = IncrementalJoinView.refresh(s, vsink, lsink, rsink, "okey")
+    require(f1 && f2,
+      "append-only windows must take the fold path, not recompute")
+    ViewRewrite.install(s)
+    ViewRewrite.registerJoinForView(s, vsink, lsink, rsink, "okey")
+    val user = ManifestSink.read(s, lsink)
+      .join(ManifestSink.read(s, rsink), Seq("okey"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.dsum($"l_extendedprice").as("sum_price"),
+        Exact.dsum($"l_quantity").as("sum_qty"),
+        min($"okey").as("min_okey"),
+        max($"okey").as("max_okey"))
+      .orderBy($"o_orderstatus")
+    val plan = user.queryExecution.executedPlan.toString
+    require(plan.contains("/view") && !plan.contains("/l/") &&
+      !plan.contains("/r/"),
+      "join-view rewrite did not serve the query from the view")
+    user
+  }
+  // same result contract as q175 — the view content IS lineitem⋈orders
+  private val q182Sql =
+    s"""SELECT o_orderstatus,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum("l_extendedprice")} AS sum_price,
+       |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |  MIN(l_orderkey) AS min_okey,
+       |  MAX(l_orderkey) AS max_okey
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q182_join_view_rewrite" -> q182,
     "q178_view_rewrite" -> q178,
     "q175_join_view" -> q175,
     "q168_salted_plan_join" -> q168,
@@ -1939,6 +2009,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q182_join_view_rewrite" -> q182Sql,
     "q178_view_rewrite" -> q178Sql,
     "q175_join_view" -> q175Sql,
     "q168_salted_plan_join" -> q168Sql,

@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DataType, DecimalType}
@@ -59,11 +60,20 @@ import org.apache.spark.sql.types.{DataType, DecimalType}
   * `IncrementalAgg.present` and `Exact.dsum` already document). `min`/
   * `max`/`count` are exact for any type.
   *
+  * A second arm serves JOINS: [[registerJoinForView]] registers a
+  * [[graft.sinks.IncrementalJoinView]] (keyed by BOTH sides' path sets
+  * at the versions the view absorbed, read off the view's own header),
+  * and an inner shared-key equi-join of those two scans rewrites to the
+  * materialized join table — any parent (filter, ANY aggregate, window)
+  * composes on top untouched. Single-side filters are pushed BELOW the
+  * join by the optimizer before this rule runs, so only unfiltered
+  * join reads serve from the view; everything else falls back.
+  *
   * At 100 TB this is the difference between a dashboard query reading
-  * the whole fact table and reading an aggregate-sized state file: the
-  * rewritten plan's only scan is the state parquet. Registered through
-  * [[graft.Graft.init]] (inert until a view is registered) or
-  * [[install]].
+  * the whole fact table (or re-running a 100 TB ⋈ 100 TB join) and
+  * reading the maintained result: the rewritten plan's only scan is the
+  * state/view parquet. Registered through [[graft.Graft.init]] (inert
+  * until a view is registered) or [[install]].
   */
 object ViewRewrite extends Rule[LogicalPlan] {
 
@@ -73,6 +83,15 @@ object ViewRewrite extends Rule[LogicalPlan] {
 
   private val registry =
     new ConcurrentHashMap[Set[String], Registration]()
+
+  /** One registered JOIN view ([[graft.sinks.IncrementalJoinView]]):
+    * both sides' scan paths at the versions the view absorbed, the
+    * shared key name, and the view's own data paths. */
+  case class JoinRegistration(leftPaths: Set[String],
+      rightPaths: Set[String], key: String, viewPaths: Seq[String])
+
+  private val joinRegistry =
+    new ConcurrentHashMap[(Set[String], Set[String]), JoinRegistration]()
 
   /** Idempotently hook the rule into `spark`'s optimizer. */
   def install(spark: SparkSession): Unit = synchronized {
@@ -116,19 +135,96 @@ object ViewRewrite extends Rule[LogicalPlan] {
     register(spark, paths, keys, value, stateDir)
   }
 
+  /** Register a [[graft.sinks.IncrementalJoinView]] at `viewDir` as the
+    * materialization of `leftDir ⋈ rightDir` on shared-name `key` — ONE
+    * call straight off the view's own header: the absorbed source
+    * versions come from the view manifest, both sides' entry dirs at
+    * those versions become the match key, and the view's current data
+    * paths become the served scan. The same structural staleness as the
+    * aggregate path: a source commit changes its path set and the match
+    * silently stops; re-register after each
+    * [[graft.sinks.IncrementalJoinView.refresh]]. Refuses tombstoned
+    * snapshots on any of the three tables. */
+  def registerJoinForView(spark: SparkSession, viewDir: String,
+      leftDir: String, rightDir: String, key: String): Unit = {
+    import graft.sinks.{IncrementalJoinView, ManifestSink}
+    val (vL, vR) = IncrementalJoinView.sourceVersions(spark, viewDir)
+    val lp = ManifestSink.dataPathsAt(spark, leftDir, vL)
+      .map(qualify(spark, _)).toSet
+    val rp = ManifestSink.dataPathsAt(spark, rightDir, vR)
+      .map(qualify(spark, _)).toSet
+    val vp = ManifestSink.currentDataPaths(spark, viewDir)
+    val st = spark.read.parquet(vp: _*).schema
+    require(st.fieldNames.contains(key),
+      s"join view at $viewDir lacks key column '$key'")
+    joinRegistry.put((lp, rp), JoinRegistration(lp, rp, key, vp))
+  }
+
   /** Drop every registration (test isolation). */
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
 
   /** Drop the registration matching these base paths, if any. */
   def deregister(spark: SparkSession, basePaths: Seq[String]): Unit =
     registry.remove(basePaths.map(qualify(spark, _)).toSet)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty) plan
+    if (registry.isEmpty && joinRegistry.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
         tryRewrite(agg).getOrElse(agg)
+      case j: Join =>
+        tryRewriteJoin(j).getOrElse(j)
     }
+
+  /** Serve an inner shared-key equi-join of two registered base scans
+    * from the materialized join view: every output attribute (both key
+    * attrs included — inner equi rows make them equal, and the view
+    * stores the single shared column) maps to the view column of the
+    * same name under the original exprId, so parents above the join —
+    * filters, ANY aggregate, windows — compose untouched. Vetoes
+    * non-inner joins, compound or non-equi conditions, and any output
+    * column the view can't supply by name. */
+  private def tryRewriteJoin(j: Join): Option[LogicalPlan] = {
+    if (joinRegistry.isEmpty) return None
+    val (l, r, a, b) = j match {
+      case Join(l0, r0, Inner,
+          Some(EqualTo(a0: AttributeReference, b0: AttributeReference)),
+          _) => (l0, r0, a0, b0)
+      case _ => return None
+    }
+    val (lk, rk) =
+      if (l.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
+      else if (l.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
+      else return None
+    if (lk.name != rk.name) return None
+    // the optimizer infers `isnotnull(key)` under every inner equi-join;
+    // null keys never match and the view's own join dropped them too, so
+    // looking through EXACTLY that filter is semantics-free — any other
+    // predicate vetoes
+    def scanThroughNullFilter(p: LogicalPlan,
+        key: String): Option[Set[String]] = p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(
+          IsNotNull(x: AttributeReference), child) if x.name == key =>
+        scanThroughNullFilter(child, key)
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        scanThroughNullFilter(child, key)
+      case other => bareScanPaths(other)
+    }
+    val lp = scanThroughNullFilter(l, lk.name).getOrElse(return None)
+    val rp = scanThroughNullFilter(r, rk.name).getOrElse(return None)
+    val reg = Option(joinRegistry.get((lp, rp))).getOrElse(return None)
+    if (lk.name != reg.key) return None
+    val spark = SparkSession.active
+    val view = spark.read.parquet(reg.viewPaths: _*)
+      .queryExecution.analyzed
+    val viewOut = view.output.collect { case x: AttributeReference => x }
+    val mapped = j.output.map { o =>
+      val src = viewOut.find(_.name == o.name).getOrElse(return None)
+      Alias(src, o.name)(exprId = o.exprId)
+    }
+    Some(Project(mapped, view))
+  }
 
   /** The scan under an Aggregate, looking through a pure column-pruning
     * Project (what the optimizer inserts); anything else — a Filter, a
@@ -239,4 +335,8 @@ object ViewRewrite extends Rule[LogicalPlan] {
   /** Diagnostic view of the registry (tests, dashboards). */
   def registrations: Seq[Registration] =
     registry.values.asScala.toSeq
+
+  /** Diagnostic view of the join registry (tests, dashboards). */
+  def joinRegistrations: Seq[JoinRegistration] =
+    joinRegistry.values.asScala.toSeq
 }

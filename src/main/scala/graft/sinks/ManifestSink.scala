@@ -450,7 +450,16 @@ object ManifestSink {
   def currentDataPaths(spark: SparkSession, dir: String): Seq[String] = {
     val v = version(spark, dir)
     require(v >= 0, s"ManifestSink at $dir has no committed version")
+    dataPathsAt(spark, dir, v)
+  }
+
+  /** [[currentDataPaths]] at an explicit version — the registration key
+    * for a view that absorbed the sources at past versions (a
+    * [[IncrementalJoinView]] header's positions). Same tombstone
+    * refusal: only bare-scan snapshots are path-matchable. */
+  def dataPathsAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val parsed = manifestEntries(spark, dir, v).map(parseEntry)
+    require(parsed.nonEmpty, s"ManifestSink at $dir has no version $v")
     require(!parsed.exists(isTombEntry),
       s"ManifestSink at $dir v$v carries tombstones: its snapshot is " +
         "not a bare scan, so a path-keyed view rewrite cannot serve it")

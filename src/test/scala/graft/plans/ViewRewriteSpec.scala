@@ -174,6 +174,93 @@ class ViewRewriteSpec extends SparkSpec {
     } finally ViewRewrite.clear()
   }
 
+  // -------------------------------------------------------- join arm
+
+  /** Join fixture: two sink tables sharing only `okey`, their
+    * materialized join view, registered. Returns (l, r, view). */
+  private def joinFixture(tag: String): (String, String, String) = {
+    import graft.sinks.IncrementalJoinView
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_vrj_$tag").toString
+    val (l, r, v) = (root + "/l", root + "/r", root + "/view")
+    ManifestSink.append(
+      Seq((1L, 10.0), (2L, 20.0), (2L, 21.0), (7L, 70.0))
+        .toDF("okey", "x"), l)
+    ManifestSink.append(
+      Seq((1L, "a"), (2L, "b"), (9L, "z")).toDF("okey", "y"), r)
+    IncrementalJoinView.create(spark, v, l, r, "okey")
+    ViewRewrite.install(spark)
+    ViewRewrite.registerJoinForView(spark, v, l, r, "okey")
+    (l, r, v)
+  }
+
+  private def userJoin(l: String, r: String) =
+    ManifestSink.read(spark, l)
+      .join(ManifestSink.read(spark, r), Seq("okey"))
+
+  test("join of registered sources serves from the view; any parent " +
+      "composes on top") {
+    val (l, r, _) = joinFixture("serve")
+    try {
+      val q = userJoin(l, r).groupBy($"y")
+        .agg(count(lit(1)).as("n"), avg($"x").as("ax"))
+      assert(scanPaths(q).forall(_.contains("/view")),
+        s"expected view-only scan, got ${scanPaths(q)}")
+      // the bare (un-aggregated) join read serves too
+      val bare = userJoin(l, r)
+      assert(scanPaths(bare).forall(_.contains("/view")))
+      ViewRewrite.clear()
+      val direct = userJoin(l, r).groupBy($"y")
+        .agg(count(lit(1)).as("n"), avg($"x").as("ax"))
+      assert(canon(q) === canon(direct))
+      assert(canon(bare) === canon(userJoin(l, r)))
+    } finally ViewRewrite.clear()
+  }
+
+  test("join staleness is structural: a commit on either source stops " +
+      "the rewrite; re-register after refresh restores it") {
+    import graft.sinks.IncrementalJoinView
+    val (l, r, v) = joinFixture("stale")
+    try {
+      ManifestSink.append(Seq((7L, "g")).toDF("okey", "y"), r)
+      val q = userJoin(l, r)
+      assert(!scanPaths(q).exists(_.contains("/view")))
+      assert(q.count() === 4) // the new (7, g) row matches (7, 70.0)
+      val (_, folded) =
+        IncrementalJoinView.refresh(spark, v, l, r, "okey")
+      assert(folded)
+      ViewRewrite.registerJoinForView(spark, v, l, r, "okey")
+      val q2 = userJoin(l, r)
+      assert(scanPaths(q2).forall(_.contains("/view")))
+      assert(q2.count() === 4)
+      assert(canon(q2) === canon(q))
+    } finally ViewRewrite.clear()
+  }
+
+  test("unservable join shapes fall back to the base scans") {
+    val (l, r, _) = joinFixture("veto")
+    try {
+      val vetoed = Seq(
+        "left outer join" ->
+          ManifestSink.read(spark, l).join(ManifestSink.read(spark, r),
+            Seq("okey"), "left_outer"),
+        "filtered side" ->
+          ManifestSink.read(spark, l).filter($"x" > 15.0)
+            .join(ManifestSink.read(spark, r), Seq("okey")),
+        "non-equi extra conjunct" ->
+          ManifestSink.read(spark, l).as("l")
+            .join(ManifestSink.read(spark, r).as("r"),
+              $"l.okey" === $"r.okey" && $"x" > lit(0.0)))
+      vetoed.foreach { case (why, df) =>
+        assert(!scanPaths(df).exists(_.contains("/view")),
+          s"'$why' must not be served from the view")
+        df.collect()
+      }
+      // happy shape still serves in the same session
+      assert(scanPaths(userJoin(l, r)).forall(_.contains("/view")))
+    } finally ViewRewrite.clear()
+  }
+
   test("register validates the state schema") {
     val (base, _) = fixture("schema")
     try {
