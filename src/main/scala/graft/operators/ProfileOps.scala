@@ -286,12 +286,101 @@ object ProfileOps {
       |GROUP BY 1, 2, 3
       |ORDER BY nation, segment, bal_band""".stripMargin
 
+  /** WEIGHTED QUANTILES over a bounded-cardinality value column: for
+    * each target fraction `num/den`, the smallest value `q` whose
+    * cumulative weight first covers the fraction — `cum·den ≥
+    * total·num`, exact cross-multiplied long arithmetic, so no float
+    * quantile drift across engines. The LLM-
+    * pipeline use is quality-filter CALIBRATION: "what score threshold
+    * keeps exactly a quarter / half / 90 % of the token mass?" — the
+    * question a curation pipeline answers before committing to a filter,
+    * asked in token (weight) space rather than document count, because
+    * training budgets are token budgets.
+    *
+    * Plan: ONE corpus scan into per-value (weight, count) totals — the
+    * bounded-cardinality contract of q176's strata — then everything
+    * downstream (cumulative sums, the per-fraction argmin, the kept
+    * tokens/docs AT each threshold) runs over the distinct-value frame.
+    * The unpartitioned window is value-cardinality-bounded, never
+    * data-bounded (q26's documented pattern); the fraction × cumulative
+    * probe is an intentional bounded nested-loop (fracs × values).
+    * Returns (num, den, threshold, kept_weight, kept_rows). */
+  def weightedQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, fracs: Seq[(Int, Int)]): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall { case (n, d) =>
+      n >= 1 && n <= d }, s"fractions must satisfy 1 <= num <= den: $fracs")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val perV = df.groupBy(col(valueCol))
+      .agg(sum(col(weightCol)).cast("long").as("__w"),
+        count(lit(1)).as("__n"))
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("kept_weight", sum(col("__w")).over(w))
+      .withColumn("kept_rows", sum(col("__n")).over(w))
+    val total = cum.agg(sum(col("__w")).cast("long").as("__total"))
+    import spark.implicits._
+    val fr = fracs.toDF("num", "den")
+    val th = broadcast(fr).crossJoin(broadcast(total))
+      .join(cum,
+        col("kept_weight") * col("den") >= col("__total") * col("num"))
+      .groupBy(col("num"), col("den"))
+      .agg(min(col(valueCol)).as("threshold"))
+    th.join(cum.withColumnRenamed(valueCol, "threshold"), Seq("threshold"))
+      .select(col("num"), col("den"), col("threshold"),
+        col("kept_weight"), col("kept_rows"))
+  }
+
+  // --------------------------------------------------------------- q183
+  /** Filter calibration through the gate: an integer quality proxy over
+    * `documents` (n_chars div 16), thresholds for a quarter / half /
+    * 90 % of the corpus's TOKEN mass. The emitted (threshold,
+    * kept-token, kept-doc) triples must equal the oracle's window
+    * cumsum — an off-by-one in the cumulative order, a `>` for a `>=`,
+    * or float quantile math all hash-mismatch. */
+  private val q183: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir, "documents").select(
+      expr("n_chars div 16").as("score"),
+      size(split($"text", " ")).cast("long").as("tok"))
+    weightedQuantiles(t, "score", "tok", Seq((1, 4), (1, 2), (9, 10)))
+      .select($"num", $"den", $"threshold",
+        $"kept_weight".cast("long").as("kept_tokens"),
+        $"kept_rows".cast("long").as("kept_docs"))
+      .orderBy($"num", $"den")
+  }
+  private val q183Sql: String =
+    s"""WITH t AS (
+       |  SELECT n_chars // 16 AS score,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |p AS (SELECT score, SUM(tok) AS w, COUNT(*) AS n
+       |      FROM t GROUP BY score),
+       |c AS (
+       |  SELECT score,
+       |    SUM(w) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cumn
+       |  FROM p),
+       |tot AS (SELECT SUM(tok) AS total FROM t),
+       |f(num, den) AS (SELECT * FROM (VALUES (1, 4), (1, 2), (9, 10))),
+       |th AS (
+       |  SELECT num, den, MIN(score) AS threshold
+       |  FROM f, c, tot
+       |  WHERE c.cum * den >= tot.total * num
+       |  GROUP BY num, den)
+       |SELECT th.num, th.den, th.threshold,
+       |  CAST(c.cum AS BIGINT) AS kept_tokens,
+       |  CAST(c.cumn AS BIGINT) AS kept_docs
+       |FROM th JOIN c ON c.score = th.threshold
+       |ORDER BY num, den""".stripMargin
+
   val queries: Map[String, Q] =
     Map("q97_data_profile" -> q97, "q107_referential_audit" -> q107,
       "q142_drift_report" -> q142, "q145_k_anonymity" -> q145,
-      "q163_l_diversity" -> q163)
+      "q163_l_diversity" -> q163, "q183_weighted_quantiles" -> q183)
   val oracleSql: Map[String, String] =
     Map("q97_data_profile" -> q97Sql, "q107_referential_audit" -> q107Sql,
       "q142_drift_report" -> q142Sql, "q145_k_anonymity" -> q145Sql,
-      "q163_l_diversity" -> q163Sql)
+      "q163_l_diversity" -> q163Sql, "q183_weighted_quantiles" -> q183Sql)
 }
