@@ -64,10 +64,11 @@ import org.apache.spark.sql.types.{DataType, DecimalType}
   * [[graft.sinks.IncrementalJoinView]] (keyed by BOTH sides' path sets
   * at the versions the view absorbed, read off the view's own header),
   * and an inner shared-key equi-join of those two scans rewrites to the
-  * materialized join table — any parent (filter, ANY aggregate, window)
-  * composes on top untouched. Single-side filters are pushed BELOW the
-  * join by the optimizer before this rule runs, so only unfiltered
-  * join reads serve from the view; everything else falls back.
+  * materialized join table — any parent (filter, ANY aggregate, window,
+  * further joins over stacked views) composes on top untouched.
+  * Single-side filters and extra cross-side conjuncts commute with an
+  * inner join, so they are collected, remapped by name, and RE-APPLIED
+  * above the view scan — filtered reads of the join serve too.
   *
   * At 100 TB this is the difference between a dashboard query reading
   * the whole fact table (or re-running a 100 TB ⋈ 100 TB join) and
@@ -75,7 +76,7 @@ import org.apache.spark.sql.types.{DataType, DecimalType}
   * state/view parquet. Registered through [[graft.Graft.init]] (inert
   * until a view is registered) or [[install]].
   */
-object ViewRewrite extends Rule[LogicalPlan] {
+object ViewRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** One registered view: base scan paths → state location + shape. */
   case class Registration(basePaths: Set[String], keys: Seq[String],
@@ -177,53 +178,85 @@ object ViewRewrite extends Rule[LogicalPlan] {
     }
 
   /** Serve an inner shared-key equi-join of two registered base scans
-    * from the materialized join view: every output attribute (both key
-    * attrs included — inner equi rows make them equal, and the view
-    * stores the single shared column) maps to the view column of the
-    * same name under the original exprId, so parents above the join —
-    * filters, ANY aggregate, windows — compose untouched. Vetoes
-    * non-inner joins, compound or non-equi conditions, and any output
-    * column the view can't supply by name. */
+    * from the materialized join view. Single-side filters COMMUTE with
+    * an inner join (σₚ(L) ⋈ R = σₚ(L ⋈ R) when p references one side),
+    * and so do extra cross-side conjuncts — so instead of vetoing them,
+    * collect every deterministic predicate found under the join (the
+    * optimizer pushes user filters below joins before this rule runs,
+    * and infers `isnotnull(key)` there too) plus any non-key join
+    * conjuncts, remap them BY NAME onto the view, and re-apply them
+    * above the view scan: a filtered read of the join serves from the
+    * view with the filter intact. Every output attribute (both key
+    * attrs — inner equi rows make them equal, the view stores the
+    * single shared column) maps to the view column of the same name
+    * under the original exprId, so parents — ANY aggregate, windows,
+    * more joins (stacked views rewrite transitively through the
+    * fixed-point batch) — compose untouched. Vetoes non-inner joins,
+    * non-deterministic or subquery predicates, conditions without the
+    * registered key equality, and any column the view can't supply by
+    * name. */
   private def tryRewriteJoin(j: Join): Option[LogicalPlan] = {
     if (joinRegistry.isEmpty) return None
-    val (l, r, a, b) = j match {
-      case Join(l0, r0, Inner,
-          Some(EqualTo(a0: AttributeReference, b0: AttributeReference)),
-          _) => (l0, r0, a0, b0)
+    val (l, r, cond) = j match {
+      case Join(l0, r0, Inner, Some(c), _) => (l0, r0, c)
       case _ => return None
     }
-    val (lk, rk) =
-      if (l.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
-      else if (l.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
-      else return None
-    if (lk.name != rk.name) return None
-    // the optimizer infers `isnotnull(key)` under every inner equi-join;
-    // null keys never match and the view's own join dropped them too, so
-    // looking through EXACTLY that filter is semantics-free — any other
-    // predicate vetoes
-    def scanThroughNullFilter(p: LogicalPlan,
-        key: String): Option[Set[String]] = p match {
-      case org.apache.spark.sql.catalyst.plans.logical.Filter(
-          IsNotNull(x: AttributeReference), child) if x.name == key =>
-        scanThroughNullFilter(child, key)
-      case Project(pl, child)
-          if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        scanThroughNullFilter(child, key)
-      case other => bareScanPaths(other)
-    }
-    val lp = scanThroughNullFilter(l, lk.name).getOrElse(return None)
-    val rp = scanThroughNullFilter(r, rk.name).getOrElse(return None)
+    def usable(e: Expression): Boolean =
+      e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])
+    // the key equality among the conjuncts; everything else re-applies
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (keyEqNode, keyAttr) = conjuncts.collectFirst {
+      case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name &&
+            ((l.outputSet.contains(a) && r.outputSet.contains(b)) ||
+              (l.outputSet.contains(b) && r.outputSet.contains(a))) =>
+        (eq, a)
+    }.getOrElse(return None)
+    val extraCond = conjuncts.filterNot(_ eq keyEqNode)
+    if (!extraCond.forall(usable)) return None
+    // unwrap one side: pruning / identity-alias Projects and
+    // deterministic Filters over the base relation; collect predicates
+    def unwrap(p: LogicalPlan,
+        preds: Seq[Expression]): Option[(Set[String], Seq[Expression])] =
+      p match {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, child)
+            if usable(c) =>
+          unwrap(child, preds ++ splitConjunctivePredicates(c))
+        case Project(pl, child) if pl.forall {
+              case _: AttributeReference => true
+              case Alias(x: AttributeReference, n) => n == x.name
+              case _ => false
+            } =>
+          unwrap(child, preds)
+        case other => bareScanPaths(other).map((_, preds))
+      }
+    val (lp, lPreds) = unwrap(l, Nil).getOrElse(return None)
+    val (rp, rPreds) = unwrap(r, Nil).getOrElse(return None)
     val reg = Option(joinRegistry.get((lp, rp))).getOrElse(return None)
-    if (lk.name != reg.key) return None
+    if (keyAttr.name != reg.key) return None
     val spark = SparkSession.active
     val view = spark.read.parquet(reg.viewPaths: _*)
       .queryExecution.analyzed
     val viewOut = view.output.collect { case x: AttributeReference => x }
+    def byName(n: String): Option[AttributeReference] =
+      viewOut.find(_.name == n)
+    val allPreds = lPreds ++ rPreds ++ extraCond
+    val remapped = allPreds.map { p =>
+      var ok = true
+      val q = p.transform {
+        case x: AttributeReference =>
+          byName(x.name).getOrElse { ok = false; x }
+      }
+      if (!ok) return None
+      q
+    }
+    val filtered = remapped.reduceOption(And).fold(view: LogicalPlan)(
+      org.apache.spark.sql.catalyst.plans.logical.Filter(_, view))
     val mapped = j.output.map { o =>
-      val src = viewOut.find(_.name == o.name).getOrElse(return None)
+      val src = byName(o.name).getOrElse(return None)
       Alias(src, o.name)(exprId = o.exprId)
     }
-    Some(Project(mapped, view))
+    Some(Project(mapped, filtered))
   }
 
   /** The scan under an Aggregate, looking through a pure column-pruning

@@ -237,6 +237,34 @@ class ViewRewriteSpec extends SparkSpec {
     } finally ViewRewrite.clear()
   }
 
+  test("single-side filters and extra conjuncts commute: they re-apply " +
+      "above the view scan instead of vetoing") {
+    val (l, r, _) = joinFixture("commute")
+    try {
+      val served = Seq(
+        "filtered left side" ->
+          (() => ManifestSink.read(spark, l).filter($"x" > 15.0)
+            .join(ManifestSink.read(spark, r), Seq("okey"))),
+        "filters on both sides" ->
+          (() => ManifestSink.read(spark, l).filter($"x" > 15.0)
+            .join(ManifestSink.read(spark, r).filter($"y" =!= "z"),
+              Seq("okey"))),
+        "extra cross conjunct" ->
+          (() => ManifestSink.read(spark, l).as("l")
+            .join(ManifestSink.read(spark, r).as("r"),
+              $"l.okey" === $"r.okey" && $"x" > lit(15.0))))
+      served.foreach { case (why, mk) =>
+        val df = mk()
+        assert(scanPaths(df).forall(_.contains("/view")),
+          s"'$why' should serve from the view with the filter re-applied")
+      }
+      val got = served.map { case (_, mk) => canon(mk()) }
+      ViewRewrite.clear()
+      val want = served.map { case (_, mk) => canon(mk()) }
+      assert(got === want)
+    } finally ViewRewrite.clear()
+  }
+
   test("unservable join shapes fall back to the base scans") {
     val (l, r, _) = joinFixture("veto")
     try {
@@ -244,13 +272,13 @@ class ViewRewriteSpec extends SparkSpec {
         "left outer join" ->
           ManifestSink.read(spark, l).join(ManifestSink.read(spark, r),
             Seq("okey"), "left_outer"),
-        "filtered side" ->
-          ManifestSink.read(spark, l).filter($"x" > 15.0)
+        "non-deterministic filter" ->
+          ManifestSink.read(spark, l).filter(rand() < 0.5)
             .join(ManifestSink.read(spark, r), Seq("okey")),
-        "non-equi extra conjunct" ->
+        "no key equality" ->
           ManifestSink.read(spark, l).as("l")
             .join(ManifestSink.read(spark, r).as("r"),
-              $"l.okey" === $"r.okey" && $"x" > lit(0.0)))
+              $"l.okey" < $"r.okey"))
       vetoed.foreach { case (why, df) =>
         assert(!scanPaths(df).exists(_.contains("/view")),
           s"'$why' must not be served from the view")
@@ -258,6 +286,32 @@ class ViewRewriteSpec extends SparkSpec {
       }
       // happy shape still serves in the same session
       assert(scanPaths(userJoin(l, r)).forall(_.contains("/view")))
+    } finally ViewRewrite.clear()
+  }
+
+  test("stacked join views rewrite transitively: one 3-way user query " +
+      "lands on the second-level view through both registrations") {
+    import graft.sinks.IncrementalJoinView
+    val (l, r, v) = joinFixture("stack")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vrj_stack2").toString
+      val (c, v2) = (root + "/c", root + "/view2")
+      ManifestSink.append(
+        Seq((1L, 100L), (2L, 200L), (7L, 700L)).toDF("okey", "z"), c)
+      // second-level view: the first view (a normal sink table) ⋈ C
+      IncrementalJoinView.create(spark, v2, v, c, "okey")
+      ViewRewrite.registerJoinForView(spark, v2, v, c, "okey")
+      def threeWay() = ManifestSink.read(spark, l)
+        .join(ManifestSink.read(spark, r), Seq("okey"))
+        .join(ManifestSink.read(spark, c), Seq("okey"))
+        .groupBy($"y").agg(sum($"z").as("sz"), count(lit(1)).as("n"))
+      val q = threeWay()
+      // inner join → view v, then (v ⋈ c) → view v2, all in one pass
+      assert(scanPaths(q).forall(_.contains("/view2")),
+        s"expected second-level view scan, got ${scanPaths(q)}")
+      ViewRewrite.clear()
+      assert(canon(q) === canon(threeWay()))
     } finally ViewRewrite.clear()
   }
 
