@@ -13,10 +13,14 @@ import graft.GraftConfig
   * checkpoint. One file per trigger keeps the epoch sequence
   * deterministic across the kill.
   *
-  * args: srcDir sinkDir lateDir checkpointDir mode(run|finish) */
+  * args: srcDir sinkDir lateDir checkpointDir mode(run|finish)
+  * [catalogDir] — the optional 6th arg adds the per-epoch cross-table
+  * catalog publish, so the parent can kill INSIDE the
+  * commit-late/commit-main/publish-catalog window too. */
 object CrashChild {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, sinkDir, lateDir, ckpt, mode) = args
+    val Array(srcDir, sinkDir, lateDir, ckpt, mode) = args.take(5)
+    val catalogDir = if (args.length > 5) args(5) else null
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -29,7 +33,7 @@ object CrashChild {
       else Some(Trigger.ProcessingTime("50 milliseconds"))
     val q = WikiStream.startExactlyOnce(spark, srcDir, sinkDir, ckpt,
       GraftConfig(dbMaxEvents = 100000), trigger = trigger,
-      lateDir = lateDir, maxFilesPerTrigger = 1)
+      lateDir = lateDir, maxFilesPerTrigger = 1, catalogDir = catalogDir)
     q.awaitTermination() // run mode: until SIGKILLed; finish: until drained
     spark.stop()
   }

@@ -127,4 +127,90 @@ class CrashKillSpec extends SparkSpec {
     assert(Set("T25", "T30", "T35").subsetOf(late.toSet),
       s"straggler rows missing from dead-letter: $late")
   }
+
+  test("SIGKILL with the per-epoch catalog: every published catalog " +
+      "version stays an exact epoch prefix across real process death") {
+    import graft.sinks.Catalog
+    val srcDir = Files.createTempDirectory("ckc_src").toString
+    val sinkDir = Files.createTempDirectory("ckc_sink").toString + "/t"
+    val lateDir = Files.createTempDirectory("ckc_late").toString + "/l"
+    val catDir = Files.createTempDirectory("ckc_cat").toString + "/c"
+    val ckpt = Files.createTempDirectory("ckc_ckpt").toString
+    val log = Files.createTempFile("ckc_child", ".log").toFile
+
+    val lateFiles = Set(7, 13)
+    def line(i: Int): String = {
+      val dt =
+        if (lateFiles(i)) f"2026-01-08T21:00:${i}%02dZ"
+        else f"2026-01-08T22:${i}%02d:00Z"
+      f"""{"meta":{"dt":"$dt"},"type":"edit","title":"T$i%02d",""" +
+        """"title_url":"u","user":"Eve","bot":false,""" +
+        """"length":{"old":1,"new":2},"wiki":"enwiki"}"""
+    }
+    val mtimeBase = System.currentTimeMillis() - 120000L
+    (0 until 20).foreach { i =>
+      val f = Files.write(Paths.get(srcDir, f"b$i%02d.jsonl"),
+        line(i).getBytes("UTF-8"))
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 1000L))
+    }
+
+    // run 1: kill once the CATALOG (not just the sink) shows progress —
+    // the kill then lands somewhere inside commit-late / commit-main /
+    // publish-catalog with live epochs on both sides of it
+    val p1 = launchChild(log, srcDir, sinkDir, lateDir, ckpt, "run", catDir)
+    try {
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      var cv = -1L
+      while (cv < 4 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        cv = try Catalog.version(spark, catDir)
+             catch { case _: Throwable => -1L }
+      }
+      assert(cv >= 4, s"child never reached 4 catalog versions (log: $log)")
+    } finally {
+      p1.destroyForcibly()
+      p1.waitFor()
+    }
+
+    // run 2: drain from the same checkpoint
+    val p2 = launchChild(log, srcDir, sinkDir, lateDir, ckpt, "finish",
+      catDir)
+    assert(p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+        p2.exitValue() === 0,
+      s"finish run failed (log: ${scala.io.Source.fromFile(log)
+        .getLines().toSeq.takeRight(25).mkString("\n")})")
+
+    val all = (0 until 20).map(i => f"T$i%02d")
+    def titlesAt(cv: Long, name: String): Seq[String] = {
+      val pins = Catalog.pinsAt(spark, catDir, cv)
+      if (!pins.contains(name)) Nil
+      else Catalog.readTableAt(spark, catDir, cv, name)
+        .select("title").collect().map(_.getString(0)).toSeq
+    }
+    val finalCv = Catalog.version(spark, catDir)
+    assert(finalCv >= 4)
+    // EVERY catalog version published across the kill is an exact,
+    // monotone epoch prefix — no doubles, no tears, nothing lost
+    var prevN = -1
+    (0L to finalCv).foreach { cv =>
+      val union = titlesAt(cv, "main") ++ titlesAt(cv, "late")
+      assert(union.size === union.distinct.size,
+        s"catalog v$cv shows doubled rows")
+      assert(union.sorted === all.take(union.size),
+        s"catalog v$cv is not an epoch prefix: ${union.sorted}")
+      assert(union.size >= prevN, s"catalog v$cv went backward")
+      prevN = union.size
+    }
+    // the final version carries all 20, stragglers on the late side
+    assert((titlesAt(finalCv, "main") ++ titlesAt(finalCv, "late"))
+      .sorted === all)
+    assert(Set("T07", "T13")
+      .subsetOf(titlesAt(finalCv, "late").toSet))
+    // and the catalog caught up to the tables (no permanently-lagging pin)
+    assert(Catalog.pins(spark, catDir)("main")._2 ===
+      ManifestSink.version(spark, sinkDir))
+    assert(Catalog.pins(spark, catDir)("late")._2 ===
+      ManifestSink.version(spark, lateDir))
+  }
 }
