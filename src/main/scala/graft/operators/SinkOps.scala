@@ -1976,7 +1976,66 @@ object SinkOps {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------------------------- q184
+  /** The MANAGED aggregate-view lifecycle through the gate
+    * ([[graft.sinks.AggMatView]] — the three-line maintenance loop a
+    * deployment actually runs): base table in three appends, view
+    * created after the first, TWO `refresh` calls that must both take
+    * the fold path (position rides the view's own header — an atomic
+    * commit per refresh), `serve` after the last, and then a vanilla
+    * user aggregate served transparently from the state (asserted
+    * in-plan). The oracle recomputes from raw lineitem — a fold that
+    * dropped a batch, double-merged, or a header position off by one
+    * hash-mismatches.
+    *
+    * Scale: each refresh reads ONE window's batches plus the
+    * aggregate-sized state; the served query reads only the state. */
+  private val q184: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.ViewRewrite
+    import graft.sinks.AggMatView
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+    val maxOk = li.agg(max($"l_orderkey")).head().getLong(0)
+    val (cut1, cut2) = (maxOk / 3, 2 * maxOk / 3)
+    val scratch = freshScratch("graft_q184", dir)
+    val (base, view) = (scratch + "/base", scratch + "/view")
+    val keys = Seq("l_returnflag")
+    def slice(lo: Long, hi: Long) = li
+      .filter($"l_orderkey" > lo && $"l_orderkey" <= hi)
+      .drop("l_orderkey")
+    ManifestSink.append(slice(-1L, cut1), base)
+    AggMatView.create(s, view, base, keys, "l_quantity")
+    ManifestSink.append(slice(cut1, cut2), base)
+    val (_, f1) = AggMatView.refresh(s, view, base, keys, "l_quantity")
+    ManifestSink.append(slice(cut2, maxOk), base)
+    val (_, f2) = AggMatView.refresh(s, view, base, keys, "l_quantity")
+    require(f1 && f2,
+      "append-only windows must take the fold path, not recompute")
+    AggMatView.serve(s, view, base, keys, "l_quantity")
+    ViewRewrite.install(s)
+    val user = ManifestSink.read(s, base)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.dsum($"l_quantity").as("sum_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+    val plan = user.queryExecution.executedPlan.toString
+    require(plan.contains("/view") && !plan.contains("/base"),
+      "managed view did not serve the aggregate from its state")
+    user
+  }
+  private val q184Sql =
+    s"""SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |  MAX(l_quantity) AS max_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q184_managed_agg_view" -> q184,
     "q182_join_view_rewrite" -> q182,
     "q178_view_rewrite" -> q178,
     "q175_join_view" -> q175,
@@ -2009,6 +2068,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q184_managed_agg_view" -> q184Sql,
     "q182_join_view_rewrite" -> q182Sql,
     "q178_view_rewrite" -> q178Sql,
     "q175_join_view" -> q175Sql,

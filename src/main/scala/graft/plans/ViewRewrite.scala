@@ -78,9 +78,12 @@ import org.apache.spark.sql.types.{DataType, DecimalType}
   */
 object ViewRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** One registered view: base scan paths → state location + shape. */
+  /** One registered view: base scan paths → state location + shape.
+    * `statePaths` is the parquet path list of the state — one plain dir
+    * for a hand-materialized state, the entry-dir list for a state kept
+    * in a [[graft.sinks.ManifestSink]] table ([[graft.sinks.AggMatView]]). */
   case class Registration(basePaths: Set[String], keys: Seq[String],
-      value: String, stateDir: String)
+      value: String, statePaths: Seq[String])
 
   private val registry =
     new ConcurrentHashMap[Set[String], Registration]()
@@ -113,15 +116,21 @@ object ViewRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * materialization of `value` grouped by `keys` over the scan of
     * `basePaths`. Validates the state schema up front. */
   def register(spark: SparkSession, basePaths: Seq[String],
-      keys: Seq[String], value: String, stateDir: String): Unit = {
-    val st = spark.read.parquet(stateDir).schema
+      keys: Seq[String], value: String, stateDir: String): Unit =
+    registerState(spark, basePaths, keys, value, Seq(stateDir))
+
+  /** [[register]] with the state spread over several parquet paths —
+    * the entry dirs of a state kept in a manifest table. */
+  def registerState(spark: SparkSession, basePaths: Seq[String],
+      keys: Seq[String], value: String, statePaths: Seq[String]): Unit = {
+    val st = spark.read.parquet(statePaths: _*).schema
     val need = keys ++ Seq("n", "sum_dec", "mn", "mx")
     val missing = need.filterNot(c => st.fieldNames.contains(c))
     require(missing.isEmpty,
-      s"state at $stateDir lacks columns ${missing.mkString(",")} " +
-        s"(have ${st.fieldNames.mkString(",")})")
+      s"state at ${statePaths.mkString(",")} lacks columns " +
+        s"${missing.mkString(",")} (have ${st.fieldNames.mkString(",")})")
     val qp = basePaths.map(qualify(spark, _)).toSet
-    registry.put(qp, Registration(qp, keys, value, stateDir))
+    registry.put(qp, Registration(qp, keys, value, statePaths))
   }
 
   /** [[register]] against a [[graft.sinks.ManifestSink]] table's CURRENT
@@ -294,7 +303,8 @@ object ViewRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     // fresh state relation per rewrite — new exprIds, safe to splice
     val spark = SparkSession.active
-    val state = spark.read.parquet(reg.stateDir).queryExecution.analyzed
+    val state = spark.read.parquet(reg.statePaths: _*)
+      .queryExecution.analyzed
     val stateOut = state.output.collect { case a: AttributeReference => a }
     def stateAttr(name: String): Option[AttributeReference] =
       stateOut.find(_.name == name)

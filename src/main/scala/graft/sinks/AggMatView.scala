@@ -1,0 +1,90 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MANAGED aggregate materialized view — the single-table analog of
+  * [[IncrementalJoinView]], closing the loop between [[IncrementalAgg]]
+  * (the fold math) and [[graft.plans.ViewRewrite]] (the transparent
+  * serve): the state lives in its own [[ManifestSink]] table whose
+  * manifest HEADER records the base version it has absorbed, so fold
+  * position and state rows are one atomic commit — no crash window
+  * between "new state" and "remember where I am".
+  *
+  *   - [[create]] aggregates the base snapshot once and commits state +
+  *     position together.
+  *   - [[refresh]] folds an append-only window O(delta + state):
+  *     aggregate ONLY the new batches ([[ManifestSink.changes]], located
+  *     by manifest diff) and merge into the aggregate-sized state; a
+  *     window containing a rewrite or merge-on-read delete RECOMPUTES
+  *     from the snapshot instead (`folded = false`) — the view keeps
+  *     serving through table maintenance. State commits REPLACE the
+  *     table (states supersede, they don't accumulate), so concurrent
+  *     refreshes race on the manifest name and the loser fails loudly.
+  *   - [[serve]] registers the state with [[graft.plans.ViewRewrite]]
+  *     against the base's entry dirs AT THE ABSORBED VERSION — always
+  *     safe (it matches exactly reads of that snapshot; a base commit
+  *     structurally ends the match), one call after each refresh.
+  *
+  * The maintenance loop a 100 TB deployment runs per table is therefore
+  * three lines: append batches → `refresh` → `serve`. */
+object AggMatView {
+
+  private val BaseVKey = "amv_base_v"
+
+  private def absorbed(spark: SparkSession, viewDir: String): Long = {
+    val v = ManifestSink.version(spark, viewDir)
+    require(v >= 0, s"$viewDir has no committed version — use create")
+    ManifestSink.manifestHeader(spark, viewDir, v).getOrElse(BaseVKey,
+      sys.error(s"$viewDir has no $BaseVKey header — not an AggMatView"))
+      .toLong
+  }
+
+  /** Materialize the grouped state of `baseDir`'s current snapshot as a
+    * new view table at `viewDir`. Returns the view's version (0). */
+  def create(spark: SparkSession, viewDir: String, baseDir: String,
+      keys: Seq[String], value: String): Long = {
+    require(ManifestSink.version(spark, viewDir) < 0,
+      s"AggMatView $viewDir already exists — use refresh")
+    val vB = ManifestSink.version(spark, baseDir)
+    require(vB >= 0, s"base $baseDir must be a committed table")
+    ManifestSink.appendWithHeader(
+      IncrementalAgg.aggregate(
+        ManifestSink.readAt(spark, baseDir, vB), keys, value),
+      viewDir, Map(BaseVKey -> vB.toString))
+  }
+
+  /** Advance the view to the base's current version. Append-only windows
+    * fold (aggregate the delta batches, merge into the state); windows
+    * with removed entries or new tombstones recompute from the snapshot.
+    * Returns (view version, folded). */
+  def refresh(spark: SparkSession, viewDir: String, baseDir: String,
+      keys: Seq[String], value: String): (Long, Boolean) = {
+    val pos = absorbed(spark, viewDir)
+    val vB = ManifestSink.version(spark, baseDir)
+    if (vB == pos) return (ManifestSink.version(spark, viewDir), true)
+    val state = ManifestSink.read(spark, viewDir)
+    val (next, folded) = IncrementalAgg.refreshOrRecompute(spark, state,
+      baseDir, pos, vB, keys, value)
+    (ManifestSink.replaceWithHeader(next, viewDir,
+      Map(BaseVKey -> vB.toString)), folded)
+  }
+
+  /** Register the current state with the transparent rewrite, keyed to
+    * the base snapshot the view has absorbed. Call after each refresh. */
+  def serve(spark: SparkSession, viewDir: String, baseDir: String,
+      keys: Seq[String], value: String): Unit =
+    graft.plans.ViewRewrite.registerState(spark,
+      ManifestSink.dataPathsAt(spark, baseDir,
+        absorbed(spark, viewDir)),
+      keys, value,
+      ManifestSink.currentDataPaths(spark, viewDir))
+
+  /** The maintained state (raw IncrementalAgg schema). */
+  def read(spark: SparkSession, viewDir: String): DataFrame =
+    ManifestSink.read(spark, viewDir)
+
+  /** The state in presentation form (n, sum_value, mn, mx). */
+  def present(spark: SparkSession, viewDir: String,
+      keys: Seq[String]): DataFrame =
+    IncrementalAgg.present(read(spark, viewDir), keys)
+}

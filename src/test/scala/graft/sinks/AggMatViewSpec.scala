@@ -1,0 +1,105 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.ViewRewrite
+
+/** AggMatView's lifecycle contract: atomic header-tracked folds that
+  * match a from-scratch recompute, retraction windows recomputing, no-op
+  * refreshes, and serve() registering exactly the absorbed snapshot. */
+class AggMatViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDirs(tag: String): (String, String) = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_amv_$tag").toString
+    (root + "/base", root + "/view")
+  }
+  private val keys = Seq("k")
+
+  private def stateMap(viewDir: String) =
+    AggMatView.read(spark, viewDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+
+  test("folds track a from-scratch recompute across appends; no-op " +
+      "refresh is silent") {
+    val (base, view) = freshDirs("fold")
+    ManifestSink.append(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"), base)
+    AggMatView.create(spark, view, base, keys, "v")
+    ManifestSink.append(Seq(("a", 10.0), ("c", 7.0)).toDF("k", "v"), base)
+    val (v1, f1) = AggMatView.refresh(spark, view, base, keys, "v")
+    assert(f1)
+    val want = IncrementalAgg.aggregate(
+      ManifestSink.read(spark, base), keys, "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(stateMap(view) === want)
+    // no new base commits → refresh is a version-preserving no-op
+    val (v2, f2) = AggMatView.refresh(spark, view, base, keys, "v")
+    assert(f2 && v2 === v1)
+  }
+
+  test("a retraction window recomputes, then folds again") {
+    val (base, view) = freshDirs("retract")
+    ManifestSink.append(
+      Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("k", "v"), base)
+    AggMatView.create(spark, view, base, keys, "v")
+    ManifestSink.deleteKeysMergeOnRead(
+      Seq(Tuple1("b")).toDF("k"), base, keys)
+    val (_, folded) = AggMatView.refresh(spark, view, base, keys, "v")
+    assert(!folded, "a MoR delete window must recompute")
+    assert(stateMap(view).keySet === Set("a"))
+    // Note: post-delete snapshots are tombstoned — serve() would refuse
+    // (assembled reads are not bare scans), which is the correct shape
+    intercept[IllegalArgumentException] {
+      AggMatView.serve(spark, view, base, keys, "v")
+    }
+  }
+
+  test("serve registers the absorbed snapshot; a base commit after " +
+      "serve structurally stops the rewrite") {
+    val (base, view) = freshDirs("serve")
+    ManifestSink.append(
+      Seq(("a", 1.5), ("b", 2.5)).toDF("k", "v"), base)
+    AggMatView.create(spark, view, base, keys, "v")
+    AggMatView.serve(spark, view, base, keys, "v")
+    ViewRewrite.install(spark)
+    try {
+      def agg() = ManifestSink.read(spark, base).groupBy($"k")
+        .agg(count(lit(1)).as("n"), max($"v").as("mx"))
+      val q = agg()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("/view") && !plan.contains("/base"))
+      // base advances → the served registration no longer matches
+      ManifestSink.append(Seq(("c", 9.0)).toDF("k", "v"), base)
+      val q2 = agg()
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains("/base"))
+      assert(q2.collect().length === 3)
+      // refresh + serve again → served again, with the new row folded
+      val (_, folded) = AggMatView.refresh(spark, view, base, keys, "v")
+      assert(folded)
+      AggMatView.serve(spark, view, base, keys, "v")
+      val q3 = agg()
+      assert(q3.queryExecution.executedPlan.toString.contains("/view"))
+      assert(q3.collect().length === 3)
+    } finally ViewRewrite.clear()
+  }
+
+  test("create refuses an existing view; refresh refuses a missing one") {
+    val (base, view) = freshDirs("refuse")
+    ManifestSink.append(Seq(("a", 1.0)).toDF("k", "v"), base)
+    AggMatView.create(spark, view, base, keys, "v")
+    intercept[IllegalArgumentException] {
+      AggMatView.create(spark, view, base, keys, "v")
+    }
+    intercept[IllegalArgumentException] {
+      AggMatView.refresh(spark, view + "_nope", base, keys, "v")
+    }
+  }
+}
