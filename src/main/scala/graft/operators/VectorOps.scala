@@ -683,6 +683,85 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q185
+  /** Scalar-quantization ANN (the SQ8 tier of Faiss's public
+    * ScalarQuantizer design, per-dimension affine int8 codes): the OTHER
+    * memory-compression point next to q94's PQ — 64 bytes/vector instead
+    * of 256 (4 bits/dim of PQ trades more recall for more compression;
+    * SQ8 keeps near-exact recall at 4× compression, the tier production
+    * systems reach for first). Per-dimension bounds (lo_d, hi_d) come
+    * off one two-phase aggregate (a 64-row broadcast frame); each
+    * component encodes as `floor((x−lo)·255/(hi−lo) + 0.5)` — corpus
+    * min/max bound the input so the code is already in [0,255]; the
+    * clamp guards the formula, not the data — and the scored
+    * representation is the dequantized `lo + code·(hi−lo)/255`.
+    * Everything is fixed-order double math, so DuckDB reproduces every
+    * code and reconstruction bit-exactly. Search = the SAME ADC
+    * shortlist + exact re-rank as PQ ([[pqTopK]] reused verbatim), and
+    * the stored recall panel gates it beside the other five variants.
+    *
+    * At 100 TB: bounds are metadata-sized, encoding is one map-side
+    * pass, and the scan reads 4× fewer bytes than brute force with no
+    * candidate-set recall risk (cost model: candidate fraction 1.0 —
+    * SQ compresses the scan, it does not prune it). */
+  private def sqRecon(e: DataFrame): DataFrame = {
+    val sliced = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d", "x")))
+    val bounds = sliced.groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val code = when(col("hi") === col("lo"), lit(0.0))
+      .otherwise(least(lit(255.0), greatest(lit(0.0),
+        floor((col("x") - col("lo")) * lit(255.0) /
+          (col("hi") - col("lo")) + lit(0.5)))))
+    val xhat = col("lo") + code * (col("hi") - col("lo")) / lit(255.0)
+    sliced.join(broadcast(bounds), "d")
+      .select(col("vec_id"), col("d"), xhat.as("xh"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("xh")))),
+        p => p.getField("xh")).as("rv"))
+  }
+
+  private val q185: Q = (s, dir) => {
+    val e = emb(s, dir)
+    pqTopK(e, sqRecon(e))
+  }
+  private val q185Sql = {
+    val dAdc = dotSql("q.qv", "r.rv")
+    val dTop = dotSql("sl.qv", "e.embedding")
+    s"""WITH sliced AS (
+       |  SELECT vec_id, d, embedding[d] AS x
+       |  FROM embeddings, UNNEST(range(1, 65)) AS td(d)),
+       |bounds AS (
+       |  SELECT d, MIN(x) AS lo, MAX(x) AS hi FROM sliced GROUP BY d),
+       |recon AS (
+       |  SELECT vec_id,
+       |    LIST(lo + (CASE WHEN hi = lo THEN 0.0
+       |      ELSE LEAST(255.0, GREATEST(0.0,
+       |        FLOOR((x - lo) * 255.0 / (hi - lo) + 0.5))) END)
+       |      * (hi - lo) / 255.0 ORDER BY d) AS rv
+       |  FROM sliced JOIN bounds USING (d)
+       |  GROUP BY vec_id),
+       |shortlist AS (
+       |  SELECT query_id, qv, neighbor_id FROM (
+       |    SELECT q.query_id, q.qv, r.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                         ORDER BY $dAdc DESC, r.vec_id ASC) AS arn
+       |    FROM recon r
+       |    JOIN (SELECT vec_id AS query_id, embedding AS qv
+       |          FROM embeddings WHERE vec_id < 10) q
+       |      ON r.vec_id <> q.query_id)
+       |  WHERE arn <= 50)
+       |SELECT query_id, neighbor_id, dot, rank FROM (
+       |  SELECT sl.query_id, sl.neighbor_id, $dTop AS dot,
+       |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+       |                       ORDER BY $dTop DESC, sl.neighbor_id ASC) AS rank
+       |  FROM shortlist sl
+       |  JOIN embeddings e ON e.vec_id = sl.neighbor_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------- q117 / q118 / q119
   /** Index-backed ANN variants: the SAME search pipelines as q58 / q58b /
     * q94, but the index artifact (sample centroids, Lloyd means, PQ
@@ -862,7 +941,7 @@ object VectorOps {
     * (method, query) pair including zero-candidate buckets. */
   private val annMethods = Seq(
     "ivf" -> q58, "ivf_lloyd" -> q58b, "lsh" -> q42,
-    "lsh_multi" -> q42b, "pq" -> q94)
+    "lsh_multi" -> q42b, "pq" -> q94, "sq8" -> q185)
 
   private val q77: Q = (s, dir) => {
     import s.implicits._
@@ -894,7 +973,9 @@ object VectorOps {
        |  UNION ALL
        |  SELECT 'lsh_multi' AS method, query_id, neighbor_id FROM ($q42bSql)
        |  UNION ALL
-       |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($q94Sql)),
+       |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($q94Sql)
+       |  UNION ALL
+       |  SELECT 'sq8' AS method, query_id, neighbor_id FROM ($q185Sql)),
        |hits AS (
        |  SELECT a.method, a.query_id, COUNT(*) AS h
        |  FROM ann a
@@ -906,7 +987,7 @@ object VectorOps {
        |  CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall_at_5
        |FROM (SELECT DISTINCT query_id FROM gt) q
        |CROSS JOIN (VALUES ('ivf'), ('ivf_lloyd'), ('lsh'), ('lsh_multi'),
-       |  ('pq')) AS m(method)
+       |  ('pq'), ('sq8')) AS m(method)
        |LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
        |ORDER BY 1, 2""".stripMargin
 
@@ -1084,7 +1165,8 @@ object VectorOps {
     "lsh" -> 37.0 / 256.0,
     "ivf" -> 2.0 / 16.0,
     "ivf_lloyd" -> 2.0 / 16.0,
-    "pq" -> 1.0 / 64.0)
+    "pq" -> 1.0 / 64.0,
+    "sq8" -> 1.0)
 
   /** Panel-driven index choice: given q77's measured recall panel and a
     * recall target plus a per-query candidate budget (fraction of corpus,
@@ -1125,7 +1207,7 @@ object VectorOps {
     * recall doubles would be summation-order-dependent). */
   private val recTargets = Seq(0.2, 0.5, 0.8, 0.9)
 
-  /** The q77 recall panel as a STORED measurement: the full five-pipeline
+  /** The q77 recall panel as a STORED measurement: the full six-pipeline
     * panel run persists as a fingerprint-stamped [[VectorIndex]] artifact
     * exactly like the index artifacts it measures (r10 verdict #3 — the
     * index artifacts amortized, but the panel measurement didn't), so a
@@ -1137,7 +1219,7 @@ object VectorOps {
     * recall_at_5 = hits/5.0 is an exact dyadic double, both bit-exact
     * through parquet. */
   private def storedRecallPanel(s: SparkSession, dir: String): DataFrame =
-    indexedArtifact(s, dir, "recall_panel")(q77(s, dir))
+    indexedArtifact(s, dir, "recall_panel_m6")(q77(s, dir))
 
   private val q121: Q = (s, dir) => {
     import s.implicits._
@@ -1167,7 +1249,8 @@ object VectorOps {
        |  FROM panel GROUP BY method),
        |costs(method, cost) AS (VALUES
        |  ('brute_force', 1.0), ('ivf', 2.0/16.0), ('ivf_lloyd', 2.0/16.0),
-       |  ('lsh', 37.0/256.0), ('lsh_multi', 0.25), ('pq', 1.0/64.0)),
+       |  ('lsh', 37.0/256.0), ('lsh_multi', 0.25), ('pq', 1.0/64.0),
+       |  ('sq8', 1.0)),
        |targets(target) AS (VALUES (0.2), (0.5), (0.8), (0.9)),
        |qual AS (
        |  SELECT target, method, mean_recall, cost,
@@ -1197,6 +1280,7 @@ object VectorOps {
     "q77_ann_recall" -> q77,
     "q82_semdedup" -> q82,
     "q94_ann_pq" -> q94,
+    "q185_ann_sq8" -> q185,
     "q117_ann_ivf_indexed" -> q117,
     "q118_ann_ivf_lloyd_indexed" -> q118,
     "q119_ann_pq_indexed" -> q119,
@@ -1218,6 +1302,7 @@ object VectorOps {
     "q77_ann_recall" -> q77Sql,
     "q82_semdedup" -> q82Sql,
     "q94_ann_pq" -> q94Sql,
+    "q185_ann_sq8" -> q185Sql,
     // the indexed variants are result-identical to the inline pipelines
     // by construction, so they share the same oracles — the gate then
     // proves the stored-artifact path agrees with DuckDB recomputing

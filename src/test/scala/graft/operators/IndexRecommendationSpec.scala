@@ -65,7 +65,7 @@ class IndexRecommendationSpec extends SparkSpec {
   test("q121 reads a STORED recall panel: built once, fingerprint-" +
       "stamped, row-identical to the live q77 measurement") {
     import graft.sinks.ManifestSink
-    val panelDir = s"${VectorIndex.indexRoot(sf)}/recall_panel"
+    val panelDir = s"${VectorIndex.indexRoot(sf)}/recall_panel_m6"
     // the artifact survives across sessions on this host — start clean
     // so this test observes the BUILD, not a previous run's artifact
     org.apache.commons.io.FileUtils.deleteQuietly(

@@ -125,12 +125,13 @@ class VectorOpsSpec extends SparkSpec {
       "lsh_multi" -> pairs("q42b_ann_lsh_multitable"),
       "ivf" -> pairs("q58_ann_ivf_cells"),
       "ivf_lloyd" -> pairs("q58b_ann_ivf_lloyd"),
-      "pq" -> pairs("q94_ann_pq"))
+      "pq" -> pairs("q94_ann_pq"),
+      "sq8" -> pairs("q185_ann_sq8"))
     val queryIds = gt.map(_._1)
     val out = VectorOps.queries("q77_ann_recall")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
-    assert(out.size === 5 * queryIds.size)
+    assert(out.size === 6 * queryIds.size)
     for (m <- expected.keys; q <- queryIds) {
       val hits = (expected(m) & gt).count(_._1 == q).toLong
       val (gotHits, gotRecall) = out((m, q))
@@ -138,6 +139,11 @@ class VectorOpsSpec extends SparkSpec {
       assert(gotRecall === hits / 5.0, s"method=$m query=$q")
       assert(gotRecall >= 0.0 && gotRecall <= 1.0)
     }
+    // int8 reconstruction is near-exact: sq8 must dominate pq's recall
+    def panelHits(m: String): Long =
+      queryIds.toSeq.map(q => out((m, q))._1).sum
+    assert(panelHits("sq8") >= panelHits("pq"),
+      s"sq8 recall ${panelHits("sq8")} below pq ${panelHits("pq")}")
     // the refined IVF index must not LOSE recall vs its unrefined seed
     // in aggregate — the tuning property this gate exists to protect
     def total(m: String) = out.collect { case ((`m`, _), (h, _)) => h }.sum
