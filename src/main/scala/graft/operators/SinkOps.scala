@@ -2034,7 +2034,92 @@ object SinkOps {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q186
+  /** View-freshness REPORTING through the gate — the scheduler question
+    * "which views lag, by how much, and what would each refresh cost?"
+    * answered from manifests alone ([[graft.sinks.AggMatView.freshness]]
+    * / [[graft.sinks.IncrementalJoinView.freshness]]): an agg view left
+    * two commits behind and a join view one left-side commit behind are
+    * probed BEFORE and AFTER their refreshes, and the emitted
+    * (versions-behind, delta-rows, foldable) rows must equal the
+    * oracle's counts recomputed from the raw tables — so a wrong header
+    * position, an addedRows miscount, or a foldability misjudgment
+    * hash-mismatches.
+    *
+    * Scale: the report costs one manifest read per version in each
+    * pending window and ZERO data reads — the planning read a refresh
+    * scheduler makes across ten thousand views before spending any
+    * I/O. */
+  private val q186: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sinks.{AggMatView, IncrementalJoinView}
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_quantity")
+    val ord = Tables(s, dir, "orders")
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val maxOk = ord.agg(max($"okey")).head().getLong(0)
+    val (c1, c2) = (maxOk / 3, 2 * maxOk / 3)
+    val scratch = freshScratch("graft_q186", dir)
+    val (aBase, aView) = (scratch + "/ab", scratch + "/av")
+    val (lsink, rsink, jView) =
+      (scratch + "/l", scratch + "/r", scratch + "/jv")
+    // agg view: absorbed the first slice, then the base advances twice
+    ManifestSink.append(li.filter($"okey" <= c1), aBase)
+    AggMatView.create(s, aView, aBase, Seq("okey"), "l_quantity")
+    ManifestSink.append(li.filter($"okey" > c1 && $"okey" <= c2), aBase)
+    ManifestSink.append(li.filter($"okey" > c2), aBase)
+    // join view: left side advances once after creation
+    ManifestSink.append(li.filter($"okey" <= c1), lsink)
+    ManifestSink.append(ord, rsink)
+    IncrementalJoinView.create(s, jView, lsink, rsink, "okey")
+    ManifestSink.append(li.filter($"okey" > c1 && $"okey" <= c2), lsink)
+    def rows(stage: String): Seq[(String, String, Long, Long, Boolean)] = {
+      val a = AggMatView.freshness(s, aView, aBase)
+      val (jl, jr) = IncrementalJoinView.freshness(s, jView, lsink, rsink)
+      Seq(
+        ("agg", stage, a.behind, a.deltaRows.getOrElse(-1L), a.foldable),
+        ("join_left", stage, jl.behind, jl.deltaRows.getOrElse(-1L),
+          jl.foldable),
+        ("join_right", stage, jr.behind, jr.deltaRows.getOrElse(-1L),
+          jr.foldable))
+    }
+    val stale = rows("stale")
+    AggMatView.refresh(s, aView, aBase, Seq("okey"), "l_quantity")
+    IncrementalJoinView.refresh(s, jView, lsink, rsink, "okey")
+    val fresh = rows("refreshed")
+    (stale ++ fresh)
+      .toDF("view_kind", "stage", "versions_behind", "delta_rows",
+        "foldable")
+      .orderBy($"view_kind", $"stage")
+  }
+  private val q186Sql =
+    s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+       |d AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM lineitem CROSS JOIN mx
+       |     WHERE l_orderkey > m // 3) AS agg_delta,
+       |    (SELECT COUNT(*) FROM lineitem CROSS JOIN mx
+       |     WHERE l_orderkey > m // 3
+       |       AND l_orderkey <= 2 * m // 3) AS jl_delta)
+       |SELECT view_kind, stage,
+       |  CAST(behind AS BIGINT) AS versions_behind,
+       |  CAST(CASE
+       |    WHEN view_kind = 'agg' AND stage = 'stale' THEN agg_delta
+       |    WHEN view_kind = 'join_left' AND stage = 'stale' THEN jl_delta
+       |    ELSE fixed END AS BIGINT) AS delta_rows,
+       |  foldable
+       |FROM d, (VALUES
+       |  ('agg', 'stale', 2, 0, TRUE),
+       |  ('agg', 'refreshed', 0, 0, TRUE),
+       |  ('join_left', 'stale', 1, 0, TRUE),
+       |  ('join_left', 'refreshed', 0, 0, TRUE),
+       |  ('join_right', 'stale', 0, 0, TRUE),
+       |  ('join_right', 'refreshed', 0, 0, TRUE))
+       |  AS t(view_kind, stage, behind, fixed, foldable)
+       |ORDER BY view_kind, stage""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q186_view_freshness" -> q186,
     "q184_managed_agg_view" -> q184,
     "q182_join_view_rewrite" -> q182,
     "q178_view_rewrite" -> q178,
@@ -2068,6 +2153,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q186_view_freshness" -> q186Sql,
     "q184_managed_agg_view" -> q184Sql,
     "q182_join_view_rewrite" -> q182Sql,
     "q178_view_rewrite" -> q178Sql,

@@ -79,6 +79,38 @@ object AggMatView {
       keys, value,
       ManifestSink.currentDataPaths(spark, viewDir))
 
+  /** Metadata-only staleness of one view against one base table:
+    * absorbed vs current version, the EXACT recorded row count of the
+    * pending window (from the manifests' per-entry counts — zero data
+    * reads), and whether the window folds or will force a recompute.
+    * `deltaRows` is None exactly when the window is not foldable (a
+    * rewrite/delete window's cost is the snapshot, not its delta). */
+  final case class Freshness(absorbed: Long, current: Long,
+      deltaRows: Option[Long], foldable: Boolean) {
+    def behind: Long = current - absorbed
+  }
+
+  /** The [[Freshness]] of the base window this view has yet to absorb.
+    * One manifest read per version in the window — the planning read a
+    * refresh scheduler makes before spending any data I/O. */
+  def freshness(spark: SparkSession, viewDir: String,
+      baseDir: String): Freshness =
+    windowFreshness(spark, baseDir, absorbed(spark, viewDir))
+
+  /** [[Freshness]] of `dir`'s history from version `from` to its head —
+    * shared by the agg and join view reports. */
+  private[sinks] def windowFreshness(spark: SparkSession, dir: String,
+      from: Long): Freshness = {
+    val cur = ManifestSink.version(spark, dir)
+    if (cur == from) return Freshness(from, cur, Some(0L), foldable = true)
+    val (_, removed) = ManifestSink.changedEntries(spark, dir, from, cur)
+    val fold = removed.isEmpty &&
+      !ManifestSink.tombstonesAdded(spark, dir, from, cur)
+    Freshness(from, cur,
+      if (fold) ManifestSink.addedRows(spark, dir, from, cur) else None,
+      fold)
+  }
+
   /** The maintained state (raw IncrementalAgg schema). */
   def read(spark: SparkSession, viewDir: String): DataFrame =
     ManifestSink.read(spark, viewDir)

@@ -157,6 +157,19 @@ object IncrementalJoinView {
     }
   }
 
+  /** Metadata-only staleness of the join view against both sources:
+    * each side's absorbed-to-current window as an
+    * [[AggMatView.Freshness]] (exact recorded delta rows, foldability) —
+    * the planning read a refresh scheduler makes before spending data
+    * I/O: `deltaRows` is exactly the size of the `Δ side` a fold would
+    * join, and a non-foldable side means the refresh recomputes. */
+  def freshness(spark: SparkSession, viewDir: String, leftDir: String,
+      rightDir: String): (AggMatView.Freshness, AggMatView.Freshness) = {
+    val (vL, vR) = sourceVersions(spark, viewDir)
+    (AggMatView.windowFreshness(spark, leftDir, vL),
+      AggMatView.windowFreshness(spark, rightDir, vR))
+  }
+
   /** The maintained view content (the normal assembled read — the view
     * is a first-class sink table). */
   def read(spark: SparkSession, viewDir: String): DataFrame =

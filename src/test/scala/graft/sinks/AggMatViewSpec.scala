@@ -91,6 +91,25 @@ class AggMatViewSpec extends SparkSpec {
     } finally ViewRewrite.clear()
   }
 
+  test("freshness is metadata-exact: delta rows, foldability, and the " +
+      "non-foldable window's None") {
+    val (base, view) = freshDirs("freshness")
+    ManifestSink.append(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), base)
+    AggMatView.create(spark, view, base, keys, "v")
+    val f0 = AggMatView.freshness(spark, view, base)
+    assert(f0.behind === 0L && f0.deltaRows === Some(0L) && f0.foldable)
+    ManifestSink.append(
+      Seq(("c", 3.0), ("d", 4.0), ("e", 5.0)).toDF("k", "v"), base)
+    val f1 = AggMatView.freshness(spark, view, base)
+    assert(f1.behind === 1L && f1.deltaRows === Some(3L) && f1.foldable)
+    // a retraction in the window: not foldable, delta cost unknowable
+    ManifestSink.deleteKeysMergeOnRead(
+      Seq(Tuple1("a")).toDF("k"), base, keys)
+    val f2 = AggMatView.freshness(spark, view, base)
+    assert(f2.behind === 2L && f2.deltaRows === None && !f2.foldable)
+  }
+
   test("create refuses an existing view; refresh refuses a missing one") {
     val (base, view) = freshDirs("refuse")
     ManifestSink.append(Seq(("a", 1.0)).toDF("k", "v"), base)
