@@ -927,7 +927,8 @@ object VectorOps {
 
   // ---------------------------------------------------------------- q77
   /** Recall@5 gate for the approximate indexes: every ANN variant (q42
-    * LSH, q58 IVF, q58b IVF+Lloyd, q94 PQ) is joined against q41's
+    * LSH, q42b multiprobe, q58 IVF, q58b IVF+Lloyd, q94 PQ, q185 SQ8)
+    * is joined against q41's
     * brute-force ground truth and scored per query. Both sides are
     * deterministic pipelines, so the recall numbers themselves are
     * hash-oracled — this is the correctness gate a user tuning
@@ -936,7 +937,8 @@ object VectorOps {
     * approximate operators).
     *
     * Scale: the ANN/GT join is an equi-join on (query_id, neighbor_id);
-    * the 4-row method frame and the query-id spine are broadcast-tiny.
+    * the method frame (one row per panel method) and the query-id
+    * spine are broadcast-tiny.
     * Recall is per-query (hits out of 5), emitted for every
     * (method, query) pair including zero-candidate buckets. */
   private val annMethods = Seq(
@@ -1178,7 +1180,7 @@ object VectorOps {
     * must relax one constraint — the fallback still names the only
     * method that meets the recall bar.
     *
-    * The panel aggregation collects 5 method rows to the driver — a
+    * The panel aggregation collects one row per panel method to the driver — a
     * decision-sized summary, not data (same bounded-collect class as the
     * ManifestSink's manifest reads). */
   def recommendIndex(panel: DataFrame, minRecall: Double,

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
       "q82_semdedup",              // crossJoin(broadcast(16 centroids))
       "q86_bm25_ranking",          // crossJoin(broadcast(1-row corpus stats))
       "q94_ann_pq",                // broadcast(10 query vectors) ⋈ ≠ (ADC scan)
+      "q185_ann_sq8",              // broadcast(10 query vectors) ⋈ ≠ (ADC scan)
       "q117_ann_ivf_indexed",      // q58's pipeline over stored centroids
       "q118_ann_ivf_lloyd_indexed",// q58b's pipeline over stored centroids
       "q119_ann_pq_indexed",       // q94's ADC scan over stored recon

@@ -162,6 +162,27 @@ class ViewRewriteSpec extends SparkSpec {
     } finally ViewRewrite.clear()
   }
 
+  test("the SQL surface serves too: a spark.sql aggregate over a temp " +
+      "view of the sink read rewrites to the state") {
+    val (base, stateDir) = fixture("sql")
+    try {
+      ManifestSink.read(spark, base).createOrReplaceTempView("vr_sql_t")
+      val q = spark.sql(
+        """SELECT k1, k2, count(1) AS n, sum(v) AS s, min(v) AS mn
+          |FROM vr_sql_t GROUP BY k1, k2""".stripMargin)
+      assert(servedByState(q, stateDir),
+        s"SQL aggregate not served: ${scanPaths(q)}")
+      ViewRewrite.clear()
+      val direct = spark.sql(
+        """SELECT k1, k2, count(1) AS n, sum(v) AS s, min(v) AS mn
+          |FROM vr_sql_t GROUP BY k1, k2""".stripMargin)
+      assert(canon(q) === canon(direct))
+    } finally {
+      ViewRewrite.clear()
+      spark.catalog.dropTempView("vr_sql_t")
+    }
+  }
+
   test("registerForSink refuses tombstoned snapshots") {
     val (base, _) = fixture("tomb")
     try {
