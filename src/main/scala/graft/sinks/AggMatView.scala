@@ -79,6 +79,23 @@ object AggMatView {
       keys, value,
       ManifestSink.currentDataPaths(spark, viewDir))
 
+  /** Per-epoch STREAMING maintenance — the `foreachBatch` body that
+    * keeps base AND view current in one call: append the epoch
+    * exactly-once ([[ManifestSink.appendOnce]], idempotent under Spark
+    * epoch replay), then fold the view (created on the first epoch).
+    * Replay safety COMPOSES for free: a replayed epoch's appendOnce is
+    * a no-op, so the base version does not advance and the refresh sees
+    * equal positions — the fold cannot double-absorb, whatever commit
+    * point a crash landed on. Returns (view version, folded). */
+  def absorbEpoch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      baseDir: String, viewDir: String, keys: Seq[String],
+      value: String): (Long, Boolean) = {
+    ManifestSink.appendOnce(batch, baseDir, batchId)
+    if (ManifestSink.version(spark, viewDir) < 0)
+      (create(spark, viewDir, baseDir, keys, value), true)
+    else refresh(spark, viewDir, baseDir, keys, value)
+  }
+
   /** Metadata-only staleness of one view against one base table:
     * absorbed vs current version, the EXACT recorded row count of the
     * pending window (from the manifests' per-entry counts — zero data

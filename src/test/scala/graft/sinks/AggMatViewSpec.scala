@@ -110,6 +110,70 @@ class AggMatViewSpec extends SparkSpec {
     assert(f2.behind === 2L && f2.deltaRows === None && !f2.foldable)
   }
 
+  test("absorbEpoch: replayed epochs cannot double-fold, and a real " +
+      "stream's end state equals the direct aggregate") {
+    val (base, view) = freshDirs("epoch")
+    def batch(i: Int) =
+      Seq((s"k${i % 2}", i.toDouble), (s"k${i % 3}", i * 10.0))
+        .toDF("k", "v")
+    // epochs 0..3 with replays of 1 (pre- and post-later-epochs) — the
+    // q101 replay pattern lifted to the composed base+view maintenance
+    AggMatView.absorbEpoch(spark, batch(0), 0L, base, view, keys, "v")
+    AggMatView.absorbEpoch(spark, batch(1), 1L, base, view, keys, "v")
+    AggMatView.absorbEpoch(spark, batch(1), 1L, base, view, keys, "v")
+    AggMatView.absorbEpoch(spark, batch(2), 2L, base, view, keys, "v")
+    AggMatView.absorbEpoch(spark, batch(1), 1L, base, view, keys, "v")
+    AggMatView.absorbEpoch(spark, batch(3), 3L, base, view, keys, "v")
+    val direct = IncrementalAgg.aggregate(
+      ManifestSink.read(spark, base), keys, "v")
+      .collect().map(_.toString).sorted
+    assert(AggMatView.read(spark, view)
+      .collect().map(_.toString).sorted === direct)
+    // and the base holds each epoch exactly once
+    assert(ManifestSink.read(spark, base).count() === 8L)
+
+    // a REAL stream drives the same body through foreachBatch
+    val (sBase, sView) = freshDirs("epoch_stream")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_amv_src").toString
+    (0 until 6).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, s"f$i.csv"),
+        s"k${i % 3},${i * 1.5}\n".getBytes("UTF-8"))
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_amv_ckpt").toString
+    import org.apache.spark.sql.types._
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("k", StringType),
+          StructField("v", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .csv(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          AggMatView.absorbEpoch(spark, b, id, sBase, sView, keys, "v")
+          ()
+        }
+        .start()
+      q.awaitTermination(120000L)
+    }
+    run()
+    val want = IncrementalAgg.aggregate(
+      ManifestSink.read(spark, sBase), keys, "v")
+      .collect().map(_.toString).sorted
+    assert(AggMatView.read(spark, sView)
+      .collect().map(_.toString).sorted === want)
+    assert(ManifestSink.read(spark, sBase).count() === 6L)
+    val vAfter = ManifestSink.version(spark, sView)
+    // full checkpoint replay: no new files → no epochs → total silence
+    run()
+    assert(ManifestSink.version(spark, sView) === vAfter)
+    assert(ManifestSink.read(spark, sBase).count() === 6L)
+  }
+
   test("create refuses an existing view; refresh refuses a missing one") {
     val (base, view) = freshDirs("refuse")
     ManifestSink.append(Seq(("a", 1.0)).toDF("k", "v"), base)
