@@ -2118,7 +2118,61 @@ object SinkOps {
        |  AS t(view_kind, stage, behind, fixed, foldable)
        |ORDER BY view_kind, stage""".stripMargin
 
+  // --------------------------------------------------------------- q187
+  /** Commit-anomaly gate through the gate ([[ManifestSink
+    * .commitAnomalies]]): four appends whose sizes derive from id-range
+    * slices — the third a ~2 % dribble (an upstream outage's shape) —
+    * and the report must flag EXACTLY it, with per-version rows and
+    * prior-max columns equal to the oracle's recount from the raw
+    * table. A wrong recorded count, a window off by one version, or a
+    * flag on the healthy batches all hash-mismatch.
+    *
+    * Scale: the gate is manifest-metadata only — at any table size the
+    * alert costs one manifest read per version, zero data reads, and
+    * the window is commit-count-bounded. */
+  private val q187: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val c = maxId / 4
+    val sink = freshScratch("graft_q187", dir) + "/t"
+    ManifestSink.append(ev.filter($"event_id" <= c), sink)
+    ManifestSink.append(
+      ev.filter($"event_id" > c && $"event_id" <= 2 * c), sink)
+    ManifestSink.append(
+      ev.filter($"event_id" > 2 * c && $"event_id" <= 2 * c + c / 50),
+      sink) // the dribble
+    ManifestSink.append(ev.filter($"event_id" > 2 * c + c / 50), sink)
+    ManifestSink.commitAnomalies(s, sink).orderBy($"version")
+  }
+  private val q187Sql =
+    s"""WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+       |cc AS (SELECT m // 4 AS c FROM mx),
+       |n AS (
+       |  SELECT 0 AS version,
+       |    (SELECT COUNT(*) FROM events, cc WHERE event_id <= c)
+       |      AS rows_added
+       |  UNION ALL SELECT 1,
+       |    (SELECT COUNT(*) FROM events, cc
+       |     WHERE event_id > c AND event_id <= 2 * c)
+       |  UNION ALL SELECT 2,
+       |    (SELECT COUNT(*) FROM events, cc
+       |     WHERE event_id > 2 * c AND event_id <= 2 * c + c // 50)
+       |  UNION ALL SELECT 3,
+       |    (SELECT COUNT(*) FROM events, cc
+       |     WHERE event_id > 2 * c + c // 50))
+       |SELECT CAST(version AS BIGINT) AS version,
+       |  CAST(rows_added AS BIGINT) AS rows_added,
+       |  CAST(MAX(rows_added) OVER (ORDER BY version
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+       |    AS prior_max,
+       |  COALESCE(rows_added * 4 < MAX(rows_added) OVER (ORDER BY version
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), FALSE)
+       |    AS anomalous
+       |FROM n ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q187_commit_anomalies" -> q187,
     "q186_view_freshness" -> q186,
     "q184_managed_agg_view" -> q184,
     "q182_join_view_rewrite" -> q182,
@@ -2153,6 +2207,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q187_commit_anomalies" -> q187Sql,
     "q186_view_freshness" -> q186Sql,
     "q184_managed_agg_view" -> q184Sql,
     "q182_join_view_rewrite" -> q182Sql,

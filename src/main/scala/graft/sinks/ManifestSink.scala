@@ -2192,6 +2192,32 @@ object ManifestSink {
     * predates row counting. `ts_millis` is the commit's `#ts` header.
     * Cost: one small-file read per version — history-length-bounded,
     * metadata-only. */
+  /** Commit-size anomaly report over [[history]]: a version is flagged
+    * when `rows_added · factor <` the largest `rows_added` of any
+    * EARLIER version — the alert a streaming ingestion wires to its
+    * dashboard: an upstream outage that dribbles 2 % of the usual batch
+    * is visible at commit time, from manifest metadata alone (zero data
+    * reads, any table size). Inert on the first version (no prior to
+    * compare against); null-rows versions (metadata-only commits)
+    * compare as unknown → never flagged. The single-partition window is
+    * bounded by COMMIT COUNT, never data. */
+  def commitAnomalies(spark: SparkSession, dir: String,
+      factor: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    val w = Window.orderBy(col("version"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ingestion commits only: a delete's rows_added of 0 or a rewrite's
+    // churn is maintenance, not an upstream volume signal
+    history(spark, dir)
+      .filter(col("kind").isin("create", "append"))
+      .select(col("version"), col("rows_added"))
+      .withColumn("prior_max", max(col("rows_added")).over(w))
+      .withColumn("anomalous",
+        coalesce(col("rows_added") * lit(factor) < col("prior_max"),
+          lit(false)))
+  }
+
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cur = version(spark, dir)

@@ -1288,4 +1288,33 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.readContainingToken(spark, dir, "text", "zeta")
       .collect().map(_.getLong(0)).toSet === Set(4L))
   }
+
+  test("commitAnomalies flags only dribble APPENDS: maintenance commits " +
+      "and the first version never alert") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("ms_anom").toString + "/t"
+    def b(n: Int, off: Int) =
+      (0 until n).map(i => ((off + i).toLong, s"v$i")).toDF("id", "p")
+    ManifestSink.append(b(100, 0), dir)           // v0 create
+    ManifestSink.append(b(90, 100), dir)          // v1 healthy
+    ManifestSink.append(b(3, 200), dir)           // v2 dribble
+    ManifestSink.deleteKeysMergeOnRead(           // v3 maintenance
+      Seq(Tuple1(5L)).toDF("id"), dir, Seq("id"))
+    ManifestSink.append(b(80, 300), dir)          // v4 healthy again
+    val rows = ManifestSink.commitAnomalies(spark, dir)
+      .orderBy(col("version")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(rows.toSeq === Seq((0L, false), (1L, false), (2L, true),
+      (4L, false)), s"got ${rows.toSeq}")
+    // a stricter factor flags the 90-row batch too
+    val strict = ManifestSink.commitAnomalies(spark, dir, factor = 2L)
+      .filter(col("anomalous")).select(col("version"))
+      .collect().map(_.getLong(0)).toSet
+    assert(strict === Set(2L))
+    // factor 1 = "smaller than any prior batch": flags every sub-max one
+    val stricter = ManifestSink.commitAnomalies(spark, dir, factor = 1L)
+      .filter(col("anomalous")).select(col("version"))
+      .collect().map(_.getLong(0)).toSet
+    assert(stricter === Set(1L, 2L, 4L))
+  }
 }
