@@ -2171,7 +2171,181 @@ object SinkOps {
        |    AS anomalous
        |FROM n ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q188
+  /** Range-selectivity estimation from manifest EQUI-DEPTH HISTOGRAMS
+    * ([[ManifestSink.rangeEstimateMicro]]): documents land as four
+    * id-sliced appends each recording an 8-bucket histogram on
+    * `n_chars` (exact order-statistic boundaries + exact bucket
+    * counts), then four probe ranges are estimated METADATA-ONLY and
+    * reported in micro-rows beside the exact count. The oracle
+    * recomputes every boundary, bucket count, and interpolated
+    * estimate from the raw table — a drifted order statistic, a
+    * mis-assigned bucket, or a different interpolation all
+    * hash-mismatch (per-bucket integer micro-rounding makes the fold
+    * order-independent, so the totals compare EXACTLY).
+    *
+    * Scale: the histogram build collapses each batch to its
+    * distinct-value frame (two-phase agg; the cum window is bounded by
+    * value cardinality, q26/q183's contract) and is paid ONCE at
+    * commit; every later estimate reads one small manifest — "how many
+    * rows match this filter" costs zero data reads at any table size,
+    * which is what lets a planner re-decide broadcast vs shuffle for a
+    * FILTERED side (q190's dispatch). */
+  private val q188: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
+    val sink = freshScratch("graft_q188", dir) + "/t"
+    (0 until 4).foreach { sl =>
+      ManifestSink.appendWithStats(docs.filter($"doc_id" % 4 === sl), sink,
+        statsCols = Seq("n_chars"), histCols = Seq("n_chars"))
+    }
+    val probes = Seq(("p_all", 0.0, 1000.0), ("p_low", 0.0, 120.0),
+      ("p_mid", 150.0, 400.0), ("p_narrow", 290.0, 310.0))
+    val t = ManifestSink.read(s, sink)
+    val rows = probes.map { case (p, lo, hi) =>
+      val est = ManifestSink.rangeEstimateMicro(s, sink, "n_chars", lo, hi)
+        .getOrElse(sys.error(s"q188: entry without histogram at $sink"))
+      val exact = t.filter($"n_chars" >= lo && $"n_chars" <= hi).count()
+      (p, lo, hi, est, exact)
+    }
+    rows.toDF("probe", "lo", "hi", "est_micro", "exact_rows")
+      .orderBy($"probe")
+  }
+  private val q188Sql =
+    """WITH d AS (SELECT doc_id % 4 AS s, n_chars AS v FROM documents
+       |           WHERE n_chars IS NOT NULL),
+       |vals AS (SELECT s, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |tot AS (SELECT s, SUM(c) AS n FROM vals GROUP BY 1),
+       |cum AS (SELECT s, v, c,
+       |         SUM(c) OVER (PARTITION BY s ORDER BY v) AS cm FROM vals),
+       |bnd AS (SELECT c.s, g.i, MIN(c.v) AS b
+       |        FROM cum c JOIN tot t ON c.s = t.s
+       |        CROSS JOIN generate_series(1, 8) AS g(i)
+       |        WHERE c.cm >= (g.i * t.n + 7) // 8
+       |        GROUP BY 1, 2),
+       |b0 AS (SELECT s, MIN(v) AS b FROM vals GROUP BY 1),
+       |vb AS (SELECT v.s, v.v, v.c, MIN(b.i) AS bi
+       |       FROM vals v JOIN bnd b ON v.s = b.s AND v.v <= b.b
+       |       GROUP BY 1, 2, 3),
+       |hist AS (SELECT s, bi, SUM(c) AS n FROM vb GROUP BY 1, 2),
+       |iv AS (SELECT h.s, h.bi,
+       |         CASE WHEN h.bi = 1 THEN z.b ELSE p.b END AS lo_i,
+       |         u.b AS hi_i, h.n
+       |       FROM hist h
+       |       JOIN bnd u ON u.s = h.s AND u.i = h.bi
+       |       LEFT JOIN bnd p ON p.s = h.s AND p.i = h.bi - 1
+       |       JOIN b0 z ON z.s = h.s),
+       |probes(probe, lo, hi) AS (VALUES
+       |  ('p_all', 0.0, 1000.0), ('p_low', 0.0, 120.0),
+       |  ('p_mid', 150.0, 400.0), ('p_narrow', 290.0, 310.0)),
+       |est AS (SELECT pr.probe, pr.lo, pr.hi,
+       |         CAST(SUM(CASE WHEN iv.hi_i = iv.lo_i THEN
+       |             CASE WHEN pr.lo <= iv.lo_i AND iv.lo_i <= pr.hi
+       |                  THEN iv.n * 1000000 ELSE 0 END
+       |           ELSE CAST(FLOOR(GREATEST(0.0,
+       |             (LEAST(pr.hi, CAST(iv.hi_i AS DOUBLE))
+       |              - GREATEST(pr.lo, CAST(iv.lo_i AS DOUBLE)))
+       |             / (CAST(iv.hi_i AS DOUBLE) - CAST(iv.lo_i AS DOUBLE)))
+       |             * iv.n * 1000000.0 + 0.5) AS BIGINT) END)
+       |           AS BIGINT) AS est_micro
+       |        FROM probes pr CROSS JOIN iv GROUP BY 1, 2, 3),
+       |ex AS (SELECT pr.probe, COUNT(*) AS exact_rows
+       |       FROM probes pr JOIN documents dd
+       |         ON dd.n_chars >= pr.lo AND dd.n_chars <= pr.hi
+       |       GROUP BY 1)
+       |SELECT e.probe, e.lo, e.hi, e.est_micro,
+       |  CAST(COALESCE(x.exact_rows, 0) AS BIGINT) AS exact_rows
+       |FROM est e LEFT JOIN ex x ON e.probe = x.probe
+       |ORDER BY e.probe""".stripMargin
+
+  // --------------------------------------------------------------- q189
+  /** Histogram-balanced range clustering ([[ManifestSink
+    * .compactBalanced]]): the table's own committed equi-depth
+    * histograms choose the w−1 range cuts (piecewise-uniform mass
+    * interpolation — [[ManifestSink.histogramCuts]]), and the snapshot
+    * rewrites into one manifest entry per value range. The report is
+    * read from MANIFEST METADATA (per-entry exact counts and bounds);
+    * the oracle recomputes the cuts from the raw table and counts each
+    * shard directly — a drifted cut, an off-by-one shard assignment,
+    * or a wrong recorded count all hash-mismatch.
+    *
+    * Scale: this is `repartitionByRange` WITHOUT the sampling pass —
+    * at 100 TB Spark's RangePartitioner burns a full extra read to
+    * sample bounds (and lands different bounds every run); here the
+    * bounds are a deterministic function of metadata the commits
+    * already paid for, the rewrite is ONE distributed write job, and
+    * the resulting per-shard entries carry tight bounds so range scans
+    * prune to the shards they overlap. */
+  private val q189: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
+    val sink = freshScratch("graft_q189", dir) + "/t"
+    (0 until 4).foreach { sl =>
+      ManifestSink.appendWithStats(docs.filter($"doc_id" % 4 === sl), sink,
+        statsCols = Seq("n_chars"), histCols = Seq("n_chars"))
+    }
+    ManifestSink.compactBalanced(s, sink, "n_chars", 6)
+      .getOrElse(sys.error(s"q189: entry without histogram at $sink"))
+    ManifestSink.filesReport(s, sink, Seq("n_chars"))
+      .select($"entry_idx".as("shard"), $"n_rows",
+        $"n_chars_min".cast("long").as("v_min"),
+        $"n_chars_max".cast("long").as("v_max"))
+      .orderBy($"shard")
+  }
+  private val q189Sql =
+    """WITH d AS (SELECT doc_id % 4 AS s, n_chars AS v FROM documents
+       |           WHERE n_chars IS NOT NULL),
+       |vals AS (SELECT s, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |tot AS (SELECT s, SUM(c) AS n FROM vals GROUP BY 1),
+       |cum AS (SELECT s, v, c,
+       |         SUM(c) OVER (PARTITION BY s ORDER BY v) AS cm FROM vals),
+       |bnd AS (SELECT c.s, g.i, MIN(c.v) AS b
+       |        FROM cum c JOIN tot t ON c.s = t.s
+       |        CROSS JOIN generate_series(1, 8) AS g(i)
+       |        WHERE c.cm >= (g.i * t.n + 7) // 8
+       |        GROUP BY 1, 2),
+       |b0 AS (SELECT s, MIN(v) AS b FROM vals GROUP BY 1),
+       |vb AS (SELECT v.s, v.v, v.c, MIN(b.i) AS bi
+       |       FROM vals v JOIN bnd b ON v.s = b.s AND v.v <= b.b
+       |       GROUP BY 1, 2, 3),
+       |hist AS (SELECT s, bi, SUM(c) AS n FROM vb GROUP BY 1, 2),
+       |iv AS (SELECT h.s, h.bi,
+       |         CASE WHEN h.bi = 1 THEN z.b ELSE p.b END AS lo_i,
+       |         u.b AS hi_i, h.n
+       |       FROM hist h
+       |       JOIN bnd u ON u.s = h.s AND u.i = h.bi
+       |       LEFT JOIN bnd p ON p.s = h.s AND p.i = h.bi - 1
+       |       JOIN b0 z ON z.s = h.s),
+       |pieces AS (SELECT lo_i AS lo, hi_i AS hi, n FROM iv WHERE n > 0),
+       |pc AS (SELECT lo, hi, n, SUM(n) OVER (ORDER BY lo, hi, n
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+       |       FROM pieces),
+       |tt AS (SELECT SUM(n) AS total FROM pieces),
+       |cuts AS (SELECT g.j,
+       |          (SELECT CASE WHEN p.hi = p.lo THEN CAST(p.lo AS DOUBLE)
+       |             ELSE CAST(p.lo AS DOUBLE)
+       |               + (CAST(p.hi AS DOUBLE) - CAST(p.lo AS DOUBLE))
+       |               * ((CAST(g.j * t.total AS DOUBLE) / 6
+       |                   - CAST(p.ca - p.n AS DOUBLE))
+       |                  / CAST(p.n AS DOUBLE)) END
+       |           FROM pc p, tt t
+       |           WHERE CAST(p.ca AS DOUBLE)
+       |             >= CAST(g.j * t.total AS DOUBLE) / 6
+       |           ORDER BY p.ca LIMIT 1) AS cut
+       |         FROM generate_series(1, 5) AS g(j)),
+       |sh AS (SELECT dd.n_chars AS v,
+       |         COALESCE((SELECT MIN(c.j) - 1 FROM cuts c
+       |                   WHERE dd.n_chars <= c.cut), 5) AS true_shard
+       |       FROM documents dd),
+       |rep AS (SELECT true_shard, COUNT(*) AS n_rows, MIN(v) AS v_min,
+       |         MAX(v) AS v_max FROM sh GROUP BY 1)
+       |SELECT ROW_NUMBER() OVER (ORDER BY true_shard) - 1 AS shard,
+       |  CAST(n_rows AS BIGINT) AS n_rows, v_min, v_max
+       |FROM rep ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q189_balanced_layout" -> q189,
+    "q188_range_estimate" -> q188,
     "q187_commit_anomalies" -> q187,
     "q186_view_freshness" -> q186,
     "q184_managed_agg_view" -> q184,
@@ -2207,6 +2381,8 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q189_balanced_layout" -> q189Sql,
+    "q188_range_estimate" -> q188Sql,
     "q187_commit_anomalies" -> q187Sql,
     "q186_view_freshness" -> q186Sql,
     "q184_managed_agg_view" -> q184Sql,

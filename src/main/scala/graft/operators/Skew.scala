@@ -199,6 +199,17 @@ object Skew {
       broadcastRows)
     val a = ManifestSink.read(spark, dirA)
     val b = ManifestSink.read(spark, dirB)
+    dispatchVerdict(plan, a, b, colA, colB)
+  }
+
+  /** The physical dispatch shared by [[planAwareJoin]] and
+    * [[planAwareFilteredJoin]]: execute a [[graft.sinks.ManifestSink
+    * .JoinPlan]] verdict over the two (possibly pre-filtered) frames.
+    * Every arm returns the same rows as `a JOIN b ON colA = colB`. */
+  private def dispatchVerdict(
+      plan: Option[graft.sinks.ManifestSink.JoinPlan],
+      a: DataFrame, b: DataFrame, colA: String,
+      colB: String): DataFrame = {
     plan match {
       case Some(p) if p.strategy == "broadcast" =>
         if (p.rowsA <= p.rowsB)
@@ -227,6 +238,42 @@ object Skew {
           else salted(b, colB, a, colA)
         j.select(a.columns.map(col) ++ b.columns.map(col): _*)
       case _ => a.join(b, col(colA) === col(colB))
+    }
+  }
+
+  /** [[planAwareJoin]] for a FILTERED fact side — the decision a plain
+    * table-level verdict gets wrong: `joinPlan` sees two huge tables
+    * and says shuffle, but the query only joins rows with
+    * `filterCol BETWEEN lo AND hi`, and the manifest's equi-depth
+    * histograms ([[graft.sinks.ManifestSink.rangeEstimateMicro]]) can
+    * say — from metadata alone, before any data is read — that the
+    * SURVIVING side fits a broadcast. When the estimate is at or under
+    * `broadcastRows`, the filtered side broadcasts (no shuffle at all,
+    * whatever the unfiltered verdict said); otherwise, or when any
+    * entry lacks a histogram, the unfiltered [[planAwareJoin]] verdict
+    * dispatches unchanged over the filtered frame — absence degrades
+    * to the table-level plan, never to a guess. The filter itself
+    * applies AT THE SCAN either way ([[graft.sinks.ManifestSink
+    * .readWhere]] prunes whole entries by their recorded bounds), so
+    * every arm returns exactly the rows of
+    * `a.filter(between).join(b, colA === colB)`. */
+  def planAwareFilteredJoin(spark: SparkSession, dirA: String,
+      colA: String, filterCol: String, lo: Double, hi: Double,
+      dirB: String, colB: String, broadcastRows: Long): DataFrame = {
+    import graft.sinks.ManifestSink
+    require(colA != colB,
+      "planAwareFilteredJoin needs distinct key names; rename one side")
+    val a = ManifestSink.readWhere(spark, dirA, filterCol,
+      Some(lo), Some(hi))
+    val b = ManifestSink.read(spark, dirB)
+    val est = ManifestSink.rangeEstimateMicro(spark, dirA, filterCol,
+      lo, hi)
+    est match {
+      case Some(micro) if micro <= broadcastRows * 1000000L =>
+        broadcast(a).join(b, col(colA) === col(colB))
+      case _ =>
+        dispatchVerdict(ManifestSink.joinPlan(spark, dirA, colA, dirB,
+          colB, broadcastRows), a, b, colA, colB)
     }
   }
 

@@ -540,9 +540,11 @@ object ManifestSink {
       statsCols: Seq[String], bloomCols: Seq[String],
       bloomFpp: Double, ndvCols: Seq[String] = Nil,
       topKCols: Seq[String] = Nil,
-      tokenBloomCols: Seq[String] = Nil): Map[String, ColStats] =
+      tokenBloomCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil): Map[String, ColStats] =
     if (statsCols.isEmpty && bloomCols.isEmpty && ndvCols.isEmpty &&
-        topKCols.isEmpty && tokenBloomCols.isEmpty) Map.empty
+        topKCols.isEmpty && tokenBloomCols.isEmpty && histCols.isEmpty)
+      Map.empty
     else {
       val written = spark.read.parquet(dataDir)
       (if (statsCols.isEmpty) Map.empty[String, ColStats]
@@ -550,7 +552,8 @@ object ManifestSink {
         batchBlooms(written, bloomCols, bloomFpp) ++
         batchNdvSketches(written, ndvCols) ++
         batchTopK(written, topKCols) ++
-        batchTokenBlooms(written, tokenBloomCols, bloomFpp)
+        batchTokenBlooms(written, tokenBloomCols, bloomFpp) ++
+        batchHistograms(written, histCols)
     }
 
   /** Per-column min/max of one written batch, for columns whose type the
@@ -713,6 +716,224 @@ object ManifestSink {
           top.length.toString))
       }
     }.toMap
+  }
+
+  /** Stats-map key holding a column's EQUI-DEPTH HISTOGRAM (tag = the
+    * column's value tag 'L'/'D', `min` = comma-joined B+1 boundary
+    * values — the batch min, then the exact order statistic at rank
+    * ⌈i·n/B⌉ for i = 1..B — `max` = comma-joined EXACT per-bucket row
+    * counts). The RANGE-SELECTIVITY complement to min/max stats:
+    * bounds answer "can this batch match", the histogram answers "how
+    * MANY rows will" — the number a filter-aware planner needs before
+    * choosing broadcast vs shuffle on a filtered side. */
+  private def histKey(c: String): String = c + "\u0000eh"
+
+  /** Equi-depth buckets recorded per (entry, column): 8 exact order
+    * statistics + 8 exact counts ≈ 150 B — manifest-sized. */
+  val HistBuckets: Int = 8
+
+  /** Per-column equi-depth histogram of one written batch. Boundaries
+    * are EXACT order statistics (the value at 1-based rank ⌈i·n/B⌉ in
+    * value order), bucket counts are EXACT row counts of each
+    * (b_{i-1}, b_i] interval (first bucket [b_0, b_1]) — both
+    * engine-portable, so an external oracle reproduces every digit.
+    *
+    * Scale shape: one two-phase aggregate collapses the batch to its
+    * DISTINCT-VALUE frame; the cumulative-count window runs over that
+    * frame ordered by value (the bounded-cardinality contract of
+    * q26/q183 — value cardinality, not batch rows, bounds the single
+    * partition; a genuinely unbounded-NDV double column would lift
+    * this with the q177 sharded prefix sum). Boundary extraction and
+    * bucket counting are two more DECISION-sized aggregate jobs; only
+    * B+1 boundary literals ever reach the driver. */
+  private def batchHistograms(written: DataFrame,
+      histCols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+    import org.apache.spark.sql.types._
+    val B = HistBuckets
+    histCols.flatMap { c =>
+      written.schema.find(_.name == c).flatMap { f =>
+        (f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => Some('L')
+          case FloatType | DoubleType                        => Some('D')
+          case _                                             => None
+        }).flatMap { tag =>
+          val vals = written.filter(col(c).isNotNull)
+            .groupBy(col(c).cast(if (tag == 'L') "long" else "double")
+              .as("__v"))
+            .agg(count(lit(1)).as("__c"))
+          val nRow = vals.agg(sum(col("__c"))).head()
+          if (nRow.isNullAt(0)) None // all-null batch: no histogram
+          else {
+            val n = nRow.getLong(0)
+            // rank targets ⌈i·n/B⌉ in exact long arithmetic
+            val targets = (1 to B).map(i => (i.toLong * n + B - 1) / B)
+            val cum = vals.withColumn("__cum",
+              sum(col("__c")).over(Window.orderBy(col("__v"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)))
+            val bAggs = min(col("__v")).as("__b0") +: targets.zipWithIndex
+              .map { case (r, i) =>
+                min(when(col("__cum") >= r, col("__v"))).as(s"__b${i + 1}")
+              }
+            val row = cum.agg(bAggs.head, bAggs.tail: _*).head()
+            def bAt(i: Int): Any = row.get(i)
+            val bounds = (0 to B).map(bAt)
+            // bucket of a value = the SMALLEST i with v ≤ b_i (ties
+            // between equal boundaries route to the lower bucket —
+            // matched by the oracle's min(i) over v ≤ b_i)
+            val bucket = (1 until B).foldRight(lit(B)) { case (i, acc) =>
+              when(col("__v") <= lit(bounds(i)), lit(i)).otherwise(acc)
+            }
+            val cnts = vals.groupBy(bucket.as("__b"))
+              .agg(sum(col("__c")).as("__n")).collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val counts = (1 to B).map(i => cnts.getOrElse(i, 0L))
+            Some(histKey(c) -> ColStats(tag,
+              bounds.map(boundStr).mkString(","),
+              counts.mkString(",")))
+          }
+        }
+      }
+    }.toMap
+  }
+
+  /** Per-entry parsed histogram: (boundaries b_0..b_B as doubles —
+    * exact for 'L' values below 2^53 — and exact per-bucket counts). */
+  private def entryHistogram(e: Entry,
+      c: String): Option[(Array[Double], Array[Long])] =
+    e.stats.get(histKey(c)).collect {
+      case st if st.tag == 'L' || st.tag == 'D' =>
+        (st.min.split(",").map(_.toDouble), st.max.split(",").map(_.toLong))
+    }
+
+  /** Estimated rows matching `colName BETWEEN lo AND hi`, in MICRO-ROW
+    * units (1e-6 row), from manifest metadata alone — zero data reads
+    * at any table size. Per histogram bucket the mass is taken
+    * continuous-uniform over its boundary interval: full containment
+    * contributes the bucket's EXACT count, partial overlap a linearly
+    * interpolated fraction, a degenerate single-value bucket all-or-
+    * nothing. The per-bucket value is ROUNDED TO INTEGER MICRO-ROWS
+    * before summing so the fold is order-independent and an external
+    * engine reproduces the total bit-for-bit (double SUM order would
+    * otherwise be engine-defined). None when any live entry lacks the
+    * histogram — absence degrades to "recompute from data", never to a
+    * wrong number. */
+  def rangeEstimateMicro(spark: SparkSession, dir: String,
+      colName: String, lo: Double, hi: Double): Option[Long] = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val hs = entries(spark, dir, v).filterNot(isTombEntry)
+      .map(entryHistogram(_, colName))
+    if (hs.isEmpty || hs.exists(_.isEmpty)) return None
+    Some(hs.flatten.map { case (b, ns) =>
+      var s = 0L
+      var i = 0
+      while (i < ns.length) {
+        val loI = b(i); val hiI = b(i + 1); val n = ns(i)
+        s += (if (hiI == loI) {
+          if (lo <= loI && loI <= hi) n * 1000000L else 0L
+        } else {
+          val frac = math.max(0.0,
+            (math.min(hi, hiI) - math.max(lo, loI)) / (hiI - loI))
+          math.floor(frac * n * 1000000.0 + 0.5).toLong
+        })
+        i += 1
+      }
+      s
+    }.sum)
+  }
+
+  /** `w−1` ascending global cut values for range-partitioning the table
+    * on `colName`, chosen from manifest metadata alone — the bounds
+    * Spark's RangePartitioner would otherwise SAMPLE the data to learn
+    * (a full extra pass at 100 TB, and a nondeterministic one: sampled
+    * bounds change run to run; these are a pure function of the
+    * committed histograms). Per-entry histogram buckets merge into one
+    * value-ordered piecewise-uniform mass profile (integer cumulative
+    * counts — order-independent), and cut j sits at mass j·N/w by
+    * linear interpolation inside its containing piece. None when any
+    * live entry lacks the histogram. */
+  def histogramCuts(spark: SparkSession, dir: String, colName: String,
+      w: Int): Option[Seq[Double]] = {
+    require(w > 1, s"need w > 1 shards, got $w")
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val hs = entries(spark, dir, v).filterNot(isTombEntry)
+      .map(entryHistogram(_, colName))
+    if (hs.isEmpty || hs.exists(_.isEmpty)) return None
+    val pieces = hs.flatten.flatMap { case (b, ns) =>
+      ns.indices.map(i => (b(i), b(i + 1), ns(i)))
+    }.filter(_._3 > 0L)
+      .sortBy { case (lo, hi, n) => (lo, hi, n) }
+    val total = pieces.iterator.map(_._3).sum
+    if (total == 0L) return None
+    val cumAfter = pieces.scanLeft(0L)(_ + _._3).drop(1)
+    Some((1 until w).map { j =>
+      val t = (j.toLong * total).toDouble / w
+      val p = cumAfter.indexWhere(_ >= t)
+      val (lo, hi, n) = pieces(p)
+      val before = if (p == 0) 0L else cumAfter(p - 1)
+      if (hi == lo) lo
+      else lo + (hi - lo) * ((t - before) / n)
+    })
+  }
+
+  /** Rewrite the current snapshot RANGE-CLUSTERED on `colName` into one
+    * manifest entry per shard, with shard bounds from [[histogramCuts]]
+    * — balanced layout WITHOUT the sampling pass `repartitionByRange`
+    * performs, and deterministically (the cuts are a function of
+    * committed metadata, so the same table always lands in the same
+    * layout). Shard of a row = the smallest j with value ≤ cut_j (w−1
+    * for values above every cut; nulls ride shard 0 — they sort first,
+    * matching the min/max stats codec's null handling). One
+    * distributed write job; per-shard min/max stats + exact counts +
+    * fresh histograms land on each entry, so range scans prune to the
+    * shards they overlap and future cut decisions stay metadata-only.
+    * Returns the cuts, or None (no histograms — nothing rewritten:
+    * absence degrades to "leave the layout alone", never to a sampled
+    * guess). Version PINNED like [[compact]]: a concurrent append
+    * fails the publish loudly. */
+  def compactBalanced(spark: SparkSession, dir: String, colName: String,
+      w: Int): Option[Seq[Double]] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    histogramCuts(spark, dir, colName, w).map { cuts =>
+      val prev = version(spark, dir)
+      val snap = readAt(spark, dir, prev, mergeSchema = true)
+      val shard = cuts.zipWithIndex.foldRight(lit(w - 1)) {
+        case ((c, j), acc) => when(col(colName) <= lit(c), j).otherwise(acc)
+      }
+      val shardCol = when(col(colName).isNull, lit(0)).otherwise(shard)
+      val batch = java.util.UUID.randomUUID().toString
+      val staging = s"$dir/data/$batch"
+      snap.withColumn("__sh", shardCol)
+        .write.partitionBy("__sh").parquet(staging)
+      val written = spark.read.parquet(staging)
+      val perShard =
+        groupedStatsWithCount(written, col("__sh"), Seq(colName))
+      val f = fs(spark, dir)
+      val subdirs = f.listStatus(new Path(staging))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("__sh="))
+        .sortBy(_.stripPrefix("__sh=").toInt)
+      val lines = subdirs.map { sd =>
+        val g = sd.stripPrefix("__sh=")
+        val hist = batchHistograms(
+          written.filter(col("__sh") === g.toInt), Seq(colName))
+        val stats = perShard.get(g)
+          .map { case (n, st) => st ++ hist + rowsStat(n) }
+          .getOrElse(Map.empty[String, ColStats])
+        Entry(s"data/$batch/$sd", stats).line
+      }
+      val next = prev + 1
+      publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
+        (headerLines(mergeHeader(manifestHeader(spark, dir, prev),
+          Map(TsKey -> System.currentTimeMillis.toString))) ++ lines)
+          .mkString("\n"))
+      writeHint(f, new Path(dir, "_latest"), next.toString)
+      cuts
+    }
   }
 
   /** Table-level heavy hitters merged across entries: per-value counts
@@ -907,13 +1128,14 @@ object ManifestSink {
       header: Map[String, String] = Map.empty,
       ndvCols: Seq[String] = Nil,
       topKCols: Seq[String] = Nil,
-      tokenBloomCols: Seq[String] = Nil): Long = {
+      tokenBloomCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     val rows = writeCounted(df, dataDir)
     val line = Entry(s"data/$batch",
       writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp,
-        ndvCols, topKCols, tokenBloomCols) + rowsStat(rows)).line
+        ndvCols, topKCols, tokenBloomCols, histCols) + rowsStat(rows)).line
     commitAppendLines(spark, dir, Seq(line), header)
   }
 
@@ -973,10 +1195,11 @@ object ManifestSink {
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01, ndvCols: Seq[String] = Nil,
       topKCols: Seq[String] = Nil,
-      tokenBloomCols: Seq[String] = Nil): Long =
+      tokenBloomCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil): Long =
     commitAppend(df.sparkSession, dir, df, statsCols, bloomCols, bloomFpp,
       ndvCols = ndvCols, topKCols = topKCols,
-      tokenBloomCols = tokenBloomCols)
+      tokenBloomCols = tokenBloomCols, histCols = histCols)
 
   /** [[append]] carrying caller metadata in the same atomic commit — the
     * incremental-derived-artifact pattern (e.g. an ANN index extended by

@@ -1317,4 +1317,73 @@ class ManifestSinkSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(stricter === Set(1L, 2L, 4L))
   }
+
+  test("equi-depth histograms: hand-checked estimates, degenerate " +
+      "buckets, multi-entry sums, absence degradation") {
+    val dir = Files.createTempDirectory("msinkeh").toString + "/t"
+    // 1..16 → boundaries at ranks 2,4..16 = even values, 2 rows/bucket
+    ManifestSink.appendWithStats((1L to 16L).toDF("v"), dir,
+      statsCols = Nil, histCols = Seq("v"))
+    def est(lo: Double, hi: Double) =
+      ManifestSink.rangeEstimateMicro(spark, dir, "v", lo, hi)
+    assert(est(1.0, 16.0) === Some(16000000L)) // full table, exact
+    // [3,5]: half of bucket [2,4] + half of bucket [4,6]
+    assert(est(3.0, 5.0) === Some(2000000L))
+    assert(est(100.0, 200.0) === Some(0L)) // disjoint
+    // second entry doubles every estimate (per-entry sums)
+    ManifestSink.appendWithStats((1L to 16L).toDF("v"), dir,
+      statsCols = Nil, histCols = Seq("v"))
+    assert(est(1.0, 16.0) === Some(32000000L))
+    // degenerate: a single-value batch is all-or-nothing
+    val dir2 = Files.createTempDirectory("msinkeh2").toString + "/t"
+    ManifestSink.appendWithStats(
+      Seq.fill(10)(7L).toDF("v"), dir2, Nil, histCols = Seq("v"))
+    assert(ManifestSink.rangeEstimateMicro(spark, dir2, "v", 0.0, 100.0)
+      === Some(10000000L))
+    assert(ManifestSink.rangeEstimateMicro(spark, dir2, "v", 8.0, 9.0)
+      === Some(0L))
+    // double-typed column takes the 'D' codec
+    val dir3 = Files.createTempDirectory("msinkeh3").toString + "/t"
+    ManifestSink.appendWithStats(
+      (1 to 16).map(_ * 0.5).toDF("v"), dir3, Nil, histCols = Seq("v"))
+    assert(ManifestSink.rangeEstimateMicro(spark, dir3, "v", 0.5, 8.0)
+      === Some(16000000L))
+    // any histogram-less entry degrades the whole answer to None
+    ManifestSink.append(Seq(99L).toDF("v"), dir)
+    assert(est(1.0, 16.0) === None)
+  }
+
+  test("compactBalanced: metadata-only cuts balance the layout and " +
+      "range scans prune to overlapping shards") {
+    val dir = Files.createTempDirectory("msinkbal").toString + "/t"
+    // two skewed-SIZE appends of a uniform 0..599 value space
+    ManifestSink.appendWithStats(spark.range(0, 500).toDF("v"), dir,
+      statsCols = Seq("v"), histCols = Seq("v"))
+    ManifestSink.appendWithStats(spark.range(500, 600).toDF("v"), dir,
+      statsCols = Seq("v"), histCols = Seq("v"))
+    val cuts = ManifestSink.compactBalanced(spark, dir, "v", 6).get
+    assert(cuts.size === 5 && cuts === cuts.sorted)
+    // content identical through the rewrite
+    assert(ManifestSink.read(spark, dir).agg(
+      org.apache.spark.sql.functions.sum($"v")).head().getLong(0)
+      === (0L until 600L).sum)
+    // balanced: every shard within ±20% of the uniform share
+    val perShard = ManifestSink.filesReport(spark, dir, Seq("v"))
+      .collect().map(_.getLong(1))
+    assert(perShard.length === 6)
+    assert(perShard.forall(n => n >= 80 && n <= 120),
+      s"unbalanced shards: ${perShard.toSeq}")
+    // a narrow range now prunes to the shard(s) it overlaps
+    val (kept, skipped) = ManifestSink.prunedEntries(spark, dir,
+      Seq(ManifestSink.Range("v", Some(10L), Some(20L))))
+    assert(kept.size <= 2 && skipped.size >= 4,
+      s"kept ${kept.size}, skipped ${skipped.size}")
+    // the rewritten entries carry fresh histograms: cuts still answer
+    assert(ManifestSink.histogramCuts(spark, dir, "v", 4).isDefined)
+    // a histogram-less table refuses (None) instead of sampling
+    val dir2 = Files.createTempDirectory("msinkbal2").toString + "/t"
+    ManifestSink.append(spark.range(0, 100).toDF("v"), dir2)
+    assert(ManifestSink.compactBalanced(spark, dir2, "v", 4) === None)
+    assert(ManifestSink.version(spark, dir2) === 0L) // nothing rewritten
+  }
 }
