@@ -2343,7 +2343,73 @@ object SinkOps {
        |  CAST(n_rows AS BIGINT) AS n_rows, v_min, v_max
        |FROM rep ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------- q190
+  /** Filter-aware join planning ([[Skew.planAwareFilteredJoin]]): the
+    * verdict a TABLE-LEVEL plan gets wrong. Fact and dim are both far
+    * above the broadcast threshold (plain `joinPlan` says shuffle),
+    * but the query filters the fact on a value range — and the
+    * manifest's equi-depth histogram prices that filter from metadata
+    * alone. Three probes: a NARROW range whose estimate fits the
+    * broadcast budget (the filtered side broadcasts — no shuffle at
+    * all), a WIDE range whose estimate exceeds it (the table-level
+    * shuffle verdict dispatches unchanged), and the same narrow range
+    * against a histogram-LESS copy (absence degrades to the
+    * table-level plan, never a guess). All three arms are row-identical
+    * to the plain filtered join — the oracle computes exactly that.
+    *
+    * Scale: at 100 TB the broadcast-vs-shuffle call for a filtered
+    * side is THE decision a cost-based optimizer exists for;
+    * histograms the commits already paid for answer it with zero data
+    * reads, and a right answer deletes the whole shuffle.
+    * PlanAuditSpec pins the physical shapes (BroadcastHashJoin exactly
+    * when the estimate says so, with Spark's own auto-broadcast
+    * disabled). */
+  private val q190: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id", $"value")
+    val root = freshScratch("graft_q190", dir)
+    val aHist = root + "/a_hist"
+    ManifestSink.appendWithStats(ev, aHist, Seq("value"),
+      ndvCols = Seq("event_id"), histCols = Seq("value"))
+    val aPlain = root + "/a_plain"
+    ManifestSink.appendWithStats(ev, aPlain, Seq("value"),
+      ndvCols = Seq("event_id"))
+    val b = root + "/b"
+    ManifestSink.appendWithStats(ev.select($"event_id".as("eid")), b,
+      Seq("eid"), ndvCols = Seq("eid"))
+    val bc = ManifestSink.rowCount(s, aHist).get / 20
+    def probe(name: String, dirA: String, lo: Double, hi: Double) = {
+      val j = Skew.planAwareFilteredJoin(s, dirA, "event_id", "value",
+        lo, hi, b, "eid", bc)
+      val r = j.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum($"event_id"), lit(0L)).cast("long").as("ks")).head()
+      (name, r.getLong(0), r.getLong(1))
+    }
+    Seq(probe("narrow_hist_broadcast", aHist, 0.0, 0.5),
+      probe("wide_verdict_path", aHist, 0.0, 40.0),
+      probe("nohist_degrade", aPlain, 0.0, 0.5))
+      .toDF("probe", "n_rows", "key_sum").orderBy($"probe")
+  }
+  private val q190Sql =
+    """SELECT 'narrow_hist_broadcast' AS probe,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COALESCE(SUM(e1.event_id), 0) AS BIGINT) AS key_sum
+      |FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id
+      |WHERE e1.value >= 0.0 AND e1.value <= 0.5
+      |UNION ALL
+      |SELECT 'wide_verdict_path', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(e1.event_id), 0) AS BIGINT)
+      |FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id
+      |WHERE e1.value >= 0.0 AND e1.value <= 40.0
+      |UNION ALL
+      |SELECT 'nohist_degrade', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(SUM(e1.event_id), 0) AS BIGINT)
+      |FROM events e1 JOIN events e2 ON e1.event_id = e2.event_id
+      |WHERE e1.value >= 0.0 AND e1.value <= 0.5
+      |ORDER BY probe""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q190_filtered_plan_join" -> q190,
     "q189_balanced_layout" -> q189,
     "q188_range_estimate" -> q188,
     "q187_commit_anomalies" -> q187,
@@ -2381,6 +2447,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q190_filtered_plan_join" -> q190Sql,
     "q189_balanced_layout" -> q189Sql,
     "q188_range_estimate" -> q188Sql,
     "q187_commit_anomalies" -> q187Sql,

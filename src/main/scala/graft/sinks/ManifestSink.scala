@@ -1700,9 +1700,17 @@ object ManifestSink {
   }
 
   /** tag-typed `<=` over the stats string encoding ('L' long, 'D'
-    * double, 'S' unsigned-UTF-8). */
+    * double, 'S' unsigned-UTF-8). An 'L' comparison whose operand
+    * isn't a long literal (a caller probing an integral column with a
+    * fractional bound, e.g. `v <= 100.5`) falls back to exact double
+    * comparison — longs below 2^53 convert exactly, so the answer
+    * stays sound and the entry still prunes instead of the probe
+    * crashing or degrading to keep-everything. */
   private def leTagged(tag: Char, a: String, b: String): Boolean = tag match {
-    case 'L' => a.toLong <= b.toLong
+    case 'L' => (a.toLongOption, b.toLongOption) match {
+      case (Some(x), Some(y)) => x <= y
+      case _                  => a.toDouble <= b.toDouble
+    }
     case 'D' => a.toDouble <= b.toDouble
     case _ =>
       java.util.Arrays.compareUnsigned(

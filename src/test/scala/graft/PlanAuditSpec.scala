@@ -290,6 +290,76 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("planAwareFilteredJoin: histogram estimate flips the verdict to " +
+      "broadcast; over-budget and histogram-less cases keep the shuffle") {
+    // q190's dispatch: both sides are far above the broadcast budget
+    // (table-level verdict = shuffle), but the fact side's equi-depth
+    // histogram prices a narrow range filter under the budget — the
+    // FILTERED side must broadcast, with Spark's own size-based rule
+    // disabled so the only possible BroadcastHashJoin is the one our
+    // estimate placed. A wide filter and a histogram-less copy must
+    // both stay on the plain sort-merge join.
+    import spark.implicits._
+    import graft.sinks.ManifestSink
+    import graft.operators.Skew
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("pafj").toString
+      val facts = spark.range(0, 10000)
+        .select($"id".as("ka"), $"id".cast("long").as("v"))
+      val aHist = s"$root/aHist"
+      ManifestSink.appendWithStats(facts, aHist, Seq("v"),
+        ndvCols = Seq("ka"), histCols = Seq("v"))
+      val aPlain = s"$root/aPlain"
+      ManifestSink.appendWithStats(facts, aPlain, Seq("v"),
+        ndvCols = Seq("ka"))
+      val b = s"$root/b"
+      ManifestSink.appendWithStats(
+        spark.range(0, 10000).toDF("kb"), b, Seq("kb"),
+        ndvCols = Seq("kb"))
+      // table-level verdict: shuffle (both sides 20x the budget)
+      assert(ManifestSink.joinPlan(spark, aHist, "ka", b, "kb", 500)
+        .get.strategy === "shuffle")
+      def run(dirA: String, lo: Double, hi: Double): (Long, String) = {
+        val df = Skew.planAwareFilteredJoin(spark, dirA, "ka", "v",
+          lo, hi, b, "kb", 500)
+        val n = df.count() // settle AQE; assert on the final plan
+        (n, df.queryExecution.executedPlan.toString)
+      }
+      // narrow: est ~101 rows <= 500 → the filtered side broadcasts
+      val (nN, pN) = run(aHist, 0.0, 100.0)
+      assert(nN === 101)
+      assert(pN.contains("BroadcastHashJoin"),
+        s"histogram under budget but no broadcast:\n$pN")
+      // wide: est ~5001 rows > 500 → table-level shuffle verdict holds
+      val (nW, pW) = run(aHist, 0.0, 5000.0)
+      assert(nW === 5001)
+      assert(pW.contains("SortMergeJoin") &&
+        !pW.contains("BroadcastHashJoin"),
+        s"over-budget estimate must keep the shuffle:\n$pW")
+      // histogram-less: absence degrades to the table-level plan
+      val (nP, pP) = run(aPlain, 0.0, 100.0)
+      assert(nP === 101)
+      assert(!pP.contains("BroadcastHashJoin"),
+        s"histogram-less side must not broadcast on a guess:\n$pP")
+      // the filter pruned at the manifest too: a second, range-sliced
+      // table scans only overlapping entries for the same narrow range
+      val sliced = s"$root/sliced"
+      (0 until 4).foreach { i =>
+        ManifestSink.appendWithStats(
+          facts.filter($"v" >= i * 2500 && $"v" < (i + 1) * 2500),
+          sliced, Seq("v"), ndvCols = Seq("ka"), histCols = Seq("v"))
+      }
+      val (kept, skipped) = ManifestSink.prunedEntries(spark, sliced,
+        Seq(ManifestSink.Range("v", Some(0L), Some(100L))))
+      assert(kept.size === 1 && skipped.size === 3)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("planAwareStarJoin executes all three verdicts in one plan, " +
       "broadcast hint placed by the operator alone") {
     // q179's star (slice prefilter + part shuffle + supplier broadcast)
