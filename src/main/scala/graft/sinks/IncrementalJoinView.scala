@@ -157,6 +157,28 @@ object IncrementalJoinView {
     }
   }
 
+  /** Per-epoch STREAMING maintenance of the JOIN view — the
+    * `foreachBatch` body for the "streaming fact ⋈ maintained
+    * dimension" shape: append the epoch to the LEFT (fact) table
+    * exactly-once ([[ManifestSink.appendOnce]], idempotent under Spark
+    * epoch replay), then fold the view. Replay safety composes exactly
+    * as in [[AggMatView.absorbEpoch]]: a replayed epoch's append is a
+    * no-op, so the left position does not advance and the refresh sees
+    * equal positions — the delta-join cannot double-absorb at any
+    * crash point. Because [[refresh]] folds BOTH windows, dimension
+    * commits made between epochs by other writers are absorbed in the
+    * same call (the `L_old ⋈ ΔR` term), so the view tracks both a live
+    * stream and a slowly-changing dimension with no extra machinery.
+    * Returns (view version, folded). */
+  def absorbEpoch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      leftDir: String, viewDir: String, rightDir: String, key: String,
+      broadcastRows: Long = 1000000L): (Long, Boolean) = {
+    ManifestSink.appendOnce(batch, leftDir, batchId)
+    if (ManifestSink.version(spark, viewDir) < 0)
+      (create(spark, viewDir, leftDir, rightDir, key), true)
+    else refresh(spark, viewDir, leftDir, rightDir, key, broadcastRows)
+  }
+
   /** Metadata-only staleness of the join view against both sources:
     * each side's absorbed-to-current window as an
     * [[AggMatView.Freshness]] (exact recorded delta rows, foldability) —

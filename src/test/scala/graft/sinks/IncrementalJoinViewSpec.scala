@@ -183,4 +183,62 @@ class IncrementalJoinViewSpec extends SparkSpec {
       .toSet
     assert(got === Set(("x", 2L, 40.0), ("y", 2L, 60.0)))
   }
+
+  test("absorbEpoch: replayed epochs cannot double-fold; dimension " +
+      "commits between epochs are absorbed in the same call") {
+    val (l, r, v) = dirs()
+    ManifestSink.append(right(0 -> 100L, 1 -> 200L, 2 -> 300L), r)
+    def epoch(i: Int) = left(i % 3 -> s"e$i")
+    // epochs with replays of 1, pre- and post-later-epochs (q101's
+    // replay pattern lifted to the composed base+join-view maintenance)
+    IncrementalJoinView.absorbEpoch(spark, epoch(0), 0L, l, v, r, "k")
+    IncrementalJoinView.absorbEpoch(spark, epoch(1), 1L, l, v, r, "k")
+    IncrementalJoinView.absorbEpoch(spark, epoch(1), 1L, l, v, r, "k")
+    // a dimension writer lands between epochs: the next epoch's fold
+    // must absorb BOTH the new epoch and the new dimension rows
+    ManifestSink.append(right(3 -> 400L), r)
+    val (_, folded) =
+      IncrementalJoinView.absorbEpoch(spark, epoch(2), 2L, l, v, r, "k")
+    assert(folded, "append-only windows on both sides must fold")
+    IncrementalJoinView.absorbEpoch(spark, epoch(1), 1L, l, v, r, "k")
+    IncrementalJoinView.absorbEpoch(spark, epoch(3), 3L, l, v, r, "k")
+    assert(content(v) === fullJoin(l, r))
+    // the left base holds each epoch exactly once
+    assert(ManifestSink.read(spark, l).count() === 4L)
+
+    // a REAL AvailableNow stream drives the same body via foreachBatch
+    val (sl, sr, sv) = dirs()
+    ManifestSink.append(right(0 -> 10L, 1 -> 20L, 2 -> 30L), sr)
+    val srcDir = Files.createTempDirectory("ijv_src").toString
+    (0 until 5).foreach { i =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"f$i.csv"),
+        s"${i % 3},s$i\n".getBytes("UTF-8"))
+    }
+    val ckpt = Files.createTempDirectory("ijv_ckpt").toString
+    import org.apache.spark.sql.types._
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("k", IntegerType),
+          StructField("lv", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .csv(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          IncrementalJoinView.absorbEpoch(spark, b, id, sl, sv, sr, "k")
+          ()
+        }
+        .start()
+      q.awaitTermination(120000L)
+    }
+    run()
+    assert(content(sv) === fullJoin(sl, sr))
+    assert(ManifestSink.read(spark, sl).count() === 5L)
+    val vAfter = ManifestSink.version(spark, sv)
+    // full checkpoint replay: no new files → no epochs → total silence
+    run()
+    assert(ManifestSink.version(spark, sv) === vAfter)
+    assert(ManifestSink.read(spark, sl).count() === 5L)
+  }
 }
