@@ -1421,7 +1421,68 @@ object TrainingOps {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** TEMPORAL TRAIN/EVAL SPLIT WITH EMBARGO — the time-series twin of
+    * q136's fingerprint-leakage-safe split: evaluation data must be
+    * strictly AFTER the training cutoff, and an embargo gap before the
+    * cutoff is withheld from training so that autocorrelated rows
+    * adjacent to the eval window cannot leak target information across
+    * the boundary (the purged/embargoed split of financial ML — de
+    * Prado, "Advances in Financial Machine Learning" ch. 7, a published
+    * method). Row-local: each row compares its integer-microsecond
+    * timestamp against two broadcast literals — no joins, no windows,
+    * no state, so the split is a map-side predicate at any scale and
+    * identical on every engine. */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoffUs: Long,
+      embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"embargo must be >= 0, got $embargoUs")
+    df.withColumn("split",
+      when(unix_micros(col(tsCol)) > cutoffUs, lit("test"))
+        .when(unix_micros(col(tsCol)) <= cutoffUs - embargoUs,
+          lit("train"))
+        .otherwise(lit("embargo")))
+  }
+
+  // --------------------------------------------------------------- q191
+  /** [[temporalSplit]] over events: cutoff at 80 % of the observed time
+    * span, embargo 5 % of it (exact integer-microsecond arithmetic on
+    * both engines). The report pins each split's row count, user
+    * count, and time bounds — a row on the wrong side of either
+    * boundary, or an embargo row leaking into train, hash-mismatches.
+    * Scale: the min/max span probe is one two-phase aggregate; the
+    * split itself is a row-local predicate; the report a 3-group
+    * aggregate. */
+  private val q191: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"user_id", $"ts")
+    val mm = ev.agg(min(unix_micros($"ts")).as("mn"),
+      max(unix_micros($"ts")).as("mx")).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val span = mx - mn
+    temporalSplit(ev, "ts", mn + span * 4 / 5, span / 20)
+      .groupBy($"split")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct($"user_id").cast("long").as("n_users"),
+        min(unix_micros($"ts")).as("min_us"),
+        max(unix_micros($"ts")).as("max_us"))
+      .orderBy($"split")
+  }
+  private val q191Sql: String =
+    """WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+       |           FROM events),
+       |c AS (SELECT mn + (mx - mn) * 4 // 5 AS cutoff,
+       |        (mx - mn) // 20 AS emb FROM b),
+       |s AS (SELECT user_id, epoch_us(ts) AS us,
+       |        CASE WHEN epoch_us(ts) > cutoff THEN 'test'
+       |             WHEN epoch_us(ts) <= cutoff - emb THEN 'train'
+       |             ELSE 'embargo' END AS split
+       |      FROM events, c)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  MIN(us) AS min_us, MAX(us) AS max_us
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q191_temporal_split" -> q191,
     "q181_epoch_upsample" -> q181,
     "q180_curriculum_phases" -> q180,
     "q177_shuffle_shards" -> q177,
@@ -1443,6 +1504,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q191_temporal_split" -> q191Sql,
     "q181_epoch_upsample" -> q181Sql,
     "q180_curriculum_phases" -> q180Sql,
     "q177_shuffle_shards" -> q177Sql,
