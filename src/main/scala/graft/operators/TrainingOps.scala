@@ -1481,7 +1481,52 @@ object TrainingOps {
        |  MIN(us) AS min_us, MAX(us) AS max_us
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PER-CLASS EXACT-k BALANCED SAMPLE — the class-rebalancing selection
+    * stage (cap every class at k rows so a dominant class cannot swamp
+    * a fine-tuning mix): keep the k rows of each class that rank first
+    * by (portable hash, key) — a deterministic pseudorandom choice,
+    * identical on every engine and any partitioning, where q57's
+    * Bernoulli sampler fixes a RATE, not a count. Scale shape: the
+    * rank-limit window compiles to WindowGroupLimit (Spark pushes the
+    * per-group top-k below the exchange since 3.5), so each map task
+    * forwards at most k rows per class it sees — the shuffle carries
+    * O(classes · k · tasks) rows, never the corpus. */
+  def balancedSample(df: DataFrame, classCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"need k > 0 rows per class, got $k")
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(PortableHash.tokenHashP(col(keyCol)), col(keyCol))
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k).drop("__r")
+  }
+
+  // --------------------------------------------------------------- q192
+  /** [[balancedSample]] over events at k=500: classes below the cap keep
+    * everything (exercised at sf0.001 where some types are smaller),
+    * classes above it keep exactly their 500 first-by-hash rows — the
+    * checksum pins WHICH rows, not just how many. */
+  private val q192: Q = (s, dir) => {
+    import s.implicits._
+    balancedSample(Tables(s, dir, "events")
+      .select($"event_type", $"event_id"), "event_type", "event_id", 500)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_sampled"),
+        sum($"event_id").cast("long").as("sum_event_id"))
+      .orderBy($"event_type")
+  }
+  private val q192Sql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, event_id,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY ${tokenHashPSql("event_id")}, event_id) AS rk
+       |  FROM events)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+       |FROM r WHERE rk <= 500
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q192_balanced_sample" -> q192,
     "q191_temporal_split" -> q191,
     "q181_epoch_upsample" -> q181,
     "q180_curriculum_phases" -> q180,
@@ -1504,6 +1549,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q192_balanced_sample" -> q192Sql,
     "q191_temporal_split" -> q191Sql,
     "q181_epoch_upsample" -> q181Sql,
     "q180_curriculum_phases" -> q180Sql,

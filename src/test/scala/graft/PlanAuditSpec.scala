@@ -360,6 +360,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("balancedSample pushes the per-class top-k below the exchange " +
+      "(WindowGroupLimit) and keeps exactly k per class") {
+    import spark.implicits._
+    val df = graft.operators.TrainingOps.balancedSample(
+      spark.range(0, 10000)
+        .select(($"id" % 5).cast("string").as("c"), $"id".as("k")),
+      "c", "k", 10)
+    assert(df.count() === 50)
+    val p = df.queryExecution.executedPlan.toString
+    // the map-side group limit is the scale claim: each task forwards
+    // at most k rows per class — the shuffle never carries the corpus
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit did not compile to WindowGroupLimit:\n$p")
+  }
+
   test("planAwareStarJoin executes all three verdicts in one plan, " +
       "broadcast hint placed by the operator alone") {
     // q179's star (slice prefilter + part shuffle + supplier broadcast)
