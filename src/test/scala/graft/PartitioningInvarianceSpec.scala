@@ -39,6 +39,13 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q158 multiprobe banding (13× probe index + first-collapse)
   //   q161 container decode → sampled frame signatures (GIF seam +
   //        sorted-signature grouping)
+  //   q189 equi-depth histogram build → merged cuts → balanced rewrite
+  //        (order statistics off a distinct-value cum window, integer
+  //        mass accumulation, shard classification — boundaries, cuts,
+  //        and per-shard counts must not see physical partitioning)
+  //   q192 per-class hash-rank top-k through WindowGroupLimit (the
+  //        map-side group limit must elect the same k rows whatever
+  //        partial limits each task computed)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
@@ -46,7 +53,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     "q123_video_near_dup", "q125_incremental_distinct",
     "q132_mor_delete", "q143_exact_prefix_join",
     "q151_containment_join", "q155_concurrency_curve",
-    "q158_simhash_multiprobe", "q161_gif_video_near_dup")
+    "q158_simhash_multiprobe", "q161_gif_video_near_dup",
+    "q189_balanced_layout", "q192_balanced_sample")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"
