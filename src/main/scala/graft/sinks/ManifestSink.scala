@@ -748,55 +748,76 @@ object ManifestSink {
     * B+1 boundary literals ever reach the driver. */
   private def batchHistograms(written: DataFrame,
       histCols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.spark.sql.functions.lit
+    histCols.flatMap { c =>
+      // single-group use of the grouped builder: two aggregate jobs
+      // per column (boundaries, bucket counts); the rank condition
+      // ⌈i·n/B⌉ ≤ cum runs integer-exactly as B·cum ≥ i·n
+      groupedHistograms(written, lit(1), c).values.headOption
+        .map(histKey(c) -> _)
+    }.toMap
+  }
+
+  /** [[batchHistograms]] for EVERY group of `groupKey` in one pass
+    * pair: a distinct-(group, value) frame with per-group cumulative
+    * windows, then two grouped aggregate jobs — boundary extraction
+    * (the rank condition ⌈i·n/B⌉ ≤ cum rewritten integer-exactly as
+    * B·cum ≥ i·n so it aggregates with n as a column) and bucket
+    * counting via a broadcast boundary join — so a w-shard rewrite
+    * prices w histograms at two jobs, not 3·w. Returns the histogram
+    * ColStats keyed by the group's string form; all-null groups are
+    * absent. */
+  private def groupedHistograms(df: DataFrame,
+      groupKey: org.apache.spark.sql.Column,
+      c: String): Map[String, ColStats] = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit,
+      min, sum, when}
     import org.apache.spark.sql.types._
     val B = HistBuckets
-    histCols.flatMap { c =>
-      written.schema.find(_.name == c).flatMap { f =>
-        (f.dataType match {
-          case ByteType | ShortType | IntegerType | LongType => Some('L')
-          case FloatType | DoubleType                        => Some('D')
-          case _                                             => None
-        }).flatMap { tag =>
-          val vals = written.filter(col(c).isNotNull)
-            .groupBy(col(c).cast(if (tag == 'L') "long" else "double")
-              .as("__v"))
-            .agg(count(lit(1)).as("__c"))
-          val nRow = vals.agg(sum(col("__c"))).head()
-          if (nRow.isNullAt(0)) None // all-null batch: no histogram
-          else {
-            val n = nRow.getLong(0)
-            // rank targets ⌈i·n/B⌉ in exact long arithmetic
-            val targets = (1 to B).map(i => (i.toLong * n + B - 1) / B)
-            val cum = vals.withColumn("__cum",
-              sum(col("__c")).over(Window.orderBy(col("__v"))
-                .rowsBetween(Window.unboundedPreceding,
-                  Window.currentRow)))
-            val bAggs = min(col("__v")).as("__b0") +: targets.zipWithIndex
-              .map { case (r, i) =>
-                min(when(col("__cum") >= r, col("__v"))).as(s"__b${i + 1}")
-              }
-            val row = cum.agg(bAggs.head, bAggs.tail: _*).head()
-            def bAt(i: Int): Any = row.get(i)
-            val bounds = (0 to B).map(bAt)
-            // bucket of a value = the SMALLEST i with v ≤ b_i (ties
-            // between equal boundaries route to the lower bucket —
-            // matched by the oracle's min(i) over v ≤ b_i)
-            val bucket = (1 until B).foldRight(lit(B)) { case (i, acc) =>
-              when(col("__v") <= lit(bounds(i)), lit(i)).otherwise(acc)
-            }
-            val cnts = vals.groupBy(bucket.as("__b"))
-              .agg(sum(col("__c")).as("__n")).collect()
-              .map(r => r.getInt(0) -> r.getLong(1)).toMap
-            val counts = (1 to B).map(i => cnts.getOrElse(i, 0L))
-            Some(histKey(c) -> ColStats(tag,
-              bounds.map(boundStr).mkString(","),
-              counts.mkString(",")))
-          }
-        }
-      }
+    val tag = df.schema.find(_.name == c).flatMap(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => Some('L')
+      case FloatType | DoubleType                        => Some('D')
+      case _                                             => None
+    })
+    if (tag.isEmpty) return Map.empty
+    val t = tag.get
+    val vals = df.filter(col(c).isNotNull)
+      .groupBy(groupKey.cast("string").as("__g"),
+        col(c).cast(if (t == 'L') "long" else "double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = vals
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val bAggs = min(col("__v")).as("__b0") +: (1 to B).map(i =>
+      min(when(col("__cum") * B >= lit(i.toLong) * col("__n"),
+        col("__v"))).as(s"__b$i"))
+    val bFrame = cum.groupBy(col("__g")).agg(bAggs.head, bAggs.tail: _*)
+    val bC = bFrame.collect() // job 1: boundaries for every group
+    if (bC.isEmpty) return Map.empty
+    val bounds = bC.map { r =>
+      r.getString(0) -> (1 to B + 1).map(i => r.get(i))
     }.toMap
+    // the boundary frame is rebuilt LOCALLY for the count join so the
+    // aggregate above runs once, not once per downstream action
+    val spark = df.sparkSession
+    val boundsDf = spark.createDataFrame(
+      java.util.Arrays.asList(bC: _*), bFrame.schema)
+    val bucket = (1 until B).foldRight(lit(B)) { case (i, acc) =>
+      when(col("__v") <= col(s"__b$i"), lit(i)).otherwise(acc)
+    }
+    val cnts = vals.join(broadcast(boundsDf), Seq("__g"))
+      .groupBy(col("__g"), bucket.as("__b"))
+      .agg(sum(col("__c")).as("__bn")).collect() // job 2: bucket counts
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    bounds.map { case (g, bs) =>
+      val counts = (1 to B).map(i => cnts.getOrElse((g, i), 0L))
+      g -> ColStats(t, bs.map(boundStr).mkString(","),
+        counts.mkString(","))
+    }
   }
 
   /** Per-entry parsed histogram: (boundaries b_0..b_B as doubles —
@@ -858,6 +879,18 @@ object ManifestSink {
   def histogramCuts(spark: SparkSession, dir: String, colName: String,
       w: Int): Option[Seq[Double]] = {
     require(w > 1, s"need w > 1 shards, got $w")
+    massProfile(spark, dir, colName).map { case (pieces, total) =>
+      cutsFromProfile(pieces, total, w)
+    }
+  }
+
+  /** The merged VALUE-ORDERED piecewise-uniform mass profile of
+    * `colName` across all live entries' histograms: non-empty pieces
+    * (lo, hi, rows) in deterministic (lo, hi, rows) order, plus the
+    * exact total. None when any entry lacks the histogram or the table
+    * is empty of histogram mass. */
+  private def massProfile(spark: SparkSession, dir: String,
+      colName: String): Option[(Seq[(Double, Double, Long)], Long)] = {
     val v = version(spark, dir)
     require(v >= 0, s"ManifestSink at $dir has no committed version")
     val hs = entries(spark, dir, v).filterNot(isTombEntry)
@@ -868,16 +901,23 @@ object ManifestSink {
     }.filter(_._3 > 0L)
       .sortBy { case (lo, hi, n) => (lo, hi, n) }
     val total = pieces.iterator.map(_._3).sum
-    if (total == 0L) return None
+    if (total == 0L) None else Some((pieces, total))
+  }
+
+  /** `w−1` cut values at mass j·N/w over a [[massProfile]]: integer
+    * cumulative counts locate the containing piece (order-independent),
+    * a fixed-shape double interpolation places the cut inside it. */
+  private def cutsFromProfile(pieces: Seq[(Double, Double, Long)],
+      total: Long, w: Int): Seq[Double] = {
     val cumAfter = pieces.scanLeft(0L)(_ + _._3).drop(1)
-    Some((1 until w).map { j =>
+    (1 until w).map { j =>
       val t = (j.toLong * total).toDouble / w
       val p = cumAfter.indexWhere(_ >= t)
       val (lo, hi, n) = pieces(p)
       val before = if (p == 0) 0L else cumAfter(p - 1)
       if (hi == lo) lo
       else lo + (hi - lo) * ((t - before) / n)
-    })
+    }
   }
 
   /** Rewrite the current snapshot RANGE-CLUSTERED on `colName` into one
@@ -912,6 +952,7 @@ object ManifestSink {
       val written = spark.read.parquet(staging)
       val perShard =
         groupedStatsWithCount(written, col("__sh"), Seq(colName))
+      val perShardHist = groupedHistograms(written, col("__sh"), colName)
       val f = fs(spark, dir)
       val subdirs = f.listStatus(new Path(staging))
         .filter(_.isDirectory).map(_.getPath.getName)
@@ -919,8 +960,8 @@ object ManifestSink {
         .sortBy(_.stripPrefix("__sh=").toInt)
       val lines = subdirs.map { sd =>
         val g = sd.stripPrefix("__sh=")
-        val hist = batchHistograms(
-          written.filter(col("__sh") === g.toInt), Seq(colName))
+        val hist = perShardHist.get(g)
+          .map(histKey(colName) -> _).toMap
         val stats = perShard.get(g)
           .map { case (n, st) => st ++ hist + rowsStat(n) }
           .getOrElse(Map.empty[String, ColStats])
