@@ -2408,7 +2408,134 @@ object SinkOps {
       |WHERE e1.value >= 0.0 AND e1.value <= 0.5
       |ORDER BY probe""".stripMargin
 
+  // --------------------------------------------------------------- q193
+  /** Equi-depth z-order ([[graft.sinks.ManifestSink.compactZOrder]]
+    * with `equiDepth`): the same skewed 2-D table is z-ordered twice —
+    * once with linear [min,max] cells, once with cells at the
+    * 16-quantiles of the table's own committed histograms — and the
+    * per-bucket manifest report shows WHY the upgrade exists: 90% of
+    * the mass sits in a narrow value band, so linear cells collapse it
+    * into a handful of z-buckets (hot buckets ~9× the cold ones) while
+    * equi-depth cells spread it evenly. The oracle recomputes both
+    * layouts from the raw table — histogram boundaries, piecewise-mass
+    * cut interpolation, cell assignment, the surviving Morton bits, and
+    * every bucket's count and sk-bounds must all agree exactly.
+    *
+    * Scale: the cuts are a deterministic function of metadata the
+    * commits already paid for — the equi-depth rewrite reads the data
+    * exactly once (the write job; the linear path needs a min/max
+    * aggregate pass FIRST), and balanced buckets are what make z-order
+    * pruning hold under the skew every real corpus has. */
+  private val q193: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id",
+      when($"event_id" % 10 < 9, $"event_id" % 97)
+        .otherwise(lit(9000L) + $"event_id" % 97).as("sk"))
+    val root = freshScratch("graft_q193", dir)
+    val eq = root + "/equi"
+    ManifestSink.appendWithStats(ev, eq, Seq("sk"),
+      histCols = Seq("event_id", "sk"))
+    ManifestSink.compactZOrder(s, eq, Seq("event_id", "sk"),
+      statsCols = Seq("sk"), buckets = 16, equiDepth = true)
+    val ln = root + "/linear"
+    ManifestSink.appendWithStats(ev, ln, Seq("sk"))
+    ManifestSink.compactZOrder(s, ln, Seq("event_id", "sk"),
+      statsCols = Seq("sk"), buckets = 16)
+    def rep(layout: String, sink: String) =
+      ManifestSink.filesReport(s, sink, Seq("sk"))
+        .select(lit(layout).as("layout"), $"entry_idx".as("bucket"),
+          $"n_rows", $"sk_min".cast("long").as("sk_min"),
+          $"sk_max".cast("long").as("sk_max"))
+    rep("equi_depth", eq).union(rep("linear", ln))
+      .orderBy($"layout", $"bucket")
+  }
+  // the oracle recomputes only the SURVIVING top-4 Morton bits of each
+  // layout (bucket = interleave of both cells' top 2 bits) instead of
+  // the full z value — identical bucket ids, a quarter of the SQL
+  private val q193Sql =
+    """WITH d AS (SELECT event_id AS k,
+      |    CASE WHEN event_id % 10 < 9 THEN event_id % 97
+      |         ELSE 9000 + event_id % 97 END AS sk
+      |  FROM events),
+      |dv AS (SELECT 'k' AS dm, k AS v FROM d
+      |       UNION ALL SELECT 'sk', sk FROM d),
+      |vals AS (SELECT dm, v, COUNT(*) AS c FROM dv GROUP BY 1, 2),
+      |tot AS (SELECT dm, SUM(c) AS n FROM vals GROUP BY 1),
+      |cum AS (SELECT dm, v, c,
+      |    SUM(c) OVER (PARTITION BY dm ORDER BY v) AS cm FROM vals),
+      |bnd AS (SELECT c.dm, g.i, MIN(c.v) AS b
+      |    FROM cum c JOIN tot t ON c.dm = t.dm
+      |    CROSS JOIN generate_series(1, 8) AS g(i)
+      |    WHERE c.cm * 8 >= g.i * t.n GROUP BY 1, 2),
+      |b0 AS (SELECT dm, MIN(v) AS b FROM vals GROUP BY 1),
+      |vb AS (SELECT v.dm, v.v, v.c, MIN(b.i) AS bi
+      |    FROM vals v JOIN bnd b ON v.dm = b.dm AND v.v <= b.b
+      |    GROUP BY 1, 2, 3),
+      |hist AS (SELECT dm, bi, SUM(c) AS n FROM vb GROUP BY 1, 2),
+      |pieces AS (SELECT h.dm,
+      |    CASE WHEN h.bi = 1 THEN z.b ELSE p.b END AS lo,
+      |    u.b AS hi, h.n
+      |  FROM hist h
+      |  JOIN bnd u ON u.dm = h.dm AND u.i = h.bi
+      |  LEFT JOIN bnd p ON p.dm = h.dm AND p.i = h.bi - 1
+      |  JOIN b0 z ON z.dm = h.dm
+      |  WHERE h.n > 0),
+      |pc AS (SELECT dm, lo, hi, n, SUM(n) OVER (PARTITION BY dm
+      |    ORDER BY lo, hi, n
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      |  FROM pieces),
+      |tt AS (SELECT dm, SUM(n) AS total FROM pieces GROUP BY 1),
+      |cuts AS (SELECT t.dm, g.j,
+      |    (SELECT CASE WHEN p.hi = p.lo THEN CAST(p.lo AS DOUBLE)
+      |       ELSE CAST(p.lo AS DOUBLE)
+      |         + (CAST(p.hi AS DOUBLE) - CAST(p.lo AS DOUBLE))
+      |         * ((CAST(g.j * t.total AS DOUBLE) / 16
+      |             - CAST(p.ca - p.n AS DOUBLE)) / CAST(p.n AS DOUBLE))
+      |       END
+      |     FROM pc p WHERE p.dm = t.dm
+      |       AND CAST(p.ca AS DOUBLE) >= CAST(g.j * t.total AS DOUBLE) / 16
+      |     ORDER BY p.ca LIMIT 1) AS cut
+      |  FROM tt t CROSS JOIN generate_series(1, 15) AS g(j)),
+      |eqc AS (SELECT d.sk,
+      |    COALESCE((SELECT MIN(c.j) - 1 FROM cuts c
+      |              WHERE c.dm = 'k' AND d.k <= c.cut), 15) AS ck,
+      |    COALESCE((SELECT MIN(c.j) - 1 FROM cuts c
+      |              WHERE c.dm = 'sk' AND d.sk <= c.cut), 15) AS cs
+      |  FROM d),
+      |eqr AS (SELECT ((ck // 8) % 2) * 8 + ((cs // 8) % 2) * 4
+      |      + ((ck // 4) % 2) * 2 + ((cs // 4) % 2) AS zb,
+      |    COUNT(*) AS n_rows, MIN(sk) AS sk_min, MAX(sk) AS sk_max
+      |  FROM eqc GROUP BY 1),
+      |mm AS (SELECT CAST(MIN(k) AS DOUBLE) AS kmn,
+      |    CAST(MAX(k) AS DOUBLE) AS kmx, CAST(MIN(sk) AS DOUBLE) AS smn,
+      |    CAST(MAX(sk) AS DOUBLE) AS smx FROM d),
+      |lnc AS (SELECT d.sk,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR((CAST(d.k AS DOUBLE) - m.kmn)
+      |      / (CASE WHEN m.kmx > m.kmn THEN m.kmx - m.kmn ELSE 1.0 END)
+      |      * 256) AS BIGINT))) AS ck,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR((CAST(d.sk AS DOUBLE) - m.smn)
+      |      / (CASE WHEN m.smx > m.smn THEN m.smx - m.smn ELSE 1.0 END)
+      |      * 256) AS BIGINT))) AS cs
+      |  FROM d CROSS JOIN mm m),
+      |lnr AS (SELECT ((ck // 128) % 2) * 8 + ((cs // 128) % 2) * 4
+      |      + ((ck // 64) % 2) * 2 + ((cs // 64) % 2) AS zb,
+      |    COUNT(*) AS n_rows, MIN(sk) AS sk_min, MAX(sk) AS sk_max
+      |  FROM lnc GROUP BY 1),
+      |rep AS (
+      |  SELECT 'equi_depth' AS layout,
+      |    ROW_NUMBER() OVER (ORDER BY zb) - 1 AS bucket,
+      |    n_rows, sk_min, sk_max
+      |  FROM eqr
+      |  UNION ALL
+      |  SELECT 'linear', ROW_NUMBER() OVER (ORDER BY zb) - 1,
+      |    n_rows, sk_min, sk_max
+      |  FROM lnr)
+      |SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(n_rows AS BIGINT) AS n_rows, sk_min, sk_max
+      |FROM rep ORDER BY layout, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q193_zorder_skew" -> q193,
     "q190_filtered_plan_join" -> q190,
     "q189_balanced_layout" -> q189,
     "q188_range_estimate" -> q188,
@@ -2447,6 +2574,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q193_zorder_skew" -> q193Sql,
     "q190_filtered_plan_join" -> q190Sql,
     "q189_balanced_layout" -> q189Sql,
     "q188_range_estimate" -> q188Sql,

@@ -1586,28 +1586,39 @@ object ManifestSink {
     * manifest entries each carrying its own column stats — so conjunctive
     * range scans over SEVERAL columns prune, not just the single leading
     * sort key a linear `compact(sortCols)` clustering serves. Each
-    * dimension is scaled to an 8-bit cell over its [min,max] (linear
-    * scale — engine-pure and exact; per-dimension quantile boundaries are
-    * the documented upgrade for heavily skewed columns), cells interleave
+    * dimension is scaled to a cell over its value range — EQUI-DEPTH
+    * when `equiDepth` is set and the dimension has committed histograms
+    * (cell boundaries at the 16-quantiles of the table's own
+    * [[histogramCuts]] mass profile — metadata-only, deterministic, and
+    * skew-proof: a value region holding 90% of the rows still spreads
+    * over ~90% of the cells instead of collapsing into one), linear
+    * over [min,max] otherwise — cells interleave
     * bit-by-bit into the z-value, and an entry is one contiguous range of
     * the top log2(buckets) z-bits: a hyper-rectangle query overlaps only
     * the entries whose z-prefix region intersects it — O(buckets^(1-1/d))
     * of them instead of all (the multi-dimensional-clustering argument of
     * Delta's OPTIMIZE ZORDER BY). Content-identical to the snapshot;
     * previous versions still time-travel until [[vacuum]]. Everything is
-    * one distributed write job: the only driver data are the 2·|zCols|
-    * min/max scalars and the ≤`buckets`-row stats aggregate. */
+    * one distributed write job: the only driver data are the ≤2·|zCols|
+    * min/max scalars (skipped entirely when every dimension resolves
+    * equi-depth — the cuts come from metadata alone) and the
+    * ≤`buckets`-row stats aggregate. Equi-depth cells use 4 bits (16
+    * cells — an 8-bucket committed histogram resolves no finer), linear
+    * cells 8; a dimension without histograms degrades to linear
+    * per-dimension, never to a sampled guess. Null cell = 0 on both
+    * paths (nulls sort first, matching the stats codec). */
   def compactZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
-      statsCols: Seq[String] = Nil, buckets: Int = 16): Long = {
+      statsCols: Seq[String] = Nil, buckets: Int = 16,
+      equiDepth: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, floor, greatest,
-      least, lit, max, min, shiftleft, shiftright}
+      least, lit, max, min, shiftleft, shiftright, when}
     require(zCols.size >= 2,
       "z-ordering needs >= 2 columns (use compact(sortCols) for one)")
     require(zCols.size <= 7,
       "z-ordering supports at most 7 columns (8 bits each in a long)")
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
-    val bitsPerDim = 8
+    val bitsPerDim = if (equiDepth) 4 else 8
     val nd = zCols.size
     val totalBits = bitsPerDim * nd
     val kBits = 31 - Integer.numberOfLeadingZeros(buckets)
@@ -1617,22 +1628,44 @@ object ManifestSink {
     val prev = version(spark, dir)
     require(prev >= 0, s"ManifestSink at $dir has no committed version")
     val snap = readAt(spark, dir, prev, mergeSchema = true)
-    val boundAggs = zCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"__mn_$c"),
-      max(col(c)).cast("double").as(s"__mx_$c")))
-    val bounds = snap.agg(boundAggs.head, boundAggs.tail: _*).head()
-    val cells = zCols.zipWithIndex.map { case (c, _) =>
-      val mn = Option(bounds.getAs[Any](s"__mn_$c"))
-        .fold(0.0)(_.asInstanceOf[Double])
-      val mx = Option(bounds.getAs[Any](s"__mx_$c"))
-        .fold(0.0)(_.asInstanceOf[Double])
-      val span = if (mx > mn) mx - mn else 1.0
-      // long cells: with >= 4 dims the interleaved bit positions pass 31,
-      // and int shifts would overflow into the sign bit (buckets go
-      // negative, z order inverts) or wrap the shift amount mod 32
-      least(lit(((1 << bitsPerDim) - 1).toLong), greatest(lit(0L),
-        floor((coalesce(col(c).cast("double"), lit(mn)) - mn)
-          / span * (1 << bitsPerDim)).cast("long")))
+    val nCells = 1 << bitsPerDim
+    // equi-depth boundaries from the committed histograms; a dim whose
+    // entries lack them falls back to the linear [min,max] cell below
+    val quantCuts: Map[String, Seq[Double]] =
+      if (!equiDepth) Map.empty
+      else zCols.flatMap(c => massProfile(spark, dir, c)
+        .map { case (p, t) => c -> cutsFromProfile(p, t, nCells) }).toMap
+    val linearDims = zCols.filterNot(quantCuts.contains)
+    val bounds = if (linearDims.isEmpty) null else {
+      val boundAggs = linearDims.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c")))
+      snap.agg(boundAggs.head, boundAggs.tail: _*).head()
+    }
+    val cells = zCols.map { c =>
+      quantCuts.get(c) match {
+        case Some(cuts) =>
+          // cell = smallest j with v ≤ cut_j, nCells−1 above every cut
+          // (compactBalanced's shard convention); nulls ride cell 0
+          val cell = cuts.zipWithIndex.foldRight(lit((nCells - 1).toLong)) {
+            case ((cut, j), acc) =>
+              when(col(c).cast("double") <= lit(cut), j.toLong)
+                .otherwise(acc)
+          }
+          when(col(c).isNull, lit(0L)).otherwise(cell)
+        case None =>
+          val mn = Option(bounds.getAs[Any](s"__mn_$c"))
+            .fold(0.0)(_.asInstanceOf[Double])
+          val mx = Option(bounds.getAs[Any](s"__mx_$c"))
+            .fold(0.0)(_.asInstanceOf[Double])
+          val span = if (mx > mn) mx - mn else 1.0
+          // long cells: with >= 4 dims the interleaved bit positions pass
+          // 31, and int shifts would overflow into the sign bit (buckets
+          // go negative, z order inverts) or wrap the shift amount mod 32
+          least(lit((nCells - 1).toLong), greatest(lit(0L),
+            floor((coalesce(col(c).cast("double"), lit(mn)) - mn)
+              / span * nCells).cast("long")))
+      }
     }
     // Morton interleave: z bit (i·nd + pos) = dimension cell's bit i,
     // first zCol in the most significant position of each group

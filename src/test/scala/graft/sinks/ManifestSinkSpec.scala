@@ -434,6 +434,40 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dir).size === 1)
   }
 
+  test("equi-depth z-order balances skewed dims; degrades without hist") {
+    val dir = Files.createTempDirectory("msinkzeq").toString + "/t"
+    // 90% of the mass in [0,63], 10% at [100000,100063]: linear cells
+    // collapse the hot band into one cell per dim
+    val rows = spark.range(0, 8000).selectExpr("id AS x",
+      "CASE WHEN id % 10 < 9 THEN id % 64 ELSE 100000 + id % 64 END AS y")
+    ManifestSink.appendWithStats(rows, dir, Seq("x", "y"),
+      histCols = Seq("x", "y"))
+    val before = ManifestSink.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val v = ManifestSink.compactZOrder(spark, dir, Seq("x", "y"),
+      Seq("x", "y"), buckets = 16, equiDepth = true)
+    val after = ManifestSink.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(after.toSeq === before.toSeq) // content identical
+    val counts = ManifestSink.filesReport(spark, dir, Nil)
+      .collect().map(_.getLong(1))
+    assert(counts.size === 16)
+    // equi-depth: every bucket within 2x of perfect balance (linear
+    // cells would put ~90% of rows into the hot-cell buckets)
+    assert(counts.max <= 2 * counts.min,
+      s"unbalanced equi-depth buckets: $counts")
+    // a table with NO histograms degrades per-dimension to linear cells
+    // (4-bit): same content, still a valid 16-entry layout
+    val dir2 = Files.createTempDirectory("msinkzeq2").toString + "/t"
+    ManifestSink.appendWithStats(rows, dir2, Seq("x", "y"))
+    val v2 = ManifestSink.compactZOrder(spark, dir2, Seq("x", "y"),
+      Seq("x", "y"), buckets = 16, equiDepth = true)
+    assert(ManifestSink.entries(spark, dir2, v2).nonEmpty)
+    assert(ManifestSink.read(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq === before.toSeq)
+  }
+
   test("deleteWhere keeps null rows; z-order handles null dims") {
     val dir = Files.createTempDirectory("msinknul").toString + "/t"
     // ids 0..99 plus rows whose x is null (SQL DELETE never matches null)
