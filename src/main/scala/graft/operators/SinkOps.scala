@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
-import graft.sinks.ManifestSink
+import graft.sinks.{ManifestSink, Scd2}
 import graft.sources.Tables
 
 /** The manifest sink inside the correctness gate: these queries push data
@@ -2534,7 +2534,76 @@ object SinkOps {
       |  CAST(n_rows AS BIGINT) AS n_rows, sk_min, sk_max
       |FROM rep ORDER BY layout, bucket""".stripMargin
 
+  // --------------------------------------------------------------- q194
+  /** SCD Type-2 dimension maintenance ([[graft.sinks.Scd2]]): user
+    * attribute updates stream in as three chronological batches, and
+    * [[graft.sinks.Scd2.applyUpdates]] maintains the versioned-row
+    * dimension incrementally — consecutive-equal updates collapse, the
+    * old current row closes out in place (merge on (key, valid_from)),
+    * history rows are never rewritten. The report summarizes the final
+    * chain per key (version count, close-out checksum, current
+    * attributes) plus an [[graft.sinks.Scd2.asOf]] point-in-time probe;
+    * the oracle rebuilds the whole chain single-shot from the raw
+    * events — a doubled version, a missed collapse, a wrong close-out
+    * stamp, or a drifted as-of row all hash-mismatch.
+    *
+    * Scale: each batch's chain windows partition on the key over
+    * (affected current rows + the batch) — delta-sized — and the merge
+    * rewrites only directories containing affected keys. A 100 TB
+    * dimension absorbing a day's updates shuffles the day, not the
+    * dimension. */
+  private val q194: Q = (s, dir) => {
+    import s.implicits._
+    val u = Tables(s, dir, "events").select(
+      ($"user_id" % 200).as("dim_id"), $"event_id".as("seq"),
+      $"event_type".as("a_type"),
+      (floor($"value").cast("long") % 5).as("a_band"))
+    val mx = u.agg(max($"seq")).head().getLong(0)
+    val (c1, c2) = (mx / 3, 2 * mx / 3)
+    val sink = freshScratch("graft_q194", dir) + "/dim"
+    Scd2.applyUpdates(u.filter($"seq" <= c1), sink, "dim_id", "seq",
+      Seq("a_type", "a_band"))
+    Scd2.applyUpdates(u.filter($"seq" > c1 && $"seq" <= c2), sink,
+      "dim_id", "seq", Seq("a_type", "a_band"))
+    Scd2.applyUpdates(u.filter($"seq" > c2), sink, "dim_id", "seq",
+      Seq("a_type", "a_band"))
+    val t = ManifestSink.read(s, sink)
+    val summary = t.groupBy($"dim_id").agg(
+      count(lit(1)).cast("long").as("n_versions"),
+      sum(coalesce($"valid_to", lit(0L))).cast("long").as("vto_sum"),
+      min($"valid_from").as("first_from"),
+      max(when($"is_current", $"a_type")).as("cur_type"),
+      max(when($"is_current", $"a_band")).as("cur_band"))
+    val probe = Scd2.asOf(s, sink, mx / 2)
+      .select($"dim_id", $"a_type".as("asof_type"))
+    summary.join(probe, Seq("dim_id"), "left").orderBy($"dim_id")
+  }
+  private val q194Sql =
+    """WITH u AS (SELECT user_id % 200 AS dim_id, event_id AS seq,
+      |    event_type AS a_type, CAST(FLOOR(value) AS BIGINT) % 5 AS a_band
+      |  FROM events),
+      |ded AS (SELECT dim_id, seq, a_type, a_band,
+      |    LAG(a_type) OVER w AS pt, LAG(a_band) OVER w AS pb,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM u WINDOW w AS (PARTITION BY dim_id ORDER BY seq)),
+      |surv AS (SELECT dim_id, seq, a_type, a_band FROM ded
+      |  WHERE rn = 1 OR a_type IS DISTINCT FROM pt
+      |     OR a_band IS DISTINCT FROM pb),
+      |chain AS (SELECT dim_id, a_type, a_band, seq AS vf,
+      |    LEAD(seq) OVER (PARTITION BY dim_id ORDER BY seq) AS vt
+      |  FROM surv),
+      |m AS (SELECT MAX(event_id) // 2 AS mid FROM events)
+      |SELECT dim_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(SUM(COALESCE(vt, 0)) AS BIGINT) AS vto_sum,
+      |  MIN(vf) AS first_from,
+      |  MAX(CASE WHEN vt IS NULL THEN a_type END) AS cur_type,
+      |  MAX(CASE WHEN vt IS NULL THEN a_band END) AS cur_band,
+      |  MAX(CASE WHEN vf <= m.mid AND (vt IS NULL OR vt > m.mid)
+      |           THEN a_type END) AS asof_type
+      |FROM chain CROSS JOIN m GROUP BY dim_id ORDER BY dim_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q194_scd2_dimension" -> q194,
     "q193_zorder_skew" -> q193,
     "q190_filtered_plan_join" -> q190,
     "q189_balanced_layout" -> q189,
@@ -2574,6 +2643,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q194_scd2_dimension" -> q194Sql,
     "q193_zorder_skew" -> q193Sql,
     "q190_filtered_plan_join" -> q190Sql,
     "q189_balanced_layout" -> q189Sql,

@@ -1,0 +1,100 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, count, lag, lead, lit, max,
+  struct, when}
+
+/** SCD Type-2 dimension maintenance over a [[ManifestSink]] table — the
+  * versioned-row shape (Kimball's slowly changing dimension, type 2)
+  * every warehouse keeps for "what did this customer's segment look
+  * like WHEN the order happened" joins: one row per (key, version)
+  * carrying `valid_from` / `valid_to` / `is_current`, closed-out rows
+  * never mutated again.
+  *
+  * [[applyUpdates]] is incremental and composes with
+  * [[ManifestSink.merge]]'s copy-on-write pruning: per batch it touches
+  * only the AFFECTED keys (semi-join of the current rows against the
+  * batch's keys), recomputes those keys' chain tails, and merges on
+  * (key, valid_from) — the old current row is replaced in place with
+  * its close-out timestamp, new versions insert, and history rows (and
+  * whole untouched batch directories) are carried by reference. Applying
+  * the same updates in one batch or many yields the identical table:
+  * consecutive-equal attribute updates collapse (an update that does
+  * not change the attributes creates no version), and a batch's first
+  * update is deduped against the stored current row exactly as the
+  * single-shot chain would dedup it against its raw predecessor.
+  *
+  * Ordering contract: `seqCol` is the version stamp (a timestamp or any
+  * monotone long, unique per key within a batch — enforced loudly);
+  * updates at or before a key's current `valid_from` are STALE and are
+  * dropped (late data cannot rewrite closed history — replay a batch
+  * in order to rebuild instead). Null-safe attribute comparison: a
+  * null-to-value attribute change is a real version.
+  *
+  * Scale: the chain windows partition on the key over (affected current
+  * rows + the batch) — delta-sized, never table-sized; the merge
+  * rewrites only directories containing affected keys. A 100 TB
+  * dimension absorbing a day's updates shuffles the day, not the
+  * dimension. */
+object Scd2 {
+  val FromCol = "valid_from"
+  val ToCol = "valid_to"
+  val CurCol = "is_current"
+
+  /** Apply one batch of `(key, seqCol, attrCols…)` updates; returns the
+    * committed version. First call on an empty dir creates the table. */
+  def applyUpdates(updates: DataFrame, dir: String, key: String,
+      seqCol: String, attrCols: Seq[String]): Long = {
+    val spark = updates.sparkSession
+    require(attrCols.nonEmpty, "SCD2 needs at least one attribute column")
+    val reserved = Set(FromCol, ToCol, CurCol)
+    require(!(attrCols :+ key :+ seqCol).exists(reserved),
+      s"column names $reserved are reserved for the SCD2 schema")
+    val u = updates.select((key +: seqCol +: attrCols).map(col): _*)
+    require(u.groupBy(col(key), col(seqCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+      s"SCD2 updates must be unique per ($key, $seqCol)")
+    val prev = ManifestSink.version(spark, dir)
+    val marked =
+      if (prev < 0) u.withColumn("__base", lit(false))
+      else {
+        // only the keys this batch touches: the chain recompute and the
+        // merge below stay delta-sized whatever the dimension's size
+        val base = ManifestSink.read(spark, dir).filter(col(CurCol))
+          .join(u.select(col(key)).distinct(), Seq(key), "left_semi")
+          .select((col(key) +: col(FromCol).as(seqCol) +:
+            attrCols.map(col)): _*)
+        base.withColumn("__base", lit(true))
+          .unionByName(u.withColumn("__base", lit(false)))
+      }
+    val wk = Window.partitionBy(col(key))
+    val wo = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    // stale updates (at or before the stored current version) drop; the
+    // base row itself always survives as the chain anchor
+    val fresh = marked
+      .withColumn("__bs", max(when(col("__base"), col(seqCol))).over(wk))
+      .filter(col("__base") || col("__bs").isNull ||
+        col(seqCol) > col("__bs"))
+    val attrs = struct(attrCols.map(col): _*)
+    // raw-lag consecutive dedup ≡ survivor dedup (equality is transitive
+    // along a dropped run), so one window pass suffices
+    val deduped = fresh.withColumn("__pa", lag(attrs, 1).over(wo))
+      .filter(col("__pa").isNull || !(attrs <=> col("__pa")))
+    val chain = deduped
+      .withColumn(ToCol, lead(col(seqCol), 1).over(wo))
+      .withColumn(CurCol, col(ToCol).isNull)
+      .select((col(key) +: attrCols.map(col)) ++
+        Seq(col(seqCol).as(FromCol), col(ToCol), col(CurCol)): _*)
+    ManifestSink.merge(chain, dir, Seq(key, FromCol))
+  }
+
+  /** The dimension AS OF a version stamp: the row whose
+    * [valid_from, valid_to) interval contains `seq` — at most one per
+    * key by construction. Row-local filter; no joins. */
+  def asOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      seq: Any): DataFrame =
+    ManifestSink.read(spark, dir)
+      .filter(col(FromCol) <= lit(seq) &&
+        (col(ToCol).isNull || col(ToCol) > lit(seq)))
+}
