@@ -1525,7 +1525,137 @@ object TrainingOps {
        |FROM r WHERE rk <= 500
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q195
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
+    * — the standard lexical+semantic combiner, and the hard-negative
+    * mining shape for embedding training: BM25-top documents that the
+    * semantic arm does NOT rank high are the classic hard negatives).
+    * The lexical arm is q86's BM25 top-20; the semantic arm is cosine
+    * top-20 against the query document's embedding (documents and
+    * embeddings share an id space); fusion scores each candidate
+    * Σ 1/(60 + rank) over the arms it appears in — rank-based, so the
+    * two arms' incomparable score scales never need calibration — and
+    * keeps the fused top-10.
+    *
+    * Determinism: both arms rank on integer row_numbers with doc-id
+    * tie-breaks (BM25's score is decimal-rounded per q86, the dot the
+    * shared sequential kernel), and the RRF sum is a fixed-shape double
+    * expression over small integers — engine-exact.
+    *
+    * Scale: each arm is TakeOrdered top-k (never a global window over
+    * the corpus); fusion joins two ≤k-row frames. At 100 TB the arms
+    * swap in the indexed candidate generators (token-bloom pruned scans
+    * for lexical, IVF posting lists for semantic) — the fusion contract
+    * is arm-agnostic, which is the point of rank fusion. */
+  private val rrfC = 60
+  private val rrfArmK = 20
+
+  private val q195: Q = (s, dir) => {
+    import s.implicits._
+    // lexical arm — q86's decimal-exact BM25, query doc excluded
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val tfq = toks.filter($"term".isin(bmTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"tot_dl".cast("double") / $"n_docs".cast("double")
+    val idf = log(lit(1.0) +
+      (($"n_docs" - $"df").cast("double") + lit(0.5)) /
+        ($"df".cast("double") + lit(0.5)))
+    val contrib = round(
+      idf * ($"tf".cast("double") * lit(bmK1 + 1)) /
+        ($"tf".cast("double") + lit(bmK1) *
+          (lit(1 - bmB) + lit(bmB) * ($"dl".cast("double") / avgdl))), 6)
+    val bmAgg = tfq.join(broadcast(dfq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", contrib.as("c"))
+      .groupBy($"doc_id").agg(sum($"c".cast("decimal(18,6)")).as("s"))
+    val bmTop = bmAgg.filter($"doc_id" =!= 0L)
+      .orderBy($"s".desc, $"doc_id".asc).limit(rrfArmK)
+    val wb = Window.orderBy($"s".desc, $"doc_id".asc)
+    val bmRank = bmTop
+      .withColumn("bm25_rank", row_number().over(wb).cast("long"))
+      .select($"doc_id", $"bm25_rank")
+    // semantic arm — cosine vs the query doc's embedding (unit-norm-free:
+    // dot ranks identically for a fixed query vector up to doc norms,
+    // which the shared corpus construction keeps comparable; the oracle
+    // computes the IDENTICAL expression so the ranking contract is exact)
+    val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val qv = broadcast(e.filter($"vec_id" === 0L)
+      .select($"embedding".as("qv")))
+    val cosTop = e.filter($"vec_id" =!= 0L).crossJoin(qv)
+      .select($"vec_id".as("doc_id"),
+        VectorOps.dot($"embedding", $"qv").as("dp"))
+      .orderBy($"dp".desc, $"doc_id".asc).limit(rrfArmK)
+    val wc = Window.orderBy($"dp".desc, $"doc_id".asc)
+    val cosRank = cosTop
+      .withColumn("cos_rank", row_number().over(wc).cast("long"))
+      .select($"doc_id", $"cos_rank")
+    // fusion — 1/(c + rank) per arm, absent arm contributes 0
+    val fused = bmRank.join(cosRank, Seq("doc_id"), "full")
+      .select($"doc_id", $"bm25_rank", $"cos_rank",
+        (coalesce(lit(1.0) / ($"bm25_rank" + lit(rrfC)), lit(0.0)) +
+          coalesce(lit(1.0) / ($"cos_rank" + lit(rrfC)), lit(0.0)))
+          .as("rrf"))
+    val wf = Window.orderBy($"rrf".desc, $"doc_id".asc)
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"rank", $"doc_id", $"bm25_rank", $"cos_rank", $"rrf")
+      .orderBy($"rank")
+  }
+  private val q195Sql = {
+    val terms = bmTerms.map(t => s"'$t'").mkString(", ")
+    val avgdl = "(CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val idf = "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)" +
+      " / (CAST(df AS DOUBLE) + 0.5))"
+    val contrib = s"ROUND($idf * (CAST(tf AS DOUBLE) * ${bmK1 + 1})" +
+      s" / (CAST(tf AS DOUBLE) + $bmK1 * (${1 - bmB} + $bmB" +
+      s" * (CAST(dl AS DOUBLE) / $avgdl))), 6)"
+    val d = VectorOps.dotSql("e.embedding", "q.qv")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |dlq AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dlq),
+       |tfq AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, SUM(CAST($contrib AS DECIMAL(18,6))) AS s
+       |  FROM tfq JOIN dfq USING (term) JOIN dlq USING (doc_id)
+       |  CROSS JOIN st
+       |  GROUP BY doc_id),
+       |bm AS (SELECT doc_id, bm25_rank FROM (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS bm25_rank
+       |  FROM agg WHERE doc_id <> 0)
+       |  WHERE bm25_rank <= $rrfArmK),
+       |cos AS (SELECT doc_id, cos_rank FROM (
+       |  SELECT e.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY $d DESC, e.vec_id ASC) AS cos_rank
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT embedding AS qv FROM embeddings
+       |              WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0)
+       |  WHERE cos_rank <= $rrfArmK),
+       |fused AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       |    b.bm25_rank, c.cos_rank,
+       |    COALESCE(1.0 / (b.bm25_rank + $rrfC), 0)
+       |      + COALESCE(1.0 / (c.cos_rank + $rrfC), 0) AS rrf
+       |  FROM bm b FULL OUTER JOIN cos c ON b.doc_id = c.doc_id)
+       |SELECT rank, doc_id, bm25_rank, cos_rank, rrf FROM (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+       |    doc_id, bm25_rank, cos_rank, rrf
+       |  FROM fused)
+       |WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_hybrid_rrf" -> q195,
     "q192_balanced_sample" -> q192,
     "q191_temporal_split" -> q191,
     "q181_epoch_upsample" -> q181,
@@ -1549,6 +1679,7 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    "q195_hybrid_rrf" -> q195Sql,
     "q192_balanced_sample" -> q192Sql,
     "q191_temporal_split" -> q191Sql,
     "q181_epoch_upsample" -> q181Sql,

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
       "q150_filtered_ann",         // broadcast(16 centroids) routing
       "q152_semantic_decontamination", // crossJoin(broadcast(16 centroids))
       "q166_normalized_dedup",     // 1-row × 1-row metric joins
-      "q183_weighted_quantiles")   // 3 fracs × distinct-scores probe
+      "q183_weighted_quantiles",   // 3 fracs × distinct-scores probe
+      "q195_hybrid_rrf")           // 1-row corpus stats + 1-row query vec
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
