@@ -109,12 +109,16 @@ object LayoutAdvisor {
     applyRecommendations(spark, tables, Seq(statsCol), smallRows)
 
   /** Multi-column form: a `zorder` verdict runs the REAL
-    * [[ManifestSink.compactZOrder]] on `statsCols` (action `zordered`).
-    * This closes the loop the conjunctive report opens: any two
+    * [[ManifestSink.compactZOrder]] on `statsCols` (action `zordered`),
+    * equi-depth: dimensions with committed histograms get skew-proof
+    * quantile cells (metadata-only — the advisor never re-reads data to
+    * plan), the rest degrade to linear per-dimension. This closes the
+    * loop the conjunctive report opens: any two
     * distinct z-bucket entries differ somewhere in their z-prefix, the
     * highest differing bit belongs to some dimension whose cell bits
     * above it agree — so that dimension's cells (and hence value
-    * ranges) are disjoint, the pair cannot conjunctively overlap, and
+    * ranges) are disjoint (quantile cells are still contiguous value
+    * ranges), the pair cannot conjunctively overlap, and
     * the post-maintenance report is `healthy` by construction. A
     * `compact` verdict (small files dominate, clustering secondary)
     * keeps the single-job lexicographic sorted rewrite. */
@@ -128,7 +132,7 @@ object LayoutAdvisor {
       val action = r.getString(5) match {
         case "zorder" if statsCols.size >= 2 =>
           ManifestSink.compactZOrder(spark, dirByName(name),
-            zCols = statsCols, statsCols = statsCols)
+            zCols = statsCols, statsCols = statsCols, equiDepth = true)
           "zordered"
         case "compact" | "zorder" =>
           ManifestSink.compact(spark, dirByName(name),

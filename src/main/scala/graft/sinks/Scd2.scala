@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions.{col, count, lag, lead, lit, max,
   * in order to rebuild instead). Null-safe attribute comparison: a
   * null-to-value attribute change is a real version.
   *
+  * Replay idempotence (the streaming `foreachBatch` contract, free of
+  * any epoch bookkeeping): re-applying an already-applied batch is a
+  * no-op — its updates at or before the key's current `valid_from` are
+  * stale-dropped, and any later ones are by construction
+  * consecutive-equal to the stored current attributes (they collapsed
+  * into the current version the first time), so the dedup drops them
+  * too. A crashed-and-replayed epoch can never double-version a key.
+  *
   * Scale: the chain windows partition on the key over (affected current
   * rows + the batch) — delta-sized, never table-sized; the merge
   * rewrites only directories containing affected keys. A 100 TB

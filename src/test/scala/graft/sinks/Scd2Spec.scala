@@ -41,6 +41,27 @@ class Scd2Spec extends SparkSpec {
     assert(snap(one).count(_._6) === 3) // one current row per key
   }
 
+  test("exact epoch replay is a no-op at every crash point") {
+    val root = Files.createTempDirectory("scd2r").toString
+    val dir = root + "/dim"
+    val b1 = updates((1L, 10L, "a", 1L), (1L, 20L, "a", 1L))
+    // b2's last update COLLAPSES (equal attrs), so the stored current
+    // valid_from (30) is older than the batch's max seq (40) — the
+    // replay must still be a no-op through the dedup, not staleness
+    val b2 = updates((1L, 30L, "b", 1L), (1L, 40L, "b", 1L),
+      (2L, 35L, "x", 2L))
+    Scd2.applyUpdates(b1, dir, "k", "seq", attrs)
+    Scd2.applyUpdates(b2, dir, "k", "seq", attrs)
+    val once = snap(dir)
+    Scd2.applyUpdates(b2, dir, "k", "seq", attrs) // replay last epoch
+    assert(snap(dir) === once)
+    Scd2.applyUpdates(b1, dir, "k", "seq", attrs) // replay an OLD epoch
+    assert(snap(dir) === once)
+    // and replay must not block genuinely new versions afterwards
+    Scd2.applyUpdates(updates((1L, 50L, "c", 1L)), dir, "k", "seq", attrs)
+    assert(snap(dir).filter(_._1 == 1L).map(_._4) === Seq(10L, 30L, 50L))
+  }
+
   test("stale updates drop; closed history is immutable; asOf probes") {
     val root = Files.createTempDirectory("scd2s").toString
     val dir = root + "/dim"
