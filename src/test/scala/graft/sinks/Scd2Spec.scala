@@ -62,6 +62,49 @@ class Scd2Spec extends SparkSpec {
     assert(snap(dir).filter(_._1 == 1L).map(_._4) === Seq(10L, 30L, 50L))
   }
 
+  test("a real AvailableNow stream maintains the dimension exactly-once") {
+    val root = Files.createTempDirectory("scd2st").toString
+    val dir = root + "/dim"
+    // five chronological epochs over two keys, with a no-change update
+    // (seq 3) and an attribute flip-back (key 1: a -> b -> a)
+    val rows = Seq((1L, 1L, "a", 1L), (1L, 2L, "b", 1L), (2L, 3L, "x", 9L),
+      (2L, 4L, "x", 9L), (1L, 5L, "a", 1L))
+    val srcDir = Files.createTempDirectory("scd2_src").toString
+    rows.zipWithIndex.foreach { case ((k, seq, seg, tier), i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, f"f$i%02d.csv"),
+        s"$k,$seq,$seg,$tier\n".getBytes("UTF-8"))
+    }
+    val ckpt = Files.createTempDirectory("scd2_ckpt").toString
+    import org.apache.spark.sql.types._
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("k", LongType),
+          StructField("seq", LongType), StructField("seg", StringType),
+          StructField("tier", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .csv(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Scd2.applyUpdates(b, dir, "k", "seq", attrs)
+          ()
+        }
+        .start()
+      q.awaitTermination(120000L)
+    }
+    run()
+    // streamed epochs == the single-shot chain
+    val one = Files.createTempDirectory("scd2st1").toString + "/one"
+    Scd2.applyUpdates(updates(rows: _*), one, "k", "seq", attrs)
+    assert(snap(dir) === snap(one))
+    assert(snap(dir).filter(_._1 == 1L).map(_._4) === Seq(1L, 2L, 5L))
+    // full checkpoint replay: no new files -> no epochs -> no commits
+    val vAfter = ManifestSink.version(spark, dir)
+    run()
+    assert(ManifestSink.version(spark, dir) === vAfter)
+  }
+
   test("stale updates drop; closed history is immutable; asOf probes") {
     val root = Files.createTempDirectory("scd2s").toString
     val dir = root + "/dim"
