@@ -2602,7 +2602,77 @@ object SinkOps {
       |           THEN a_type END) AS asof_type
       |FROM chain CROSS JOIN m GROUP BY dim_id ORDER BY dim_id""".stripMargin
 
+  // --------------------------------------------------------------- q196
+  /** Retraction-folding incremental view ([[graft.sinks.IncrementalAgg
+    * .refreshSums]]): the maintenance arm classic materialized views
+    * recompute on — DELETES — folded instead as negative deltas. The
+    * subtractable (count, exact-decimal-sum) state absorbs a range
+    * DELETE WHERE window and a key merge-on-read delete window through
+    * [[graft.sinks.ManifestSink.retractedRows]] (the fromV-visible rows
+    * the new tombstones kill, planned from manifests: range tombstones
+    * scan only stat-overlapping entries, key lists broadcast as
+    * semi-joins), plus a plain append fold between them. The modes are
+    * asserted in-query (`retract_fold` / `fold` / `retract_fold`); the
+    * oracle recomputes the final grouped state directly from the raw
+    * table with both deletes applied — a double-subtraction, a missed
+    * retraction, or a fold of already-dead rows all hash-mismatch.
+    *
+    * Scale: the whole point — a DELETE against a 100 TB table costs the
+    * view O(retracted + delta), never the snapshot recompute that
+    * min/max state forces; exact decimal arithmetic makes the negative
+    * delta cancel bit-for-bit in any merge order. */
+  private val q196: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sinks.IncrementalAgg
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val mx = ev.agg(max($"event_id")).head().getLong(0)
+    val (c1, c2) = (mx / 2, 3 * mx / 4)
+    val (d1, d2) = (mx / 8, mx / 3) // delete band inside the first batch
+    val sink = freshScratch("graft_q196", dir) + "/t"
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" <= c1), sink, Seq("event_id"))
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > c1 && $"event_id" <= c2), sink,
+      Seq("event_id"))
+    val v0 = ManifestSink.version(s, sink)
+    val keys = Seq("event_type")
+    val s0 = IncrementalAgg.aggregateSums(
+      ManifestSink.read(s, sink), keys, "value")
+    ManifestSink.deleteRangeMergeOnRead(s, sink, "event_id",
+      Some(d1), Some(d2))
+    val v1 = ManifestSink.version(s, sink)
+    val (s1, m1) = IncrementalAgg.refreshSums(s, s0, sink, v0, v1,
+      keys, "value")
+    require(m1 == "retract_fold", s"q196: range delete folded as $m1")
+    ManifestSink.appendWithStats(
+      ev.filter($"event_id" > c2), sink, Seq("event_id"))
+    val v2 = ManifestSink.version(s, sink)
+    val (s2, m2) = IncrementalAgg.refreshSums(s, s1, sink, v1, v2,
+      keys, "value")
+    require(m2 == "fold", s"q196: append folded as $m2")
+    ManifestSink.deleteKeysMergeOnRead(
+      ev.filter($"event_id" % 97 === 0).select($"event_id"), sink,
+      Seq("event_id"))
+    val v3 = ManifestSink.version(s, sink)
+    val (s3, m3) = IncrementalAgg.refreshSums(s, s2, sink, v2, v3,
+      keys, "value")
+    require(m3 == "retract_fold", s"q196: key delete folded as $m3")
+    IncrementalAgg.presentSums(s3, keys)
+      .select($"event_type", $"n", $"sum_value")
+      .orderBy($"event_type")
+  }
+  private val q196Sql =
+    s"""WITH m AS (SELECT MAX(event_id) AS mx FROM events),
+       |base AS (SELECT e.event_type, e.value FROM events e CROSS JOIN m
+       |  WHERE NOT (e.event_id >= m.mx // 8 AND e.event_id <= m.mx // 3)
+       |    AND e.event_id % 97 <> 0)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q196_retraction_fold" -> q196,
     "q194_scd2_dimension" -> q194,
     "q193_zorder_skew" -> q193,
     "q190_filtered_plan_join" -> q190,
@@ -2643,6 +2713,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q196_retraction_fold" -> q196Sql,
     "q194_scd2_dimension" -> q194Sql,
     "q193_zorder_skew" -> q193Sql,
     "q190_filtered_plan_join" -> q190Sql,

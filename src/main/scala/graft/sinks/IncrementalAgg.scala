@@ -74,6 +74,69 @@ object IncrementalAgg {
     else (refresh(spark, state, dir, fromV, toV, keys, value), true)
   }
 
+  /** SUBTRACTABLE grouped state — (keys, n, sum_dec) without bounds.
+    * Dropping min/max buys retraction-foldability: counts and exact
+    * decimal sums invert (negative deltas), so a merge-on-read DELETE
+    * window folds in O(retracted + delta) where the bounded state above
+    * must recompute from the snapshot. Pick this state shape when the
+    * view serves counts/sums/averages; keep [[aggregate]] when it must
+    * also serve bounds. */
+  def aggregateSums(df: DataFrame, keys: Seq[String],
+      value: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(value).cast("decimal(38,4)")).as("sum_dec"))
+
+  /** Merge two subtractable states: both fields add exactly (longs and
+    * decimals), in any order — which is what makes negative deltas a
+    * sound retraction. */
+  def mergeSums(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_dec")).as("sum_dec"))
+
+  /** [[refreshOrRecompute]] for the subtractable state, with the third
+    * arm classic view maintenance calls delta processing of deletions:
+    * an append-only window folds the added batches (`mode = "fold"`); a
+    * window that ALSO committed merge-on-read deletes folds the added
+    * rows (tombstones applied) PLUS the retracted rows as a negative
+    * delta ([[ManifestSink.retractedRows]] — O(affected entries), never
+    * the snapshot; `mode = "retract_fold"`), dropping groups whose count
+    * reaches zero; only a REWRITE window (removed entries) recomputes
+    * (`mode = "recompute"`). Exactness: counts are longs and sums exact
+    * decimals, so the subtraction cancels bit-for-bit — the folded state
+    * is identical to the direct aggregate of the `toV` snapshot. */
+  def refreshSums(spark: SparkSession, state: DataFrame, dir: String,
+      fromV: Long, toV: Long, keys: Seq[String],
+      value: String): (DataFrame, String) = {
+    val (_, removed) = ManifestSink.changedEntries(spark, dir, fromV, toV)
+    if (removed.nonEmpty)
+      (aggregateSums(ManifestSink.readAt(spark, dir, toV), keys, value),
+        "recompute")
+    else {
+      val plus = aggregateSums(
+        ManifestSink.changesApplied(spark, dir, fromV, toV), keys, value)
+      val folded = mergeSums(state, plus, keys)
+      if (!ManifestSink.tombstonesAdded(spark, dir, fromV, toV))
+        (folded, "fold")
+      else {
+        val minus = aggregateSums(
+          ManifestSink.retractedRows(spark, dir, fromV, toV), keys, value)
+          .select((keys.map(col) :+ (-col("n")).as("n") :+
+            (-col("sum_dec")).as("sum_dec")): _*)
+        (mergeSums(folded, minus, keys).filter(col("n") > 0),
+          "retract_fold")
+      }
+    }
+  }
+
+  /** Presentation form of the subtractable state. */
+  def presentSums(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select((keys.map(col) :+ col("n") :+
+      col("sum_dec").cast("double").as("sum_value")): _*)
+
   /** Presentation form: exact decimal sum collapsed to double. */
   def present(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select((keys.map(col) :+ col("n") :+

@@ -2635,6 +2635,91 @@ object ManifestSink {
       .unionByName(f.exceptAll(t).withColumn("op", lit("removed")))
   }
 
+  /** The window's ADDED data rows with merge-on-read tombstones applied
+    * — [[changes]] for windows that also contain deletes: added entries
+    * scan through the assembled read at `toV`, so a tombstone committed
+    * AFTER an added batch (position rule) filters its rows exactly as a
+    * full read would, while tombstones preceding the batch leave it
+    * alone. Empty frame when the window added no data entries. */
+  def changesApplied(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val (added, _) = changedEntries(spark, dir, fromV, toV)
+    val tombPaths = manifestEntries(spark, dir, toV).map(parseEntry)
+      .filter(isTombEntry).map(_.path).toSet
+    val dataAdded = added.filterNot(tombPaths).toSet
+    if (dataAdded.isEmpty)
+      readAt(spark, dir, toV, mergeSchema = true).limit(0)
+    else assembleRead(spark, dir, toV, mergeSchema = true,
+      keep = e => dataAdded(e.path))
+  }
+
+  /** Rows RETRACTED in (fromV, toV]: the fromV-visible rows deleted by
+    * merge-on-read tombstones committed in the window — the NEGATIVE
+    * delta a subtractable incremental view folds instead of recomputing
+    * ([[IncrementalAgg.refreshSums]]). Planned from the manifests: when
+    * every new tombstone is a RANGE, only fromV data entries whose
+    * recorded stats overlap some range are scanned (stats-less entries
+    * scan — the safe direction); key tombstones broadcast their (small
+    * by construction) key lists as semi-joins against the remainder.
+    * Rows matching several tombstones return exactly once (matched rows
+    * leave the remainder before the next tombstone probes it). Requires
+    * a rewrite-free window — removed entries make "retracted"
+    * ill-defined; recompute there instead. */
+  def retractedRows(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(fromV >= 0 && fromV <= toV,
+      s"need 0 <= fromV <= toV, got $fromV..$toV")
+    val (_, removed) = changedEntries(spark, dir, fromV, toV)
+    require(removed.isEmpty,
+      s"history $fromV->$toV removed entries — retraction is " +
+        "ill-defined across a rewrite; recompute from the snapshot")
+    val fromLines = manifestEntries(spark, dir, fromV)
+    val oldTombLines = fromLines
+      .filter(l => isTombEntry(parseEntry(l))).toSet
+    val newTombs = manifestEntries(spark, dir, toV)
+      .filterNot(oldTombLines).map(parseEntry).filter(isTombEntry)
+    def empty = readAt(spark, dir, fromV, mergeSchema = true).limit(0)
+    if (newTombs.isEmpty) return empty
+    val (rangeTombs, keyTombs) =
+      newTombs.partition(_.stats.contains(TombRangeKey))
+    val keep: Entry => Boolean =
+      if (keyTombs.isEmpty) {
+        val rs = rangeTombs.map(tombRange)
+        e => rs.exists { case (c, lo, hi) =>
+          e.stats.get(c)
+            .forall(_.overlaps(lo.map(boundStr), hi.map(boundStr)))
+        }
+      } else _ => true
+    val fromData = fromLines.map(parseEntry).filterNot(isTombEntry)
+    if (!fromData.exists(keep)) return empty
+    var remaining =
+      assembleRead(spark, dir, fromV, mergeSchema = true, keep = keep)
+    var matched: Option[DataFrame] = None
+    def hit(h: DataFrame): Unit =
+      matched = Some(matched.fold(h)(_.unionByName(h)))
+    rangeTombs.foreach { e =>
+      val (c, lo, hi) = tombRange(e)
+      val inR = (lo.map(col(c) >= lit(_)).toSeq ++
+        hi.map(col(c) <= lit(_))).reduceOption(_ && _).getOrElse(lit(true))
+      hit(remaining.filter(coalesceFalse(inR)))
+      remaining = remaining.filter(!coalesceFalse(inR))
+    }
+    keyTombs.groupBy(tombKeyCols).toSeq.sortBy(_._1.mkString(","))
+      .foreach { case (keyCols, shape) =>
+        val kdf = shape.map(e =>
+            spark.read.parquet(resolvePath(dir, e.path))
+              .select(keyCols.map(col): _*))
+          .reduce(_ unionByName _).distinct()
+          .toDF(keyCols.map("__ret_" + _): _*)
+        val cond = keyCols.map(k => remaining(k) === kdf(s"__ret_$k"))
+          .reduce(_ && _)
+        hit(remaining.join(broadcast(kdf), cond, "left_semi"))
+        remaining = remaining.join(broadcast(kdf), cond, "left_anti")
+      }
+    matched.get
+  }
+
   /** Incremental read: all rows in data directories the `toV` snapshot
     * references that `fromV` did not — for an append-only history this
     * is EXACTLY the rows inserted in (fromV, toV], read without touching

@@ -566,6 +566,60 @@ class ManifestSinkSpec extends SparkSpec {
     assert(folded5); check(s5)
   }
 
+  test("subtractable state folds merge-on-read deletes as retractions") {
+    import graft.sinks.IncrementalAgg
+    val dir = Files.createTempDirectory("msinkrf").toString + "/t"
+    val keys = Seq("k")
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .selectExpr("id % 3 AS k", "id AS i", "CAST(id AS DOUBLE) / 7 AS v")
+    def direct() = IncrementalAgg.presentSums(IncrementalAgg
+        .aggregateSums(ManifestSink.read(spark, dir), keys, "v"), keys)
+      .collect().map(_.toString).sorted.toSeq
+    def check(st: org.apache.spark.sql.DataFrame): Unit =
+      assert(IncrementalAgg.presentSums(st, keys)
+        .collect().map(_.toString).sorted.toSeq === direct())
+    val v0 = ManifestSink.appendWithStats(batch(0, 1000), dir, Seq("i"))
+    val s0 = IncrementalAgg.aggregateSums(
+      ManifestSink.read(spark, dir), keys, "v")
+    // a range MoR delete folds as a negative delta
+    val v1 = ManifestSink.deleteRangeMergeOnRead(spark, dir, "i",
+      Some(100L), Some(299L))
+    val (s1, m1) = IncrementalAgg.refreshSums(spark, s0, dir, v0, v1,
+      keys, "v")
+    assert(m1 === "retract_fold"); check(s1)
+    // mixed window: an append AND a delete spanning old+new rows — the
+    // retraction covers only fromV-visible rows, the plus side excludes
+    // the new batch's deleted rows (position rule), nothing doubles
+    ManifestSink.appendWithStats(batch(1000, 1100), dir, Seq("i"))
+    val v2 = ManifestSink.deleteRangeMergeOnRead(spark, dir, "i",
+      Some(900L), Some(1049L))
+    val (s2, m2) = IncrementalAgg.refreshSums(spark, s1, dir, v1, v2,
+      keys, "v")
+    assert(m2 === "retract_fold"); check(s2)
+    // key MoR delete on the GROUP key: the k=2 group's count reaches
+    // zero and the group drops from the state, not kept at n=0
+    val v3 = ManifestSink.deleteKeysMergeOnRead(
+      Seq(2L).toDF("k"), dir, Seq("k"))
+    val (s3, m3) = IncrementalAgg.refreshSums(spark, s2, dir, v2, v3,
+      keys, "v")
+    assert(m3 === "retract_fold"); check(s3)
+    assert(s3.count() === 2)
+    // plain append still folds (and revives the dropped group)
+    val v4 = ManifestSink.append(batch(1100, 1150), dir)
+    val (s4, m4) = IncrementalAgg.refreshSums(spark, s3, dir, v3, v4,
+      keys, "v")
+    assert(m4 === "fold"); check(s4)
+    assert(s4.count() === 3)
+    // a rewrite window (merge on a LIVE key) recomputes — retraction is
+    // ill-defined across a rewrite. (A merge whose keys are all
+    // MoR-deleted touches no directory and correctly folds instead.)
+    val v5 = ManifestSink.merge(
+      Seq((1L, 7L, 99.5)).toDF("k", "i", "v"), dir, Seq("i"))
+    val (s5, m5) = IncrementalAgg.refreshSums(spark, s4, dir, v4, v5,
+      keys, "v")
+    assert(m5 === "recompute"); check(s5)
+  }
+
   test("bloom filters prune point lookups that ranges cannot") {
     val dir = Files.createTempDirectory("msinkbl").toString + "/t"
     // three batches with fully overlapping id ranges (ids interleaved
