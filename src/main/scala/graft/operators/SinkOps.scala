@@ -2554,10 +2554,13 @@ object SinkOps {
     * dimension. */
   private val q194: Q = (s, dir) => {
     import s.implicits._
+    // the update frame feeds each batch's uniqueness check, staleness
+    // union, and key semi-join — cache the 4-column projection once
     val u = Tables(s, dir, "events").select(
       ($"user_id" % 200).as("dim_id"), $"event_id".as("seq"),
       $"event_type".as("a_type"),
       (floor($"value").cast("long") % 5).as("a_band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = u.agg(max($"seq")).head().getLong(0)
     val (c1, c2) = (mx / 3, 2 * mx / 3)
     val sink = freshScratch("graft_q194", dir) + "/dim"
@@ -2567,6 +2570,7 @@ object SinkOps {
       "dim_id", "seq", Seq("a_type", "a_band"))
     Scd2.applyUpdates(u.filter($"seq" > c2), sink, "dim_id", "seq",
       Seq("a_type", "a_band"))
+    u.unpersist(false)
     val t = ManifestSink.read(s, sink)
     val summary = t.groupBy($"dim_id").agg(
       count(lit(1)).cast("long").as("n_versions"),

@@ -2262,6 +2262,49 @@ object ManifestSink {
     commitAppendLines(spark, dir, Seq(line), Map.empty)
   }
 
+  /** Merge-on-read UPSERT — the zero-rewrite twin of [[merge]]: ONE
+    * atomic commit appending a key tombstone covering `updates`' keys
+    * followed by the update rows as a fresh data entry. The tombstone
+    * precedes the data entry, so it deletes every EARLIER copy of the
+    * keys and leaves the new rows alone (the assembled read's position
+    * rule); unmatched keys are plain inserts (tombstoning an absent key
+    * is a no-op). No existing directory is read or rewritten — a 100 TB
+    * dimension absorbs a day's upserts at the cost of WRITING the day —
+    * and because tombstone and rows share one commit, no crash point
+    * leaves keys deleted without their replacements. Readers pay the
+    * standard MoR anti-join until a [[compact]] materializes the
+    * tombstones (tombstone count grows with batch count — periodic
+    * compaction is the read-path hygiene; [[merge]] remains the
+    * read-optimized choice). Same per-key uniqueness contract as
+    * [[merge]]; `statsCols` as in [[appendWithStats]]. */
+  def mergeOnRead(updates: DataFrame, dir: String, keys: Seq[String],
+      statsCols: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "mergeOnRead requires at least one key column")
+    require(keys.forall(!_.contains(",")),
+      "key column names must not contain ','")
+    val spark = updates.sparkSession
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+      "mergeOnRead updates must be unique per key " +
+        keys.mkString("(", ",", ")"))
+    val prev = version(spark, dir)
+    if (prev < 0) return commit(spark, dir, updates, Nil, prev, statsCols)
+    if (updates.isEmpty) return prev
+    val kBatch = java.util.UUID.randomUUID().toString
+    val kRows = writeCounted(
+      updates.select(keys.map(col): _*), s"$dir/data/$kBatch")
+    val dBatch = java.util.UUID.randomUUID().toString
+    val dRows = writeCounted(updates, s"$dir/data/$dBatch")
+    val stats = writtenStats(spark, s"$dir/data/$dBatch", statsCols,
+      Nil, 0.01)
+    val tombLine = Entry(s"data/$kBatch",
+      Map(TombKey -> ColStats('S', keys.mkString(","),
+        kRows.toString))).line
+    val dataLine = Entry(s"data/$dBatch", stats + rowsStat(dRows)).line
+    commitAppendLines(spark, dir, Seq(tombLine, dataLine), Map.empty)
+  }
+
   /** Keyed MERGE (upsert): every row of `updates` replaces the committed
     * row sharing its key; unmatched keys insert. Copy-on-write with
     * file-level pruning — only the batch directories that actually

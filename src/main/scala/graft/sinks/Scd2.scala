@@ -51,9 +51,21 @@ object Scd2 {
   val CurCol = "is_current"
 
   /** Apply one batch of `(key, seqCol, attrCols…)` updates; returns the
-    * committed version. First call on an empty dir creates the table. */
+    * committed version. First call on an empty dir creates the table.
+    *
+    * Write path: by default the changed chain rows commit through
+    * [[ManifestSink.mergeOnRead]] — ONE atomic commit (key tombstone +
+    * fresh rows), no existing directory read or rewritten, so a batch
+    * costs O(its own delta) whatever the dimension's size; keys the
+    * batch did not version are not touched at all, and a batch that
+    * versions nothing (all stale / all collapsed — e.g. an epoch
+    * replay) commits NOTHING, leaving the version number stable.
+    * `copyOnWrite = true` switches to [[ManifestSink.merge]]'s
+    * read-optimized rewrite of affected directories (no tombstone debt,
+    * higher write amplification) — same table content either way. */
   def applyUpdates(updates: DataFrame, dir: String, key: String,
-      seqCol: String, attrCols: Seq[String]): Long = {
+      seqCol: String, attrCols: Seq[String],
+      copyOnWrite: Boolean = false): Long = {
     val spark = updates.sparkSession
     require(attrCols.nonEmpty, "SCD2 needs at least one attribute column")
     val reserved = Set(FromCol, ToCol, CurCol)
@@ -89,12 +101,27 @@ object Scd2 {
     // along a dropped run), so one window pass suffices
     val deduped = fresh.withColumn("__pa", lag(attrs, 1).over(wo))
       .filter(col("__pa").isNull || !(attrs <=> col("__pa")))
+    // only keys that actually gained a version commit anything: the
+    // untouched base anchors (stale-only or collapsed-only keys) drop
+    // here, so a no-op batch — an epoch replay included — writes nothing
     val chain = deduped
+      .withColumn("__new",
+        max(when(col("__base"), lit(0)).otherwise(lit(1))).over(wk))
       .withColumn(ToCol, lead(col(seqCol), 1).over(wo))
       .withColumn(CurCol, col(ToCol).isNull)
+      .filter(col("__new") === 1)
       .select((col(key) +: attrCols.map(col)) ++
         Seq(col(seqCol).as(FromCol), col(ToCol), col(CurCol)): _*)
-    ManifestSink.merge(chain, dir, Seq(key, FromCol))
+    // the chain is consumed several times downstream (emptiness probe,
+    // the sink's uniqueness check, tombstone-key and data writes) — it
+    // is delta-sized, so cache it rather than re-run the window pipeline
+    chain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (chain.isEmpty) ManifestSink.version(spark, dir)
+      else if (copyOnWrite)
+        ManifestSink.merge(chain, dir, Seq(key, FromCol))
+      else ManifestSink.mergeOnRead(chain, dir, Seq(key, FromCol))
+    } finally chain.unpersist(false)
   }
 
   /** The dimension AS OF a version stamp: the row whose

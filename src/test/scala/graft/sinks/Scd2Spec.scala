@@ -35,6 +35,13 @@ class Scd2Spec extends SparkSpec {
       all.filter(_._2 > 40L)).foreach(b =>
       Scd2.applyUpdates(updates(b: _*), many, "k", "seq", attrs))
     assert(snap(many) === snap(one))
+    // the read-optimized copy-on-write path lands the identical table
+    val cow = root + "/cow"
+    Seq(all.filter(_._2 <= 20L), all.filter(u => u._2 > 20L && u._2 <= 40L),
+      all.filter(_._2 > 40L)).foreach(b =>
+      Scd2.applyUpdates(updates(b: _*), cow, "k", "seq", attrs,
+        copyOnWrite = true))
+    assert(snap(cow) === snap(one))
     // the collapsed chain: key 1 has versions at 10 (a,1), 30 (b,1),
     // 40 (b,2) — the no-change updates at 20 and 50 created none
     assert(snap(one).filter(_._1 == 1L).map(_._4) === Seq(10L, 30L, 40L))
@@ -53,10 +60,13 @@ class Scd2Spec extends SparkSpec {
     Scd2.applyUpdates(b1, dir, "k", "seq", attrs)
     Scd2.applyUpdates(b2, dir, "k", "seq", attrs)
     val once = snap(dir)
+    val vOnce = ManifestSink.version(spark, dir)
     Scd2.applyUpdates(b2, dir, "k", "seq", attrs) // replay last epoch
     assert(snap(dir) === once)
     Scd2.applyUpdates(b1, dir, "k", "seq", attrs) // replay an OLD epoch
     assert(snap(dir) === once)
+    // replays commit NOTHING — the version number itself is stable
+    assert(ManifestSink.version(spark, dir) === vOnce)
     // and replay must not block genuinely new versions afterwards
     Scd2.applyUpdates(updates((1L, 50L, "c", 1L)), dir, "k", "seq", attrs)
     assert(snap(dir).filter(_._1 == 1L).map(_._4) === Seq(10L, 30L, 50L))
