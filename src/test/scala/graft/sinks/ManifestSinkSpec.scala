@@ -618,6 +618,54 @@ class ManifestSinkSpec extends SparkSpec {
     val (s5, m5) = IncrementalAgg.refreshSums(spark, s4, dir, v4, v5,
       keys, "v")
     assert(m5 === "recompute"); check(s5)
+    // a merge-on-read UPSERT window folds: the old copies retract, the
+    // new rows add — view maintenance straight through upserts
+    val v6 = ManifestSink.mergeOnRead(
+      Seq((0L, 9L, 50.0), (1L, 9999L, 1.25)).toDF("k", "i", "v"),
+      dir, Seq("i"))
+    val (s6, m6) = IncrementalAgg.refreshSums(spark, s5, dir, v5, v6,
+      keys, "v")
+    assert(m6 === "retract_fold"); check(s6)
+  }
+
+  test("mergeOnRead: atomic zero-rewrite upsert equals merge's content") {
+    val dir = Files.createTempDirectory("msinkmor").toString + "/t"
+    val cow = Files.createTempDirectory("msinkmorc").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val up1 = Seq((2L, "B"), (4L, "d")).toDF("k", "v") // update + insert
+    val up2 = Seq((2L, "B2"), (1L, "A")).toDF("k", "v") // re-update
+    Seq(dir, cow).foreach(d => ManifestSink.append(base, d))
+    val e0 = ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir)).map(_.path).toSet
+    ManifestSink.mergeOnRead(up1, dir, Seq("k"))
+    ManifestSink.mergeOnRead(up2, dir, Seq("k"))
+    ManifestSink.merge(up1, cow, Seq("k"))
+    ManifestSink.merge(up2, cow, Seq("k"))
+    assert(rows(ManifestSink.read(spark, dir)) ===
+      rows(ManifestSink.read(spark, cow)))
+    assert(rows(ManifestSink.read(spark, dir)) ===
+      Seq((1L, "A"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // zero-rewrite: the original batch directory is still referenced
+    val eAfter = ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir)).map(_.path).toSet
+    assert(e0.subsetOf(eAfter))
+    // time travel still serves the pre-upsert snapshot
+    assert(rows(ManifestSink.readAt(spark, dir, 0L)) ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // compaction materializes the tombstone debt away, content intact
+    ManifestSink.compact(spark, dir)
+    assert(ManifestSink.entries(spark, dir,
+      ManifestSink.version(spark, dir)).size === 1)
+    assert(rows(ManifestSink.read(spark, dir)) ===
+      Seq((1L, "A"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // duplicate keys in one batch refuse loudly
+    intercept[IllegalArgumentException] {
+      ManifestSink.mergeOnRead(
+        Seq((9L, "x"), (9L, "y")).toDF("k", "v"), dir, Seq("k"))
+    }
   }
 
   test("bloom filters prune point lookups that ranges cannot") {
