@@ -69,6 +69,42 @@ object AggMatView {
       Map(BaseVKey -> vB.toString)), folded)
   }
 
+  /** [[create]] over the SUBTRACTABLE (count, exact-decimal-sum) state
+    * ([[IncrementalAgg.aggregateSums]]) — pair with [[refreshSums]] when
+    * the view serves counts/sums: merge-on-read DELETE and UPSERT
+    * windows then fold as retractions instead of forcing the snapshot
+    * recompute the bounded state demands. */
+  def createSums(spark: SparkSession, viewDir: String, baseDir: String,
+      keys: Seq[String], value: String): Long = {
+    require(ManifestSink.version(spark, viewDir) < 0,
+      s"AggMatView $viewDir already exists — use refreshSums")
+    val vB = ManifestSink.version(spark, baseDir)
+    require(vB >= 0, s"base $baseDir must be a committed table")
+    ManifestSink.appendWithHeader(
+      IncrementalAgg.aggregateSums(
+        ManifestSink.readAt(spark, baseDir, vB), keys, value),
+      viewDir, Map(BaseVKey -> vB.toString))
+  }
+
+  /** Advance a [[createSums]] view to the base's current version with
+    * the three-mode fold ([[IncrementalAgg.refreshSums]]): appends fold,
+    * merge-on-read deletes/upserts fold as retractions, only rewrites
+    * recompute. Returns (view version, mode ∈ fresh | fold |
+    * retract_fold | recompute); the header-carried fold position keeps
+    * state rows and absorbed version one atomic commit, exactly as
+    * [[refresh]]. */
+  def refreshSums(spark: SparkSession, viewDir: String, baseDir: String,
+      keys: Seq[String], value: String): (Long, String) = {
+    val pos = absorbed(spark, viewDir)
+    val vB = ManifestSink.version(spark, baseDir)
+    if (vB == pos) return (ManifestSink.version(spark, viewDir), "fresh")
+    val state = ManifestSink.read(spark, viewDir)
+    val (next, mode) = IncrementalAgg.refreshSums(spark, state,
+      baseDir, pos, vB, keys, value)
+    (ManifestSink.replaceWithHeader(next, viewDir,
+      Map(BaseVKey -> vB.toString)), mode)
+  }
+
   /** Register the current state with the transparent rewrite, keyed to
     * the base snapshot the view has absorbed. Call after each refresh. */
   def serve(spark: SparkSession, viewDir: String, baseDir: String,

@@ -61,6 +61,35 @@ class AggMatViewSpec extends SparkSpec {
     }
   }
 
+  test("the sums view folds deletes and upserts instead of recomputing") {
+    val (base, view) = freshDirs("sums")
+    def direct() = IncrementalAgg.presentSums(IncrementalAgg
+        .aggregateSums(ManifestSink.read(spark, base), keys, "v"), keys)
+      .collect().map(_.toString).sorted.toSeq
+    def state() = IncrementalAgg.presentSums(
+        AggMatView.read(spark, view), keys)
+      .collect().map(_.toString).sorted.toSeq
+    ManifestSink.append(
+      Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("k", "v"), base)
+    AggMatView.createSums(spark, view, base, keys, "v")
+    assert(state() === direct())
+    // a MoR delete window FOLDS for the subtractable state (the bounded
+    // state's refresh recomputes here) and the vanished group drops
+    ManifestSink.deleteKeysMergeOnRead(
+      Seq(Tuple1("b")).toDF("k"), base, keys)
+    val (_, m1) = AggMatView.refreshSums(spark, view, base, keys, "v")
+    assert(m1 === "retract_fold")
+    assert(state() === direct())
+    // a MoR upsert window folds too; a fresh probe is silent
+    ManifestSink.mergeOnRead(
+      Seq(("a", 10.0), ("c", 7.0)).toDF("k", "v"), base, keys)
+    val (v2, m2) = AggMatView.refreshSums(spark, view, base, keys, "v")
+    assert(m2 === "retract_fold")
+    assert(state() === direct())
+    val (v3, m3) = AggMatView.refreshSums(spark, view, base, keys, "v")
+    assert(m3 === "fresh" && v3 === v2)
+  }
+
   test("serve registers the absorbed snapshot; a base commit after " +
       "serve structurally stops the rewrite") {
     val (base, view) = freshDirs("serve")
