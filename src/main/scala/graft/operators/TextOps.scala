@@ -712,7 +712,64 @@ object TextOps {
        |ORDER BY kind""".stripMargin
   }
 
+  // --------------------------------------------------------------- q197
+  /** JSONL corpus ingest with a dead-letter channel
+    * ([[graft.sources.JsonlCorpus]]): the documents table is serialized
+    * to line-delimited JSON with every 97th record deterministically
+    * truncated mid-object (an unbalanced brace — always malformed), the
+    * corpus is read back through the schema-on-read parser, and the
+    * report pins BOTH channels: good-row count, char-mass and id
+    * checksums (a row that leaked to the wrong channel, a field that
+    * round-tripped wrong, or a dead letter that vanished all
+    * hash-mismatch) plus the dead-letter count.
+    *
+    * Scale: one text scan, `from_json` row-local, no shuffle on either
+    * channel — the Common-Crawl on-ramp costs a parallel read. */
+  private val q197: Q = (s, dir) => {
+    import s.implicits._
+    val root = SinkOps.freshScratch("graft_q197", dir)
+    val jl = root + "/corpus.jsonl"
+    Tables(s, dir, "documents")
+      .withColumn("j", to_json(struct($"doc_id", $"lang", $"n_chars")))
+      .select(when($"doc_id" % 97 === 0,
+        expr("substring(j, 1, CAST(length(j) / 2 AS INT))"))
+        .otherwise($"j").as("value"))
+      .write.text(jl)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val good = graft.sources.JsonlCorpus.read(s, jl, schema)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum($"doc_id").cast("long").as("sum_ids"),
+        countDistinct($"lang").cast("long").as("n_langs"))
+      .select(lit("good").as("channel"), $"n_rows", $"sum_chars",
+        $"sum_ids", $"n_langs")
+    val dead = graft.sources.JsonlCorpus.deadLetters(s, jl, schema)
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .select(lit("dead").as("channel"), $"n_rows",
+        lit(0L).as("sum_chars"), lit(0L).as("sum_ids"),
+        lit(0L).as("n_langs"))
+    good.union(dead).orderBy($"channel")
+  }
+  private val q197Sql =
+    """SELECT 'dead' AS channel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS sum_chars, CAST(0 AS BIGINT) AS sum_ids,
+      |  CAST(0 AS BIGINT) AS n_langs
+      |FROM documents WHERE doc_id % 97 = 0
+      |UNION ALL
+      |SELECT 'good', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT)
+      |FROM documents WHERE doc_id % 97 <> 0
+      |ORDER BY channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q197_jsonl_ingest" -> q197,
     "q166_normalized_dedup" -> q166,
     "q144_dup_ngram_coverage" -> q144,
     "q154_precedence_survivor" -> q154,
@@ -730,6 +787,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q197_jsonl_ingest" -> q197Sql,
     "q166_normalized_dedup" -> q166Sql,
     "q144_dup_ngram_coverage" -> q144Sql,
     "q154_precedence_survivor" -> q154Sql,
