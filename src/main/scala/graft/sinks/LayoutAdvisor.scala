@@ -93,6 +93,31 @@ object LayoutAdvisor {
       "total_rows", "avg_batch_rows", "overlap_pairs", "recommendation")
   }
 
+  /** MoR-debt maintenance — the hygiene loop [[ManifestSink
+    * .mergeOnRead]] and the MoR deletes defer their read cost to: every
+    * tombstone is an extra filter/anti-join segment in the assembled
+    * scan, so once a table's tombstone count
+    * ([[ManifestSink.tombstoneDebt]] — one manifest read, zero data)
+    * exceeds `maxTombstones`, its snapshot is compacted (tombstones
+    * materialize away, bare-scan plan restored, content identical,
+    * previous versions still time-travel). Under-debt tables see no
+    * commit. Returns (table_name, tombstones, data_entries, action). */
+  def maintainTombstoneDebt(spark: SparkSession,
+      tables: Seq[(String, String)], maxTombstones: Int,
+      statsCols: Seq[String] = Nil): DataFrame = {
+    val acted = tables.map { case (name, dir) =>
+      val (t, d) = ManifestSink.tombstoneDebt(spark, dir)
+      val action =
+        if (t > maxTombstones) {
+          ManifestSink.compact(spark, dir, statsCols = statsCols)
+          "compacted"
+        } else "none"
+      (name, t.toLong, d.toLong, action)
+    }
+    spark.createDataFrame(acted)
+      .toDF("table_name", "tombstones", "data_entries", "action")
+  }
+
   /** Act on the report — the self-maintaining-table loop. With one
     * stats column, `compact` and `zorder` verdicts both run
     * [[ManifestSink.compact]] clustered on it (for a single clustering

@@ -2262,6 +2262,20 @@ object ManifestSink {
     commitAppendLines(spark, dir, Seq(line), Map.empty)
   }
 
+  /** MoR tombstone debt of the current snapshot, from ONE manifest
+    * read: (tombstone entries, data entries). Every tombstone is an
+    * extra read-path filter or anti-join and a segment boundary in the
+    * assembled scan, so the tombstone count is the read-amplification
+    * signal a maintenance loop watches ([[LayoutAdvisor
+    * .maintainTombstoneDebt]]); a [[compact]] materializes the debt
+    * away. Zero data reads at any table size. */
+  def tombstoneDebt(spark: SparkSession, dir: String): (Int, Int) = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val (t, d) = entries(spark, dir, v).partition(isTombEntry)
+    (t.size, d.size)
+  }
+
   /** Merge-on-read UPSERT — the zero-rewrite twin of [[merge]]: ONE
     * atomic commit appending a key tombstone covering `updates`' keys
     * followed by the update rows as a fresh data entry. The tombstone

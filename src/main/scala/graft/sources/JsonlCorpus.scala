@@ -35,12 +35,26 @@ object JsonlCorpus {
     * the raw text. A literal `null` / empty line parses to a null
     * struct with a null corrupt column and is dead too. */
   def tagged(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
+      schema: StructType): DataFrame =
+    project(spark.read.text(path), schema)
+
+  /** STREAMING [[tagged]]: the identical row-local projection over
+    * `readStream.text`, so good rows and dead letters ride one
+    * micro-batch scan — wire each channel's filter into its own sink
+    * (or both through one `foreachBatch`) and the corrupt-frame
+    * quarantine becomes part of the live ingest, exactly like the SSE
+    * path's dead-letter channel. `maxFilesPerTrigger` etc. pass through
+    * `options`. */
+  def taggedStream(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    project(spark.readStream.options(options).text(path), schema)
+
+  private def project(lines: DataFrame, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not contain the reserved column $CorruptCol")
     val withCorrupt = schema
       .add(CorruptCol, org.apache.spark.sql.types.StringType)
-    spark.read.text(path)
+    lines
       .select(from_json(col("value"), withCorrupt,
           java.util.Collections.singletonMap(
             "columnNameOfCorruptRecord", CorruptCol)).as("__r"),

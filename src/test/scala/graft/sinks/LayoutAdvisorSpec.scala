@@ -42,6 +42,34 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(r3("inter") === ((0L, "healthy")))
   }
 
+  test("tombstone-debt maintenance compacts only over-debt tables") {
+    val root = Files.createTempDirectory("advdebt").toString
+    val hot = root + "/hot"
+    val cold = root + "/cold"
+    ManifestSink.append((0L until 100L).toDF("k"), hot)
+    ManifestSink.append((0L until 100L).toDF("k"), cold)
+    // three MoR operations pile three tombstones onto hot
+    ManifestSink.deleteKeysMergeOnRead(Seq(1L, 2L).toDF("k"), hot, Seq("k"))
+    ManifestSink.deleteRangeMergeOnRead(spark, hot, "k", Some(90L), None)
+    ManifestSink.mergeOnRead(Seq(5L).toDF("k"), hot, Seq("k"))
+    assert(ManifestSink.tombstoneDebt(spark, hot)._1 === 3)
+    assert(ManifestSink.tombstoneDebt(spark, cold) === ((0, 1)))
+    val before = ManifestSink.read(spark, hot)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val coldV = ManifestSink.version(spark, cold)
+    val acted = LayoutAdvisor.maintainTombstoneDebt(spark,
+        Seq("hot" -> hot, "cold" -> cold), maxTombstones = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(3)))
+      .toMap
+    assert(acted("hot") === ((3L, "compacted")))
+    assert(acted("cold") === ((0L, "none")))
+    // debt gone, content identical, under-debt table saw no commit
+    assert(ManifestSink.tombstoneDebt(spark, hot)._1 === 0)
+    assert(ManifestSink.read(spark, hot)
+      .collect().map(_.getLong(0)).sorted.toSeq === before)
+    assert(ManifestSink.version(spark, cold) === coldV)
+  }
+
   test("applyRecommendations maintains unhealthy tables and leaves " +
       "healthy ones uncommitted") {
     val root = Files.createTempDirectory("advisorapply").toString

@@ -37,4 +37,45 @@ class JsonlCorpusSpec extends SparkSpec {
         StructField("_corrupt_jsonl", StringType))))
     }
   }
+
+  test("streaming ingest splits channels exactly-once per epoch") {
+    import graft.sinks.ManifestSink
+    val src = Files.createTempDirectory("jsonlst").toString
+    val root = Files.createTempDirectory("jsonlsink").toString
+    val (good, dead) = (root + "/good", root + "/dead")
+    Seq("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}""", "broken{",
+      """{"id":3,"s":"c"}""").zipWithIndex.foreach { case (l, i) =>
+      Files.write(java.nio.file.Paths.get(src, f"f$i%02d.jsonl"),
+        (l + "\n").getBytes("UTF-8"))
+    }
+    val ckpt = Files.createTempDirectory("jsonlckpt").toString
+    def run(): Unit = {
+      val q = JsonlCorpus.taggedStream(spark, src, schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ok = b.filter(b("_ok")).drop("_raw", "_ok")
+          val bad = b.filter(!b("_ok")).select(b("_raw"))
+          if (!ok.isEmpty) ManifestSink.appendOnce(ok, good, id)
+          if (!bad.isEmpty) ManifestSink.appendOnce(bad, dead, id)
+          ()
+        }
+        .start()
+      q.awaitTermination(120000L)
+    }
+    run()
+    assert(ManifestSink.read(spark, good)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(ManifestSink.read(spark, dead)
+      .collect().map(_.getString(0)).toSeq === Seq("broken{"))
+    // checkpoint replay: no new files, no epochs, no commits
+    val (vg, vd) = (ManifestSink.version(spark, good),
+      ManifestSink.version(spark, dead))
+    run()
+    assert(ManifestSink.version(spark, good) === vg)
+    assert(ManifestSink.version(spark, dead) === vd)
+  }
 }
