@@ -2675,7 +2675,104 @@ object SinkOps {
        |  ${Exact.sqlSum("value")} AS sum_value
        |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q198
+  /** Metadata-only quantile estimates ([[graft.sinks.ManifestSink
+    * .quantileEstimates]]) — the inverse of q188's range estimate: the
+    * value at each mass fraction read from the committed equi-depth
+    * histograms alone, reported beside the exact order statistic so the
+    * estimate's contract is visible. Fractions travel as integer
+    * (num, den) pairs and the exact ranks use ⌈num·n/den⌉ in long
+    * arithmetic; the only doubles are the fixed-shape piecewise
+    * interpolation the oracle replicates boundary-for-boundary.
+    *
+    * Scale: "what's the p99 of this column" on a 100 TB table is ONE
+    * small-file manifest read — the histograms were paid at commit
+    * time; the exact column exists only to pin the estimate. */
+  private val q198: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
+    val sink = freshScratch("graft_q198", dir) + "/t"
+    (0 until 4).foreach { sl =>
+      ManifestSink.appendWithStats(docs.filter($"doc_id" % 4 === sl), sink,
+        statsCols = Seq("n_chars"), histCols = Seq("n_chars"))
+    }
+    val fracs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10),
+      ("p99", 99, 100))
+    val est = ManifestSink.quantileEstimates(s, sink, "n_chars",
+        fracs.map(f => (f._2, f._3)))
+      .getOrElse(sys.error(s"q198: entry without histogram at $sink"))
+    // exact order statistics from the distinct-value frame (bounded
+    // cardinality — q26's contract), all ranks in long arithmetic
+    val vals = docs.filter($"n_chars".isNotNull)
+      .groupBy($"n_chars".as("v")).agg(count(lit(1)).as("c"))
+    val n = vals.agg(sum($"c")).head().getLong(0)
+    val cum = vals.withColumn("cm",
+      sum($"c").over(Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exAggs = fracs.map { case (lbl, num, den) =>
+      min(when($"cm" * den >= lit(num.toLong * n), $"v")).as(lbl)
+    }
+    val exRow = cum.agg(exAggs.head, exAggs.tail: _*).head()
+    fracs.zipWithIndex.map { case ((lbl, _, _), i) =>
+      (lbl, est(i), exRow.getLong(i))
+    }.toDF("frac", "est_value", "exact_value").orderBy($"frac")
+  }
+  private val q198Sql =
+    """WITH d AS (SELECT doc_id % 4 AS s, n_chars AS v FROM documents
+       |           WHERE n_chars IS NOT NULL),
+       |vals AS (SELECT s, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |tot AS (SELECT s, SUM(c) AS n FROM vals GROUP BY 1),
+       |cum AS (SELECT s, v, c,
+       |         SUM(c) OVER (PARTITION BY s ORDER BY v) AS cm FROM vals),
+       |bnd AS (SELECT c.s, g.i, MIN(c.v) AS b
+       |        FROM cum c JOIN tot t ON c.s = t.s
+       |        CROSS JOIN generate_series(1, 8) AS g(i)
+       |        WHERE c.cm * 8 >= g.i * t.n GROUP BY 1, 2),
+       |b0 AS (SELECT s, MIN(v) AS b FROM vals GROUP BY 1),
+       |vb AS (SELECT v.s, v.v, v.c, MIN(b.i) AS bi
+       |       FROM vals v JOIN bnd b ON v.s = b.s AND v.v <= b.b
+       |       GROUP BY 1, 2, 3),
+       |hist AS (SELECT s, bi, SUM(c) AS n FROM vb GROUP BY 1, 2),
+       |pieces AS (SELECT CASE WHEN h.bi = 1 THEN z.b ELSE p.b END AS lo,
+       |         u.b AS hi, h.n
+       |       FROM hist h
+       |       JOIN bnd u ON u.s = h.s AND u.i = h.bi
+       |       LEFT JOIN bnd p ON p.s = h.s AND p.i = h.bi - 1
+       |       JOIN b0 z ON z.s = h.s
+       |       WHERE h.n > 0),
+       |pc AS (SELECT lo, hi, n, SUM(n) OVER (ORDER BY lo, hi, n
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+       |       FROM pieces),
+       |tt AS (SELECT SUM(n) AS total FROM pieces),
+       |fr(lbl, num, den) AS (VALUES ('p25', 1, 4), ('p50', 1, 2),
+       |  ('p90', 9, 10), ('p99', 99, 100)),
+       |est AS (SELECT f.lbl,
+       |          (SELECT CASE WHEN p.hi = p.lo THEN CAST(p.lo AS DOUBLE)
+       |             ELSE CAST(p.lo AS DOUBLE)
+       |               + (CAST(p.hi AS DOUBLE) - CAST(p.lo AS DOUBLE))
+       |               * ((CAST(f.num * t.total AS DOUBLE) / f.den
+       |                   - CAST(p.ca - p.n AS DOUBLE))
+       |                  / CAST(p.n AS DOUBLE)) END
+       |           FROM pc p, tt t
+       |           WHERE CAST(p.ca AS DOUBLE)
+       |             >= CAST(f.num * t.total AS DOUBLE) / f.den
+       |           ORDER BY p.ca LIMIT 1) AS est_value
+       |        FROM fr f),
+       |av AS (SELECT v, COUNT(*) AS c FROM
+       |         (SELECT n_chars AS v FROM documents
+       |          WHERE n_chars IS NOT NULL) GROUP BY 1),
+       |ac AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cm FROM av),
+       |an AS (SELECT SUM(c) AS n FROM av),
+       |ex AS (SELECT f.lbl, (SELECT MIN(a.v) FROM ac a, an
+       |         WHERE a.cm * f.den >= f.num * an.n) AS exact_value
+       |       FROM fr f)
+       |SELECT f.lbl AS frac, e.est_value, x.exact_value
+       |FROM fr f JOIN est e ON f.lbl = e.lbl JOIN ex x ON f.lbl = x.lbl
+       |ORDER BY frac""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q198_quantile_estimate" -> q198,
     "q196_retraction_fold" -> q196,
     "q194_scd2_dimension" -> q194,
     "q193_zorder_skew" -> q193,
@@ -2717,6 +2814,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q198_quantile_estimate" -> q198Sql,
     "q196_retraction_fold" -> q196Sql,
     "q194_scd2_dimension" -> q194Sql,
     "q193_zorder_skew" -> q193Sql,

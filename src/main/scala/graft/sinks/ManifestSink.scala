@@ -908,15 +908,37 @@ object ManifestSink {
     * cumulative counts locate the containing piece (order-independent),
     * a fixed-shape double interpolation places the cut inside it. */
   private def cutsFromProfile(pieces: Seq[(Double, Double, Long)],
-      total: Long, w: Int): Seq[Double] = {
+      total: Long, w: Int): Seq[Double] =
+    (1 until w).map(j => cutAt(pieces, total, j, w))
+
+  /** The value at mass fraction j/w of a [[massProfile]] — the shared
+    * interpolation of [[cutsFromProfile]] and [[quantileEstimates]]. */
+  private def cutAt(pieces: Seq[(Double, Double, Long)], total: Long,
+      j: Long, w: Long): Double = {
     val cumAfter = pieces.scanLeft(0L)(_ + _._3).drop(1)
-    (1 until w).map { j =>
-      val t = (j.toLong * total).toDouble / w
-      val p = cumAfter.indexWhere(_ >= t)
-      val (lo, hi, n) = pieces(p)
-      val before = if (p == 0) 0L else cumAfter(p - 1)
-      if (hi == lo) lo
-      else lo + (hi - lo) * ((t - before) / n)
+    val t = (j * total).toDouble / w
+    val p = cumAfter.indexWhere(_ >= t)
+    val (lo, hi, n) = pieces(p)
+    val before = if (p == 0) 0L else cumAfter(p - 1)
+    if (hi == lo) lo
+    else lo + (hi - lo) * ((t - before) / n)
+  }
+
+  /** Metadata-only QUANTILE estimates — the inverse of
+    * [[rangeEstimateMicro]]: the value at each mass fraction, read from
+    * the committed equi-depth histograms alone (one small-file manifest
+    * read, zero data whatever the table size). Fractions arrive as
+    * exact integer pairs (num, den) so the rank arithmetic is
+    * engine-portable; the only doubles are the fixed-shape piecewise
+    * interpolation both engines evaluate identically. None when any
+    * live entry lacks the histogram — absence degrades to "compute from
+    * data", never to a guess. */
+  def quantileEstimates(spark: SparkSession, dir: String,
+      colName: String, fracs: Seq[(Int, Int)]): Option[Seq[Double]] = {
+    require(fracs.forall { case (n, d) => n > 0 && n < d },
+      s"fractions must satisfy 0 < num < den, got $fracs")
+    massProfile(spark, dir, colName).map { case (pieces, total) =>
+      fracs.map { case (n, d) => cutAt(pieces, total, n.toLong, d.toLong) }
     }
   }
 
