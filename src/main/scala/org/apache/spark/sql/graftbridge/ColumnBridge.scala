@@ -23,4 +23,21 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Batch rows re-tagged as a STREAMING frame — the V1
+    * `Source.getBatch` contract (the returned frame must carry
+    * `isStreaming = true`, as FileStreamSource does); the batch plan is
+    * evaluated into its InternalRow form and wrapped. */
+  def asStreamingFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
+  /** Legacy (V1 Source) long offset — `runtime.LongOffset` is
+    * `private[sql]` territory in Spark 4. */
+  def longOffset(v: Long)
+      : org.apache.spark.sql.execution.streaming.Offset =
+    org.apache.spark.sql.execution.streaming.runtime.LongOffset(v)
 }
