@@ -97,6 +97,48 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ids(sink) === Seq(1L, 1L, 2L, 3L, 3L, 9L, 9L, 10L))
   }
 
+  test("chained: a bronze table streams into a managed view downstream") {
+    import graft.sinks.{AggMatView, IncrementalAgg}
+    val bronze = table("bz")
+    val silver = table("ag")
+    val view = table("vw")
+    val ckpt = Files.createTempDirectory("mstreamvw").toString
+    def drainView(): Unit = {
+      val q = spark.readStream.format("manifest-stream")
+        .option("path", bronze).option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          AggMatView.absorbEpoch(spark, b, id, silver, view,
+            Seq("k"), "v")
+          ()
+        }
+        .start()
+      q.awaitTermination(120000L)
+    }
+    def viewRows() = IncrementalAgg.present(
+        AggMatView.read(spark, view), Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    def direct() = IncrementalAgg.present(IncrementalAgg.aggregate(
+        ManifestSink.read(spark, bronze), Seq("k"), "v"), Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    ManifestSink.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), bronze)
+    ManifestSink.append(Seq(("a", 3.0)).toDF("k", "v"), bronze)
+    drainView()
+    assert(viewRows() === direct())
+    ManifestSink.append(Seq(("c", 5.0), ("b", 1.5)).toDF("k", "v"), bronze)
+    drainView()
+    assert(viewRows() === direct())
+    // replay: no epochs, no commits anywhere down the chain
+    val (vb, vv) = (ManifestSink.version(spark, silver),
+      ManifestSink.version(spark, view))
+    drainView()
+    assert(ManifestSink.version(spark, silver) === vb)
+    assert(ManifestSink.version(spark, view) === vv)
+  }
+
   test("upsert windows stream the fresh rows under ignoreDeletes") {
     val dir = table("ups")
     val sink = table("upssink")
