@@ -44,7 +44,11 @@ import org.apache.spark.sql.functions.{col, count, lag, lead, lit, max,
   * rows + the batch) — delta-sized, never table-sized; the merge
   * rewrites only directories containing affected keys. A 100 TB
   * dimension absorbing a day's updates shuffles the day, not the
-  * dimension. */
+  * dimension. Reducer bound: the chain window puts ONE KEY's batch
+  * updates on one reducer — fine for dimension semantics (a key's
+  * daily update volume is bounded by the upstream's change rate), but
+  * a key receiving millions of updates per batch is event data wearing
+  * a dimension key; sessionize or pre-aggregate it instead. */
 object Scd2 {
   val FromCol = "valid_from"
   val ToCol = "valid_to"

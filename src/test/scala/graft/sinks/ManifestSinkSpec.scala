@@ -668,6 +668,36 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("racing mergeOnRead upserts: every commit lands, one live copy") {
+    val dir = Files.createTempDirectory("msinkmorr").toString + "/t"
+    ManifestSink.append(Seq((0L, "base")).toDF("k", "v"), dir)
+    // 8 threads upsert the SAME key concurrently: the CAS rebase lands
+    // every commit at some position, and the position rule leaves
+    // exactly the LAST committer's row live
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 8).map { i =>
+      scala.concurrent.Future {
+        ManifestSink.mergeOnRead(
+          Seq((0L, s"w$i")).toDF("k", "v"), dir, Seq("k"))
+      }
+    }
+    val versions = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(fs),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(versions.sorted === (1L to 8L)) // all eight landed, distinct
+    val live = ManifestSink.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(live.size === 1 && live.head._1 === 0L)
+    // the live value is the winner of version 8 — the manifest order IS
+    // the serialization order, so the last committed upsert rules
+    val v8new = ManifestSink.changesApplied(spark, dir, 7L, 8L)
+      .collect().map(_.getString(1)).toSeq
+    assert(live.map(_._2) === v8new)
+  }
+
   test("bloom filters prune point lookups that ranges cannot") {
     val dir = Files.createTempDirectory("msinkbl").toString + "/t"
     // three batches with fully overlapping id ranges (ids interleaved
