@@ -32,9 +32,20 @@ import graft.sinks.ManifestSink
   * unless `ignoreDeletes=true` or `ignoreChanges=true` (retractions are
   * not emitted — the stream carries inserts only).
   *
+  * CDC MODE (`mode=cdc`, `keys=k1,k2`): batches become the key-exact
+  * row-level diff ([[ManifestSink.changesByKey]]) with `_change_type` ∈
+  * insert / update / delete — deletes, upserts, and rewrites all STREAM
+  * instead of refusing, because the diff is computed between the two
+  * snapshots rather than from the added files. The price is the CDC
+  * price: each batch joins the window's two snapshots on the key
+  * (entry-pruned when the window shares its tombstone set) instead of
+  * scanning only added directories. The first batch is all-insert (the
+  * snapshot diffed against empty).
+  *
   * Options: `path` (required, committed table), `startingVersion`
   * (default 0 — the first batch is the snapshot), `maxVersionsPerTrigger`
-  * (cap versions per micro-batch), `ignoreDeletes`, `ignoreChanges`.
+  * (cap versions per micro-batch), `ignoreDeletes`, `ignoreChanges`,
+  * `mode` (`inserts` default / `cdc`), `keys` (required for cdc).
   *
   * Scale: `getOffset` is one manifest hint read; `getBatch` plans from
   * the manifest diff and scans ONLY the window's added directories —
@@ -45,11 +56,15 @@ class ManifestStreamProvider extends StreamSourceProvider
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
       ManifestSink.read(ctx.sparkSession,
         ManifestStreamProvider.path(parameters), mergeSchema = true)
-        .schema))
+        .schema)
+    (shortName(),
+      if (ManifestStreamProvider.cdcKeys(parameters).isEmpty) base
+      else base.add("_change_type", org.apache.spark.sql.types.StringType))
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -59,18 +74,33 @@ class ManifestStreamProvider extends StreamSourceProvider
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("ignoreDeletes").exists(_.toBoolean),
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      ManifestStreamProvider.cdcKeys(parameters))
 }
 
 private object ManifestStreamProvider {
   def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "manifest-stream requires option 'path' (a committed ManifestSink)"))
+
+  /** CDC key columns, or Nil in plain inserts mode. */
+  def cdcKeys(parameters: Map[String, String]): Seq[String] =
+    parameters.get("mode").map(_.toLowerCase) match {
+      case Some("cdc") =>
+        val ks = parameters.getOrElse("keys", "").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(ks.nonEmpty, "manifest-stream mode=cdc requires 'keys'")
+        ks
+      case Some("inserts") | None => Nil
+      case Some(m) => throw new IllegalArgumentException(
+        s"manifest-stream mode must be 'inserts' or 'cdc', got $m")
+    }
 }
 
 class ManifestStreamSource(spark: SparkSession, dir: String,
     startingVersion: Long, maxVersionsPerTrigger: Option[Long],
-    ignoreDeletes: Boolean, ignoreChanges: Boolean) extends Source
+    ignoreDeletes: Boolean, ignoreChanges: Boolean,
+    cdcKeys: Seq[String] = Nil) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   require(startingVersion >= 0,
@@ -81,8 +111,11 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
     ReadLimit, ReadMaxFiles}
 
-  private val tableSchema =
-    ManifestSink.read(spark, dir, mergeSchema = true).schema
+  private val tableSchema = {
+    val base = ManifestSink.read(spark, dir, mergeSchema = true).schema
+    if (cdcKeys.isEmpty) base
+    else base.add("_change_type", org.apache.spark.sql.types.StringType)
+  }
   // AvailableNow fixes its catch-up target at query start (the
   // FileStreamSource shape), so a capped source still drains fully
   private var availableNowTarget: Option[Long] = None
@@ -118,7 +151,12 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
     val from = start.map(_.json.trim.toLong).getOrElse(startingVersion - 1L)
     val to = end.json.trim.toLong
     val batch =
-      if (from < 0L) ManifestSink.readAt(spark, dir, to, mergeSchema = true)
+      if (cdcKeys.nonEmpty)
+        // key-exact diff: deletes/upserts/rewrites all stream; fromV < 0
+        // is the all-insert snapshot
+        ManifestSink.changesByKey(spark, dir, from, to, cdcKeys)
+      else if (from < 0L)
+        ManifestSink.readAt(spark, dir, to, mergeSchema = true)
       else {
         val (_, removed) = ManifestSink.changedEntries(spark, dir, from, to)
         if (removed.nonEmpty && !ignoreChanges)

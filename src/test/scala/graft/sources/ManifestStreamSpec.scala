@@ -139,6 +139,38 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ManifestSink.version(spark, view) === vv)
   }
 
+  test("cdc mode streams inserts, updates, deletes; maintenance is silent") {
+    val dir = table("cdc")
+    val sink = table("cdcsink")
+    val ckpt = Files.createTempDirectory("mstreamcdc").toString
+    val opts = Map("mode" -> "cdc", "keys" -> "k")
+    def changes(): Seq[(Long, String, String)] =
+      ManifestSink.read(spark, sink)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+    ManifestSink.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    drain(dir, ckpt, sink, opts)
+    assert(changes() === Seq((1L, "a", "insert"), (2L, "b", "insert")))
+    // an upsert window becomes update + insert rows
+    ManifestSink.mergeOnRead(Seq((2L, "B"), (3L, "c")).toDF("k", "v"),
+      dir, Seq("k"))
+    drain(dir, ckpt, sink, opts)
+    assert(changes() === Seq((1L, "a", "insert"), (2L, "B", "update"),
+      (2L, "b", "insert"), (3L, "c", "insert")))
+    // a MoR delete window becomes a delete row — no refusal in cdc mode
+    ManifestSink.deleteRangeMergeOnRead(spark, dir, "k", Some(1L), Some(1L))
+    drain(dir, ckpt, sink, opts)
+    assert(changes().contains((1L, "a", "delete")))
+    // compaction changes the layout, not the content: the CDC stream is
+    // SILENT through table maintenance (empty diff, no sink commit)
+    val n = changes().size
+    ManifestSink.compact(spark, dir)
+    val vs = ManifestSink.version(spark, sink)
+    drain(dir, ckpt, sink, opts)
+    assert(changes().size === n)
+    assert(ManifestSink.version(spark, sink) === vs)
+  }
+
   test("upsert windows stream the fresh rows under ignoreDeletes") {
     val dir = table("ups")
     val sink = table("upssink")
