@@ -2771,7 +2771,69 @@ object SinkOps {
        |FROM fr f JOIN est e ON f.lbl = e.lbl JOIN ex x ON f.lbl = x.lbl
        |ORDER BY frac""".stripMargin
 
+  // --------------------------------------------------------------- q199
+  /** Merge-on-read upsert lifecycle ([[graft.sinks.ManifestSink
+    * .mergeOnRead]]): two overlapping upsert batches land as atomic
+    * tombstone+rows commits with NO existing directory rewritten, the
+    * overlap resolves last-writer-wins by manifest position, fresh keys
+    * insert, and the accrued tombstone debt (reported from metadata
+    * alone) is then compacted away by the maintenance loop
+    * ([[graft.sinks.LayoutAdvisor.maintainTombstoneDebt]]) with content
+    * identical. The oracle recomputes the final table from the raw
+    * events with both update rules applied in precedence order plus the
+    * inserted rows — and pins the debt counters the engine reports.
+    *
+    * Scale: each upsert batch costs O(its own delta) in writes whatever
+    * the table size (the copy-on-write merge rewrites every matched
+    * directory instead); the read-side debt is bounded by the
+    * maintenance loop's threshold, and the debt decision itself is one
+    * manifest read. */
+  private val q199: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id", $"value")
+    val mx = ev.agg(max($"event_id")).head().getLong(0)
+    val sink = freshScratch("graft_q199", dir) + "/t"
+    ManifestSink.appendWithStats(ev, sink, Seq("event_id"))
+    ManifestSink.mergeOnRead(
+      ev.filter($"event_id" % 3 === 0)
+        .select($"event_id", ($"value" + 1000.0).as("value")),
+      sink, Seq("event_id"), statsCols = Seq("event_id"))
+    ManifestSink.mergeOnRead(
+      ev.filter($"event_id" % 5 === 0)
+        .select($"event_id", ($"value" + 5000.0).as("value"))
+        .union(ev.filter($"event_id" % 7 === 0)
+          .select(($"event_id" + mx + 1L).as("event_id"), $"value")),
+      sink, Seq("event_id"), statsCols = Seq("event_id"))
+    val debtBefore = ManifestSink.tombstoneDebt(s, sink)._1.toLong
+    graft.sinks.LayoutAdvisor.maintainTombstoneDebt(s,
+      Seq("t" -> sink), maxTombstones = 1, statsCols = Seq("event_id"))
+    val debtAfter = ManifestSink.tombstoneDebt(s, sink)._1.toLong
+    ManifestSink.read(s, sink)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        Exact.dsum($"value").as("sum_value"),
+        sum($"event_id").cast("long").as("id_sum"))
+      .select($"n_rows", $"sum_value", $"id_sum",
+        lit(debtBefore).as("debt_before"), lit(debtAfter).as("debt_after"))
+  }
+  private val q199Sql =
+    s"""WITH m AS (SELECT MAX(event_id) AS mx FROM events),
+       |fin AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 5 = 0 THEN value + 5000.0
+       |         WHEN event_id % 3 = 0 THEN value + 1000.0
+       |         ELSE value END AS value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT e.event_id + m.mx + 1, e.value
+       |  FROM events e CROSS JOIN m WHERE e.event_id % 7 = 0)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Exact.sqlSum("value")} AS sum_value,
+       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       |  CAST(2 AS BIGINT) AS debt_before, CAST(0 AS BIGINT) AS debt_after
+       |FROM fin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q199_mor_upsert_lifecycle" -> q199,
     "q198_quantile_estimate" -> q198,
     "q196_retraction_fold" -> q196,
     "q194_scd2_dimension" -> q194,
@@ -2814,6 +2876,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q199_mor_upsert_lifecycle" -> q199Sql,
     "q198_quantile_estimate" -> q198Sql,
     "q196_retraction_fold" -> q196Sql,
     "q194_scd2_dimension" -> q194Sql,
