@@ -1116,6 +1116,95 @@ object MultimodalOps {
     }.toDF("doc_id", "k", "lo", "hi")
   }
 
+  /** Inter-frame change signal straight off the container — the input
+    * to shot-boundary detection (mean-absolute frame difference, the
+    * baseline of Boreczky & Rowe 1996): ONE sequential pass LZW-decodes
+    * each frame once, holds only the PREVIOUS frame's pixel array, and
+    * emits per frame delta = Σ_i (|Δr|+|Δg|+|Δb|) against it (−1 for
+    * frame 0, which starts the first scene; a resolution change is a
+    * certain cut — Long.MaxValue). Decode stays partition-local and the
+    * shuffle carries one integer row per frame, never pixels; corrupt
+    * containers skip whole, per the container-seam rule. */
+  def gifFrameDelta(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      imageIoNoDiskCache
+      it.flatMap { m =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        try {
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            var prev: Array[Int] = null
+            var pw = -1
+            var ph = -1
+            var k = 0
+            while (k < n) {
+              val bi = reader.read(k)
+              val w = bi.getWidth
+              val h = bi.getHeight
+              val px = bi.getRGB(0, 0, w, h, null, 0, w)
+              val delta: Long =
+                if (k == 0) -1L
+                else if (w != pw || h != ph) Long.MaxValue
+                else {
+                  var s = 0L
+                  var i = 0
+                  while (i < px.length) {
+                    val a = px(i)
+                    val b = prev(i)
+                    s += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+                      math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+                      math.abs((a & 0xff) - (b & 0xff))
+                    i += 1
+                  }
+                  s
+                }
+              out += ((m.doc_id, k.toLong, w.toLong, h.toLong, delta))
+              prev = px
+              pw = w
+              ph = h
+              k += 1
+            }
+          } finally { reader.dispose(); iis.close() }
+        } catch {
+          case _: java.io.IOException => out.clear()
+          case _: RuntimeException => out.clear()
+        }
+        out
+      }
+    }.toDF("doc_id", "k", "width", "height", "delta")
+  }
+
+  /** Shot segmentation over [[gifFrameDelta]]'s signal: frame k starts
+    * a new scene when its delta reaches `perChannel` mean absolute
+    * difference per pixel per channel (delta ≥ perChannel·3·w·h —
+    * integer arithmetic throughout, so the decision is engine-exact);
+    * scenes are the runs between cuts, emitted as
+    * (doc_id, scene_idx, start_frame, end_frame, n_frames). The only
+    * wide operation is a per-document window over FRAME rows (bounded
+    * by the container's frame count, never by pixels) — the clip-
+    * extraction preprocessing a video training pipeline runs before
+    * sampling frames per scene. */
+  def videoScenes(frameDeltas: DataFrame, perChannel: Long = 1L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = col("k") > 0 &&
+      col("delta") >= lit(3L * perChannel) * col("width") * col("height")
+    frameDeltas
+      .withColumn("scene_idx",
+        sum(when(cut, 1L).otherwise(0L)).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("k"))))
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("k")).as("start_frame"), max(col("k")).as("end_frame"),
+        count(lit(1)).cast("long").as("n_frames"))
+  }
+
   /** One grayscale pattern frame for the GIF fixture: value
     * v(i) = (base·31 + k·13 + i·7) mod 256 at flat index i. */
   def syntheticGrayFrame(base: Long, k: Int): java.awt.image.BufferedImage = {
@@ -1308,6 +1397,74 @@ object MultimodalOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q203
+  /** Shot-boundary detection over REAL containers, end to end: each doc
+    * is an animated GIF whose frames repeat in runs of 3 (seed jumps by
+    * 41 at each run boundary — within a scene frames are byte-identical,
+    * across scenes every pixel moves), [[gifFrameDelta]] emits the
+    * mean-absolute-difference signal in one container pass, and
+    * [[videoScenes]] segments it relationally (cut ⇔ per-channel MAD ≥
+    * 1/pixel; any seed jump clears that bound because 13·Δ mod 256 ≠ 0
+    * forces every pixel's |Δ| ≥ min(m, 256−m) ≥ 1). The oracle
+    * re-derives every frame's pixels from the closed form, recomputes
+    * the deltas, and segments with the same threshold — a decoder that
+    * mis-diffs adjacent frames, a cut rule off by an inclusive bound,
+    * or a window that leaks across documents all hash-mismatch.
+    *
+    * Scale: decode is one sequential container pass per doc holding two
+    * frames of pixels; the shuffle carries one integer row per FRAME;
+    * the scene window is bounded by frames-per-container — the clip
+    * extraction a video training pipeline runs before per-scene
+    * sampling, never a pixel-level shuffle. */
+  private val q203: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(it => it.map { d =>
+        val base = d % 20
+        val nf = (6 + base % 3).toInt
+        Media(d, encodeGifVideo(
+          (0 until nf).map(k => syntheticGrayFrame(base, (k / 3) * 41))))
+      })
+    videoScenes(gifFrameDelta(media))
+      .orderBy($"doc_id", $"scene_idx")
+  }
+  private val q203Sql =
+    """WITH d AS (SELECT doc_id, doc_id % 20 AS base FROM documents),
+      |dims AS (
+      |  SELECT doc_id, base, 8 + base % 9 AS w, 8 + (base // 9) % 7 AS h,
+      |         6 + base % 3 AS nf
+      |  FROM d),
+      |fr AS (
+      |  SELECT doc_id, base, w, h, k
+      |  FROM dims, UNNEST(range(0, nf)) AS t(k)),
+      |px AS (
+      |  SELECT doc_id, k, w, h,
+      |    3 * SUM(ABS(
+      |      ((base*31 + (k//3)*41*13 + i*7) % 256)
+      |      - ((base*31 + ((k-1)//3)*41*13 + i*7) % 256))) AS delta
+      |  FROM fr, UNNEST(range(0, w * h)) AS u(i)
+      |  WHERE k > 0
+      |  GROUP BY doc_id, k, w, h),
+      |cuts AS (
+      |  SELECT f.doc_id, f.k,
+      |    CASE WHEN f.k > 0 AND p.delta >= 3 * f.w * f.h
+      |         THEN 1 ELSE 0 END AS is_cut
+      |  FROM fr f
+      |  LEFT JOIN px p ON p.doc_id = f.doc_id AND p.k = f.k),
+      |scn AS (
+      |  SELECT doc_id, k,
+      |    SUM(is_cut) OVER (
+      |      PARTITION BY doc_id ORDER BY k
+      |      ROWS UNBOUNDED PRECEDING) AS scene_idx
+      |  FROM cuts)
+      |SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+      |  CAST(MIN(k) AS BIGINT) AS start_frame,
+      |  CAST(MAX(k) AS BIGINT) AS end_frame,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames
+      |FROM scn
+      |GROUP BY doc_id, scene_idx
+      |ORDER BY doc_id, scene_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_multimodal_metadata" -> q50,
     "q51_multimodal_decode_stub" -> q51,
@@ -1319,7 +1476,8 @@ object MultimodalOps {
     "q123_video_near_dup" -> q123,
     "q156_image_resize" -> q156,
     "q160_gif_video_decode" -> q160,
-    "q161_gif_video_near_dup" -> q161)
+    "q161_gif_video_near_dup" -> q161,
+    "q203_video_scene_cuts" -> q203)
 
   val oracleSql: Map[String, String] = Map(
     "q50_multimodal_metadata" -> q50Sql,
@@ -1332,5 +1490,6 @@ object MultimodalOps {
     "q123_video_near_dup" -> q123Sql,
     "q156_image_resize" -> q156Sql,
     "q160_gif_video_decode" -> q160Sql,
-    "q161_gif_video_near_dup" -> q161Sql)
+    "q161_gif_video_near_dup" -> q161Sql,
+    "q203_video_scene_cuts" -> q203Sql)
 }

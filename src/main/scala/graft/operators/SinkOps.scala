@@ -2832,7 +2832,240 @@ object SinkOps {
        |  CAST(2 AS BIGINT) AS debt_before, CAST(0 AS BIGINT) AS debt_after
        |FROM fin""".stripMargin
 
+  // --------------------------------------------------------------- q200
+  /** Cross-table erasure (the right-to-be-forgotten shape) through the
+    * gate: an event log (three id-range appends, `user_id` blooms) and
+    * its per-user profile rollup land as ManifestSink tables; every
+    * event and profile row of the erased users (`user_id % 13 = 0`) is
+    * removed by ONE key-tombstone commit per table
+    * ([[ManifestSink.deleteKeysMergeOnRead]] — O(keys), zero data
+    * rewritten at any table size); a [[graft.sinks.Catalog]] publish
+    * pins both post-erasure versions in ONE conditional put, so a
+    * catalog reader can never observe the log erased but the profile
+    * not; maintenance ([[ManifestSink.compact]] refreshing the
+    * `user_id` blooms) then MATERIALIZES the tombstones. The
+    * certificate is exact, not bloom-trust: for the three smallest
+    * erased ids the pruned point read ([[ManifestSink.readWhereEq]] —
+    * blooms + ranges prune, the exact predicate decides) counts
+    * remaining rows in BOTH tables, emitted beside the post-erasure
+    * per-type aggregates and profile rollup — an erasure that
+    * under-applies (a tombstone missing a batch), over-applies, or
+    * tears between the tables hash-mismatches the oracle recomputing
+    * the same erasure from the source rows.
+    *
+    * Scale: erasure cost is one key-file commit per table plus one
+    * KB-sized catalog put — never a data rewrite; the certificate reads
+    * only bloom-fired entries, which on a key-clustered 100 TB log is
+    * the handful of directories that ever held the user. */
+  private val q200: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val root = freshScratch("graft_q200", dir)
+    val (log, prof, cat) =
+      (root + "/event_log", root + "/user_profile", root + "/catalog")
+    Seq($"event_id" <= maxId / 3,
+      $"event_id" > maxId / 3 && $"event_id" <= 2 * maxId / 3,
+      $"event_id" > 2 * maxId / 3).foreach { p =>
+      ManifestSink.appendWithStats(ev.filter(p), log,
+        statsCols = Seq("event_id"), bloomCols = Seq("user_id"))
+    }
+    ManifestSink.appendWithStats(
+      ev.groupBy($"user_id").agg(count(lit(1)).cast("long").as("n_events"),
+        Exact.dsum($"value").as("sum_value")),
+      prof, statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+    graft.sinks.Catalog.publish(s, cat, Map(
+      "event_log" -> (log -> ManifestSink.version(s, log)),
+      "user_profile" -> (prof -> ManifestSink.version(s, prof))))
+    val erased = ev.filter($"user_id" % 13 === 0)
+      .select($"user_id").distinct()
+    ManifestSink.deleteKeysMergeOnRead(erased, log, Seq("user_id"))
+    ManifestSink.deleteKeysMergeOnRead(erased, prof, Seq("user_id"))
+    // both erasures become visible in ONE atomic catalog commit
+    graft.sinks.Catalog.publish(s, cat, Map(
+      "event_log" -> (log -> ManifestSink.version(s, log)),
+      "user_profile" -> (prof -> ManifestSink.version(s, prof))))
+    // maintenance materializes the tombstones, refreshing the key blooms
+    ManifestSink.compact(s, log, statsCols = Seq("event_id"),
+      bloomCols = Seq("user_id"))
+    ManifestSink.compact(s, prof, statsCols = Seq("user_id"),
+      bloomCols = Seq("user_id"))
+    val probes = erased.orderBy($"user_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    require(probes.nonEmpty, "q200 fixture: no erasable users at this SF")
+    def residue(tbl: String, valueCol: String, grp: String) =
+      probes.map(u => ManifestSink.readWhereEq(s, tbl, "user_id", u))
+        .reduce(_.union(_))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          Exact.dsum(col(valueCol)).as("sum_value"))
+        .select(lit("residue").as("section"), lit(grp).as("grp"),
+          $"n_rows", $"sum_value")
+    val logAgg = graft.sinks.Catalog.readTable(s, cat, "event_log")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        Exact.dsum($"value").as("sum_value"))
+      .select(lit("event_log").as("section"), $"event_type".as("grp"),
+        $"n_rows", $"sum_value")
+    val profAgg = graft.sinks.Catalog.readTable(s, cat, "user_profile")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        Exact.dsum($"sum_value").as("sum_value"))
+      .select(lit("user_profile").as("section"), lit("all").as("grp"),
+        $"n_rows", $"sum_value")
+    logAgg.union(profAgg)
+      .union(residue(log, "value", "event_log"))
+      .union(residue(prof, "sum_value", "user_profile"))
+      .orderBy($"section", $"grp")
+  }
+  private val q200Sql =
+    s"""WITH live AS (SELECT * FROM events WHERE user_id % 13 <> 0),
+       |prof AS (
+       |  SELECT user_id, ${Exact.sqlSum("value")} AS sum_value
+       |  FROM events GROUP BY user_id)
+       |SELECT * FROM (
+       |  SELECT 'event_log' AS section, event_type AS grp,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    ${Exact.sqlSum("value")} AS sum_value
+       |  FROM live GROUP BY event_type
+       |  UNION ALL
+       |  SELECT 'user_profile', 'all', CAST(COUNT(*) AS BIGINT),
+       |    ${Exact.sqlSum("sum_value")}
+       |  FROM prof WHERE user_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT 'residue', 'event_log', CAST(0 AS BIGINT),
+       |    CAST(NULL AS DOUBLE)
+       |  UNION ALL
+       |  SELECT 'residue', 'user_profile', CAST(0 AS BIGINT),
+       |    CAST(NULL AS DOUBLE)
+       |) ORDER BY section, grp""".stripMargin
+
+  // --------------------------------------------------------------- q201
+  /** Metadata-guided global top-k through the gate
+    * ([[ManifestSink.readTopK]]): orders land with `o_totalprice`
+    * histograms, [[ManifestSink.compactBalanced]] range-clusters them
+    * into 8 equi-depth shards off that committed metadata, and the
+    * top-100 then reads ONLY the shards whose recorded max can reach
+    * the seed's 100th value — `ORDER BY ... LIMIT k` with data
+    * skipping, the complement of [[ManifestSink.readWhere]]'s range
+    * scans. The in-query require pins that pruning actually fired (≥5
+    * of 8 shards skipped); the emitted rows are the exact top-100 with
+    * a deterministic orderkey tie-break, so a threshold that prunes a
+    * qualifying shard (wrong bound, dropped tie) or a seed that
+    * under-covers hash-mismatches the oracle's full-table sort.
+    *
+    * Scale: phase 1 reads one shard and k driver values, phase 2 the
+    * boundary shard(s) — on a 100 TB range-clustered table the
+    * top-k touches the few directories covering k rows, planned from
+    * one manifest read, while the oracle's formulation sorts the
+    * world. */
+  private val q201: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val sink = freshScratch("graft_q201", dir) + "/orders_sink"
+    ManifestSink.appendWithStats(ord, sink,
+      statsCols = Seq("o_totalprice"), histCols = Seq("o_totalprice"))
+    ManifestSink.compactBalanced(s, sink, "o_totalprice", 8)
+    val (top, kept, skipped) = ManifestSink.readTopK(s, sink,
+      "o_totalprice", 100, tieCols = Seq("o_orderkey"))
+    require(skipped.size >= 5,
+      s"top-k skipping failed to fire: read ${kept.size} of " +
+        s"${kept.size + skipped.size} shards")
+    top.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+  private val q201Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- q202
+  /** Write-audit-publish through the gate
+    * ([[ManifestSink.appendAudited]] + [[Expectations]]): a clean batch
+    * audits green over its own WRITTEN files and publishes; a poisoned
+    * batch (event_type nulled on every 13th id, value negated on every
+    * 11th) audits red and publishes NOTHING — the staged files stay
+    * invisible to every reader and [[ManifestSink.vacuum]] reclaims
+    * them (asserted in-query). The emitted frame carries the published
+    * table's per-type aggregates (clean rows only — a WAP that leaks
+    * the poisoned batch hash-mismatches immediately) beside the audit
+    * verdict rows, which the oracle recomputes from the same poison
+    * predicates — an audit that under- or over-counts violations is
+    * equally caught.
+    *
+    * Scale: the audit reads the NEW batch once, never the table; the
+    * failed batch costs its own write + a vacuum, against the
+    * alternative's data-changing delete commit that breaks incremental
+    * consumers and leaves bad rows visible until noticed. */
+  private val q202: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cut = 2 * maxId / 3
+    val sink = freshScratch("graft_q202", dir) + "/audited"
+    val rules = Seq(
+      Expectations.notNull("event_type_not_null", col("event_type")),
+      Expectations.inRange("value_non_negative", col("value"), 0.0, 1e18))
+    def auditOf(staged: DataFrame): Seq[String] =
+      Expectations.report(staged, rules)
+        .filter(!col("pass"))
+        .select(col("expectation"), col("violations"))
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").toSeq
+    val good = ManifestSink.appendAudited(
+      ev.filter($"event_id" <= cut), sink, auditOf,
+      statsCols = Seq("event_id"))
+    require(good.isRight, s"clean batch must publish, got $good")
+    val poisoned = ev.filter($"event_id" > cut)
+      .withColumn("event_type",
+        when($"event_id" % 13 === 0, lit(null).cast("string"))
+          .otherwise($"event_type"))
+      .withColumn("value",
+        when($"event_id" % 11 === 0, -$"value" - lit(1.0))
+          .otherwise($"value"))
+    val bad = ManifestSink.appendAudited(poisoned, sink, auditOf,
+      statsCols = Seq("event_id"))
+    require(bad.isLeft, "poisoned batch must be refused")
+    require(ManifestSink.vacuum(s, sink).nonEmpty,
+      "the refused batch's staged files must be vacuum-reclaimable")
+    val auditRows = bad.swap.toOption.get.map { v =>
+      val Array(rule, n) = v.split(":")
+      ("audit", rule, n.toLong)
+    }.toDF("section", "grp", "n_rows")
+      .select($"section", $"grp", $"n_rows",
+        lit(null).cast("double").as("sum_value"))
+    ManifestSink.read(s, sink)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        Exact.dsum($"value").as("sum_value"))
+      .select(lit("table").as("section"), $"event_type".as("grp"),
+        $"n_rows", $"sum_value")
+      .union(auditRows)
+      .orderBy($"section", $"grp")
+  }
+  private val q202Sql =
+    s"""WITH m AS (SELECT 2 * MAX(event_id) // 3 AS cut FROM events),
+       |clean AS (SELECT e.* FROM events e, m WHERE e.event_id <= m.cut),
+       |pois AS (SELECT event_id FROM events, m WHERE event_id > cut)
+       |SELECT * FROM (
+       |  SELECT 'table' AS section, event_type AS grp,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    ${Exact.sqlSum("value")} AS sum_value
+       |  FROM clean GROUP BY event_type
+       |  UNION ALL
+       |  SELECT 'audit', 'event_type_not_null',
+       |    CAST(COUNT(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT),
+       |    CAST(NULL AS DOUBLE)
+       |  FROM pois
+       |  UNION ALL
+       |  SELECT 'audit', 'value_non_negative',
+       |    CAST(COUNT(*) FILTER (WHERE event_id % 11 = 0) AS BIGINT),
+       |    CAST(NULL AS DOUBLE)
+       |  FROM pois
+       |) ORDER BY section, grp""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q202_write_audit_publish" -> q202,
+    "q201_topk_pruned" -> q201,
+    "q200_erasure_certificate" -> q200,
     "q199_mor_upsert_lifecycle" -> q199,
     "q198_quantile_estimate" -> q198,
     "q196_retraction_fold" -> q196,
@@ -2876,6 +3109,9 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q202_write_audit_publish" -> q202Sql,
+    "q201_topk_pruned" -> q201Sql,
+    "q200_erasure_certificate" -> q200Sql,
     "q199_mor_upsert_lifecycle" -> q199Sql,
     "q198_quantile_estimate" -> q198Sql,
     "q196_retraction_fold" -> q196Sql,

@@ -45,11 +45,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[appendWithStats]] exploit the exclusivity for full multi-writer
   * safety: appends commute, so a loser rebases its entry onto the
   * winner's snapshot and retries — optimistic concurrency's blind-append
-  * fast path. Table-rewriting commits (replace / merge / delete /
-  * compact) compute their entry sets against one snapshot and thus can't
-  * rebase: they keep the single-writer contract and fail loudly on a
-  * lost race (the reference is single-writer throughout, pipeline.py WAL
-  * mode).
+  * fast path. CONTENT-IDENTICAL maintenance commits (the [[compact]]
+  * family) also rebase, over a restricted interloper set: commits that
+  * only APPENDED lines (data entries and/or tombstones) carry forward
+  * after the rewrite, serialized as "maintenance first, then the
+  * interleaved commits" (see [[commitRewriteLines]]) — so nightly
+  * compaction and a live streaming writer never starve each other, the
+  * OPTIMIZE-commutes-with-ingestion property a 100 TB table needs.
+  * DATA-CHANGING rewrites (replace / merge / delete) compute their
+  * output from what they read, so a concurrent commit genuinely
+  * invalidates them: they keep the single-writer contract and fail
+  * loudly on a lost race (the reference is single-writer throughout,
+  * pipeline.py WAL mode).
   */
 object ManifestSink {
 
@@ -509,19 +516,26 @@ object ManifestSink {
     * fails loudly instead of silently dropping the interloper's entries
     * from the new snapshot. Re-resolving the version here would defeat
     * the staleness check: the name would simply slide past the
-    * concurrent commit. */
+    * concurrent commit. CONTENT-IDENTICAL rewrites (the compact family)
+    * pass `maintenance = true` and instead rebase over interleaved
+    * append-only commits via [[commitRewriteLines]] — losing a race to
+    * a streaming epoch costs a manifest re-read, never the rewrite job. */
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
       baseEntries: Seq[String], basedOn: Long, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
-      header: Map[String, String] = Map.empty): Long = {
+      header: Map[String, String] = Map.empty,
+      maintenance: Boolean = false): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
     val rows = writeCounted(df, dataDir)
     val stats = writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
       rowsStat(rows)
+    val rewriteLines = baseEntries :+ Entry(s"data/$batch", stats).line
+    if (maintenance)
+      return commitRewriteLines(spark, dir, basedOn, rewriteLines, header)
     val lines = headerLines(mergeHeader(manifestHeader(spark, dir, basedOn),
       header + (TsKey -> System.currentTimeMillis.toString))) ++
-      baseEntries :+ Entry(s"data/$batch", stats).line
+      rewriteLines
     val next = basedOn + 1
     val f = fs(spark, dir)
     // commit point: this rename (new name — nothing is deleted first)
@@ -955,8 +969,9 @@ object ManifestSink {
     * shards they overlap and future cut decisions stay metadata-only.
     * Returns the cuts, or None (no histograms — nothing rewritten:
     * absence degrades to "leave the layout alone", never to a sampled
-    * guess). Version PINNED like [[compact]]: a concurrent append
-    * fails the publish loudly. */
+    * guess). Version PINNED for planning like [[compact]]; a lost
+    * publish race rebases over interleaved append-only commits
+    * ([[commitRewriteLines]]). */
   def compactBalanced(spark: SparkSession, dir: String, colName: String,
       w: Int): Option[Seq[Double]] = {
     import org.apache.spark.sql.functions.{col, lit, when}
@@ -989,12 +1004,7 @@ object ManifestSink {
           .getOrElse(Map.empty[String, ColStats])
         Entry(s"data/$batch/$sd", stats).line
       }
-      val next = prev + 1
-      publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
-        (headerLines(mergeHeader(manifestHeader(spark, dir, prev),
-          Map(TsKey -> System.currentTimeMillis.toString))) ++ lines)
-          .mkString("\n"))
-      writeHint(f, new Path(dir, "_latest"), next.toString)
+      commitRewriteLines(spark, dir, prev, lines, Map.empty)
       cuts
     }
   }
@@ -1241,6 +1251,73 @@ object ManifestSink {
     committed
   }
 
+  /** The CAS loop for CONTENT-IDENTICAL maintenance commits (the
+    * [[compact]] family): publish `rewriteLines` as the new snapshot's
+    * entry list, REBASING over interleaved commits on a lost race when
+    * — and only when — every interloper purely APPENDED lines to the
+    * snapshot the rewrite was planned against ([[commitAppendLines]]
+    * appends, [[appendOnce]] epochs, [[mergeOnRead]] upserts, MoR
+    * delete tombstones: all land as `base ++ suffix`). The rebased
+    * manifest is `rewriteLines ++ suffix`, which serializes the history
+    * as "maintenance first, then the interleaved commits": the rewrite
+    * is content-identical to `base`, every suffix line keeps its
+    * relative order, and all pre-suffix data still precedes every
+    * suffix tombstone — so a suffix tombstone filters the rewritten
+    * rows exactly as it filtered the originals, and suffix data lands
+    * after it, position-correct. Headers re-merge from the WINNER's
+    * ([[mergeHeader]] keeps progress markers monotonic). An interloper
+    * that did NOT purely append (another rewrite: compact / merge /
+    * delete-rewrite / replace) breaks the prefix property and aborts
+    * loudly — its output depended on entries this rewrite replaces, so
+    * no automatic serialization is sound. At 100 TB this is the
+    * difference between maintenance that lands under a live streaming
+    * writer and maintenance that can never win a busy table. */
+  private[sinks] def commitRewriteLines(spark: SparkSession, dir: String,
+      basedOn: Long, rewriteLines: Seq[String],
+      header: Map[String, String]): Long = {
+    val f = fs(spark, dir)
+    val base = if (basedOn < 0) Seq.empty[String]
+               else manifestEntries(spark, dir, basedOn)
+    var planned = basedOn
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      val carried =
+        if (planned == basedOn) Seq.empty[String]
+        else {
+          val cur = manifestEntries(spark, dir, planned)
+          require(cur.startsWith(base),
+            s"rewrite of $dir planned at v$basedOn conflicts with a " +
+              s"concurrent REWRITE commit (v$planned is not an " +
+              "append-extension of the planned snapshot) — rerun the " +
+              "maintenance against the current version")
+          cur.drop(base.size)
+        }
+      val prevHeader = if (planned < 0) Map.empty[String, String]
+                       else manifestHeader(spark, dir, planned)
+      val lines = headerLines(mergeHeader(prevHeader,
+        header + (TsKey -> System.currentTimeMillis.toString))) ++
+        rewriteLines ++ carried
+      val next = planned + 1
+      if (tryPublishNew(f, new Path(dir, s"_manifests/$next.manifest"),
+          lines.mkString("\n"))) committed = next
+      else {
+        val listed = listedVersion(f, dir)
+        require(listed > planned,
+          s"failed to publish manifest $next at $dir: rename failed " +
+            "but no competing commit advanced the version — " +
+            "infrastructure failure, not a commit race")
+        planned = listed
+        attempts += 1
+        require(attempts < 1000,
+          s"rewrite of $dir starved: lost $attempts consecutive commit " +
+            "races")
+      }
+    }
+    writeHint(f, new Path(dir, "_latest"), committed.toString)
+    committed
+  }
+
   /** Append a batch as a new commit — safe under CONCURRENT appenders
     * (each rebases and retries on a lost commit race; every batch lands
     * exactly once). Returns the committed version. */
@@ -1411,7 +1488,7 @@ object ManifestSink {
     val merged = assembleRead(spark, dir, prev, mergeSchema = true,
       keep = e => targetPaths(e.path))
     commit(spark, dir, merged, rest.map(_.line), prev,
-      (statsCols :+ partCol).distinct)
+      (statsCols :+ partCol).distinct, maintenance = true)
   }
 
   /** OPTIMIZE for the SMALL-FILE problem: merge only the batch dirs
@@ -1430,7 +1507,10 @@ object ManifestSink {
     * exactly like any append. No-op (current version returned) unless
     * at least two small entries exist. Optionally sorts by `sortCols`
     * and records fresh `statsCols` so the merged entry prunes well.
-    * Same single-writer contract as compact/merge. */
+    * Same maintenance-commutes-with-appends contract as [[compact]]
+    * ([[commitRewriteLines]]) — exactly the table this op serves (a
+    * live streaming sink) is the one guaranteed to have appends racing
+    * its nightly maintenance. */
   def compactSmall(spark: SparkSession, dir: String, minRows: Long,
       statsCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
@@ -1446,7 +1526,8 @@ object ManifestSink {
       keep = e => smallPaths(e.path))
     val clustered =
       if (sortCols.isEmpty) merged else merged.sort(sortCols.map(col): _*)
-    commit(spark, dir, clustered, rest.map(_.line), prev, statsCols)
+    commit(spark, dir, clustered, rest.map(_.line), prev, statsCols,
+      maintenance = true)
   }
 
   /** Header key holding the last exactly-once-folded batch id. */
@@ -1497,6 +1578,43 @@ object ManifestSink {
     if (cur >= 0 && lastBatchId(spark, dir) >= batchId) return cur
     commitAppend(spark, dir, df, statsCols,
       header = header + (BatchKey -> batchId.toString))
+  }
+
+  /** Write-audit-publish append (the WAP pattern of log-structured
+    * table formats): the batch's files are WRITTEN first — staged and
+    * invisible, since no manifest references them — the audit runs over
+    * exactly the bytes a reader would see, and only a green audit
+    * publishes the entry (the same CAS rebase loop as [[append]], so
+    * it stays multi-writer safe). A red audit publishes NOTHING: the
+    * staged directory is an unreferenced orphan reclaimed by
+    * [[vacuum]], and the violations come back to the caller as
+    * `Left`. Auditing the WRITTEN files rather than the input plan
+    * matters twice over — the check covers post-serialization reality
+    * (encoders, schema coercions), and the expensive upstream plan is
+    * never evaluated a second time to re-derive what was audited.
+    *
+    * Scale: the audit costs one read of the NEW batch, never the
+    * table; a failed batch costs its own write plus a vacuum — the
+    * alternative (publish, then notice, then delete-rewrite) costs a
+    * data-changing commit, breaks incremental consumers ([[changes]]
+    * refuses delete windows), and leaves the bad rows visible in the
+    * meantime. */
+  def appendAudited(df: DataFrame, dir: String,
+      audit: DataFrame => Seq[String],
+      statsCols: Seq[String] = Nil): Either[Seq[String], Long] = {
+    val spark = df.sparkSession
+    val batch = java.util.UUID.randomUUID().toString
+    val dataDir = s"$dir/data/$batch"
+    val rows = writeCounted(df, dataDir)
+    val staged = spark.read.parquet(dataDir)
+    val violations = audit(staged)
+    if (violations.nonEmpty) Left(violations)
+    else {
+      val line = Entry(s"data/$batch",
+        writtenStats(spark, dataDir, statsCols, Nil, 0.01) +
+          rowsStat(rows)).line
+      Right(commitAppendLines(spark, dir, Seq(line), Map.empty))
+    }
   }
 
   /** Replace the whole table content (compaction/retention commit):
@@ -1585,22 +1703,27 @@ object ManifestSink {
     * [[vacuum]]. Optionally sorts by `sortCols` first — clustering the
     * rewrite so the recomputed `statsCols` ranges become tight and
     * disjoint across future range scans (the poor-man's Z-order for one
-    * key) — and records fresh stats for the compacted entry. Returns the
-    * committed version. */
+    * key) — and records fresh stats (and `bloomCols` point-lookup
+    * blooms — a maintenance pass is where erasure certificates and
+    * key-lookup layouts refresh their filters) for the compacted entry.
+    * Returns the committed version. */
   def compact(spark: SparkSession, dir: String,
-      statsCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     // mergeSchema: compacting a schema-evolved table must carry EVERY
     // column — the single-schema read would silently drop late-added ones.
-    // The version is PINNED: the rewrite commits against exactly the
-    // snapshot it read, so a concurrent append fails this commit loudly
-    // instead of being silently dropped
+    // The version is PINNED for planning; on a lost publish race the
+    // commit REBASES over interleaved append-only commits (streaming
+    // epochs, MoR upserts/deletes) and aborts loudly only on a
+    // concurrent rewrite — see [[commitRewriteLines]]
     val prev = version(spark, dir)
     require(prev >= 0, s"ManifestSink at $dir has no committed version")
     val snap = readAt(spark, dir, prev, mergeSchema = true)
     val clustered =
       if (sortCols.isEmpty) snap else snap.sort(sortCols.map(col): _*)
-    commit(spark, dir, clustered, Nil, prev, statsCols)
+    commit(spark, dir, clustered, Nil, prev, statsCols, bloomCols,
+      maintenance = true)
   }
 
   /** Z-order compaction: rewrite the current snapshot clustered on the
@@ -1645,8 +1768,8 @@ object ManifestSink {
     val totalBits = bitsPerDim * nd
     val kBits = 31 - Integer.numberOfLeadingZeros(buckets)
     require(kBits <= totalBits, s"buckets 2^$kBits exceeds z space")
-    // pinned snapshot: the rewrite commits against exactly the version it
-    // read — a concurrent append fails this commit loudly, never vanishes
+    // pinned snapshot for planning; a lost publish race rebases over
+    // interleaved append-only commits via [[commitRewriteLines]]
     val prev = version(spark, dir)
     require(prev >= 0, s"ManifestSink at $dir has no committed version")
     val snap = readAt(spark, dir, prev, mergeSchema = true)
@@ -1716,13 +1839,7 @@ object ManifestSink {
         .getOrElse(Map.empty[String, ColStats])
       Entry(s"data/$batch/$sd", stats).line
     }
-    val next = prev + 1
-    publishNew(f, new Path(dir, s"_manifests/$next.manifest"),
-      (headerLines(mergeHeader(manifestHeader(spark, dir, prev),
-        Map(TsKey -> System.currentTimeMillis.toString))) ++ entries)
-        .mkString("\n"))
-    writeHint(f, new Path(dir, "_latest"), next.toString)
-    next
+    commitRewriteLines(spark, dir, prev, entries, Map.empty)
   }
 
   /** [[batchStats]] + exact row count per group, keyed by the STRING
@@ -1963,6 +2080,62 @@ object ManifestSink {
       if (kept.isEmpty) read(spark, dir).limit(0)
       else prunedRead(spark, dir, kept)
     base.filter(col(colName) === lit(value))
+  }
+
+  /** Global top-k by `colName` (descending; ties broken by `tieCols`
+    * ascending) with manifest-level skipping — TakeOrdered with data
+    * skipping, the `ORDER BY x DESC LIMIT k` path a clustered 100 TB
+    * table wants. Phase 1 reads a SEED subset — every stats-less entry
+    * (unprunable, so it is read either way) plus the highest-max
+    * entries until their recorded row counts cover k — and takes the
+    * seed's k-th value as threshold t; phase 2 adds every other entry
+    * whose [min,max] can reach t (`overlaps([t,∞))`, so value ties
+    * survive) and answers exactly over that kept set. Any pruned row is
+    * provably < t ≤ the global k-th value, so the result is identical
+    * to `read(...).orderBy(desc).limit(k)` whatever the pruning decided
+    * — tombstones included (the pruned scan applies them, and deletion
+    * only lowers t, which only widens phase 2). A seed yielding fewer
+    * than k rows, or a null threshold, degrades to reading everything —
+    * pruning is an optimization, never a filter. On a range-clustered
+    * layout ([[compactBalanced]] / [[compact]] with `sortCols`) the
+    * scan is O(shards covering k), not O(table). Returns
+    * (frame, kept entries, skipped entries). */
+  def readTopK(spark: SparkSession, dir: String, colName: String, k: Int,
+      tieCols: Seq[String] = Nil): (DataFrame, Seq[Entry], Seq[Entry]) = {
+    import org.apache.spark.sql.functions.col
+    require(k > 0, s"readTopK needs k > 0, got $k")
+    val all = entries(spark, dir, version(spark, dir))
+      .filterNot(isTombEntry)
+    val ord = col(colName).desc +: tieCols.map(col(_).asc)
+    def topOf(df: DataFrame) = df.orderBy(ord: _*).limit(k)
+    val (statless, stated) = all.partition(e => !e.stats.contains(colName))
+    if (stated.isEmpty) return (topOf(read(spark, dir)), all, Nil)
+    val tag = stated.head.stats(colName).tag
+    val byMaxDesc = stated.sortWith((a, b) =>
+      !leTagged(tag, a.stats(colName).max, b.stats(colName).max))
+    val seedStated = {
+      val buf = Seq.newBuilder[Entry]
+      var covered = 0L
+      val it = byMaxDesc.iterator
+      while (covered < k && it.hasNext) {
+        val e = it.next()
+        buf += e
+        covered +=
+          e.stats.get(RowsKey).flatMap(_.min.toLongOption).getOrElse(0L)
+      }
+      buf.result()
+    }
+    val seed = statless ++ seedStated
+    val seedVals = topOf(prunedRead(spark, dir, seed))
+      .select(col(colName)).collect().map(_.get(0))
+    val t = if (seedVals.length < k) null else seedVals.last
+    val rest = stated.filterNot(seedStated.toSet)
+    val (survivors, skipped) =
+      if (t == null) (rest, Seq.empty[Entry])
+      else rest.partition(
+        _.stats(colName).overlaps(Some(boundStr(t)), None))
+    val kept = seed ++ survivors
+    (topOf(prunedRead(spark, dir, kept)), kept, skipped)
   }
 
   private def tokenBloomMightContain(e: Entry, c: String,

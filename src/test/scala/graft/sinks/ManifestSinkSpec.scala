@@ -1552,4 +1552,149 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.compactBalanced(spark, dir2, "v", 4) === None)
     assert(ManifestSink.version(spark, dir2) === 0L) // nothing rewritten
   }
+
+  /** Entry lines of one committed manifest file (the planned rewrite's
+    * base / its content-identical rewriteLines in the rebase tests). */
+  private def manifestLinesOf(dir: String, v: Long): Seq[String] =
+    java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_manifests",
+        s"$v.manifest"))
+      .toArray(Array.ofDim[String](0)).toSeq
+      .filterNot(_.startsWith("#"))
+
+  test("appendAudited: red audits publish nothing, green ones append") {
+    val dir = Files.createTempDirectory("msinkwap").toString + "/t"
+    def audit(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      if (df.filter($"v" < 0).count() > 0) Seq("negative v") else Nil
+    assert(ManifestSink.appendAudited(
+      spark.range(0, 10).toDF("v"), dir, audit) === Right(0L))
+    // red: no version, no visible rows — only an unreferenced orphan
+    assert(ManifestSink.appendAudited(
+      spark.range(-5, 0).toDF("v"), dir, audit) === Left(Seq("negative v")))
+    assert(ManifestSink.version(spark, dir) === 0L)
+    assert(ManifestSink.read(spark, dir).count() === 10L)
+    assert(ManifestSink.vacuum(spark, dir).size === 1) // staged orphan
+    // the pipeline continues green after a refusal
+    assert(ManifestSink.appendAudited(
+      spark.range(10, 15).toDF("v"), dir, audit) === Right(1L))
+    assert(ManifestSink.read(spark, dir).count() === 15L)
+  }
+
+  test("readTopK equals the full sort at every pruning decision") {
+    val dir = Files.createTempDirectory("msinktopk").toString + "/t"
+    // three stats-carrying range batches + one stats-LESS batch (it can
+    // never be pruned, whatever its values)
+    ManifestSink.appendWithStats(spark.range(0, 100).toDF("v"), dir,
+      statsCols = Seq("v"))
+    ManifestSink.appendWithStats(spark.range(100, 200).toDF("v"), dir,
+      statsCols = Seq("v"))
+    ManifestSink.appendWithStats(spark.range(200, 300).toDF("v"), dir,
+      statsCols = Seq("v"))
+    ManifestSink.append(spark.range(150, 160).toDF("v"), dir)
+    def full(k: Int) = ManifestSink.read(spark, dir)
+      .orderBy($"v".desc).limit(k).collect().map(_.getLong(0)).toSeq
+    val (top5, kept, skipped) = ManifestSink.readTopK(spark, dir, "v", 5)
+    assert(top5.collect().map(_.getLong(0)).toSeq === full(5))
+    // the two provably-low stats batches are skipped; the stats-less
+    // one is read regardless (never-a-filter)
+    assert(skipped.size === 2 && kept.size === 2)
+    // a tombstone lowers the threshold but the answer stays exact
+    ManifestSink.deleteKeysMergeOnRead(
+      spark.range(295, 300).toDF("v"), dir, Seq("v"))
+    val (top5t, _, _) = ManifestSink.readTopK(spark, dir, "v", 5)
+    assert(top5t.collect().map(_.getLong(0)).toSeq
+      === Seq(294L, 293L, 292L, 291L, 290L))
+    // k beyond the table degrades to reading everything, still exact
+    val (all, keptAll, skippedAll) =
+      ManifestSink.readTopK(spark, dir, "v", 1000)
+    assert(all.count() === 305L && skippedAll.isEmpty
+      && keptAll.size === 4)
+  }
+
+  test("maintenance rebase: compaction lands over an interleaved append") {
+    // deterministic interleaving through the CAS helper itself: plan a
+    // content-identical rewrite of v0, let an append win v1, publish —
+    // the rebase carries the interloper's entry after the rewrite
+    val dir = Files.createTempDirectory("msinkreb").toString + "/t"
+    ManifestSink.append(spark.range(0, 10).toDF("v"), dir) // v0 (planned)
+    val rewrite = manifestLinesOf(dir, 0L)
+    ManifestSink.append(spark.range(10, 20).toDF("v"), dir) // interloper v1
+    val v = ManifestSink.commitRewriteLines(spark, dir, 0L, rewrite,
+      Map.empty)
+    assert(v === 2L)
+    val got = ManifestSink.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 20L)) // nothing lost, nothing doubled
+    assert(ManifestSink.readAt(spark, dir, 1L).count() === 20L) // travel
+  }
+
+  test("maintenance rebase: a carried MoR tombstone filters the rewrite") {
+    // serialization "maintenance first, then the interloper": a delete
+    // committed after the rewrite was planned still deletes — the
+    // carried tombstone line lands after the rewritten entry, so it
+    // filters the rewritten copies of the deleted keys too
+    val dir = Files.createTempDirectory("msinkrebt").toString + "/t"
+    ManifestSink.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), dir) // v0
+    val rewrite = manifestLinesOf(dir, 0L)
+    ManifestSink.deleteKeysMergeOnRead(Seq(2L).toDF("k"), dir,
+      Seq("k")) // interloper v1: tombstone-only commit
+    val v = ManifestSink.commitRewriteLines(spark, dir, 0L, rewrite,
+      Map.empty)
+    assert(v === 2L)
+    assert(ManifestSink.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("maintenance rebase aborts loudly on a concurrent rewrite") {
+    // a replace invalidates the planned snapshot structurally (its
+    // entries are not an append-extension of v0) — no sound automatic
+    // serialization exists, so the maintenance commit must fail loudly
+    val dir = Files.createTempDirectory("msinkrebc").toString + "/t"
+    ManifestSink.append(spark.range(0, 10).toDF("v"), dir) // v0 (planned)
+    val rewrite = manifestLinesOf(dir, 0L)
+    ManifestSink.replace(spark.range(100, 105).toDF("v"), dir) // v1
+    val e = intercept[IllegalArgumentException] {
+      ManifestSink.commitRewriteLines(spark, dir, 0L, rewrite, Map.empty)
+    }
+    assert(e.getMessage.contains("concurrent REWRITE"))
+    assert(ManifestSink.version(spark, dir) === 1L) // nothing published
+  }
+
+  test("compaction commutes with live appenders end to end") {
+    // the OPTIMIZE-under-a-streaming-writer shape: 4 appender threads
+    // race 3 mid-stream compactions; every commit lands (the old
+    // single-writer contract failed the compaction on ANY lost race)
+    // and the final content is exactly the union of all appends
+    val dir = Files.createTempDirectory("msinkrace").toString + "/t"
+    ManifestSink.append(spark.range(0, 10).toDF("v"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val appenders = (0 until 4).map { t =>
+      scala.concurrent.Future {
+        (0 until 4).foreach { i =>
+          val k = t * 4 + i
+          ManifestSink.append(
+            spark.range(10 + k * 10L, 20 + k * 10L).toDF("v"), dir)
+        }
+      }
+    }
+    val compactor = scala.concurrent.Future {
+      (0 until 3).foreach { _ =>
+        Thread.sleep(40)
+        ManifestSink.compact(spark, dir, statsCols = Seq("v"))
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(appenders :+ compactor),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val got = ManifestSink.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 170L)) // 17 disjoint decades, each once
+    // and a quiet-table rewrite still lands after the dust settles
+    ManifestSink.compact(spark, dir, statsCols = Seq("v"))
+    assert(ManifestSink.read(spark, dir).count() === 170L)
+  }
 }
