@@ -768,7 +768,70 @@ object TextOps {
       |FROM documents WHERE doc_id % 97 <> 0
       |ORDER BY channel""".stripMargin
 
+  // --------------------------------------------------------------- q204
+  /** Bigram-LM quality scoring — the conditional upgrade of q75's
+    * unigram filter (the CCNet/KenLM perplexity-filter shape, here with
+    * an add-one-smoothed bigram model trained on the corpus itself):
+    * per document, the mean of ln((c(w₁w₂)+1) / (c(w₁·)+V)) over its
+    * token bigrams, where c(w₁·) counts w₁'s occurrences AS A CONTEXT
+    * and V is the corpus vocabulary — a document of individually-common
+    * but incoherently-ordered tokens scores low where q75 scores it
+    * high, which is exactly what the conditional model adds. Each
+    * per-bigram logp rounds to 6 dp and sums in DECIMAL(18,6) (q75's
+    * order-free recipe), so the score is engine-exact.
+    *
+    * Scale: bigram construction is a shuffle-free projection off the
+    * hoisted token array (documented interpreted-HOF cost, PLANS.md);
+    * the model is two count aggregates — bigram-vocabulary-sized, not
+    * corpus-sized — joined back to the bigram stream (broadcast-sized
+    * on a bounded vocabulary, plain hash joins on an open one: no hint
+    * is forced); docs with <2 tokens drop in both engines. */
+  private val q204: Q = (s, dir) => {
+    import s.implicits._
+    val withTk = docs(s, dir).select($"doc_id", toks.as("tk"))
+      .filter(size($"tk") >= 2)
+    val bi = withTk.select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> concat_ws(' ', tk[i-1], tk[i]))")).as("bg"))
+      .withColumn("ctx", split($"bg", " ").getItem(0))
+    val cb = bi.groupBy($"bg").agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy($"ctx").agg(count(lit(1)).as("cu"))
+    val v = docs(s, dir).select(explode(toks).as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val logp = round(log(($"cb" + 1).cast("double")
+        / ($"cu" + $"v").cast("double")), 6)
+      .cast("decimal(18,6)")
+    bi.join(cb, "bg").join(cu, "ctx").crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (sum(logp).cast("double") / count(lit(1))).as("avg_logp"))
+      .select($"doc_id", $"n_bigrams", $"avg_logp",
+        ($"avg_logp" >= -3.4).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val q204Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |  FROM t),
+      |b2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS ctx FROM bi),
+      |cb AS (SELECT bg, COUNT(*) AS cb FROM b2 GROUP BY bg),
+      |cu AS (SELECT ctx, COUNT(*) AS cu FROM b2 GROUP BY ctx),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v FROM t, UNNEST(tk) AS u(tok)),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(ROUND(ln(CAST(cb.cb + 1 AS DOUBLE) / (cu.cu + v.v)), 6)
+      |      AS DECIMAL(18,6)) AS logp
+      |  FROM b2 JOIN cb USING (bg) JOIN cu USING (ctx) CROSS JOIN v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logp,
+      |  (CAST(SUM(logp) AS DOUBLE) / COUNT(*)) >= -3.4 AS keep
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q204_bigram_lm" -> q204,
     "q197_jsonl_ingest" -> q197,
     "q166_normalized_dedup" -> q166,
     "q144_dup_ngram_coverage" -> q144,
@@ -787,6 +850,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q204_bigram_lm" -> q204Sql,
     "q197_jsonl_ingest" -> q197Sql,
     "q166_normalized_dedup" -> q166Sql,
     "q144_dup_ngram_coverage" -> q144Sql,
