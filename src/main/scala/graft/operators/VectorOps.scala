@@ -450,9 +450,13 @@ object VectorOps {
     * means accumulate in DECIMAL(38,8): for a float-origin value v,
     * v·10^8 is exactly representable in a double (≤ 24 mantissa bits of
     * the float + 19 bits of 5^8 ≈ 43 ≤ 53), so Spark's exact-BigDecimal
-    * cast and DuckDB's multiply-then-round cast agree bit-for-bit
-    * (measured: 0 mismatches over 20k random floats; scale 9+ would
-    * overflow the exact-multiply window and diverge). Decimal addition is
+    * cast and DuckDB's cast agree bit-for-bit WHEN DuckDB scales in
+    * double — its DIRECT float→decimal cast scales in FLOAT32 and can
+    * round across a .5 boundary differently (~1-in-20 values; found via
+    * q205, whose oracle therefore casts float→DOUBLE→decimal). q58b is
+    * insensitive either way: centroids only ROUTE candidates (a 1e-9
+    * centroid perturbation flips no assignment at these margins) and
+    * every emitted dot is over original float vectors. Decimal addition is
     * then exact and order-free, and the scaled sum stays far under 2^53
     * (≤ ~1e15 even at sf1000), so the decimal→double mean is exact too.
     *
@@ -1269,7 +1273,82 @@ object VectorOps {
        |LEFT JOIN (SELECT * FROM qual WHERE rn = 1) q ON t.target = q.target
        |ORDER BY t.target""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** Embedding-space drift report — the monitoring op an embedding
+    * pipeline runs between corpus versions (model upgrade, re-crawl,
+    * distribution shift): per label, the cosine between the REFERENCE
+    * half's centroid and the CURRENT half's centroid (halves split by
+    * vec_id parity — a deterministic stand-in for two snapshot
+    * versions), beside both sides' counts. Centroid means accumulate in
+    * DECIMAL(38,8) — q58b's recipe, exact and order-free for
+    * float-origin values — so the per-label centroids are engine-exact
+    * and the cosine is one fixed-shape double expression both engines
+    * evaluate identically.
+    *
+    * Scale: one posexplode + two-phase (label, side, dim) aggregate —
+    * map-side-combinable 64·N narrow rows in, labels·2·64 out; the
+    * cosine join runs over label-count-sized frames. A 100 TB embedding
+    * corpus pays one scan; the drift decision state is KB-sized. */
+  private val q205: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("side",
+      when($"vec_id" % 2 === 0, lit("ref")).otherwise(lit("cur")))
+    val means = e.select($"label", $"side",
+        posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy($"label", $"side", $"i")
+      .agg((sum($"x".cast("decimal(38,8)")).cast("double") /
+        count(lit(1))).as("m"))
+    val cents = means.groupBy($"label", $"side")
+      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
+        p => p.getField("m")).as("cv"))
+    val counts = e.groupBy($"label", $"side")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ref = cents.filter($"side" === "ref").select($"label", $"cv".as("cva"))
+    val cur = cents.filter($"side" === "cur").select($"label", $"cv".as("cvb"))
+    val nRef = counts.filter($"side" === "ref")
+      .select($"label", $"n".as("n_ref"))
+    val nCur = counts.filter($"side" === "cur")
+      .select($"label", $"n".as("n_cur"))
+    ref.join(cur, "label").join(nRef, "label").join(nCur, "label")
+      .select($"label", $"n_ref", $"n_cur",
+        cosine($"cva", $"cvb").as("centroid_cosine"))
+      .orderBy($"label")
+  }
+  private val q205Sql = {
+    val dAB = dotSql("r.cv", "c.cv")
+    val dAA = dotSql("r.cv", "r.cv")
+    val dBB = dotSql("c.cv", "c.cv")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side
+       |  FROM embeddings),
+       |means AS (
+       |  SELECT label, side, i,
+       |    -- the inner DOUBLE cast is load-bearing: DuckDB's direct
+       |    -- float->decimal cast scales in FLOAT32 (0.02622239477. ->
+       |    -- 2622239.5f -> .40) where Spark lifts to double first
+       |    -- (-> 2622239.48 -> .39); via DOUBLE both engines agree
+       |    CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+       |      AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM e, UNNEST(range(0, len(embedding))) AS t(i)
+       |  GROUP BY label, side, i),
+       |cents AS (
+       |  SELECT label, side, list(m ORDER BY i) AS cv
+       |  FROM means GROUP BY label, side),
+       |cnt AS (SELECT label, side, COUNT(*) AS n FROM e GROUP BY label, side)
+       |SELECT r.label AS label,
+       |  CAST(nr.n AS BIGINT) AS n_ref, CAST(nc.n AS BIGINT) AS n_cur,
+       |  $dAB / (sqrt($dAA) * sqrt($dBB)) AS centroid_cosine
+       |FROM cents r
+       |JOIN cents c ON c.label = r.label AND c.side = 'cur'
+       |JOIN cnt nr ON nr.label = r.label AND nr.side = 'ref'
+       |JOIN cnt nc ON nc.label = r.label AND nc.side = 'cur'
+       |WHERE r.side = 'ref'
+       |ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_embedding_drift" -> q205,
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
     "q42_ann_lsh_bucketed" -> q42,
@@ -1292,6 +1371,7 @@ object VectorOps {
     "q152_semantic_decontamination" -> q152)
 
   val oracleSql: Map[String, String] = Map(
+    "q205_embedding_drift" -> q205Sql,
     "q40_embedding_norms" -> q40Sql,
     "q41_knn_brute_force" -> q41Sql,
     "q42_ann_lsh_bucketed" -> q42Sql,
