@@ -1347,7 +1347,134 @@ object VectorOps {
        |ORDER BY label""".stripMargin
   }
 
+  // --------------------------------------------------------------- q206
+  /** MMR-diversified retrieval (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) — the training-data/context-selection shape where
+    * plain top-k returns five near-copies: per query, a brute-force
+    * top-20 candidate shortlist (q41's deterministic shape), then five
+    * greedy rounds each picking argmax of
+    * λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s) (λ = 0.7, ties by vec_id) —
+    * relevance traded against redundancy with the already-selected set.
+    * The rounds are unrolled as dataframe joins over the CANDIDATE
+    * frames (never the corpus), all doubles come from the sequential
+    * dot kernel both engines mirror, and the selection is tie-broken
+    * deterministically, so all five rounds are engine-exact.
+    *
+    * Scale: the corpus is touched exactly once (the top-20 generation —
+    * swappable for any indexed ANN variant, as with q195's arms); every
+    * MMR round runs on queries×20 candidate rows and queries×20×19
+    * pairwise sims — decision-sized whatever the corpus. The shortlist
+    * frames persist across the five unrolled rounds (bench clears
+    * caches; callers embedding this op should unpersist after use). */
+  private val q206: Q = (s, dir) => {
+    import s.implicits._
+    val lam = 0.7
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val wTop = Window.partitionBy($"query_id")
+      .orderBy($"dq".desc, $"cid".asc)
+    val cand = e.select($"vec_id".as("cid"), $"embedding".as("ev"))
+      .crossJoin(broadcast(q)).filter($"cid" =!= $"query_id")
+      .withColumn("dq", dot($"ev", $"qv"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 20)
+      .select($"query_id", $"cid", $"ev", $"dq")
+      .persist()
+    val pair = cand.select($"query_id", $"cid".as("ca"), $"ev".as("ea"))
+      .join(cand.select($"query_id", $"cid".as("cb"), $"ev".as("eb")),
+        Seq("query_id"))
+      .filter($"ca" =!= $"cb")
+      .select($"query_id", $"ca", $"cb", dot($"ea", $"eb").as("sab"))
+      .persist()
+    val wSel = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"cid".asc)
+    var sel = cand
+      .withColumn("score", lit(lam) * $"dq")
+      .withColumn("rn", row_number().over(wSel)).filter($"rn" === 1)
+      .select($"query_id", $"cid", lit(1L).as("step"), $"score")
+    for (t <- 2 to 5) {
+      val selSet = sel.select($"query_id".as("qid2"), $"cid".as("scid"))
+      val msim = pair.join(selSet,
+          pair("query_id") === selSet("qid2") && $"cb" === $"scid")
+        .groupBy($"query_id", $"ca").agg(max($"sab").as("ms"))
+      val scored = cand
+        .join(selSet, $"query_id" === $"qid2" && $"cid" === $"scid",
+          "left_anti")
+        .join(msim.withColumnRenamed("ca", "cid"), Seq("query_id", "cid"))
+        // literal 0.3, NOT (1 - lam): the Scala double 1 - 0.7 is
+        // 0.30000000000000004 while both engines' "0.3" literal is not
+        .withColumn("score", lit(lam) * $"dq" - lit(0.3) * $"ms")
+      sel = sel.union(scored
+        .withColumn("rn", row_number().over(wSel)).filter($"rn" === 1)
+        .select($"query_id", $"cid", lit(t.toLong).as("step"), $"score"))
+    }
+    sel.orderBy($"query_id", $"step")
+  }
+  private val q206Sql = {
+    val dq = dotSql("e.embedding", "q.qv")
+    val dp = dotSql("a.ev", "b.ev")
+    // one chained CTE pair (m<t>: redundancy max against the selected
+    // set; s<t>: argmax pick) per unrolled MMR round
+    def round(t: Int, prevUnion: String) =
+      s"""m$t AS (
+         |  SELECT c.query_id, c.cid, c.dq, MAX(p.sab) AS ms
+         |  FROM cand c
+         |  JOIN pair p ON p.query_id = c.query_id AND p.ca = c.cid
+         |  JOIN ($prevUnion) u
+         |    ON u.query_id = c.query_id AND u.cid = p.cb
+         |  LEFT JOIN ($prevUnion) x
+         |    ON x.query_id = c.query_id AND x.cid = c.cid
+         |  WHERE x.cid IS NULL
+         |  GROUP BY c.query_id, c.cid, c.dq),
+         |s$t AS (
+         |  SELECT query_id, cid, $t AS step, score FROM (
+         |    SELECT query_id, cid,
+         |      CAST(0.7 AS DOUBLE) * dq - CAST(0.3 AS DOUBLE) * ms AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+         |        CAST(0.7 AS DOUBLE) * dq - CAST(0.3 AS DOUBLE) * ms DESC,
+         |        cid ASC) AS rn
+         |    FROM m$t)
+         |  WHERE rn = 1)""".stripMargin
+    val u2 = "SELECT query_id, cid FROM s1"
+    val u3 = u2 + " UNION ALL SELECT query_id, cid FROM s2"
+    val u4 = u3 + " UNION ALL SELECT query_id, cid FROM s3"
+    val u5 = u4 + " UNION ALL SELECT query_id, cid FROM s4"
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT query_id, cid, ev, dq FROM (
+       |    SELECT q.query_id, e.vec_id AS cid, e.embedding AS ev,
+       |      $dq AS dq,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                         ORDER BY $dq DESC, e.vec_id ASC) AS rank
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+       |  WHERE rank <= 20),
+       |pair AS (
+       |  SELECT a.query_id, a.cid AS ca, b.cid AS cb, $dp AS sab
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+       |s1 AS (
+       |  SELECT query_id, cid, 1 AS step, score FROM (
+       |    SELECT query_id, cid, CAST(0.7 AS DOUBLE) * dq AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY CAST(0.7 AS DOUBLE) * dq DESC, cid ASC) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1),
+       |${round(2, u2)},
+       |${round(3, u3)},
+       |${round(4, u4)},
+       |${round(5, u5)}
+       |SELECT query_id, cid, CAST(step AS BIGINT) AS step, score
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |      UNION ALL SELECT * FROM s5)
+       |ORDER BY query_id, step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_mmr_retrieval" -> q206,
     "q205_embedding_drift" -> q205,
     "q40_embedding_norms" -> q40,
     "q41_knn_brute_force" -> q41,
@@ -1371,6 +1498,7 @@ object VectorOps {
     "q152_semantic_decontamination" -> q152)
 
   val oracleSql: Map[String, String] = Map(
+    "q206_mmr_retrieval" -> q206Sql,
     "q205_embedding_drift" -> q205Sql,
     "q40_embedding_norms" -> q40Sql,
     "q41_knn_brute_force" -> q41Sql,

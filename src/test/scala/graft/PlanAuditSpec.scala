@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
       "q152_semantic_decontamination", // crossJoin(broadcast(16 centroids))
       "q166_normalized_dedup",     // 1-row × 1-row metric joins
       "q183_weighted_quantiles",   // 3 fracs × distinct-scores probe
-      "q195_hybrid_rrf")           // 1-row corpus stats + 1-row query vec
+      "q195_hybrid_rrf",           // 1-row corpus stats + 1-row query vec
+      "q204_bigram_lm",            // crossJoin(broadcast(1-row vocab size))
+      "q206_mmr_retrieval")        // broadcast(10 query vectors) ⋈ ≠
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
