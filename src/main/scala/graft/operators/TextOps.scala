@@ -830,7 +830,72 @@ object TextOps {
       |  (CAST(SUM(logp) AS DOUBLE) / COUNT(*)) >= -3.4 AS keep
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q207
+  /** Persisted inverted-index lookup through the gate ([[TextIndex]]):
+    * the corpus's postings land as a ManifestSink table with one entry
+    * per term-hash bucket (stamped with the corpus fingerprint, q120's
+    * lakehouse-index shape), and each probed term answers from a
+    * bucket-pruned read of 1/16 of the index — no corpus scan at all,
+    * the indexed upgrade of q171's bloom-pruned scan and the lexical
+    * arm q195's RRF fusion swaps in at scale. Probes are the two most
+    * frequent tokens (a deterministic choice the oracle mirrors) plus a
+    * guaranteed-absent term that must return the empty posting list
+    * through the same path; the in-query require pins that bucket
+    * routing actually pruned. An index that drops a posting, doubles
+    * one across buckets, or mis-routes a term hash-mismatches the
+    * oracle's full-corpus membership recomputation.
+    *
+    * Scale: the lookup reads one bucket's entries planned from one
+    * manifest read; build cost is one explode + one partitioned write,
+    * amortized across every future lookup by the fingerprint check;
+    * pure corpus appends index only the delta files
+    * ([[VectorIndex.ensurePartitionedIncremental]]'s contract). */
+  private val q207: Q = (s, dir) => {
+    import s.implicits._
+    val idxDir = s"${VectorIndex.indexRoot(dir)}/text_postings"
+    TextIndex.ensure(s, idxDir, s"$dir/documents.parquet")
+    val toksD = docs(s, dir).select($"doc_id",
+      explode(array_distinct(split($"text", " "))).as("token"))
+    val top2 = toksD.groupBy($"token").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"token".asc).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val terms = top2 :+ "zzz_absent_term"
+    val b0 = s.range(1)
+      .select(TextIndex.bucketCol(lit(terms.head))).head().getInt(0)
+    val (kept, skipped) =
+      graft.sinks.ManifestSink.prunedEntriesEq(s, idxDir, "bucket", b0)
+    require(skipped.nonEmpty,
+      s"bucket routing failed to prune: kept all ${kept.size} entries")
+    terms.map { t =>
+      TextIndex.lookup(s, idxDir, t)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum($"doc_id"), lit(0L)).cast("long").as("id_sum"))
+        .select(lit(t).as("term"), $"n_docs", $"id_sum")
+    }.reduce(_.union(_)).orderBy($"term")
+  }
+  private val q207Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+      |    AS token
+      |  FROM documents),
+      |freq AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+      |probe AS (
+      |  SELECT token FROM (
+      |    SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC)
+      |      AS rn
+      |    FROM freq) WHERE rn <= 2
+      |  UNION ALL SELECT 'zzz_absent_term'),
+      |hits AS (
+      |  SELECT p.token, COUNT(t.doc_id) AS n_docs,
+      |    COALESCE(SUM(t.doc_id), 0) AS id_sum
+      |  FROM probe p LEFT JOIN toks t ON t.token = p.token
+      |  GROUP BY p.token)
+      |SELECT token AS term, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(id_sum AS BIGINT) AS id_sum
+      |FROM hits ORDER BY term""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q207_inverted_index" -> q207,
     "q204_bigram_lm" -> q204,
     "q197_jsonl_ingest" -> q197,
     "q166_normalized_dedup" -> q166,
@@ -850,6 +915,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q207_inverted_index" -> q207Sql,
     "q204_bigram_lm" -> q204Sql,
     "q197_jsonl_ingest" -> q197Sql,
     "q166_normalized_dedup" -> q166Sql,
