@@ -852,8 +852,7 @@ object TextOps {
     * ([[VectorIndex.ensurePartitionedIncremental]]'s contract). */
   private val q207: Q = (s, dir) => {
     import s.implicits._
-    val idxDir = s"${VectorIndex.indexRoot(dir)}/text_postings"
-    TextIndex.ensure(s, idxDir, s"$dir/documents.parquet")
+    TextIndex.ensure(s, dir, s"$dir/documents.parquet")
     val toksD = docs(s, dir).select($"doc_id",
       explode(array_distinct(split($"text", " "))).as("token"))
     val top2 = toksD.groupBy($"token").agg(count(lit(1)).as("c"))
@@ -862,12 +861,12 @@ object TextOps {
     val terms = top2 :+ "zzz_absent_term"
     val b0 = s.range(1)
       .select(TextIndex.bucketCol(lit(terms.head))).head().getInt(0)
-    val (kept, skipped) =
-      graft.sinks.ManifestSink.prunedEntriesEq(s, idxDir, "bucket", b0)
+    val (kept, skipped) = graft.sinks.ManifestSink.prunedEntriesEq(
+      s, TextIndex.postingsDir(dir), "bucket", b0)
     require(skipped.nonEmpty,
       s"bucket routing failed to prune: kept all ${kept.size} entries")
     terms.map { t =>
-      TextIndex.lookup(s, idxDir, t)
+      TextIndex.lookup(s, dir, t)
         .agg(count(lit(1)).cast("long").as("n_docs"),
           coalesce(sum($"doc_id"), lit(0L)).cast("long").as("id_sum"))
         .select(lit(t).as("term"), $"n_docs", $"id_sum")

@@ -1654,7 +1654,59 @@ object TrainingOps {
        |ORDER BY rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q208
+  /** q86's BM25 answered FROM THE INVERTED INDEX ([[TextIndex]]) — the
+    * corpus is never tokenized at query time: per-term tf postings come
+    * from three bucket-pruned index reads, df is each posting list's
+    * row count, doc lengths join from the docs-sized companion table,
+    * and N is the companion's manifest ROW COUNT — metadata-only. The
+    * scoring formula, rounding discipline, tie-breaks, and output are
+    * q86's exactly, so the oracle IS q86's full-corpus formulation: an
+    * index whose postings drop/double a row, mis-count a tf, or whose
+    * maintenance serves a stale corpus hash-mismatches immediately.
+    *
+    * Scale: this is the difference between scoring a query by
+    * re-tokenizing 100 TB (q86's formulation — correct, priced for
+    * calibration) and reading three posting buckets + one docs-sized
+    * narrow table. Same stats-broadcast shape as q86 (1-row Σdl frame,
+    * plan-audit allowlisted). */
+  private val q208: Q = (s, dir) => {
+    import s.implicits._
+    TextIndex.ensure(s, dir, s"$dir/documents.parquet")
+    val tfq = bmTerms.map(t => TextIndex.lookupTf(s, dir, t))
+      .reduce(_.union(_))
+    val dfq = tfq.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dl = graft.sinks.ManifestSink.read(s, TextIndex.doclenDir(dir))
+      .select($"doc_id", $"dl")
+    val nDocs = graft.sinks.ManifestSink
+      .rowCount(s, TextIndex.doclenDir(dir))
+      .getOrElse(sys.error("doclen table lost its manifest row counts"))
+    val stats = dl.agg(sum($"dl").as("tot_dl"))
+      .select(lit(nDocs).as("n_docs"), $"tot_dl")
+    val avgdl = $"tot_dl".cast("double") / $"n_docs".cast("double")
+    val idf = log(lit(1.0) +
+      (($"n_docs" - $"df").cast("double") + lit(0.5)) /
+        ($"df".cast("double") + lit(0.5)))
+    val contrib = round(
+      idf * ($"tf".cast("double") * lit(bmK1 + 1)) /
+        ($"tf".cast("double") + lit(bmK1) *
+          (lit(1 - bmB) + lit(bmB) * ($"dl".cast("double") / avgdl))), 6)
+    val agg = tfq.join(broadcast(dfq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl", contrib.as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c".cast("decimal(18,6)")).as("s"),
+        count(lit(1)).as("n_terms"), max($"dl").as("dl"))
+    val top = agg.orderBy($"s".desc, $"doc_id".asc).limit(10)
+    val w = Window.orderBy($"s".desc, $"doc_id".asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"doc_id", $"rank", $"n_terms", $"dl",
+        $"s".cast("double").as("bm25"))
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q208_indexed_bm25" -> q208,
     "q195_hybrid_rrf" -> q195,
     "q192_balanced_sample" -> q192,
     "q191_temporal_split" -> q191,
@@ -1679,6 +1731,8 @@ object TrainingOps {
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
+    // the indexed path must equal the full-corpus formulation exactly
+    "q208_indexed_bm25" -> q86Sql,
     "q195_hybrid_rrf" -> q195Sql,
     "q192_balanced_sample" -> q192Sql,
     "q191_temporal_split" -> q191Sql,

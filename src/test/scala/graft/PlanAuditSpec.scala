@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
       "q183_weighted_quantiles",   // 3 fracs × distinct-scores probe
       "q195_hybrid_rrf",           // 1-row corpus stats + 1-row query vec
       "q204_bigram_lm",            // crossJoin(broadcast(1-row vocab size))
-      "q206_mmr_retrieval")        // broadcast(10 query vectors) ⋈ ≠
+      "q206_mmr_retrieval",        // broadcast(10 query vectors) ⋈ ≠
+      "q208_indexed_bm25")         // crossJoin(broadcast(1-row corpus stats))
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
