@@ -1705,7 +1705,61 @@ object TrainingOps {
       .orderBy($"rank")
   }
 
+  // --------------------------------------------------------------- q209
+  /** Temperature mixture sampling (α = 0.5) — q84 with DATA-DERIVED
+    * rates instead of a static table: each source's keep rate is
+    * ∝ c_s^(α−1) = 1/√c_s, normalized so the smallest source keeps
+    * everything — the multilingual/web "alpha sampling" that flattens a
+    * skewed source distribution toward (but not all the way to)
+    * uniform, standard in multilingual pretraining (e.g. the XLM-R
+    * recipe). Rates quantize to integer basis points via one
+    * fixed-shape double expression (sqrt/divide/floor — both engines
+    * bit-identical on identical inputs), and the per-doc keep decision
+    * is q84's integer hash-vs-bp compare — no float leaves the rate
+    * derivation.
+    *
+    * Scale: rate derivation is a source-count-sized aggregate + a
+    * 1-row min probe; the decision is a broadcast join + row-local
+    * integer hash — no shuffle touches the corpus rows. */
+  private val q209: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("c"))
+    val minC = counts.agg(min($"c")).head().getLong(0)
+    val rates = counts.select($"source", $"c",
+      least(lit(10000L),
+        floor(lit(10000.0) * sqrt(lit(minC.toDouble))
+          / sqrt($"c".cast("double"))).cast("long")).as("rate_bp"))
+    Tables(s, dir, "documents").join(broadcast(rates), "source")
+      .select($"source", $"c", $"rate_bp",
+        (PortableHash.tokenHashP($"doc_id") % lit(10000L) < $"rate_bp")
+          .as("kept"))
+      .groupBy($"source")
+      .agg(max($"c").cast("long").as("n_docs"),
+        max($"rate_bp").as("rate_bp"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+  private val q209Sql =
+    s"""WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(c) AS mc FROM c),
+       |r AS (
+       |  SELECT source, c,
+       |    LEAST(10000, CAST(FLOOR(10000.0 * sqrt(CAST(mc AS DOUBLE))
+       |      / sqrt(CAST(c AS DOUBLE))) AS BIGINT)) AS rate_bp
+       |  FROM c CROSS JOIN m),
+       |d AS (
+       |  SELECT doc.source, r.c, r.rate_bp,
+       |    (${tokenHashPSql("doc.doc_id")} % 10000) < r.rate_bp AS kept
+       |  FROM documents doc JOIN r USING (source))
+       |SELECT source, CAST(MAX(c) AS BIGINT) AS n_docs,
+       |  MAX(rate_bp) AS rate_bp,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM d GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q209_temperature_mixture" -> q209,
     "q208_indexed_bm25" -> q208,
     "q195_hybrid_rrf" -> q195,
     "q192_balanced_sample" -> q192,
@@ -1733,6 +1787,7 @@ object TrainingOps {
   val oracleSql: Map[String, String] = Map(
     // the indexed path must equal the full-corpus formulation exactly
     "q208_indexed_bm25" -> q86Sql,
+    "q209_temperature_mixture" -> q209Sql,
     "q195_hybrid_rrf" -> q195Sql,
     "q192_balanced_sample" -> q192Sql,
     "q191_temporal_split" -> q191Sql,
