@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
-import graft.sinks.{ManifestSink, Scd2}
+import graft.sinks.{AggMatView, ManifestSink, Scd2}
 import graft.sources.Tables
 
 /** The manifest sink inside the correctness gate: these queries push data
@@ -3062,7 +3062,125 @@ object SinkOps {
        |  FROM pois
        |) ORDER BY section, grp""".stripMargin
 
+  // --------------------------------------------------------------- q214
+  /** Incremental quality-classifier maintenance — q210's naive-Bayes
+    * model AS a managed view: the per-(token, class) count model is
+    * exactly a mergeable grouped aggregate, so it rides
+    * [[graft.sinks.AggMatView]] unchanged — the base table is the
+    * ingest-time (token, class) feature stream, the first corpus slice
+    * trains the model, and the second slice FOLDS in O(delta)
+    * (`require(folded)` pins that the append-only window took the fold
+    * path, never a retrain). Scoring then reads the ≤vocab-sized state
+    * table — the corpus is never re-aggregated.
+    *
+    * The oracle is q210's full-retrain formulation verbatim: the
+    * incrementally-maintained model must score every document
+    * row-identically to retraining on the world (q208/q86's
+    * indexed-path-equals-recompute discipline, applied to a MODEL).
+    *
+    * At 100 TB this is how a corpus-trained filter stays current: a
+    * day's ingest folds its token counts into the model table (one
+    * manifest diff to plan, delta-sized aggregate to run, one atomic
+    * commit carrying state + fold position), and the scoring join reads
+    * the state — retraining cost never scales with corpus history. */
+  private val q214: Q = (s, dir) => {
+    import s.implicits._
+    val root = freshScratch("graft_q214", dir)
+    val base = s"$root/tokcls"
+    val view = s"$root/model"
+    val refSrcs = Seq("src0", "src1", "src2", "src3")
+    val docs = Tables(s, dir, "documents")
+    def tokCls(f: DataFrame): DataFrame = f.select(
+      explode(split(col("text"), " ")).as("tok"),
+      when(col("source").isin(refSrcs: _*), "p").otherwise("n").as("cls"),
+      lit(1L).as("w"))
+    ManifestSink.append(tokCls(docs.filter($"doc_id" % 5 =!= 0)), base)
+    AggMatView.create(s, view, base, Seq("tok", "cls"), "w")
+    ManifestSink.append(tokCls(docs.filter($"doc_id" % 5 === 0)), base)
+    val (_, folded) = AggMatView.refresh(s, view, base, Seq("tok", "cls"), "w")
+    require(folded,
+      "append-only window must FOLD into the model, not retrain")
+    val model = ManifestSink.read(s, view).groupBy($"tok").agg(
+      sum(when($"cls" === "p", $"n").otherwise(0L)).as("cp"),
+      sum(when($"cls" === "n", $"n").otherwise(0L)).as("cn"))
+    val tot = model.agg(sum($"cp").as("np"), sum($"cn").as("nn"),
+      count(lit(1)).as("v"))
+    val llr = round(
+      log((col("cp") + 1).cast("double") /
+          (col("np") + col("v")).cast("double")) -
+        log((col("cn") + 1).cast("double") /
+            (col("nn") + col("v")).cast("double")), 6)
+      .cast("decimal(18,6)")
+    docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .join(model, "tok").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (sum(llr).cast("double") / count(lit(1))).as("avg_llr"))
+      .select($"doc_id", $"n_tokens", $"avg_llr",
+        ($"avg_llr" >= 0.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  // --------------------------------------------------------------- q212
+  /** Co-bucketed zero-exchange fact-fact join — the pay-the-shuffle-once
+    * layout lever ([[graft.sinks.ParquetSink.writeBucketed]]'s contract,
+    * here inside the correctness gate): orders and lineitem land as
+    * catalog tables bucketed 8 ways on the join key, and the
+    * orders⋈lineitem per-order revenue aggregate then plans with ZERO
+    * Exchange nodes — the scan's bucket hash distribution satisfies
+    * both the sort-merge join and the per-orderkey aggregate (grouping
+    * on a superset of the bucket key), asserted in-query on the
+    * executed plan, not just spec'd. The merge hint only rules out a
+    * broadcast at test scale; it adds no shuffle.
+    *
+    * At 100 TB this is THE repeated-fact-join lever: the shuffle both
+    * sides would otherwise pay per query (the dominant cost of any
+    * fact-fact join) is paid once at write time; every later join or
+    * aggregate on the bucket key reads co-located buckets and shuffles
+    * nothing. A plan that silently regresses to an exchange — bucket
+    * counts diverging, a scan falling back to unbucketed, the
+    * aggregate keying off the distribution — fails the in-query
+    * require; an aggregate computed off the bucketed copies that
+    * drifts from the source tables hash-mismatches the oracle (which
+    * reads the originals). */
+  private val q212: Q = (s, dir) => {
+    import s.implicits._
+    val scratch = freshScratch("graft_q212", dir)
+    val tag = java.lang.Integer.toHexString(scratch.hashCode)
+    val ot = s"q212_orders_$tag"
+    val lt = s"q212_lineitem_$tag"
+    Tables(s, dir, "orders").write.mode("overwrite").format("parquet")
+      .option("path", s"$scratch/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    Tables(s, dir, "lineitem").write.mode("overwrite").format("parquet")
+      .option("path", s"$scratch/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    val joined = s.table(ot).hint("merge")
+      .join(s.table(lt), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("SortMergeJoin"),
+      "expected a sort-merge join over the bucketed scans:\n" +
+        plan.take(2000))
+    require(!plan.contains("Exchange"),
+      "co-bucketed join + bucket-key aggregate must plan ZERO " +
+        "exchanges:\n" + plan.take(2000))
+    joined.orderBy($"o_orderkey")
+  }
+  private val q212Sql =
+    s"""SELECT o_orderkey, o_orderpriority,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderkey, o_orderpriority
+       |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q214_incremental_classifier" -> q214,
+    "q212_bucketed_join" -> q212,
     "q202_write_audit_publish" -> q202,
     "q201_topk_pruned" -> q201,
     "q200_erasure_certificate" -> q200,
@@ -3109,6 +3227,9 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    // the incrementally-folded model must equal retraining the world
+    "q214_incremental_classifier" -> TextOps.q210Sql,
+    "q212_bucketed_join" -> q212Sql,
     "q202_write_audit_publish" -> q202Sql,
     "q201_topk_pruned" -> q201Sql,
     "q200_erasure_certificate" -> q200Sql,

@@ -830,6 +830,81 @@ object TextOps {
       |  (CAST(SUM(logp) AS DOUBLE) / COUNT(*)) >= -3.4 AS keep
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q210
+  /** Naive-Bayes quality classifier — the discriminative upgrade of the
+    * generative LM filters (q75 unigram, q204 bigram): the GPT-3 /
+    * CCNet quality-filter shape (Brown et al. 2020 Appendix A; Wenzek
+    * et al. 2020), where a classifier trained "curated reference vs
+    * everything else" scores the whole corpus and the keep decision is
+    * the class log-odds. The reference slice here is a deterministic
+    * source subset (src0-src3 — the "WebText side"); the model is
+    * add-one-smoothed per-class unigram likelihoods over the shared
+    * vocabulary, and each document scores the mean per-token
+    * log-likelihood-ratio ln P(w|ref) − ln P(w|rest), keep at the
+    * natural equal-prior NB boundary 0. A doc of tokens that skew
+    * toward the curated slice's vocabulary keeps; q75/q204 cannot
+    * express this — they score fluency against ONE corpus-wide model,
+    * not closeness to a curated distribution.
+    *
+    * Determinism: per-token LLRs round to 6 dp and sum in
+    * DECIMAL(18,6) (q75's order-free recipe), so the score is
+    * engine-exact.
+    *
+    * Scale: the model is ONE vocabulary-sized conditional aggregate
+    * (both class counts in one pass — the corpus is scanned once to
+    * train); totals are a second aggregate over the vocab frame, not
+    * the corpus; scoring joins the token stream against the vocab
+    * frame (broadcast-sized on a bounded vocabulary, plain hash join
+    * on an open one: no hint forced, q204's policy). At 100 TB:
+    * train = one scan + vocab-sized state, score = one scan + one
+    * join — no corpus-sized shuffle beyond the per-doc aggregate. */
+  private val nbRefSrcs = Seq("src0", "src1", "src2", "src3")
+  private val q210: Q = (s, dir) => {
+    import s.implicits._
+    val tokStream = docs(s, dir)
+      .select($"doc_id", $"source", explode(toks).as("tok"))
+    val model = tokStream.groupBy($"tok").agg(
+      sum(when($"source".isin(nbRefSrcs: _*), 1L).otherwise(0L)).as("cp"),
+      sum(when($"source".isin(nbRefSrcs: _*), 0L).otherwise(1L)).as("cn"))
+    val tot = model.agg(sum($"cp").as("np"), sum($"cn").as("nn"),
+      count(lit(1)).as("v"))
+    val llr = round(
+      log(($"cp" + 1).cast("double") / ($"np" + $"v").cast("double")) -
+        log(($"cn" + 1).cast("double") / ($"nn" + $"v").cast("double")), 6)
+      .cast("decimal(18,6)")
+    tokStream.join(model, "tok").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (sum(llr).cast("double") / count(lit(1))).as("avg_llr"))
+      .select($"doc_id", $"n_tokens", $"avg_llr",
+        ($"avg_llr" >= 0.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val nbRefSqlIn = nbRefSrcs.map(s => s"'$s'").mkString(", ")
+  /** shared with q214 (SinkOps): the incrementally-maintained model must
+    * score identically to this full retrain. */
+  private[operators] val q210Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |model AS (
+       |  SELECT tok,
+       |    SUM(CASE WHEN source IN ($nbRefSqlIn) THEN 1 ELSE 0 END) AS cp,
+       |    SUM(CASE WHEN source IN ($nbRefSqlIn) THEN 0 ELSE 1 END) AS cn
+       |  FROM toks GROUP BY tok),
+       |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v
+       |  FROM model),
+       |lp AS (
+       |  SELECT doc_id,
+       |    CAST(ROUND(ln(CAST(cp + 1 AS DOUBLE) / (np + v))
+       |             - ln(CAST(cn + 1 AS DOUBLE) / (nn + v)), 6)
+       |      AS DECIMAL(18,6)) AS llr
+       |  FROM toks JOIN model USING (tok) CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(llr) AS DOUBLE) / COUNT(*) AS avg_llr,
+       |  (CAST(SUM(llr) AS DOUBLE) / COUNT(*)) >= 0.0 AS keep
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q207
   /** Persisted inverted-index lookup through the gate ([[TextIndex]]):
     * the corpus's postings land as a ManifestSink table with one entry
@@ -894,6 +969,7 @@ object TextOps {
       |FROM hits ORDER BY term""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q210_nb_quality" -> q210,
     "q207_inverted_index" -> q207,
     "q204_bigram_lm" -> q204,
     "q197_jsonl_ingest" -> q197,
@@ -914,6 +990,7 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q210_nb_quality" -> q210Sql,
     "q207_inverted_index" -> q207Sql,
     "q204_bigram_lm" -> q204Sql,
     "q197_jsonl_ingest" -> q197Sql,

@@ -1758,7 +1758,96 @@ object TrainingOps {
        |FROM d GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q211
+  /** DSIR data selection — importance resampling with hashed n-gram
+    * features (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): estimate a TARGET feature distribution
+    * p̂ (here: the `lang = 'en'` slice standing in for the curated
+    * target domain) and a RAW distribution q̂ (the whole corpus), both
+    * as add-one-smoothed histograms over B = 4096 hashed-bigram
+    * buckets, and weight every document by its log importance ratio
+    * Σ_f ln(p̂(f)/q̂(f)) over its feature occurrences. Documents whose
+    * feature mass looks like the target keep (mean ratio ≥ 0, the
+    * equal-prior boundary); the paper's Gumbel-noise sampling step is
+    * replaced by the deterministic ratio rank — the noiseless variant
+    * every later stage can reproduce bit-exact (at the 100 TB deploy
+    * the keep cut calibrates via q183's weighted quantiles instead of
+    * a literal). Differs from q210 (NB over raw unigrams) exactly the
+    * way the paper differs from the GPT-3 filter: fixed-width HASHED
+    * bigram features — model state is B buckets regardless of
+    * vocabulary, the property that lets the estimator run at any
+    * corpus size with KB-scale state.
+    *
+    * Determinism: features are portable 48-bit sha-derived hashes mod
+    * B ([[PortableHash]]); per-feature log-ratios round to 6 dp and
+    * sum in DECIMAL(18,6) (q75's order-free recipe).
+    *
+    * Scale: bigram construction is q204's shuffle-free projection off
+    * the hoisted token array; BOTH class histograms come from ONE
+    * B-bounded conditional aggregate (target count + raw count per
+    * bucket in a single pass); scoring joins the feature stream
+    * against the ≤B-row model frame (AQE broadcasts it) and folds one
+    * per-doc aggregate — train + score = two corpus scans, state = B
+    * rows, no corpus-sized shuffle beyond the per-doc fold. */
+  private val q211: Q = (s, dir) => {
+    import s.implicits._
+    val B = 4096L
+    val feats = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> concat_ws(' ', tk[i-1], tk[i]))")).as("bg"))
+      .select($"doc_id", $"lang",
+        (PortableHash.tokenHash($"bg") % lit(B)).as("f"))
+    val model = feats.groupBy($"f").agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = model.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val lr = round(
+      log(($"ct" + 1).cast("double") / ($"nt" + lit(B)).cast("double")) -
+        log(($"cr" + 1).cast("double") / ($"nr" + lit(B)).cast("double")), 6)
+      .cast("decimal(18,6)")
+    feats.join(model, "f").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum(lr).cast("double").as("logw"),
+        (sum(lr).cast("double") / count(lit(1))).as("avg_logw"))
+      .select($"doc_id", $"n_feats", $"logw", $"avg_logw",
+        ($"avg_logw" >= 0.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val q211Sql = {
+    val fh = s"(${PortableHash.tokenHashSql("bg")} % 4096)"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |  FROM t),
+       |fs AS (SELECT doc_id, lang, $fh AS f FROM bi),
+       |model AS (
+       |  SELECT f,
+       |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+       |    COUNT(*) AS cr
+       |  FROM fs GROUP BY f),
+       |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model),
+       |lp AS (
+       |  SELECT doc_id,
+       |    CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / (nt + 4096))
+       |             - ln(CAST(cr + 1 AS DOUBLE) / (nr + 4096)), 6)
+       |      AS DECIMAL(18,6)) AS lr
+       |  FROM fs JOIN model USING (f) CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |  CAST(SUM(lr) AS DOUBLE) AS logw,
+       |  CAST(SUM(lr) AS DOUBLE) / COUNT(*) AS avg_logw,
+       |  (CAST(SUM(lr) AS DOUBLE) / COUNT(*)) >= 0.0 AS keep
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q211_dsir_selection" -> q211,
     "q209_temperature_mixture" -> q209,
     "q208_indexed_bm25" -> q208,
     "q195_hybrid_rrf" -> q195,
@@ -1787,6 +1876,7 @@ object TrainingOps {
   val oracleSql: Map[String, String] = Map(
     // the indexed path must equal the full-corpus formulation exactly
     "q208_indexed_bm25" -> q86Sql,
+    "q211_dsir_selection" -> q211Sql,
     "q209_temperature_mixture" -> q209Sql,
     "q195_hybrid_rrf" -> q195Sql,
     "q192_balanced_sample" -> q192Sql,

@@ -1473,7 +1473,89 @@ object VectorOps {
        |ORDER BY query_id, step""".stripMargin
   }
 
+  // --------------------------------------------------------------- q213
+  /** Semi-hard negative mining — the contrastive-training-data op
+    * (FaceNet, Schroff et al. 2015 §3.2; the pair generator behind
+    * SBERT/DPR-style embedding finetunes): for each anchor in the
+    * training batch, the positive is its same-label nearest neighbor,
+    * and the mined negatives are the top-3 OTHER-label vectors closest
+    * to the anchor while still easier than the positive
+    * (dot < pos_dot) — the "semi-hard" band that trains stable metric
+    * embeddings where hardest-negative mining collapses and random
+    * negatives teach nothing.
+    *
+    * Scale: the anchor batch is broadcast (training batches are
+    * KB-scale); positives cost one corpus scan restricted to anchor
+    * labels; negatives cost one corpus scan with a per-anchor rank
+    * window that compiles to WindowGroupLimit — each map task forwards
+    * ≤ 3 rows per anchor it sees, so the exchange carries
+    * O(anchors · k · tasks), never the corpus (q192's bound). The
+    * semi-hard cut joins the anchors-sized positive frame back in as a
+    * broadcast. At 100 TB the negative arm swaps for the IVF
+    * posting-list shortlist (q120) with the same downstream shape.
+    *
+    * Determinism: both arms score with the sequential-dot kernel both
+    * engines share; ranks tie-break on vec_id. */
+  private val q213: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val anchors = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("anchor_id"), $"label".as("a_label"),
+        $"embedding".as("av"))
+    val wPos = Window.partitionBy($"anchor_id")
+      .orderBy($"d".desc, $"vec_id".asc)
+    val pos = e.join(broadcast(anchors),
+        $"label" === $"a_label" && $"vec_id" =!= $"anchor_id")
+      .select($"anchor_id", $"a_label", $"av", $"vec_id",
+        dot($"av", $"embedding").as("d"))
+      .withColumn("rn", row_number().over(wPos)).filter($"rn" === 1)
+      .select($"anchor_id", $"a_label", $"av",
+        $"vec_id".as("pos_id"), $"d".as("pos_dot"))
+    val wNeg = Window.partitionBy($"anchor_id")
+      .orderBy($"neg_dot".desc, $"neg_id".asc)
+    e.join(broadcast(pos), $"label" =!= $"a_label")
+      .select($"anchor_id", $"a_label".as("label"), $"pos_id",
+        $"pos_dot", $"vec_id".as("neg_id"),
+        dot($"av", $"embedding").as("neg_dot"))
+      .filter($"neg_dot" < $"pos_dot")
+      .withColumn("neg_rank", row_number().over(wNeg).cast("long"))
+      .filter($"neg_rank" <= 3)
+      .select($"anchor_id", $"label", $"pos_id", $"pos_dot",
+        $"neg_rank", $"neg_id", $"neg_dot")
+      .orderBy($"anchor_id", $"neg_rank")
+  }
+  private val q213Sql = {
+    val dPos = dotSql("a.av", "e.embedding")
+    val dNeg = dotSql("p.av", "e.embedding")
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS av
+       |  FROM embeddings WHERE vec_id < 50),
+       |pos AS (
+       |  SELECT anchor_id, a_label, av, pos_id, pos_dot FROM (
+       |    SELECT a.anchor_id, a.a_label, a.av, e.vec_id AS pos_id,
+       |      $dPos AS pos_dot,
+       |      ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+       |        ORDER BY $dPos DESC, e.vec_id ASC) AS rn
+       |    FROM embeddings e JOIN anchors a
+       |      ON e.label = a.a_label AND e.vec_id <> a.anchor_id)
+       |  WHERE rn = 1),
+       |neg AS (
+       |  SELECT p.anchor_id, p.a_label AS label, p.pos_id, p.pos_dot,
+       |    e.vec_id AS neg_id, $dNeg AS neg_dot
+       |  FROM embeddings e JOIN pos p ON e.label <> p.a_label),
+       |ranked AS (
+       |  SELECT anchor_id, label, pos_id, pos_dot, neg_id, neg_dot,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY neg_dot DESC, neg_id ASC) AS neg_rank
+       |  FROM neg WHERE neg_dot < pos_dot)
+       |SELECT anchor_id, label, pos_id, pos_dot,
+       |  CAST(neg_rank AS BIGINT) AS neg_rank, neg_id, neg_dot
+       |FROM ranked WHERE neg_rank <= 3
+       |ORDER BY anchor_id, neg_rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_hard_negatives" -> q213,
     "q206_mmr_retrieval" -> q206,
     "q205_embedding_drift" -> q205,
     "q40_embedding_norms" -> q40,
@@ -1498,6 +1580,7 @@ object VectorOps {
     "q152_semantic_decontamination" -> q152)
 
   val oracleSql: Map[String, String] = Map(
+    "q213_hard_negatives" -> q213Sql,
     "q206_mmr_retrieval" -> q206Sql,
     "q205_embedding_drift" -> q205Sql,
     "q40_embedding_norms" -> q40Sql,
