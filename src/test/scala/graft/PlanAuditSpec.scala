@@ -43,7 +43,11 @@ class PlanAuditSpec extends SparkSpec {
       "q195_hybrid_rrf",           // 1-row corpus stats + 1-row query vec
       "q204_bigram_lm",            // crossJoin(broadcast(1-row vocab size))
       "q206_mmr_retrieval",        // broadcast(10 query vectors) ⋈ ≠
-      "q208_indexed_bm25")         // crossJoin(broadcast(1-row corpus stats))
+      "q208_indexed_bm25",         // crossJoin(broadcast(1-row corpus stats))
+      "q210_nb_quality",           // crossJoin(broadcast(1-row class totals))
+      "q211_dsir_selection",       // crossJoin(broadcast(1-row histogram totals))
+      "q213_hard_negatives",       // broadcast(50 anchors) ⋈ ≠ label
+      "q214_incremental_classifier") // q210's 1-row totals over the view state
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
