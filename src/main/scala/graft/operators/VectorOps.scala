@@ -1554,7 +1554,78 @@ object VectorOps {
        |ORDER BY anchor_id, neg_rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q215
+  /** Cluster-balanced sampling — q209's temperature flattening keyed by
+    * LEARNED structure instead of source metadata: assign every vector
+    * to its IVF cell (q58's frozen-sample centroids), derive per-CELL
+    * keep rates ∝ 1/√c_cell normalized so the smallest cell keeps
+    * everything, and admit by the portable integer hash. This is the
+    * semantic-diversity sampler (the cluster-and-balance step in
+    * SemDeDup-style curation, Abbas et al. 2023 §5; DoReMi's domain
+    * reweighting with clusters standing in for domains): a corpus
+    * whose embedding mass collapses into a few dense topics is
+    * flattened toward topic-uniform, which source labels cannot
+    * express when one source spans many topics.
+    *
+    * Scale: cell assignment is map-side against broadcast centroids
+    * (q58's shape); rates are a cells-sized aggregate + 1-row min
+    * probe; the keep decision is a broadcast join + row-local integer
+    * hash — no shuffle touches corpus rows beyond the per-cell
+    * aggregate (q209's exact cost envelope, with the cell id replacing
+    * the source column). */
+  private val q215: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cells = assignCells(e, sampleCents(e)).select($"vec_id", $"cell")
+    val counts = cells.groupBy($"cell").agg(count(lit(1)).as("c"))
+    val minC = counts.agg(min($"c")).head().getLong(0)
+    val rates = counts.select($"cell", $"c",
+      least(lit(10000L),
+        floor(lit(10000.0) * sqrt(lit(minC.toDouble))
+          / sqrt($"c".cast("double"))).cast("long")).as("rate_bp"))
+    cells.join(broadcast(rates), "cell")
+      .select($"cell", $"c", $"rate_bp",
+        (graft.functions.PortableHash.tokenHashP($"vec_id")
+          % lit(10000L) < $"rate_bp").as("kept"))
+      .groupBy($"cell")
+      .agg(max($"c").cast("long").as("n_vecs"),
+        max($"rate_bp").as("rate_bp"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"cell")
+  }
+  private val q215Sql = {
+    val dAsg = dotSql("e.embedding", "cents.cv")
+    val hp = graft.functions.PortableHash.tokenHashPSql("cells.vec_id")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $nCells),
+       |cells AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dAsg DESC, cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents)
+       |  WHERE rn = 1),
+       |c AS (SELECT cell, COUNT(*) AS c FROM cells GROUP BY cell),
+       |m AS (SELECT MIN(c) AS mc FROM c),
+       |r AS (
+       |  SELECT cell, c,
+       |    LEAST(10000, CAST(FLOOR(10000.0 * sqrt(CAST(mc AS DOUBLE))
+       |      / sqrt(CAST(c AS DOUBLE))) AS BIGINT)) AS rate_bp
+       |  FROM c CROSS JOIN m),
+       |d AS (
+       |  SELECT cells.cell, r.c, r.rate_bp,
+       |    ($hp % 10000) < r.rate_bp AS kept
+       |  FROM cells JOIN r USING (cell))
+       |SELECT cell, CAST(MAX(c) AS BIGINT) AS n_vecs,
+       |  MAX(rate_bp) AS rate_bp,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM d GROUP BY cell
+       |ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q215_cluster_balanced" -> q215,
     "q213_hard_negatives" -> q213,
     "q206_mmr_retrieval" -> q206,
     "q205_embedding_drift" -> q205,
@@ -1580,6 +1651,7 @@ object VectorOps {
     "q152_semantic_decontamination" -> q152)
 
   val oracleSql: Map[String, String] = Map(
+    "q215_cluster_balanced" -> q215Sql,
     "q213_hard_negatives" -> q213Sql,
     "q206_mmr_retrieval" -> q206Sql,
     "q205_embedding_drift" -> q205Sql,

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
       "q210_nb_quality",           // crossJoin(broadcast(1-row class totals))
       "q211_dsir_selection",       // crossJoin(broadcast(1-row histogram totals))
       "q213_hard_negatives",       // broadcast(50 anchors) ⋈ ≠ label
-      "q214_incremental_classifier") // q210's 1-row totals over the view state
+      "q214_incremental_classifier", // q210's 1-row totals over the view state
+      "q215_cluster_balanced")     // crossJoin(broadcast(16 centroids))
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
