@@ -3100,24 +3100,8 @@ object SinkOps {
     val (_, folded) = AggMatView.refresh(s, view, base, Seq("tok", "cls"), "w")
     require(folded,
       "append-only window must FOLD into the model, not retrain")
-    val model = ManifestSink.read(s, view).groupBy($"tok").agg(
-      sum(when($"cls" === "p", $"n").otherwise(0L)).as("cp"),
-      sum(when($"cls" === "n", $"n").otherwise(0L)).as("cn"))
-    val tot = model.agg(sum($"cp").as("np"), sum($"cn").as("nn"),
-      count(lit(1)).as("v"))
-    val llr = round(
-      log((col("cp") + 1).cast("double") /
-          (col("np") + col("v")).cast("double")) -
-        log((col("cn") + 1).cast("double") /
-            (col("nn") + col("v")).cast("double")), 6)
-      .cast("decimal(18,6)")
-    docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .join(model, "tok").crossJoin(broadcast(tot))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        (sum(llr).cast("double") / count(lit(1))).as("avg_llr"))
-      .select($"doc_id", $"n_tokens", $"avg_llr",
-        ($"avg_llr" >= 0.0).as("keep"))
+    NbQuality.score(docs,
+        NbQuality.modelFromState(ManifestSink.read(s, view)))
       .orderBy($"doc_id")
   }
 

@@ -866,19 +866,7 @@ object TextOps {
     val model = tokStream.groupBy($"tok").agg(
       sum(when($"source".isin(nbRefSrcs: _*), 1L).otherwise(0L)).as("cp"),
       sum(when($"source".isin(nbRefSrcs: _*), 0L).otherwise(1L)).as("cn"))
-    val tot = model.agg(sum($"cp").as("np"), sum($"cn").as("nn"),
-      count(lit(1)).as("v"))
-    val llr = round(
-      log(($"cp" + 1).cast("double") / ($"np" + $"v").cast("double")) -
-        log(($"cn" + 1).cast("double") / ($"nn" + $"v").cast("double")), 6)
-      .cast("decimal(18,6)")
-    tokStream.join(model, "tok").crossJoin(broadcast(tot))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        (sum(llr).cast("double") / count(lit(1))).as("avg_llr"))
-      .select($"doc_id", $"n_tokens", $"avg_llr",
-        ($"avg_llr" >= 0.0).as("keep"))
-      .orderBy($"doc_id")
+    NbQuality.score(docs(s, dir), model).orderBy($"doc_id")
   }
   private val nbRefSqlIn = nbRefSrcs.map(s => s"'$s'").mkString(", ")
   /** shared with q214 (SinkOps): the incrementally-maintained model must
