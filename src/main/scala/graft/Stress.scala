@@ -121,7 +121,9 @@ object Stress {
     "q139_skew_report",       // must DIAGNOSE the skew it reads
     "q82_semdedup",           // degenerate half-corpus cell
     "q44_embedding_near_dup",
-    "q167_substring_coverage")// sliding-window explode on giant docs
+    "q167_substring_coverage",// sliding-window explode on giant docs
+    "q211_dsir_selection",    // hashed-bigram histograms on giant docs
+    "q215_cluster_balanced")  // flattening the degenerate half-corpus cell
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-stress")

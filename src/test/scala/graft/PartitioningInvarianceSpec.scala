@@ -46,6 +46,12 @@ class PartitioningInvarianceSpec extends SparkSpec {
   //   q192 per-class hash-rank top-k through WindowGroupLimit (the
   //        map-side group limit must elect the same k rows whatever
   //        partial limits each task computed)
+  //   q211 model-frame scoring (two-class hashed-feature histograms →
+  //        6-dp-rounded DECIMAL LLR sums — the class counts, totals,
+  //        and per-doc folds must all be partition-order-free)
+  //   q215 learned-structure sampling (centroid-assignment rank windows
+  //        feeding a cells-sized rate frame + hash admission — the cell
+  //        assignment and the 1-row min probe must not see partitioning)
   private val representatives = Seq(
     "q01_pricing_summary", "q16_exact_stats", "q55_tfidf_top_terms",
     "q78_sampled_quantiles", "q81_curation_pipeline", "q94_ann_pq",
@@ -54,7 +60,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     "q132_mor_delete", "q143_exact_prefix_join",
     "q151_containment_join", "q155_concurrency_curve",
     "q158_simhash_multiprobe", "q161_gif_video_near_dup",
-    "q189_balanced_layout", "q192_balanced_sample")
+    "q189_balanced_layout", "q192_balanced_sample",
+    "q211_dsir_selection", "q215_cluster_balanced")
 
   test("results are bit-identical across shuffle-partition counts") {
     val key = "spark.sql.shuffle.partitions"
