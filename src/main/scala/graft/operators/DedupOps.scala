@@ -420,8 +420,12 @@ object DedupOps {
     * expression: same token hash, same affine permutations, same band
     * fold, same candidate join, same exact-Jaccard verification
     * (list_intersect == bitmask kernel on distinct sets). */
-  private def lshPipelineSql(tokensExpr: String, numHashes: Int, bands: Int,
-      threshold: Double, sourceSql: String = "documents"): String = {
+  /** The toks→hash→signature→bands→candidates CTE prefix of the LSH
+    * mirror, shared by [[lshPipelineSql]] (which appends the exact
+    * verification tail) and q216's recall panel (which counts the
+    * `cand` stage as the pipeline's cost axis). */
+  private def lshCandCtes(tokensExpr: String, numHashes: Int, bands: Int,
+      sourceSql: String): String = {
     val rpb = numHashes / bands
     val sigCols = (0 until numHashes)
       .map(i => s"    min(${permSql(i, "h")}) AS h${i}")
@@ -430,7 +434,7 @@ object DedupOps {
       val parts = (b * rpb until (b + 1) * rpb).map(i => s"h$i")
       s"  SELECT doc_id, $b AS bidx, ${foldSql(b.toLong, parts)} AS bhash FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest($tokensExpr) AS tok
        |  FROM $sourceSql),
        |th AS (SELECT doc_id, ${tokenHashPSql("tok")} AS h FROM toks),
@@ -443,7 +447,12 @@ object DedupOps {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bnd a JOIN bnd b
-       |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |    ON a.bidx = b.bidx AND a.bhash = b.bhash AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def lshPipelineSql(tokensExpr: String, numHashes: Int, bands: Int,
+      threshold: Double, sourceSql: String = "documents"): String = {
+    s"""WITH ${lshCandCtes(tokensExpr, numHashes, bands, sourceSql)},
        |sets AS (
        |  SELECT doc_id, $tokensExpr AS s
        |  FROM $sourceSql)
@@ -1918,7 +1927,141 @@ object DedupOps {
       |HAVING COUNT(*) >= 2
       |ORDER BY cluster_id""".stripMargin
 
+  // --------------------------------------------------------------- q216
+  /** Near-dup recall panel — the "no unmeasured index ships" discipline
+    * (q77/q121's ANN panel) applied to the TEXT dedup family: for each
+    * banding config of the 16-hash MinHash pipeline, measure the
+    * verified-pair recall against exact ground truth and report the
+    * candidate count (the pipeline's cost axis) beside it. LSH
+    * verification keeps only true pairs, so recall = |verified| /
+    * |truth| directly; candidates quantify what recall costs — the
+    * banding knob every deployment turns (more bands → higher recall,
+    * quadratically more candidates) chosen from a MEASUREMENT, not the
+    * S-curve formula alone.
+    *
+    * Ground truth is exact corpus-wide Jaccard ≥ τ computed COUNTS-ONLY
+    * over the distinct-set mask collapse: group sizes multiply
+    * (|A|·|B| per qualifying distinct-set pair, C(m,2) within identical
+    * sets), so no doc-level pair list ever materializes. The
+    * fixed-width bitmap tier needs the bounded-vocab fixture (the q38
+    * contract); at an open-vocab 100 TB scale the truth tier runs on a
+    * SAMPLE — the panel is a measurement, not a production query, and
+    * its candidate stage still routes through the capped
+    * [[bandSelfJoin]] so a hot bucket cannot straggle the measurement
+    * itself. Configs are rows-per-band ∈ {8, 4, 2}; the degenerate
+    * 1-row-per-band config is omitted — on a dup-dense corpus it
+    * admits nearly every pair (measured: its candidate count at
+    * sf0.001 approaches the full pair space for ~1% more recall than
+    * 2-rows-per-band). */
+  private val panelBands = Seq(2, 4, 8)
+
+  /** The panel computation — COUNTS-ONLY over the distinct-set collapse:
+    * group multiplicities multiply (|A|·|B| per qualifying set pair,
+    * C(m, 2) within identical sets — identical sets co-band trivially and
+    * verify at J = 1), so no doc-level pair list ever materializes and
+    * the signature pass runs ONCE for all configs. */
+  private def buildNearDupPanel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TokenBitmask
+    val tau = 0.9
+    val sets = Tables(s, dir, "documents")
+      .select($"doc_id", array_sort(tokenSet($"text")).as("__set"))
+      .filter(size($"__set") > 0)
+      .groupBy($"__set")
+      .agg(count(lit(1)).as("m"), min($"doc_id").as("__gid"))
+      .persist()
+    val exploded = sets.select($"__gid", explode($"__set").as("__tok"))
+    val vocab = exploded.select($"__tok").distinct()
+    require(vocab.count() <= TokenBitmask.MaxVocab,
+      "recall panel's exact-truth tier needs the bounded-vocab fixture")
+    val gm = sets.select($"__gid", $"m")
+      .join(TokenBitmask.masks(exploded, TokenBitmask.dictionary(vocab),
+        Seq("__gid")), "__gid")
+      .persist()
+    val intraT = gm
+      .agg(coalesce(sum($"m" * ($"m" - 1)), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+    val aT = gm.select($"__mask".as("__ma"), $"m".as("__na"))
+    val bT = gm.select($"__mask".as("__mb"), $"m".as("__nb"))
+    val interT = TokenBitmask.intersectCount($"__ma", $"__mb").cast("double")
+    val uniT = TokenBitmask.unionCount($"__ma", $"__mb").cast("double")
+    val crossT = aT.join(bT, $"__ma" < $"__mb")
+      .filter(interT / uniT >= tau)
+      .agg(coalesce(sum($"__na" * $"__nb"), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val nTruth = crossT + intraT
+    val sig = minhashSignatures(sets.select($"__gid", $"__set"),
+      "__gid", "__set", 16).persist()
+    val rows = panelBands.map { bnds =>
+      val banded = sig.select($"__gid",
+        posexplode(array(bandHashCols(bnds, 16 / bnds): _*))
+          .as(Seq("__bidx", "__bhash")))
+      val pairs = bandSelfJoin(banded, "__gid", Nil, DefaultMaxBucket)
+        .select($"__ga", $"__gb").distinct()
+        .join(gm.select($"__gid".as("__ga"), $"m".as("__na"),
+          $"__mask".as("__ma")), "__ga")
+        .join(gm.select($"__gid".as("__gb"), $"m".as("__nb"),
+          $"__mask".as("__mb")), "__gb")
+        .persist()
+      val nCand = pairs
+        .agg(coalesce(sum($"__na" * $"__nb"), lit(0L)).cast("long"))
+        .head().getLong(0) + intraT
+      val interV =
+        TokenBitmask.intersectCount($"__ma", $"__mb").cast("double")
+      val uniV = TokenBitmask.unionCount($"__ma", $"__mb").cast("double")
+      val nVer = pairs.filter(interV / uniV >= tau)
+        .agg(coalesce(sum($"__na" * $"__nb"), lit(0L)).cast("long"))
+        .head().getLong(0) + intraT
+      pairs.unpersist()
+      val recallBp = if (nTruth == 0) 10000L
+        else math.floor(10000.0 * nVer / nTruth).toLong
+      (bnds, 16 / bnds, nTruth, nCand, nVer, recallBp)
+    }
+    sig.unpersist(); gm.unpersist(); sets.unpersist()
+    rows.toDF("bands", "rows_per_band", "n_truth", "n_candidates",
+      "n_verified", "recall_bp")
+  }
+
+  private val q216: Q = (s, dir) => {
+    // stored measurement (q121's discipline): the panel persists as a
+    // fingerprint-stamped artifact, rebuilt exactly when the documents
+    // corpus changes — a decision query re-reads 3 parquet rows instead
+    // of re-measuring the family
+    val fp = VectorIndex.corpusFingerprint(s, s"$dir/documents.parquet")
+    VectorIndex.loadOrBuild(s,
+      s"${VectorIndex.indexRoot(dir)}/neardup_recall_panel", fp)(
+      buildNearDupPanel(s, dir)).orderBy(col("bands"))
+  }
+  private val q216Sql = {
+    val tokensExpr = "list_distinct(string_split(text, ' '))"
+    val jac = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)"
+    val truthQ =
+      s"""(WITH sets AS (
+         |  SELECT doc_id, list_sort($tokensExpr) AS s FROM documents),
+         |grp AS (SELECT s, COUNT(*) AS m FROM sets GROUP BY s),
+         |c AS (
+         |  SELECT COALESCE(SUM(a.m * b.m), 0) AS t
+         |  FROM grp a JOIN grp b ON a.s < b.s WHERE $jac >= 0.9),
+         |i AS (SELECT COALESCE(SUM(CAST(m * (m - 1) / 2 AS BIGINT)), 0)
+         |  AS t FROM grp)
+         |SELECT CAST(c.t + i.t AS BIGINT) FROM c, i)""".stripMargin
+    def block(b: Int) = {
+      val verQ =
+        s"(SELECT COUNT(*) FROM (${lshPipelineSql(tokensExpr, 16, b, 0.9)}))"
+      val candQ = s"(SELECT COUNT(*) FROM (WITH ${
+        lshCandCtes(tokensExpr, 16, b, "documents")} SELECT * FROM cand))"
+      s"""SELECT $b AS bands, ${16 / b} AS rows_per_band,
+         |  $truthQ AS n_truth, $candQ AS n_candidates, $verQ AS n_verified,
+         |  CASE WHEN $truthQ = 0 THEN 10000
+         |       ELSE CAST(FLOOR(10000.0 * $verQ / $truthQ) AS BIGINT)
+         |  END AS recall_bp""".stripMargin
+    }
+    panelBands.map(block).mkString("\nUNION ALL\n") + "\nORDER BY bands"
+  }
+
   val queries: Map[String, Q] = Map(
+    "q216_neardup_recall" -> q216,
     "q114_entity_clusters" -> q114,
     "q109_fuzzy_join" -> q109,
     "q36_minhash_near_dup" -> q36,
@@ -1939,6 +2082,7 @@ object DedupOps {
     "q85_incremental_admission" -> q85)
 
   val oracleSql: Map[String, String] = Map(
+    "q216_neardup_recall" -> q216Sql,
     "q114_entity_clusters" -> q114Sql,
     "q109_fuzzy_join" -> q109Sql,
     "q36_minhash_near_dup" -> q36Sql,

@@ -49,6 +49,8 @@ class PlanAuditSpec extends SparkSpec {
       "q213_hard_negatives",       // broadcast(50 anchors) ⋈ ≠ label
       "q214_incremental_classifier", // q210's 1-row totals over the view state
       "q215_cluster_balanced")     // crossJoin(broadcast(16 centroids))
+      // q216's mask-pair ⋈ < runs inside its stored-artifact BUILD; the
+      // registered query's plan is the 3-row panel read — not listed
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = plan(q)
       if (p.contains("CartesianProduct") ||
