@@ -3062,6 +3062,97 @@ object SinkOps {
        |  FROM pois
        |) ORDER BY section, grp""".stripMargin
 
+  // --------------------------------------------------------------- q217
+  /** Maintenance-plan lifecycle through the gate — the decision pass a
+    * streaming deployment's OPTIMIZE loop runs, then its execution,
+    * then the proof it converged: a table accumulates streaming dribble
+    * (three sub-threshold appends + the bulk batch) and MoR upsert debt
+    * (two tombstone commits); [[ManifestSink.maintenancePlan]] — ONE
+    * manifest read, zero data I/O — must flag both debts with their
+    * exact recorded metrics; executing the flagged actions
+    * ([[ManifestSink.compactSmall]], then [[ManifestSink.compact]])
+    * must leave a re-plan with nothing to do; and the `content` rows
+    * (row count + an upsert-sensitive checksum, identical before and
+    * after) pin that maintenance changed LAYOUT, never data — a compact
+    * that drops a row, resurrects a tombstoned key, or loses an upsert
+    * hash-mismatches.
+    *
+    * At 100 TB the plan is the point: "what would maintenance cost"
+    * answers from per-entry metadata the commits already recorded,
+    * before any data is touched; the dribble rewrite then reads only
+    * the dribble (q174), and only the tombstone purge pays the table. */
+  private val q217: Q = (s, dir) => {
+    import s.implicits._
+    val t = freshScratch("graft_q217", dir) + "/t"
+    val ev = Tables(s, dir, "events")
+    ManifestSink.append(ev.filter($"event_id" < 40), t)
+    ManifestSink.append(ev.filter($"event_id" >= 40 && $"event_id" < 90), t)
+    ManifestSink.append(ev.filter($"event_id" >= 90 && $"event_id" < 150), t)
+    ManifestSink.append(ev.filter($"event_id" >= 150), t)
+    def upsert(lo: Long, hi: Long): Unit = ManifestSink.mergeOnRead(
+      ev.filter($"event_id" >= lo && $"event_id" < hi)
+        .withColumn("user_id", -$"user_id"),
+      t, Seq("event_id"))
+    upsert(200L, 220L)
+    upsert(220L, 260L)
+    def phaseRows(phase: String): Seq[(String, String, Boolean, Long, Long)] = {
+      val plan = ManifestSink.maintenancePlan(s, t, 500L, 2)
+        .map { case (a, f, n, r) => (phase, a, f, n, r) }
+      val c = ManifestSink.read(s, t)
+        .agg(count(lit(1)).cast("long"),
+          sum($"user_id").cast("long")).head()
+      plan :+ (phase, "content", false, c.getLong(0), c.getLong(1))
+    }
+    val before = phaseRows("before")
+    ManifestSink.compactSmall(s, t, 500L)
+    ManifestSink.compact(s, t)
+    (before ++ phaseRows("after"))
+      .toDF("phase", "action", "fired", "n_targets", "rows_affected")
+      .orderBy($"phase", $"action")
+  }
+  private val q217Sql = {
+    // slice row counts (and the upsert-flipped user_id checksum) derive
+    // from the same id-range arithmetic the gate used
+    def cnt(p: String) = s"(SELECT COUNT(*) FROM events WHERE $p)"
+    val slices = Seq("event_id < 40", "event_id >= 40 AND event_id < 90",
+      "event_id >= 90 AND event_id < 150", "event_id >= 150",
+      "event_id >= 200 AND event_id < 220",
+      "event_id >= 220 AND event_id < 260")
+    // after the upserts the live table = all events with user_id negated
+    // on [200, 260); small entries = the four slices + two upsert
+    // batches, counted small when their recorded rows < 500
+    val smallTerms = (slices.take(3) ++ slices.drop(4)).map(cnt)
+    val nSmall = smallTerms.map(c => s"(CASE WHEN $c < 500 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bigSmall = s"(CASE WHEN ${cnt(slices(3))} < 500 THEN 1 ELSE 0 END)"
+    val rowsSmall = smallTerms.map(c => s"(CASE WHEN $c < 500 THEN $c ELSE 0 END)")
+      .mkString(" + ")
+    val bigRows = s"(CASE WHEN ${cnt(slices(3))} < 500 THEN ${cnt(slices(3))} ELSE 0 END)"
+    val n = "(SELECT COUNT(*) FROM events)"
+    val checksum = "(SELECT SUM(CASE WHEN event_id >= 200 AND event_id < 260" +
+      " THEN -user_id ELSE user_id END) FROM events)"
+    s"""SELECT * FROM (
+       |SELECT 'before' AS phase, 'compact_small' AS action,
+       |  ($nSmall + $bigSmall) >= 2 AS fired,
+       |  CAST($nSmall + $bigSmall AS BIGINT) AS n_targets,
+       |  CAST($rowsSmall + $bigRows AS BIGINT) AS rows_affected
+       |UNION ALL
+       |SELECT 'before', 'purge_debt', TRUE, 2, 0
+       |UNION ALL
+       |SELECT 'before', 'content', FALSE, CAST($n AS BIGINT),
+       |  CAST($checksum AS BIGINT)
+       |UNION ALL
+       |SELECT 'after', 'compact_small',
+       |  FALSE, CAST(CASE WHEN $n < 500 THEN 1 ELSE 0 END AS BIGINT),
+       |  CAST(CASE WHEN $n < 500 THEN $n ELSE 0 END AS BIGINT)
+       |UNION ALL
+       |SELECT 'after', 'purge_debt', FALSE, 0, 0
+       |UNION ALL
+       |SELECT 'after', 'content', FALSE, CAST($n AS BIGINT),
+       |  CAST($checksum AS BIGINT))
+       |ORDER BY phase, action""".stripMargin
+  }
+
   // --------------------------------------------------------------- q214
   /** Incremental quality-classifier maintenance — q210's naive-Bayes
     * model AS a managed view: the per-(token, class) count model is
@@ -3163,6 +3254,7 @@ object SinkOps {
        |ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q217_maintenance_plan" -> q217,
     "q214_incremental_classifier" -> q214,
     "q212_bucketed_join" -> q212,
     "q202_write_audit_publish" -> q202,
@@ -3211,6 +3303,7 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    "q217_maintenance_plan" -> q217Sql,
     // the incrementally-folded model must equal retraining the world
     "q214_incremental_classifier" -> TextOps.q210Sql,
     "q212_bucketed_join" -> q212Sql,

@@ -2471,6 +2471,38 @@ object ManifestSink {
     (t.size, d.size)
   }
 
+  /** The table's maintenance PLAN from ONE manifest read — the decision
+    * pass a 100 TB maintenance loop runs before spending any data I/O,
+    * unifying the two debt signals the individual gates watch
+    * ([[compactSmall]]'s sub-threshold entries, [[tombstoneDebt]]'s
+    * read-path tombstones) into ordered (action, fired, n_targets,
+    * rows_affected) verdicts:
+    *
+    *  - `compact_small` fires when ≥ 2 data entries record fewer than
+    *    `minRows` rows (a single small entry has nothing to merge
+    *    with); `rows_affected` = their total recorded rows — the size
+    *    of the rewrite the action would run. Stats-less entries are
+    *    never counted small (unknown is not a merge license —
+    *    [[compactSmall]]'s own rule).
+    *  - `purge_debt` fires at ≥ `maxTombstones` tombstone entries; the
+    *    cure is a [[compact]], whose cost is the table — which is why
+    *    it has a threshold instead of firing on the first tombstone.
+    *
+    * Zero data reads at any table size; metrics come from the per-entry
+    * counts commits already recorded. */
+  def maintenancePlan(spark: SparkSession, dir: String, minRows: Long,
+      maxTombstones: Int): Seq[(String, Boolean, Long, Long)] = {
+    val v = version(spark, dir)
+    require(v >= 0, s"ManifestSink at $dir has no committed version")
+    val (tombs, data) = entries(spark, dir, v).partition(isTombEntry)
+    val smallRows = data.flatMap(
+      _.stats.get(RowsKey).flatMap(_.min.toLongOption)).filter(_ < minRows)
+    Seq(
+      ("compact_small", smallRows.size >= 2, smallRows.size.toLong,
+        smallRows.sum),
+      ("purge_debt", tombs.size >= maxTombstones, tombs.size.toLong, 0L))
+  }
+
   /** Merge-on-read UPSERT — the zero-rewrite twin of [[merge]]: ONE
     * atomic commit appending a key tombstone covering `updates`' keys
     * followed by the update rows as a fresh data entry. The tombstone
