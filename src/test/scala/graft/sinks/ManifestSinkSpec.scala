@@ -1697,4 +1697,34 @@ class ManifestSinkSpec extends SparkSpec {
     ManifestSink.compact(spark, dir, statsCols = Seq("v"))
     assert(ManifestSink.read(spark, dir).count() === 170L)
   }
+
+  test("maintenancePlan: thresholds, the single-small rule, and " +
+      "convergence after executing the flagged actions") {
+    val dir = Files.createTempDirectory("msinkplan").toString + "/t"
+    def plan(minRows: Long, maxTomb: Int) =
+      ManifestSink.maintenancePlan(spark, dir, minRows, maxTomb)
+        .map { case (a, f, n, r) => a -> ((f, n, r)) }.toMap
+    // one small entry: nothing to merge with — never fired
+    ManifestSink.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    assert(plan(10L, 1)("compact_small") === ((false, 1L, 2L)))
+    assert(plan(10L, 1)("purge_debt") === ((false, 0L, 0L)))
+    // a second small entry fires the merge with the exact rewrite size
+    ManifestSink.append(Seq((3L, "c")).toDF("k", "v"), dir)
+    assert(plan(10L, 1)("compact_small") === ((true, 2L, 3L)))
+    // entries at/above the threshold are not targets
+    assert(plan(2L, 1)("compact_small") === ((false, 1L, 1L)))
+    // MoR debt counts tombstone entries against the threshold
+    ManifestSink.mergeOnRead(Seq((2L, "B")).toDF("k", "v"), dir, Seq("k"))
+    assert(plan(10L, 2)("purge_debt") === ((false, 1L, 0L)))
+    assert(plan(10L, 1)("purge_debt") === ((true, 1L, 0L)))
+    // executing the flagged actions converges the plan
+    ManifestSink.compactSmall(spark, dir, 10L)
+    ManifestSink.compact(spark, dir)
+    assert(plan(2L, 1) ===
+      Map("compact_small" -> ((false, 0L, 0L)),
+        "purge_debt" -> ((false, 0L, 0L))))
+    assert(ManifestSink.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
 }
