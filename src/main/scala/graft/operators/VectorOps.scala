@@ -1361,11 +1361,19 @@ object VectorOps {
     * deterministically, so all five rounds are engine-exact.
     *
     * Scale: the corpus is touched exactly once (the top-20 generation —
-    * swappable for any indexed ANN variant, as with q195's arms); every
-    * MMR round runs on queries×20 candidate rows and queries×20×19
-    * pairwise sims — decision-sized whatever the corpus. The shortlist
-    * frames persist across the five unrolled rounds (bench clears
-    * caches; callers embedding this op should unpersist after use). */
+    * swappable for any indexed ANN variant, as with q195's arms); the
+    * five greedy rounds are DRIVER arithmetic over the collected
+    * shortlist (queries×20 rows ≈ KB — q121's decision-sized-collect
+    * discipline). The first cut of this op unrolled the rounds as
+    * dataframe joins: semantically identical, but ~30 stage-heavy tiny
+    * jobs cost a scale-INDEPENDENT ~11-17 s of scheduling/codegen per
+    * run — the greedy loop's state is decision-sized, so the engine has
+    * nothing to parallelize and the driver does the same IEEE ops in
+    * microseconds. Engine-exactness is unchanged: dq comes from the
+    * distributed sequential-dot kernel; the driver's pairwise dots,
+    * λ·dq − 0.3·max fold, and (score desc, cid asc) tie-break replicate
+    * the Catalyst expressions op-for-op (same doubles, proven by the
+    * unchanged DuckDB oracle). */
   private val q206: Q = (s, dir) => {
     import s.implicits._
     val lam = 0.7
@@ -1380,36 +1388,38 @@ object VectorOps {
       .withColumn("rank", row_number().over(wTop))
       .filter($"rank" <= 20)
       .select($"query_id", $"cid", $"ev", $"dq")
-      .persist()
-    val pair = cand.select($"query_id", $"cid".as("ca"), $"ev".as("ea"))
-      .join(cand.select($"query_id", $"cid".as("cb"), $"ev".as("eb")),
-        Seq("query_id"))
-      .filter($"ca" =!= $"cb")
-      .select($"query_id", $"ca", $"cb", dot($"ea", $"eb").as("sab"))
-      .persist()
-    val wSel = Window.partitionBy($"query_id")
-      .orderBy($"score".desc, $"cid".asc)
-    var sel = cand
-      .withColumn("score", lit(lam) * $"dq")
-      .withColumn("rn", row_number().over(wSel)).filter($"rn" === 1)
-      .select($"query_id", $"cid", lit(1L).as("step"), $"score")
-    for (t <- 2 to 5) {
-      val selSet = sel.select($"query_id".as("qid2"), $"cid".as("scid"))
-      val msim = pair.join(selSet,
-          pair("query_id") === selSet("qid2") && $"cb" === $"scid")
-        .groupBy($"query_id", $"ca").agg(max($"sab").as("ms"))
-      val scored = cand
-        .join(selSet, $"query_id" === $"qid2" && $"cid" === $"scid",
-          "left_anti")
-        .join(msim.withColumnRenamed("ca", "cid"), Seq("query_id", "cid"))
-        // literal 0.3, NOT (1 - lam): the Scala double 1 - 0.7 is
-        // 0.30000000000000004 while both engines' "0.3" literal is not
-        .withColumn("score", lit(lam) * $"dq" - lit(0.3) * $"ms")
-      sel = sel.union(scored
-        .withColumn("rn", row_number().over(wSel)).filter($"rn" === 1)
-        .select($"query_id", $"cid", lit(t.toLong).as("step"), $"score"))
+    // identical to graft.functions.SequentialDot: left-to-right double
+    // accumulation over float-widened elements
+    def sdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
     }
-    sel.orderBy($"query_id", $"step")
+    val byQuery = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toArray, r.getDouble(3)))
+      .groupBy(_._1)
+    val out = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, rs) =>
+      val cs = rs.sortBy(_._2) // (qid, cid, ev, dq), cid-ordered
+      val sim = Array.tabulate(cs.length, cs.length)(
+        (i, j) => sdot(cs(i)._3, cs(j)._3))
+      var selected = List.empty[Int]
+      (1 to 5).map { t =>
+        val best = cs.indices.filterNot(selected.contains).map { i =>
+          // literal 0.3, NOT (1 - lam): the Scala double 1 - 0.7 is
+          // 0.30000000000000004 while both engines' "0.3" literal is not
+          val score = if (t == 1) lam * cs(i)._4
+            else lam * cs(i)._4 - 0.3 * selected.map(sim(i)).max
+          (score, cs(i)._2, i)
+        }.reduceLeft { (x, y) => // argmax: score desc, cid asc
+          if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x
+        }
+        selected ::= best._3
+        (qid, best._2, t.toLong, best._1)
+      }
+    }
+    out.toDF("query_id", "cid", "step", "score")
+      .orderBy($"query_id", $"step")
   }
   private val q206Sql = {
     val dq = dotSql("e.embedding", "q.qv")
