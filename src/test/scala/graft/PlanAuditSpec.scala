@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
       "q183_weighted_quantiles",   // 3 fracs × distinct-scores probe
       "q195_hybrid_rrf",           // 1-row corpus stats + 1-row query vec
       "q204_bigram_lm",            // crossJoin(broadcast(1-row vocab size))
-      "q206_mmr_retrieval",        // broadcast(10 query vectors) ⋈ ≠
+      // q206's broadcast(10 query vectors) ⋈ ≠ shortlist runs EAGERLY
+      // (decision-sized collect); the returned plan is the local MMR
+      // result — not listed, like q216's stored-artifact build
       "q208_indexed_bm25",         // crossJoin(broadcast(1-row corpus stats))
       "q210_nb_quality",           // crossJoin(broadcast(1-row class totals))
       "q211_dsir_selection",       // crossJoin(broadcast(1-row histogram totals))
