@@ -3062,6 +3062,46 @@ object SinkOps {
        |  FROM pois
        |) ORDER BY section, grp""".stripMargin
 
+  // --------------------------------------------------------------- q218
+  /** Temperature-mixture planning from MANIFEST METADATA — q209's
+    * α-flattening with the rate derivation moved off the data path: the
+    * corpus lands source-partitioned ([[ManifestSink.appendPartitioned]],
+    * per-partition entries carrying recorded row counts), and the
+    * per-source keep rates derive from ONE manifest read
+    * ([[ManifestSink.filesReport]]) — zero data scanned to answer "how
+    * should this mixture be re-weighted". The keep decision then applies
+    * row-locally on the sink's scan, exactly q209's integer
+    * hash-vs-basis-points compare.
+    *
+    * The ORACLE IS q209's full-scan formulation: metadata counts must
+    * reproduce scanning the world (q208/q214's indexed-path discipline
+    * applied to the mixture planner). At 100 TB the difference is the
+    * planning cost: q209 pays a corpus scan to learn per-source counts
+    * the partitioned sink's commits already recorded. */
+  private val q218: Q = (s, dir) => {
+    import s.implicits._
+    val sink = freshScratch("graft_q218", dir) + "/docs"
+    ManifestSink.appendPartitioned(
+      Tables(s, dir, "documents"), sink, "source")
+    val counts = ManifestSink.filesReport(s, sink, Seq("source"))
+      .select($"source_min".as("source"), $"n_rows")
+      .groupBy($"source").agg(sum($"n_rows").as("c"))
+    val minC = counts.agg(min($"c")).head().getLong(0)
+    val rates = counts.select($"source", $"c",
+      least(lit(10000L),
+        floor(lit(10000.0) * sqrt(lit(minC.toDouble))
+          / sqrt($"c".cast("double"))).cast("long")).as("rate_bp"))
+    ManifestSink.read(s, sink).join(broadcast(rates), "source")
+      .select($"source", $"c", $"rate_bp",
+        (graft.functions.PortableHash.tokenHashP($"doc_id")
+          % lit(10000L) < $"rate_bp").as("kept"))
+      .groupBy($"source")
+      .agg(max($"c").cast("long").as("n_docs"),
+        max($"rate_bp").as("rate_bp"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   // --------------------------------------------------------------- q217
   /** Maintenance-plan lifecycle through the gate — the decision pass a
     * streaming deployment's OPTIMIZE loop runs, then its execution,
@@ -3254,6 +3294,7 @@ object SinkOps {
        |ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q218_metadata_mixture" -> q218,
     "q217_maintenance_plan" -> q217,
     "q214_incremental_classifier" -> q214,
     "q212_bucketed_join" -> q212,
@@ -3303,6 +3344,8 @@ object SinkOps {
     "q131_quarantine_gate" -> q131)
 
   val oracleSql: Map[String, String] = Map(
+    // metadata-derived rates must equal scanning the world
+    "q218_metadata_mixture" -> TrainingOps.q209Sql,
     "q217_maintenance_plan" -> q217Sql,
     // the incrementally-folded model must equal retraining the world
     "q214_incremental_classifier" -> TextOps.q210Sql,

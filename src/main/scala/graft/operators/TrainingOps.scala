@@ -1740,7 +1740,9 @@ object TrainingOps {
         sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
       .orderBy($"source")
   }
-  private val q209Sql =
+  /** shared with q218 (SinkOps): the metadata-derived mixture must equal
+    * this scanning formulation row-for-row. */
+  private[operators] val q209Sql =
     s"""WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
        |m AS (SELECT MIN(c) AS mc FROM c),
        |r AS (
