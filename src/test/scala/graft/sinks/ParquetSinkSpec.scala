@@ -42,6 +42,23 @@ class ParquetSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("bucket-count mismatch reintroduces the exchange the matched " +
+      "layout removes — q212's zero-exchange assertion is not vacuous") {
+    val o = graft.sources.Tables(spark, sf, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val l = graft.sources.Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    ParquetSink.writeBucketed(o, "mm_orders", "o_orderkey", 8)
+    ParquetSink.writeBucketed(l, "mm_lineitem", "l_orderkey", 4)
+    val joined = spark.table("mm_orders").hint("merge")
+      .join(spark.table("mm_lineitem"), $"o_orderkey" === $"l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(joined.count() === l.count())
+    spark.sql("DROP TABLE IF EXISTS mm_orders")
+    spark.sql("DROP TABLE IF EXISTS mm_lineitem")
+  }
+
   test("partition-drop retention removes only pre-cutoff dates") {
     val dir = Files.createTempDirectory("pdrop").toString + "/t"
     val df = spark.range(0, 10).select(
