@@ -119,14 +119,14 @@ object DedupOps {
   private[operators] def bandSelfJoin(banded0: DataFrame, idCol: String,
       payload: Seq[String], maxBucket: Int): DataFrame = {
     // The max-bucket probe below is an EAGER action at call time; without
-    // a cache here the caller's upstream pipeline would re-run up to 3×
-    // (probe + both self-join sides — r9 advice: lshCandidates paid
-    // exactly that). Persisting the banded projection makes the probe and
-    // every join branch read one materialization; callers that already
-    // persist upstream (minhash/dhash `groups`) add only a small cache of
-    // the (id, band, hash, payload) rows. The ContextCleaner reclaims the
-    // cache when the returned frame is GC'd.
-    val banded = banded0.persist()
+    // a materialization here the caller's upstream pipeline would re-run
+    // up to 3× (probe + both self-join sides — r9 advice: lshCandidates
+    // paid exactly that). localCheckpoint, NOT Dataset.persist: the
+    // blocks are RDD-level and reference-tracked, so the ContextCleaner
+    // reclaims them when the returned frame is GC'd — a persist() would
+    // sit in the CacheManager until an explicit clearCache, accumulating
+    // executor storage across invocations (r12 advice).
+    val banded = banded0.localCheckpoint()
     def aSide(df: DataFrame, keys: Seq[String]): DataFrame =
       df.select((keys.map(col) :+ col(idCol).as("__ga")) ++
         payload.map(p => col(p).as(s"${p}_a")): _*)
@@ -157,16 +157,18 @@ object DedupOps {
 
     import org.apache.spark.sql.expressions.Window
     // Hot path: bucket sizes via a window count over (band, hash),
-    // persisted — ONE shuffle computes the sizes AND leaves the frame
-    // partitioned on exactly the keys the self-join needs, so the cold
-    // a/b branches join cache-to-cache with no further exchange; all four
-    // join branches read the cached frame instead of re-running the
-    // upstream pipeline. Banded rows are (id, band, hash, payload) — a
-    // few MB per million docs; the ContextCleaner reclaims the cache when
-    // the returned frame is GC'd.
+    // checkpointed — ONE shuffle computes the sizes AND leaves the frame
+    // partitioned on exactly the keys the self-join needs (localCheckpoint
+    // carries the physical plan's outputPartitioning into the LogicalRDD),
+    // so the cold a/b branches join block-to-block with no further
+    // exchange; all four join branches read the materialized blocks
+    // instead of re-running the upstream pipeline. Banded rows are
+    // (id, band, hash, payload) — a few MB per million docs; the
+    // ContextCleaner reclaims the blocks when the returned frame is GC'd
+    // (unlike persist(), which leaks in the CacheManager — r12 advice).
     val tagged = banded.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(col("__bidx"), col("__bhash"))))
-      .persist()
+      .localCheckpoint()
 
     val cold = tagged.filter(col("__bn") <= maxBucket)
     val coldPairs = aSide(cold, Seq("__bidx", "__bhash"))
@@ -284,8 +286,9 @@ object DedupOps {
     val groups = canon.groupBy(col("__set"))
       .agg(collect_list(col(idCol)).as("__members"))
       .withColumn("__gid", array_min(col("__members")))
-      .persist()
-    // 2. vocab probe — from the cache, a few thousand rows
+      .localCheckpoint() // ContextCleaner-reclaimed, not a CacheManager
+                         // entry — no cross-invocation storage residue
+    // 2. vocab probe — from the materialized blocks, a few thousand rows
     val vocab = groups.select(explode(col("__set")).as("__tok")).distinct()
     val vocabSize = vocab.count()
     val smallVocab = vocabSize <= graft.functions.TokenBitmask.MaxVocab
@@ -581,14 +584,21 @@ object DedupOps {
     val groups = hashes.groupBy(col("simhash"))
       .agg(collect_list(col("doc_id")).as("__members"))
       .withColumn("__gid", array_min(col("__members")))
-      .persist()
+      .localCheckpoint() // feeds probe/index/member expansion (6 reads);
+                         // ContextCleaner-reclaimed on GC, no CacheManager
+                         // residue across invocations (r12 advice)
     val bands = groups.select(col("__gid"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("simhash"), 12 * k).bitwiseAND(4095)): _*))
         .as(Seq("__kk", "__h")))
+    // probe/index checkpointed: the capped join's count pass + join pass
+    // each read them, and the 13×-exploded index is the expensive one to
+    // recompute (measured +0.6 s on q158 when left lazy); blocks are
+    // ContextCleaner-reclaimed like every transient in this file
     val probe = bands.select(col("__gid").as("__xa"),
       col("simhash").as("__sha"),
       (col("__kk") * 4096 + col("__h")).cast("long").as("__k"))
+      .localCheckpoint()
     val index = bands
       .select(col("__gid"), col("simhash"), col("__kk"),
         explode(concat(array(col("__h")),
@@ -596,6 +606,7 @@ object DedupOps {
           .as("__hv"))
       .select(col("__gid").as("__xb"), col("simhash").as("__shb"),
         (col("__kk") * 4096 + col("__hv")).cast("long").as("__k"))
+      .localCheckpoint()
     val verified = cappedProbeIndexJoin(probe, index, maxBucket)
       .filter(col("__xa") < col("__xb"))
       .select(col("__xa"), col("__xb"), col("__sha"), col("__shb"))
@@ -739,13 +750,14 @@ object DedupOps {
     val s = sets.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__set"))
       .filter(size(col("__set")) > 0)
-      .persist() // feeds the df build, the prefix explode, and both
-                 // verify branches — one tokenize/shingle pass total
+      .localCheckpoint() // feeds the df build, the prefix explode, and
+                 // both verify branches — one tokenize/shingle pass
+                 // total; ContextCleaner-reclaimed (r12 advice)
     val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("__el"))
     val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
-      .persist() // vocab-sized; feeds the probe, the rank join, and
-                 // (small-vocab tier) the dictionary
+      .localCheckpoint() // vocab-sized; feeds the probe, the rank join,
+                 // and (small-vocab tier) the dictionary
     // adaptive-verify probe (same eager-decision pattern as the LSH
     // bucket cap): with a bounded element vocabulary, verification can
     // run on dictionary-exact bitmaps INSIDE the candidate join — the
@@ -867,26 +879,29 @@ object DedupOps {
 
   // ------------------------------------------------ containment join
   /** Skew-capped asymmetric equi-join on a key — the probe × index
-    * generalization of [[bandSelfJoin]]'s block decomposition: an
-    * adaptive eager probe finds the largest per-key probe×index row
-    * product; when every key fits (≤ maxBucket²) the plain equi-join
-    * runs with zero overhead, otherwise each side of a hot key splits
-    * into ⌈n/maxBucket⌉ id-hash blocks and every (probe block, index
-    * block) pair ships to its own reducer — each (probe row, index row)
-    * pair meets exactly once, per-reducer input bounded by 2·maxBucket
-    * rows, output identical. Candidate rows repeat once per shared key
-    * (callers distinct).
+    * generalization of [[bandSelfJoin]]'s block decomposition: per-key
+    * probe×index products over maxBucket² split each side of the hot
+    * key into ⌈n/maxBucket⌉ id-hash blocks, and every (probe block,
+    * index block) pair ships to its own reducer — each (probe row,
+    * index row) pair meets exactly once, per-reducer input bounded by
+    * 2·maxBucket rows, output identical to the plain join. Candidate
+    * rows repeat once per shared key (callers distinct).
+    *
+    * ZERO Dataset caches (the r12 storage-residue fix): the eager
+    * decision probe asks only "does any hot key exist" (aggregate-only
+    * passes over both sides — callers hand in localCheckpoint'ed
+    * frames, so the probe reads blocks, not the upstream pipeline).
+    * The common cold case returns the plain equi-join with zero
+    * overhead; the hot case routes the block table — hot keys only,
+    * skew-small by definition — through a BROADCAST left join, where a
+    * key with no block row coalesces to the 1×1 identity blocking.
+    * Nothing enters the CacheManager, so an embedding caller
+    * accumulates no executor storage across invocations.
     *
     * Contract: the join key must be named `__k`; hot-key block routing
     * hashes each side's ID column — `probeIdCol` / `indexIdCol`
     * (defaults `__xa` / `__xb`), which must exist on the respective
-    * side. CACHING: probe/index/counts are persisted for the duration
-    * of the returned (lazy) plan — the eager `maxProd` probe plus the
-    * join each read them once. They cannot be unpersisted here without
-    * forcing materialization; callers embedding this in a long-lived
-    * session should `spark.catalog.clearCache()` (or unpersist the
-    * returned plan's lineage) after materializing, as Bench/Stress do
-    * between queries. */
+    * side. */
   private def cappedProbeIndexJoin(probe: DataFrame, index: DataFrame,
       maxBucket: Int, probeIdCol: String = "__xa",
       indexIdCol: String = "__xb"): DataFrame = {
@@ -897,29 +912,32 @@ object DedupOps {
         "probeIdCol/indexIdCol for differently-named id columns")
     val pCols = probe.columns.filterNot(_ == "__k").map(col).toSeq
     val iCols = index.columns.filterNot(_ == "__k").map(col).toSeq
-    val p = probe.persist() // the count probe + the join read it once
-    val ix = index.persist()
-    val pc = p.groupBy(col("__k")).agg(count(lit(1)).as("__pc"))
-    val ic = ix.groupBy(col("__k")).agg(count(lit(1)).as("__ic"))
-    val counts = pc.join(ic, "__k").persist()
-    val maxProd = Option(
-      counts.agg(max(col("__pc") * col("__ic"))).head().get(0))
-      .fold(0L)(_.asInstanceOf[Long])
-    if (maxProd <= maxBucket.toLong * maxBucket)
-      return p.join(ix, "__k").select(pCols ++ iCols: _*)
-    val blk = counts.select(col("__k"),
-      greatest(ceil(col("__pc") / maxBucket), lit(1L)).as("__bp"),
-      greatest(ceil(col("__ic") / maxBucket), lit(1L)).as("__bi"))
+    val pc = probe.groupBy(col("__k")).agg(count(lit(1)).as("__pc"))
+    val ic = index.groupBy(col("__k")).agg(count(lit(1)).as("__ic"))
+    // keys whose pair product exceeds the cap — the skewed few
+    val blkHot = pc.join(ic, "__k")
+      .filter(col("__pc") * col("__ic") > maxBucket.toLong * maxBucket)
+      .select(col("__k"),
+        greatest(ceil(col("__pc") / maxBucket), lit(1L)).as("__bp"),
+        greatest(ceil(col("__ic") / maxBucket), lit(1L)).as("__bi"))
+      .localCheckpoint() // decision-sized; read by isEmpty + both sides
+    if (blkHot.isEmpty)
+      return probe.join(index, "__k").select(pCols ++ iCols: _*)
     // probe row: its own p-block, replicated across the index blocks;
-    // index row: its own i-block, replicated across the probe blocks
-    val pB = p.join(blk, "__k")
+    // index row: its own i-block, replicated across the probe blocks;
+    // a cold key (no block row) coalesces to the 1×1 identity blocking
+    val pB = probe.join(broadcast(blkHot), Seq("__k"), "left")
       .select(pCols ++ Seq(col("__k"),
-        pmod(xxhash64(col(probeIdCol)), col("__bp")).as("__p"),
-        explode(sequence(lit(0L), col("__bi") - 1)).as("__i")): _*)
-    val iB = ix.join(blk, "__k")
+        pmod(xxhash64(col(probeIdCol)), coalesce(col("__bp"), lit(1L)))
+          .as("__p"),
+        explode(sequence(lit(0L), coalesce(col("__bi"), lit(1L)) - 1))
+          .as("__i")): _*)
+    val iB = index.join(broadcast(blkHot), Seq("__k"), "left")
       .select(iCols ++ Seq(col("__k"),
-        pmod(xxhash64(col(indexIdCol)), col("__bi")).as("__i"),
-        explode(sequence(lit(0L), col("__bp") - 1)).as("__p")): _*)
+        pmod(xxhash64(col(indexIdCol)), coalesce(col("__bi"), lit(1L)))
+          .as("__i"),
+        explode(sequence(lit(0L), coalesce(col("__bp"), lit(1L)) - 1))
+          .as("__p")): _*)
     pB.join(iB, Seq("__k", "__p", "__i"))
       .select(pCols ++ iCols: _*)
   }
@@ -963,12 +981,12 @@ object DedupOps {
     val s = sets.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__set"))
       .filter(size(col("__set")) >= math.max(minSize, 1))
-      .persist()
+      .localCheckpoint() // ContextCleaner-reclaimed (r12 advice)
     val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("__el"))
     val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
-      .persist() // vocab-sized; feeds the probe, the rank join, and
-                 // (small-vocab tier) the dictionary
+      .localCheckpoint() // vocab-sized; feeds the probe, the rank join,
+                 // and (small-vocab tier) the dictionary
     val vocabSize = dfreq.count()
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("__el").asc)
@@ -1122,7 +1140,7 @@ object DedupOps {
     val groups = canon.groupBy(col("__set"))
       .agg(collect_list(col(idCol)).as("__members"))
       .withColumn("__gid", array_min(col("__members")))
-      .persist()
+      .localCheckpoint() // ContextCleaner-reclaimed (r12 advice)
     val banded = groups.select(col("__gid"),
       posexplode(graft.functions.MinhashBands.bands(
         col("__set"), numHashes, bands)).as(Seq("__bidx", "__bhash")))

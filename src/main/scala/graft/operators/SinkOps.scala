@@ -3261,29 +3261,45 @@ object SinkOps {
   private val q212: Q = (s, dir) => {
     import s.implicits._
     val scratch = freshScratch("graft_q212", dir)
+    // scratch is a fresh temp dir, so the derived names are unique per
+    // invocation; the finally below drops them so repeated bench/verify
+    // runs don't accumulate metastore entries (and a hashCode collision
+    // across scratch dirs can never clobber a live table)
     val tag = java.lang.Integer.toHexString(scratch.hashCode)
     val ot = s"q212_orders_$tag"
     val lt = s"q212_lineitem_$tag"
-    Tables(s, dir, "orders").write.mode("overwrite").format("parquet")
-      .option("path", s"$scratch/orders")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-    Tables(s, dir, "lineitem").write.mode("overwrite").format("parquet")
-      .option("path", s"$scratch/lineitem")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-    val joined = s.table(ot).hint("merge")
-      .join(s.table(lt), $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_orderkey", $"o_orderpriority")
-      .agg(count(lit(1)).cast("long").as("n_items"),
-        Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .as("revenue"))
-    val plan = joined.queryExecution.executedPlan.toString
-    require(plan.contains("SortMergeJoin"),
-      "expected a sort-merge join over the bucketed scans:\n" +
-        plan.take(2000))
-    require(!plan.contains("Exchange"),
-      "co-bucketed join + bucket-key aggregate must plan ZERO " +
-        "exchanges:\n" + plan.take(2000))
-    joined.orderBy($"o_orderkey")
+    try {
+      Tables(s, dir, "orders").write.mode("overwrite").format("parquet")
+        .option("path", s"$scratch/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables(s, dir, "lineitem").write.mode("overwrite").format("parquet")
+        .option("path", s"$scratch/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      val joined = s.table(ot).hint("merge")
+        .join(s.table(lt), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", $"o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        "expected a sort-merge join over the bucketed scans:\n" +
+          plan.take(2000))
+      require(!plan.contains("Exchange"),
+        "co-bucketed join + bucket-key aggregate must plan ZERO " +
+          "exchanges:\n" + plan.take(2000))
+      // materialize before the catalog drop: the returned frame must not
+      // lazily re-resolve tables the finally block has removed.
+      // localCheckpoint truncates the lineage into executor blocks
+      // (ContextCleaner-reclaimed) without a driver round-trip; the
+      // caller-facing sort stays OUTSIDE the checkpoint so it runs (or
+      // is optimizer-elided, e.g. under a bare count) exactly as the
+      // pre-drop lazy plan would
+      joined.localCheckpoint().orderBy($"o_orderkey")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+    }
   }
   private val q212Sql =
     s"""SELECT o_orderkey, o_orderpriority,

@@ -131,6 +131,13 @@ object ManifestSink {
     * The temp name embeds a UUID — two writers racing to the same
     * version must never share a temp file, or the winner could publish
     * the loser's content. A losing temp is deleted before returning. */
+  private def hardLinkMsg(dst: java.nio.file.Path, e: Throwable): String =
+    s"ManifestSink: hard-link publish (the local-scheme atomic " +
+      s"EEXIST-exclusive conditional put) failed under '$dst': $e. " +
+      "This filesystem appears to lack hard-link support — use a " +
+      "hard-link-capable mount or register a conditional-put seam via " +
+      "ManifestSink.registerConditionalPut(\"file\", …)."
+
   private[sinks] def tryPublishNew(f: FileSystem, p: Path,
       content: String): Boolean = {
     val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
@@ -164,23 +171,22 @@ object ManifestSink {
       try { Files.createLink(dst, tmp); true }
       catch {
         case _: FileAlreadyExistsException => false
-        // A 'file'-scheme mount WITHOUT hard links (FUSE, exFAT, some
-        // network FS) would otherwise surface as an opaque crash that
-        // breaks this method's boolean contract. The catch is broad
-        // (any FileSystemException — also EACCES, ENOSPC, …), so the
-        // message states the operation that failed and names missing
-        // hard-link support as ONE likely cause, with the original
-        // exception preserved for the real diagnosis.
-        case e @ (_: UnsupportedOperationException |
-                  _: FileSystemException) =>
-          throw new UnsupportedOperationException(
-            s"ManifestSink: hard-link publish (the local-scheme atomic " +
-              s"EEXIST-exclusive conditional put) failed under '$dst': " +
-              s"$e. If the filesystem lacks hard-link support, use a " +
-              "hard-link-capable mount or register a conditional-put " +
-              "seam via ManifestSink.registerConditionalPut(\"file\", …); " +
-              "otherwise see the cause (permissions, disk full, …).",
-            e)
+        // Rewrap ONLY the signals that actually mean "this mount cannot
+        // hard-link" (a FUSE/exFAT/network 'file'-scheme mount):
+        // UnsupportedOperationException from createLink, or the errno
+        // texts such mounts surface (EOPNOTSUPP/EPERM/EXDEV). Everything
+        // else — EACCES (AccessDeniedException), ENOSPC, … — propagates
+        // with its own accurate type and message; mislabeling a full
+        // disk as "needs hard-link support" was the r12 advice item.
+        case e: FileSystemException
+            if !e.isInstanceOf[java.nio.file.AccessDeniedException] && {
+              val r = Option(e.getReason).getOrElse("").toLowerCase
+              r.contains("not supported") || r.contains("not permitted") ||
+                r.contains("cross-device")
+            } =>
+          throw new UnsupportedOperationException(hardLinkMsg(dst, e), e)
+        case e: UnsupportedOperationException =>
+          throw new UnsupportedOperationException(hardLinkMsg(dst, e), e)
       }
       finally Files.deleteIfExists(tmp)
     } else {

@@ -25,20 +25,36 @@ import graft.sinks.ManifestSink
   * that crashed BETWEEN the two commits, re-lands only the side that
   * never committed ([[LateDataChannel]]'s two-table argument; reject
   * side first, so a crash after the reject commit replays into a
-  * reject-side skip + main commit, never a double).
+  * reject-side skip + main commit, never a double). That two-table
+  * argument only holds if the replay ROUTES identically — so the model
+  * version the first attempt scored against is stamped into the
+  * reject-side commit header ([[ModelVKey]], same atomic commit as the
+  * batch marker), and a replay whose reject side already covers this
+  * batch re-scores against [[ManifestSink.readAt]] of that PINNED
+  * version, not the freshest. Without the pin, a model refresh landing
+  * between the crash and the replay could flip a borderline doc's
+  * verdict: keep→reject would land it in NEITHER table (reject marker
+  * skips, main never receives), reject→keep in BOTH.
   *
   * Determinism caveat, stated rather than hidden: admission depends on
   * WHICH model version a batch scored against, so two runs that
   * interleave model refreshes differently can route borderline docs
   * differently — the audit trail is the quarantine table's attached
-  * scores plus the model view's absorbed-version headers. The scoring
-  * itself is [[NbQuality]]'s engine-exact kernel, identical to the
-  * batch gates.
+  * scores plus the pinned model version in its commit headers. The
+  * scoring itself is [[NbQuality]]'s engine-exact kernel, identical to
+  * the batch gates.
   *
   * At 100 TB: per trigger = one batch-sized scoring join against the
   * broadcast vocabulary frame + two manifest commits; no stream state.
   */
 object QualityGate {
+
+  /** Reject-side header key pinning the model-view version this epoch
+    * scored against. Model versions only grow, so the monotonic (max)
+    * header merge preserves the latest pin; replays are sequential
+    * (Structured Streaming re-runs a failed epoch before advancing), so
+    * the latest pin IS the crashed epoch's pin. */
+  val ModelVKey = "qualitygate.model.version"
 
   /** Fold one micro-batch through the gate. `docs` must carry
     * (`idCol`, `textCol`); keeps land in `mainDir` with original
@@ -50,8 +66,20 @@ object QualityGate {
   def admitEpoch(spark: SparkSession, docs: DataFrame, batchId: Long,
       modelViewDir: String, mainDir: String, rejectDir: String,
       idCol: String = "doc_id", textCol: String = "text"): (Long, Long) = {
+    // Replay of an epoch whose reject side committed: score against the
+    // model version the FIRST attempt used (pinned in its header), so
+    // the admitted set exactly complements the already-committed rejects
+    // even if the model view was refreshed in between.
+    val pinned: Option[Long] =
+      if (ManifestSink.version(spark, rejectDir) >= 0 &&
+          ManifestSink.lastBatchId(spark, rejectDir) >= batchId)
+        ManifestSink.manifestHeader(spark, rejectDir,
+            ManifestSink.version(spark, rejectDir))
+          .get(ModelVKey).flatMap(_.toLongOption)
+      else None
+    val modelV = pinned.getOrElse(ManifestSink.version(spark, modelViewDir))
     val model = NbQuality.modelFromState(
-      ManifestSink.read(spark, modelViewDir))
+      ManifestSink.readAt(spark, modelViewDir, modelV))
     val scored = NbQuality.score(docs, model, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("avg_llr"), col("keep"))
     val routed = docs.join(scored, Seq(idCol), "left")
@@ -63,8 +91,10 @@ object QualityGate {
       val admitted = routed.filter(col("__admit"))
         .drop("n_tokens", "avg_llr", "keep", "__admit")
       // reject side first: a crash between the commits replays into a
-      // reject-side no-op + main commit (LateDataChannel's argument)
-      val vR = ManifestSink.appendOnce(rejected, rejectDir, batchId)
+      // reject-side no-op + main commit (LateDataChannel's argument);
+      // the model pin rides the same atomic commit as the batch marker
+      val vR = ManifestSink.appendOnceWithHeader(rejected, rejectDir,
+        batchId, Map(ModelVKey -> modelV.toString))
       val vA = ManifestSink.appendOnce(admitted, mainDir, batchId)
       (vA, vR)
     } finally routed.unpersist()

@@ -91,7 +91,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("custom kernels execute inside codegen stages") {
     assert(plan("q41_knn_brute_force").contains("sequentialdot"))
-    assert(plan("q60_shingle_near_dup").contains("shingle_array"))
+    // q60's shingle pass now runs inside bandSelfJoin's eager
+    // localCheckpoint job (the r13 cache-residue fix), so the registered
+    // query's returned plan is over the checkpointed blocks; pin the
+    // kernel-in-codegen property on the projection directly instead
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sh = graft.sources.Tables(spark, sf, "documents")
+      .select(graft.operators.DedupOps.shingles(split($"text", " "), 3)
+        .as("sh"))
+    val p = sh.queryExecution.executedPlan.toString
+    // the `*(n)` star prefix marks a WholeStageCodegen stage in toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("shingle_array") && l.trim.startsWith("*(")), p.take(800))
   }
 
   test("aggregates are two-phase (partial map-side combine)") {

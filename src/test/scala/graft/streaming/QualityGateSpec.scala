@@ -74,4 +74,61 @@ class QualityGateSpec extends SparkSpec {
     assert(ids(main) === Set(100L, 101L, 104L))
     assert(ids(rej) === Set(102L, 103L))
   }
+
+  test("crash between commits + model refresh before replay: the replay " +
+      "scores against the PINNED model version, so every doc lands in " +
+      "exactly one table") {
+    val root = Files.createTempDirectory("qgate_pin").toString
+    val (base, view, main, rej) =
+      (s"$root/base", s"$root/model", s"$root/main", s"$root/reject")
+    ManifestSink.append(tokCls(seed(40)), base)
+    AggMatView.create(spark, view, base, Seq("tok", "cls"), "w")
+    // doc 202 is off-vocab under model v0 (→ reject); after the refresh
+    // below its vocabulary becomes reference-class (→ keep): the verdict
+    // FLIPS between model versions — exactly the ADVICE hazard
+    val e0 = Seq((200L, "clean prose"), (201L, "junk garbage"),
+      (202L, "xxy wwv")).toDF("doc_id", "text")
+
+    // simulate the crash: run ONLY the reject-side half of epoch 0 the
+    // way admitEpoch does (same model read, same pinned header), then
+    // "die" before the main-side commit
+    val model0 = NbQuality.modelFromState(ManifestSink.read(spark, view))
+    val scored0 = NbQuality.score(e0, model0)
+      .select($"doc_id", $"n_tokens", $"avg_llr", $"keep")
+    val rejected0 = e0.join(scored0, Seq("doc_id"), "left")
+      .filter(!coalesce($"keep", lit(false)))
+      .drop("keep")
+    ManifestSink.appendOnceWithHeader(rejected0, rej, 0L,
+      Map(QualityGate.ModelVKey ->
+        ManifestSink.version(spark, view).toString))
+    assert(ids(rej) === Set(201L, 202L))
+
+    // the model refreshes BETWEEN the crash and the replay: doc 202's
+    // vocabulary joins the reference class (keep under v1)
+    ManifestSink.append(tokCls(Seq((2000L, "xxy wwv xxy wwv", "p"))
+      .toDF("doc_id", "text", "cls")), base)
+    val (_, folded) =
+      AggMatView.refresh(spark, view, base, Seq("tok", "cls"), "w")
+    assert(folded)
+
+    // replay of epoch 0: reject side must no-op (marker), and the main
+    // side must admit the complement UNDER THE PINNED v0 — doc 202 stays
+    // a reject. Without the pin it would re-score keep under v1 and land
+    // in NEITHER table.
+    val vrBefore = ManifestSink.version(spark, rej)
+    QualityGate.admitEpoch(spark, e0, 0L, view, main, rej)
+    assert(ManifestSink.version(spark, rej) === vrBefore,
+      "replayed reject side must be a marker no-op")
+    assert(ids(main) === Set(200L), "main must receive exactly the v0 keeps")
+    assert(ids(rej) === Set(201L, 202L))
+    // every epoch-0 doc is in exactly one table
+    assert((ids(main) ++ ids(rej)) === Set(200L, 201L, 202L))
+    assert((ids(main) & ids(rej)) === Set.empty)
+
+    // a FRESH epoch (no pin) scores against the refreshed model: 202's
+    // twin vocabulary now admits
+    QualityGate.admitEpoch(spark,
+      Seq((203L, "xxy wwv")).toDF("doc_id", "text"), 1L, view, main, rej)
+    assert(ids(main) === Set(200L, 203L))
+  }
 }
