@@ -132,6 +132,25 @@ object AggMatView {
     else refresh(spark, viewDir, baseDir, keys, value)
   }
 
+  /** [[absorbEpoch]] with in-loop BASE maintenance ([[Maintenance
+    * .onEpoch]]): an epoch-per-trigger stream mints one sub-threshold
+    * base entry per epoch, and nothing else ever compacts a view's base
+    * table. The cycle runs AFTER the view has absorbed the epoch, so
+    * the window a due-epoch compaction disturbs is already folded; the
+    * NEXT refresh sees the rewrite (entries removed) and recomputes
+    * once from the compacted snapshot — the documented cost of
+    * rewriting a view's base, paid once per maintenance cycle instead
+    * of never compacting at all. Epoch markers survive the rewrite
+    * (headers carry forward), so replays stay no-ops across it. */
+  def absorbEpoch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      baseDir: String, viewDir: String, keys: Seq[String],
+      value: String, maintenance: MaintenancePolicy): (Long, Boolean) = {
+    val r = absorbEpoch(spark, batch, batchId, baseDir, viewDir, keys,
+      value)
+    Maintenance.onEpoch(spark, baseDir, batchId, maintenance)
+    r
+  }
+
   /** Metadata-only staleness of one view against one base table:
     * absorbed vs current version, the EXACT recorded row count of the
     * pending window (from the manifests' per-entry counts — zero data

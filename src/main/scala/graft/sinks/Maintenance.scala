@@ -1,0 +1,78 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+
+/** In-loop table maintenance — the policy knob that lets a STREAMING
+  * writer schedule its own compaction off [[ManifestSink.maintenancePlan]]
+  * verdicts, the lakehouse analog of the reference pipeline running
+  * retention inside its own ingest cadence (pipeline.py:43-51) rather
+  * than leaving it to an operator.
+  *
+  * Why in-loop: a 2-second-commit stream mints a sub-threshold manifest
+  * entry per trigger — tens of thousands of tiny directories a day —
+  * and MoR upserts/deletes mint read-path tombstones. Left alone, both
+  * debts grow without bound ("accumulate dribble debt forever", r12
+  * verdict); an external nightly job fixes it but couples table health
+  * to an operator remembering to run it. With a policy attached, every
+  * `everyEpochs`-th epoch pays ONE manifest read (the plan — zero data
+  * I/O) and executes only what the plan flags, so a quiet table costs
+  * one metadata read per cycle and a dribbling table converges to a
+  * bounded entry count while the stream keeps running.
+  *
+  * Safety under a live writer is exactly the [[ManifestSink.compact]]
+  * family's contract: maintenance commits are content-identical
+  * rewrites that REBASE over interleaved appends
+  * ([[ManifestSink.commitRewriteLines]]), and exactly-once epoch
+  * markers ride the manifest HEADER, which every rewrite carries
+  * forward — so a replayed epoch stays a no-op even when a maintenance
+  * commit landed between the original fold and the replay
+  * (MaintenanceLoopSpec pins this). Vacuum is deliberately NOT part of
+  * the cycle: reclaiming replaced files is a retention decision
+  * (time-travel readers, pinned catalog versions) the caller owns.
+  *
+  * At 100 TB: the cycle's decision pass reads one manifest; the
+  * compact_small cure reads only the dribble (recorded rows < minRows);
+  * only the tombstone purge pays the table — which is why
+  * `maxTombstones` is a threshold, not a trigger-per-tombstone.
+  */
+final case class MaintenancePolicy(
+    everyEpochs: Long = 16L,
+    minRows: Long = 10000L,
+    maxTombstones: Int = 8,
+    statsCols: Seq[String] = Nil,
+    sortCols: Seq[String] = Nil) {
+  require(everyEpochs >= 1, s"everyEpochs must be >= 1, got $everyEpochs")
+}
+
+object Maintenance {
+
+  /** Epoch hook for `foreachBatch` bodies: run one maintenance cycle
+    * when this epoch is due under `policy` (every `everyEpochs`-th,
+    * counting epoch `everyEpochs - 1` as the first — a fresh stream
+    * does not compact on its very first trigger). `policy` null (the
+    * entrypoints' default) or a not-yet-created table = no-op. Returns
+    * the executed action names (empty when not due or plan silent). */
+  def onEpoch(spark: SparkSession, dir: String, batchId: Long,
+      policy: MaintenancePolicy): Seq[String] =
+    if (policy == null || (batchId + 1) % policy.everyEpochs != 0) Nil
+    else runCycle(spark, dir, policy)
+
+  /** One maintenance cycle: plan (one manifest read, zero data reads),
+    * then execute the flagged cure. `purge_debt`'s cure — a full
+    * [[ManifestSink.compact]] — subsumes `compact_small`, so at most
+    * ONE rewrite runs per cycle; a silent plan runs nothing. */
+  def runCycle(spark: SparkSession, dir: String,
+      policy: MaintenancePolicy): Seq[String] = {
+    if (ManifestSink.version(spark, dir) < 0) return Nil
+    val fired = ManifestSink.maintenancePlan(spark, dir, policy.minRows,
+      policy.maxTombstones).collect { case (a, true, _, _) => a }
+    if (fired.contains("purge_debt")) {
+      ManifestSink.compact(spark, dir, policy.statsCols, policy.sortCols)
+      Seq("purge_debt")
+    } else if (fired.contains("compact_small")) {
+      ManifestSink.compactSmall(spark, dir, policy.minRows,
+        policy.statsCols, policy.sortCols)
+      Seq("compact_small")
+    } else Nil
+  }
+}

@@ -260,7 +260,8 @@ object WikiStream {
       userAgent: String = null, backoffMs: Long = -1L,
       trigger: Option[Trigger] = null,
       watermarkDelay: String = "10 seconds",
-      lateDir: String = null, lateDelayUs: Long = 10_000_000L): StreamingQuery = {
+      lateDir: String = null, lateDelayUs: Long = 10_000_000L,
+      maintenance: graft.sinks.MaintenancePolicy = null): StreamingQuery = {
     // unset per-call knobs fall back to the config layer, like the
     // reference's main() forwarding config.user_agent etc. (main.py:241-248)
     val ua = Option(userAgent).getOrElse(cfg.userAgent)
@@ -300,6 +301,14 @@ object WikiStream {
         if (lateDir == null) appendWithRetentionManifest(batch, sinkDir, cfg)
         else appendLateAwareManifest(batch, batchId, sinkDir, lateDir, cfg,
           lateDelayUs)
+        // in-loop maintenance (pipeline.py:43-51's retention-inside-the-
+        // cadence, lakehouse-shaped): every Nth epoch reads the plan —
+        // one manifest read — and executes only what it flags. Runs
+        // AFTER the epoch's fold, so the exactly-once marker it must
+        // carry forward is already in the header it rebases over.
+        graft.sinks.Maintenance.onEpoch(spark, sinkDir, batchId,
+          maintenance)
+        ()
       }
     trig.foreach(writer.trigger)
     writer.start()
@@ -442,7 +451,8 @@ object WikiStream {
       lateDir: String = null,
       lateDelayUs: Long = 10000000L,
       maxFilesPerTrigger: Int = 0,
-      catalogDir: String = null): StreamingQuery = {
+      catalogDir: String = null,
+      maintenance: graft.sinks.MaintenancePolicy = null): StreamingQuery = {
     require(catalogDir == null || lateDir != null,
       "catalogDir atomicity is the late-aware pair's contract — " +
         "single-table mode is already atomic per commit")
@@ -465,6 +475,13 @@ object WikiStream {
           appendOnceWithRetentionManifest(batch, batchId, sinkDir, cfg)
         else appendLateAwareManifest(batch, batchId, sinkDir, lateDir,
           cfg, lateDelayUs, catalogDir)
+        // in-loop maintenance, same cadence contract as [[startLive]]:
+        // the plan is one manifest read; the cure rebases over any
+        // interleaved append and carries the epoch marker forward, so
+        // replays stay no-ops across a maintenance commit
+        graft.sinks.Maintenance.onEpoch(spark, sinkDir, batchId,
+          maintenance)
+        ()
       }
     trigger.foreach(writer.trigger)
     writer.start()
