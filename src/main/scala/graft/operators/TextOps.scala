@@ -295,19 +295,24 @@ object TextOps {
           lit(1.0).as("jaccard"))
       cross.union(intra).orderBy($"doc_a", $"doc_b")
     } else {
-      val d = docs(s, dir)
-        .select($"doc_id", $"source", array_distinct(toks).as("tokens"))
-      val a = d.alias("a")
-      val b = d.alias("b")
-      val inter = size(array_intersect($"a.tokens", $"b.tokens")).cast("long")
-      val uni = size($"a.tokens").cast("long") +
-        size($"b.tokens").cast("long") - inter
-      a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-        .select(
-          $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          inter.as("n_common"),
-          (inter.cast("double") / uni.cast("double")).as("jaccard"))
-        .filter($"jaccard" >= 0.9)
+      // Open-vocab tier: PREFIX-FILTERED similarity self-join (the
+      // SSJoin kernel q143 runs), never all-pairs. The source blocking
+      // key rides INSIDE the elements (source-qualified tokens): a
+      // cross-source pair shares zero elements, so it can never surface
+      // as a candidate, and within-source Jaccard is unchanged because
+      // the qualification is injective per source. The integral 9/10
+      // threshold is exactly `jaccard >= 0.9`. The r13 scale sweep
+      // caught the previous fallback — an all-pairs join WITHIN each
+      // source block — at 43× wall time for 10× data (quadratic within
+      // block, hidden at every SF whose vocabulary fit the bitmap
+      // tier); this path is candidate-bound instead.
+      val sets = docs(s, dir).select($"doc_id",
+        transform(array_distinct(toks),
+          t => concat($"source", lit(" "), t)).as("qt"))
+      graft.operators.DedupOps.prefixSimilarityJoin(sets, "doc_id", "qt",
+          9, 10)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
         .orderBy($"doc_a", $"doc_b")
     }
   }

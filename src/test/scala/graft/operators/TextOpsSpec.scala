@@ -34,4 +34,38 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_email") === 0L))
     assert(rows.exists(_.getAs[Long]("n_phone") === 1L))
   }
+
+  test("q38 open-vocab tier (prefix join, never all-pairs) is pair-" +
+      "identical to the brute-force reference under source blocking") {
+    // the driver corpus's 31-token vocabulary always takes the bitmap
+    // tier, so the open-vocab fallback — rewritten in r13 after the
+    // scale sweep caught the all-pairs-within-block shape at 43x for
+    // 10x data — needs its own fixture: > 62 distinct tokens, known
+    // near-dup pairs inside each source, a cross-source twin that must
+    // NOT pair, and ids constructed so the blocked brute force is
+    // computable inline
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("q38vocab").toString
+    val words = (0 until 80).map(i => s"w$i")
+    def doc(ids: Seq[Int]): String = ids.map(words).mkString(" ")
+    val base = (0 until 40)
+    val docs = Seq(
+      (1L, doc(base), "sa"),
+      (2L, doc(base), "sa"),             // exact dup of 1 (J = 1)
+      (3L, doc(base :+ 40), "sa"),       // J = 40/41 >= 0.9
+      (4L, doc(base.drop(8)), "sa"),     // J = 32/40 = 0.8 < 0.9 — out
+      (5L, doc(base), "sb"),             // cross-source twin of 1 — out
+      (6L, doc(40 until 80), "sb"),
+      (7L, doc((40 until 80) :+ 0), "sb")) // J = 40/41 within sb
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q38_jaccard_near_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1L, 2L, 40L), (1L, 3L, 40L), (2L, 3L, 40L),
+      (6L, 7L, 40L)),
+      s"open-vocab tier pairs diverge from the blocked reference: $got")
+  }
 }
