@@ -406,9 +406,17 @@ object TrainingOps {
     * raw corpus. The gated frame feeds two plan branches (bucket pass +
     * survivor join), so it is persisted like the near-dup family's
     * canonical-set frame (PLANS.md trade-off (a)). */
-  private val q81: Q = (s, dir) => {
+  private val q81: Q = (s, dir) =>
+    curationPipeline(s, Tables(s, dir, "documents"))
+
+  /** q81's pipeline body over an arbitrary documents frame — shared by
+    * the raw arm (q81) and the normalization-on-ramp arm (q219, which
+    * feeds a [[graft.functions.TextNorm]]-normalized variant corpus in):
+    * the curation semantics are input-frame-agnostic, so normalization
+    * composes as a stage IN the pipeline rather than a sibling audit. */
+  private def curationPipeline(s: SparkSession,
+      docs: DataFrame): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
     val wFp = Window.partitionBy($"fp")
     val stats = docs
       .select($"doc_id", $"lang", $"source", $"text",
@@ -428,7 +436,8 @@ object TrainingOps {
         $"doc_id" === $"keeper" && $"n_tokens".between(20, 1000) &&
         $"ttr" >= 0.45 && $"dup_bigram_frac" <= 0.06)
       .select($"doc_id", $"source", $"text", $"n_tokens", $"ttr")
-      .persist()
+      .localCheckpoint() // two plan branches read it; ContextCleaner-
+                         // reclaimed, no CacheManager residue (r13 policy)
     val wB = Window.partitionBy($"band", $"bucket")
     val admitted = gated
       .select($"doc_id",
@@ -454,7 +463,12 @@ object TrainingOps {
           .otherwise("test").as("split"))
       .orderBy($"doc_id")
   }
-  private val q81Sql = {
+  private val q81Sql = curationSql("documents")
+
+  /** The q81 oracle parameterized by its documents SOURCE (a table name
+    * or parenthesized subquery yielding doc_id, lang, source, text) —
+    * shared with q219's normalized variant corpus. */
+  private def curationSql(src: String): String = {
     import PortableHash.{foldSql, permSql}
     val bigrams = "list_distinct(list_transform(range(1, len(tk)), " +
       "i -> tk[i] || ' ' || tk[i+1]))"
@@ -471,7 +485,7 @@ object TrainingOps {
     val split = s"(${tokenHashPSql("doc_id")} % 100)"
     s"""WITH tk AS (
        |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS tk
-       |  FROM documents),
+       |  FROM $src),
        |stats AS (
        |  SELECT doc_id, lang, source, text,
        |    CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -509,7 +523,7 @@ object TrainingOps {
        |  SELECT DISTINCT ng
        |  FROM (SELECT $sh8 AS sh
        |        FROM (SELECT string_split(text, ' ') AS tk
-       |              FROM documents WHERE source = 'src0')),
+       |              FROM $src WHERE source = 'src0')),
        |       UNNEST(sh) AS u(ng)),
        |cont AS (
        |  SELECT DISTINCT doc_id
@@ -525,6 +539,54 @@ object TrainingOps {
        |FROM surv
        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q219
+  /** Normalization as the CURATION ON-RAMP (r12 verdict #5): q170
+    * proved TextNorm restores LSH recall beside the pipeline; here it
+    * runs IN the pipeline — the q166/q170 variant corpus (every sliced
+    * doc as-is, uppercased, and accent-injected, distinct ids) flows
+    * through `TextNorm.normalize` FIRST and then q81's full curation
+    * chain. The composition is what the fixture tests: the variant
+    * triples only exact-dedup (md5 gate) because normalization made
+    * their bytes identical — raw, all three variants would pass the
+    * md5 gate separately and near-miss every LSH band (q166 measures
+    * that collapse), silently tripling the corpus. The min-id variant
+    * survives each triple; every later stage (LSH admission,
+    * decontamination, split) then runs on the normalized text, so the
+    * whole pipeline sees ONE canonical form — the production on-ramp
+    * placement. Slice discipline as q170 (1-in-10 docs: the ×3 blowup
+    * is the fixture's point, not a corpus-wide cost). */
+  private val q219: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextNorm
+    val d = Tables(s, dir, "documents").filter($"doc_id" % 10 === 0)
+    val accented = replace(replace(replace($"text",
+      lit("a"), lit("á")), lit("e"), lit("é")), lit("o"), lit("ó"))
+    val variants = d.select(($"doc_id" * 3).as("doc_id"), $"lang",
+        $"source", $"text")
+      .unionAll(d.select(($"doc_id" * 3 + 1).as("doc_id"), $"lang",
+        $"source", upper($"text").as("text")))
+      .unionAll(d.select(($"doc_id" * 3 + 2).as("doc_id"), $"lang",
+        $"source", accented.as("text")))
+      .withColumn("text", TextNorm.normalize($"text")) // the on-ramp
+    curationPipeline(s, variants)
+  }
+  private val q219Sql = {
+    import graft.functions.TextNorm.normalizeSql
+    val accent = "replace(replace(replace(text, 'a', 'á'), 'e', 'é'), " +
+      "'o', 'ó')"
+    curationSql(
+      s"""(SELECT doc_id * 3 AS doc_id, lang, source,
+         |   ${normalizeSql("text")} AS text
+         | FROM documents WHERE doc_id % 10 = 0
+         | UNION ALL
+         | SELECT doc_id * 3 + 1, lang, source,
+         |   ${normalizeSql("upper(text)")}
+         | FROM documents WHERE doc_id % 10 = 0
+         | UNION ALL
+         | SELECT doc_id * 3 + 2, lang, source, ${normalizeSql(accent)}
+         | FROM documents WHERE doc_id % 10 = 0)""".stripMargin)
   }
 
   // ---------------------------------------------------------------- q84
@@ -1873,6 +1935,7 @@ object TrainingOps {
     "q73_sequence_packing" -> q73,
     "q162_length_buckets" -> q162,
     "q81_curation_pipeline" -> q81,
+    "q219_normalized_curation" -> q219,
     "q84_mixture_sample" -> q84)
 
   val oracleSql: Map[String, String] = Map(
@@ -1901,5 +1964,6 @@ object TrainingOps {
     "q73_sequence_packing" -> q73Sql,
     "q162_length_buckets" -> q162Sql,
     "q81_curation_pipeline" -> q81Sql,
+    "q219_normalized_curation" -> q219Sql,
     "q84_mixture_sample" -> q84Sql)
 }

@@ -86,12 +86,19 @@ object StreamingDedup {
     * bounded corpora). */
   def bandVerdicts(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 16, bands: Int = 4,
-      stateTtl: Option[String] = None): Dataset[BandVerdict] = {
+      stateTtl: Option[String] = None,
+      normalize: Boolean = false): Dataset[BandVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // opt-in normalization ON-RAMP (the q219 placement, streaming arm):
+    // case/diacritic variants shingle to identical band buckets and
+    // dedup at admission; off by default — byte-exact semantics stay
+    // the baseline contract
+    val t = if (normalize) graft.functions.TextNorm.normalize(col(textCol))
+            else col(textCol)
     val exploded = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        bandHashes(col(textCol), numHashes, bands).as("bb"))
+        bandHashes(t, numHashes, bands).as("bb"))
       .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
       .as[(Long, Int, Long)]
     verdictsFromExploded(exploded, stateTtl)
@@ -182,14 +189,17 @@ object StreamingDedup {
     * with changelog checkpointing instead of living on the executor heap. */
   def bandVerdictsTws(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 16, bands: Int = 4,
-      stateTtl: Option[java.time.Duration] = None): Dataset[BandVerdict] = {
+      stateTtl: Option[java.time.Duration] = None,
+      normalize: Boolean = false): Dataset[BandVerdict] = {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val outEnc = Encoders.product[BandVerdict]
+    val t = if (normalize) graft.functions.TextNorm.normalize(col(textCol))
+            else col(textCol)
     val exploded = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        bandHashes(col(textCol), numHashes, bands).as("bb"))
+        bandHashes(t, numHashes, bands).as("bb"))
       .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
       .as[(Long, Int, Long)]
     val timeMode =

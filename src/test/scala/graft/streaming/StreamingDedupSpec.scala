@@ -46,6 +46,59 @@ class StreamingDedupSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("normalization on-ramp routing parity: streaming normalize=true " +
+      "matches the batch rule over normalized text; raw arm does not " +
+      "collapse the variants") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextNorm
+    // case/diacritic variant corpus (q219's fixture shape): ids increase
+    // in arrival order so the batch min-id rule and the sequential
+    // stream claim buckets identically
+    val accent = (t: String) => t.replace("a", "á").replace("e", "é")
+    val docs = Seq(
+      (1L, distinctA), (2L, distinctA.toUpperCase), (3L, accent(distinctA)),
+      (4L, distinctB), (5L, accent(distinctB).toUpperCase),
+      (6L, distinctC))
+    // batch arm: q81's band-bucket-first admission over NORMALIZED text
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"bucket")
+    val batchAdmit = docs.toDF("doc_id", "text")
+      .select($"doc_id",
+        StreamingDedup.bandHashes(TextNorm.normalize($"text")).as("bb"))
+      .select($"doc_id", posexplode($"bb").as(Seq("band", "bucket")))
+      .withColumn("first_doc", min($"doc_id").over(wB))
+      .groupBy($"doc_id")
+      .agg(min($"doc_id" === $"first_doc").as("admit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batchAdmit === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false, 6L -> true))
+
+    // streaming arm, one doc per micro-batch, normalize=true
+    def streamAdmit(normalize: Boolean): Map[Long, Boolean] = {
+      implicit val sqlCtx = spark.sqlContext
+      val src = MemoryStream[(Long, String)]
+      val verdicts = StreamingDedup.bandVerdicts(
+        src.toDF().toDF("doc_id", "text"), normalize = normalize)
+      val admitted = mutable.Map[Long, Boolean]()
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingDedup.admissions(batch).collect().foreach(r =>
+            admitted(r.getLong(0)) = r.getBoolean(1))
+        }.start()
+      try {
+        docs.foreach { d => src.addData(d); q.processAllAvailable() }
+      } finally q.stop()
+      admitted.toMap
+    }
+    assert(streamAdmit(normalize = true) === batchAdmit,
+      "streaming and batch arms must route identically")
+    // the raw arm must NOT collapse case/diacritic variants — their
+    // token sets are disjoint without normalization
+    assert(streamAdmit(normalize = false) ===
+      Map(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> true,
+        6L -> true))
+  }
+
   test("streaming admission: duplicates rejected across micro-batches, state persists") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, String)]
