@@ -49,6 +49,8 @@ class PlanAuditSpec extends SparkSpec {
       "q210_nb_quality",           // crossJoin(broadcast(1-row class totals))
       "q211_dsir_selection",       // crossJoin(broadcast(1-row histogram totals))
       "q213_hard_negatives",       // broadcast(50 anchors) ⋈ ≠ label
+      "q213b_hard_negatives_indexed", // same bounded anchor broadcasts +
+                                      // crossJoin(broadcast(16 centroids))
       "q214_incremental_classifier", // q210's 1-row totals over the view state
       "q215_cluster_balanced")     // crossJoin(broadcast(16 centroids))
       // q216's mask-pair ⋈ < runs inside its stored-artifact BUILD; the
@@ -423,6 +425,93 @@ class PlanAuditSpec extends SparkSpec {
         s"no operator-placed broadcast for the supplier edge:\n$p")
       assert(p.contains("SortMergeJoin"),
         s"no plain shuffle join for the part edge:\n$p")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("star planner: EVERY StarStep's verdict materializes as its " +
+      "physical node, matched per edge key (r12 verdict #6)") {
+    // q179's star plus a fourth, violently skewed edge, so all FOUR
+    // verdicts land in ONE executed plan; each step is then matched to
+    // the physical node carrying ITS join key — a silent dispatch
+    // regression (a salted edge planning as a plain shuffle, a
+    // broadcast hint lost) fails here by name, the way BucketedJoinSpec
+    // pins q212's zero-exchange claim. autoBroadcastJoinThreshold off:
+    // every BroadcastHashJoin in the plan is the operator's own hint.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Skew
+    import graft.sinks.ManifestSink
+    import graft.sources.Tables
+    import spark.implicits._
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("starshape")
+        .toString
+      val li = Tables(spark, sf, "lineitem").select(
+        $"l_orderkey", $"l_partkey", $"l_suppkey",
+        when($"l_orderkey" % 4 =!= 0, lit(-1L)).otherwise($"l_orderkey")
+          .as("l_hot"))
+      val fact = s"$root/fact"
+      ManifestSink.appendWithStats(li, fact, Seq("l_orderkey"),
+        ndvCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_hot"),
+        topKCols = Seq("l_hot"))
+      def sink(name: String, df: org.apache.spark.sql.DataFrame,
+          key: String, topK: Boolean = false): String = {
+        val p = s"$root/$name"
+        ManifestSink.appendWithStats(df, p, Seq(key), ndvCols = Seq(key),
+          topKCols = if (topK) Seq(key) else Nil)
+        p
+      }
+      val ords = Tables(spark, sf, "orders")
+        .select($"o_orderkey", $"o_orderstatus")
+      val maxO = ords.agg(max($"o_orderkey")).head().getLong(0)
+      val low = sink("low", ords.filter($"o_orderkey" <= maxO / 25),
+        "o_orderkey")
+      val part = sink("part", Tables(spark, sf, "part")
+        .select($"p_partkey", $"p_brand"), "p_partkey")
+      val sup = sink("sup", Tables(spark, sf, "supplier")
+        .select($"s_suppkey", $"s_acctbal"), "s_suppkey")
+      val hot = sink("hot", li.select($"l_hot".as("d_hot")).distinct(),
+        "d_hot", topK = true)
+      val bc = ManifestSink.rowCount(spark, fact).get / 200
+      val (joined, steps) = Skew.planAwareStarJoin(spark, fact, Seq(
+        Skew.DimSpec(part, "l_partkey", "p_partkey"),
+        Skew.DimSpec(sup, "l_suppkey", "s_suppkey"),
+        Skew.DimSpec(low, "l_orderkey", "o_orderkey"),
+        Skew.DimSpec(hot, "l_hot", "d_hot")), bc)
+      assert(steps.map(_.strategy).sorted ===
+        Seq("broadcast", "prefilter_semi", "salted", "shuffle"),
+        s"fixture no longer lands all four verdicts: $steps")
+      joined.count() // settle AQE: assert on the FINAL physical plan
+      val lines = joined.queryExecution.executedPlan.toString
+        .linesIterator.toSeq
+      steps.foreach { st =>
+        val k = st.factKey
+        st.strategy match {
+          case "broadcast" => assert(lines.exists(l =>
+              l.contains("BroadcastHashJoin") && !l.contains("LeftSemi") &&
+                l.contains(k)),
+            s"edge $k planned broadcast but no BroadcastHashJoin on $k")
+          case "prefilter_semi" => assert(lines.exists(l =>
+              l.contains("BroadcastHashJoin") && l.contains("LeftSemi") &&
+                l.contains(k)),
+            s"edge $k planned prefilter_semi but no LeftSemi BHJ on $k")
+          case "salted" => assert(lines.exists(l =>
+              (l.contains("SortMergeJoin") ||
+                l.contains("ShuffledHashJoin")) &&
+                l.contains("__salt") && l.contains(k)),
+            s"edge $k planned salted but no __salt shuffle join on $k")
+          case "shuffle" => assert(lines.exists(l =>
+              (l.contains("SortMergeJoin") ||
+                l.contains("ShuffledHashJoin")) &&
+                !l.contains("__salt") && l.contains(k)),
+            s"edge $k planned shuffle but no shuffle join on $k")
+          case other => fail(s"unexpected strategy $other for edge $k")
+        }
+      }
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
