@@ -102,6 +102,36 @@ class MaintenanceLoopSpec extends SparkSpec {
     assert(titles.sorted === (0 until 8).map(i => f"T$i%02d"))
   }
 
+  test("purge_debt cure: tombstone debt from MoR upserts converges " +
+      "under the cycle, content byte-preserved, at most one rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("mpurge").toString + "/t"
+    val rows = (0 until 400).map(i => (i.toLong, i * 3L))
+    ManifestSink.append(rows.toDF("k", "v"), dir)
+    // six MoR upserts = six read-path tombstones (plus data entries)
+    (0 until 6).foreach { u =>
+      ManifestSink.mergeOnRead(
+        Seq(((u * 10).toLong, -1L * u)).toDF("k", "v"), dir, Seq("k"))
+    }
+    val (tombs, _) = ManifestSink.tombstoneDebt(spark, dir)
+    assert(tombs === 6)
+    val want = ManifestSink.read(spark, dir)
+      .agg(count(lit(1)), sum($"v")).head()
+    // policy with maxTombstones = 4: the cycle must pick the FULL
+    // compact (purge subsumes compact_small — exactly one rewrite)
+    val policy = MaintenancePolicy(everyEpochs = 1, minRows = 1000L,
+      maxTombstones = 4)
+    assert(Maintenance.runCycle(spark, dir, policy) === Seq("purge_debt"))
+    val (tombsAfter, dataAfter) = ManifestSink.tombstoneDebt(spark, dir)
+    assert(tombsAfter === 0 && dataAfter === 1)
+    val got = ManifestSink.read(spark, dir)
+      .agg(count(lit(1)), sum($"v")).head()
+    assert(got === want, "purge must change layout, never content")
+    // converged: the re-plan is silent
+    assert(Maintenance.runCycle(spark, dir, policy) === Nil)
+  }
+
   test("absorbEpoch with a policy: base table bounded, view content " +
       "survives the recompute a base rewrite forces") {
     import spark.implicits._
