@@ -207,6 +207,18 @@ object ScaleSweep {
     val marker = dir.resolve("_GENERATED")
     if (!Files.exists(marker)) { // completion marker, not dir existence
       if (Files.isDirectory(dir)) {
+        // Only auto-reclaim a dir THIS harness owns: a half-finished
+        // generation leaves `documents.parquet` (the first table
+        // written) without the marker. A non-empty dir with neither is
+        // somebody else's data — a mistyped CLI arg must not wipe it;
+        // the operator opts in with SPARK_GRAFT_SWEEP_FORCE=1.
+        val force = sys.env.get("SPARK_GRAFT_SWEEP_FORCE").contains("1")
+        val ownedPartial = Files.exists(dir.resolve("documents.parquet"))
+        val empty = !Files.list(dir).findAny().isPresent
+        require(empty || ownedPartial || force,
+          s"refusing to delete non-empty '$out': no _GENERATED marker " +
+            "and no partial sweep tables — looks like foreign data. " +
+            "Set SPARK_GRAFT_SWEEP_FORCE=1 to override.")
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
       }
@@ -230,7 +242,13 @@ object ScaleSweep {
         val t0 = System.nanoTime()
         val res =
           try Right(SparkEntry.queries(name)(spark, sfDir).count())
-          catch { case e: Throwable => Left(e.toString.take(200)) }
+          // NonFatal only: a query-level failure (spill exhaustion,
+          // analysis error) becomes a JSON error line and the sweep
+          // continues; a FATAL error (OOMError, thread death) must kill
+          // the run — folding it into a line would report a corrupted
+          // JVM's remaining timings as data.
+          catch { case scala.util.control.NonFatal(e) =>
+            Left(e.toString.take(200)) }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values

@@ -34,10 +34,66 @@ object TierProbe {
       time("prefix", DedupOps.prefixSimilarityJoin(sets, "doc_id", "sh",
         4, 5, bitmapMaxVocab = vocabCap).count())
     }
+    /** Candidate-VOLUME recount for the open-vocab tiers, computed
+      * definitionally (plain equi-join, no block decomposition — the
+      * cap reshapes reducers, never the row count): occurrences
+      * surviving (a) the bare prefix filter, (b) +length, (c) +the
+      * PPJoin positional bound — the r14 evidence that the positional
+      * filter cuts pre-distinct volume, not just wall time. */
+    def candVolume(tag: String, dir: String): Unit = {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val (num, den) = (4, 5)
+      val sets = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          DedupOps.shingles(split(col("text"), " "), 2).as("sh"))
+      val s = sets.select(col("doc_id").as("id"),
+          array_distinct(col("sh")).as("set"))
+        .filter(size(col("set")) >= 5).localCheckpoint()
+      val ex = s.select(col("id"), size(col("set")).as("sz"),
+        explode(col("set")).as("el"))
+      val dfreq = ex.groupBy(col("el")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("df").asc, col("el").asc)
+      val ranked = ex.join(dfreq, "el")
+        .withColumn("pos", row_number().over(w)).localCheckpoint()
+      val ceil = expr(s"(CAST(sz AS BIGINT) * $num + ${den - 1}) div $den")
+      val prefix = ranked.filter(col("pos") <= col("sz") - ceil + 1)
+      def side(df: DataFrame, sfx: String): DataFrame =
+        df.select(col("id").as(s"id$sfx"), col("el"),
+          col("sz").as(s"sz$sfx"), col("pos").as(s"pos$sfx"))
+      def bound = least(col("posa"), col("posb")) +
+        least(col("sza") - col("posa"), col("szb") - col("posb"))
+      def report(op: String, raw: DataFrame, len: org.apache.spark.sql.Column,
+          pos: org.apache.spark.sql.Column): Unit = {
+        val r = raw.localCheckpoint()
+        val (a, b, c) = (r.count(), r.filter(len).count(),
+          r.filter(len && pos).count())
+        println(s"""{"probe":"$tag","op":"$op","raw":$a,""" +
+          s""""len":$b,"pos":$c}""")
+        spark.sharedState.cacheManager.clearCache()
+      }
+      report("cand_prefix",
+        side(prefix, "a").join(side(prefix, "b"), "el")
+          .filter(col("ida") < col("idb")),
+        col("sza") * den >= col("szb") * num &&
+          col("szb") * den >= col("sza") * num,
+        bound.cast("long") * (num + den) >=
+          (col("sza") + col("szb")).cast("long") * num)
+      report("cand_containment",
+        side(prefix, "a").join(side(ranked, "b"), "el")
+          .filter(col("ida") =!= col("idb")),
+        col("szb").cast("long") * den >= col("sza").cast("long") * num,
+        bound.cast("long") * den >= col("sza").cast("long") * num)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(false))
+    }
     for (cap <- Seq(1L, 1L << 16)) {
       run("base", "/root/testdata/sf0.1", cap)
       run("x10", "/tmp/graft-sf1", cap)
     }
+    candVolume("base", "/root/testdata/sf0.1")
+    candVolume("x10", "/tmp/graft-sf1")
     spark.stop()
   }
 }

@@ -126,6 +126,21 @@ object DedupOps {
     // reclaims them when the returned frame is GC'd — a persist() would
     // sit in the CacheManager until an explicit clearCache, accumulating
     // executor storage across invocations (r12 advice).
+    //
+    // THE TRADE (applies to every localCheckpoint in this file — r13
+    // advice): localCheckpoint blocks are NON-REPLICATED and the lineage
+    // is TRUNCATED, so losing an executor that holds a block (node
+    // failure, dynamic-allocation decommission) fails the query instead
+    // of recomputing — Spark cannot rebuild what it no longer knows how
+    // to derive. These frames are intermediate, query-scoped, and
+    // re-runnable (the caller retries the whole dedup query, which is
+    // idempotent), so the trade is deliberate: bounded re-run on a rare
+    // executor loss, in exchange for zero CacheManager residue on every
+    // normal run. A deployment with aggressive dynamic allocation should
+    // either disable executor decommission during these queries or set
+    // spark.decommission.enabled storage-migration so blocks move before
+    // the executor dies; a LONG-LIVED derived table that must survive
+    // faults belongs in a ManifestSink table, not a lineage cut.
     val banded = banded0.localCheckpoint()
     def aSide(df: DataFrame, keys: Seq[String]): DataFrame =
       df.select((keys.map(col) :+ col(idCol).as("__ga")) ++
@@ -729,7 +744,13 @@ object DedupOps {
     * Scale (100 TB): one explode + one (element) shuffle builds the df
     * order; the candidate join ships PREFIX rows only (≈ (1−τ)·set size
     * per doc) and routes through the capped [[bandSelfJoin]], so one
-    * ultra-hot prefix element cannot pin a reducer. Verification is
+    * ultra-hot prefix element cannot pin a reducer. Candidate volume is
+    * cut BEFORE the pair-distinct by the PPJoin-style LENGTH and
+    * POSITIONAL filters (Xiao et al. WWW'08) — both lossless (the
+    * positional bound holds at every occurrence, so a qualifying pair
+    * always survives; derivation at the filter) — the r13 ×100 sweep's
+    * scratch-exhaustion lever on low-selectivity vocabularies.
+    * Verification is
     * ADAPTIVE on a vocabulary probe: a bounded element vocabulary
     * (≤ `bitmapMaxVocab`) verifies on dictionary-exact popcount bitmaps
     * carried as join payload — every candidate dies or survives inside
@@ -783,11 +804,37 @@ object DedupOps {
       .withColumn("__pos", row_number().over(w))
       .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)
       .select(col("__id"), lit(0).as("__bidx"),
-        PortableHash.tokenHashP(col("__el")).as("__bhash"), col("__sz"))
+        PortableHash.tokenHashP(col("__el")).as("__bhash"), col("__sz"),
+        col("__pos"))
     // length filter: J ≥ τ needs den·min(sz) ≥ num·max(sz)
     def lengthOk(p: DataFrame): DataFrame =
       p.filter(col("__sz_a") * tauDen >= col("__sz_b") * tauNum &&
         col("__sz_b") * tauDen >= col("__sz_a") * tauNum)
+    // POSITIONAL filter (the PPJoin bound — Xiao et al. WWW'08): a
+    // candidate occurrence meets on a common element at rarest-first
+    // positions (pa, pb). Both docs' element lists are sorted by the
+    // SAME global total order, so any OTHER common element either
+    // precedes this one in both lists (at most min(pa,pb) − 1 of
+    // those) or follows it in both (at most min(sz_a−pa, sz_b−pb)), so
+    //   |∩| ≤ min(pa,pb) + min(sz_a−pa, sz_b−pb).
+    // J ≥ τ forces |∩|·(num+den) ≥ num·(sz_a+sz_b); an occurrence
+    // whose bound misses that cannot witness a qualifying pair.
+    // LOSSLESS without first-match bookkeeping: the bound is valid at
+    // EVERY occurrence (not only the pair's first common element), so
+    // a qualifying pair — whose true overlap meets the mark — passes
+    // at every occurrence it generates and survives the pre-distinct
+    // prune; only non-qualifying candidate volume dies. This is the
+    // r13 ×100 lever: the plain prefix filter keeps every co-prefix
+    // pair, and on a low-selectivity vocabulary that stream exceeded
+    // single-node scratch (SURVEY ×100 table, q143/q151); the bound
+    // kills most of it before the pair-distinct shuffle.
+    def positionalOk(p: DataFrame): DataFrame = {
+      val bound = least(col("__pos_a"), col("__pos_b")) +
+        least(col("__sz_a") - col("__pos_a"),
+          col("__sz_b") - col("__pos_b"))
+      p.filter(bound.cast("long") * (tauNum + tauDen) >=
+        (col("__sz_a") + col("__sz_b")).cast("long") * tauNum)
+    }
 
     if (vocabSize > 0 && vocabSize <= bitmapMaxVocab) {
       // small-vocab tier: each set is ⌈vocab/64⌉ longs
@@ -805,8 +852,8 @@ object DedupOps {
         .agg(collect_list(col("__idx")).as("__p"))
         .select(col("__id"), Bitmap.fromPositions(col("__p"), words).as("__bm"))
       val inter = Bitmap.andCount(col("__bm_a"), col("__bm_b"))
-      lengthOk(bandSelfJoin(prefix.join(bitmaps, "__id"), "__id",
-          Seq("__sz", "__bm"), maxBucket))
+      positionalOk(lengthOk(bandSelfJoin(prefix.join(bitmaps, "__id"),
+          "__id", Seq("__sz", "__pos", "__bm"), maxBucket)))
         .withColumn("__i", inter)
         .withColumn("__u",
           (col("__sz_a") + col("__sz_b")).cast("long") - col("__i"))
@@ -820,8 +867,8 @@ object DedupOps {
     } else {
       // open-vocab tier (the 100 TB default): candidates distinct
       // first, then exact array verification on the full sets
-      val cand = lengthOk(bandSelfJoin(prefix, "__id", Seq("__sz"),
-          maxBucket))
+      val cand = positionalOk(lengthOk(bandSelfJoin(prefix, "__id",
+          Seq("__sz", "__pos"), maxBucket)))
         .select(col("__ga").as("id_a"), col("__gb").as("id_b")).distinct()
       val a = s.select(col("__id").as("id_a"), col("__set").as("__seta"))
       val b = s.select(col("__id").as("id_b"), col("__set").as("__setb"))
@@ -896,11 +943,20 @@ object DedupOps {
     * ZERO Dataset caches (the r12 storage-residue fix): the eager
     * decision probe asks only "does any hot key exist" (aggregate-only
     * passes over both sides — callers hand in localCheckpoint'ed
-    * frames, so the probe reads blocks, not the upstream pipeline).
+    * frames, or narrow projections of one, so the probe reads blocks,
+    * not the upstream pipeline; r13 advice closed the two callers that
+    * handed in un-cut window/aggregate frames).
     * The common cold case returns the plain equi-join with zero
     * overhead; the hot case routes the block table — hot keys only,
     * skew-small by definition — through a BROADCAST left join, where a
     * key with no block row coalesces to the 1×1 identity blocking.
+    * The broadcast assumes the HOT-key set is driver-small: keys whose
+    * pair product exceeds maxBucket² are by construction a vanishing
+    * fraction of a key-hashed distribution (each needs > maxBucket²
+    * candidate pairs), so the block table is a few rows per genuine
+    * skew spike — millions of simultaneously-hot keys would mean the
+    * join is effectively a cross product and no pair-enumerating plan
+    * survives that input anyway.
     * Nothing enters the CacheManager, so an embedding caller
     * accumulates no executor storage across invocations.
     *
@@ -964,6 +1020,9 @@ object DedupOps {
     * scheme would force when one tiny doc exists) against the FULL
     * inverted index, producing ordered candidates directly; each is
     * verified once with integer arithmetic (den·|∩| ≥ num·sz_inner).
+    * Candidate volume is cut pre-distinct by the asymmetric LENGTH
+    * filter (den·sz_outer ≥ num·sz_inner) and the PPJoin POSITIONAL
+    * bound (both lossless; derivation at the filter).
     * Hot elements route through [[cappedProbeIndexJoin]] (prefixes
     * hold each doc's RAREST elements, so a corpus-hot element appears
     * on the probe side only for docs whose other elements are hotter
@@ -999,10 +1058,40 @@ object DedupOps {
     // each doc's own t = ⌈τ·sz⌉ via integral arithmetic
     val ceilTauSz =
       expr(s"(CAST(__sz AS BIGINT) * $tauNum + ${tauDen - 1}) div $tauDen")
-    val prefixIds = ex.join(dfreq, "__el")
+    // Rank ONCE over the full exploded corpus: the probe prefix is a
+    // filter of this frame, and the index side now carries the rank too
+    // (the positional filter below needs it). The lineage cut matters
+    // doubly here — cappedProbeIndexJoin reads each side in a count
+    // pass AND a join pass, and without the cut every read re-ran this
+    // window + the dfreq join (up to ~4×, r13 advice); with it, the
+    // probe/index frames below are NARROW projections of materialized
+    // blocks (zero shuffle to re-derive). Non-replicated executor-loss
+    // trade: see the note in bandSelfJoin.
+    val ranked = ex.join(dfreq, "__el")
       .withColumn("__pos", row_number().over(w))
+      .localCheckpoint()
+    val prefixIds = ranked
       .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)
-      .select(col("__id"), col("__el"), col("__sz"))
+      .select(col("__id"), col("__el"), col("__sz"), col("__pos"))
+    // candidate filters, both lossless (spec-pinned vs all-pairs):
+    // LENGTH — |∩| ≤ sz_outer, so C ≥ τ needs den·sz_outer ≥
+    // num·sz_inner; POSITIONAL (PPJoin bound, same derivation as
+    // prefixSimilarityJoin's: both element lists share one global
+    // order, so the bound holds at EVERY occurrence) —
+    //   |∩| ≤ min(pa, pb) + min(sz_a−pa, sz_b−pb) ≥ ⌈τ·sz_a⌉,
+    // integer form bound·den ≥ num·sz_a. A qualifying pair's true
+    // overlap meets the mark at every occurrence it generates, so the
+    // pre-distinct prune only kills non-qualifying candidate volume —
+    // the r13 ×100 scratch-exhaustion lever (SURVEY ×100 table, q151).
+    def candOk(p: DataFrame): DataFrame = {
+      val bound = least(col("__pa"), col("__pb")) +
+        least(col("__sza") - col("__pa"), col("__szb") - col("__pb"))
+      p.filter(col("__xa") =!= col("__xb"))
+        .filter(col("__szb").cast("long") * tauDen >=
+          col("__sza").cast("long") * tauNum)
+        .filter(bound.cast("long") * tauDen >=
+          col("__sza").cast("long") * tauNum)
+    }
 
     if (vocabSize > 0 && vocabSize <= bitmapMaxVocab) {
       import graft.functions.{Bitmap, TokenBitmask}
@@ -1014,16 +1103,22 @@ object DedupOps {
         .groupBy(col("__id"))
         .agg(collect_list(col("__idx")).as("__p"))
         .select(col("__id"), Bitmap.fromPositions(col("__p"), words).as("__bm"))
+        .localCheckpoint() // one aggregate feeds BOTH join sides (r13
+                 // advice: was recomputed per capped-join pass)
       val probe = prefixIds.join(bitmaps, "__id")
         .select(col("__id").as("__xa"),
           PortableHash.tokenHashP(col("__el")).as("__k"),
-          col("__sz").as("__sza"), col("__bm").as("__bma"))
-      val index = ex.select(col("__id"), col("__el")).join(bitmaps, "__id")
+          col("__sz").as("__sza"), col("__pos").as("__pa"),
+          col("__bm").as("__bma"))
+        .localCheckpoint() // the capped join's count + join passes each
+                 // read it; the cut makes the bitmap join run once
+      val index = ranked.join(bitmaps, "__id")
         .select(col("__id").as("__xb"),
           PortableHash.tokenHashP(col("__el")).as("__k"),
+          col("__sz").as("__szb"), col("__pos").as("__pb"),
           col("__bm").as("__bmb"))
-      cappedProbeIndexJoin(probe, index, maxBucket)
-        .filter(col("__xa") =!= col("__xb"))
+        .localCheckpoint()
+      candOk(cappedProbeIndexJoin(probe, index, maxBucket))
         .withColumn("__i", Bitmap.andCount(col("__bma"), col("__bmb")))
         .filter(col("__i") * tauDen >= col("__sza") * tauNum)
         .select(col("__xa"), col("__xb"), col("__sza"), col("__i"))
@@ -1033,14 +1128,17 @@ object DedupOps {
           (col("__i").cast("double") / col("__sza").cast("double"))
             .as("containment"))
     } else {
+      // both sides are NARROW projections of the checkpointed `ranked`
+      // — the capped join's repeated passes re-read materialized
+      // blocks, never the window/dfreq pipeline (r13 advice)
       val probe = prefixIds
         .select(col("__id").as("__xa"),
           PortableHash.tokenHashP(col("__el")).as("__k"),
-          col("__sz").as("__sza"))
-      val index = ex.select(col("__id").as("__xb"),
-        PortableHash.tokenHashP(col("__el")).as("__k"))
-      val cand = cappedProbeIndexJoin(probe, index, maxBucket)
-        .filter(col("__xa") =!= col("__xb"))
+          col("__sz").as("__sza"), col("__pos").as("__pa"))
+      val index = ranked.select(col("__id").as("__xb"),
+        PortableHash.tokenHashP(col("__el")).as("__k"),
+        col("__sz").as("__szb"), col("__pos").as("__pb"))
+      val cand = candOk(cappedProbeIndexJoin(probe, index, maxBucket))
         .select(col("__xa"), col("__xb")).distinct()
       val a = s.select(col("__id").as("__xa"), col("__set").as("__seta"))
       val b = s.select(col("__id").as("__xb"), col("__set").as("__setb"))

@@ -47,7 +47,10 @@ object GraphOps {
     * a <= |nations|^2 edge list; edges and the per-round 25-row rank
     * frame are localCheckpoint'd (the q71 discipline: constant-size plan
     * per round, no lineage growth, no fact-table re-scan inside the
-    * loop). Each round is a tiny broadcast join + hash aggregate. The
+    * loop). Lineage cuts are non-replicated — executor loss mid-query
+    * fails the (idempotent, retryable) query instead of recomputing;
+    * see the canonical trade note in DedupOps.bandSelfJoin.
+    * Each round is a tiny broadcast join + hash aggregate. The
     * only driver scalars are the node count and the derived literals. */
   private val q104: Q = (s, dir) => {
     import s.implicits._

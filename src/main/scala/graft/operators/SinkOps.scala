@@ -3291,7 +3291,9 @@ object SinkOps {
       // materialize before the catalog drop: the returned frame must not
       // lazily re-resolve tables the finally block has removed.
       // localCheckpoint truncates the lineage into executor blocks
-      // (ContextCleaner-reclaimed) without a driver round-trip; the
+      // (ContextCleaner-reclaimed, non-replicated: executor loss fails
+      // the retryable query — DedupOps.bandSelfJoin has the full trade
+      // note) without a driver round-trip; the
       // caller-facing sort stays OUTSIDE the checkpoint so it runs (or
       // is optimizer-elided, e.g. under a bare count) exactly as the
       // pre-drop lazy plan would

@@ -308,7 +308,7 @@ object TextOps {
       // tier); this path is candidate-bound instead.
       val sets = docs(s, dir).select($"doc_id",
         transform(array_distinct(toks),
-          t => concat($"source", lit(" "), t)).as("qt"))
+          t => concat($"source", lit("\u0000"), t)).as("qt"))
       graft.operators.DedupOps.prefixSimilarityJoin(sets, "doc_id", "qt",
           9, 10)
         .withColumnRenamed("id_a", "doc_a")

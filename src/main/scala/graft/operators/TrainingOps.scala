@@ -437,7 +437,9 @@ object TrainingOps {
         $"ttr" >= 0.45 && $"dup_bigram_frac" <= 0.06)
       .select($"doc_id", $"source", $"text", $"n_tokens", $"ttr")
       .localCheckpoint() // two plan branches read it; ContextCleaner-
-                         // reclaimed, no CacheManager residue (r13 policy)
+                         // reclaimed, no CacheManager residue; non-
+                         // replicated (executor-loss trade: see note in
+                         // DedupOps.bandSelfJoin)
     val wB = Window.partitionBy($"band", $"bucket")
     val admitted = gated
       .select($"doc_id",

@@ -51,7 +51,15 @@ object Maintenance {
     * counting epoch `everyEpochs - 1` as the first — a fresh stream
     * does not compact on its very first trigger). `policy` null (the
     * entrypoints' default) or a not-yet-created table = no-op. Returns
-    * the executed action names (empty when not due or plan silent). */
+    * the executed action names (empty when not due or plan silent).
+    *
+    * Cadence contract: "due" is `batchId` ARITHMETIC, so the cycle runs
+    * approximately every N triggers, not exactly every N committed
+    * epochs — a crash-replayed batchId can fire a cycle twice (harmless:
+    * the cycle is idempotent and plan-gated, the second run plans
+    * silent) and empty triggers still advance the count, so an idle
+    * stream drifts the cadence by a few epochs. Exactness is not worth
+    * a state store: the plan pass re-checks the table every time. */
   def onEpoch(spark: SparkSession, dir: String, batchId: Long,
       policy: MaintenancePolicy): Seq[String] =
     if (policy == null || (batchId + 1) % policy.everyEpochs != 0) Nil

@@ -187,6 +187,25 @@ object ManifestSink {
           throw new UnsupportedOperationException(hardLinkMsg(dst, e), e)
         case e: UnsupportedOperationException =>
           throw new UnsupportedOperationException(hardLinkMsg(dst, e), e)
+        // The reason-string match above is JDK- and locale-dependent: a
+        // genuine no-hardlink errno worded differently (non-English
+        // locale, differently-phrased FUSE driver) falls through to
+        // here. Keep the ACCURATE exception type (r12: never mislabel a
+        // full disk as "needs hard-link support") but append the
+        // registerConditionalPut guidance so the operator still gets
+        // the pointer; the original exception rides as the cause.
+        // AccessDeniedException / NoSuchFileException are well-typed
+        // non-hardlink failures — those propagate untouched.
+        case e: FileSystemException
+            if !e.isInstanceOf[java.nio.file.AccessDeniedException] &&
+              !e.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          val wrapped = new FileSystemException(e.getFile, e.getOtherFile,
+            Option(e.getReason).getOrElse("link failed") +
+              " [if this 'file'-scheme mount cannot hard-link, register" +
+              " a conditional-put seam via" +
+              " ManifestSink.registerConditionalPut]")
+          wrapped.initCause(e)
+          throw wrapped
       }
       finally Files.deleteIfExists(tmp)
     } else {

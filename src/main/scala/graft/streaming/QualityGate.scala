@@ -69,14 +69,33 @@ object QualityGate {
     // Replay of an epoch whose reject side committed: score against the
     // model version the FIRST attempt used (pinned in its header), so
     // the admitted set exactly complements the already-committed rejects
-    // even if the model view was refreshed in between.
+    // even if the model view was refreshed in between. Retention
+    // dependency: the pin is only as durable as the model view's
+    // manifest history — a vacuum/retention pass on `modelViewDir` that
+    // drops version `modelV` breaks replay of any epoch pinned to it,
+    // so the model view must retain at least the versions pinned by
+    // not-yet-finalized epochs (ManifestSink.vacuum refuses pinned
+    // versions for exactly this class of reader).
+    val replayed = ManifestSink.version(spark, rejectDir) >= 0 &&
+      ManifestSink.lastBatchId(spark, rejectDir) >= batchId
     val pinned: Option[Long] =
-      if (ManifestSink.version(spark, rejectDir) >= 0 &&
-          ManifestSink.lastBatchId(spark, rejectDir) >= batchId)
-        ManifestSink.manifestHeader(spark, rejectDir,
+      if (replayed) {
+        val p = ManifestSink.manifestHeader(spark, rejectDir,
             ManifestSink.version(spark, rejectDir))
           .get(ModelVKey).flatMap(_.toLongOption)
-      else None
+        // A detected replay with NO pin means the reject table predates
+        // the pinning gate (or its header was rewritten). Silently
+        // scoring against the FRESHEST model would reintroduce the
+        // exact neither/both-table routing hazard the pin closes — fail
+        // loudly instead; the operator backfills the header or accepts
+        // the hazard explicitly by clearing the reject-side marker.
+        if (p.isEmpty) throw new IllegalStateException(
+          s"replay of epoch $batchId detected on '$rejectDir' but its " +
+            s"manifest header carries no $ModelVKey pin: the reject " +
+            "side was written by a pre-pinning gate. Refusing to score " +
+            "against the freshest model (verdict-flip hazard).")
+        p
+      } else None
     val modelV = pinned.getOrElse(ManifestSink.version(spark, modelViewDir))
     val model = NbQuality.modelFromState(
       ManifestSink.readAt(spark, modelViewDir, modelV))

@@ -450,6 +450,80 @@ class DedupOpsSpec extends SparkSpec {
     assert(viaBitmap.nonEmpty && viaBitmap === viaArrays)
   }
 
+  test("PPJoin positional/length filters are lossless on the shapes " +
+      "they prune hardest: hub element, threshold-exact pairs with " +
+      "rare-unique ordering") {
+    // (a) hub: 20 docs share ONE rare-ish element R and nothing else —
+    //     the bare prefix filter keeps all 190 pairs (R is in every
+    //     prefix), the positional bound kills every one (overlap ≤ 1 +
+    //     min suffix, far under ⌈τ·(sa+sb)/(1+τ)⌉); all non-qualifying.
+    // (b) threshold-exact: |a|=|b|=9, overlap 8 → J = 8/10 = τ exactly,
+    //     built so each doc's UNIQUE token is its RAREST (df=1 < df=2)
+    //     — the first common element sits as LATE as possible in both
+    //     lists (pa=pb=2), the positional bound's tightest qualifying
+    //     case; must survive.
+    // (c) near-miss twin: overlap 7 of 9/9 → J = 7/11 < τ; must prune.
+    // Containment analog: inner {c1..c4,u} ⊂ outer + exact-0.8 inner.
+    val hub = (0 until 20).map(i =>
+      (100L + i, Seq("RHUB") ++ (0 until 9).map(j => s"h${i}_$j")))
+    val thresh = (0 until 3).flatMap { f =>
+      val common = (0 until 8).map(j => s"c${f}_$j")
+      Seq((200L + f * 2, common :+ s"ua$f"), // J(pair) = 8/10 = 4/5
+        (201L + f * 2, common :+ s"ub$f"))
+    }
+    val miss = {
+      val common = (0 until 7).map(j => s"m$j")
+      Seq((300L, common ++ Seq("na1", "na2")),
+        (301L, common ++ Seq("nb1", "nb2"))) // J = 7/11 < 4/5
+    }
+    val rows = hub ++ thresh ++ miss
+    val sets = rows.toDF("doc_id", "sh")
+    def normJ(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "n_common", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val a = sets.select($"doc_id".as("id_a"), $"sh".as("sa"))
+    val b = sets.select($"doc_id".as("id_b"), $"sh".as("sb"))
+    val inter = size(array_intersect($"sa", $"sb")).cast("long")
+    val uni = size($"sa").cast("long") + size($"sb").cast("long") - inter
+    val slow = normJ(a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", inter.as("n_common"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .filter($"n_common" * 5 >= uni * 4))
+    assert(slow.size === 3, "exactly the three threshold-exact pairs")
+    // both verify tiers (the open tier is where the filters carry load)
+    assert(normJ(DedupOps.prefixSimilarityJoin(
+      sets, "doc_id", "sh", 4, 5)) === slow)
+    assert(normJ(DedupOps.prefixSimilarityJoin(
+      sets, "doc_id", "sh", 4, 5, bitmapMaxVocab = 0L)) === slow)
+
+    // containment: inner exactly at 0.8 (4 of 5 inside outer), hub
+    // must produce nothing, both tiers identical to all-pairs
+    val crows = hub ++ Seq(
+      (400L, Seq("k1", "k2", "k3", "k4", "uq")), // 4/5 = 0.8 in 401
+      (401L, Seq("k1", "k2", "k3", "k4") ++ (0 until 8).map(j => s"o$j")),
+      (402L, Seq("k1", "k2", "k3", "uq2", "uq3"))) // 3/5 < 0.8: prune
+    val csets = crows.toDF("doc_id", "sh")
+    def normC(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val ca = csets.select($"doc_id".as("ia"), $"sh".as("sa"))
+    val cb = csets.select($"doc_id".as("ib"), $"sh".as("sb"))
+    val ci = size(array_intersect($"sa", $"sb")).cast("long")
+    val cslow = normC(ca.crossJoin(cb).filter($"ia" =!= $"ib")
+      .filter(size($"sa") >= 5)
+      .select($"ia", $"ib", ci.as("n_common"),
+        (ci.cast("double") / size($"sa").cast("double")).as("containment"))
+      .filter($"n_common" * 5 >= size($"sa").cast("long") * 4))
+    assert(cslow.exists { case (i, o, n, c) =>
+      i == 400L && o == 401L && n == 4L && c == 0.8 })
+    assert(normC(DedupOps.containmentJoin(
+      csets, "doc_id", "sh", 4, 5, minSize = 5)) === cslow)
+    assert(normC(DedupOps.containmentJoin(
+      csets, "doc_id", "sh", 4, 5, minSize = 5,
+      bitmapMaxVocab = 0L)) === cslow)
+  }
+
   test("prefixSimilarityJoin capped equals uncapped on a hot prefix") {
     // every doc shares one ultra-common shingle that lands in some
     // prefixes; the cap must not change the result set
