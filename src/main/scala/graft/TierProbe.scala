@@ -88,12 +88,22 @@ object TierProbe {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(false))
     }
-    for (cap <- Seq(1L, 1L << 16)) {
-      run("base", "/root/testdata/sf0.1", cap)
-      run("x10", "/tmp/graft-sf1", cap)
+    // args: optional `tag=dir` pairs → candidate-volume recount ONLY on
+    // those corpora (the ×100 fixture is too heavy to re-time the full
+    // tier matrix on); no args = the full r13 probe + volumes
+    if (args.nonEmpty) {
+      args.foreach { a =>
+        val Array(tag, dir) = a.split("=", 2)
+        candVolume(tag, dir)
+      }
+    } else {
+      for (cap <- Seq(1L, 1L << 16)) {
+        run("base", "/root/testdata/sf0.1", cap)
+        run("x10", "/tmp/graft-sf1", cap)
+      }
+      candVolume("base", "/root/testdata/sf0.1")
+      candVolume("x10", "/tmp/graft-sf1")
     }
-    candVolume("base", "/root/testdata/sf0.1")
-    candVolume("x10", "/tmp/graft-sf1")
     spark.stop()
   }
 }

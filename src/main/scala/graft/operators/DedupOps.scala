@@ -1969,10 +1969,18 @@ object DedupOps {
            |  i -> concat(substring($strCol, 1, i - 1),
            |              substring($strCol, i + 1)))""".stripMargin)))
         .as("v"))
-    variants.as("a").join(variants.as("b"),
-        col("a.v") === col("b.v") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("k1"), col(s"a.$strCol").as("name1"),
-        col(s"b.$idCol").as("k2"), col(s"b.$strCol").as("name2"))
+    // Route the variant buckets through the capped self-join kernel: a
+    // duplicate-heavy name (the r14 ×100 finding — K replicas of one
+    // string put C(K,2) pairs in ONE variant reducer) decomposes into
+    // bounded blocks instead of pinning a straggler. The 64-bit variant
+    // hash as bucket key is harmless: a collision only ADDS candidates,
+    // and every candidate is levenshtein-verified — while a true ed≤1
+    // pair always shares a variant, so it is always a candidate.
+    val banded = variants.select(col(idCol), lit(0).as("__bidx"),
+      PortableHash.tokenHashP(col("v")).as("__bhash"), col(strCol))
+    bandSelfJoin(banded, idCol, Seq(strCol), DefaultMaxBucket)
+      .select(col("__ga").as("k1"), col(s"${strCol}_a").as("name1"),
+        col("__gb").as("k2"), col(s"${strCol}_b").as("name2"))
       .distinct() // a candidate pair may share several variants
       .filter(levenshtein(col("name1"), col("name2")) <= 1)
   }
@@ -2007,7 +2015,15 @@ object DedupOps {
     *
     * Scale: every stage is a already-proven distributed shape — variant
     * equi-join (never all-pairs), O(log n)-round contraction, one
-    * label-keyed aggregate. The oracle replays the same edges with the
+    * label-keyed aggregate. The fuzzy join runs on DISTINCT NAMES, not
+    * records: exact duplicates (ed = 0) are contracted map-side to one
+    * representative per name (min key, carrying the group's count and
+    * max), because the quotient of the ed≤1 graph under name equality
+    * has exactly the same components — K copies of a hot name otherwise
+    * put C(K,2) verified pairs into the edge set for zero connectivity
+    * information (the r14 ×10/×100 measurement: q114 was 127× for 100×
+    * data, and the pair blowup among replicated names — not the two-star
+    * loop — was the cost). The oracle replays the same edges with the
     * all-pairs levenshtein form + recursive-CTE closure DuckDB can
     * afford at test SFs. */
   private val q114: Q = (s, dir) => {
@@ -2015,12 +2031,22 @@ object DedupOps {
     val c = Tables(s, dir, "customer")
       .filter($"c_mktsegment" === "BUILDING")
       .select($"c_custkey", $"c_name")
-    val edges = fuzzyJoinEd1(c, "c_custkey", "c_name")
+    // one node per DISTINCT name; rep = min key, so the cluster label
+    // (min over reps) IS the cluster's min key — the canonical record
+    val names = c.groupBy($"c_name")
+      .agg(min($"c_custkey").as("rep"), max($"c_custkey").as("mx"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the fuzzy join, the label expansion,
+                 // and the final aggregate; non-replicated trade: see
+                 // note in bandSelfJoin
+    val edges = fuzzyJoinEd1(names.select($"rep".as("k"), $"c_name"),
+        "k", "c_name")
       .select($"k1".as("a"), $"k2".as("b"))
     val (labels, _) =
-      twoStarLabels(c.select($"c_custkey".as("doc_id")), edges)
-    labels.groupBy($"label")
-      .agg(count(lit(1)).as("n_members"), max($"doc_id").as("max_key"))
+      twoStarLabels(names.select($"rep".as("doc_id")), edges)
+    names.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
+      .groupBy($"label")
+      .agg(sum($"cnt").as("n_members"), max($"mx").as("max_key"))
       .filter($"n_members" >= 2)
       .join(c.select($"c_custkey".as("label"),
         $"c_name".as("canonical_name")), "label")

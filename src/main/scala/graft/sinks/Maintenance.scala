@@ -26,9 +26,15 @@ import org.apache.spark.sql.SparkSession
   * markers ride the manifest HEADER, which every rewrite carries
   * forward — so a replayed epoch stays a no-op even when a maintenance
   * commit landed between the original fold and the replay
-  * (MaintenanceLoopSpec pins this). Vacuum is deliberately NOT part of
-  * the cycle: reclaiming replaced files is a retention decision
-  * (time-travel readers, pinned catalog versions) the caller owns.
+  * (MaintenanceLoopSpec pins this). Vacuum — physical reclamation of
+  * replaced files and expired manifests — is OPT-IN (r13 verdict #4):
+  * `vacuumKeepVersions = 0` (the default) never deletes anything,
+  * because retention is a time-travel decision; a caller that opts in
+  * states its horizon explicitly and names the catalogs whose published
+  * snapshots must survive it (`vacuumProtectCatalogs` — every version
+  * pinned by any snapshot there is kept alive with its data,
+  * [[Catalog.pinnedVersions]]). A read past the resulting horizon fails
+  * loudly with the retention story ([[ManifestSink.readAt]]).
   *
   * At 100 TB: the cycle's decision pass reads one manifest; the
   * compact_small cure reads only the dribble (recorded rows < minRows);
@@ -40,8 +46,20 @@ final case class MaintenancePolicy(
     minRows: Long = 10000L,
     maxTombstones: Int = 8,
     statsCols: Seq[String] = Nil,
-    sortCols: Seq[String] = Nil) {
+    sortCols: Seq[String] = Nil,
+    // 0 = vacuum OFF (default): the cycle rewrites but never reclaims.
+    // >= 1 = after the cure, physically delete manifests older than the
+    // newest `vacuumKeepVersions` versions and any data they alone
+    // referenced — except versions pinned by a snapshot in any of
+    // `vacuumProtectCatalogs`, which survive with their data.
+    // `vacuumMinAgeMs` guards concurrent appenders (see
+    // [[ManifestSink.vacuum]]).
+    vacuumKeepVersions: Int = 0,
+    vacuumProtectCatalogs: Seq[String] = Nil,
+    vacuumMinAgeMs: Long = 0L) {
   require(everyEpochs >= 1, s"everyEpochs must be >= 1, got $everyEpochs")
+  require(vacuumKeepVersions >= 0,
+    s"vacuumKeepVersions must be >= 0 (0 = off), got $vacuumKeepVersions")
 }
 
 object Maintenance {
@@ -74,13 +92,30 @@ object Maintenance {
     if (ManifestSink.version(spark, dir) < 0) return Nil
     val fired = ManifestSink.maintenancePlan(spark, dir, policy.minRows,
       policy.maxTombstones).collect { case (a, true, _, _) => a }
-    if (fired.contains("purge_debt")) {
-      ManifestSink.compact(spark, dir, policy.statsCols, policy.sortCols)
-      Seq("purge_debt")
-    } else if (fired.contains("compact_small")) {
-      ManifestSink.compactSmall(spark, dir, policy.minRows,
-        policy.statsCols, policy.sortCols)
-      Seq("compact_small")
-    } else Nil
+    val cure =
+      if (fired.contains("purge_debt")) {
+        ManifestSink.compact(spark, dir, policy.statsCols, policy.sortCols)
+        Seq("purge_debt")
+      } else if (fired.contains("compact_small")) {
+        ManifestSink.compactSmall(spark, dir, policy.minRows,
+          policy.statsCols, policy.sortCols)
+        Seq("compact_small")
+      } else Nil
+    // opt-in physical reclamation, AFTER the cure (a compaction this
+    // cycle just replaced files — they age out of the keep window on the
+    // spot instead of waiting a full extra cycle). Catalog-pinned
+    // versions survive with their data; vacuum deletes nothing a
+    // retained or pinned manifest references.
+    val vacuumed =
+      if (policy.vacuumKeepVersions >= 1) {
+        val protect = policy.vacuumProtectCatalogs.flatMap { cd =>
+          if (Catalog.version(spark, cd) < 0) Nil
+          else Catalog.pinnedVersions(spark, cd, dir)
+        }.distinct
+        if (ManifestSink.vacuum(spark, dir, policy.vacuumKeepVersions,
+            policy.vacuumMinAgeMs, protect).nonEmpty) Seq("vacuum")
+        else Nil
+      } else Nil
+    cure ++ vacuumed
   }
 }

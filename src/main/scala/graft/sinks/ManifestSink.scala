@@ -2761,7 +2761,22 @@ object ManifestSink {
   def readAt(spark: SparkSession, dir: String, v: Long,
       mergeSchema: Boolean = false): DataFrame = {
     require(v >= 0, s"version must be >= 0, got $v")
-    val lines = manifestEntries(spark, dir, v)
+    // Loud horizon contract: a version whose manifest a vacuum reclaimed
+    // must fail with the RETENTION story, not a bare FileNotFound — the
+    // reader's fix is keepVersions/protectVersions, not a path typo.
+    val lines =
+      try manifestEntries(spark, dir, v)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          val cur = version(spark, dir)
+          if (v < cur) throw new IllegalStateException(
+            s"version $v of $dir is beyond the retention horizon: its " +
+              s"manifest was vacuumed (head is $cur). Time travel " +
+              "reaches only versions inside vacuum's keepVersions " +
+              "window or pinned via protectVersions " +
+              "(Catalog.pinnedVersions).", e)
+          else throw e
+      }
     require(lines.nonEmpty, s"version $v has no manifest at $dir")
     assembleRead(spark, dir, v, mergeSchema)
   }

@@ -176,4 +176,53 @@ class MaintenanceLoopSpec extends SparkSpec {
     assert(ManifestSink.version(spark, base) === vb)
     assert(ManifestSink.version(spark, view) === vv)
   }
+
+  test("opt-in vacuum in the cycle reclaims history but never a " +
+      "catalog pin; a read past the horizon fails with the retention " +
+      "story; off by default") {
+    import graft.sinks.Catalog
+    import spark.implicits._
+    val root = Files.createTempDirectory("mvac").toString
+    val t = root + "/t"
+    val cat = root + "/cat"
+    val v0 = ManifestSink.append(Seq(1L, 2L).toDF("v"), t)
+    Catalog.publish(spark, cat, Map("t" -> (t, v0)))
+    (0 until 6).foreach(i => ManifestSink.append(Seq(10L + i).toDF("v"), t))
+
+    // DEFAULT policy: the cycle compacts the dribble but deletes no
+    // history — every version since genesis still time-travels
+    val polOff = MaintenancePolicy(everyEpochs = 1, minRows = 1000L)
+    val off = Maintenance.runCycle(spark, t, polOff)
+    assert(off.nonEmpty && !off.contains("vacuum"))
+    (0L to ManifestSink.version(spark, t)).foreach { v =>
+      ManifestSink.readAt(spark, t, v).collect()
+    }
+
+    // more dribble lands, then OPT-IN: keep only the head version,
+    // protect the catalog's published pins. The cycle cures (compact)
+    // and the vacuum that follows reclaims the replaced directories in
+    // the SAME cycle — the "after the cure" ordering.
+    (0 until 3).foreach(i => ManifestSink.append(Seq(20L + i).toDF("v"), t))
+    val pol = polOff.copy(vacuumKeepVersions = 1,
+      vacuumProtectCatalogs = Seq(cat))
+    val acts = Maintenance.runCycle(spark, t, pol)
+    assert(acts.contains("vacuum"), s"vacuum did not fire: $acts")
+    assert(acts.size === 2, s"cure should fire in the same cycle: $acts")
+    // the PINNED genesis version survives with its data …
+    assert(ManifestSink.readAt(spark, t, v0)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(Catalog.readTable(spark, cat, "t")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // … an UNPINNED old version is gone, and says why
+    val e = intercept[IllegalStateException] {
+      ManifestSink.readAt(spark, t, v0 + 1).collect()
+    }
+    assert(e.getMessage.contains("retention horizon"))
+    // the head is untouched
+    assert(ManifestSink.read(spark, t)
+      .collect().map(_.getLong(0)).toSet ===
+      (Set(1L, 2L) ++ (0 until 6).map(10L + _) ++ (0 until 3).map(20L + _)))
+    // idempotent: nothing left to reclaim on the next cycle
+    assert(!Maintenance.runCycle(spark, t, pol).contains("vacuum"))
+  }
 }
