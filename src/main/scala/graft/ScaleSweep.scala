@@ -67,6 +67,10 @@ object ScaleSweep {
     "q71b_components_twostar",
     "q167_substring_coverage",
     "q169_substring_dedup",
+    // the SAMPLED recall panel (q216's open-vocab variant) — the banding
+    // recall/cost measurement q216's <=62-token contract excluded from
+    // the sweep (r13 verdict #2); rows = 3 configs regardless of scale
+    "q216b_sampled_recall",
     "q104_nation_pagerank",
     "q112_triangle_count",
     "q117_ann_ivf_indexed",

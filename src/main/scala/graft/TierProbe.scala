@@ -66,11 +66,13 @@ object TierProbe {
         least(col("sza") - col("posa"), col("szb") - col("posb"))
       def report(op: String, raw: DataFrame, len: org.apache.spark.sql.Column,
           pos: org.apache.spark.sql.Column): Unit = {
-        val r = raw.localCheckpoint()
-        val (a, b, c) = (r.count(), r.filter(len).count(),
-          r.filter(len && pos).count())
-        println(s"""{"probe":"$tag","op":"$op","raw":$a,""" +
-          s""""len":$b,"pos":$c}""")
+        // ONE aggregation pass, nothing materialized: the raw candidate
+        // stream at x100 is tens of GB — counting it must never write it
+        val r = raw.agg(count(lit(1)),
+          sum(when(len, 1L).otherwise(0L)),
+          sum(when(len && pos, 1L).otherwise(0L))).head()
+        println(s"""{"probe":"$tag","op":"$op","raw":${r.getLong(0)},""" +
+          s""""len":${r.getLong(1)},"pos":${r.getLong(2)}}""")
         spark.sharedState.cacheManager.clearCache()
       }
       report("cand_prefix",

@@ -2170,6 +2170,134 @@ object DedupOps {
       "n_verified", "recall_bp")
   }
 
+  /** q216b: the recall panel with a SAMPLED exact-truth arm — the
+    * open-vocab-scale variant of q216 (r13 verdict #2). q216's exact
+    * tier requires ≤ 62 distinct tokens (TokenBitmask single-long
+    * masks), so banding recall was only measurable on the bounded-vocab
+    * fixture. This panel instead restricts the WHOLE measurement to a
+    * deterministic 1-in-4 sample of distinct token-sets — the sampling
+    * key is the cross-engine sha256 hash ([[graft.functions
+    * .PortableHash]]) of the canonical set string, so the "seed" is the
+    * hash function itself and Spark and the DuckDB oracle select
+    * identical groups — and computes truth on the sample with the
+    * guaranteed-exact prefix-join kernel ([[prefixSimilarityJoin]],
+    * never all-pairs, any vocabulary). Pair-level banding outcomes
+    * depend only on the two docs' own signatures, so restricting the
+    * corpus to the sample changes no pair's outcome: recall over
+    * sampled pairs is an unbiased estimate of corpus recall (every
+    * cross-group truth pair has the same 1/16 inclusion probability;
+    * doc multiplicities ride the group m's exactly as in q216), and
+    * the panel now runs at sweep scale where q216's contract cannot. */
+  private def buildNearDupPanelSampled(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.PortableHash
+    val gm = Tables(s, dir, "documents")
+      .select($"doc_id", array_sort(tokenSet($"text")).as("__set"))
+      .filter(size($"__set") > 0)
+      .groupBy($"__set")
+      .agg(count(lit(1)).as("m"), min($"doc_id").as("__gid"))
+      .filter(pmod(PortableHash.tokenHash(concat_ws(" ", $"__set")),
+        lit(4L)) === 0L)
+      .localCheckpoint() // sample-sized; feeds truth, signatures, and
+                 // every config's verify join (executor-loss trade:
+                 // see note in bandSelfJoin)
+    val intraT = gm.agg(coalesce(sum($"m" * ($"m" - 1)), lit(0L))
+      .cast("long")).head().getLong(0) / 2
+    val truthT = prefixSimilarityJoin(gm.select($"__gid", $"__set"),
+        "__gid", "__set", 9, 10)
+      .join(gm.select($"__gid".as("id_a"), $"m".as("__na")), "id_a")
+      .join(gm.select($"__gid".as("id_b"), $"m".as("__nb")), "id_b")
+      .agg(coalesce(sum($"__na" * $"__nb"), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val nTruth = truthT + intraT
+    val sig = minhashSignatures(gm.select($"__gid", $"__set"),
+      "__gid", "__set", 16).localCheckpoint()
+    val rows = panelBands.map { bnds =>
+      val banded = sig.select($"__gid",
+        posexplode(array(bandHashCols(bnds, 16 / bnds): _*))
+          .as(Seq("__bidx", "__bhash")))
+      val pairs = bandSelfJoin(banded, "__gid", Nil, DefaultMaxBucket)
+        .select($"__ga", $"__gb").distinct()
+        .join(gm.select($"__gid".as("__ga"), $"m".as("__na"),
+          $"__set".as("__sa")), "__ga")
+        .join(gm.select($"__gid".as("__gb"), $"m".as("__nb"),
+          $"__set".as("__sb")), "__gb")
+        .localCheckpoint() // read by the cand count and the verify count
+      val nCand = pairs.agg(coalesce(sum($"__na" * $"__nb"), lit(0L))
+        .cast("long")).head().getLong(0) + intraT
+      val inter = size(array_intersect($"__sa", $"__sb")).cast("long")
+      val uni = size($"__sa").cast("long") +
+        size($"__sb").cast("long") - inter
+      // integer cross-multiply, not a double >= — bit-identical to the
+      // oracle's predicate at the J = 0.9 boundary
+      val nVer = pairs.filter(inter * 10L >= uni * 9L)
+        .agg(coalesce(sum($"__na" * $"__nb"), lit(0L)).cast("long"))
+        .head().getLong(0) + intraT
+      val recallBp = if (nTruth == 0) 10000L
+        else math.floor(10000.0 * nVer / nTruth).toLong
+      (bnds, 16 / bnds, nTruth, nCand, nVer, recallBp)
+    }
+    rows.toDF("bands", "rows_per_band", "n_truth", "n_candidates",
+      "n_verified", "recall_bp")
+  }
+
+  private val q216b: Q = (s, dir) => {
+    val fp = VectorIndex.corpusFingerprint(s, s"$dir/documents.parquet")
+    VectorIndex.loadOrBuild(s,
+      s"${VectorIndex.indexRoot(dir)}/neardup_recall_panel_sampled", fp)(
+      buildNearDupPanelSampled(s, dir)).orderBy(col("bands"))
+  }
+  private val q216bSql = {
+    val tokensExpr = "list_distinct(string_split(text, ' '))"
+    import graft.functions.PortableHash
+    val sampPred =
+      s"(${PortableHash.tokenHashSql("array_to_string(s, ' ')")} % 4) = 0"
+    val base =
+      s"""sets AS (
+         |  SELECT doc_id, list_sort($tokensExpr) AS s FROM documents
+         |  WHERE len($tokensExpr) > 0),
+         |samp AS (
+         |  SELECT s, COUNT(*) AS m, MIN(doc_id) AS gid FROM sets
+         |  GROUP BY s HAVING $sampPred),
+         |rep AS (
+         |  SELECT gid AS doc_id, array_to_string(s, ' ') AS text
+         |  FROM samp)""".stripMargin
+    val intraQ = "(SELECT COALESCE(SUM(CAST(m * (m - 1) / 2 AS BIGINT))" +
+      ", 0) AS t FROM samp)"
+    def jacOk(a: String, b: String) =
+      s"10 * len(list_intersect($a.s, $b.s)) >= " +
+        s"9 * (len($a.s) + len($b.s) - len(list_intersect($a.s, $b.s)))"
+    val truthQ =
+      s"""(WITH $base,
+         |c AS (SELECT COALESCE(SUM(a.m * b.m), 0) AS t
+         |      FROM samp a JOIN samp b ON a.s < b.s
+         |      WHERE ${jacOk("a", "b")}),
+         |i AS $intraQ
+         |SELECT CAST(c.t + i.t AS BIGINT) FROM c, i)""".stripMargin
+    def countQ(b: Int, verified: Boolean) = {
+      val w = if (verified) s"WHERE ${jacOk("sa", "sb")}" else ""
+      s"""(WITH $base,
+         |${lshCandCtes(tokensExpr, 16, b, "rep")},
+         |x AS (SELECT COALESCE(SUM(sa.m * sb.m), 0) AS t
+         |      FROM cand
+         |      JOIN samp sa ON cand.id_a = sa.gid
+         |      JOIN samp sb ON cand.id_b = sb.gid
+         |      $w),
+         |i AS $intraQ
+         |SELECT CAST(x.t + i.t AS BIGINT) FROM x, i)""".stripMargin
+    }
+    def block(b: Int) =
+      s"""SELECT $b AS bands, ${16 / b} AS rows_per_band,
+         |  $truthQ AS n_truth, ${countQ(b, verified = false)}
+         |    AS n_candidates, ${countQ(b, verified = true)} AS n_verified,
+         |  CASE WHEN $truthQ = 0 THEN 10000
+         |       ELSE CAST(FLOOR(10000.0 * ${countQ(b, verified = true)}
+         |                       / $truthQ) AS BIGINT)
+         |  END AS recall_bp""".stripMargin
+    panelBands.map(block).mkString("\nUNION ALL\n") + "\nORDER BY bands"
+  }
+
   private val q216: Q = (s, dir) => {
     // stored measurement (q121's discipline): the panel persists as a
     // fingerprint-stamped artifact, rebuilt exactly when the documents
@@ -2210,6 +2338,7 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "q216_neardup_recall" -> q216,
+    "q216b_sampled_recall" -> q216b,
     "q114_entity_clusters" -> q114,
     "q109_fuzzy_join" -> q109,
     "q36_minhash_near_dup" -> q36,
@@ -2231,6 +2360,7 @@ object DedupOps {
 
   val oracleSql: Map[String, String] = Map(
     "q216_neardup_recall" -> q216Sql,
+    "q216b_sampled_recall" -> q216bSql,
     "q114_entity_clusters" -> q114Sql,
     "q109_fuzzy_join" -> q109Sql,
     "q36_minhash_near_dup" -> q36Sql,
