@@ -768,7 +768,13 @@ object DedupOps {
       // (prefix 7.4 vs 25 s, containment 10.5 vs 107 s at 10x sf0.1) —
       // a bounded vocabulary is exactly where candidates are densest,
       // so the cheap verify matters most there
-      bitmapMaxVocab: Long = DefaultBitmapMaxVocab): DataFrame = {
+      bitmapMaxVocab: Long = DefaultBitmapMaxVocab,
+      // > 1 = out-of-core: run the open tier's candidate space in this
+      // many sequential id-hash slices, reclaiming scratch between them
+      // (see [[fragmented]]; result-identical, spec-pinned; the bitmap
+      // tier ignores it — its candidates die in-reducer and never spill
+      // a pair stream)
+      fragments: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // array_distinct: the size/overlap arithmetic below (prefix length,
     // |∪| = sz_a + sz_b − |∩|) is SET arithmetic — an input array with
@@ -866,35 +872,101 @@ object DedupOps {
             .as("jaccard"))
     } else {
       // open-vocab tier (the 100 TB default): candidates distinct
-      // first, then exact array verification on the full sets
-      val cand = positionalOk(lengthOk(bandSelfJoin(prefix, "__id",
-          Seq("__sz", "__pos"), maxBucket)))
-        .select(col("__ga").as("id_a"), col("__gb").as("id_b")).distinct()
-      val a = s.select(col("__id").as("id_a"), col("__set").as("__seta"))
-      val b = s.select(col("__id").as("id_b"), col("__set").as("__setb"))
-      val inter = size(array_intersect(col("__seta"), col("__setb")))
-        .cast("long")
-      val uni = size(col("__seta")).cast("long") +
-        size(col("__setb")).cast("long") - inter
-      cand.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"), inter.as("n_common"),
-          uni.as("n_union"),
-          (inter.cast("double") / uni.cast("double")).as("jaccard"))
-        .filter(col("n_common") * tauDen >= col("n_union") * tauNum)
-        .drop("n_union")
+      // first, then exact array verification on the full sets; the
+      // whole pair pipeline (join output → distinct → verify) runs
+      // inside the fragment so an out-of-core run materializes only
+      // each slice's VERIFIED output
+      // fragmenting re-runs the candidate join once per slice: cut the
+      // prefix frame's lineage ONCE so the slices re-read materialized
+      // prefix rows instead of re-running the rank window per pass
+      val prefixM =
+        if (fragments > 1) prefix.localCheckpoint() else prefix
+      fragmented(fragments) { f =>
+        val occ = positionalOk(lengthOk(bandSelfJoin(prefixM, "__id",
+            Seq("__sz", "__pos"), maxBucket)))
+        val sliced =
+          if (fragments == 1) occ else occ.filter(inSlice("__ga", fragments, f))
+        val cand = sliced
+          .select(col("__ga").as("id_a"), col("__gb").as("id_b")).distinct()
+        val a = s.select(col("__id").as("id_a"), col("__set").as("__seta"))
+        val b = s.select(col("__id").as("id_b"), col("__set").as("__setb"))
+        val inter = size(array_intersect(col("__seta"), col("__setb")))
+          .cast("long")
+        val uni = size(col("__seta")).cast("long") +
+          size(col("__setb")).cast("long") - inter
+        cand.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"), inter.as("n_common"),
+            uni.as("n_union"),
+            (inter.cast("double") / uni.cast("double")).as("jaccard"))
+          .filter(col("n_common") * tauDen >= col("n_union") * tauNum)
+          .drop("n_union")
+      }
     }
   }
+
+  /** Out-of-core pass runner for the open-vocab candidate tiers (the
+    * r14 single-node-scratch lever): run `plan(f)` for each of
+    * `fragments` id-hash slices of the PAIR space as its own eagerly-
+    * materialized pass, and RECLAIM the pass's shuffle files before the
+    * next pass starts — peak scratch is one slice's candidate stream
+    * plus the (output-sized) materialized results, not the whole
+    * candidate stream at once. Every pair lands in exactly one slice
+    * (the filter hashes the pair's left id), so the union is the exact
+    * single-pass result — spec-pinned. The trade: the candidate join's
+    * INPUT (prefix rows — small by construction) re-shuffles once per
+    * slice, and the operator becomes EAGER (passes run at call time).
+    * fragments = 1 (the default everywhere) is the identity: one lazy
+    * plan, zero overhead. A 1000-executor cluster never needs this —
+    * its aggregate scratch absorbs a linear candidate stream — but a
+    * single node running the ×100 sweep does (SURVEY §2.25).
+    *
+    * Shuffle reclamation: the checkpoint truncates the pass's lineage,
+    * so its ShuffleDependencies are unreachable — but the
+    * ContextCleaner frees them on GC, which is too late for a
+    * scratch-bounded sequential run; `cleanShuffleDependencies` (public
+    * RDD API since 3.1) walks the executed DAG and frees them
+    * deterministically. `queryExecution.toRdd` is a lazy val, so it IS
+    * the DAG instance the checkpoint executed. */
+  private def fragmented(fragments: Int)(plan: Int => DataFrame): DataFrame = {
+    require(fragments >= 1, s"fragments must be >= 1, got $fragments")
+    if (fragments == 1) return plan(0)
+    (0 until fragments).map { f =>
+      val pass = plan(f)
+      val out = pass.localCheckpoint(true) // output-sized; see the
+                 // executor-loss note in bandSelfJoin
+      pass.queryExecution.toRdd.cleanShuffleDependencies(blocking = true)
+      out
+    }.reduce(_ unionByName _)
+  }
+
+  /** Slice predicate for [[fragmented]]: pair → slice by the left id's
+    * hash. xxhash64 here is a PARTITIONING choice (which pass computes
+    * a pair), never a result value — cross-engine portability is not
+    * required of it. */
+  private def inSlice(idCol: String, fragments: Int, f: Int) =
+    pmod(xxhash64(col(idCol)), lit(fragments.toLong)) === lit(f.toLong)
 
   /** q143: exact 2-gram-shingle Jaccard ≥ 0.8 join over `documents` —
     * the guaranteed-recall twin of q60 (which is MinHash-approximate at
     * the same threshold and unit): every returned pair is verified
     * exact, and every qualifying pair is returned. */
+  /** Single-node out-of-core escape hatch for the registry's open-tier
+    * dedup queries: SPARK_GRAFT_DEDUP_FRAGMENTS=N runs their candidate
+    * space in N reclaimed-scratch passes ([[fragmented]]). Plan shape
+    * only — the result is identical at any value (spec-pinned), so the
+    * oracle compare is unaffected; default 1 = the plain lazy plan.
+    * An env var rather than a parameter because the driver contract
+    * fixes the registry signatures. */
+  private[graft] def dedupFragments: Int =
+    sys.env.get("SPARK_GRAFT_DEDUP_FRAGMENTS").map(_.toInt).getOrElse(1)
+
   private val q143: Q = (s, dir) => {
     import s.implicits._
     val withWords = Tables(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("__words"))
     val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
-    prefixSimilarityJoin(sets, "doc_id", "sh", 4, 5)
+    prefixSimilarityJoin(sets, "doc_id", "sh", 4, 5,
+        fragments = dedupFragments)
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -1041,7 +1113,12 @@ object DedupOps {
   def containmentJoin(sets: DataFrame, idCol: String, setCol: String,
       tauNum: Int, tauDen: Int, minSize: Int = 1,
       maxBucket: Int = DefaultMaxBucket,
-      bitmapMaxVocab: Long = DefaultBitmapMaxVocab): DataFrame = {
+      bitmapMaxVocab: Long = DefaultBitmapMaxVocab,
+      // > 1 = out-of-core open tier, as in [[prefixSimilarityJoin]];
+      // here the slice filter applies to the PROBE side directly (the
+      // probe id IS the pair's left id), so it also cuts the candidate
+      // join's input, not just its output
+      fragments: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = sets.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__set"))
@@ -1112,12 +1189,17 @@ object DedupOps {
           col("__bm").as("__bma"))
         .localCheckpoint() // the capped join's count + join passes each
                  // read it; the cut makes the bitmap join run once
+      // deliberately NOT checkpointed: the index is the full exploded
+      // corpus × an up-to-8KB bitmap per row — materializing it costs
+      // more than the recompute it would save (measured +54% on the ×10
+      // tier probe), and with `ranked` and `bitmaps` both cut, each of
+      // the capped join's passes re-derives it with ONE hash join over
+      // materialized blocks
       val index = ranked.join(bitmaps, "__id")
         .select(col("__id").as("__xb"),
           PortableHash.tokenHashP(col("__el")).as("__k"),
           col("__sz").as("__szb"), col("__pos").as("__pb"),
           col("__bm").as("__bmb"))
-        .localCheckpoint()
       candOk(cappedProbeIndexJoin(probe, index, maxBucket))
         .withColumn("__i", Bitmap.andCount(col("__bma"), col("__bmb")))
         .filter(col("__i") * tauDen >= col("__sza") * tauNum)
@@ -1131,27 +1213,30 @@ object DedupOps {
       // both sides are NARROW projections of the checkpointed `ranked`
       // — the capped join's repeated passes re-read materialized
       // blocks, never the window/dfreq pipeline (r13 advice)
-      val probe = prefixIds
-        .select(col("__id").as("__xa"),
-          PortableHash.tokenHashP(col("__el")).as("__k"),
-          col("__sz").as("__sza"), col("__pos").as("__pa"))
       val index = ranked.select(col("__id").as("__xb"),
         PortableHash.tokenHashP(col("__el")).as("__k"),
         col("__sz").as("__szb"), col("__pos").as("__pb"))
-      val cand = candOk(cappedProbeIndexJoin(probe, index, maxBucket))
-        .select(col("__xa"), col("__xb")).distinct()
-      val a = s.select(col("__id").as("__xa"), col("__set").as("__seta"))
-      val b = s.select(col("__id").as("__xb"), col("__set").as("__setb"))
-      cand.join(a, "__xa").join(b, "__xb")
-        .select(col("__xa"), col("__xb"),
-          size(col("__seta")).cast("long").as("__sza"),
-          size(array_intersect(col("__seta"), col("__setb")))
-            .cast("long").as("n_common"))
-        .filter(col("n_common") * tauDen >= col("__sza") * tauNum)
-        .select(col("__xa").as("inner_id"), col("__xb").as("outer_id"),
-          col("n_common"),
-          (col("n_common").cast("double") / col("__sza").cast("double"))
-            .as("containment"))
+      fragmented(fragments) { f =>
+        val probe = (if (fragments == 1) prefixIds
+          else prefixIds.filter(inSlice("__id", fragments, f)))
+          .select(col("__id").as("__xa"),
+            PortableHash.tokenHashP(col("__el")).as("__k"),
+            col("__sz").as("__sza"), col("__pos").as("__pa"))
+        val cand = candOk(cappedProbeIndexJoin(probe, index, maxBucket))
+          .select(col("__xa"), col("__xb")).distinct()
+        val a = s.select(col("__id").as("__xa"), col("__set").as("__seta"))
+        val b = s.select(col("__id").as("__xb"), col("__set").as("__setb"))
+        cand.join(a, "__xa").join(b, "__xb")
+          .select(col("__xa"), col("__xb"),
+            size(col("__seta")).cast("long").as("__sza"),
+            size(array_intersect(col("__seta"), col("__setb")))
+              .cast("long").as("n_common"))
+          .filter(col("n_common") * tauDen >= col("__sza") * tauNum)
+          .select(col("__xa").as("inner_id"), col("__xb").as("outer_id"),
+            col("n_common"),
+            (col("n_common").cast("double") / col("__sza").cast("double"))
+              .as("containment"))
+      }
     }
   }
 
@@ -1163,7 +1248,8 @@ object DedupOps {
     val withWords = Tables(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("__words"))
     val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
-    containmentJoin(sets, "doc_id", "sh", 4, 5, minSize = 5)
+    containmentJoin(sets, "doc_id", "sh", 4, 5, minSize = 5,
+        fragments = dedupFragments)
       .withColumnRenamed("inner_id", "doc_in")
       .withColumnRenamed("outer_id", "doc_out")
       .orderBy($"doc_in", $"doc_out")

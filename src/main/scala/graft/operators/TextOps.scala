@@ -310,7 +310,7 @@ object TextOps {
         transform(array_distinct(toks),
           t => concat($"source", lit("\u0000"), t)).as("qt"))
       graft.operators.DedupOps.prefixSimilarityJoin(sets, "doc_id", "qt",
-          9, 10)
+          9, 10, fragments = graft.operators.DedupOps.dedupFragments)
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
         .orderBy($"doc_a", $"doc_b")

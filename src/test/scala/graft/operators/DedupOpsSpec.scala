@@ -524,6 +524,33 @@ class DedupOpsSpec extends SparkSpec {
       bitmapMaxVocab = 0L)) === cslow)
   }
 
+  test("fragmented out-of-core passes are result-identical to the " +
+      "single-pass plan, both operators") {
+    // the q143/q151 shapes on a small corpus: every pair must land in
+    // exactly one id-hash slice and the union must equal fragments = 1
+    val docs = (0 until 30).flatMap { i =>
+      val base = (0 until 10).map(j => s"w${i % 6}_$j")
+      Seq((i * 2L, base.mkString(" ")),
+        (i * 2 + 1L, (base.dropRight(1) :+ s"x$i").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sets = docs.select($"doc_id",
+      DedupOps.shingleSet($"text", 2).as("sh"))
+    def normJ(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // open tier forced (bitmapMaxVocab = 0): fragments only applies there
+    val one = normJ(DedupOps.prefixSimilarityJoin(
+      sets, "doc_id", "sh", 7, 10, bitmapMaxVocab = 0L))
+    assert(one.nonEmpty)
+    assert(normJ(DedupOps.prefixSimilarityJoin(sets, "doc_id", "sh", 7, 10,
+      bitmapMaxVocab = 0L, fragments = 3)) === one)
+    val onec = normJ(DedupOps.containmentJoin(
+      sets, "doc_id", "sh", 4, 5, minSize = 3, bitmapMaxVocab = 0L))
+    assert(onec.nonEmpty)
+    assert(normJ(DedupOps.containmentJoin(sets, "doc_id", "sh", 4, 5,
+      minSize = 3, bitmapMaxVocab = 0L, fragments = 3)) === onec)
+  }
+
   test("prefixSimilarityJoin capped equals uncapped on a hot prefix") {
     // every doc shares one ultra-common shingle that lands in some
     // prefixes; the cap must not change the result set
