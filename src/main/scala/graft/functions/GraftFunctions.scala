@@ -18,6 +18,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", exprs => KmvSketch(exprs(0), kmvK(exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "space_saving",
+      exprs => SpaceSaving(exprs(0), intLit(exprs(1), "space_saving", "m")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_array",
       exprs => ShingleArray(exprs(0), intLit(exprs(1), "shingle_array", "n")),
       "built-in")

@@ -1,0 +1,228 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.{HashMap => JHashMap}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-Saving heavy-hitters sketch (Metwally, Agrawal, El Abbadi,
+  * ICDT'05) as a native imperative aggregate — the frequent-items member
+  * of the sketch family beside [[KmvSketch]] (distinct count) and the
+  * Count-Min column (point frequency): one pass, EXACTLY `m` counters of
+  * state per group however large the stream, mergeable partials.
+  *
+  * Per counter the summary carries (item, cnt, err) with the classic
+  * guarantees `cnt >= true >= cnt - err`, and any item whose true count
+  * exceeds n/m is guaranteed present. Updates: a tracked item increments;
+  * an untracked one below capacity inserts (1, 0); at capacity it
+  * REPLACES a minimum counter, inheriting its count as both estimate
+  * floor and error (`(min+1, min)`). Eviction picks the lexicographically
+  * smallest among minimum-count items so a single-partition pass is
+  * deterministic; across partitions the approximate regime is
+  * arrival-order dependent like every summary of this family — the
+  * bounds, not the counters, are the portable contract.
+  *
+  * Merge (the mergeable-summaries form, Agarwal et al. PODS'12 §3 /
+  * Cormode & Hadjieleftheriou CACM'09): an item absent from a FULL
+  * side's summary may have occurred up to that side's minimum counter
+  * times there, so its contribution merges as (est=min, err=min); a side
+  * below capacity tracked everything it saw, so absence there is an
+  * exact zero. Sums of per-side (est, err) keep both bounds valid, and
+  * pruning back to the `m` largest (count desc, item asc) only drops
+  * items — survivors' bounds are untouched.
+  *
+  * EXACT REGIME, the oracle contract: when `m` is at least the group's
+  * true distinct count, no buffer ever fills, so no eviction, no
+  * min-add on merge, err = 0 everywhere — the eval is the exact ordered
+  * frequency table, a deterministic function of the input SET
+  * (hash-comparable against a DuckDB GROUP BY under any partitioning).
+  *
+  * Scale shape: partials build map-side under ObjectHashAggregate; only
+  * `m` (item, cnt, err) triples per group cross the wire — the top-k
+  * token report over 100 TB never shuffles the token stream, versus the
+  * exact groupBy whose first shuffle carries every distinct token. */
+case class SpaceSaving(child: Expression, m: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[JHashMap[String, Array[Long]]]
+  with UnaryLike[Expression] {
+
+  require(m >= 1, "SpaceSaving needs capacity m >= 1")
+
+  override def prettyName: String = "space_saving"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def nullIntolerant: Boolean = false
+
+  override def createAggregationBuffer(): JHashMap[String, Array[Long]] =
+    new JHashMap[String, Array[Long]]()
+
+  /** Minimum counter value, and the lexicographically smallest item
+    * holding it (the deterministic eviction victim). O(m) scan — m is a
+    * structural constant (hundreds), eviction-path only. */
+  private def minEntry(buf: JHashMap[String, Array[Long]]): (String, Long) = {
+    var minCnt = Long.MaxValue
+    var minItem: String = null
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c < minCnt || (c == minCnt && e.getKey < minItem)) {
+        minCnt = c; minItem = e.getKey
+      }
+    }
+    (minItem, minCnt)
+  }
+
+  private def add(buf: JHashMap[String, Array[Long]], item: String,
+      cnt: Long, err: Long): Unit = {
+    val cur = buf.get(item)
+    if (cur != null) { cur(0) += cnt; cur(1) += err; () }
+    else {
+      buf.put(item, Array(cnt, err)); ()
+    }
+  }
+
+  override def update(buf: JHashMap[String, Array[Long]],
+      input: InternalRow): JHashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(item)
+      if (cur != null) cur(0) += 1
+      else if (buf.size < m) { buf.put(item, Array(1L, 0L)); () }
+      else {
+        val (victim, minCnt) = minEntry(buf)
+        buf.remove(victim)
+        buf.put(item, Array(minCnt + 1, minCnt))
+        ()
+      }
+    }
+    buf
+  }
+
+  /** Prune to the m largest counters (count desc, item asc). Dropping
+    * never violates survivors' bounds. */
+  private def prune(buf: JHashMap[String, Array[Long]]): Unit = {
+    if (buf.size <= m) return
+    val ranked = sortedEntries(buf)
+    var i = m
+    while (i < ranked.length) { buf.remove(ranked(i)._1); i += 1 }
+  }
+
+  private def sortedEntries(buf: JHashMap[String, Array[Long]])
+      : Array[(String, Array[Long])] = {
+    val arr = new Array[(String, Array[Long])](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); arr(i) = (e.getKey, e.getValue); i += 1
+    }
+    scala.util.Sorting.stableSort(arr,
+      (a: (String, Array[Long]), b: (String, Array[Long])) =>
+        a._2(0) > b._2(0) || (a._2(0) == b._2(0) && a._1 < b._1))
+    arr
+  }
+
+  override def merge(b1: JHashMap[String, Array[Long]],
+      b2: JHashMap[String, Array[Long]]): JHashMap[String, Array[Long]] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) { b1.putAll(b2); return b1 }
+    // an item a FULL side never tracked may still have appeared up to
+    // min(side) times there; a below-capacity side tracked everything.
+    val min1 = if (b1.size >= m) minEntry(b1)._2 else 0L
+    val min2 = if (b2.size >= m) minEntry(b2)._2 else 0L
+    if (min2 > 0L) {
+      // items only in b1 pick up b2's uncertainty floor (they may have
+      // appeared up to min2 times in the stream b2 summarizes)
+      val it1 = b1.entrySet().iterator()
+      while (it1.hasNext) {
+        val e = it1.next()
+        if (!b2.containsKey(e.getKey)) { e.getValue()(0) += min2
+          e.getValue()(1) += min2 }
+      }
+    }
+    val it2 = b2.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      val cur = b1.get(e.getKey)
+      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+      // symmetric floor: absent from b1's full summary => up to min1 there
+      else add(b1, e.getKey, e.getValue()(0) + min1, e.getValue()(1) + min1)
+    }
+    prune(b1)
+    b1
+  }
+
+  override def eval(buf: JHashMap[String, Array[Long]]): Any = {
+    val ranked = sortedEntries(buf)
+    new GenericArrayData(ranked.map { case (item, ce) =>
+      InternalRow(UTF8String.fromString(item), ce(0), ce(1))
+    })
+  }
+
+  override def serialize(buf: JHashMap[String, Array[Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = e.getKey.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(e.getValue()(0))
+      out.writeLong(e.getValue()(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : JHashMap[String, Array[Long]] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new JHashMap[String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val sb = new Array[Byte](len)
+      bb.get(sb)
+      buf.put(new String(sb, StandardCharsets.UTF_8),
+        Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSaving =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSaving =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): SpaceSaving =
+    copy(child = newChild)
+}
+
+object SpaceSaving {
+  /** Aggregate column: the full summary as
+    * `array<struct<item,cnt,err>>` ordered (cnt desc, item asc) —
+    * callers `slice` their k. `itemCol` must be StringType. */
+  def summary(itemCol: Column, m: Int): Column =
+    ColumnBridge.column(
+      SpaceSaving(ColumnBridge.expression(itemCol), m)
+        .toAggregateExpression())
+}

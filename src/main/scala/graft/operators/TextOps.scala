@@ -961,7 +961,129 @@ object TextOps {
       |  CAST(id_sum AS BIGINT) AS id_sum
       |FROM hits ORDER BY term""".stripMargin
 
+  // --------------------------------------------------------------- q220
+  /** Per-language heavy hitters via the native [[graft.functions.SpaceSaving]]
+    * aggregate — the BOUNDED-STATE swap for q32's exact top-words plan:
+    * q32 shuffles every distinct token to count it, this plan builds
+    * m-counter summaries map-side and ships exactly m (item, cnt, err)
+    * triples per (partition, lang) — at 100 TB the token stream never
+    * crosses the wire. Run here in the sketch's EXACT regime (capacity
+    * 256 ≥ the corpus vocabulary), where the summary is the exact
+    * frequency table and err pins at 0 — deterministic under any
+    * partitioning, hash-comparable against the DuckDB GROUP BY. The
+    * approximate regime's ε = n/m bounds are property-tested in
+    * SpaceSavingSpec, not oracled (summary counters are arrival-order
+    * dependent, like every sketch of this family). */
+  private val q220: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select($"lang", explode(toks).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"lang")
+      .agg(graft.functions.SpaceSaving.summary($"tok", 256).as("hh"))
+      .select($"lang", explode(slice($"hh", 1, 20)).as("e"))
+      .select($"lang", $"e.item".as("token"),
+        $"e.cnt".cast("long").as("cnt"), $"e.err".cast("long").as("err"))
+      .orderBy($"lang", $"cnt".desc, $"token")
+  }
+  private val q220Sql =
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang, token, COUNT(*) AS cnt FROM t
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, token, cnt, ROW_NUMBER() OVER (
+      |    PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+      |  FROM f)
+      |SELECT lang, token, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(0 AS BIGINT) AS err
+      |FROM r WHERE rk <= 20
+      |ORDER BY lang, cnt DESC, token""".stripMargin
+
+  // --------------------------------------------------------------- q221
+  /** CCNet-style perplexity-bucket admission (Wenzek et al., LREC 2020):
+    * score every document with the corpus-trained bigram LM (q204's
+    * decimal-exact kernel), rank WITHIN EACH LANGUAGE, and cut into
+    * head / middle / tail terciles — CCNet's policy keeps head+middle
+    * and drops the tail, which this reports per (lang, bucket) so the
+    * dropped mass is visible, not silent. Ranking is (avg_logp desc,
+    * doc_id) — avg_logp is one double division of an exact DECIMAL sum,
+    * so the order and the NTILE cuts are engine-identical.
+    *
+    * Scale: the bucket stage windows over the DOC-LEVEL score frame
+    * (one narrow row per document, not the token stream); at 100 TB the
+    * exact per-lang NTILE sort becomes sampled tercile cuts from the
+    * q78 quantile-sketch path — the admission policy is cut-agnostic,
+    * the exact window is the oracled form. */
+  private val q221: Q = (s, dir) => {
+    import s.implicits._
+    val withTk = docs(s, dir).select($"doc_id", $"lang", toks.as("tk"))
+      .filter(size($"tk") >= 2)
+    val bi = withTk.select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> concat_ws(' ', tk[i-1], tk[i]))")).as("bg"))
+      .withColumn("ctx", split($"bg", " ").getItem(0))
+    val cb = bi.groupBy($"bg").agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy($"ctx").agg(count(lit(1)).as("cu"))
+    val v = docs(s, dir).select(explode(toks).as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val logp = round(log(($"cb" + 1).cast("double")
+        / ($"cu" + $"v").cast("double")), 6)
+      .cast("decimal(18,6)")
+    val scored = bi.join(cb, "bg").join(cu, "ctx").crossJoin(broadcast(v))
+      .groupBy($"doc_id", $"lang")
+      .agg((sum(logp).cast("double") / count(lit(1))).as("avg_logp"))
+    val w = Window.partitionBy($"lang")
+      .orderBy($"avg_logp".desc, $"doc_id")
+    scored.withColumn("t", ntile(3).over(w))
+      .withColumn("bucket", when($"t" === 1, "head")
+        .when($"t" === 2, "middle").otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"doc_id").cast("long").as("sum_ids"))
+      .withColumn("kept", $"bucket" =!= "tail")
+      .orderBy($"lang", $"bucket")
+  }
+  private val q221Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |t2 AS (SELECT * FROM t WHERE len(tk) >= 2),
+      |bi AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |  FROM t2),
+      |b2 AS (SELECT doc_id, lang, bg, string_split(bg, ' ')[1] AS ctx
+      |  FROM bi),
+      |cb AS (SELECT bg, COUNT(*) AS cb FROM b2 GROUP BY bg),
+      |cu AS (SELECT ctx, COUNT(*) AS cu FROM b2 GROUP BY ctx),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v
+      |  FROM t, UNNEST(tk) AS u(tok)),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(CAST(ROUND(ln(CAST(cb.cb + 1 AS DOUBLE) / (cu.cu + v.v)),
+      |      6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_logp
+      |  FROM b2 JOIN cb USING (bg) JOIN cu USING (ctx) CROSS JOIN v
+      |  GROUP BY doc_id, lang),
+      |bk AS (
+      |  SELECT lang, doc_id,
+      |    NTILE(3) OVER (PARTITION BY lang
+      |      ORDER BY avg_logp DESC, doc_id) AS t
+      |  FROM scored)
+      |SELECT lang,
+      |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  (t <> 3) AS kept
+      |FROM bk GROUP BY lang, t
+      |ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q220_heavy_hitters" -> q220,
+    "q221_ccnet_buckets" -> q221,
     "q210_nb_quality" -> q210,
     "q207_inverted_index" -> q207,
     "q204_bigram_lm" -> q204,
@@ -983,6 +1105,8 @@ object TextOps {
     "q39_regex_tokens" -> q39)
 
   val oracleSql: Map[String, String] = Map(
+    "q220_heavy_hitters" -> q220Sql,
+    "q221_ccnet_buckets" -> q221Sql,
     "q210_nb_quality" -> q210Sql,
     "q207_inverted_index" -> q207Sql,
     "q204_bigram_lm" -> q204Sql,

@@ -99,6 +99,31 @@ object ManifestSink {
   def deregisterConditionalPut(scheme: String): Unit =
     extraConditionalPuts.remove(scheme)
 
+  /** Full-snapshot cadence of the DELTA-MANIFEST commit log. Every
+    * manifest used to be a full snapshot of the entry list, which makes
+    * the APPEND hot path O(table files): at the 100 TB shape (~400 k
+    * files behind a 2 s streaming commit) every commit re-reads and
+    * re-writes an ~80 MB entry list to add one line — manifest churn of
+    * petabytes/day, all metadata. An appending commit now writes ONLY
+    * its new entries plus a `delta.base` header naming the previous
+    * version; every `manifestCheckpointEvery`-th version (and every
+    * rewrite: compact, replace, restore, MoR merge — anything that may
+    * REMOVE entries) still writes the full snapshot, so resolving any
+    * version walks at most `manifestCheckpointEvery − 1` small files
+    * back to a checkpoint. Resolution order is checkpoint entries ++
+    * deltas in version order — byte-identical to the legacy full
+    * snapshot, so tombstone positions, rewrite rebases
+    * ([[commitRewriteLines]]'s append-extension check) and
+    * [[changedEntries]] diffs are unchanged. `1` = legacy
+    * full-snapshot-per-commit (the A/B baseline in MetaSweep). */
+  @volatile var manifestCheckpointEvery: Int = 16
+
+  /** Header key linking a delta manifest to its base version. Written
+    * only by [[commitAppendLines]]; stripped from caller headers and
+    * from the carried-forward merge so it can never leak into a full
+    * snapshot ([[mergeHeader]]). */
+  private[sinks] val DeltaBaseKey = "delta.base"
+
   /** Schemes whose Hadoop `rename` is a client-side copy+delete — neither
     * atomic nor exclusive — so rename-as-conditional-put would LOSE
     * COMMITS silently. Publishing there requires a registered seam. */
@@ -470,9 +495,47 @@ object ManifestSink {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def manifestEntries(spark: SparkSession, dir: String,
-      v: Long): Seq[String] =
-    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+  /** The delta base a manifest's lines name, if any. */
+  private def deltaBase(lines: Seq[String]): Option[Long] =
+    lines.collectFirst {
+      case l if l.startsWith(s"#$DeltaBaseKey=") =>
+        l.substring(DeltaBaseKey.length + 2).toLong
+    }
+
+  /** Version `v`'s ENTRY LIST, resolved across the delta chain: the
+    * nearest full snapshot's entries followed by each delta's additions
+    * in version order — byte-identical to what a legacy full snapshot
+    * at `v` would hold. Bounded walk: ≤ [[manifestCheckpointEvery]] − 1
+    * hops to a checkpoint (rewrites are checkpoints too). */
+  private[sinks] def manifestEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = {
+    if (v < 0) return Nil
+    var chain = List.empty[Seq[String]]
+    var cur = v
+    while (cur >= 0) {
+      val lines = manifestLines(spark, dir, cur)
+      chain = lines.filterNot(_.startsWith("#")) :: chain
+      val base = deltaBase(lines)
+      base.foreach(b => require(b >= 0 && b < cur,
+        s"corrupt delta manifest $cur at $dir: base $b is not older"))
+      cur = base.getOrElse(-1L)
+    }
+    chain.flatten
+  }
+
+  /** The versions manifest `v` RESOLVES THROUGH (itself + delta bases
+    * back to its checkpoint) — the manifests a vacuum must keep for `v`
+    * to stay readable. */
+  private def chainVersions(spark: SparkSession, dir: String,
+      v: Long): Seq[Long] = {
+    var acc = List.empty[Long]
+    var cur = v
+    while (cur >= 0) {
+      acc = cur :: acc
+      cur = deltaBase(manifestLines(spark, dir, cur)).getOrElse(-1L)
+    }
+    acc
+  }
 
   /** The root paths [[read]] would scan for the head version — the
     * registration key [[graft.plans.ViewRewrite]] needs to recognize
@@ -520,8 +583,13 @@ object ManifestSink {
     * current header key is a progress marker, and a rebased append must
     * never roll a marker back past a winner's; otherwise the new value
     * wins. */
-  private def mergeHeader(prev: Map[String, String],
-      next: Map[String, String]): Map[String, String] =
+  private def mergeHeader(prev0: Map[String, String],
+      next0: Map[String, String]): Map[String, String] = {
+    // the delta link is per-manifest STRUCTURE, not commit metadata: it
+    // must never carry forward (a full checkpoint inheriting a stale
+    // delta.base would corrupt resolution), and callers can't set it
+    val prev = prev0 - DeltaBaseKey
+    val next = next0 - DeltaBaseKey
     (prev.keySet ++ next.keySet).iterator.map { k =>
       val v = (prev.get(k), next.get(k)) match {
         case (Some(a), Some(b)) =>
@@ -533,6 +601,7 @@ object ManifestSink {
       }
       k -> v
     }.toMap
+  }
 
   /** Rewriting commit. `basedOn` is the version the caller PLANNED
     * `baseEntries` against — the publish targets exactly `basedOn + 1`,
@@ -1240,8 +1309,11 @@ object ManifestSink {
   /** The CAS loop shared by every appending commit: publish `newLines`
     * appended to the current snapshot's entries, rebasing and retrying
     * on a lost race (the data these lines reference is already on disk
-    * and immutable — only the manifest rebases). */
-  private def commitAppendLines(spark: SparkSession, dir: String,
+    * and immutable — only the manifest rebases). Writes a DELTA manifest
+    * (its own lines + a `delta.base` link) except at the
+    * [[manifestCheckpointEvery]] cadence — the append hot path costs
+    * O(batch), not O(table files). */
+  private[sinks] def commitAppendLines(spark: SparkSession, dir: String,
       newLines: Seq[String], header: Map[String, String]): Long = {
     val f = fs(spark, dir)
     var committed = -1L
@@ -1249,12 +1321,18 @@ object ManifestSink {
     while (committed < 0) {
       val prev = version(spark, dir)
       val next = prev + 1
+      val every = manifestCheckpointEvery
+      require(every >= 1, s"manifestCheckpointEvery must be >= 1: $every")
+      val delta = prev >= 0 && every > 1 && next % every != 0L
       // header re-merged per attempt: a rebase must carry the WINNER's
       // markers forward, not the snapshot this writer first saw
+      val hdr = mergeHeader(manifestHeader(spark, dir, prev),
+        header + (TsKey -> System.currentTimeMillis.toString))
       val lines =
-        headerLines(mergeHeader(manifestHeader(spark, dir, prev),
-          header + (TsKey -> System.currentTimeMillis.toString))) ++
-          manifestEntries(spark, dir, prev) ++ newLines
+        if (delta)
+          headerLines(hdr + (DeltaBaseKey -> prev.toString)) ++ newLines
+        else
+          headerLines(hdr) ++ manifestEntries(spark, dir, prev) ++ newLines
       if (tryPublishNew(f, new Path(dir, s"_manifests/$next.manifest"),
           lines.mkString("\n"))) committed = next
       else {
@@ -3184,7 +3262,19 @@ object ManifestSink {
     val referenced = ((keepFrom to current) ++ protect)
       .flatMap(v => manifestEntries(spark, dir, v).map(entryPath)).toSet
     val protectSet = protect.toSet
-    (0L until keepFrom).filterNot(protectSet).foreach { v =>
+    // a retained/protected version may be a DELTA manifest resolving
+    // through bases below the horizon: those base manifests must
+    // survive or the retained version stops resolving. Their DATA costs
+    // nothing extra — a chain base's entries are a prefix of the
+    // retained version's, so every file is already in `referenced`.
+    // (Consequence: on an append-heavy table, time travel can reach
+    // slightly below keepVersions, back to the last checkpoint — the
+    // loud horizon applies to versions whose manifests are actually
+    // reclaimed.)
+    val chainKeep = ((keepFrom to current) ++ protect)
+      .flatMap(v => chainVersions(spark, dir, v)).toSet
+    (0L until keepFrom)
+      .filterNot(v => protectSet(v) || chainKeep(v)).foreach { v =>
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
     }
     // sweep crash-orphaned publish temps: a live appender whose temp is

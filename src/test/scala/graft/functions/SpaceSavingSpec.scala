@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SpaceSavingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A skewed stream: item `w<i>` appears (vocab - i)^2 times — a few
+    * unmistakable heavy hitters over a long tail. */
+  private def zipfish(vocab: Int): Seq[String] =
+    (0 until vocab).flatMap(i =>
+      Seq.fill((vocab - i) * (vocab - i))(s"w$i"))
+
+  private def truthHas(items: Seq[String], it: String, n: Long,
+      m: Int): Boolean =
+    items.count(_ == it).toLong > n / m
+
+  private def summarize(items: Seq[String], m: Int, parts: Int)
+      : Seq[(String, Long, Long)] =
+    items.toDF("tok").repartition(parts)
+      .agg(SpaceSaving.summary($"tok", m).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.cnt", $"e.err")
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("exact regime: capacity >= NDV gives the exact ordered table, " +
+      "any partitioning") {
+    val items = zipfish(40)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (it, c) => (-c, it) }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = summarize(items, 64, parts)
+      assert(got.map { case (it, c, e) => (it, c) } === truth,
+        s"parts=$parts")
+      assert(got.forall(_._3 == 0L), s"err must pin at 0, parts=$parts")
+    }
+  }
+
+  test("approximate regime: bounds hold and true heavies survive, " +
+      "any partitioning") {
+    val vocab = 100
+    val m = 16
+    // zipfish(100) tops out at 10k occurrences over n≈338k — below every
+    // n/m threshold — so plant one unmistakable heavy above it
+    val items = zipfish(vocab) ++ Seq.fill(400000)("MEGA")
+    val n = items.size.toLong
+    assert(truthHas(items, "MEGA", n, m), "fixture must have a true heavy")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = summarize(items, m, parts)
+      assert(got.size == m)
+      got.foreach { case (it, cnt, err) =>
+        val t = truth.getOrElse(it, 0L)
+        assert(cnt >= t, s"upper bound broken for $it: $cnt < $t")
+        assert(cnt - err <= t,
+          s"lower bound broken for $it: $cnt - $err > $t")
+      }
+      // every item with true count > n/m must be reported (the classic
+      // Space-Saving guarantee; merges only widen err, never drop a
+      // counter that dominates the threshold)
+      val reported = got.map(_._1).toSet
+      truth.collect { case (it, c) if c > n / m => it }.foreach(it =>
+        assert(reported.contains(it), s"heavy $it missing, parts=$parts"))
+    }
+  }
+
+  test("nulls and empties: null ignored, empty input gives empty summary") {
+    val got = Seq(Some("a"), None, Some("a"), Some("b")).toDF("tok")
+      .agg(SpaceSaving.summary($"tok", 8).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.item", $"e.cnt")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L)))
+    val empty = Seq.empty[String].toDF("tok")
+      .agg(SpaceSaving.summary($"tok", 8).as("hh"))
+      .select(size($"hh")).head().getInt(0)
+    assert(empty === 0)
+  }
+
+  test("SQL surface: space_saving(tok, m) registered") {
+    GraftFunctions.register(spark)
+    Seq("x", "x", "y").toDF("tok").createOrReplaceTempView("ss_toks")
+    val got = spark.sql(
+      "SELECT space_saving(tok, 4)[0].item AS top FROM ss_toks")
+      .head().getString(0)
+    assert(got === "x")
+  }
+
+  test("eval order is (cnt desc, item asc) — a total order") {
+    val got = summarize(Seq("b", "a", "a", "b", "c"), 8, 1)
+    assert(got === Seq(("a", 2L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+  }
+}

@@ -92,10 +92,10 @@ class ManifestSinkSpec extends SparkSpec {
     ManifestSink.merge(Seq((2L, "B2")).toDF("k", "v"), dir, Seq("k"))
     // copy-on-write pruning: dirs A and C must be carried by REFERENCE —
     // the merged manifest keeps 2 of the 3 original entries verbatim
-    def entryLines(m: String): Set[String] = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(dir, s"_manifests/$m.manifest"))
-      .split("\n").map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    // RESOLVED snapshots (appends write delta manifests; the carried-by-
+    // reference claim is about the resolved entry list)
+    def entryLines(m: String): Set[String] =
+      ManifestSink.manifestEntries(spark, dir, m.toLong).toSet
     val m2 = entryLines("2")
     val m3 = entryLines("3")
     assert(m3.size === 3)

@@ -15,9 +15,10 @@ class MorDeleteSpec extends SparkSpec {
     df.select("k", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
+  // the RESOLVED snapshot (delta manifests resolve through their base
+  // chain — byte-identical to the legacy full-snapshot entry list)
   private def manifestLines(dir: String, v: Long): Seq[String] =
-    new String(Files.readAllBytes(Paths.get(s"$dir/_manifests/$v.manifest")))
-      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+    ManifestSink.manifestEntries(spark, dir, v)
 
   test("a MoR delete rewrites no data, filters reads, stacks, and a " +
       "later re-insert of the deleted key survives") {
