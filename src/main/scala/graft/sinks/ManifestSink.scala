@@ -115,8 +115,10 @@ object ManifestSink {
     * snapshot, so tombstone positions, rewrite rebases
     * ([[commitRewriteLines]]'s append-extension check) and
     * [[changedEntries]] diffs are unchanged. `1` = legacy
-    * full-snapshot-per-commit (the A/B baseline in MetaSweep). */
-  @volatile var manifestCheckpointEvery: Int = 16
+    * full-snapshot-per-commit (the A/B baseline in MetaSweep;
+    * `SPARK_GRAFT_MANIFEST_CKPT=1` runs any main in legacy mode). */
+  @volatile var manifestCheckpointEvery: Int =
+    sys.env.get("SPARK_GRAFT_MANIFEST_CKPT").map(_.toInt).getOrElse(16)
 
   /** Header key linking a delta manifest to its base version. Written
     * only by [[commitAppendLines]]; stripped from caller headers and
@@ -467,24 +469,41 @@ object ManifestSink {
     }
   }
 
-  /** Current committed version, or -1 for an empty sink. Trusts the
-    * `_latest` hint only when it agrees with the manifest listing; a
-    * missing, stale, or corrupt hint falls back to the listing, so a
-    * crash between manifest publish and hint refresh never rolls the
-    * table back (or, worse, orphans every previously committed batch on
-    * the next commit). */
+  /** Current committed version, or -1 for an empty sink.
+    *
+    * Resolution anchors on the `_latest` hint and PROBES FORWARD by
+    * name to the first missing manifest — version numbers are dense
+    * above any committed version (commits serialize through the
+    * conditional put; [[vacuum]] reclaims only below its horizon and
+    * refreshes the hint before deleting), so a fresh hint costs one
+    * extra existence check and a hint stale by g commits costs g + 1,
+    * never the O(versions) directory listing (MetaSweep measured the
+    * listing at ~11 ms per call / 71 ms per commit on a 10 k-version
+    * dribble table — the next metadata bottleneck after the delta log).
+    * A missing, torn (unparseable / CRC-mismatched), or vacuumed-past
+    * hint falls back to the full listing, so a crash between manifest
+    * publish and hint refresh never rolls the table back.
+    *
+    * Residual staleness window, stated not hidden: a reader could see a
+    * stale head only if ≥ keepVersions consecutive commits all crashed
+    * exactly between publish and hint refresh AND a vacuum then ran —
+    * writers are still safe there (the publish-time race check uses the
+    * listing and aborts loudly, re-hinting on the way). */
   def version(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
-    val listed = listedVersion(f, dir)
     val latest = new Path(dir, "_latest")
     if (f.exists(latest)) {
-      // a torn hint write can leave unparseable bytes or a checksum
-      // mismatch (local FS keeps a CRC sidecar) — treat either as stale
       val hinted = scala.util.Try(readSmall(f, latest).trim.toLong)
         .getOrElse(-1L)
-      if (hinted == listed) return hinted
+      if (hinted >= 0 &&
+          f.exists(new Path(dir, s"_manifests/$hinted.manifest"))) {
+        var v = hinted
+        while (f.exists(new Path(dir, s"_manifests/${v + 1}.manifest")))
+          v += 1
+        return v
+      }
     }
-    listed
+    listedVersion(f, dir)
   }
 
   private def manifestLines(spark: SparkSession, dir: String,
@@ -1341,10 +1360,14 @@ object ManifestSink {
         // a failed rename with no version advance is an infrastructure
         // failure (permissions, disk full, store errors) — retrying
         // 1000× would only mask it
-        require(listedVersion(f, dir) > prev,
+        val listed = listedVersion(f, dir)
+        require(listed > prev,
           s"failed to publish manifest $next at $dir: rename failed " +
             "but no competing commit advanced the version — " +
             "infrastructure failure, not a commit race")
+        // self-heal the hint (the winner may have crashed before its
+        // refresh): the retry's [[version]] probe anchors correctly
+        writeHint(f, new Path(dir, "_latest"), listed.toString)
         attempts += 1
         require(attempts < 1000,
           s"append to $dir starved: lost $attempts consecutive commit races")
@@ -3273,6 +3296,10 @@ object ManifestSink {
     // reclaimed.)
     val chainKeep = ((keepFrom to current) ++ protect)
       .flatMap(v => chainVersions(spark, dir, v)).toSet
+    // refresh the hint BEFORE reclaiming manifests: [[version]]'s
+    // forward probe anchors on it, and a reader holding a pre-vacuum
+    // hint must fall into the exists() fallback, never walk a gap
+    writeHint(f, new Path(dir, "_latest"), current.toString)
     (0L until keepFrom)
       .filterNot(v => protectSet(v) || chainKeep(v)).foreach { v =>
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)

@@ -66,7 +66,7 @@ class GraftSpec extends SparkSpec {
     // assertion as their enforcement — registry drift fails the build
     // here instead of surfacing as a stale doc in the judge's checklist.
     // Update BOTH this test and SURVEY.md when registering a query.
-    assert(SparkEntry.queries.size === 229)
-    assert(SparkEntry.oracleSql.size === 228)
+    assert(SparkEntry.queries.size === 231)
+    assert(SparkEntry.oracleSql.size === 230)
   }
 }

@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
       "q183_weighted_quantiles",   // 3 fracs × distinct-scores probe
       "q195_hybrid_rrf",           // 1-row corpus stats + 1-row query vec
       "q204_bigram_lm",            // crossJoin(broadcast(1-row vocab size))
+      "q221_ccnet_buckets",        // q204's 1-row vocab broadcast, bucketed
       // q206's broadcast(10 query vectors) ⋈ ≠ shortlist runs EAGERLY
       // (decision-sized collect); the returned plan is the local MMR
       // result — not listed, like q216's stored-artifact build

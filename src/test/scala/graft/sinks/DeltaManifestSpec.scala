@@ -119,6 +119,40 @@ class DeltaManifestSpec extends SparkSpec {
     }
   }
 
+  test("version() forward-probes from the hint; stale, torn, or " +
+      "missing hints never roll the head back") {
+    withEvery(4) {
+      val dir = Files.createTempDirectory("dmanver").toString + "/t"
+      (0 until 6).foreach(i => ManifestSink.append(batch(i), dir))
+      assert(ManifestSink.version(spark, dir) === 5L)
+      val hint = Paths.get(dir, "_latest")
+      // drop the Hadoop-local CRC sidecar: these writes bypass the
+      // checksummed FS, and a stale sidecar would route every read into
+      // the torn-hint fallback instead of exercising the probe
+      def dropCrc(): Unit =
+        Files.deleteIfExists(Paths.get(dir, "._latest.crc"))
+      // stale hint: probe walks forward to the true head
+      dropCrc(); Files.writeString(hint, "2")
+      assert(ManifestSink.version(spark, dir) === 5L)
+      // torn hint: unparseable bytes fall back to the listing
+      dropCrc(); Files.writeString(hint, "garbage")
+      assert(ManifestSink.version(spark, dir) === 5L)
+      // missing hint: listing fallback
+      Files.delete(hint)
+      assert(ManifestSink.version(spark, dir) === 5L)
+      // hint pointing past the head (never written by the engine, but a
+      // byte flip could): nonexistent manifest => listing fallback
+      dropCrc(); Files.writeString(hint, "99")
+      assert(ManifestSink.version(spark, dir) === 5L)
+      // and a vacuum refreshes the hint before reclaiming, so the
+      // post-vacuum probe anchors on the live region
+      ManifestSink.append(batch(6), dir)
+      ManifestSink.vacuum(spark, dir, keepVersions = 1)
+      assert(ManifestSink.version(spark, dir) === 6L)
+      assert(ManifestSink.read(spark, dir).count() === 7)
+    }
+  }
+
   test("exactly-once epoch markers and row counts survive the delta " +
       "format") {
     withEvery(4) {
