@@ -190,8 +190,21 @@ object ScaleSweep {
     val k = sys.env.get("SPARK_GRAFT_SWEEP_K").map(_.toInt).getOrElse(10)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // OWNED shuffle-scratch root: a sweep that dies mid-query (the ×100
+    // scratch-overflow lesson) leaves tens of GB of blockmgr-*/spark-*
+    // dirs that Spark's shutdown hook never ran for — so each run pins
+    // local.dir to this path, SWEEPS THE PREDECESSOR'S RESIDUE at
+    // startup, and deletes its own in a finally. Single-operator
+    // harness: two concurrent sweeps on one host would share it.
+    val scratch = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SWEEP_SCRATCH",
+      "/tmp/graft-sweep-scratch"))
+    if (Files.exists(scratch))
+      Files.walk(scratch).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(scratch)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", scratch.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       // THE fixed-partition-count scale break, found by the x100 decade:
       // 32 shuffle partitions put ~billions of candidate rows per
@@ -273,11 +286,17 @@ object ScaleSweep {
       println(s"""{"sweep":"$tag","q":"TOTAL","sec":${num(total)},""" +
         s""""n":${qs.size},"n_err":$nErr}""")
     }
-    sweep("base", base, sweepQueries)
-    sweep(s"x$k", out, sweepQueries)
-    // adversarial self-repetitive doc, q169 only (+ q167, same kernel)
-    sweep("adv", s"$out/adv",
-      Seq("q169_substring_dedup", "q167_substring_coverage"))
-    spark.stop()
+    try {
+      sweep("base", base, sweepQueries)
+      sweep(s"x$k", out, sweepQueries)
+      // adversarial self-repetitive doc, q169 only (+ q167, same kernel)
+      sweep("adv", s"$out/adv",
+        Seq("q169_substring_dedup", "q167_substring_coverage"))
+    } finally {
+      spark.stop()
+      if (Files.exists(scratch))
+        Files.walk(scratch).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+    }
   }
 }
