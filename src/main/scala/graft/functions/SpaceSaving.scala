@@ -22,8 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * state per group however large the stream, mergeable partials.
   *
   * Per counter the summary carries (item, cnt, err) with the classic
-  * guarantees `cnt >= true >= cnt - err`, and any item whose true count
-  * exceeds n/m is guaranteed present. Updates: a tracked item increments;
+  * guarantees `cnt >= true >= cnt - err`. In a single-partition pass any
+  * item whose true count exceeds n/m is guaranteed present (the ICDT'05
+  * theorem); across MERGED partials both (cnt, err) bounds stay valid,
+  * but presence requires out-ranking m competitors whose estimates the
+  * min-floor merge inflates by at most the sum of per-partial minima —
+  * a near-threshold heavy can in principle be pruned, so the portable
+  * cross-partition contract is the BOUNDS, with heavy survival holding
+  * at any real skew margin (property-tested under 1/5/32-way splits).
+  * Updates: a tracked item increments;
   * an untracked one below capacity inserts (1, 0); at capacity it
   * REPLACES a minimum counter, inheriting its count as both estimate
   * floor and error (`(min+1, min)`). Eviction picks the lexicographically

@@ -57,9 +57,10 @@ class SpaceSavingSpec extends SparkSpec {
         assert(cnt - err <= t,
           s"lower bound broken for $it: $cnt - $err > $t")
       }
-      // every item with true count > n/m must be reported (the classic
-      // Space-Saving guarantee; merges only widen err, never drop a
-      // counter that dominates the threshold)
+      // heavy survival: single-pass Space-Saving guarantees presence
+      // above n/m; the min-floor merge can in principle prune a
+      // NEAR-threshold heavy, so this fixture's heavy carries a ~9x
+      // margin — the skew shape the sketch exists for
       val reported = got.map(_._1).toSet
       truth.collect { case (it, c) if c > n / m => it }.foreach(it =>
         assert(reported.contains(it), s"heavy $it missing, parts=$parts"))
