@@ -2951,18 +2951,40 @@ object ManifestSink {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cur = version(spark, dir)
+    // ONE incremental walk over the log, not a per-version chain
+    // resolution: an append delta based on v−1 resolves as the previous
+    // snapshot plus its own lines (one small read), so a V-version
+    // history costs O(V) manifest reads instead of O(V · chain) — the
+    // difference between seconds and minutes on a deep streaming table
+    // (measured in MetaSweep's V axis). Any other base (never written
+    // today) falls back to full resolution.
+    var prevResolved = Vector.empty[String]
     val rows = (0L to cur).map { v =>
-      val prevL =
-        if (v == 0) Seq.empty[String] else manifestEntries(spark, dir, v - 1)
-      val curL = manifestEntries(spark, dir, v)
+      val prevL = prevResolved
+      val lines = manifestLines(spark, dir, v)
       def counts(xs: Seq[String]): Map[String, Int] =
         xs.groupBy(identity).map { case (k, g) => k -> g.size }
-      val pc = counts(prevL)
-      val cc = counts(curL)
-      val added = cc.toSeq.flatMap { case (l, n) =>
-        Seq.fill(math.max(0, n - pc.getOrElse(l, 0)))(l) }
-      val removed = pc.toSeq.flatMap { case (l, n) =>
-        Seq.fill(math.max(0, n - cc.getOrElse(l, 0)))(l) }
+      // an append delta IS its own diff: added = its lines, removed
+      // none — the multiset diff (O(snapshot) per version, O(V²)
+      // across a deep log) runs only at full manifests
+      val (curL, added, removed) = deltaBase(lines) match {
+        case Some(b) if b == v - 1 =>
+          val own = lines.filterNot(_.startsWith("#"))
+          (prevL ++ own, own, Seq.empty[String])
+        case other =>
+          val cl: Vector[String] = other match {
+            case Some(_) => manifestEntries(spark, dir, v).toVector
+            case None    => lines.filterNot(_.startsWith("#")).toVector
+          }
+          val pc = counts(prevL)
+          val cc = counts(cl)
+          val ad = cc.toSeq.flatMap { case (l, n) =>
+            Seq.fill(math.max(0, n - pc.getOrElse(l, 0)))(l) }
+          val rm = pc.toSeq.flatMap { case (l, n) =>
+            Seq.fill(math.max(0, n - cc.getOrElse(l, 0)))(l) }
+          (cl, ad, rm)
+      }
+      prevResolved = curL
       val addedE = added.map(parseEntry)
       val removedE = removed.map(parseEntry)
       val (addedTomb, addedData) = addedE.partition(isTombEntry)
@@ -2978,7 +3000,10 @@ object ManifestSink {
         else if (removedE.isEmpty) "append"
         else if (addedE.isEmpty) "shrink"
         else "rewrite"
-      val ts = manifestHeader(spark, dir, v).get(TsKey).map(_.toLong)
+      val ts = lines.collectFirst { // already read; skip a second I/O
+        case l if l.startsWith(s"#$TsKey=") =>
+          l.substring(TsKey.length + 2).toLong
+      }
       (v, ts, kind, addedE.size.toLong, removedE.size.toLong,
         addedTomb.size.toLong, rowsOf(addedData), rowsOf(removedData))
     }

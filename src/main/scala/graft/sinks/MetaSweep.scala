@@ -120,9 +120,13 @@ object MetaSweep {
             ManifestSink.version(spark, dir))
         }
         val mBytes = dirBytes(Paths.get(dir, "_manifests"))
+        // the audit surface over the whole log (q172/q187): one
+        // incremental walk, O(V) reads
+        val hist = time(ManifestSink.history(spark, dir).collect())
         println(s"""{"meta":"V","versions":$v,"build_s":${num(build)},""" +
           s""""manifest_mb":${num(mBytes / 1e6)},""" +
-          s""""version_s":${num(ver)},"resolve_s":${num(resolve)}}""")
+          s""""version_s":${num(ver)},"resolve_s":${num(resolve)},""" +
+          s""""history_s":${num(hist)}}""")
       } finally rmTree(root)
     }
   }
