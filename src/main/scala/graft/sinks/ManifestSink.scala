@@ -99,7 +99,11 @@ object ManifestSink {
   def deregisterConditionalPut(scheme: String): Unit =
     extraConditionalPuts.remove(scheme)
 
-  /** Full-snapshot cadence of the DELTA-MANIFEST commit log. Every
+  /** Full-snapshot cadence of the DELTA-MANIFEST commit log (the
+    * checkpointed-log pattern of the lakehouse formats — Armbrust et
+    * al., "Delta Lake: High-Performance ACID Table Storage over Cloud
+    * Object Stores", VLDB 2020 — re-expressed over this sink's
+    * conditional-put manifests). Every
     * manifest used to be a full snapshot of the entry list, which makes
     * the APPEND hot path O(table files): at the 100 TB shape (~400 k
     * files behind a 2 s streaming commit) every commit re-reads and
