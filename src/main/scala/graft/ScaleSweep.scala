@@ -87,6 +87,17 @@ object ScaleSweep {
     "q82_semdedup",
     "q211_dsir_selection")
 
+  /** Recursive delete with the walk stream CLOSED deterministically —
+    * Files.walk holds directory handles until close, and a sweep walks
+    * multi-GB trees often enough to exhaust ulimit -n if left to GC. */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => Files.delete(q))
+    finally s.close()
+  }
+
   private def tokPrefix(df: DataFrame, r: Int): DataFrame =
     if (r == 0) df
     else df.withColumn("text",
@@ -196,12 +207,25 @@ object ScaleSweep {
     // local.dir to this path, SWEEPS THE PREDECESSOR'S RESIDUE at
     // startup, and deletes its own in a finally. Single-operator
     // harness: two concurrent sweeps on one host would share it.
+    // Ownership-gated like outDir: only a dir holding the sentinel a
+    // previous sweep wrote (or an empty/absent one) is auto-reclaimed —
+    // a mistyped SPARK_GRAFT_SWEEP_SCRATCH pointing at foreign data
+    // must refuse, not wipe it.
     val scratch = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SWEEP_SCRATCH",
       "/tmp/graft-sweep-scratch"))
-    if (Files.exists(scratch))
-      Files.walk(scratch).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+    val scratchMark = scratch.resolve("_SWEEP_SCRATCH")
+    if (Files.exists(scratch)) {
+      val empty = {
+        val s = Files.list(scratch)
+        try !s.findAny().isPresent finally s.close()
+      }
+      require(empty || Files.exists(scratchMark),
+        s"refusing to delete scratch '$scratch': non-empty and not " +
+          "marked by a previous sweep — looks like foreign data")
+      rmTree(scratch)
+    }
     Files.createDirectories(scratch)
+    Files.createFile(scratchMark)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", scratch.toString)
@@ -231,13 +255,15 @@ object ScaleSweep {
         // the operator opts in with SPARK_GRAFT_SWEEP_FORCE=1.
         val force = sys.env.get("SPARK_GRAFT_SWEEP_FORCE").contains("1")
         val ownedPartial = Files.exists(dir.resolve("documents.parquet"))
-        val empty = !Files.list(dir).findAny().isPresent
+        val empty = {
+          val s = Files.list(dir)
+          try !s.findAny().isPresent finally s.close()
+        }
         require(empty || ownedPartial || force,
           s"refusing to delete non-empty '$out': no _GENERATED marker " +
             "and no partial sweep tables — looks like foreign data. " +
             "Set SPARK_GRAFT_SWEEP_FORCE=1 to override.")
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
+        rmTree(dir)
       }
       Files.createDirectories(dir)
       generate(spark, base, out, k)
@@ -294,9 +320,7 @@ object ScaleSweep {
         Seq("q169_substring_dedup", "q167_substring_coverage"))
     } finally {
       spark.stop()
-      if (Files.exists(scratch))
-        Files.walk(scratch).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
+      rmTree(scratch)
     }
   }
 }

@@ -145,8 +145,10 @@ object Stress {
     val marker = dir.resolve("_GENERATED")
     if (!Files.exists(marker)) {
       if (Files.isDirectory(dir)) { // partial leftovers: clear them
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally s.close()
       }
       Files.createDirectories(dir)
       genDocuments(spark).write.parquet(s"$out/documents.parquet")

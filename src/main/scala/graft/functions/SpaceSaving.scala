@@ -67,6 +67,15 @@ case class SpaceSaving(child: Expression, m: Int,
   require(m >= 1, "SpaceSaving needs capacity m >= 1")
 
   override def prettyName: String = "space_saving"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"space_saving expects a string item column, got $other")
+    }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("cnt", LongType, nullable = false),

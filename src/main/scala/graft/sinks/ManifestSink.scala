@@ -277,6 +277,55 @@ object ManifestSink {
     if (!f.rename(tmp, p)) f.delete(tmp, false)
   }
 
+  /** The vacuum floor: the lowest version whose manifest a vacuum
+    * GUARANTEED to keep (its `keepFrom`), persisted at `_vacuum_floor`
+    * BEFORE any manifest is reclaimed. [[version]]'s forward probe is
+    * only sound above the floor — below it, vacuum's protect/chain-kept
+    * manifests form ISLANDS inside reclaimed ranges, where a probe
+    * would stop at a gap, return a stale head, and (worse) let a writer
+    * publish into a reclaimed version slot, forking history. Any anchor
+    * below the floor falls back to the full listing. Monotonic: a later
+    * vacuum with a larger window never lowers it (the gaps the old
+    * floor records don't un-exist). */
+  private def readFloor(f: FileSystem, dir: String): Long = {
+    val p = new Path(dir, "_vacuum_floor")
+    if (!f.exists(p)) -1L
+    else scala.util.Try(readSmall(f, p).trim.toLong).getOrElse(Long.MaxValue)
+    // an unreadable/torn floor is treated as +inf: every probe falls
+    // back to the listing — slow, never wrong
+  }
+
+  /** The floor value a vacuum should persist: monotonic max of the old
+    * floor and this vacuum's keepFrom. A TORN existing floor aborts the
+    * vacuum — its true value is unknowable and writing a lower one
+    * would re-admit the forward probe below real gaps. */
+  private def floorForWrite(f: FileSystem, dir: String,
+      keepFrom: Long): Long = {
+    val p = new Path(dir, "_vacuum_floor")
+    if (!f.exists(p)) keepFrom
+    else scala.util.Try(readSmall(f, p).trim.toLong) match {
+      case scala.util.Success(old) => math.max(old, keepFrom)
+      case scala.util.Failure(e) => throw new IllegalStateException(
+        s"vacuum at $dir: existing _vacuum_floor is unreadable — " +
+          "refusing to overwrite it (a lowered floor would unsound " +
+          "version()'s probe). Repair or remove the file first.", e)
+    }
+  }
+
+  private def writeFloorLoud(f: FileSystem, dir: String, v: Long): Unit = {
+    val p = new Path(dir, "_vacuum_floor")
+    val tmp = new Path(p.getParent,
+      p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p),
+      s"vacuum at $dir: failed to persist the vacuum floor $v — " +
+        "aborting BEFORE reclaiming anything (the floor is " +
+        "load-bearing for version()'s forward probe)")
+  }
+
   private val ManifestName = """(\d+)\.manifest""".r
 
   // ------------------------------------------------- per-entry file stats
@@ -488,18 +537,25 @@ object ManifestSink {
     * hint falls back to the full listing, so a crash between manifest
     * publish and hint refresh never rolls the table back.
     *
-    * Residual staleness window, stated not hidden: a reader could see a
-    * stale head only if ≥ keepVersions consecutive commits all crashed
-    * exactly between publish and hint refresh AND a vacuum then ran —
-    * writers are still safe there (the publish-time race check uses the
-    * listing and aborts loudly, re-hinting on the way). */
+    * The probe's density assumption holds only ABOVE the vacuum floor:
+    * below it, protect/chain-kept manifests are islands inside
+    * reclaimed ranges where a walk would stop at a gap, return a stale
+    * head, and let a writer publish into a reclaimed slot (a fork a
+    * later vacuum would then treat as the head, deleting real data).
+    * So any anchor below [[readFloor]] — and any table whose floor file
+    * is unreadable — takes the full-listing path instead. The floor is
+    * written LOUDLY before a vacuum reclaims anything. A table vacuumed
+    * only by pre-floor builds lacks the file (floor −1, probe allowed)
+    * and so retains the gap risk until its next vacuum stamps one —
+    * acceptable because floor and probe shipped together; no real table
+    * has pre-floor islands. */
   def version(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
     val latest = new Path(dir, "_latest")
     if (f.exists(latest)) {
       val hinted = scala.util.Try(readSmall(f, latest).trim.toLong)
         .getOrElse(-1L)
-      if (hinted >= 0 &&
+      if (hinted >= 0 && hinted >= readFloor(f, dir) &&
           f.exists(new Path(dir, s"_manifests/$hinted.manifest"))) {
         var v = hinted
         while (f.exists(new Path(dir, s"_manifests/${v + 1}.manifest")))
@@ -544,20 +600,6 @@ object ManifestSink {
       cur = base.getOrElse(-1L)
     }
     chain.flatten
-  }
-
-  /** The versions manifest `v` RESOLVES THROUGH (itself + delta bases
-    * back to its checkpoint) — the manifests a vacuum must keep for `v`
-    * to stay readable. */
-  private def chainVersions(spark: SparkSession, dir: String,
-      v: Long): Seq[Long] = {
-    var acc = List.empty[Long]
-    var cur = v
-    while (cur >= 0) {
-      acc = cur :: acc
-      cur = deltaBase(manifestLines(spark, dir, cur)).getOrElse(-1L)
-    }
-    acc
   }
 
   /** The root paths [[read]] would scan for the head version — the
@@ -3311,23 +3353,43 @@ object ManifestSink {
     // cross-table time travel stays intact through any vacuum
     val protect =
       protectVersions.filter(v => v >= 0 && v < keepFrom).distinct
-    val referenced = ((keepFrom to current) ++ protect)
-      .flatMap(v => manifestEntries(spark, dir, v).map(entryPath)).toSet
+    // ONE chain walk per retained/protected version, reading each
+    // manifest file at most once (the windows overlap heavily — on an
+    // object store every redundant read is a full-latency GET): the
+    // memo serves both the referenced-file set and the chain-keep set.
+    val lineCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    def linesOf(v: Long): Seq[String] =
+      lineCache.getOrElseUpdate(v, manifestLines(spark, dir, v))
+    def chainOf(v: Long): Seq[Long] = {
+      var acc = List.empty[Long]
+      var cur = v
+      while (cur >= 0) {
+        acc = cur :: acc
+        cur = deltaBase(linesOf(cur)).getOrElse(-1L)
+      }
+      acc
+    }
+    val wanted = (keepFrom to current) ++ protect
+    val chainKeep = wanted.flatMap(chainOf).toSet
+    val referenced = wanted.flatMap(v =>
+      chainOf(v).flatMap(c => linesOf(c).filterNot(_.startsWith("#")))
+        .map(entryPath)).toSet
     val protectSet = protect.toSet
     // a retained/protected version may be a DELTA manifest resolving
     // through bases below the horizon: those base manifests must
-    // survive or the retained version stops resolving. Their DATA costs
-    // nothing extra — a chain base's entries are a prefix of the
-    // retained version's, so every file is already in `referenced`.
-    // (Consequence: on an append-heavy table, time travel can reach
-    // slightly below keepVersions, back to the last checkpoint — the
-    // loud horizon applies to versions whose manifests are actually
-    // reclaimed.)
-    val chainKeep = ((keepFrom to current) ++ protect)
-      .flatMap(v => chainVersions(spark, dir, v)).toSet
-    // refresh the hint BEFORE reclaiming manifests: [[version]]'s
-    // forward probe anchors on it, and a reader holding a pre-vacuum
-    // hint must fall into the exists() fallback, never walk a gap
+    // survive or the retained version stops resolving (chainKeep).
+    // Their DATA costs nothing extra — a chain base's entries are a
+    // prefix of the retained version's, so every file is already in
+    // `referenced`. (Consequence: on an append-heavy table, time travel
+    // can reach slightly below keepVersions, back to the last
+    // checkpoint — the loud horizon applies to versions whose manifests
+    // are actually reclaimed.)
+    //
+    // Ordering is load-bearing: (1) persist the floor LOUDLY — abort if
+    // it cannot be written, because version()'s forward probe is only
+    // sound above it; (2) refresh the hint so post-vacuum probes anchor
+    // at the head; (3) only then reclaim manifests.
+    writeFloorLoud(f, dir, floorForWrite(f, dir, keepFrom))
     writeHint(f, new Path(dir, "_latest"), current.toString)
     (0L until keepFrom)
       .filterNot(v => protectSet(v) || chainKeep(v)).foreach { v =>

@@ -26,15 +26,21 @@ import org.apache.spark.sql.SparkSession
   */
 object MetaSweep {
 
-  private def rmTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder())
-        .forEach(q => Files.delete(q))
+  // walk streams closed deterministically (directory handles otherwise
+  // live until GC — 8 sweep cells × hundreds of files adds up)
+  private def rmTree(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder()).forEach(q => Files.delete(q))
+    finally s.close()
+  }
 
-  private def dirBytes(p: Path): Long =
-    if (!Files.exists(p)) 0L
-    else Files.walk(p).filter(Files.isRegularFile(_))
-      .mapToLong(Files.size(_)).sum()
+  private def dirBytes(p: Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    finally s.close()
+  }
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

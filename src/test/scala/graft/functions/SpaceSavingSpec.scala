@@ -88,6 +88,15 @@ class SpaceSavingSpec extends SparkSpec {
     assert(got === "x")
   }
 
+  test("non-string items are rejected at analysis time, not with an " +
+      "executor ClassCastException") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("id")
+        .agg(SpaceSaving.summary($"id", 4)).collect()
+    }
+    assert(e.getMessage.contains("space_saving"))
+  }
+
   test("eval order is (cnt desc, item asc) — a total order") {
     val got = summarize(Seq("b", "a", "a", "b", "c"), 8, 1)
     assert(got === Seq(("a", 2L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))

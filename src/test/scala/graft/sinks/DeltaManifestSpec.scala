@@ -153,6 +153,35 @@ class DeltaManifestSpec extends SparkSpec {
     }
   }
 
+  test("the vacuum floor keeps the forward probe sound across gap " +
+      "islands: a hint inside a protected island below the horizon " +
+      "falls back to the listing instead of walking into a gap") {
+    withEvery(4) {
+      val dir = Files.createTempDirectory("dmanisl").toString + "/t"
+      (0 until 9).foreach(i => ManifestSink.append(batch(i), dir))
+      // keep head v8 (a checkpoint), protect v1 (chain {0,1}) — the
+      // vacuum reclaims manifests 2..7, leaving {0,1} as an ISLAND
+      // inside the reclaimed range, below the persisted floor
+      ManifestSink.vacuum(spark, dir, keepVersions = 1,
+        protectVersions = Seq(1L))
+      assert(ManifestSink.readAt(spark, dir, 1L).count() === 2)
+      intercept[IllegalStateException] {
+        ManifestSink.readAt(spark, dir, 3L).collect()
+      }
+      // force the hint into the island: without the floor the probe
+      // would walk 1 -> (2 missing) and report a STALE head 1; a writer
+      // anchored there would then publish into the reclaimed slot 2,
+      // forking history. The floor routes this to the listing.
+      Files.deleteIfExists(Paths.get(dir, "._latest.crc"))
+      Files.writeString(Paths.get(dir, "_latest"), "1")
+      assert(ManifestSink.version(spark, dir) === 8L)
+      // and a commit through the same anchor lands at 9, never 2
+      val v = ManifestSink.append(batch(99), dir)
+      assert(v === 9L)
+      assert(ManifestSink.read(spark, dir).count() === 10)
+    }
+  }
+
   test("exactly-once epoch markers and row counts survive the delta " +
       "format") {
     withEvery(4) {
