@@ -812,6 +812,15 @@ object DedupOps {
       .select(col("__id"), lit(0).as("__bidx"),
         PortableHash.tokenHashP(col("__el")).as("__bhash"), col("__sz"),
         col("__pos"))
+      // bandSelfJoin reads its input in an eager skew probe PLUS both
+      // join sides (and the out-of-core path re-runs the candidate join
+      // once per slice) — without this cut every one of those reads
+      // re-ran the rank window + dfreq join (the same up-to-4× breach
+      // r13 advice closed in containmentJoin; r14 advice flagged this
+      // twin). Prefix rows are narrow (id, band, hash, sz, pos), so the
+      // materialization is cheap; each pass is then a block read.
+      // Non-replicated executor-loss trade: see bandSelfJoin's note.
+      .localCheckpoint()
     // length filter: J ≥ τ needs den·min(sz) ≥ num·max(sz)
     def lengthOk(p: DataFrame): DataFrame =
       p.filter(col("__sz_a") * tauDen >= col("__sz_b") * tauNum &&
@@ -857,6 +866,10 @@ object DedupOps {
         .groupBy(col("__id"))
         .agg(collect_list(col("__idx")).as("__p"))
         .select(col("__id"), Bitmap.fromPositions(col("__p"), words).as("__bm"))
+        .localCheckpoint() // doc-sized; with `prefix` also cut, each of
+                 // bandSelfJoin's reads (skew probe + both sides) is one
+                 // hash join over materialized blocks — previously every
+                 // read re-ran the collect_list aggregate (r14 advice)
       val inter = Bitmap.andCount(col("__bm_a"), col("__bm_b"))
       positionalOk(lengthOk(bandSelfJoin(prefix.join(bitmaps, "__id"),
           "__id", Seq("__sz", "__pos", "__bm"), maxBucket)))
@@ -876,13 +889,11 @@ object DedupOps {
       // whole pair pipeline (join output → distinct → verify) runs
       // inside the fragment so an out-of-core run materializes only
       // each slice's VERIFIED output
-      // fragmenting re-runs the candidate join once per slice: cut the
-      // prefix frame's lineage ONCE so the slices re-read materialized
-      // prefix rows instead of re-running the rank window per pass
-      val prefixM =
-        if (fragments > 1) prefix.localCheckpoint() else prefix
+      // `prefix` is checkpointed at its definition, so each slice's
+      // candidate join (and bandSelfJoin's per-pass skew probe) re-reads
+      // materialized prefix rows instead of re-running the rank window
       fragmented(fragments) { f =>
-        val occ = positionalOk(lengthOk(bandSelfJoin(prefixM, "__id",
+        val occ = positionalOk(lengthOk(bandSelfJoin(prefix, "__id",
             Seq("__sz", "__pos"), maxBucket)))
         val sliced =
           if (fragments == 1) occ else occ.filter(inSlice("__ga", fragments, f))
@@ -1035,19 +1046,30 @@ object DedupOps {
     * Contract: the join key must be named `__k`; hot-key block routing
     * hashes each side's ID column — `probeIdCol` / `indexIdCol`
     * (defaults `__xa` / `__xb`), which must exist on the respective
-    * side. */
+    * side. `indexCounts`, when supplied, must be exactly
+    * (`__k`, `__ic` = index row count per key) — callers whose index is
+    * invariant across repeated calls (the out-of-core fragment loop
+    * re-enters once per slice) hand in a checkpointed count frame so the
+    * corpus-sized count aggregation runs ONCE, not once per call; the
+    * containment caller derives it from the vocab-sized `dfreq` without
+    * touching the exploded index at all (r14 advice: this count pass was
+    * the fragment-loop's hidden multiplier). */
   private def cappedProbeIndexJoin(probe: DataFrame, index: DataFrame,
       maxBucket: Int, probeIdCol: String = "__xa",
-      indexIdCol: String = "__xb"): DataFrame = {
+      indexIdCol: String = "__xb",
+      indexCounts: Option[DataFrame] = None): DataFrame = {
     require(probe.columns.contains(probeIdCol) &&
         index.columns.contains(indexIdCol),
       s"cappedProbeIndexJoin routes hot-key blocks by hashing " +
         s"'$probeIdCol' (probe) / '$indexIdCol' (index); pass " +
         "probeIdCol/indexIdCol for differently-named id columns")
+    indexCounts.foreach(c => require(c.columns.sameElements(Array("__k", "__ic")),
+      s"indexCounts must be exactly (__k, __ic), got ${c.columns.mkString(",")}"))
     val pCols = probe.columns.filterNot(_ == "__k").map(col).toSeq
     val iCols = index.columns.filterNot(_ == "__k").map(col).toSeq
     val pc = probe.groupBy(col("__k")).agg(count(lit(1)).as("__pc"))
-    val ic = index.groupBy(col("__k")).agg(count(lit(1)).as("__ic"))
+    val ic = indexCounts.getOrElse(
+      index.groupBy(col("__k")).agg(count(lit(1)).as("__ic")))
     // keys whose pair product exceeds the cap — the skewed few
     val blkHot = pc.join(ic, "__k")
       .filter(col("__pc") * col("__ic") > maxBucket.toLong * maxBucket)
@@ -1147,6 +1169,20 @@ object DedupOps {
     val ranked = ex.join(dfreq, "__el")
       .withColumn("__pos", row_number().over(w))
       .localCheckpoint()
+    // Index-side key counts for the capped join, derived from the
+    // VOCAB-sized dfreq (ic per __k = Σ __df over elements hashing to
+    // __k) instead of re-aggregating the corpus-sized exploded index —
+    // both tiers' index frames carry exactly one row per (doc, element)
+    // occurrence, so the sums are identical by construction. Hoisted
+    // and checkpointed because the frame is FRAGMENT-INVARIANT: the
+    // out-of-core loop re-enters cappedProbeIndexJoin once per slice,
+    // and without the hoist each entry's eager hot-key probe re-ran a
+    // full corpus count pass (24 extra corpus scans at ×100/q151 —
+    // r14 advice's recompute multiplier).
+    val indexCounts = dfreq
+      .groupBy(PortableHash.tokenHashP(col("__el")).as("__k"))
+      .agg(sum(col("__df")).as("__ic"))
+      .localCheckpoint()
     val prefixIds = ranked
       .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)
       .select(col("__id"), col("__el"), col("__sz"), col("__pos"))
@@ -1200,7 +1236,8 @@ object DedupOps {
           PortableHash.tokenHashP(col("__el")).as("__k"),
           col("__sz").as("__szb"), col("__pos").as("__pb"),
           col("__bm").as("__bmb"))
-      candOk(cappedProbeIndexJoin(probe, index, maxBucket))
+      candOk(cappedProbeIndexJoin(probe, index, maxBucket,
+          indexCounts = Some(indexCounts)))
         .withColumn("__i", Bitmap.andCount(col("__bma"), col("__bmb")))
         .filter(col("__i") * tauDen >= col("__sza") * tauNum)
         .select(col("__xa"), col("__xb"), col("__sza"), col("__i"))
@@ -1222,7 +1259,8 @@ object DedupOps {
           .select(col("__id").as("__xa"),
             PortableHash.tokenHashP(col("__el")).as("__k"),
             col("__sz").as("__sza"), col("__pos").as("__pa"))
-        val cand = candOk(cappedProbeIndexJoin(probe, index, maxBucket))
+        val cand = candOk(cappedProbeIndexJoin(probe, index, maxBucket,
+            indexCounts = Some(indexCounts)))
           .select(col("__xa"), col("__xb")).distinct()
         val a = s.select(col("__id").as("__xa"), col("__set").as("__seta"))
         val b = s.select(col("__id").as("__xb"), col("__set").as("__setb"))
