@@ -169,6 +169,33 @@ object ManifestSink {
       "hard-link-capable mount or register a conditional-put seam via " +
       "ManifestSink.registerConditionalPut(\"file\", …)."
 
+  /** Capability probe: can `dir`'s mount create hard links at all?
+    * Links two fresh empty temp files and cleans up. Only consulted on
+    * a createLink failure path, so the extra I/O never taxes a healthy
+    * commit; any probe-side error (full disk, races) reads as
+    * "inconclusive" = true so the caller preserves the original
+    * failure's accurate type. */
+  private def canHardLink(dir: java.nio.file.Path): Boolean = {
+    import java.nio.file.Files
+    val base = java.util.UUID.randomUUID().toString
+    val a = dir.resolve(s".linkprobe.$base.a")
+    val b = dir.resolve(s".linkprobe.$base.b")
+    try {
+      try Files.createFile(a)
+      catch { case _: java.io.IOException => return true } // can't even
+      // stage the probe file (permissions, full disk) — inconclusive
+      try { Files.createLink(b, a); true }
+      catch {
+        case _: java.nio.file.FileSystemException |
+            _: UnsupportedOperationException => false
+        case _: java.io.IOException => true // inconclusive, not "cannot"
+      }
+    } finally {
+      try { Files.deleteIfExists(b); Files.deleteIfExists(a); () }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   private[sinks] def tryPublishNew(f: FileSystem, p: Path,
       content: String): Boolean = {
     val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
@@ -202,34 +229,28 @@ object ManifestSink {
       try { Files.createLink(dst, tmp); true }
       catch {
         case _: FileAlreadyExistsException => false
-        // Rewrap ONLY the signals that actually mean "this mount cannot
-        // hard-link" (a FUSE/exFAT/network 'file'-scheme mount):
-        // UnsupportedOperationException from createLink, or the errno
-        // texts such mounts surface (EOPNOTSUPP/EPERM/EXDEV). Everything
-        // else — EACCES (AccessDeniedException), ENOSPC, … — propagates
-        // with its own accurate type and message; mislabeling a full
-        // disk as "needs hard-link support" was the r12 advice item.
-        case e: FileSystemException
-            if !e.isInstanceOf[java.nio.file.AccessDeniedException] && {
-              val r = Option(e.getReason).getOrElse("").toLowerCase
-              r.contains("not supported") || r.contains("not permitted") ||
-                r.contains("cross-device")
-            } =>
-          throw new UnsupportedOperationException(hardLinkMsg(dst, e), e)
         case e: UnsupportedOperationException =>
           throw new UnsupportedOperationException(hardLinkMsg(dst, e), e)
-        // The reason-string match above is JDK- and locale-dependent: a
-        // genuine no-hardlink errno worded differently (non-English
-        // locale, differently-phrased FUSE driver) falls through to
-        // here. Keep the ACCURATE exception type (r12: never mislabel a
-        // full disk as "needs hard-link support") but append the
-        // registerConditionalPut guidance so the operator still gets
-        // the pointer; the original exception rides as the cause.
+        // Classifying by exception subtype alone can't separate "this
+        // mount cannot hard-link" (EOPNOTSUPP/EPERM/EXDEV on a
+        // FUSE/exFAT/network 'file'-scheme mount) from an incidental
+        // failure — NIO surfaces both as FileSystemException, errno is
+        // not exposed, and reason strings are JDK- and locale-
+        // dependent (r14 advice: the old string match regressed on
+        // non-English hosts). So PROBE the capability directly: link
+        // two fresh temp files in the same directory. Probe fails →
+        // the mount genuinely can't link → the actionable
+        // UnsupportedOperationException. Probe succeeds (or is itself
+        // inconclusive — e.g. disk full) → keep the ACCURATE original
+        // type (r12: never mislabel a full disk as "needs hard-link
+        // support") with the registerConditionalPut guidance appended.
         // AccessDeniedException / NoSuchFileException are well-typed
         // non-hardlink failures — those propagate untouched.
         case e: FileSystemException
             if !e.isInstanceOf[java.nio.file.AccessDeniedException] &&
               !e.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          if (!canHardLink(dst.getParent))
+            throw new UnsupportedOperationException(hardLinkMsg(dst, e), e)
           val wrapped = new FileSystemException(e.getFile, e.getOtherFile,
             Option(e.getReason).getOrElse("link failed") +
               " [if this 'file'-scheme mount cannot hard-link, register" +
@@ -278,52 +299,94 @@ object ManifestSink {
   }
 
   /** The vacuum floor: the lowest version whose manifest a vacuum
-    * GUARANTEED to keep (its `keepFrom`), persisted at `_vacuum_floor`
-    * BEFORE any manifest is reclaimed. [[version]]'s forward probe is
-    * only sound above the floor — below it, vacuum's protect/chain-kept
-    * manifests form ISLANDS inside reclaimed ranges, where a probe
-    * would stop at a gap, return a stale head, and (worse) let a writer
-    * publish into a reclaimed version slot, forking history. Any anchor
-    * below the floor falls back to the full listing. Monotonic: a later
-    * vacuum with a larger window never lowers it (the gaps the old
-    * floor records don't un-exist). */
-  private def readFloor(f: FileSystem, dir: String): Long = {
+    * GUARANTEED to keep (its `keepFrom`), persisted BEFORE any manifest
+    * is reclaimed. [[version]]'s forward probe is only sound above the
+    * floor — below it, vacuum's protect/chain-kept manifests form
+    * ISLANDS inside reclaimed ranges, where a probe would stop at a
+    * gap, return a stale head, and (worse) let a writer publish into a
+    * reclaimed version slot, forking history. Any anchor below the
+    * floor falls back to the full listing. Monotonic: a later vacuum
+    * with a larger window never lowers it (the gaps the old floor
+    * records don't un-exist).
+    *
+    * PERSISTENCE (r14 advice): floors are create-only files named
+    * `_vacuum_floor.d/<v>` — the VALUE IS THE NAME, so no write
+    * sequence can tear or erase the current floor (the old delete-
+    * then-rename single file could vanish in a crash between the two
+    * steps, and a missing floor reads as "never vacuumed": the one
+    * corruption mode that re-admits the probe below real gaps). A
+    * crash mid-[[writeFloorLoud]] leaves at worst an extra lower file
+    * (max unaffected) or an empty-but-named new file (name still
+    * carries the value) — every failure mode keeps the readable floor
+    * at or above every reclaimed gap. The legacy single
+    * `_vacuum_floor` file is still read (max'd in) for tables written
+    * by earlier builds; a torn legacy file reads as +inf — every probe
+    * falls back to the listing: slow, never wrong. */
+  private val FloorDirName = "_vacuum_floor.d"
+
+  private def readLegacyFloor(f: FileSystem, dir: String): Long = {
     val p = new Path(dir, "_vacuum_floor")
     if (!f.exists(p)) -1L
     else scala.util.Try(readSmall(f, p).trim.toLong).getOrElse(Long.MaxValue)
-    // an unreadable/torn floor is treated as +inf: every probe falls
-    // back to the listing — slow, never wrong
   }
 
-  /** The floor value a vacuum should persist: monotonic max of the old
-    * floor and this vacuum's keepFrom. A TORN existing floor aborts the
-    * vacuum — its true value is unknowable and writing a lower one
-    * would re-admit the forward probe below real gaps. */
-  private def floorForWrite(f: FileSystem, dir: String,
-      keepFrom: Long): Long = {
-    val p = new Path(dir, "_vacuum_floor")
-    if (!f.exists(p)) keepFrom
-    else scala.util.Try(readSmall(f, p).trim.toLong) match {
-      case scala.util.Success(old) => math.max(old, keepFrom)
-      case scala.util.Failure(e) => throw new IllegalStateException(
-        s"vacuum at $dir: existing _vacuum_floor is unreadable — " +
-          "refusing to overwrite it (a lowered floor would unsound " +
-          "version()'s probe). Repair or remove the file first.", e)
+  /** Max version named in `_vacuum_floor.d`, or -1 if absent/empty.
+    * The dir holds 1-2 entries after any crash (writeFloorLoud prunes
+    * lower names best-effort), so the listing is O(1). */
+  private def readVersionedFloor(f: FileSystem, dir: String): Long = {
+    val fd = new Path(dir, FloorDirName)
+    if (!f.exists(fd)) -1L
+    else f.listStatus(fd).foldLeft(-1L) { (acc, st) =>
+      st.getPath.getName.toLongOption.fold(acc)(math.max(acc, _))
     }
   }
 
+  private def readFloor(f: FileSystem, dir: String): Long =
+    math.max(readLegacyFloor(f, dir), readVersionedFloor(f, dir))
+
+  /** The floor value a vacuum should persist: monotonic max of the old
+    * floor and this vacuum's keepFrom. A TORN legacy floor file aborts
+    * the vacuum — its true value is unknowable and writing a lower one
+    * would re-admit the forward probe below real gaps. (Versioned
+    * floors cannot tear: the value is the filename.) */
+  private def floorForWrite(f: FileSystem, dir: String,
+      keepFrom: Long): Long = {
+    val legacy = readLegacyFloor(f, dir)
+    if (legacy == Long.MaxValue) throw new IllegalStateException(
+      s"vacuum at $dir: existing _vacuum_floor is unreadable — " +
+        "refusing to proceed (its true value is unknowable, and a " +
+        "lower new floor would unsound version()'s probe). Repair or " +
+        "remove the file first.")
+    math.max(math.max(legacy, readVersionedFloor(f, dir)), keepFrom)
+  }
+
+  /** Persist floor `v` crash-safely: CREATE `_vacuum_floor.d/<v>`
+    * first (the floor is now durable — nothing below deletes it), then
+    * best-effort prune lower-numbered floors and the legacy file (both
+    * are dominated by `v`, so losing the prune to a crash only leaves
+    * harmless extras). Aborts BEFORE the caller reclaims anything if
+    * the create cannot be proven. */
   private def writeFloorLoud(f: FileSystem, dir: String, v: Long): Unit = {
-    val p = new Path(dir, "_vacuum_floor")
-    val tmp = new Path(p.getParent,
-      p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    require(f.rename(tmp, p),
+    val fd = new Path(dir, FloorDirName)
+    val p = new Path(fd, v.toString)
+    if (!f.exists(p)) {
+      val out = f.create(p, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    require(f.exists(p),
       s"vacuum at $dir: failed to persist the vacuum floor $v — " +
         "aborting BEFORE reclaiming anything (the floor is " +
         "load-bearing for version()'s forward probe)")
+    // prune: strictly-lower versioned floors, then the legacy file —
+    // all ≤ v (floorForWrite max'd them in), so the readable max never
+    // drops below v whatever survives a crash here
+    f.listStatus(fd).foreach { st =>
+      if (st.getPath.getName.toLongOption.exists(_ < v))
+        f.delete(st.getPath, false)
+    }
+    val legacy = new Path(dir, "_vacuum_floor")
+    if (f.exists(legacy)) f.delete(legacy, false)
   }
 
   private val ManifestName = """(\d+)\.manifest""".r
@@ -560,7 +623,15 @@ object ManifestSink {
         var v = hinted
         while (f.exists(new Path(dir, s"_manifests/${v + 1}.manifest")))
           v += 1
-        return v
+        // Concurrent-vacuum guard (r14 advice): a vacuum can raise the
+        // floor and reclaim manifests AFTER the floor check above, so
+        // the walk may have stopped at a freshly created gap below the
+        // NEW floor (a stale island head). Re-read: vacuum persists
+        // the floor before deleting anything, so a head at/after the
+        // re-read floor sits in the provably-dense range (vacuum never
+        // reclaims at/above its keepFrom) and is the true head; below
+        // it, fall back to the listing.
+        if (v >= readFloor(f, dir)) return v
       }
     }
     listedVersion(f, dir)
@@ -638,7 +709,13 @@ object ManifestSink {
         case Array(k, value) => Some(k -> value)
         case _               => None
       }
-    }.toMap
+    }.toMap - DeltaBaseKey
+    // the delta link is per-manifest STRUCTURE, not commit metadata
+    // (mergeHeader strips it from every internal merge for the same
+    // reason): without the filter a caller enumerating header keys at
+    // a delta version would see `delta.base` while a checkpoint
+    // version shows none — the public header surface must be identical
+    // for delta and full manifests (r14 advice)
 
   private def headerLines(h: Map[String, String]): Seq[String] =
     h.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
@@ -3388,9 +3465,24 @@ object ManifestSink {
     // Ordering is load-bearing: (1) persist the floor LOUDLY — abort if
     // it cannot be written, because version()'s forward probe is only
     // sound above it; (2) refresh the hint so post-vacuum probes anchor
-    // at the head; (3) only then reclaim manifests.
+    // at the head, and VERIFY it took (r14 advice: writeHint is
+    // best-effort by design — on the commit path a lost hint merely
+    // slows the next probe — but a vacuum about to cut gaps below the
+    // floor must not leave the hint lagging it, or every subsequent
+    // version() pays the O(V) listing until some later commit's hint
+    // write happens to succeed; a concurrent commit racing the
+    // readback can only move the hint FORWARD, hence >=); (3) only
+    // then reclaim manifests.
     writeFloorLoud(f, dir, floorForWrite(f, dir, keepFrom))
-    writeHint(f, new Path(dir, "_latest"), current.toString)
+    val latest = new Path(dir, "_latest")
+    writeHint(f, latest, current.toString)
+    val hintBack = scala.util.Try(readSmall(f, latest).trim.toLong)
+      .getOrElse(-1L)
+    require(hintBack >= current,
+      s"vacuum at $dir: the _latest hint did not persist (read back " +
+        s"$hintBack, need >= $current) — aborting before reclaiming " +
+        "anything so version() probes don't degrade to the full " +
+        "listing behind a raised floor")
     (0L until keepFrom)
       .filterNot(v => protectSet(v) || chainKeep(v)).foreach { v =>
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
