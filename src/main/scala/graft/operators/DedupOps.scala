@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.Lineage.Cuttable
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -121,27 +122,18 @@ object DedupOps {
     // The max-bucket probe below is an EAGER action at call time; without
     // a materialization here the caller's upstream pipeline would re-run
     // up to 3× (probe + both self-join sides — r9 advice: lshCandidates
-    // paid exactly that). localCheckpoint, NOT Dataset.persist: the
-    // blocks are RDD-level and reference-tracked, so the ContextCleaner
+    // paid exactly that). A lineage cut, NOT Dataset.persist: the blocks
+    // are RDD-level and reference-tracked, so the ContextCleaner
     // reclaims them when the returned frame is GC'd — a persist() would
     // sit in the CacheManager until an explicit clearCache, accumulating
     // executor storage across invocations (r12 advice).
     //
-    // THE TRADE (applies to every localCheckpoint in this file — r13
-    // advice): localCheckpoint blocks are NON-REPLICATED and the lineage
-    // is TRUNCATED, so losing an executor that holds a block (node
-    // failure, dynamic-allocation decommission) fails the query instead
-    // of recomputing — Spark cannot rebuild what it no longer knows how
-    // to derive. These frames are intermediate, query-scoped, and
-    // re-runnable (the caller retries the whole dedup query, which is
-    // idempotent), so the trade is deliberate: bounded re-run on a rare
-    // executor loss, in exchange for zero CacheManager residue on every
-    // normal run. A deployment with aggressive dynamic allocation should
-    // either disable executor decommission during these queries or set
-    // spark.decommission.enabled storage-migration so blocks move before
-    // the executor dies; a LONG-LIVED derived table that must survive
-    // faults belongs in a ManifestSink table, not a lineage cut.
-    val banded = banded0.localCheckpoint()
+    // Every cut in this file goes through [[Lineage.cut]], where the
+    // executor-loss trade (r13/r14 advice) is resolved as a deployment
+    // config: `graft.iterative.checkpoint` = local (default; zero-copy,
+    // non-replicated) | reliable (checkpoint-dir backed, survives
+    // executor loss) — see Lineage's scaladoc for when to pick which.
+    val banded = banded0.lineageCut()
     def aSide(df: DataFrame, keys: Seq[String]): DataFrame =
       df.select((keys.map(col) :+ col(idCol).as("__ga")) ++
         payload.map(p => col(p).as(s"${p}_a")): _*)
@@ -183,7 +175,7 @@ object DedupOps {
     // (unlike persist(), which leaks in the CacheManager — r12 advice).
     val tagged = banded.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(col("__bidx"), col("__bhash"))))
-      .localCheckpoint()
+      .lineageCut()
 
     val cold = tagged.filter(col("__bn") <= maxBucket)
     val coldPairs = aSide(cold, Seq("__bidx", "__bhash"))
@@ -301,7 +293,7 @@ object DedupOps {
     val groups = canon.groupBy(col("__set"))
       .agg(collect_list(col(idCol)).as("__members"))
       .withColumn("__gid", array_min(col("__members")))
-      .localCheckpoint() // ContextCleaner-reclaimed, not a CacheManager
+      .lineageCut() // ContextCleaner-reclaimed, not a CacheManager
                          // entry — no cross-invocation storage residue
     // 2. vocab probe — from the materialized blocks, a few thousand rows
     val vocab = groups.select(explode(col("__set")).as("__tok")).distinct()
@@ -599,7 +591,7 @@ object DedupOps {
     val groups = hashes.groupBy(col("simhash"))
       .agg(collect_list(col("doc_id")).as("__members"))
       .withColumn("__gid", array_min(col("__members")))
-      .localCheckpoint() // feeds probe/index/member expansion (6 reads);
+      .lineageCut() // feeds probe/index/member expansion (6 reads);
                          // ContextCleaner-reclaimed on GC, no CacheManager
                          // residue across invocations (r12 advice)
     val bands = groups.select(col("__gid"), col("simhash"),
@@ -613,7 +605,7 @@ object DedupOps {
     val probe = bands.select(col("__gid").as("__xa"),
       col("simhash").as("__sha"),
       (col("__kk") * 4096 + col("__h")).cast("long").as("__k"))
-      .localCheckpoint()
+      .lineageCut()
     val index = bands
       .select(col("__gid"), col("simhash"), col("__kk"),
         explode(concat(array(col("__h")),
@@ -621,7 +613,7 @@ object DedupOps {
           .as("__hv"))
       .select(col("__gid").as("__xb"), col("simhash").as("__shb"),
         (col("__kk") * 4096 + col("__hv")).cast("long").as("__k"))
-      .localCheckpoint()
+      .lineageCut()
     val verified = cappedProbeIndexJoin(probe, index, maxBucket)
       .filter(col("__xa") < col("__xb"))
       .select(col("__xa"), col("__xb"), col("__sha"), col("__shb"))
@@ -783,13 +775,13 @@ object DedupOps {
     val s = sets.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__set"))
       .filter(size(col("__set")) > 0)
-      .localCheckpoint() // feeds the df build, the prefix explode, and
+      .lineageCut() // feeds the df build, the prefix explode, and
                  // both verify branches — one tokenize/shingle pass
                  // total; ContextCleaner-reclaimed (r12 advice)
     val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("__el"))
     val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
-      .localCheckpoint() // vocab-sized; feeds the probe, the rank join,
+      .lineageCut() // vocab-sized; feeds the probe, the rank join,
                  // and (small-vocab tier) the dictionary
     // adaptive-verify probe (same eager-decision pattern as the LSH
     // bucket cap): with a bounded element vocabulary, verification can
@@ -820,7 +812,7 @@ object DedupOps {
       // twin). Prefix rows are narrow (id, band, hash, sz, pos), so the
       // materialization is cheap; each pass is then a block read.
       // Non-replicated executor-loss trade: see bandSelfJoin's note.
-      .localCheckpoint()
+      .lineageCut()
     // length filter: J ≥ τ needs den·min(sz) ≥ num·max(sz)
     def lengthOk(p: DataFrame): DataFrame =
       p.filter(col("__sz_a") * tauDen >= col("__sz_b") * tauNum &&
@@ -866,7 +858,7 @@ object DedupOps {
         .groupBy(col("__id"))
         .agg(collect_list(col("__idx")).as("__p"))
         .select(col("__id"), Bitmap.fromPositions(col("__p"), words).as("__bm"))
-        .localCheckpoint() // doc-sized; with `prefix` also cut, each of
+        .lineageCut() // doc-sized; with `prefix` also cut, each of
                  // bandSelfJoin's reads (skew probe + both sides) is one
                  // hash join over materialized blocks — previously every
                  // read re-ran the collect_list aggregate (r14 advice)
@@ -943,7 +935,7 @@ object DedupOps {
     if (fragments == 1) return plan(0)
     (0 until fragments).map { f =>
       val pass = plan(f)
-      val out = pass.localCheckpoint(true) // output-sized; see the
+      val out = pass.lineageCut(eager = true) // output-sized; see the
                  // executor-loss note in bandSelfJoin
       pass.queryExecution.toRdd.cleanShuffleDependencies(blocking = true)
       out
@@ -1076,7 +1068,7 @@ object DedupOps {
       .select(col("__k"),
         greatest(ceil(col("__pc") / maxBucket), lit(1L)).as("__bp"),
         greatest(ceil(col("__ic") / maxBucket), lit(1L)).as("__bi"))
-      .localCheckpoint() // decision-sized; read by isEmpty + both sides
+      .lineageCut() // decision-sized; read by isEmpty + both sides
     if (blkHot.isEmpty)
       return probe.join(index, "__k").select(pCols ++ iCols: _*)
     // probe row: its own p-block, replicated across the index blocks;
@@ -1145,11 +1137,11 @@ object DedupOps {
     val s = sets.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__set"))
       .filter(size(col("__set")) >= math.max(minSize, 1))
-      .localCheckpoint() // ContextCleaner-reclaimed (r12 advice)
+      .lineageCut() // ContextCleaner-reclaimed (r12 advice)
     val ex = s.select(col("__id"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("__el"))
     val dfreq = ex.groupBy(col("__el")).agg(count(lit(1)).as("__df"))
-      .localCheckpoint() // vocab-sized; feeds the probe, the rank join,
+      .lineageCut() // vocab-sized; feeds the probe, the rank join,
                  // and (small-vocab tier) the dictionary
     val vocabSize = dfreq.count()
     val w = Window.partitionBy(col("__id"))
@@ -1168,7 +1160,7 @@ object DedupOps {
     // trade: see the note in bandSelfJoin.
     val ranked = ex.join(dfreq, "__el")
       .withColumn("__pos", row_number().over(w))
-      .localCheckpoint()
+      .lineageCut()
     // Index-side key counts for the capped join, derived from the
     // VOCAB-sized dfreq (ic per __k = Σ __df over elements hashing to
     // __k) instead of re-aggregating the corpus-sized exploded index —
@@ -1182,7 +1174,7 @@ object DedupOps {
     val indexCounts = dfreq
       .groupBy(PortableHash.tokenHashP(col("__el")).as("__k"))
       .agg(sum(col("__df")).as("__ic"))
-      .localCheckpoint()
+      .lineageCut()
     val prefixIds = ranked
       .filter(col("__pos") <= col("__sz") - ceilTauSz + 1)
       .select(col("__id"), col("__el"), col("__sz"), col("__pos"))
@@ -1216,14 +1208,14 @@ object DedupOps {
         .groupBy(col("__id"))
         .agg(collect_list(col("__idx")).as("__p"))
         .select(col("__id"), Bitmap.fromPositions(col("__p"), words).as("__bm"))
-        .localCheckpoint() // one aggregate feeds BOTH join sides (r13
+        .lineageCut() // one aggregate feeds BOTH join sides (r13
                  // advice: was recomputed per capped-join pass)
       val probe = prefixIds.join(bitmaps, "__id")
         .select(col("__id").as("__xa"),
           PortableHash.tokenHashP(col("__el")).as("__k"),
           col("__sz").as("__sza"), col("__pos").as("__pa"),
           col("__bm").as("__bma"))
-        .localCheckpoint() // the capped join's count + join passes each
+        .lineageCut() // the capped join's count + join passes each
                  // read it; the cut makes the bitmap join run once
       // deliberately NOT checkpointed: the index is the full exploded
       // corpus × an up-to-8KB bitmap per row — materializing it costs
@@ -1368,7 +1360,7 @@ object DedupOps {
     val groups = canon.groupBy(col("__set"))
       .agg(collect_list(col(idCol)).as("__members"))
       .withColumn("__gid", array_min(col("__members")))
-      .localCheckpoint() // ContextCleaner-reclaimed (r12 advice)
+      .lineageCut() // ContextCleaner-reclaimed (r12 advice)
     val banded = groups.select(col("__gid"),
       posexplode(graft.functions.MinhashBands.bands(
         col("__set"), numHashes, bands)).as(Seq("__bidx", "__bhash")))
@@ -1488,12 +1480,12 @@ object DedupOps {
     // iteration count. On a cluster with lost-executor concerns the
     // reliable-storage `checkpoint()` is the durable variant.
     val edges = half.union(half.select($"b".as("a"), $"a".as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().lineageCut(eager = true)
     // seed with the bucket-star minimum (≤ doc_id by first-claimant
     // construction, and always inside the component) — equivalent to
     // running the identity-seeded first round for free
     var labels = bf.groupBy($"doc_id")
-      .agg(min($"first_doc").as("label")).localCheckpoint(true)
+      .agg(min($"first_doc").as("label")).lineageCut(eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -1505,7 +1497,7 @@ object DedupOps {
         .join(nbrMin.select($"a".as("doc_id"), $"min_nbr"), Seq("doc_id"), "left")
         .select($"doc_id",
           least($"label", coalesce($"min_nbr", $"label")).as("label"))
-        .localCheckpoint(true)
+        .lineageCut(eager = true)
       val changed = next
         .join(labels.select($"doc_id", $"label".as("old")), "doc_id")
         .filter($"label" =!= $"old").count()
@@ -1606,7 +1598,7 @@ object DedupOps {
     import s.implicits._
     var e = edges0
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+      .filter($"u" =!= $"v").distinct().lineageCut(eager = true)
     var rounds = 0
     var done = e.isEmpty
     while (!done && rounds < maxRounds) {
@@ -1618,13 +1610,13 @@ object DedupOps {
         .select($"c", least($"mn", $"c").as("m"))
       val eL = sym.join(mins, "c").filter($"n" > $"c")
         .select($"n".as("u"), $"m".as("v"))
-        .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+        .filter($"u" =!= $"v").distinct().lineageCut(eager = true)
       // SMALL-STAR over the (already larger→smaller) directed edges
       val minsS = eL.groupBy($"u").agg(min($"v").as("m"))
       val eS = eL.join(minsS, "u").filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v"))
         .union(minsS.select($"u", $"m".as("v")))
-        .distinct().localCheckpoint(true)
+        .distinct().lineageCut(eager = true)
       // converged iff BOTH operations were no-ops this round. The frames
       // are distinct sets, so equal count + empty set-difference ⇔ set
       // equality; counts are ~free on the eagerly-checkpointed frames and
@@ -2160,7 +2152,7 @@ object DedupOps {
     val names = c.groupBy($"c_name")
       .agg(min($"c_custkey").as("rep"), max($"c_custkey").as("mx"),
         count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the fuzzy join, the label expansion,
+      .lineageCut() // feeds the fuzzy join, the label expansion,
                  // and the final aggregate; non-replicated trade: see
                  // note in bandSelfJoin
     val edges = fuzzyJoinEd1(names.select($"rep".as("k"), $"c_name"),
@@ -2323,7 +2315,7 @@ object DedupOps {
       .agg(count(lit(1)).as("m"), min($"doc_id").as("__gid"))
       .filter(pmod(PortableHash.tokenHash(concat_ws(" ", $"__set")),
         lit(4L)) === 0L)
-      .localCheckpoint() // sample-sized; feeds truth, signatures, and
+      .lineageCut() // sample-sized; feeds truth, signatures, and
                  // every config's verify join (executor-loss trade:
                  // see note in bandSelfJoin)
     val intraT = gm.agg(coalesce(sum($"m" * ($"m" - 1)), lit(0L))
@@ -2336,7 +2328,7 @@ object DedupOps {
       .head().getLong(0)
     val nTruth = truthT + intraT
     val sig = minhashSignatures(gm.select($"__gid", $"__set"),
-      "__gid", "__set", 16).localCheckpoint()
+      "__gid", "__set", 16).lineageCut()
     val rows = panelBands.map { bnds =>
       val banded = sig.select($"__gid",
         posexplode(array(bandHashCols(bnds, 16 / bnds): _*))
@@ -2347,7 +2339,7 @@ object DedupOps {
           $"__set".as("__sa")), "__ga")
         .join(gm.select($"__gid".as("__gb"), $"m".as("__nb"),
           $"__set".as("__sb")), "__gb")
-        .localCheckpoint() // read by the cand count and the verify count
+        .lineageCut() // read by the cand count and the verify count
       val nCand = pairs.agg(coalesce(sum($"__na" * $"__nb"), lit(0L))
         .cast("long")).head().getLong(0) + intraT
       val inter = size(array_intersect($"__sa", $"__sb")).cast("long")

@@ -239,18 +239,61 @@ object EventOps {
   /** Approximate distinct (A-series extension): HLL++ sketch vs exact.
     * approx_count_distinct is a constant-memory sketch — the 100 TB path
     * for cardinality (exact countDistinct shuffles every distinct value).
-    * DuckDB's approx sketch differs → rows-only check; tolerance is
-    * unit-tested (EventOpsSpec). */
+    *
+    * ORACLE CONTRACT (r14 verdict: retire the rows-only exemption): the
+    * raw sketch estimates are engine-specific (Spark HLL++ vs DuckDB's
+    * HLL — different hash, different registers), so the query emits the
+    * exact counts plus ENGINE-INVARIANT accuracy booleans — each engine
+    * checks ITS OWN sketch against ITS OWN exact value at the same 5%
+    * relative tolerance. Both sketches are deterministic algorithms over
+    * the same data with measured error well inside the bound (≤1.5%
+    * across all three SFs on the DuckDB side; Spark HLL++ rsd 0.05 with
+    * empirical error ≪5% at these cardinalities), so the booleans are
+    * stable, hash-comparable facts — and a genuine sketch regression in
+    * either engine flips one loudly. */
+  private val ApproxTol = 0.05
   private val q27: Q = (s, dir) => {
     import s.implicits._
     ev(s, dir).agg(
-      approx_count_distinct($"user_id").as("approx_users"),
-      countDistinct($"user_id").as("exact_users"),
-      approx_count_distinct($"event_type").as("approx_types"),
-      countDistinct($"event_type").as("exact_types"),
-      percentile_approx($"value", lit(0.5), lit(1000)).as("approx_p50_value"),
-      percentile_approx($"value", lit(0.99), lit(1000)).as("approx_p99_value"))
+      countDistinct($"user_id").cast("long").as("exact_users"),
+      approx_count_distinct($"user_id").as("__au"),
+      countDistinct($"event_type").cast("long").as("exact_types"),
+      approx_count_distinct($"event_type").as("__at"),
+      percentile_approx($"value", lit(0.5), lit(1000)).as("__p50"),
+      expr("percentile(value, 0.5)").as("__e50"),
+      percentile_approx($"value", lit(0.99), lit(1000)).as("__p99"),
+      expr("percentile(value, 0.99)").as("__e99"))
+      .select($"exact_users",
+        (abs($"__au" - $"exact_users") <=
+          $"exact_users" * ApproxTol).as("approx_users_ok"),
+        $"exact_types",
+        (abs($"__at" - $"exact_types") <=
+          $"exact_types" * ApproxTol).as("approx_types_ok"),
+        (abs($"__p50" - $"__e50") <=
+          abs($"__e50") * ApproxTol).as("approx_p50_ok"),
+        (abs($"__p99" - $"__e99") <=
+          abs($"__e99") * ApproxTol).as("approx_p99_ok"))
   }
+  private val q27Sql =
+    s"""WITH a AS (
+       |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       |         approx_count_distinct(user_id) AS au,
+       |         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_types,
+       |         approx_count_distinct(event_type) AS aty,
+       |         approx_quantile(value, 0.5) AS p50,
+       |         quantile_cont(value, 0.5) AS e50,
+       |         approx_quantile(value, 0.99) AS p99,
+       |         quantile_cont(value, 0.99) AS e99
+       |  FROM events)
+       |SELECT exact_users,
+       |  (abs(au - exact_users) <= exact_users * $ApproxTol)
+       |    AS approx_users_ok,
+       |  exact_types,
+       |  (abs(aty - exact_types) <= exact_types * $ApproxTol)
+       |    AS approx_types_ok,
+       |  (abs(p50 - e50) <= abs(e50) * $ApproxTol) AS approx_p50_ok,
+       |  (abs(p99 - e99) <= abs(e99) * $ApproxTol) AS approx_p99_ok
+       |FROM a""".stripMargin
 
   // --------------------------------------------------------------- q27b
   /** KMV (k-minimum-values) distinct sketch — the deterministic,
@@ -945,6 +988,7 @@ object EventOps {
     "q155_concurrency_curve" -> q155Sql,
     "q90_cohort_retention" -> q90Sql,
     "q89_funnel_steps" -> q89Sql,
+    "q27_approx_distinct" -> q27Sql,
     "q27b_kmv_distinct" -> q27bSql,
     "q21b_dedup_last_wins" -> q21bSql,
     "q21c_incremental_dedup" -> q21cSql,

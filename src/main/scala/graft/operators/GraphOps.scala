@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Lineage.Cuttable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,10 +74,10 @@ object GraphOps {
     val edges = flows
       .withColumn("out_w", sum($"w").over(Window.partitionBy($"src")))
       .selectExpr("src", "dst", s"(w * ${PSCALE}L) div out_w AS p")
-      .coalesce(1).localCheckpoint()
+      .coalesce(1).lineageCut()
     val nations = Tables(s, dir, "nation")
       .select($"n_nationkey".as("node"), $"n_name")
-      .coalesce(1).localCheckpoint()
+      .coalesce(1).lineageCut()
     val n = nations.count()
     val r0 = SCALE / n
     val base = ((SCALE * 15L) / 100L) / n
@@ -89,7 +90,7 @@ object GraphOps {
         .join(inflow, $"node" === $"dst", "left")
         .selectExpr("node",
           s"${base}L + (85L * coalesce(inflow, 0L)) div 100 AS r")
-        .coalesce(1).localCheckpoint()
+        .coalesce(1).lineageCut()
     }
     ranks.join(nations, "node")
       .select($"n_name", $"r".as("rank_fp"))
@@ -185,7 +186,7 @@ object GraphOps {
         when($"da.d" < $"db.d" ||
           ($"da.d" === $"db.d" && $"p1" < $"p2"), $"p2").otherwise($"p1")
           .as("t"))
-      .localCheckpoint()
+      .lineageCut()
     // wedge (s; v, w): two out-edges of s, deduped by t order; the
     // closing probe finds the edge that closes the triangle
     val tri = oriented.as("x").join(oriented.as("y"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Lineage.Cuttable
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
@@ -3297,7 +3298,7 @@ object SinkOps {
       // caller-facing sort stays OUTSIDE the checkpoint so it runs (or
       // is optimizer-elided, e.g. under a bare count) exactly as the
       // pre-drop lazy plan would
-      joined.localCheckpoint().orderBy($"o_orderkey")
+      joined.lineageCut().orderBy($"o_orderkey")
     } finally {
       s.sql(s"DROP TABLE IF EXISTS $ot")
       s.sql(s"DROP TABLE IF EXISTS $lt")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.Lineage.Cuttable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -436,7 +437,7 @@ object TrainingOps {
         $"doc_id" === $"keeper" && $"n_tokens".between(20, 1000) &&
         $"ttr" >= 0.45 && $"dup_bigram_frac" <= 0.06)
       .select($"doc_id", $"source", $"text", $"n_tokens", $"ttr")
-      .localCheckpoint() // two plan branches read it; ContextCleaner-
+      .lineageCut() // two plan branches read it; ContextCleaner-
                          // reclaimed, no CacheManager residue; non-
                          // replicated (executor-loss trade: see note in
                          // DedupOps.bandSelfJoin)

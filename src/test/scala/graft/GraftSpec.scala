@@ -52,7 +52,10 @@ class GraftSpec extends SparkSpec {
     // the correctness gate only checks queries present in BOTH maps; a
     // missing oracleSql entry silently downgrades a query to a rows-only
     // check (caught live in round 6 when q85 shipped without one)
-    val exempt = Set("q27_approx_distinct") // HLL++ is engine-specific
+    // r15: zero exemptions — q27's engine-specific sketch estimates were
+    // re-expressed as engine-invariant accuracy booleans, so every
+    // registered query now has a full value-compare oracle
+    val exempt = Set.empty[String]
     val queries = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert((queries -- oracles) === exempt,
@@ -67,6 +70,6 @@ class GraftSpec extends SparkSpec {
     // here instead of surfacing as a stale doc in the judge's checklist.
     // Update BOTH this test and SURVEY.md when registering a query.
     assert(SparkEntry.queries.size === 231)
-    assert(SparkEntry.oracleSql.size === 230)
+    assert(SparkEntry.oracleSql.size === 231)
   }
 }

@@ -6,11 +6,15 @@ class EventOpsSpec extends SparkSpec {
   import spark.implicits._
 
   test("approx_count_distinct is within 5% of exact (HLL++ default rsd)") {
+    // q27 emits the tolerance verdicts directly (engine-invariant
+    // booleans — the oracle recomputes the same checks on DuckDB's own
+    // sketch); all four must hold on real data
     val r = EventOps.queries("q27_approx_distinct")(spark, sf).head()
-    val approxUsers = r.getAs[Long]("approx_users").toDouble
-    val exactUsers = r.getAs[Long]("exact_users").toDouble
-    assert(math.abs(approxUsers - exactUsers) / exactUsers <= 0.05)
-    assert(r.getAs[Long]("approx_types") === r.getAs[Long]("exact_types"))
+    assert(r.getAs[Long]("exact_users") > 0L)
+    assert(r.getAs[Boolean]("approx_users_ok"))
+    assert(r.getAs[Boolean]("approx_types_ok"))
+    assert(r.getAs[Boolean]("approx_p50_ok"))
+    assert(r.getAs[Boolean]("approx_p99_ok"))
   }
 
   test("retention query keeps exactly the newest ids") {
