@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,7 +47,7 @@ object Bench {
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try fn(spark, warmDir).count() catch { case NonFatal(_) => () }
         }
       clearLeakedCache()
     }
@@ -57,22 +58,28 @@ object Bench {
     // measurement; min-of-N is the standard estimator for the code's
     // actual cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries
+    val rawTimes = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // A rep that THROWS must not masquerade as a (fast) timing: analysis
       // errors fail in milliseconds and r8 reported three crashed queries
       // as 0.05 s "wins". A query with any failed rep is reported as an
       // explicit error, and errored queries are excluded from the total.
+      // (NonFatal: an OOM must kill the bench loudly, not fold into an
+      // "err" entry that reads like a query-level failure — r14 advice.)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case NonFatal(_) => false }
         val dt = (System.nanoTime() - t0) / 1e9
         clearLeakedCache()
         if (ok) Some(dt) else None
       }
-      name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
+      name -> times
+    }
+    val results = rawTimes.map { case (name, times) =>
+      name -> (if (times.forall(_.isDefined)) Some(times.flatten.min)
+               else None)
     }
     // Per-query timings as compact DIGEST lines (10 queries per line,
     // each line valid JSON on its own): the driver keeps only ~35 tail
@@ -110,14 +117,33 @@ object Bench {
       results.collect { case (k, Some(t)) if p(k) => t }.sum
     val writeSec = famSum(writeGateNames)
     val readSec = famSum(k => !writeGateNames(k))
+    // Noise-vs-regression separation in the artifact itself (r14 verdict
+    // #8: the driver's 206.5 s vs the same-build 176.4 s round-close run
+    // was pure host spread, indistinguishable without a re-run): each
+    // reported query carries its across-reps spread ((max−min)/min, in
+    // percent) — a "regressed" query whose own reps spread 25% is noise;
+    // a tight spread around a higher min is a plan change. The total
+    // line also carries the COMPLETE write-gate family map (the
+    // ±30%-spread family on this host), so family drift is auditable
+    // per query without the ONLY-mode A/B.
+    def spreadPct(name: String): Option[Double] = {
+      val ok = rawTimes(name).flatten
+      if (ok.size < 2) None else Some((ok.max - ok.min) / ok.min * 100.0)
+    }
     // Belt and braces: the total line itself carries the top-20 slowest
     // (plus any errors) in its "queries" field, so even a capture that
     // keeps ONLY the parsed total line preserves the expensive head.
-    val top = byCost.takeRight(20).reverse
-      .map { case (k, t) => pair(k, t) }.mkString(",")
+    // "queries" stays pure name→seconds (the driver enumerates it);
+    // spreads live in their own parallel "spread_pct" dict.
+    val top20 = byCost.takeRight(20).reverse
+    val top = top20.map { case (k, t) => pair(k, t) }.mkString(",")
+    val spreads = top20.flatMap { case (k, _) =>
+      spreadPct(k).map(s => s""""$k":${num(s)}""") }.mkString(",")
+    val gates = byCost.filter { case (k, _) => writeGateNames(k) }
+      .reverse.map { case (k, t) => pair(k, t) }.mkString(",")
     val nWrite = results.keysIterator.count(writeGateNames)
     val totalLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite,"queries":{$top}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite,"queries":{$top},"spread_pct":{$spreads},"write_gates":{$gates}}"""
     // The total line prints BOTH first and last (identical content): the
     // r6 artifact parsed as null even though the trailing total line was
     // intact, so the driver's extractor is neither strictly-last-line nor
@@ -125,8 +151,12 @@ object Bench {
     // first-match, last-match, or bounded-buffer heuristic all land on it.
     println(totalLine)
     byCost.grouped(10).foreach { group =>
+      // each digest line names its queries' family mix ("fam") so the
+      // read/write split is reconstructible per query from the digests
       val pairs = group.map { case (k, t) => pair(k, t) }
-      println(s"""{"queries":{${pairs.mkString(",")}}}""")
+      val fams = group.map { case (k, _) =>
+        s""""$k":"${if (writeGateNames(k)) "w" else "r"}"""" }
+      println(s"""{"queries":{${pairs.mkString(",")}},"fam":{${fams.mkString(",")}}}""")
     }
     println(totalLine)
     spark.stop()

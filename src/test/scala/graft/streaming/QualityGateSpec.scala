@@ -131,4 +131,31 @@ class QualityGateSpec extends SparkSpec {
       Seq((203L, "xxy wwv")).toDF("doc_id", "text"), 1L, view, main, rej)
     assert(ids(main) === Set(200L, 203L))
   }
+
+  test("a replay whose reject side carries NO model pin fails loudly " +
+      "instead of silently scoring against the freshest model") {
+    val root = Files.createTempDirectory("qgate_nopin").toString
+    val (base, view, main, rej) =
+      (s"$root/base", s"$root/model", s"$root/main", s"$root/reject")
+    ManifestSink.append(tokCls(seed(40)), base)
+    AggMatView.create(spark, view, base, Seq("tok", "cls"), "w")
+    val e0 = Seq((300L, "clean prose"), (301L, "junk garbage"))
+      .toDF("doc_id", "text")
+    // a PRE-PINNING gate wrote the reject side: batch marker present,
+    // ModelVKey absent (appendOnce without the header)
+    val model0 = NbQuality.modelFromState(ManifestSink.read(spark, view))
+    val rejected0 = e0.join(
+        NbQuality.score(e0, model0).select($"doc_id", $"n_tokens",
+          $"avg_llr", $"keep"), Seq("doc_id"), "left")
+      .filter(!coalesce($"keep", lit(false))).drop("keep")
+    ManifestSink.appendOnce(rejected0, rej, 0L)
+    // the replay detects the committed epoch but cannot recover WHICH
+    // model it scored against — refusing beats the verdict-flip hazard
+    val e = intercept[IllegalStateException] {
+      QualityGate.admitEpoch(spark, e0, 0L, view, main, rej)
+    }
+    assert(e.getMessage.contains(QualityGate.ModelVKey))
+    // and nothing was admitted by the failed replay
+    assert(ManifestSink.version(spark, main) === -1L)
+  }
 }
