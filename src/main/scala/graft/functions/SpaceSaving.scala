@@ -24,12 +24,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * Per counter the summary carries (item, cnt, err) with the classic
   * guarantees `cnt >= true >= cnt - err`. In a single-partition pass any
   * item whose true count exceeds n/m is guaranteed present (the ICDT'05
-  * theorem); across MERGED partials both (cnt, err) bounds stay valid,
-  * but presence requires out-ranking m competitors whose estimates the
-  * min-floor merge inflates by at most the sum of per-partial minima —
-  * a near-threshold heavy can in principle be pruned, so the portable
-  * cross-partition contract is the BOUNDS, with heavy survival holding
-  * at any real skew margin (property-tested under 1/5/32-way splits).
+  * theorem). Across MERGED partials both (cnt, err) bounds stay valid,
+  * and heavy survival has a PROVEN (not margin-dependent) threshold at
+  * twice the single-pass one: every per-partial minimum is at most
+  * n_p/m, so the min-floor merge inflates any estimate by at most
+  * Σ_p n_p/m = n/m in total; an item with true count > 2n/m therefore
+  * ranks (estimate ≥ true > 2n/m) above all but the < m items whose
+  * true counts exceed n/m (anything out-ranking it has estimate > 2n/m,
+  * hence true > 2n/m − n/m = n/m, and fewer than m items can), so the
+  * prune-to-m keeps it — under ANY partitioning and merge order
+  * (adversarially spec-tested with engineered per-partition floors at
+  * the margin, 1/5/8/32-way). SIZING RULE: to guarantee every item
+  * above threshold φ·n appears, provision m ≥ 1/φ for a single
+  * partition and m ≥ 2/φ under merged partials — the ×2
+  * over-provisioning is the distributed-execution price. Items between
+  * n/m and 2n/m may or may not survive (that band narrows as 1/m);
+  * the bounds on every REPORTED item hold regardless.
   * Updates: a tracked item increments;
   * an untracked one below capacity inserts (1, 0); at capacity it
   * REPLACES a minimum counter, inheriting its count as both estimate

@@ -976,10 +976,28 @@ object TextOps {
     * dependent, like every sketch of this family). */
   private val q220: Q = (s, dir) => {
     import s.implicits._
-    docs(s, dir)
+    val t = docs(s, dir)
       .select($"lang", explode(toks).as("tok"))
       .filter($"tok" =!= "")
-      .groupBy($"lang")
+    // EXACT-REGIME GUARD (r14 advice): the oracle equivalence holds only
+    // while every language's vocabulary fits the capacity — a future
+    // corpus change pushing a language past it would silently turn the
+    // Spark side into arrival-order-dependent approximate counters
+    // while the DuckDB SQL stays exact, surfacing as a baffling flaky
+    // hash mismatch. Assert the regime loudly instead. (An exact NDV
+    // probe is affordable here BECAUSE the regime it certifies implies
+    // a tiny vocabulary; the unguarded approximate-regime production
+    // path is the same aggregate without this pin, bounds per
+    // SpaceSaving's scaladoc.)
+    val maxNdv = t.groupBy($"lang")
+      .agg(countDistinct($"tok").as("ndv"))
+      .agg(coalesce(max($"ndv"), lit(0L))).head().getLong(0)
+    require(maxNdv <= 256,
+      s"q220 exact-regime violated: a language has $maxNdv distinct " +
+        "tokens > capacity 256 — the sketch would go approximate while " +
+        "the oracle stays exact. Raise the capacity (and this guard) " +
+        "with the corpus.")
+    t.groupBy($"lang")
       .agg(graft.functions.SpaceSaving.summary($"tok", 256).as("hh"))
       .select($"lang", explode(slice($"hh", 1, 20)).as("e"))
       .select($"lang", $"e.item".as("token"),

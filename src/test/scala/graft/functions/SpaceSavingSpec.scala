@@ -67,6 +67,48 @@ class SpaceSavingSpec extends SparkSpec {
     }
   }
 
+  test("merged-partials survival bound: a heavy just above 2n/m " +
+      "survives ENGINEERED per-partition floors, any partitioning") {
+    // The adversarial shape for the min-floor merge (r14 verdict #7):
+    // every partition carries its OWN m-item filler vocabulary at a
+    // uniform count, so each partial is full, its minimum counter is
+    // maximal for its mass, and every cross-partition merge inflates
+    // absent items by that worst-case floor. The heavy sits just above
+    // the PROVEN merged threshold 2n/m (scaladoc derivation): it must
+    // survive the prune under any split; competitors' inflated
+    // estimates cannot outrank it m deep.
+    val m = 8
+    val perPart = 16 // partitions worth of disjoint filler vocabularies
+    val fill = 50L   // occurrences per filler item
+    val fillers = (0 until perPart).flatMap(p =>
+      (0 until m).flatMap(i => Seq.fill(fill.toInt)(s"f${p}_$i"))
+        .map(tok => (p, tok)))
+    val nFill = fillers.size.toLong
+    // choose the heavy's count H so that H > 2(nFill + H)/m, with a
+    // thin ~10% margin above the bound — the survival-margin case
+    val h = (2.2 * nFill / (m - 2.2)).toLong
+    val heavy = (0 until perPart).flatMap(p =>
+      Seq.fill((h / perPart).toInt)((p, "HEAVY")))
+    val items = fillers ++ heavy
+    val n = items.size.toLong
+    val trueH = heavy.size.toLong
+    assert(trueH * m > 2 * n && trueH * m < 3 * n,
+      s"fixture must sit just above the 2n/m bound: H=$trueH n=$n")
+    for (parts <- Seq(1, 5, 8, 32)) {
+      val got = items.toDF("pid", "tok")
+        .repartition(parts, $"pid") // co-locate each filler vocabulary
+        .agg(SpaceSaving.summary($"tok", m).as("hh"))
+        .select(explode($"hh").as("e"))
+        .select($"e.item", $"e.cnt", $"e.err")
+        .as[(String, Long, Long)].collect().toSeq
+      val hh = got.find(_._1 == "HEAVY")
+      assert(hh.isDefined, s"heavy at the 2n/m margin pruned, parts=$parts")
+      val (_, cnt, err) = hh.get
+      assert(cnt >= trueH && cnt - err <= trueH,
+        s"bounds broken at the margin: ($cnt, $err) vs $trueH")
+    }
+  }
+
   test("nulls and empties: null ignored, empty input gives empty summary") {
     val got = Seq(Some("a"), None, Some("a"), Some("b")).toDF("tok")
       .agg(SpaceSaving.summary($"tok", 8).as("hh"))
