@@ -250,15 +250,22 @@ object EventOps {
     * across all three SFs on the DuckDB side; Spark HLL++ rsd 0.05 with
     * empirical error ≪5% at these cardinalities), so the booleans are
     * stable, hash-comparable facts — and a genuine sketch regression in
-    * either engine flips one loudly. */
+    * either engine flips one loudly.
+    *
+    * The HLL rsd is pinned at 0.02 (not the 0.05 default) so the
+    * configured accuracy sits comfortably inside the 5% contract (a
+    * 2.5σ guardband): at sf0.1's 1500 users the default-rsd sketch
+    * landed OUTSIDE the tolerance (caught by the tri-SF check), while
+    * rsd 0.02 passes at all three SFs. Constant memory either way
+    * (2^p registers). */
   private val ApproxTol = 0.05
   private val q27: Q = (s, dir) => {
     import s.implicits._
     ev(s, dir).agg(
       countDistinct($"user_id").cast("long").as("exact_users"),
-      approx_count_distinct($"user_id").as("__au"),
+      approx_count_distinct($"user_id", 0.02).as("__au"),
       countDistinct($"event_type").cast("long").as("exact_types"),
-      approx_count_distinct($"event_type").as("__at"),
+      approx_count_distinct($"event_type", 0.02).as("__at"),
       percentile_approx($"value", lit(0.5), lit(1000)).as("__p50"),
       expr("percentile(value, 0.5)").as("__e50"),
       percentile_approx($"value", lit(0.99), lit(1000)).as("__p99"),
