@@ -308,7 +308,8 @@ object EventOps {
     * [0, P), keep the k smallest distinct hashes; the k-th smallest h_k
     * estimates n ≈ (k−1)·P / h_k. Constant memory like HLL, but built on
     * [[graft.functions.PortableHash]] so DuckDB reproduces it bit-for-bit
-    * (the HLL sketch differs per engine → q27 stays rows-only). At scale
+    * (q27's HLL side instead oracles engine-invariant tolerance
+    * booleans — this KMV twin is the value-exact sketch). At scale
     * the k-smallest pass is a map-side partial (top-k per partition) +
     * one tiny merge, same shape as any global top-k. */
   private val KmvK = 128
