@@ -133,17 +133,22 @@ object Bench {
     // Belt and braces: the total line itself carries the top-20 slowest
     // (plus any errors) in its "queries" field, so even a capture that
     // keeps ONLY the parsed total line preserves the expensive head.
-    // "queries" stays pure name→seconds (the driver enumerates it);
-    // spreads live in their own parallel "spread_pct" dict.
+    // "queries" stays pure name→seconds (the driver enumerates it).
+    //
+    // SIZE CONTRACT (r15 verdict #1): the driver captures only the LAST
+    // ~2000 chars of stdout, so the final total line must stay compact
+    // (~1 KB: header + top-20 pairs). r15 packed spread_pct and the full
+    // ~50-entry write_gates map INTO the total line (~4.6 KB), the tail
+    // window truncated it mid-JSON, and BENCH_r15.json parsed as null —
+    // the round's best-ever bench was invisible to the driver. Those
+    // maps now print as their OWN digest lines (below, before the final
+    // total), where truncation costs only the cheap head, never the
+    // parseability of the total.
     val top20 = byCost.takeRight(20).reverse
     val top = top20.map { case (k, t) => pair(k, t) }.mkString(",")
-    val spreads = top20.flatMap { case (k, _) =>
-      spreadPct(k).map(s => s""""$k":${num(s)}""") }.mkString(",")
-    val gates = byCost.filter { case (k, _) => writeGateNames(k) }
-      .reverse.map { case (k, t) => pair(k, t) }.mkString(",")
     val nWrite = results.keysIterator.count(writeGateNames)
     val totalLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite,"queries":{$top},"spread_pct":{$spreads},"write_gates":{$gates}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite,"queries":{$top}}"""
     // The total line prints BOTH first and last (identical content): the
     // r6 artifact parsed as null even though the trailing total line was
     // intact, so the driver's extractor is neither strictly-last-line nor
@@ -158,6 +163,21 @@ object Bench {
         s""""$k":"${if (writeGateNames(k)) "w" else "r"}"""" }
       println(s"""{"queries":{${pairs.mkString(",")}},"fam":{${fams.mkString(",")}}}""")
     }
+    // Per-query spread for ALL queries (r15 verdict #6: top-20-only spread
+    // left mid-table plan regressions needing a manual A/B — the reps
+    // already ran, so the full map is free). Same 10-per-line digest shape
+    // as the timings, cheapest-first so truncation costs the cheap head.
+    byCost.grouped(10).foreach { group =>
+      val sp = group.flatMap { case (k, _) =>
+        spreadPct(k).map(s => s""""$k":${num(s)}""") }
+      if (sp.nonEmpty) println(s"""{"spread_pct":{${sp.mkString(",")}}}""")
+    }
+    // Complete write-gate family map (the ±30%-spread family on this
+    // host) as its own line, slowest-first, so family drift is auditable
+    // per query without an ONLY-mode A/B.
+    val gates = byCost.filter { case (k, _) => writeGateNames(k) }
+      .reverse.map { case (k, t) => pair(k, t) }.mkString(",")
+    println(s"""{"write_gates":{$gates}}""")
     println(totalLine)
     spark.stop()
   }
