@@ -63,16 +63,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * min-add on merge, err = 0 everywhere — the eval is the exact ordered
   * frequency table, a deterministic function of the input SET
   * (hash-comparable against a DuckDB GROUP BY under any partitioning).
+  * The aggregation state carries a sticky `inexact` flag, set at the
+  * three (and only three) events where exactness is lost — an update
+  * eviction, a merge that actually applies a full side's min-floor to
+  * an absent item, a prune that actually drops counters — so exactness
+  * is decided by the pass itself, not by a separate NDV probe over the
+  * corpus. With `exactRequired = true` ([[SpaceSaving.exactSummary]])
+  * eval REFUSES (IllegalStateException) when the flag is set: a caller
+  * whose oracle equivalence depends on the exact regime (q220) fails
+  * loudly in its single pass the moment a group's vocabulary outgrows
+  * the capacity, instead of paying a corpus-wide countDistinct guard
+  * every run (r15 verdict #4) or silently drifting approximate.
   *
   * Scale shape: partials build map-side under ObjectHashAggregate; only
   * `m` (item, cnt, err) triples per group cross the wire — the top-k
   * token report over 100 TB never shuffles the token stream, versus the
   * exact groupBy whose first shuffle carries every distinct token. */
 case class SpaceSaving(child: Expression, m: Int,
+    exactRequired: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[JHashMap[String, Array[Long]]]
+  extends TypedImperativeAggregate[SpaceSaving.Buffer]
   with UnaryLike[Expression] {
+  import SpaceSaving.Buffer
 
   require(m >= 1, "SpaceSaving needs capacity m >= 1")
 
@@ -93,8 +106,8 @@ case class SpaceSaving(child: Expression, m: Int,
   override def nullable: Boolean = false
   override def nullIntolerant: Boolean = false
 
-  override def createAggregationBuffer(): JHashMap[String, Array[Long]] =
-    new JHashMap[String, Array[Long]]()
+  override def createAggregationBuffer(): Buffer =
+    new Buffer(new JHashMap[String, Array[Long]](), inexact = false)
 
   /** Minimum counter value, and the lexicographically smallest item
     * holding it (the deterministic eviction victim). O(m) scan — m is a
@@ -122,18 +135,18 @@ case class SpaceSaving(child: Expression, m: Int,
     }
   }
 
-  override def update(buf: JHashMap[String, Array[Long]],
-      input: InternalRow): JHashMap[String, Array[Long]] = {
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(item)
+      val cur = buf.map.get(item)
       if (cur != null) cur(0) += 1
-      else if (buf.size < m) { buf.put(item, Array(1L, 0L)); () }
+      else if (buf.map.size < m) { buf.map.put(item, Array(1L, 0L)); () }
       else {
-        val (victim, minCnt) = minEntry(buf)
-        buf.remove(victim)
-        buf.put(item, Array(minCnt + 1, minCnt))
+        val (victim, minCnt) = minEntry(buf.map)
+        buf.map.remove(victim)
+        buf.map.put(item, Array(minCnt + 1, minCnt))
+        buf.inexact = true // eviction: the summary left the exact regime
         ()
       }
     }
@@ -141,12 +154,14 @@ case class SpaceSaving(child: Expression, m: Int,
   }
 
   /** Prune to the m largest counters (count desc, item asc). Dropping
-    * never violates survivors' bounds. */
-  private def prune(buf: JHashMap[String, Array[Long]]): Unit = {
-    if (buf.size <= m) return
-    val ranked = sortedEntries(buf)
+    * never violates survivors' bounds, but it does leave the exact
+    * regime (a dropped counter's count is lost), so it flags. */
+  private def prune(buf: Buffer): Unit = {
+    if (buf.map.size <= m) return
+    val ranked = sortedEntries(buf.map)
     var i = m
-    while (i < ranked.length) { buf.remove(ranked(i)._1); i += 1 }
+    while (i < ranked.length) { buf.map.remove(ranked(i)._1); i += 1 }
+    buf.inexact = true
   }
 
   private def sortedEntries(buf: JHashMap[String, Array[Long]])
@@ -163,48 +178,60 @@ case class SpaceSaving(child: Expression, m: Int,
     arr
   }
 
-  override def merge(b1: JHashMap[String, Array[Long]],
-      b2: JHashMap[String, Array[Long]]): JHashMap[String, Array[Long]] = {
-    if (b2.isEmpty) return b1
-    if (b1.isEmpty) { b1.putAll(b2); return b1 }
+  override def merge(b1: Buffer, b2: Buffer): Buffer = {
+    b1.inexact ||= b2.inexact
+    if (b2.map.isEmpty) return b1
+    if (b1.map.isEmpty) { b1.map.putAll(b2.map); return b1 }
     // an item a FULL side never tracked may still have appeared up to
     // min(side) times there; a below-capacity side tracked everything.
-    val min1 = if (b1.size >= m) minEntry(b1)._2 else 0L
-    val min2 = if (b2.size >= m) minEntry(b2)._2 else 0L
+    val min1 = if (b1.map.size >= m) minEntry(b1.map)._2 else 0L
+    val min2 = if (b2.map.size >= m) minEntry(b2.map)._2 else 0L
     if (min2 > 0L) {
       // items only in b1 pick up b2's uncertainty floor (they may have
       // appeared up to min2 times in the stream b2 summarizes)
-      val it1 = b1.entrySet().iterator()
+      val it1 = b1.map.entrySet().iterator()
       while (it1.hasNext) {
         val e = it1.next()
-        if (!b2.containsKey(e.getKey)) { e.getValue()(0) += min2
-          e.getValue()(1) += min2 }
+        if (!b2.map.containsKey(e.getKey)) { e.getValue()(0) += min2
+          e.getValue()(1) += min2
+          b1.inexact = true } // a floor actually landed: estimates inflated
       }
     }
-    val it2 = b2.entrySet().iterator()
+    val it2 = b2.map.entrySet().iterator()
     while (it2.hasNext) {
       val e = it2.next()
-      val cur = b1.get(e.getKey)
+      val cur = b1.map.get(e.getKey)
       if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
-      // symmetric floor: absent from b1's full summary => up to min1 there
-      else add(b1, e.getKey, e.getValue()(0) + min1, e.getValue()(1) + min1)
+      else {
+        // symmetric floor: absent from b1's full summary => up to min1 there
+        add(b1.map, e.getKey, e.getValue()(0) + min1, e.getValue()(1) + min1)
+        if (min1 > 0L) b1.inexact = true
+      }
     }
     prune(b1)
     b1
   }
 
-  override def eval(buf: JHashMap[String, Array[Long]]): Any = {
-    val ranked = sortedEntries(buf)
+  override def eval(buf: Buffer): Any = {
+    if (exactRequired && buf.inexact) throw new IllegalStateException(
+      s"space_saving exact regime violated: a group's distinct-item " +
+        s"count exceeded capacity m=$m (an eviction, merge min-floor, " +
+        "or prune fired), so the summary is an approximate sketch while " +
+        "this caller's contract (exactSummary) requires the exact " +
+        "frequency table. Raise the capacity with the corpus, or switch " +
+        "to SpaceSaving.summary and the (cnt, err) bounds.")
+    val ranked = sortedEntries(buf.map)
     new GenericArrayData(ranked.map { case (item, ce) =>
       InternalRow(UTF8String.fromString(item), ce(0), ce(1))
     })
   }
 
-  override def serialize(buf: JHashMap[String, Array[Long]]): Array[Byte] = {
+  override def serialize(buf: Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.entrySet().iterator()
+    out.writeBoolean(buf.inexact)
+    out.writeInt(buf.map.size)
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val bytes = e.getKey.getBytes(StandardCharsets.UTF_8)
@@ -217,21 +244,21 @@ case class SpaceSaving(child: Expression, m: Int,
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte])
-      : JHashMap[String, Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): Buffer = {
     val bb = ByteBuffer.wrap(bytes)
+    val inexact = bb.get() != 0
     val n = bb.getInt
-    val buf = new JHashMap[String, Array[Long]](n * 2)
+    val map = new JHashMap[String, Array[Long]](n * 2)
     var i = 0
     while (i < n) {
       val len = bb.getInt
       val sb = new Array[Byte](len)
       bb.get(sb)
-      buf.put(new String(sb, StandardCharsets.UTF_8),
+      map.put(new String(sb, StandardCharsets.UTF_8),
         Array(bb.getLong, bb.getLong))
       i += 1
     }
-    buf
+    new Buffer(map, inexact)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSaving =
@@ -244,6 +271,13 @@ case class SpaceSaving(child: Expression, m: Int,
 }
 
 object SpaceSaving {
+  /** Aggregation state: the counter map plus a sticky exactness-loss
+    * flag — true iff an eviction, an applied merge min-floor, or a
+    * prune drop has occurred anywhere in this buffer's history (the
+    * three events that make the summary approximate). */
+  final class Buffer(val map: JHashMap[String, Array[Long]],
+      var inexact: Boolean)
+
   /** Aggregate column: the full summary as
     * `array<struct<item,cnt,err>>` ordered (cnt desc, item asc) —
     * callers `slice` their k. `itemCol` must be StringType. */
@@ -251,4 +285,13 @@ object SpaceSaving {
     ColumnBridge.column(
       SpaceSaving(ColumnBridge.expression(itemCol), m)
         .toAggregateExpression())
+
+  /** [[summary]] that REFUSES at eval unless the pass stayed in the
+    * exact regime (every group's vocabulary fit the capacity) — the
+    * free, in-pass form of the exact-regime guard for callers whose
+    * oracle equivalence depends on it (q220). */
+  def exactSummary(itemCol: Column, m: Int): Column =
+    ColumnBridge.column(
+      SpaceSaving(ColumnBridge.expression(itemCol), m,
+        exactRequired = true).toAggregateExpression())
 }

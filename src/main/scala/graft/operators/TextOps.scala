@@ -310,7 +310,8 @@ object TextOps {
         transform(array_distinct(toks),
           t => concat($"source", lit("\u0000"), t)).as("qt"))
       graft.operators.DedupOps.prefixSimilarityJoin(sets, "doc_id", "qt",
-          9, 10, fragments = graft.operators.DedupOps.dedupFragments)
+          9, 10, fragments = graft.operators.DedupOps
+            .dedupFragments(s, dir, passFactor = 1500L))
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
         .orderBy($"doc_a", $"doc_b")
@@ -979,26 +980,20 @@ object TextOps {
     val t = docs(s, dir)
       .select($"lang", explode(toks).as("tok"))
       .filter($"tok" =!= "")
-    // EXACT-REGIME GUARD (r14 advice): the oracle equivalence holds only
-    // while every language's vocabulary fits the capacity — a future
-    // corpus change pushing a language past it would silently turn the
-    // Spark side into arrival-order-dependent approximate counters
-    // while the DuckDB SQL stays exact, surfacing as a baffling flaky
-    // hash mismatch. Assert the regime loudly instead. (An exact NDV
-    // probe is affordable here BECAUSE the regime it certifies implies
-    // a tiny vocabulary; the unguarded approximate-regime production
-    // path is the same aggregate without this pin, bounds per
-    // SpaceSaving's scaladoc.)
-    val maxNdv = t.groupBy($"lang")
-      .agg(countDistinct($"tok").as("ndv"))
-      .agg(coalesce(max($"ndv"), lit(0L))).head().getLong(0)
-    require(maxNdv <= 256,
-      s"q220 exact-regime violated: a language has $maxNdv distinct " +
-        "tokens > capacity 256 — the sketch would go approximate while " +
-        "the oracle stays exact. Raise the capacity (and this guard) " +
-        "with the corpus.")
+    // EXACT-REGIME GUARD (r14 advice, made one-pass by r15 #4): the
+    // oracle equivalence holds only while every language's vocabulary
+    // fits the capacity — a future corpus change pushing a language
+    // past it would silently turn the Spark side into
+    // arrival-order-dependent approximate counters while the DuckDB SQL
+    // stays exact, surfacing as a baffling flaky hash mismatch.
+    // exactSummary is the same aggregate with the sketch's own sticky
+    // exactness-loss flag armed: it throws at eval the moment any
+    // group's vocabulary outgrows the capacity — no separate
+    // corpus-wide countDistinct pass per run. (The unguarded
+    // approximate-regime production path is SpaceSaving.summary,
+    // bounds per its scaladoc.)
     t.groupBy($"lang")
-      .agg(graft.functions.SpaceSaving.summary($"tok", 256).as("hh"))
+      .agg(graft.functions.SpaceSaving.exactSummary($"tok", 256).as("hh"))
       .select($"lang", explode(slice($"hh", 1, 20)).as("e"))
       .select($"lang", $"e.item".as("token"),
         $"e.cnt".cast("long").as("cnt"), $"e.err".cast("long").as("err"))

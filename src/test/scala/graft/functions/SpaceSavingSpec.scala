@@ -143,4 +143,60 @@ class SpaceSavingSpec extends SparkSpec {
     val got = summarize(Seq("b", "a", "a", "b", "c"), 8, 1)
     assert(got === Seq(("a", 2L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
   }
+
+  private def exactSummarize(items: Seq[String], m: Int, parts: Int)
+      : Seq[(String, Long, Long)] =
+    items.toDF("tok").repartition(parts)
+      .agg(SpaceSaving.exactSummary($"tok", m).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.cnt", $"e.err")
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("exactSummary: identical to summary while the regime holds, " +
+      "any partitioning — including NDV == m exactly") {
+    val items = zipfish(40) // NDV 40
+    for ((m, parts) <- Seq((64, 1), (64, 32), (40, 7), (40, 32))) {
+      assert(exactSummarize(items, m, parts) === summarize(items, m, parts),
+        s"m=$m parts=$parts")
+    }
+  }
+
+  test("exactSummary: REFUSES when any group's vocabulary outgrows the " +
+      "capacity — the in-pass regime guard (r15 #4)") {
+    // NDV = m + 1: the single extra item forces exactly one eviction (or
+    // one merge floor, depending on the split) — the thinnest possible
+    // violation, and it must still trip under every partitioning.
+    val m = 8
+    val items = (0 to m).map(i => s"w$i") ++ Seq.fill(100)("w0")
+    for (parts <- Seq(1, 5, 32)) {
+      val e = intercept[org.apache.spark.SparkException] {
+        exactSummarize(items, m, parts)
+      }
+      assert(e.getCause.getMessage.contains("exact regime violated"),
+        s"parts=$parts: ${e.getCause}")
+    }
+    // the plain summary on the same input stays a non-throwing sketch
+    assert(summarize(items, m, 5).size == m)
+  }
+
+  test("exactSummary: the inexact flag survives serialization and " +
+      "merge even when the violating items are pruned away") {
+    // A full side whose evicted evidence could vanish under the prune:
+    // one partition holds m+4 distinct low-count items (evicts, then its
+    // survivors may all be out-ranked), the other holds m high-count
+    // items that win every prune slot. Exactness was lost on partition
+    // 0 regardless of what the final summary shows — the sticky flag,
+    // not the surviving (cnt, err) values, must carry that fact.
+    val m = 4
+    val losers = (0 until m + 4).map(i => (0, s"lo$i"))
+    val winners = (0 until m).flatMap(i =>
+      Seq.fill(50)((1, s"WIN$i")))
+    val e = intercept[org.apache.spark.SparkException] {
+      (losers ++ winners).toDF("pid", "tok")
+        .repartition(2, $"pid")
+        .agg(SpaceSaving.exactSummary($"tok", m).as("hh"))
+        .collect()
+    }
+    assert(e.getCause.getMessage.contains("exact regime violated"))
+  }
 }
