@@ -244,6 +244,18 @@ object ScaleSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LINEAGE=reliable runs the whole sweep with
+    // checkpoint-dir-backed lineage cuts (graft.iterative.checkpoint —
+    // the preemptible-fleet deployment shape, [[operators.Lineage]])
+    // instead of the default local zero-copy blocks, so the reliable
+    // path is exercised at data scale, not just LineageSpec's unit
+    // sizes. The checkpoint dir lives under the sweep-owned scratch:
+    // reclaimed with the shuffle residue in the same finally.
+    sys.env.get("SPARK_GRAFT_LINEAGE").foreach { mode =>
+      spark.conf.set(operators.Lineage.ModeKey, mode)
+      if (mode == "reliable") spark.sparkContext.setCheckpointDir(
+        scratch.resolve("checkpoints").toString)
+    }
     val dir = Paths.get(out)
     val marker = dir.resolve("_GENERATED")
     if (!Files.exists(marker)) { // completion marker, not dir existence
