@@ -955,13 +955,77 @@ object DedupOps {
     * exact, and every qualifying pair is returned. */
   /** Single-node out-of-core escape hatch for the registry's open-tier
     * dedup queries: SPARK_GRAFT_DEDUP_FRAGMENTS=N runs their candidate
-    * space in N reclaimed-scratch passes ([[fragmented]]). Plan shape
-    * only — the result is identical at any value (spec-pinned), so the
-    * oracle compare is unaffected; default 1 = the plain lazy plan.
-    * An env var rather than a parameter because the driver contract
-    * fixes the registry signatures. */
-  private[graft] def dedupFragments: Int =
-    sys.env.get("SPARK_GRAFT_DEDUP_FRAGMENTS").map(_.toInt).getOrElse(1)
+    * space in N reclaimed-scratch passes ([[fragmented]]); =auto derives
+    * N from the memory pool and the corpus size ([[autoFragments]]).
+    * Plan shape only — the result is identical at any value
+    * (spec-pinned), so the oracle compare is unaffected; default 1 =
+    * the plain lazy plan. An env var rather than a parameter because
+    * the driver contract fixes the registry signatures. */
+  private[graft] def dedupFragments(s: SparkSession, dir: String,
+      passFactor: Long): Int =
+    sys.env.get("SPARK_GRAFT_DEDUP_FRAGMENTS") match {
+      case None         => 1
+      case Some("auto") => autoFragments(s, dir, passFactor)
+      case Some(n)      => n.toInt
+    }
+
+  /** Auto-sized fragment count (r15 verdict #5 — the fragments-vs-
+    * storage-pool trade was measured but hand-tuned). The model, with
+    * every constant CALIBRATED on the ×100 matched-condition runs
+    * (SURVEY §2.26) rather than derived from first principles:
+    *
+    *   pool      = (heap − 300 MiB reserved) × spark.memory.fraction
+    *   resident  ≈ ResidentFactor × input      (the corpus-sized ranked/
+    *               bitmap blocks every pass re-reads; ResidentFactor =
+    *               800× parquet bytes — the ×100 corpus is 62 MB on
+    *               disk and its blocks overflow a 38 GB pool (the
+    *               measured 2.4× spill wall at -Xmx64g) while fitting
+    *               ~50 GB inside the 57 GB pool at -Xmx96g)
+    *   headroom  = pool − resident             (what one pass's
+    *               candidate stream may occupy)
+    *   fragments = ceil(passFactor × input / headroom), clamped [1, 64]
+    *
+    * `passFactor` is the operator's candidate-stream bytes per input
+    * byte at fragments = 1, calibrated so the auto pick reproduces the
+    * measured-good hand tunings at ×100/96g: containment (q151) 4600
+    * → 24, prefix-similarity (q143) 1500 → 8. When the pool cannot even
+    * hold the resident blocks (headroom below a 15%-of-pool floor) the
+    * sizer WARNS that the run is in the predicted spill regime — the
+    * measured 2.4× wall — and sizes against the floor; it does not
+    * refuse, because the result stays exact, only slower. At test SFs
+    * the input term vanishes and auto = 1 (the plain lazy plan), and a
+    * real multi-executor cluster never sets `auto` at all — its
+    * aggregate scratch absorbs the linear candidate stream
+    * (the fragment path is the single-node-sandbox artifact). */
+  private[graft] def autoFragments(s: SparkSession, dir: String,
+      passFactor: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val input = fs.getContentSummary(p).getLength
+    val frac = s.conf.get("spark.memory.fraction", "0.6").toDouble
+    val pool =
+      ((Runtime.getRuntime.maxMemory - (300L << 20)) * frac).toLong
+    sizeFragments(pool, input, passFactor, warnAt = dir)
+  }
+
+  /** Pure core of [[autoFragments]] — the formula alone, so the
+    * calibration anchors are unit-pinnable without a 96 GB JVM. */
+  private[graft] def sizeFragments(poolBytes: Long, inputBytes: Long,
+      passFactor: Long, warnAt: String = ""): Int = {
+    val ResidentFactor = 800L
+    val floor = (poolBytes * 0.15).toLong
+    val headroom = poolBytes - ResidentFactor * inputBytes
+    if (headroom < floor)
+      Console.err.println(
+        s"[graft] autoFragments: predicted SPILL REGIME at '$warnAt' — " +
+          s"resident block estimate ${ResidentFactor * inputBytes >> 20} " +
+          s"MiB vs pool ${poolBytes >> 20} MiB. Fragmenting against the " +
+          "floor, but per-pass block re-reads will come from disk (the " +
+          "measured 2.4x wall); grow executor memory if possible.")
+    val n = math.ceil(
+      passFactor.toDouble * inputBytes / math.max(headroom, floor)).toLong
+    math.min(64L, math.max(1L, n)).toInt
+  }
 
   private val q143: Q = (s, dir) => {
     import s.implicits._
@@ -969,7 +1033,7 @@ object DedupOps {
       .select($"doc_id", split($"text", " ").as("__words"))
     val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
     prefixSimilarityJoin(sets, "doc_id", "sh", 4, 5,
-        fragments = dedupFragments)
+        fragments = dedupFragments(s, dir, passFactor = 1500L))
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -1279,7 +1343,7 @@ object DedupOps {
       .select($"doc_id", split($"text", " ").as("__words"))
     val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
     containmentJoin(sets, "doc_id", "sh", 4, 5, minSize = 5,
-        fragments = dedupFragments)
+        fragments = dedupFragments(s, dir, passFactor = 4600L))
       .withColumnRenamed("inner_id", "doc_in")
       .withColumnRenamed("outer_id", "doc_out")
       .orderBy($"doc_in", $"doc_out")

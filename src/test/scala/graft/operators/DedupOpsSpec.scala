@@ -624,4 +624,35 @@ class DedupOpsSpec extends SparkSpec {
       (3L, 18L, 8L, s"$rep tail0 tail1"),
       (4L, 10L, 0L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9")))
   }
+
+  test("sizeFragments reproduces the x100 calibration anchors, warns " +
+      "in the measured spill regime, and is the identity at test SFs") {
+    // the ×100 anchors (SURVEY §2.27): 96 GiB heap → 57.4 GiB pool,
+    // 62 MB documents parquet → containment 24, prefix-similarity 8
+    val pool96 = ((103079215104L - (300L << 20)) * 0.6).toLong
+    val pool64 = ((64L * (1L << 30) - (300L << 20)) * 0.6).toLong
+    val x100 = 62030239L
+    assert(DedupOps.sizeFragments(pool96, x100, 4600L) === 24)
+    assert(DedupOps.sizeFragments(pool96, x100, 1500L) === 8)
+    // the measured 2.4× spill regime (-Xmx64g): resident blocks exceed
+    // the pool — the sizer must WARN and size against the floor
+    val err = new java.io.ByteArrayOutputStream()
+    val picked = Console.withErr(err) {
+      DedupOps.sizeFragments(pool64, x100, 4600L, warnAt = "spec")
+    }
+    assert(picked === 47)
+    assert(err.toString.contains("SPILL REGIME"),
+      s"expected a spill warning, got: '${err.toString}'")
+    // a test-SF corpus vanishes into the headroom: auto = 1, the plain
+    // lazy plan — and no warning
+    val err2 = new java.io.ByteArrayOutputStream()
+    val one = Console.withErr(err2) {
+      DedupOps.sizeFragments(pool96, 590472L, 4600L)
+    }
+    assert(one === 1)
+    assert(err2.toString.isEmpty)
+    // clamps: never 0, never past 64 passes
+    assert(DedupOps.sizeFragments(pool96, 0L, 4600L) === 1)
+    assert(DedupOps.sizeFragments(1L << 30, 1L << 30, 4600L) === 64)
+  }
 }
