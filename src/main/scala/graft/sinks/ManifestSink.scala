@@ -186,6 +186,13 @@ object ManifestSink {
       // stage the probe file (permissions, full disk) — inconclusive
       try { Files.createLink(b, a); true }
       catch {
+        // permissions or a concurrently-vanished probe file say nothing
+        // about LINK support — inconclusive, mirroring the createFile
+        // branch, so an incidental probe failure can't relabel the
+        // original commit error as "mount cannot hard-link" (the r12
+        // mislabeling through a narrower window)
+        case _: java.nio.file.AccessDeniedException |
+            _: java.nio.file.NoSuchFileException => true
         case _: java.nio.file.FileSystemException |
             _: UnsupportedOperationException => false
         case _: java.io.IOException => true // inconclusive, not "cannot"
@@ -3476,11 +3483,21 @@ object ManifestSink {
     writeFloorLoud(f, dir, floorForWrite(f, dir, keepFrom))
     val latest = new Path(dir, "_latest")
     writeHint(f, latest, current.toString)
-    val hintBack = scala.util.Try(readSmall(f, latest).trim.toLong)
-      .getOrElse(-1L)
-    require(hintBack >= current,
+    // the readback races a CONCURRENT commit's writeHint, whose
+    // delete-then-rename leaves a no-_latest window; a read landing in
+    // it sees -1 and would abort the vacuum spuriously. A concurrent
+    // commit can only move the hint FORWARD, so retry briefly before
+    // concluding the hint genuinely failed to persist.
+    def hintBack(): Long =
+      scala.util.Try(readSmall(f, latest).trim.toLong).getOrElse(-1L)
+    var back = hintBack()
+    var retries = 0
+    while (back < current && retries < 4) {
+      Thread.sleep(25); back = hintBack(); retries += 1
+    }
+    require(back >= current,
       s"vacuum at $dir: the _latest hint did not persist (read back " +
-        s"$hintBack, need >= $current) — aborting before reclaiming " +
+        s"$back, need >= $current) — aborting before reclaiming " +
         "anything so version() probes don't degrade to the full " +
         "listing behind a raised floor")
     (0L until keepFrom)
@@ -3495,7 +3512,12 @@ object ManifestSink {
     val mdir = new Path(dir, "_manifests")
     if (f.exists(mdir))
       f.listStatus(mdir).toSeq
-        .filter(_.getPath.getName.endsWith(".tmp"))
+        .filter { st =>
+          val n = st.getPath.getName
+          // publish temps, plus capability-probe files a crash between
+          // canHardLink's createFile and its finally left behind
+          n.endsWith(".tmp") || n.startsWith(".linkprobe.")
+        }
         .foreach(st => f.delete(st.getPath, false))
     val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(dataRoot).toSeq
