@@ -257,7 +257,21 @@ object EventOps {
     * 2.5σ guardband): at sf0.1's 1500 users the default-rsd sketch
     * landed OUTSIDE the tolerance (caught by the tri-SF check), while
     * rsd 0.02 passes at all three SFs. Constant memory either way
-    * (2^p registers). */
+    * (2^p registers).
+    *
+    * VALUE-SPACE ASSUMPTION for the p50/p99 booleans (r15 advice):
+    * percentile_approx/approx_quantile guarantee error in RANK space
+    * (within ε·n positions at accuracy 1000 ⇒ ε = 0.1%), not in the
+    * value read off at that rank, so a relative-VALUE tolerance is only
+    * meaningful when the distribution is value-stable around the probed
+    * quantiles — in particular abs(e50)·tol collapses to zero when the
+    * exact percentile is 0, and a heavy tail can move the rank-ε value
+    * band past 5%. The `events.value` fixture is a smooth positive
+    * distribution with ~60k+ samples per SF, where the 0.1% rank band
+    * maps to ≪5% in value (measured ≤0.3% across the three SFs), so the
+    * booleans are stable facts here. A redeploy over a different value
+    * column must re-check that precondition — or compare ranks, not
+    * values. */
   private val ApproxTol = 0.05
   private val q27: Q = (s, dir) => {
     import s.implicits._

@@ -5,7 +5,8 @@ import graft.SparkSpec
 class EventOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_count_distinct is within 5% of exact (HLL++ default rsd)") {
+  test("approx_count_distinct is within 5% of exact (HLL++ rsd pinned " +
+      "at 0.02 — a 2.5x guardband inside the contract)") {
     // q27 emits the tolerance verdicts directly (engine-invariant
     // booleans — the oracle recomputes the same checks on DuckDB's own
     // sketch); all four must hold on real data
