@@ -119,6 +119,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(800))
   }
 
+  test("space-saving heavy hitters: ObjectHashAggregate partials build " +
+      "map-side — only m (item,cnt,err) triples per (partition, lang) " +
+      "cross the wire, never the token stream") {
+    val p = plan("q220_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    // two-phase: a partial_ aggregate below the exchange and a merge
+    // above it — the exchange between them carries summaries, not tokens
+    assert(p.contains("partial_space_saving") ||
+      "ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    // the one-pass regime guard must not have reintroduced an extra
+    // corpus aggregation (the r15 #4 done-criterion): EXACTLY one
+    // partial/final pair, and no aggregate of any other kind — a
+    // re-added NDV pre-pass (countDistinct, approx_count_distinct, a
+    // second sketch) would surface as extra aggregate nodes here
+    assert("ObjectHashAggregate".r.findAllIn(p).length === 2,
+      "q220 must aggregate in exactly one partial/final pair:\n" +
+        p.take(1200))
+    assert(!"(?<!Object)HashAggregate".r.findFirstIn(p).isDefined &&
+      !p.contains("SortAggregate"),
+      "q220 must not pay any additional aggregation pass:\n" + p.take(1200))
+  }
+
   test("AQE splits skewed join partitions at runtime (skew=true)") {
     // 90% of left rows share one key; with thresholds lowered to fire at
     // test scale, AQE must split the hot partition (SMJ skew=true +
