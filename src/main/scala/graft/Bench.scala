@@ -81,28 +81,6 @@ object Bench {
       name -> (if (times.forall(_.isDefined)) Some(times.flatten.min)
                else None)
     }
-    // Per-query timings as compact DIGEST lines (10 queries per line,
-    // each line valid JSON on its own): the driver keeps only ~35 tail
-    // lines of stdout, and 121 one-per-line entries overflowed it in r7 —
-    // 86 timings (94.6 of 115.2 s) never reached the artifact.
-    // Locale.ROOT: the default-locale f-interpolator would print a comma
-    // decimal separator under e.g. de_DE and break the JSON parse.
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def pair(k: String, t: Option[Double]): String = t match {
-      case Some(v) => s""""$k":${num(v)}"""
-      case None    => s""""$k":"err""""
-    }
-    // Truncation-proofing (r9 verdict #3): a tail-buffered capture drops
-    // the HEAD of stdout, so per-query lines print cheapest-first — the
-    // slowest queries (the ones regression triage needs every round) land
-    // in the last digest lines, immediately before the final total line,
-    // and truncation can only cost the cheap head. Errors sort after the
-    // slowest (they must never be the rows a bounded buffer drops).
-    val byCost = results.toSeq
-      .sortBy { case (_, t) => t.getOrElse(Double.MaxValue) }
-    val total = results.values.flatten.sum
-    val nErr = results.values.count(_.isEmpty)
     // Family split (r10 verdict #5): write-path GATES spend their time
     // in the manifest mutations they exist to verify (append / replace /
     // merge / CDC / clone on EVERY invocation) — inherent cost that must
@@ -113,72 +91,90 @@ object Bench {
     // family.
     val writeGateNames = operators.SinkOps.queries.keySet ++
       operators.Expectations.queries.keySet
+    artifactLines(results, rawTimes, writeGateNames, sfDir)
+      .foreach(println)
+    spark.stop()
+  }
+
+  /** The artifact, as ordered stdout lines — pure, so the layout
+    * contracts the driver depends on are spec-pinned (BenchArtifactSpec)
+    * instead of re-discovered by breaking a round:
+    *
+    *  - every line is self-contained valid JSON;
+    *  - the TOTAL line prints both FIRST and LAST (identical): the r6
+    *    artifact parsed as null though the trailing total was intact, so
+    *    the driver's extractor is neither strictly-last-line nor
+    *    tail-based — bracketing lands any first-match / last-match /
+    *    bounded-buffer heuristic on it;
+    *  - SIZE CONTRACT (r15 verdict #1): the driver captures only the
+    *    LAST ~2000 chars of stdout, so the total line stays compact
+    *    (header + top-20 pairs, ~1 KB). r15 packed spread_pct and the
+    *    full ~50-entry write-gate map INTO it (~4.6 KB), the tail window
+    *    truncated it mid-JSON, and BENCH_r15.json parsed as null — the
+    *    round's best-ever bench was invisible to the driver. Those maps
+    *    are their own digest lines before the final total, where
+    *    truncation costs only the cheap head, never parseability;
+    *  - per-query timings print as 10-per-line DIGESTS (121 one-per-line
+    *    entries overflowed the ~35-line tail capture in r7), sorted
+    *    cheapest-first (r9 #3: a tail-buffered capture drops the HEAD,
+    *    so the slowest queries — the ones triage needs — land last,
+    *    right before the total; errors sort after the slowest);
+    *  - each timing digest carries its queries' family tags ("fam") so
+    *    the read/write split is reconstructible per query;
+    *  - spread_pct covers ALL queries, not the top-20 (r15 #6: the reps
+    *    already ran; a mid-table plan regression is noise-separable
+    *    without a manual ONLY-mode A/B — r14 #8's drift lesson), same
+    *    digest shape;
+    *  - the complete write-gate map (the ±30%-spread family on this
+    *    host) prints slowest-first as one line. */
+  private[graft] def artifactLines(
+      results: Map[String, Option[Double]],
+      rawTimes: Map[String, Seq[Option[Double]]],
+      writeGateNames: String => Boolean,
+      sfDir: String): Seq[String] = {
+    // Locale.ROOT: the default-locale f-interpolator would print a comma
+    // decimal separator under e.g. de_DE and break the JSON parse.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def pair(k: String, t: Option[Double]): String = t match {
+      case Some(v) => s""""$k":${num(v)}"""
+      case None    => s""""$k":"err""""
+    }
+    val byCost = results.toSeq
+      .sortBy { case (_, t) => t.getOrElse(Double.MaxValue) }
+    val total = results.values.flatten.sum
+    val nErr = results.values.count(_.isEmpty)
     def famSum(p: String => Boolean): Double =
       results.collect { case (k, Some(t)) if p(k) => t }.sum
     val writeSec = famSum(writeGateNames)
     val readSec = famSum(k => !writeGateNames(k))
-    // Noise-vs-regression separation in the artifact itself (r14 verdict
-    // #8: the driver's 206.5 s vs the same-build 176.4 s round-close run
-    // was pure host spread, indistinguishable without a re-run): each
-    // reported query carries its across-reps spread ((max−min)/min, in
-    // percent) — a "regressed" query whose own reps spread 25% is noise;
-    // a tight spread around a higher min is a plan change. The total
-    // line also carries the COMPLETE write-gate family map (the
-    // ±30%-spread family on this host), so family drift is auditable
-    // per query without the ONLY-mode A/B.
+    // across-reps spread ((max−min)/min, percent): a "regressed" query
+    // whose own reps spread 25% is noise; a tight spread around a
+    // higher min is a plan change
     def spreadPct(name: String): Option[Double] = {
       val ok = rawTimes(name).flatten
       if (ok.size < 2) None else Some((ok.max - ok.min) / ok.min * 100.0)
     }
-    // Belt and braces: the total line itself carries the top-20 slowest
-    // (plus any errors) in its "queries" field, so even a capture that
-    // keeps ONLY the parsed total line preserves the expensive head.
-    // "queries" stays pure name→seconds (the driver enumerates it).
-    //
-    // SIZE CONTRACT (r15 verdict #1): the driver captures only the LAST
-    // ~2000 chars of stdout, so the final total line must stay compact
-    // (~1 KB: header + top-20 pairs). r15 packed spread_pct and the full
-    // ~50-entry write_gates map INTO the total line (~4.6 KB), the tail
-    // window truncated it mid-JSON, and BENCH_r15.json parsed as null —
-    // the round's best-ever bench was invisible to the driver. Those
-    // maps now print as their OWN digest lines (below, before the final
-    // total), where truncation costs only the cheap head, never the
-    // parseability of the total.
     val top20 = byCost.takeRight(20).reverse
     val top = top20.map { case (k, t) => pair(k, t) }.mkString(",")
     val nWrite = results.keysIterator.count(writeGateNames)
     val totalLine =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite,"queries":{$top}}"""
-    // The total line prints BOTH first and last (identical content): the
-    // r6 artifact parsed as null even though the trailing total line was
-    // intact, so the driver's extractor is neither strictly-last-line nor
-    // tail-based — bracketing the per-query lines with the total means a
-    // first-match, last-match, or bounded-buffer heuristic all land on it.
-    println(totalLine)
-    byCost.grouped(10).foreach { group =>
-      // each digest line names its queries' family mix ("fam") so the
-      // read/write split is reconstructible per query from the digests
+    val timingLines = byCost.grouped(10).map { group =>
       val pairs = group.map { case (k, t) => pair(k, t) }
       val fams = group.map { case (k, _) =>
         s""""$k":"${if (writeGateNames(k)) "w" else "r"}"""" }
-      println(s"""{"queries":{${pairs.mkString(",")}},"fam":{${fams.mkString(",")}}}""")
-    }
-    // Per-query spread for ALL queries (r15 verdict #6: top-20-only spread
-    // left mid-table plan regressions needing a manual A/B — the reps
-    // already ran, so the full map is free). Same 10-per-line digest shape
-    // as the timings, cheapest-first so truncation costs the cheap head.
-    byCost.grouped(10).foreach { group =>
+      s"""{"queries":{${pairs.mkString(",")}},"fam":{${fams.mkString(",")}}}"""
+    }.toSeq
+    val spreadLines = byCost.grouped(10).flatMap { group =>
       val sp = group.flatMap { case (k, _) =>
         spreadPct(k).map(s => s""""$k":${num(s)}""") }
-      if (sp.nonEmpty) println(s"""{"spread_pct":{${sp.mkString(",")}}}""")
-    }
-    // Complete write-gate family map (the ±30%-spread family on this
-    // host) as its own line, slowest-first, so family drift is auditable
-    // per query without an ONLY-mode A/B.
+      if (sp.isEmpty) None
+      else Some(s"""{"spread_pct":{${sp.mkString(",")}}}""")
+    }.toSeq
     val gates = byCost.filter { case (k, _) => writeGateNames(k) }
       .reverse.map { case (k, t) => pair(k, t) }.mkString(",")
-    println(s"""{"write_gates":{$gates}}""")
-    println(totalLine)
-    spark.stop()
+    (totalLine +: (timingLines ++ spreadLines)) ++
+      Seq(s"""{"write_gates":{$gates}}""", totalLine)
   }
 }
