@@ -37,6 +37,29 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.vacuum(spark, dir).isEmpty)
   }
 
+  test("vacuum sweeps crash-orphaned publish temps AND link-probe files") {
+    val dir = Files.createTempDirectory("msinkp").toString + "/t"
+    ManifestSink.append(spark.range(0, 5).toDF("v"), dir)
+    // crash leftovers: a publish temp (writer died before link) and a
+    // capability-probe file (crash between canHardLink's createFile and
+    // its finally) — both live in _manifests and neither is a manifest
+    val mdir = java.nio.file.Paths.get(dir, "_manifests")
+    java.nio.file.Files.write(mdir.resolve("7.manifest.dead-uuid.tmp"),
+      "orphan".getBytes("UTF-8"))
+    java.nio.file.Files.createFile(mdir.resolve(".linkprobe.dead-uuid.a"))
+    ManifestSink.vacuum(spark, dir)
+    val left = java.nio.file.Files.list(mdir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      left.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally left.close()
+    assert(!names.exists(_.endsWith(".tmp")), s"publish temp survived: $names")
+    assert(!names.exists(_.startsWith(".linkprobe.")),
+      s"link-probe orphan survived: $names")
+    // the table itself is untouched
+    assert(ManifestSink.read(spark, dir).count() === 5)
+  }
+
   test("crash between manifest publish and hint write loses nothing") {
     // the manifest rename is the commit point; `_latest` is only a hint.
     // Simulate a crash right after the rename by deleting the hint.
