@@ -963,10 +963,23 @@ object DedupOps {
     * the driver contract fixes the registry signatures. */
   private[graft] def dedupFragments(s: SparkSession, dir: String,
       passFactor: Long): Int =
-    sys.env.get("SPARK_GRAFT_DEDUP_FRAGMENTS") match {
+    parseFragments(sys.env.get("SPARK_GRAFT_DEDUP_FRAGMENTS"),
+      autoFragments(s, dir, passFactor))
+
+  /** Pure parse of the SPARK_GRAFT_DEDUP_FRAGMENTS value; `auto` is
+    * by-name so the pool/corpus probe only runs when requested. Names
+    * the env var in the failure — a bare NumberFormatException deep
+    * inside query construction gives no hint what to fix. */
+  private[graft] def parseFragments(raw: Option[String], auto: => Int): Int =
+    raw match {
       case None         => 1
-      case Some("auto") => autoFragments(s, dir, passFactor)
-      case Some(n)      => n.toInt
+      case Some("auto") => auto
+      case Some(n) =>
+        val parsed = n.trim.toIntOption
+        require(parsed.exists(_ >= 1),
+          s"SPARK_GRAFT_DEDUP_FRAGMENTS='$n' is not valid: expected " +
+            "'auto' (case-sensitive) or a positive integer fragment count")
+        parsed.get
     }
 
   /** Auto-sized fragment count (r15 verdict #5 — the fragments-vs-

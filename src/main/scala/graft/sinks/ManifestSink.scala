@@ -186,13 +186,17 @@ object ManifestSink {
       // stage the probe file (permissions, full disk) — inconclusive
       try { Files.createLink(b, a); true }
       catch {
-        // permissions or a concurrently-vanished probe file say nothing
-        // about LINK support — inconclusive, mirroring the createFile
-        // branch, so an incidental probe failure can't relabel the
-        // original commit error as "mount cannot hard-link" (the r12
-        // mislabeling through a narrower window)
+        // permissions, a concurrently-vanished probe file, or a
+        // pre-existing probe-b name (a probe-side collision — UUID
+        // naming makes it nearly unreachable, but it is NOT a
+        // capability verdict) say nothing about LINK support —
+        // inconclusive, mirroring the createFile branch, so an
+        // incidental probe failure can't relabel the original commit
+        // error as "mount cannot hard-link" (the r12 mislabeling
+        // through a narrower window)
         case _: java.nio.file.AccessDeniedException |
-            _: java.nio.file.NoSuchFileException => true
+            _: java.nio.file.NoSuchFileException |
+            _: java.nio.file.FileAlreadyExistsException => true
         case _: java.nio.file.FileSystemException |
             _: UnsupportedOperationException => false
         case _: java.io.IOException => true // inconclusive, not "cannot"
@@ -291,18 +295,50 @@ object ManifestSink {
       s"failed to commit $p: a concurrent writer published this version")
 
   /** Best-effort overwrite of the `_latest` hint — NOT load-bearing: a
-    * crash or lost race at any point here leaves at worst a stale/missing
-    * hint, which [[version]] repairs from the manifest listing. The temp
-    * name is writer-unique so concurrent hint refreshes never interleave
-    * through a shared temp file; a hint that loses its rename is simply
-    * dropped (the winner's hint is at least as fresh). */
-  private def writeHint(f: FileSystem, p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent,
-      p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p)) f.delete(tmp, false)
+    * crash or lost race here leaves at worst a STALE hint, which
+    * [[version]] repairs from the manifest listing. The overwrite is a
+    * single ATOMIC rename onto the hint name — POSIX `rename(2)` via
+    * NIO `ATOMIC_MOVE` on the `file` scheme, `FileContext` OVERWRITE
+    * rename elsewhere — so once the first commit has written a hint, no
+    * reader EVER observes the file missing (the previous delete-then-
+    * rename had a no-`_latest` window that a concurrent version() probe
+    * or vacuum readback could land in; r16 advice asked for the race to
+    * be removed at the root rather than retried through). The temp name
+    * is writer-unique so concurrent hint refreshes never interleave
+    * through a shared temp; when two refreshes race, each rename is
+    * all-or-nothing and the last one wins whole. */
+  private[sinks] def writeHint(f: FileSystem, p: Path,
+      content: String): Unit = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
+    if (scheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dst = Paths.get(p.toUri.getPath)
+      Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(
+        p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch { // best-effort: drop the temp, keep whatever hint is there
+        case _: java.io.IOException =>
+          try { Files.deleteIfExists(tmp); () }
+          catch { case _: java.io.IOException => () }
+      }
+    } else {
+      val tmp = new Path(p.getParent,
+        p.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, f.getConf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: java.io.IOException =>
+          try { f.delete(tmp, false); () }
+          catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** The vacuum floor: the lowest version whose manifest a vacuum
@@ -3483,18 +3519,14 @@ object ManifestSink {
     writeFloorLoud(f, dir, floorForWrite(f, dir, keepFrom))
     val latest = new Path(dir, "_latest")
     writeHint(f, latest, current.toString)
-    // the readback races a CONCURRENT commit's writeHint, whose
-    // delete-then-rename leaves a no-_latest window; a read landing in
-    // it sees -1 and would abort the vacuum spuriously. A concurrent
-    // commit can only move the hint FORWARD, so retry briefly before
-    // concluding the hint genuinely failed to persist.
-    def hintBack(): Long =
+    // single readback, no retry: writeHint is now an ATOMIC overwrite-
+    // rename, so there is no no-_latest window to race into — once our
+    // rename has returned, a read sees our value or a concurrent
+    // commit's LATER one (commits are monotonic and hint after
+    // publishing), both >= current. A readback below current therefore
+    // means the hint genuinely failed to persist — fail loudly.
+    val back =
       scala.util.Try(readSmall(f, latest).trim.toLong).getOrElse(-1L)
-    var back = hintBack()
-    var retries = 0
-    while (back < current && retries < 4) {
-      Thread.sleep(25); back = hintBack(); retries += 1
-    }
     require(back >= current,
       s"vacuum at $dir: the _latest hint did not persist (read back " +
         s"$back, need >= $current) — aborting before reclaiming " +
@@ -3504,11 +3536,15 @@ object ManifestSink {
       .filterNot(v => protectSet(v) || chainKeep(v)).foreach { v =>
       f.delete(new Path(dir, s"_manifests/$v.manifest"), false)
     }
-    // sweep crash-orphaned publish temps: a live appender whose temp is
-    // swept mid-commit just loses the rename and retries; a rewrite
-    // commit fails loudly there, exactly as on any lost race. (A table
-    // whose first-ever commit crashed before publishing has data but no
+    // sweep crash-orphaned publish temps — but only ones older than
+    // minAgeMs (r16 advice: an ageless sweep could delete an IN-FLIGHT
+    // publish temp or a live canHardLink probe file mid-use; the age
+    // cutoff means only genuinely abandoned files are reclaimed). A
+    // crashed appender's swept temp costs nothing; a live appender is
+    // never touched because its temp is seconds old. (A table whose
+    // first-ever commit crashed before publishing has data but no
     // _manifests directory yet.)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val mdir = new Path(dir, "_manifests")
     if (f.exists(mdir))
       f.listStatus(mdir).toSeq
@@ -3516,10 +3552,10 @@ object ManifestSink {
           val n = st.getPath.getName
           // publish temps, plus capability-probe files a crash between
           // canHardLink's createFile and its finally left behind
-          n.endsWith(".tmp") || n.startsWith(".linkprobe.")
+          (n.endsWith(".tmp") || n.startsWith(".linkprobe.")) &&
+            st.getModificationTime <= cutoff
         }
         .foreach(st => f.delete(st.getPath, false))
-    val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(dataRoot).toSeq
       .filter { st =>
         // a z-compacted commit references SUBdirectories of its batch dir

@@ -655,4 +655,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.sizeFragments(pool96, 0L, 4600L) === 1)
     assert(DedupOps.sizeFragments(1L << 30, 1L << 30, 4600L) === 64)
   }
+
+  test("parseFragments names the env var on a bad value and never " +
+      "probes the pool unless auto is requested") {
+    var probed = false
+    def auto: Int = { probed = true; 24 }
+    assert(DedupOps.parseFragments(None, auto) === 1)
+    assert(DedupOps.parseFragments(Some("8"), auto) === 8)
+    assert(DedupOps.parseFragments(Some(" 8 "), auto) === 8) // trimmed
+    assert(!probed) // by-name: no pool/corpus probe for explicit values
+    assert(DedupOps.parseFragments(Some("auto"), auto) === 24)
+    assert(probed)
+    for (bad <- Seq("Auto", "8.5", "", "-3", "0", "twelve")) {
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.parseFragments(Some(bad), auto)
+      }
+      assert(e.getMessage.contains("SPARK_GRAFT_DEDUP_FRAGMENTS"),
+        s"error for '$bad' must name the env var: ${e.getMessage}")
+      assert(e.getMessage.contains("auto"),
+        s"error for '$bad' must state accepted values: ${e.getMessage}")
+    }
+  }
 }

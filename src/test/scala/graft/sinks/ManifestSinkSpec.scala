@@ -60,6 +60,78 @@ class ManifestSinkSpec extends SparkSpec {
     assert(ManifestSink.read(spark, dir).count() === 5)
   }
 
+  test("fresh publish temps and probe files survive an aged vacuum") {
+    // the _manifests sweep honors minAgeMs: an IN-FLIGHT publish temp or
+    // a LIVE canHardLink probe file (both seconds old) must not be
+    // deleted mid-use by a racing vacuum — only genuinely abandoned
+    // files older than the cutoff are reclaimed
+    val dir = Files.createTempDirectory("msinkf").toString + "/t"
+    ManifestSink.append(spark.range(0, 5).toDF("v"), dir)
+    val mdir = java.nio.file.Paths.get(dir, "_manifests")
+    java.nio.file.Files.write(mdir.resolve("9.manifest.live-uuid.tmp"),
+      "in-flight".getBytes("UTF-8"))
+    java.nio.file.Files.createFile(mdir.resolve(".linkprobe.live-uuid.a"))
+    ManifestSink.vacuum(spark, dir, minAgeMs = 3600_000L)
+    val left = java.nio.file.Files.list(mdir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      left.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally left.close()
+    assert(names.contains("9.manifest.live-uuid.tmp"),
+      s"live publish temp was swept: $names")
+    assert(names.contains(".linkprobe.live-uuid.a"),
+      s"live probe file was swept: $names")
+    // and once aged below the cutoff, the same files ARE reclaimed
+    ManifestSink.vacuum(spark, dir)
+    val after = java.nio.file.Files.list(mdir)
+    val names2 = try {
+      import scala.jdk.CollectionConverters._
+      after.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally after.close()
+    assert(!names2.exists(_.endsWith(".tmp")) &&
+      !names2.exists(_.startsWith(".linkprobe.")),
+      s"aged orphans survived: $names2")
+  }
+
+  test("_latest is never observed missing across concurrent refreshes") {
+    // writeHint must be an ATOMIC overwrite-rename: the pre-r17
+    // delete-then-rename had a no-_latest window that a concurrent
+    // version() probe or vacuum readback could land in. This spec FAILS
+    // on that code: a refresher thread hammers writeHint while the main
+    // thread polls for existence — with a delete step the poll catches
+    // the gap within a few thousand iterations.
+    val dir = Files.createTempDirectory("msinkh").toString + "/t"
+    ManifestSink.append(Seq(1L).toDF("v"), dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val latest = new org.apache.hadoop.fs.Path(dir, "_latest")
+    val f = latest.getFileSystem(conf)
+    val latestNio = java.nio.file.Paths.get(dir, "_latest")
+    assert(java.nio.file.Files.exists(latestNio))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val refresher = new Thread(() => {
+      var i = 0L
+      while (!stop.get()) { ManifestSink.writeHint(f, latest, i.toString); i += 1 }
+    })
+    refresher.setDaemon(true)
+    refresher.start()
+    var missing = 0
+    val deadline = System.nanoTime() + 3_000_000_000L // 3 s of polling
+    try {
+      while (System.nanoTime() < deadline && missing == 0) {
+        var k = 0
+        while (k < 10000) {
+          if (!java.nio.file.Files.exists(latestNio)) missing += 1
+          k += 1
+        }
+      }
+    } finally { stop.set(true); refresher.join(5000) }
+    assert(missing === 0,
+      s"_latest observed missing $missing time(s) — writeHint is not atomic")
+    // the hint content is always a whole value (rename is all-or-nothing)
+    val back = new String(java.nio.file.Files.readAllBytes(latestNio), "UTF-8")
+    assert(back.trim.nonEmpty && back.trim.forall(_.isDigit), s"torn hint: '$back'")
+  }
+
   test("crash between manifest publish and hint write loses nothing") {
     // the manifest rename is the commit point; `_latest` is only a hint.
     // Simulate a crash right after the rename by deleting the hint.
