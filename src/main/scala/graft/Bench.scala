@@ -91,9 +91,51 @@ object Bench {
     // family.
     val writeGateNames = operators.SinkOps.queries.keySet ++
       operators.Expectations.queries.keySet
-    artifactLines(results, rawTimes, writeGateNames, sfDir)
+    artifactLines(results, rawTimes, writeGateNames, sfDir, calibrate(spark))
       .foreach(println)
     spark.stop()
+  }
+
+  /** Host-state calibration probe (r16 verdict #6): a FIXED synthetic
+    * micro-bench — plan-identical every round — timed right after the
+    * query reps, so cross-day artifact totals can be normalized against
+    * measured host drift instead of re-litigated (r15→r16: identical
+    * plans moved 1.6-1.7× on host state alone; the q194/q217 "risers"
+    * were indistinguishable from drift without a same-day A/B). Three
+    * probes, min-of-3 each after a JIT pass: scan+shuffle (a fixed
+    * range → modular keys → hash agg, one exchange), parquet write
+    * (fixed 2M-row frame to scratch — the write-gate family's medium),
+    * and parquet read-back (scan + filter + count). ~2-3 s total. */
+  private[graft] def calibrate(spark: SparkSession): Seq[(String, Double)] = {
+    def minOf3(body: => Unit): Double = {
+      body // JIT/codegen pass, untimed
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val scanShuffle = minOf3 {
+      spark.range(0L, 32L << 20, 1L, 32)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").sum("v").count(); ()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-calib")
+    try {
+      val write = minOf3 {
+        spark.range(0L, 2L << 20, 1L, 8)
+          .selectExpr("id", "id % 1024 AS v")
+          .write.mode("overwrite").parquet(s"$tmp/p")
+      }
+      val read = minOf3 {
+        spark.read.parquet(s"$tmp/p").where("v < 512").count(); ()
+      }
+      Seq("scan_shuffle" -> scanShuffle, "write" -> write, "read" -> read)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
+        .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   /** The artifact, as ordered stdout lines — pure, so the layout
@@ -119,19 +161,26 @@ object Bench {
     *    cheapest-first (r9 #3: a tail-buffered capture drops the HEAD,
     *    so the slowest queries — the ones triage needs — land last,
     *    right before the total; errors sort after the slowest);
-    *  - each timing digest carries its queries' family tags ("fam") so
-    *    the read/write split is reconstructible per query;
-    *  - spread_pct covers ALL queries, not the top-20 (r15 #6: the reps
-    *    already ran; a mid-table plan regression is noise-separable
-    *    without a manual ONLY-mode A/B — r14 #8's drift lesson), same
-    *    digest shape;
+    *  - each timing digest carries its queries' family tags ("fam") AND
+    *    their across-reps spread ("spread_pct", all queries — r15 #6)
+    *    in the SAME object (r16 advice: separate spread lines doubled
+    *    the artifact to ~51 lines and pushed the cheap ~140 queries'
+    *    timings outside the ~35-line tail capture — folding keeps the
+    *    full artifact at 1 + ceil(N/10) + 1 + 1 + 1 ≈ 28 lines for the
+    *    231-query registry, and a digest's timing and spread can never
+    *    be separated by a capture cut);
+    *  - a host-calibration line (`calib`, see [[calibrate]]) prints
+    *    before the write-gate map, and its sum rides IN the total line
+    *    as "calib_sec" so drift normalization survives even a one-line
+    *    capture;
     *  - the complete write-gate map (the ±30%-spread family on this
     *    host) prints slowest-first as one line. */
   private[graft] def artifactLines(
       results: Map[String, Option[Double]],
       rawTimes: Map[String, Seq[Option[Double]]],
       writeGateNames: String => Boolean,
-      sfDir: String): Seq[String] = {
+      sfDir: String,
+      calib: Seq[(String, Double)] = Nil): Seq[String] = {
     // Locale.ROOT: the default-locale f-interpolator would print a comma
     // decimal separator under e.g. de_DE and break the JSON parse.
     def num(v: Double): String =
@@ -158,23 +207,28 @@ object Bench {
     val top20 = byCost.takeRight(20).reverse
     val top = top20.map { case (k, t) => pair(k, t) }.mkString(",")
     val nWrite = results.keysIterator.count(writeGateNames)
+    val calibField =
+      if (calib.isEmpty) ""
+      else s""","calib_sec":${num(calib.map(_._2).sum)}"""
     val totalLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite,"queries":{$top}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":$nErr,"read_sec":${num(readSec)},"n_read":${results.size - nWrite},"write_gate_sec":${num(writeSec)},"n_write_gate":$nWrite$calibField,"queries":{$top}}"""
     val timingLines = byCost.grouped(10).map { group =>
       val pairs = group.map { case (k, t) => pair(k, t) }
       val fams = group.map { case (k, _) =>
         s""""$k":"${if (writeGateNames(k)) "w" else "r"}"""" }
-      s"""{"queries":{${pairs.mkString(",")}},"fam":{${fams.mkString(",")}}}"""
-    }.toSeq
-    val spreadLines = byCost.grouped(10).flatMap { group =>
       val sp = group.flatMap { case (k, _) =>
         spreadPct(k).map(s => s""""$k":${num(s)}""") }
-      if (sp.isEmpty) None
-      else Some(s"""{"spread_pct":{${sp.mkString(",")}}}""")
+      val spField =
+        if (sp.isEmpty) "" else s""","spread_pct":{${sp.mkString(",")}}"""
+      s"""{"queries":{${pairs.mkString(",")}},"fam":{${fams.mkString(",")}}$spField}"""
     }.toSeq
+    val calibLines =
+      if (calib.isEmpty) Nil
+      else Seq(s"""{"calib":{${calib
+        .map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",")}}}""")
     val gates = byCost.filter { case (k, _) => writeGateNames(k) }
       .reverse.map { case (k, t) => pair(k, t) }.mkString(",")
-    (totalLine +: (timingLines ++ spreadLines)) ++
+    (totalLine +: timingLines) ++ calibLines ++
       Seq(s"""{"write_gates":{$gates}}""", totalLine)
   }
 }

@@ -26,8 +26,10 @@ class BenchArtifactSpec extends AnyFunSuite {
     rawTimes.map { case (n, ts) =>
       n -> (if (ts.forall(_.isDefined)) Some(ts.flatten.min) else None)
     }
+  private val calib = Seq("scan_shuffle" -> 0.41, "write" -> 0.52,
+    "read" -> 0.11)
   private val lines = Bench.artifactLines(results, rawTimes, gates,
-    "/root/testdata/sf0.1")
+    "/root/testdata/sf0.1", calib)
 
   test("every artifact line is self-contained valid JSON") {
     lines.foreach { l =>
@@ -77,15 +79,52 @@ class BenchArtifactSpec extends AnyFunSuite {
       fams(n) === JString(if (gates(n)) "w" else "r")))
   }
 
-  test("spread covers the FULL registry (r15 #6), not the top-20") {
-    val spread = lines.filter(_.startsWith("""{"spread_pct"""")).flatMap {
-      l =>
-        val JObject(s) = (JsonMethods.parse(l) \ "spread_pct"): @unchecked
-        s.map(_._1)
+  test("spread covers the FULL registry (r15 #6) and rides INSIDE the " +
+      "timing digests (r16 advice: separate lines overflowed the tail)") {
+    val qLines = lines.tail.init.filter(_.startsWith("""{"queries""""))
+    val spread = qLines.flatMap { l =>
+      val JObject(s) = (JsonMethods.parse(l) \ "spread_pct"): @unchecked
+      s.map(_._1)
     }
     // every query with >= 2 successful reps has a spread entry — here,
-    // all of them (the errored query still has two good reps)
+    // all of them (the errored query still has two good reps) — and each
+    // digest's spread names exactly its own queries, so a capture cut
+    // can never separate a timing from its spread
     assert(spread.sorted === names.sorted)
+    qLines.foreach { l =>
+      val j = JsonMethods.parse(l)
+      val JObject(qs) = (j \ "queries"): @unchecked
+      val JObject(sp) = (j \ "spread_pct"): @unchecked
+      assert(sp.map(_._1).toSet === qs.map(_._1).toSet, s"digest: $l")
+    }
+    // no standalone spread lines remain
+    assert(!lines.exists(_.startsWith("""{"spread_pct"""")))
+  }
+
+  test("the artifact fits the ~35-line tail capture at full registry " +
+      "size (the r16-advice regression: ~51 lines pushed cheap timings " +
+      "out of the window)") {
+    assert(lines.size <= 30, s"${lines.size} lines — tail capture would " +
+      "drop the cheapest digests again")
+  }
+
+  test("the calibration probe prints as its own line AND as calib_sec " +
+      "in the total line (r16 verdict #6: cross-day drift normalization)") {
+    val cl = lines.filter(_.startsWith("""{"calib""""))
+    assert(cl.size === 1)
+    val JObject(c) = (JsonMethods.parse(cl.head) \ "calib"): @unchecked
+    assert(c.map(_._1) === List("scan_shuffle", "write", "read"))
+    val t = JsonMethods.parse(lines.last)
+    val JDouble(cs) = (t \ "calib_sec"): @unchecked
+    assert(math.abs(cs - calib.map(_._2).sum) < 1e-9)
+    // the calib line sits between the last digest and the gate map, so
+    // any tail window that keeps the gates keeps the calibration too
+    assert(lines.indexWhere(_.startsWith("""{"calib"""")) ===
+      lines.indexWhere(_.startsWith("""{"write_gates"""")) - 1)
+    // and a calib-less invocation (spec-sized harness runs) omits both
+    val bare = Bench.artifactLines(results, rawTimes, gates, "/x")
+    assert(!bare.exists(_.startsWith("""{"calib"""")))
+    assert(!bare.last.contains("calib_sec"))
   }
 
   test("the write-gate map line is complete and gate-only") {
