@@ -105,6 +105,27 @@ object ScaleSweep {
           t => concat(lit(s"r$r"), t)), " "))
       .withColumn("n_chars", length(col("text")))
 
+  /** RESHAPED-corpus seam (r16 verdict #3's A/B medium): stretch every
+    * document to `times` its length by concatenating locally-prefixed
+    * copies of its own tokens (copy c > 0 gets `y<c>·` prefixes, so
+    * the copies' shingle sets are disjoint — unique shingles per doc
+    * scale ×times, not ×1 as verbatim repetition would after
+    * array_distinct). Near-dup STRUCTURE is preserved (both members of
+    * a pair stretch identically), while the corpus SHAPE — shingle
+    * rows per parquet byte, i.e. the resident-blocks-per-input-byte
+    * ratio the auto-sizer's 800× prior was calibrated on — shifts,
+    * which is exactly what the observed-resident resize must absorb.
+    * Enabled by SPARK_GRAFT_SWEEP_LONGDOC=<times> at generation. */
+  private def longDoc(df: DataFrame, times: Int): DataFrame =
+    if (times <= 1) df
+    else df.withColumn("text",
+        array_join(flatten(transform(sequence(lit(0), lit(times - 1)),
+          c => transform(split(col("text"), " "),
+            t => when(c === 0, t)
+              .otherwise(concat(lit("y"), c.cast("string"),
+                lit("·"), t))))), " "))
+      .withColumn("n_chars", length(col("text")))
+
   /** Generate the k× corpus under `out` from `base`. */
   def generate(spark: SparkSession, base: String, out: String,
       k: Int): Unit = {
@@ -118,9 +139,11 @@ object ScaleSweep {
 
     val docs = rd("documents")
     val dStride = maxOf(docs, "doc_id")
-    replicate(docs) { (d, r) =>
+    val stretch =
+      sys.env.get("SPARK_GRAFT_SWEEP_LONGDOC").map(_.toInt).getOrElse(1)
+    longDoc(replicate(docs) { (d, r) =>
       tokPrefix(d.withColumn("doc_id", col("doc_id") + lit(r * dStride)), r)
-    }.write.parquet(s"$out/documents.parquet")
+    }, stretch).write.parquet(s"$out/documents.parquet")
 
     val emb = rd("embeddings")
     val vStride = maxOf(emb, "vec_id")
@@ -280,7 +303,10 @@ object ScaleSweep {
       Files.createDirectories(dir)
       generate(spark, base, out, k)
       genAdversarial(spark, base, s"$out/adv")
-      Files.write(marker, java.util.Arrays.asList(base, k.toString))
+      val stretch =
+        sys.env.getOrElse("SPARK_GRAFT_SWEEP_LONGDOC", "1")
+      Files.write(marker,
+        java.util.Arrays.asList(base, k.toString, s"longdoc=$stretch"))
     }
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

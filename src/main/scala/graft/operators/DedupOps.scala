@@ -766,7 +766,10 @@ object DedupOps {
       // (see [[fragmented]]; result-identical, spec-pinned; the bitmap
       // tier ignores it — its candidates die in-reducer and never spill
       // a pair stream)
-      fragments: Int = 1): DataFrame = {
+      fragments: Int = 1,
+      // auto mode's observed-resident replan callback ([[dedupResize]]);
+      // None (explicit counts, specs) = run exactly `fragments` passes
+      resize: Option[Long => Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // array_distinct: the size/overlap arithmetic below (prefix length,
     // |∪| = sz_a + sz_b − |∩|) is SET arithmetic — an input array with
@@ -884,11 +887,10 @@ object DedupOps {
       // `prefix` is checkpointed at its definition, so each slice's
       // candidate join (and bandSelfJoin's per-pass skew probe) re-reads
       // materialized prefix rows instead of re-running the rank window
-      fragmented(fragments) { f =>
+      fragmented(fragments, resize) { sl =>
         val occ = positionalOk(lengthOk(bandSelfJoin(prefix, "__id",
             Seq("__sz", "__pos"), maxBucket)))
-        val sliced =
-          if (fragments == 1) occ else occ.filter(inSlice("__ga", fragments, f))
+        val sliced = sl.fold(occ)(p => occ.filter(p(col("__ga"))))
         val cand = sliced
           .select(col("__ga").as("id_a"), col("__gb").as("id_b")).distinct()
         val a = s.select(col("__id").as("id_a"), col("__set").as("__seta"))
@@ -908,14 +910,17 @@ object DedupOps {
   }
 
   /** Out-of-core pass runner for the open-vocab candidate tiers (the
-    * r14 single-node-scratch lever): run `plan(f)` for each of
-    * `fragments` id-hash slices of the PAIR space as its own eagerly-
-    * materialized pass, and RECLAIM the pass's shuffle files before the
+    * r14 single-node-scratch lever): run the plan once per id-hash
+    * slice of the PAIR space as its own eagerly-materialized pass
+    * (`plan` receives the pass's slice predicate to apply to the
+    * probe-side id), and RECLAIM the pass's shuffle files before the
     * next pass starts — peak scratch is one slice's candidate stream
     * plus the (output-sized) materialized results, not the whole
-    * candidate stream at once. Every pair lands in exactly one slice
-    * (the filter hashes the pair's left id), so the union is the exact
-    * single-pass result — spec-pinned. The trade: the candidate join's
+    * candidate stream at once. Every pair lands in exactly one pass
+    * (the predicates partition the left-id hash space — plain slices,
+    * or [[replanPasses]] ranges/sub-slices after an observed-resident
+    * resize), so the union is the exact single-pass result —
+    * spec-pinned. The trade: the candidate join's
     * INPUT (prefix rows — small by construction) re-shuffles once per
     * slice, and the operator becomes EAGER (passes run at call time).
     * fragments = 1 (the default everywhere) is the identity: one lazy
@@ -930,24 +935,53 @@ object DedupOps {
     * RDD API since 3.1) walks the executed DAG and frees them
     * deterministically. `queryExecution.toRdd` is a lazy val, so it IS
     * the DAG instance the checkpoint executed. */
-  private def fragmented(fragments: Int)(plan: Int => DataFrame): DataFrame = {
+  private def fragmented(fragments: Int,
+      resize: Option[Long => Int] = None)(
+      plan: Option[Column => Column] => DataFrame): DataFrame = {
     require(fragments >= 1, s"fragments must be >= 1, got $fragments")
-    if (fragments == 1) return plan(0)
-    (0 until fragments).map { f =>
-      val pass = plan(f)
+    if (fragments == 1) return plan(None)
+    // slice by the left id's hash: xxhash64 here is a PARTITIONING
+    // choice (which pass computes a pair), never a result value —
+    // cross-engine portability is not required of it
+    def h1(id: Column) = pmod(xxhash64(id), lit(fragments.toLong))
+    def runPass(pred: Column => Column): DataFrame = {
+      val pass = plan(Some(pred))
       val out = pass.lineageCut(eager = true) // output-sized; see the
                  // executor-loss note in bandSelfJoin
       pass.queryExecution.toRdd.cleanShuffleDependencies(blocking = true)
       out
-    }.reduce(_ unionByName _)
+    }
+    val first = runPass(id => h1(id) === lit(0L))
+    // with a resize callback (auto mode), pass 1 just materialized the
+    // resident blocks the prior only estimated — measure them (storage
+    // in use across executors) and replan the remaining slices from
+    // the observation (r16 verdict #3)
+    val restPreds: Seq[Column => Column] = resize match {
+      case None =>
+        (1 until fragments).map(f =>
+          (id: Column) => h1(id) === lit(f.toLong))
+      case Some(ideal) =>
+        val sc = first.sparkSession.sparkContext
+        val observed = sc.getExecutorMemoryStatus.values
+          .iterator.map { case (max, rem) => math.max(0L, max - rem) }.sum
+        val nIdeal = ideal(observed)
+        val passes = replanPasses(fragments, nIdeal)
+        Console.err.println(
+          s"[graft] fragmented: pass 1/$fragments observed " +
+            s"${observed >> 20} MiB resident -> ideal total $nIdeal; " +
+            s"remaining ${fragments - 1} slices replanned into " +
+            s"${passes.size} pass(es)")
+        passes.map {
+          case SliceRange(lo, hi) => (id: Column) =>
+            if (hi - lo == 1) h1(id) === lit(lo.toLong)
+            else h1(id) >= lit(lo.toLong) && h1(id) < lit(hi.toLong)
+          case SubSlice(f, j, m) => (id: Column) =>
+            h1(id) === lit(f.toLong) &&
+              pmod(xxhash64(id, lit(1)), lit(m.toLong)) === lit(j.toLong)
+        }
+    }
+    (first +: restPreds.map(runPass)).reduce(_ unionByName _)
   }
-
-  /** Slice predicate for [[fragmented]]: pair → slice by the left id's
-    * hash. xxhash64 here is a PARTITIONING choice (which pass computes
-    * a pair), never a result value — cross-engine portability is not
-    * required of it. */
-  private def inSlice(idCol: String, fragments: Int, f: Int) =
-    pmod(xxhash64(col(idCol)), lit(fragments.toLong)) === lit(f.toLong)
 
   /** q143: exact 2-gram-shingle Jaccard ≥ 0.8 join over `documents` —
     * the guaranteed-recall twin of q60 (which is MinHash-approximate at
@@ -1010,28 +1044,61 @@ object DedupOps {
     * real multi-executor cluster never sets `auto` at all — its
     * aggregate scratch absorbs the linear candidate stream
     * (the fragment path is the single-node-sandbox artifact). */
-  private[graft] def autoFragments(s: SparkSession, dir: String,
-      passFactor: Long): Int = {
+  private def poolAndInput(s: SparkSession, dir: String): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val input = fs.getContentSummary(p).getLength
     val frac = s.conf.get("spark.memory.fraction", "0.6").toDouble
     val pool =
       ((Runtime.getRuntime.maxMemory - (300L << 20)) * frac).toLong
+    (pool, input)
+  }
+
+  private[graft] def autoFragments(s: SparkSession, dir: String,
+      passFactor: Long): Int = {
+    val (pool, input) = poolAndInput(s, dir)
     sizeFragments(pool, input, passFactor, warnAt = dir)
   }
 
+  /** Observed-resident resize callback for [[fragmented]] (r16 verdict
+    * #3): the 800×-input resident prior is a SINGLE-CORPUS calibration
+    * — a longer-document or wider-vocab corpus breaks it silently. In
+    * auto mode, [[fragmented]] measures the ACTUAL resident block
+    * footprint after its first pass (executor storage in use — the
+    * ranked/bitmap blocks every pass re-reads are materialized by
+    * then) and calls back here to re-derive the ideal total fragment
+    * count from the OBSERVATION, keeping the calibrated prior only for
+    * pass 1. Explicit fragment counts (hand tunings, specs) never
+    * resize — plan shape stays exactly what was asked for. */
+  private[graft] def dedupResize(s: SparkSession, dir: String,
+      passFactor: Long): Option[Long => Int] =
+    if (!sys.env.get("SPARK_GRAFT_DEDUP_FRAGMENTS").contains("auto")) None
+    else Some { observedResident =>
+      val (pool, input) = poolAndInput(s, dir)
+      sizeFragments(pool, input, passFactor, warnAt = dir,
+        observedResidentBytes = Some(observedResident))
+    }
+
   /** Pure core of [[autoFragments]] — the formula alone, so the
-    * calibration anchors are unit-pinnable without a 96 GB JVM. */
+    * calibration anchors are unit-pinnable without a 96 GB JVM. With
+    * `observedResidentBytes` (the post-pass-1 measurement, r16 verdict
+    * #3) the 800×-input resident PRIOR is replaced by the observation;
+    * everything else — the 15%-pool floor, the spill warning, the
+    * [1, 64] clamp — is shared, so the observed path is the same
+    * formula with a measured term, not a second model. */
   private[graft] def sizeFragments(poolBytes: Long, inputBytes: Long,
-      passFactor: Long, warnAt: String = ""): Int = {
+      passFactor: Long, warnAt: String = "",
+      observedResidentBytes: Option[Long] = None): Int = {
     val ResidentFactor = 800L
     val floor = (poolBytes * 0.15).toLong
-    val headroom = poolBytes - ResidentFactor * inputBytes
+    val resident =
+      observedResidentBytes.getOrElse(ResidentFactor * inputBytes)
+    val headroom = poolBytes - resident
     if (headroom < floor)
       Console.err.println(
         s"[graft] autoFragments: predicted SPILL REGIME at '$warnAt' — " +
-          s"resident block estimate ${ResidentFactor * inputBytes >> 20} " +
+          s"resident block ${if (observedResidentBytes.isDefined) "observation"
+            else "estimate"} ${resident >> 20} " +
           s"MiB vs pool ${poolBytes >> 20} MiB. Fragmenting against the " +
           "floor, but per-pass block re-reads will come from disk (the " +
           "measured 2.4x wall); grow executor memory if possible.")
@@ -1040,13 +1107,48 @@ object DedupOps {
     math.min(64L, math.max(1L, n)).toInt
   }
 
+  /** How [[fragmented]] covers slices 1..n0−1 after the observed-
+    * resident resize says the ideal TOTAL count is `nIdeal` (pass 1
+    * already ran as slice 0 of n0). Pure, spec-pinned: the passes
+    * partition the remaining id-hash space exactly, in both
+    * directions —
+    *  - nIdeal ≤ n0 (prior over-fragmented: corpus lighter than the
+    *    calibration): MERGE — the n0−1 remaining slices group into
+    *    max(1, nIdeal−1) contiguous [[SliceRange]] passes, sizes as
+    *    even as integer division allows;
+    *  - nIdeal > n0 (prior under-fragmented: the silent-break case the
+    *    observation exists to catch): SPLIT — each remaining slice
+    *    runs as ⌈nIdeal/n0⌉ [[SubSlice]] passes cut by an independent
+    *    secondary hash. */
+  private[graft] sealed trait SlicePass
+  private[graft] final case class SliceRange(lo: Int, hi: Int)
+    extends SlicePass
+  private[graft] final case class SubSlice(f: Int, j: Int, m: Int)
+    extends SlicePass
+
+  private[graft] def replanPasses(n0: Int, nIdeal: Int): Seq[SlicePass] = {
+    val remaining = n0 - 1
+    if (remaining <= 0) Nil
+    else if (nIdeal <= n0) {
+      val k = math.min(remaining, math.max(1, nIdeal - 1))
+      val g = remaining / k
+      val r = remaining % k
+      val bounds = (0 to k).map(i => 1 + i * g + math.min(i, r))
+      (0 until k).map(i => SliceRange(bounds(i), bounds(i + 1)))
+    } else {
+      val m = (nIdeal + n0 - 1) / n0
+      for (f <- 1 until n0; j <- 0 until m) yield SubSlice(f, j, m)
+    }
+  }
+
   private val q143: Q = (s, dir) => {
     import s.implicits._
     val withWords = Tables(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("__words"))
     val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
     prefixSimilarityJoin(sets, "doc_id", "sh", 4, 5,
-        fragments = dedupFragments(s, dir, passFactor = 1500L))
+        fragments = dedupFragments(s, dir, passFactor = 1500L),
+        resize = dedupResize(s, dir, passFactor = 1500L))
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -1209,7 +1311,8 @@ object DedupOps {
       // here the slice filter applies to the PROBE side directly (the
       // probe id IS the pair's left id), so it also cuts the candidate
       // join's input, not just its output
-      fragments: Int = 1): DataFrame = {
+      fragments: Int = 1,
+      resize: Option[Long => Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = sets.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__set"))
@@ -1322,9 +1425,8 @@ object DedupOps {
       val index = ranked.select(col("__id").as("__xb"),
         PortableHash.tokenHashP(col("__el")).as("__k"),
         col("__sz").as("__szb"), col("__pos").as("__pb"))
-      fragmented(fragments) { f =>
-        val probe = (if (fragments == 1) prefixIds
-          else prefixIds.filter(inSlice("__id", fragments, f)))
+      fragmented(fragments, resize) { sl =>
+        val probe = sl.fold(prefixIds)(p => prefixIds.filter(p(col("__id"))))
           .select(col("__id").as("__xa"),
             PortableHash.tokenHashP(col("__el")).as("__k"),
             col("__sz").as("__sza"), col("__pos").as("__pa"))
@@ -1356,7 +1458,8 @@ object DedupOps {
       .select($"doc_id", split($"text", " ").as("__words"))
     val sets = withWords.select($"doc_id", shingles($"__words", 2).as("sh"))
     containmentJoin(sets, "doc_id", "sh", 4, 5, minSize = 5,
-        fragments = dedupFragments(s, dir, passFactor = 4600L))
+        fragments = dedupFragments(s, dir, passFactor = 4600L),
+        resize = dedupResize(s, dir, passFactor = 4600L))
       .withColumnRenamed("inner_id", "doc_in")
       .withColumnRenamed("outer_id", "doc_out")
       .orderBy($"doc_in", $"doc_out")

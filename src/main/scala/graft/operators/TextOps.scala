@@ -311,7 +311,9 @@ object TextOps {
           t => concat($"source", lit("\u0000"), t)).as("qt"))
       graft.operators.DedupOps.prefixSimilarityJoin(sets, "doc_id", "qt",
           9, 10, fragments = graft.operators.DedupOps
-            .dedupFragments(s, dir, passFactor = 1500L))
+            .dedupFragments(s, dir, passFactor = 1500L),
+          resize = graft.operators.DedupOps
+            .dedupResize(s, dir, passFactor = 1500L))
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
         .orderBy($"doc_a", $"doc_b")

@@ -551,6 +551,95 @@ class DedupOpsSpec extends SparkSpec {
       minSize = 3, bitmapMaxVocab = 0L, fragments = 3)) === onec)
   }
 
+  test("observed-resident resize is result-identical in BOTH replan " +
+      "directions (merge and split), both operators") {
+    // the r16 #3 path: auto mode re-sizes the remaining passes from the
+    // measured resident footprint after pass 1. The callback below
+    // ignores the measurement and forces each direction; the contract
+    // under test is exactness — every pair still lands in exactly one
+    // pass whatever the replan says
+    val docs = (0 until 30).flatMap { i =>
+      val base = (0 until 10).map(j => s"w${i % 6}_$j")
+      Seq((i * 2L, base.mkString(" ")),
+        (i * 2 + 1L, (base.dropRight(1) :+ s"x$i").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sets = docs.select($"doc_id",
+      DedupOps.shingleSet($"text", 2).as("sh"))
+    def normJ(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val one = normJ(DedupOps.prefixSimilarityJoin(
+      sets, "doc_id", "sh", 7, 10, bitmapMaxVocab = 0L))
+    assert(one.nonEmpty)
+    for (forced <- Seq(1, 2, 4, 11)) { // merge-to-one, merge, identity+, split
+      assert(normJ(DedupOps.prefixSimilarityJoin(sets, "doc_id", "sh",
+        7, 10, bitmapMaxVocab = 0L, fragments = 4,
+        resize = Some(_ => forced))) === one, s"prefix forced=$forced")
+    }
+    val onec = normJ(DedupOps.containmentJoin(
+      sets, "doc_id", "sh", 4, 5, minSize = 3, bitmapMaxVocab = 0L))
+    assert(onec.nonEmpty)
+    for (forced <- Seq(2, 9)) {
+      assert(normJ(DedupOps.containmentJoin(sets, "doc_id", "sh", 4, 5,
+        minSize = 3, bitmapMaxVocab = 0L, fragments = 4,
+        resize = Some(_ => forced))) === onec, s"containment forced=$forced")
+    }
+  }
+
+  test("replanPasses partitions the remaining slices exactly, both " +
+      "directions, and sizeFragments honors an observed-resident override") {
+    import DedupOps.{SliceRange, SubSlice}
+    // merge: ranges must tile [1, n0) contiguously, as evenly as
+    // integer division allows, into max(1, nIdeal-1) passes
+    for (n0 <- Seq(2, 5, 24);
+         nIdeal <- Seq(1, 2, 3, n0 - 1, n0).distinct.filter(_ <= n0)) {
+      val passes = DedupOps.replanPasses(n0, nIdeal)
+      val ranges = passes.collect { case SliceRange(lo, hi) => (lo, hi) }
+      assert(ranges.size === passes.size, s"n0=$n0 nIdeal=$nIdeal")
+      assert(ranges.size === math.min(n0 - 1, math.max(1, nIdeal - 1)))
+      assert(ranges.head._1 === 1 && ranges.last._2 === n0)
+      ranges.sliding(2).foreach {
+        case Seq((_, h), (l, _)) => assert(h === l); case _ => ()
+      }
+      val sizes = ranges.map { case (l, h) => h - l }
+      assert(sizes.max - sizes.min <= 1, "even distribution")
+    }
+    // split: every remaining slice f gets the same full [0, m) subslice
+    // set, m = ceil(nIdeal / n0)
+    for (n0 <- Seq(2, 5); nIdeal <- Seq(n0 + 1, 3 * n0, 64)) {
+      val subs = DedupOps.replanPasses(n0, nIdeal)
+        .collect { case SubSlice(f, j, m) => (f, j, m) }
+      val m = (nIdeal + n0 - 1) / n0
+      assert(subs.toSet ===
+        (for (f <- 1 until n0; j <- 0 until m) yield (f, j, m)).toSet,
+        s"n0=$n0 nIdeal=$nIdeal")
+    }
+    assert(DedupOps.replanPasses(1, 7) === Nil) // no remaining slices
+    // observed resident replaces the 800x-input prior, same formula:
+    // x100 anchor pool/input, but a corpus whose measured blocks are
+    // half the prior -> more headroom -> fewer passes; double -> spill
+    // floor -> more passes. None keeps the calibration anchors intact.
+    val pool96 = ((103079215104L - (300L << 20)) * 0.6).toLong
+    val x100 = 62030239L
+    val prior = DedupOps.sizeFragments(pool96, x100, 4600L)
+    assert(prior === 24)
+    assert(DedupOps.sizeFragments(pool96, x100, 4600L,
+      observedResidentBytes = Some(800L * x100)) === prior,
+      "observation equal to the prior must reproduce it")
+    val lighter = DedupOps.sizeFragments(pool96, x100, 4600L,
+      observedResidentBytes = Some(400L * x100))
+    assert(lighter < prior, s"lighter corpus must merge: $lighter")
+    val err = new java.io.ByteArrayOutputStream()
+    val heavier = Console.withErr(err) {
+      DedupOps.sizeFragments(pool96, x100, 4600L, warnAt = "spec",
+        observedResidentBytes = Some(2000L * x100))
+    }
+    assert(heavier > prior, s"heavier corpus must split: $heavier")
+    assert(err.toString.contains("SPILL REGIME") &&
+      err.toString.contains("observation"),
+      s"spill warning must say the resident term was OBSERVED: '${err.toString}'")
+  }
+
   test("prefixSimilarityJoin capped equals uncapped on a hot prefix") {
     // every doc shares one ultra-common shingle that lands in some
     // prefixes; the cap must not change the result set

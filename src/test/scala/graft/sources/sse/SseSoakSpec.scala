@@ -28,7 +28,37 @@ import graft.SparkSpec
   * and the streaming dropDuplicates state survives the restart. */
 class SseSoakSpec extends SparkSpec {
 
-  private def frame(i: Int): String = s"id: e$i\ndata: {\"i\":$i}\n\n"
+  /** One TCP-ish flush unit: the server writes frames in chunks of this
+    * many bytes, flushing EACH chunk, so every frame arrives across
+    * several reads — the capture's frame reassembly is exercised on
+    * every single frame, not only at injected teardowns. */
+  private val FlushUnit = 512
+
+  /** Realistic frame payloads (r16 verdict #7): the production frame is
+    * a ~1-2 KB nested recentchange document, not the `{"i":n}` stub the
+    * first soak fed. Each payload wraps one of the captured wiki
+    * fixture docs (cycled) with the soak's unique index and pads to a
+    * floor well past [[FlushUnit]], so torn-tail truncation and
+    * Last-Event-ID resume run against multi-KB frames that straddle
+    * flush boundaries. Deterministic: the end-of-soak assertion
+    * recomputes the exact payload per id. */
+  private val fixtureDocs: IndexedSeq[String] = {
+    val in = getClass.getResourceAsStream("/recentchange_fixture.jsonl")
+    require(in != null, "recentchange fixture missing from test resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toIndexedSeq finally src.close()
+  }
+
+  private def payload(i: Int): String = {
+    val doc = fixtureDocs(i % fixtureDocs.size)
+    val base = s"""{"i":$i,"rc":$doc,"pad":""""
+    // pad with a position-dependent byte pattern (not a constant) so a
+    // reassembly bug that duplicates or drops a chunk can't cancel out
+    val pad = (base.length until 1200).map(p => ('a' + (p + i) % 26).toChar)
+    base + new String(pad.toArray) + "\"}"
+  }
+
+  private def frame(i: Int): String = s"id: e$i\ndata: ${payload(i)}\n\n"
 
   /** Loopback SSE endpoint with a PRODUCTION CLOCK: a feeder thread
     * publishes one frame every `intervalMs` up to `total`. Every
@@ -60,19 +90,29 @@ class SseSoakSpec extends SparkSpec {
       ex.sendResponseHeaders(200, 0)
       val os = ex.getResponseBody
       var served = 0
+      // every frame goes out in FlushUnit-sized chunks, each flushed —
+      // a multi-KB frame NEVER arrives in one read
+      def writeChunked(bytes: Array[Byte], upTo: Int): Unit = {
+        var off = 0
+        while (off < upTo) {
+          val n = math.min(FlushUnit, upTo - off)
+          os.write(bytes, off, n); os.flush(); off += n
+        }
+      }
       try {
         var cut = false
         while (!cut && done.getCount > 0) {
           if (i < produced.get) {
-            os.write(frame(i).getBytes(StandardCharsets.UTF_8)); os.flush()
+            val b = frame(i).getBytes(StandardCharsets.UTF_8)
+            writeChunked(b, b.length)
             i += 1; served += 1
             if (served >= dropEvery && i < total) {
-              // tear the NEXT frame in half, then drop the connection —
-              // the capture must truncate the torn tail and resume from
-              // the last complete id, every single time
-              os.write(s"id: e$i\ndata: {\"to"
-                .getBytes(StandardCharsets.UTF_8))
-              os.flush()
+              // tear the NEXT frame 60% of the way through its multi-KB
+              // payload, then drop the connection — the capture must
+              // truncate the torn tail and resume from the last
+              // complete id, every single time
+              val torn = frame(i).getBytes(StandardCharsets.UTF_8)
+              writeChunked(torn, (torn.length * 6) / 10)
               cut = true
             }
           } else if (produced.get >= total) {
@@ -97,9 +137,9 @@ class SseSoakSpec extends SparkSpec {
     ok
   }
 
-  test("soak: minutes of live frames across continuous injected drops, " +
-      "torn tails, and a mid-soak checkpoint restart land exactly once " +
-      "(D1 dedup invariant)") {
+  test("soak: minutes of multi-KB fixture-payload frames across " +
+      "continuous injected drops, torn tails, chunked flushes, and a " +
+      "mid-soak checkpoint restart land exactly once (D1 dedup invariant)") {
     val total = 240
     val server = new SoakServer(total, intervalMs = 250L, dropEvery = 30)
     val dir = Files.createTempDirectory("sse_soak")
@@ -158,8 +198,22 @@ class SseSoakSpec extends SparkSpec {
       s"doubled ids: ${rows.map(_._1).diff(rows.map(_._1).distinct)}")
     assert(rows.map(_._1).toSet === (0 until total).map(i => s"e$i").toSet)
     rows.foreach { case (id, data) =>
-      assert(data === s"""{"i":${id.stripPrefix("e")}}""",
-        s"frame $id arrived torn or mismatched: $data")
+      assert(data === payload(id.stripPrefix("e").toInt),
+        s"frame $id arrived torn or mismatched " +
+          s"(${data.length} bytes): ${data.take(120)}…")
+    }
+    // the payloads must actually be the multi-KB production shape: every
+    // frame bigger than one flush unit (so each crossed several flushed
+    // chunks), and the fixture docs genuinely embedded
+    (0 until total).foreach { i =>
+      assert(payload(i).length > 2 * FlushUnit,
+        s"payload $i is ${payload(i).length} B — not multi-flush-unit")
+      // the embedded doc is one of the captured fixture lines — most
+      // are real nested recentchange docs; one is the deliberately
+      // CORRUPT line (the F3 fixture), which a realistic capture
+      // stream carries too, so only the wrapper shape is asserted here
+      assert(payload(i).contains("\"rc\":"),
+        s"payload $i does not embed a fixture doc")
     }
     // the soak must actually have soaked: the feed spans minutes of
     // wall time and the server cut the connection continuously
