@@ -1057,7 +1057,8 @@ object DedupOps {
   private[graft] def autoFragments(s: SparkSession, dir: String,
       passFactor: Long): Int = {
     val (pool, input) = poolAndInput(s, dir)
-    sizeFragments(pool, input, passFactor, warnAt = dir)
+    sizeFragments(pool, input, passFactor, warnAt = dir,
+      cores = s.sparkContext.defaultParallelism)
   }
 
   /** Observed-resident resize callback for [[fragmented]] (r16 verdict
@@ -1076,19 +1077,47 @@ object DedupOps {
     else Some { observedResident =>
       val (pool, input) = poolAndInput(s, dir)
       sizeFragments(pool, input, passFactor, warnAt = dir,
-        observedResidentBytes = Some(observedResident))
+        observedResidentBytes = Some(observedResident),
+        cores = s.sparkContext.defaultParallelism)
     }
 
   /** Pure core of [[autoFragments]] — the formula alone, so the
     * calibration anchors are unit-pinnable without a 96 GB JVM. With
     * `observedResidentBytes` (the post-pass-1 measurement, r16 verdict
     * #3) the 800×-input resident PRIOR is replaced by the observation;
-    * everything else — the 15%-pool floor, the spill warning, the
-    * [1, 64] clamp — is shared, so the observed path is the same
-    * formula with a measured term, not a second model. */
+    * everything else — the per-pass stream budget, the 15%-pool floor,
+    * the spill warning, the [1, 64] clamp — is shared, so the observed
+    * path is the same formula with a measured term, not a second model.
+    *
+    * TWO constraints bound a pass's candidate stream, and the tighter
+    * one sizes the pass:
+    *  - STORAGE headroom (pool − resident): when resident blocks crowd
+    *    the pool, a bigger pass evicts them and pays the measured 2.4×
+    *    re-read wall — the term the r15/r16 ×100 calibrations carried;
+    *  - a per-pass STREAM BUDGET of [[StreamBudgetPerCore]] × cores
+    *    (12 GiB at 32 cores), binding only on the OBSERVED path, when
+    *    the measurement reveals far more headroom than the prior
+    *    assumed. This is a CONSERVATISM bound, not a measured optimum:
+    *    the validated ×100 anchors ran their passes at ~11.1 GiB
+    *    (containment, 24 frags) and ~11.6 GiB (prefix-sim, 8), so the
+    *    budget keeps a post-observation merge inside the per-pass
+    *    regime the evidence actually covers instead of extrapolating
+    *    to a few giant passes no run has validated. The open-tier ×10
+    *    check (stretch-8 long-doc corpus, 139k shingle vocab, 56 g
+    *    heap, SURVEY §2.28): the prior over-estimated resident 30×
+    *    (50431 MiB predicted, 1663 MiB observed), the observation
+    *    re-planned 19 → 8 passes, rows exact (2480) — but walls across
+    *    auto/4/8/16/19 fragments all fell inside that day's 1.6–1.9×
+    *    plan-identical noise band (auto itself: 749 s then 462 s on
+    *    identical plans), so ×10 walls cannot rank pass counts; only
+    *    exactness and the anchor arithmetic are claimed.
+    * At the ×100/96g anchors headroom (11.2 GiB) is barely the tighter
+    * term, so the calibrated picks 24/8 are unchanged by the budget. */
+  private[graft] val StreamBudgetPerCore: Long = 384L << 20
   private[graft] def sizeFragments(poolBytes: Long, inputBytes: Long,
       passFactor: Long, warnAt: String = "",
-      observedResidentBytes: Option[Long] = None): Int = {
+      observedResidentBytes: Option[Long] = None,
+      cores: Int = 32): Int = {
     val ResidentFactor = 800L
     val floor = (poolBytes * 0.15).toLong
     val resident =
@@ -1102,8 +1131,10 @@ object DedupOps {
           s"MiB vs pool ${poolBytes >> 20} MiB. Fragmenting against the " +
           "floor, but per-pass block re-reads will come from disk (the " +
           "measured 2.4x wall); grow executor memory if possible.")
+    val budget =
+      math.min(StreamBudgetPerCore * cores, math.max(headroom, floor))
     val n = math.ceil(
-      passFactor.toDouble * inputBytes / math.max(headroom, floor)).toLong
+      passFactor.toDouble * inputBytes / budget).toLong
     math.min(64L, math.max(1L, n)).toInt
   }
 
@@ -1129,14 +1160,26 @@ object DedupOps {
   private[graft] def replanPasses(n0: Int, nIdeal: Int): Seq[SlicePass] = {
     val remaining = n0 - 1
     if (remaining <= 0) Nil
-    else if (nIdeal <= n0) {
-      val k = math.min(remaining, math.max(1, nIdeal - 1))
+    else if (nIdeal <= n0 || math.round(nIdeal.toDouble / n0) < 2) {
+      // nIdeal passes for the WHOLE space; pass 1 already covered 1/n0
+      // of it, so the remaining (n0−1)/n0 share gets its proportional
+      // pass count (ceil — a pass may run under budget, never over by
+      // more than the slice quantum). The second disjunct is the
+      // marginal-overshoot guard: nIdeal in (n0, 1.5·n0) rounds to one
+      // pass per remaining slice (k caps at `remaining`) instead of
+      // DOUBLING the pass count through a 2-way split for a <50%
+      // budget overshoot.
+      val k = math.min(remaining,
+        math.max(1, math.ceil(remaining.toDouble * nIdeal / n0).toInt))
       val g = remaining / k
       val r = remaining % k
       val bounds = (0 to k).map(i => 1 + i * g + math.min(i, r))
       (0 until k).map(i => SliceRange(bounds(i), bounds(i + 1)))
     } else {
-      val m = (nIdeal + n0 - 1) / n0
+      // round to the NEAREST whole subslice multiple (≥ 2 by the
+      // branch guard) — ceil here would overshoot the budget model by
+      // up to a full n0 passes for a fractional excess
+      val m = math.round(nIdeal.toDouble / n0).toInt
       for (f <- 1 until n0; j <- 0 until m) yield SubSlice(f, j, m)
     }
   }

@@ -589,14 +589,22 @@ class DedupOpsSpec extends SparkSpec {
   test("replanPasses partitions the remaining slices exactly, both " +
       "directions, and sizeFragments honors an observed-resident override") {
     import DedupOps.{SliceRange, SubSlice}
-    // merge: ranges must tile [1, n0) contiguously, as evenly as
-    // integer division allows, into max(1, nIdeal-1) passes
+    // merge/keep: ranges must tile [1, n0) contiguously, as evenly as
+    // integer division allows. This branch also owns the MARGINAL
+    // OVERSHOOT nIdeal ∈ (n0, 1.5·n0): round-to-nearest keeps one pass
+    // per remaining slice rather than doubling via a 2-way split.
     for (n0 <- Seq(2, 5, 24);
-         nIdeal <- Seq(1, 2, 3, n0 - 1, n0).distinct.filter(_ <= n0)) {
+         nIdeal <- Seq(1, 2, 3, n0 - 1, n0, n0 + 1, n0 + n0 / 3).distinct
+           .filter(v => v <= n0 || math.round(v.toDouble / n0) < 2)) {
       val passes = DedupOps.replanPasses(n0, nIdeal)
       val ranges = passes.collect { case SliceRange(lo, hi) => (lo, hi) }
       assert(ranges.size === passes.size, s"n0=$n0 nIdeal=$nIdeal")
-      assert(ranges.size === math.min(n0 - 1, math.max(1, nIdeal - 1)))
+      // the remaining (n0−1)/n0 share gets its PROPORTIONAL pass count
+      // (capped at one pass per slice): nIdeal is for the whole space
+      // and pass 1 took 1/n0 of it
+      assert(ranges.size === math.min(n0 - 1,
+        math.max(1, math.ceil((n0 - 1).toDouble * nIdeal / n0).toInt)),
+        s"n0=$n0 nIdeal=$nIdeal")
       assert(ranges.head._1 === 1 && ranges.last._2 === n0)
       ranges.sliding(2).foreach {
         case Seq((_, h), (l, _)) => assert(h === l); case _ => ()
@@ -605,15 +613,23 @@ class DedupOpsSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, "even distribution")
     }
     // split: every remaining slice f gets the same full [0, m) subslice
-    // set, m = ceil(nIdeal / n0)
-    for (n0 <- Seq(2, 5); nIdeal <- Seq(n0 + 1, 3 * n0, 64)) {
+    // set, m = round(nIdeal / n0) — nearest, not ceil, so a fractional
+    // excess can't cost a full extra n0 passes
+    for (n0 <- Seq(2, 5); nIdeal <- Seq(2 * n0, 3 * n0, 64)) {
       val subs = DedupOps.replanPasses(n0, nIdeal)
         .collect { case SubSlice(f, j, m) => (f, j, m) }
-      val m = (nIdeal + n0 - 1) / n0
+      val m = math.round(nIdeal.toDouble / n0).toInt
       assert(subs.toSet ===
         (for (f <- 1 until n0; j <- 0 until m) yield (f, j, m)).toSet,
         s"n0=$n0 nIdeal=$nIdeal")
     }
+    // the marginal-overshoot guard, pinned: a 20% overshoot (5 → 6)
+    // used to split every slice in two (8 passes); now one pass each
+    assert(DedupOps.replanPasses(5, 6) ===
+      (1 until 5).map(f => SliceRange(f, f + 1)))
+    assert(DedupOps.replanPasses(24, 35)
+      .collect { case s: SubSlice => s }.isEmpty,
+      "nIdeal < 1.5*n0 must never split")
     assert(DedupOps.replanPasses(1, 7) === Nil) // no remaining slices
     // observed resident replaces the 800x-input prior, same formula:
     // x100 anchor pool/input, but a corpus whose measured blocks are
@@ -629,6 +645,25 @@ class DedupOpsSpec extends SparkSpec {
     val lighter = DedupOps.sizeFragments(pool96, x100, 4600L,
       observedResidentBytes = Some(400L * x100))
     assert(lighter < prior, s"lighter corpus must merge: $lighter")
+    // …but only down to the per-pass STREAM budget (a conservatism
+    // bound: the ×100 anchors validated ~11-12 GiB per-pass streams;
+    // a merge past that extrapolates to giant passes no run covers).
+    // Even a zero-resident observation keeps ceil(stream / budget) —
+    // 23 passes at ~12 GiB each, not 5 at 57 GiB:
+    assert(DedupOps.sizeFragments(pool96, x100, 4600L,
+      observedResidentBytes = Some(0L)) === 23,
+      "the stream budget must floor the merge")
+    // the r17 stretch-8 open-tier run (SURVEY §2.28), both phases
+    // exactly as logged: 56 g heap (pool 34226 MiB), 63 MiB long-doc
+    // corpus, passFactor 1500. Pass 1, prior: 800× = 50431 MiB
+    // resident > pool → spill-floor path → 19. Observed: 1663 MiB
+    // resident (prior 30× high) → the 12 GiB budget binds, not the
+    // 32.5 GiB headroom → ideal total 8 (rows stayed exact, 2480).
+    val pool56 = ((56L << 30) - (300L << 20)) * 6 / 10
+    val long8 = 66102231L
+    assert(DedupOps.sizeFragments(pool56, long8, 1500L) === 19)
+    assert(DedupOps.sizeFragments(pool56, long8, 1500L,
+      observedResidentBytes = Some(1663L << 20)) === 8)
     val err = new java.io.ByteArrayOutputStream()
     val heavier = Console.withErr(err) {
       DedupOps.sizeFragments(pool96, x100, 4600L, warnAt = "spec",
