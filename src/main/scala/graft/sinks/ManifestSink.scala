@@ -3527,7 +3527,7 @@ object ManifestSink {
     // means the hint genuinely failed to persist — fail loudly.
     val back =
       scala.util.Try(readSmall(f, latest).trim.toLong).getOrElse(-1L)
-    require(back >= current,
+    if (back < current) throw new java.io.IOException(
       s"vacuum at $dir: the _latest hint did not persist (read back " +
         s"$back, need >= $current) — aborting before reclaiming " +
         "anything so version() probes don't degrade to the full " +
