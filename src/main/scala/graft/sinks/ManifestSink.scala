@@ -540,18 +540,71 @@ object ManifestSink {
     * the commit path on `Observation.get`'s unbounded wait, a bounded
     * wait falls back to counting the written files (one cheap parquet
     * metadata pass over the batch just written). */
-  private def writeCounted(df: DataFrame, dataDir: String): Long = {
-    import org.apache.spark.sql.functions.{count, lit}
+  private def writeCounted(df: DataFrame, dataDir: String): Long =
+    writeWithStats(df, dataDir, Nil, Nil)._1
+
+  /** Write `df` under `dataDir` and return (row count, min/max + NDV
+    * stats), ALL computed by observe metrics riding the write job itself
+    * — the batch is evaluated and scanned exactly ONCE (r17, guide §1.2):
+    * the previous shape wrote, then re-read the written files for each
+    * stats family, costing one extra full batch read per commit at scale
+    * and 1-2 extra Spark actions locally. Values are identical to the
+    * read-back by construction — the metrics see the same rows the files
+    * hold, min/max typing mirrors [[batchStats]], and the KMV sketch is
+    * partitioning-independent. Families that need a post-hoc shape
+    * (blooms sized from the observed count, exact top-k, histograms)
+    * still read back — see [[writtenStats]]. Falls back to the read-back
+    * path if the observation does not arrive (listener-bus stall). */
+  private def writeWithStats(df: DataFrame, dataDir: String,
+      statsCols: Seq[String], ndvCols: Seq[String])
+      : (Long, Map[String, ColStats]) = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    import org.apache.spark.sql.types._
+    val typed = statsCols.flatMap { c =>
+      df.schema.find(_.name == c).flatMap(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(c -> 'L')
+        case FloatType | DoubleType                        => Some(c -> 'D')
+        case StringType                                    => Some(c -> 'S')
+        case _                                             => None
+      })
+    }
+    val metrics: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__n") +:
+        (typed.flatMap { case (c, _) =>
+          Seq(min(df(c)).as(s"__mn_$c"), max(df(c)).as(s"__mx_$c")) } ++
+          ndvCols.map(c => graft.functions.KmvSketch.sketchValues(
+            graft.functions.PortableHash.tokenHashP(
+              df(c).cast("string")), NdvSketchK).as(s"__kmv_$c")))
     val obs = org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("n")).write.parquet(dataDir)
+    df.observe(obs, metrics.head, metrics.tail: _*).write.parquet(dataDir)
     try {
       import scala.concurrent.ExecutionContext.Implicits.global
-      scala.concurrent.Await.result(
-        scala.concurrent.Future(obs.get("n").asInstanceOf[Long]),
+      val row = scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get),
         scala.concurrent.duration.Duration(30, "s"))
+      val mm = typed.flatMap { case (c, tag) =>
+        (row(s"__mn_$c"), row(s"__mx_$c")) match {
+          case (null, _) | (_, null) => None // all-null batch: no stats
+          case (mn, mx) => Some(c -> ColStats(tag, boundStr(mn), boundStr(mx)))
+        }
+      }.toMap
+      val kmv = ndvCols.map { c =>
+        val arr = row(s"__kmv_$c").asInstanceOf[scala.collection.Seq[Long]]
+        val bb = java.nio.ByteBuffer.allocate(8 * arr.size)
+        arr.foreach(bb.putLong)
+        kmvKey(c) -> ColStats('V',
+          java.util.Base64.getEncoder.encodeToString(bb.array()),
+          NdvSketchK.toString)
+      }.toMap
+      (row("__n").asInstanceOf[Long], mm ++ kmv)
     } catch {
       case _: java.util.concurrent.TimeoutException =>
-        df.sparkSession.read.parquet(dataDir).count()
+        val spark = df.sparkSession
+        val written = spark.read.parquet(dataDir)
+        (written.count(),
+          (if (typed.isEmpty) Map.empty[String, ColStats]
+           else batchStats(written, statsCols)) ++
+            batchNdvSketches(written, ndvCols))
     }
   }
 
@@ -806,9 +859,10 @@ object ManifestSink {
       maintenance: Boolean = false): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
-    val rows = writeCounted(df, dataDir)
-    val stats = writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp) +
-      rowsStat(rows)
+    val (rows, writeStats) = writeWithStats(df, dataDir, statsCols, Nil)
+    val stats = writeStats +
+      rowsStat(rows) ++
+      writtenStats(spark, dataDir, Nil, bloomCols, bloomFpp)
     val rewriteLines = baseEntries :+ Entry(s"data/$batch", stats).line
     if (maintenance)
       return commitRewriteLines(spark, dir, basedOn, rewriteLines, header)
@@ -1484,10 +1538,12 @@ object ManifestSink {
       histCols: Seq[String] = Nil): Long = {
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
-    val rows = writeCounted(df, dataDir)
+    val (rows, writeStats) =
+      writeWithStats(df, dataDir, statsCols, ndvCols)
     val line = Entry(s"data/$batch",
-      writtenStats(spark, dataDir, statsCols, bloomCols, bloomFpp,
-        ndvCols, topKCols, tokenBloomCols, histCols) + rowsStat(rows)).line
+      writeStats ++
+        writtenStats(spark, dataDir, Nil, bloomCols, bloomFpp,
+          Nil, topKCols, tokenBloomCols, histCols) + rowsStat(rows)).line
     commitAppendLines(spark, dir, Seq(line), header)
   }
 
@@ -1897,14 +1953,12 @@ object ManifestSink {
     val spark = df.sparkSession
     val batch = java.util.UUID.randomUUID().toString
     val dataDir = s"$dir/data/$batch"
-    val rows = writeCounted(df, dataDir)
+    val (rows, writeStats) = writeWithStats(df, dataDir, statsCols, Nil)
     val staged = spark.read.parquet(dataDir)
     val violations = audit(staged)
     if (violations.nonEmpty) Left(violations)
     else {
-      val line = Entry(s"data/$batch",
-        writtenStats(spark, dataDir, statsCols, Nil, 0.01) +
-          rowsStat(rows)).line
+      val line = Entry(s"data/$batch", writeStats + rowsStat(rows)).line
       Right(commitAppendLines(spark, dir, Seq(line), Map.empty))
     }
   }
@@ -2824,17 +2878,22 @@ object ManifestSink {
     val prev = version(spark, dir)
     if (prev < 0) return commit(spark, dir, updates, Nil, prev, statsCols)
     if (updates.isEmpty) return prev
-    val kBatch = java.util.UUID.randomUUID().toString
-    val kRows = writeCounted(
-      updates.select(keys.map(col): _*), s"$dir/data/$kBatch")
+    // data batch first, stats riding its write pass; the tombstone key
+    // file is then DERIVED from the written batch (a key-column-only read
+    // of the fresh local files) instead of re-evaluating the updates
+    // pipeline — the upsert's source is computed exactly once (r17,
+    // guide §1.2; previously the keys write and the data write each ran
+    // the full updates plan)
     val dBatch = java.util.UUID.randomUUID().toString
-    val dRows = writeCounted(updates, s"$dir/data/$dBatch")
-    val stats = writtenStats(spark, s"$dir/data/$dBatch", statsCols,
-      Nil, 0.01)
+    val (dRows, dStats) =
+      writeWithStats(updates, s"$dir/data/$dBatch", statsCols, Nil)
+    val kBatch = java.util.UUID.randomUUID().toString
+    spark.read.parquet(s"$dir/data/$dBatch").select(keys.map(col): _*)
+      .write.parquet(s"$dir/data/$kBatch")
     val tombLine = Entry(s"data/$kBatch",
       Map(TombKey -> ColStats('S', keys.mkString(","),
-        kRows.toString))).line
-    val dataLine = Entry(s"data/$dBatch", stats + rowsStat(dRows)).line
+        dRows.toString))).line
+    val dataLine = Entry(s"data/$dBatch", dStats + rowsStat(dRows)).line
     commitAppendLines(spark, dir, Seq(tombLine, dataLine), Map.empty)
   }
 

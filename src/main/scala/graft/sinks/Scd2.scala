@@ -121,7 +121,13 @@ object Scd2 {
     // is delta-sized, so cache it rather than re-run the window pipeline
     chain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (chain.isEmpty) ManifestSink.version(spark, dir)
+      // no separate emptiness probe here: merge/mergeOnRead already
+      // no-op (returning the current version) on an empty update frame,
+      // so probing first costs one extra action per batch (r17). The one
+      // case where the probe is still load-bearing — an all-stale/
+      // all-collapsed batch against a FRESH dir — must keep returning -1
+      // without creating an empty table, and `prev` is already in hand.
+      if (prev < 0 && chain.isEmpty) prev
       else if (copyOnWrite)
         ManifestSink.merge(chain, dir, Seq(key, FromCol))
       else ManifestSink.mergeOnRead(chain, dir, Seq(key, FromCol))
