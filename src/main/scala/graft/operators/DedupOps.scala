@@ -1716,15 +1716,20 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("b"), $"label".as("nl")), "b")
         .groupBy($"a").agg(min($"nl").as("min_nbr"))
+      // convergence flag computed IN the round's own projection (labels
+      // are min-monotone, so "changed" ⇔ a neighbor label strictly won):
+      // the previous shape re-joined `next` against `labels` just to
+      // count changes — one extra label-table-sized shuffle join per
+      // round (r17, guide §2.4); the flagged count is a scan of the
+      // just-checkpointed blocks instead.
       val next = labels
         .join(nbrMin.select($"a".as("doc_id"), $"min_nbr"), Seq("doc_id"), "left")
         .select($"doc_id",
-          least($"label", coalesce($"min_nbr", $"label")).as("label"))
+          least($"label", coalesce($"min_nbr", $"label")).as("label"),
+          (coalesce($"min_nbr", $"label") < $"label").as("__chg"))
         .lineageCut(eager = true)
-      val changed = next
-        .join(labels.select($"doc_id", $"label".as("old")), "doc_id")
-        .filter($"label" =!= $"old").count()
-      labels = next
+      val changed = next.filter($"__chg").count()
+      labels = next.select($"doc_id", $"label")
       converged = changed == 0L
     }
     require(converged, s"component propagation did not converge in $iter rounds")
