@@ -2920,12 +2920,34 @@ object ManifestSink {
     val spark = updates.sparkSession
     import org.apache.spark.sql.functions.{col, count, lit}
     val keyCols = keys.map(col)
-    require(updates.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).isEmpty,
-      s"merge updates must be unique per key ${keys.mkString("(", ",", ")")}")
-    val prev = version(spark, dir)
-    if (prev < 0) return commit(spark, dir, updates, Nil, prev)
-    if (updates.isEmpty) return prev // no-op merge: no new version
+    // Stage the updates batch ONCE, then run every consumer — the
+    // uniqueness and emptiness checks, the touched-directory probe, and
+    // the rewrite union — off the staged columnar files (r17, guide
+    // §1.2): the previous shape re-evaluated the updates pipeline up to
+    // four times per merge (at 100 TB, four runs of the day's CDC
+    // derivation). The staging dir is uncommitted scratch, deleted on
+    // every exit path, so no manifest ever references it and vacuum
+    // accounting is unchanged.
+    val sBatch = java.util.UUID.randomUUID().toString
+    val sDir = s"$dir/data/$sBatch"
+    val sRows = writeCounted(updates, sDir)
+    val f = fs(spark, dir)
+    try {
+      val staged = spark.read.parquet(sDir)
+      require(staged.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+        s"merge updates must be unique per key ${keys.mkString("(", ",", ")")}")
+      val prev = version(spark, dir)
+      if (prev < 0) return commit(spark, dir, staged, Nil, prev)
+      if (sRows == 0L) return prev // no-op merge: no new version
+      mergeStaged(spark, dir, staged, keys, prev)
+    } finally f.delete(new Path(sDir), true)
+  }
+
+  private def mergeStaged(spark: SparkSession, dir: String,
+      updates: DataFrame, keys: Seq[String], prev: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val keyCols = keys.map(col)
     val entries = manifestEntries(spark, dir, prev)
     // one pass over the snapshot finds the directories holding matched
     // keys; the result is manifest-entry-scale metadata (≤ #entries), so
