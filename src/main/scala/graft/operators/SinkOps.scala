@@ -3270,10 +3270,16 @@ object SinkOps {
     val ot = s"q212_orders_$tag"
     val lt = s"q212_lineitem_$tag"
     try {
-      Tables(s, dir, "orders").write.mode("overwrite").format("parquet")
+      // repartition on the bucket key before each write (one file per
+      // bucket instead of buckets × input-partitions small files; the
+      // added exchange is exactly the pay-once shuffle this layout
+      // amortizes — see ParquetSink.writeBucketed, r17)
+      Tables(s, dir, "orders").repartition(8, $"o_orderkey")
+        .write.mode("overwrite").format("parquet")
         .option("path", s"$scratch/orders")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-      Tables(s, dir, "lineitem").write.mode("overwrite").format("parquet")
+      Tables(s, dir, "lineitem").repartition(8, $"l_orderkey")
+        .write.mode("overwrite").format("parquet")
         .option("path", s"$scratch/lineitem")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
       val joined = s.table(ot).hint("merge")

@@ -34,7 +34,16 @@ object ParquetSink {
     * (pay the shuffle once at write time, never again at read). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    // repartition on the bucket key first: V1 bucketed writes do not
+    // enforce a distribution, so every input partition otherwise writes
+    // one file per bucket it touches — numBuckets × input-partitions
+    // small files (the small-files trap, guide §6). repartition(n, col)
+    // and the bucket id share the same murmur3-pmod assignment, so each
+    // task holds exactly one bucket and writes exactly one file; the
+    // shuffle added here IS the pay-once shuffle this layout exists to
+    // amortize (r17).
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
