@@ -2870,30 +2870,44 @@ object ManifestSink {
     require(keys.forall(!_.contains(",")),
       "key column names must not contain ','")
     val spark = updates.sparkSession
-    import org.apache.spark.sql.functions.{col, count, lit}
-    require(updates.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
-      "mergeOnRead updates must be unique per key " +
-        keys.mkString("(", ",", ")"))
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    // Data batch first, row count and stats riding its write pass; every
+    // check — per-key uniqueness, emptiness — and the tombstone key file
+    // run off the WRITTEN files, so the updates pipeline is evaluated
+    // exactly once (r17, guide §1.2: previously the uniqueness probe,
+    // the emptiness probe, the keys write, and the data write each ran
+    // the full updates plan). The uniqueness probe is a single agg-max
+    // action, not a filter+isEmpty (an empty filtered take escalates
+    // through up to 4 partition-scan jobs under AQE). A violated
+    // contract or an empty batch deletes the uncommitted dir — no
+    // manifest ever references it.
     val prev = version(spark, dir)
-    if (prev < 0) return commit(spark, dir, updates, Nil, prev, statsCols)
-    if (updates.isEmpty) return prev
-    // data batch first, stats riding its write pass; the tombstone key
-    // file is then DERIVED from the written batch (a key-column-only read
-    // of the fresh local files) instead of re-evaluating the updates
-    // pipeline — the upsert's source is computed exactly once (r17,
-    // guide §1.2; previously the keys write and the data write each ran
-    // the full updates plan)
     val dBatch = java.util.UUID.randomUUID().toString
-    val (dRows, dStats) =
-      writeWithStats(updates, s"$dir/data/$dBatch", statsCols, Nil)
+    val dDir = s"$dir/data/$dBatch"
+    val (dRows, dStats) = writeWithStats(updates, dDir, statsCols, Nil)
+    def abort(): Unit = {
+      val f = fs(spark, dir)
+      try { f.delete(new Path(dDir), true); () }
+      catch { case _: java.io.IOException => () }
+    }
+    if (dRows == 0L) { abort(); return prev }
+    val staged = spark.read.parquet(dDir)
+    val dupMax = Option(staged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    if (dupMax > 1L) {
+      abort()
+      throw new IllegalArgumentException(
+        "requirement failed: mergeOnRead updates must be unique per key " +
+          keys.mkString("(", ",", ")"))
+    }
+    val dataLine = Entry(s"data/$dBatch", dStats + rowsStat(dRows)).line
+    if (prev < 0) return commitAppendLines(spark, dir, Seq(dataLine), Map.empty)
     val kBatch = java.util.UUID.randomUUID().toString
-    spark.read.parquet(s"$dir/data/$dBatch").select(keys.map(col): _*)
-      .write.parquet(s"$dir/data/$kBatch")
+    staged.select(keys.map(col): _*).write.parquet(s"$dir/data/$kBatch")
     val tombLine = Entry(s"data/$kBatch",
       Map(TombKey -> ColStats('S', keys.mkString(","),
         dRows.toString))).line
-    val dataLine = Entry(s"data/$dBatch", dStats + rowsStat(dRows)).line
     commitAppendLines(spark, dir, Seq(tombLine, dataLine), Map.empty)
   }
 
@@ -2934,8 +2948,13 @@ object ManifestSink {
     val f = fs(spark, dir)
     try {
       val staged = spark.read.parquet(sDir)
-      require(staged.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).isEmpty,
+      // single agg-max probe, not filter+isEmpty: an empty filtered take
+      // escalates through up to 4 partition-scan jobs under AQE (r17)
+      val dupMax = Option(staged.groupBy(keyCols: _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(org.apache.spark.sql.functions.max(col("__n"))).head().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      require(dupMax <= 1L,
         s"merge updates must be unique per key ${keys.mkString("(", ",", ")")}")
       val prev = version(spark, dir)
       if (prev < 0) return commit(spark, dir, staged, Nil, prev)

@@ -76,8 +76,13 @@ object Scd2 {
     require(!(attrCols :+ key :+ seqCol).exists(reserved),
       s"column names $reserved are reserved for the SCD2 schema")
     val u = updates.select((key +: seqCol +: attrCols).map(col): _*)
-    require(u.groupBy(col(key), col(seqCol))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+    // single agg-max probe, not filter+isEmpty: an empty filtered take
+    // escalates through up to 4 partition-scan jobs under AQE (r17)
+    val dupMax = Option(u.groupBy(col(key), col(seqCol))
+      .agg(count(lit(1)).as("__n"))
+      .agg(org.apache.spark.sql.functions.max(col("__n"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    require(dupMax <= 1L,
       s"SCD2 updates must be unique per ($key, $seqCol)")
     val prev = ManifestSink.version(spark, dir)
     val marked =
